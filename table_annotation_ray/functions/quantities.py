@@ -1,0 +1,198 @@
+"""Quantity parsing and unit standardization — hermetic replacement for
+quantulum3 + Pint (`annot_scripts/utils.py:24-37, 88-116`,
+`entity_parsers/unit_parser.py:22-47`).
+
+A built-in unit table maps surface forms to (dimension, base unit,
+factor-to-base).  Currencies are hand-defined exactly like the
+reference's Pint registry (utils.py:27-37): dollar is the base with 8
+fixed conversion rates.  ``standardize_to_base_unit`` reproduces the
+reference's output shape ``{base_unit_name: [magnitudes...]}`` with the
+±2% near-duplicate suppression (utils.py:104-111).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+__all__ = [
+    "ParsedQuantity",
+    "parse_quantities",
+    "standardize_to_base_unit",
+    "float_parse",
+    "dimensionless_quantity_similarity",
+    "UNIT_TABLE",
+]
+
+
+@dataclass(frozen=True)
+class UnitDef:
+    dimension: str  # quantulum-style dimension name, lowercase
+    base: str  # base unit name within the dimension
+    factor: float  # multiply magnitude by this to get base units
+    offset: float = 0.0  # for temperatures
+
+
+# surface form (lowercased) -> UnitDef.  Compact but covers the dimensions
+# the typing stack cares about (SPEED, DISTANCE, MASS, DURATION, MONEY,
+# TEMPERATURE, DATA STORAGE, ENERGY, POWER, AREA, VOLUME, FREQUENCY...).
+UNIT_TABLE: dict[str, UnitDef] = {}
+
+
+def _add(dimension: str, base: str, factor: float, *surfaces: str, offset: float = 0.0):
+    for s in surfaces:
+        UNIT_TABLE[s] = UnitDef(dimension, base, factor, offset)
+
+
+_add("length", "metre", 1.0, "m", "meter", "meters", "metre", "metres")
+_add("length", "metre", 1000.0, "km", "kilometer", "kilometers", "kilometre", "kilometres")
+_add("length", "metre", 0.01, "cm", "centimeter", "centimeters", "centimetre", "centimetres")
+_add("length", "metre", 0.001, "mm", "millimeter", "millimeters", "millimetre", "millimetres")
+_add("length", "metre", 1609.344, "mi", "mile", "miles")
+_add("length", "metre", 0.9144, "yd", "yard", "yards")
+_add("length", "metre", 0.3048, "ft", "foot", "feet")
+_add("length", "metre", 0.0254, "in", "inch", "inches")
+_add("mass", "kilogram", 1.0, "kg", "kilogram", "kilograms", "kilo", "kilos")
+_add("mass", "kilogram", 0.001, "g", "gram", "grams", "gramme", "grammes")
+_add("mass", "kilogram", 1000.0, "t", "tonne", "tonnes", "ton", "tons")
+_add("mass", "kilogram", 0.45359237, "lb", "lbs", "pound", "pounds")
+_add("time", "second", 1.0, "s", "sec", "secs", "second", "seconds")
+_add("time", "second", 60.0, "min", "mins", "minute", "minutes")
+_add("time", "second", 3600.0, "h", "hr", "hrs", "hour", "hours")
+_add("time", "second", 86400.0, "day", "days")
+_add("time", "second", 604800.0, "week", "weeks")
+_add("time", "second", 31557600.0, "year", "years", "yr", "yrs")
+_add("time", "second", 0.001, "ms", "millisecond", "milliseconds")
+_add("speed", "metre / second", 1.0, "m/s", "mps")
+_add("speed", "metre / second", 0.2777777778, "km/h", "kph", "kmh")
+_add("speed", "metre / second", 0.44704, "mph")
+_add("temperature", "kelvin", 1.0, "k", "kelvin")
+_add("temperature", "kelvin", 1.0, "°c", "celsius", offset=273.15)
+_add("temperature", "kelvin", 5.0 / 9.0, "°f", "fahrenheit", offset=255.3722222)
+_add("area", "square metre", 1.0, "m2", "m²", "sq m", "square meter", "square meters",
+     "square metre", "square metres")
+_add("area", "square metre", 1e6, "km2", "km²", "square kilometer", "square kilometers",
+     "square kilometre", "square kilometres")
+_add("area", "square metre", 10000.0, "ha", "hectare", "hectares")
+_add("volume", "cubic metre", 1.0, "m3", "m³")
+_add("volume", "cubic metre", 0.001, "l", "liter", "liters", "litre", "litres")
+_add("energy", "joule", 1.0, "j", "joule", "joules")
+_add("energy", "joule", 1000.0, "kj")
+_add("energy", "joule", 4184.0, "kcal")
+_add("power", "watt", 1.0, "w", "watt", "watts")
+_add("power", "watt", 1000.0, "kw", "kilowatt", "kilowatts")
+_add("power", "watt", 745.699872, "hp", "horsepower")
+_add("frequency", "hertz", 1.0, "hz", "hertz")
+_add("frequency", "hertz", 1000.0, "khz")
+_add("frequency", "hertz", 1e6, "mhz")
+_add("frequency", "hertz", 1e9, "ghz")
+_add("data storage", "bit", 1.0, "bit", "bits")
+_add("data storage", "bit", 8.0, "b", "byte", "bytes")
+_add("data storage", "bit", 8e3, "kb")
+_add("data storage", "bit", 8e6, "mb")
+_add("data storage", "bit", 8e9, "gb")
+_add("data storage", "bit", 8e12, "tb")
+# currencies: same 8 + base set and rates as the reference Pint registry
+# (annot_scripts/utils.py:27-37)
+_add("currency", "dollar", 1.0, "$", "usd", "dollar", "dollars",
+     "united states dollar", "united_states_dollar", "us dollar")
+_add("currency", "dollar", 1.1, "€", "eur", "euro", "euros")
+_add("currency", "dollar", 0.0082, "¥", "jpy", "yen", "japanese yen", "japanese_yen")
+_add("currency", "dollar", 0.16, "cny", "yuan", "chinese yuan", "chinese_yuan", "renminbi")
+_add("currency", "dollar", 1.32, "£", "gbp", "pound sterling", "pound_sterling")
+_add("currency", "dollar", 0.00082, "₩", "krw", "won", "south korean won", "south_korean_won")
+_add("currency", "dollar", 0.01, "rub", "ruble", "russian ruble", "russian_ruble")
+_add("currency", "dollar", 0.75, "aud", "australian dollar", "australian_dollar")
+_add("percentage", "percent", 1.0, "%", "percent", "pct")
+
+
+@dataclass(frozen=True)
+class ParsedQuantity:
+    value: float
+    unit_surface: str
+    dimension: str
+    surface: str  # full matched text (number + unit), for coverage checks
+
+
+# number (with , thousands or . decimals) followed by a unit token;
+# currency symbols may prefix the number ("$5", "€ 3.2")
+_NUM = r"[+-]?\d+(?:[.,]\d+)*"
+_QTY_RE = re.compile(
+    rf"(?P<cur>[$€£¥₩])\s*(?P<val1>{_NUM})|(?P<val2>{_NUM})\s*(?P<unit>[%°a-zA-Z$€£¥₩/²³_]+)",
+)
+
+
+def float_parse(value) -> float | None:
+    """Comma-tolerant float parse (annot_scripts/utils.py:39-47)."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    if isinstance(value, str):
+        try:
+            return float(value.replace(",", ""))
+        except ValueError:
+            return None
+    return None
+
+
+def parse_quantities(text: str) -> list[ParsedQuantity]:
+    """Find (value, unit) pairs in free text using the unit table."""
+    out: list[ParsedQuantity] = []
+    for m in _QTY_RE.finditer(text):
+        if m.group("cur"):
+            unit_surface = m.group("cur")
+            val_str = m.group("val1")
+        else:
+            unit_surface = m.group("unit")
+            val_str = m.group("val2")
+        udef = UNIT_TABLE.get(unit_surface.lower())
+        if udef is None:
+            continue
+        val = float_parse(val_str)
+        if val is None:
+            continue
+        out.append(
+            ParsedQuantity(
+                value=val,
+                unit_surface=unit_surface,
+                dimension=udef.dimension,
+                surface=m.group(0),
+            )
+        )
+    return out
+
+
+def standardize_to_base_unit(measure) -> dict[str, list[float]]:
+    """Standardize to base units, reference output shape
+    (annot_scripts/utils.py:88-116): {base_unit: [magnitudes]} with the
+    ±2% duplicate-magnitude suppression.  Accepts a free-text string or
+    a {"value", "unit"} dict."""
+    standardized: dict[str, list[float]] = {}
+
+    def _accumulate(value: float, udef: UnitDef):
+        mag = value * udef.factor + udef.offset
+        bucket = standardized.setdefault(udef.base, [])
+        for existing in bucket:
+            if mag != 0 and 0.98 < existing / mag < 0.98**-1:
+                return
+        bucket.append(mag)
+
+    if isinstance(measure, str):
+        for q in parse_quantities(measure):
+            udef = UNIT_TABLE.get(q.unit_surface.lower())
+            if udef is not None and q.dimension != "dimensionless":
+                _accumulate(q.value, udef)
+    elif isinstance(measure, dict) and "value" in measure and "unit" in measure:
+        unit = measure["unit"]
+        udef = UNIT_TABLE.get(str(unit).lower()) if unit is not None else None
+        val = float_parse(measure["value"])
+        if udef is not None and val is not None:
+            _accumulate(val, udef)
+    return standardized
+
+
+def dimensionless_quantity_similarity(s1, s2) -> float:
+    """1 − |a−b| / (|a|+|b|+1e−4) (annot_scripts/utils.py:78-86)."""
+    a, b = float_parse(s1), float_parse(s2)
+    if a is None or b is None:
+        return 0.0
+    return 1.0 - abs(a - b) / (abs(a) + abs(b) + 0.0001)

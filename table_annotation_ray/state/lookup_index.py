@@ -1,0 +1,195 @@
+"""In-actor fuzzy entity-lookup index — from-scratch replacement for the
+Elasticsearch lookup (`lookup/es_lookup.py:27-210`, `lookup/settings.py`).
+
+Recall layer (stands in for the ES ``match`` + ``fuzziness: AUTO`` query,
+es_lookup.py:30-77):
+  * exact normalized-label dict;
+  * token inverted index with a SymSpell-style single-deletion
+    neighborhood (a mention token matches an index token when either
+    equals the other or their 1-deletion sets intersect — covers edit
+    distance 1, the dominant typo class; ES AUTO allows 2 for long
+    tokens, traded here for index size);
+  * ES-style label-length window filters: len·0.25 ≤ len(label) ≤ len·4
+    OR |len(label) − len| ≤ 4 (es_lookup.py:205-210).
+
+Scoring layer — the reference formula, term by term
+(es_lookup.py:108-198):
+  ratio components mix lowercased and raw-case comparisons 0.9/0.1;
+  token-set only at 0.5 < length ratio < 2; partial-exact-match set
+  (partial>0.9 ∧ token_diff ≤ 2, or token_set>0.9 at similar length);
+  final fuzzy = mean of top-2 of {char, token_sort, token_set};
+  alias factors MAIN_ALIAS 0.94 / SUB_ALIAS 0.88; adaptive threshold
+  max(0.70, max_ratio − 0.25); final score = 0.7·fuzzy +
+  0.1·log2-normalized pagerank + 0.2·bm25 — bm25 here is an IDF
+  token-overlap score normalized by the best hit, standing in for the
+  ES BM25 ``_score/max_score``.
+
+The index is built once per actor in ``__init__`` from the broadcast
+KBData (SURVEY.md §2.4 J1/J2; ST3).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+from ..config import LookupConfig
+from ..functions import fuzzy
+from ..functions.text import normalize_label
+from .kb import KBData
+
+
+def _deletions(token: str) -> set[str]:
+    if len(token) <= 3:
+        return set()
+    return {token[:i] + token[i + 1 :] for i in range(len(token))}
+
+
+class LabelIndex:
+    def __init__(self, kb: KBData, cfg: LookupConfig | None = None):
+        self.cfg = cfg or LookupConfig()
+        # label rows: (entity, label, norm_lower, origin, pr, token_count)
+        self.rows: list[tuple[str, str, str, str, float, int]] = []
+        self.exact: dict[str, list[int]] = {}
+        self.token_index: dict[str, list[int]] = {}
+        self.deletion_index: dict[str, list[int]] = {}
+        self.token_df: dict[str, int] = {}
+        for entity, label, origin, pr in kb.label_rows:
+            norm = normalize_label(label).lower()
+            if not norm:
+                continue
+            row_id = len(self.rows)
+            toks = norm.split()
+            self.rows.append((entity, label, norm, origin, float(pr), len(toks)))
+            self.exact.setdefault(norm, []).append(row_id)
+            seen_toks = set(toks)
+            for tok in seen_toks:
+                self.token_index.setdefault(tok, []).append(row_id)
+                self.token_df[tok] = self.token_df.get(tok, 0) + 1
+                for d in _deletions(tok):
+                    self.deletion_index.setdefault(d, []).append(row_id)
+        self.n_docs = max(1, len(self.rows))
+        # bound the per-actor result cache
+        self._search_cached = lru_cache(maxsize=self.cfg.cache_size)(self._search)
+
+    # ---------------- recall ----------------
+    def _candidate_rows(self, norm_mention: str) -> dict[int, float]:
+        """row_id -> accumulated IDF overlap (the bm25 stand-in, pre-norm)."""
+        hits: dict[int, float] = {}
+        for rid in self.exact.get(norm_mention, []):
+            hits[rid] = hits.get(rid, 0.0) + 2.0 * self._idf_of_row(rid)
+        for tok in set(norm_mention.split()):
+            idf = math.log(1.0 + self.n_docs / (1 + self.token_df.get(tok, 0)))
+            matched: set[int] = set()
+            matched.update(self.token_index.get(tok, ()))
+            # fuzzy token match via deletion neighborhoods (edit distance 1)
+            for d in _deletions(tok):
+                matched.update(self.token_index.get(d, ()))
+                matched.update(self.deletion_index.get(d, ()))
+            matched.update(self.deletion_index.get(tok, ()))
+            for rid in matched:
+                hits[rid] = hits.get(rid, 0.0) + idf
+        return hits
+
+    def _idf_of_row(self, rid: int) -> float:
+        toks = self.rows[rid][2].split()
+        return sum(
+            math.log(1.0 + self.n_docs / (1 + self.token_df.get(t, 0))) for t in toks
+        ) / max(1, len(toks))
+
+    # ---------------- scoring ----------------
+    def _search(self, raw_mention: str) -> tuple[tuple[str, float], ...]:
+        cfg = self.cfg
+        new_label = normalize_label(raw_mention)
+        label_lower = new_label.lower()
+        if not label_lower:
+            return ()
+        hits = self._candidate_rows(label_lower)
+        if not hits:
+            return ()
+        # ES length-window filters (es_lookup.py:205-210): analyzed-field
+        # window OR keyword-field ±LABEL_TOKEN_DIFF window
+        lo1 = int(len(new_label) * cfg.label_length_min_factor)
+        hi1 = int(len(new_label) * cfg.label_length_max_factor)
+        lo2 = max(0, len(new_label) - cfg.label_token_diff)
+        hi2 = len(new_label) + cfg.label_token_diff
+        bm25_max = max(hits.values())
+        n_mention_toks = len(label_lower.split())
+
+        entity_fuzzy: dict[str, float] = {}
+        entity_bm25: dict[str, float] = {}
+        entity_pr: dict[str, float] = {}
+        partial_exact: set[str] = set()
+        max_ratio = 0.0
+        n_hits = 0
+        for rid, overlap in sorted(hits.items(), key=lambda kv: -kv[1]):
+            if n_hits >= cfg.max_hits:
+                break
+            entity, ent_label, ent_norm, origin, pr, n_toks = self.rows[rid]
+            ll = len(ent_label)
+            if not (lo1 <= ll <= hi1 or lo2 <= ll <= hi2):
+                continue
+            n_hits += 1
+            ent_lower = ent_norm
+            bm25_score = overlap / bm25_max
+            entity_pr[entity] = pr
+            entity_bm25[entity] = max(entity_bm25.get(entity, bm25_score), bm25_score)
+
+            char_r = 0.9 * fuzzy.ratio(label_lower, ent_lower) + 0.1 * fuzzy.ratio(
+                new_label, ent_label
+            )
+            tsort_r = 0.9 * fuzzy.token_sort_ratio(label_lower, ent_lower) + 0.1 * (
+                fuzzy.token_sort_ratio(new_label, ent_label)
+            )
+            len_ratio = len(label_lower) / max(1, len(ent_lower))
+            if 0.5 < len_ratio < 2.0:
+                tset_r = 0.9 * fuzzy.token_set_ratio(label_lower, ent_lower) + 0.1 * (
+                    fuzzy.token_set_ratio(new_label, ent_label)
+                )
+            else:
+                tset_r = 0.0
+            partial_r = 0.9 * fuzzy.partial_ratio(label_lower, ent_lower) + 0.1 * (
+                fuzzy.partial_ratio(new_label, ent_label)
+            )
+            token_diff = abs(n_mention_toks - n_toks)
+            if (partial_r > 0.9 and token_diff <= 2) or (
+                tset_r > 0.9 and 0.5 < len_ratio < 2.0
+            ):
+                partial_exact.add(entity)
+            r2 = sorted((char_r, tsort_r, tset_r), reverse=True)[:2]
+            r = (r2[0] + r2[1]) / 2
+            if origin == "MAIN_ALIAS":
+                r *= cfg.main_alias_factor
+            elif origin == "SUB_ALIAS":
+                r *= cfg.sub_alias_factor
+            max_ratio = max(max_ratio, r)
+            if r > entity_fuzzy.get(entity, -1.0):
+                entity_fuzzy[entity] = r
+
+        threshold = max(cfg.adaptive_ratio_min_threshold, max_ratio - cfg.adaptive_ratio_max_gap)
+        kept = [
+            e
+            for e, r in entity_fuzzy.items()
+            if r >= threshold or e in partial_exact
+        ]
+        if not kept:
+            return ()
+        max_pr = max((entity_pr[e] for e in kept), default=0.0) or 1.0
+        fuzz_w = 1.0 - cfg.page_rank_factor - cfg.bm25_factor
+        scored = [
+            (
+                e,
+                fuzz_w * entity_fuzzy[e]
+                + cfg.page_rank_factor * math.log2(entity_pr[e] + 1) / math.log2(max_pr + 1)
+                + cfg.bm25_factor * entity_bm25[e],
+            )
+            for e in kept
+        ]
+        # deterministic total order: score desc, then entity id (SURVEY §7
+        # "hard parts" — the reference relies on dict insertion order)
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return tuple(scored)
+
+    def search(self, raw_mention: str, k: int | None = None) -> list[tuple[str, float]]:
+        res = self._search_cached(raw_mention)
+        return list(res[:k]) if k else list(res)
