@@ -117,8 +117,9 @@ class ParsedQuantity:
 # number (with , thousands or . decimals) followed by a unit token;
 # currency symbols may prefix the number ("$5", "€ 3.2")
 _NUM = r"[+-]?\d+(?:[.,]\d+)*"
+# unit token starts with a letter/symbol but may contain digits (km2, m3)
 _QTY_RE = re.compile(
-    rf"(?P<cur>[$€£¥₩])\s*(?P<val1>{_NUM})|(?P<val2>{_NUM})\s*(?P<unit>[%°a-zA-Z$€£¥₩/²³_]+)",
+    rf"(?P<cur>[$€£¥₩])\s*(?P<val1>{_NUM})|(?P<val2>{_NUM})\s*(?P<unit>[%°a-zA-Z$€£¥₩/²³_][\w²³/%°$€£¥₩]*)",
 )
 
 

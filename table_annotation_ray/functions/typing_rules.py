@@ -98,11 +98,13 @@ def regex_typing(cell: str) -> list[str]:
 # structural validation — optional +CC, 7–15 digits, common separators.
 # --------------------------------------------------------------------------
 _PHONE_SHAPE = re.compile(r"^\+?[\d(][\d\s().\-]{5,18}\d$")
+# date shapes that would otherwise satisfy the digit/separator test
+_PHONE_EXCLUDE = re.compile(r"^\d{3,4}-\d{1,2}-\d{1,2}$|^\d{1,2}[-/.]\d{1,2}[-/.]\d{2,4}$")
 
 
 def phone_typing(cell: str) -> list[str]:
     s = cell.strip()
-    if not _PHONE_SHAPE.match(s):
+    if not _PHONE_SHAPE.match(s) or _PHONE_EXCLUDE.match(s):
         return []
     digits = sum(ch.isdigit() for ch in s)
     if 7 <= digits <= 15:
@@ -168,6 +170,15 @@ class GazetteerNER:
     """
 
     _WORD = re.compile(r"[A-Za-z][\w.'&-]*")
+    # date shapes a statistical NER would tag as DATE
+    _ISO_DATE = re.compile(r"^\d{3,4}-\d{2}-\d{2}$")
+    _YEAR_RANGE = re.compile(r"^[\[\(]?\s*1\d{3}\s*[-–]\s*(?:1\d{3}|20\d{2})\s*[\]\)]?$")
+    _MONTH_DATE = re.compile(
+        r"^(?:\d{1,2}\s+)?(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*"
+        r"\.?\s+\d{1,2}(?:st|nd|rd|th)?,?\s*\d{2,4}$|"
+        r"^(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\.?\s+\d{4}$",
+        re.IGNORECASE,
+    )
 
     def __init__(self, gazetteer: dict[str, str] | None = None):
         self.gazetteer = gazetteer or {}
@@ -217,6 +228,13 @@ class GazetteerNER:
         return spans
 
     def __call__(self, cell: str) -> list[str]:
+        stripped = cell.strip()
+        if (
+            self._ISO_DATE.match(stripped)
+            or self._YEAR_RANGE.match(stripped)
+            or self._MONTH_DATE.match(stripped)
+        ):
+            return ["DATE"]
         spans = self._span_labels(cell)
         if not spans:
             return []

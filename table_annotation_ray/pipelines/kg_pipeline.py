@@ -1,0 +1,94 @@
+"""End-to-end KG-construction pipeline (the flagship DAG).
+
+    read_parquet(transcripts)
+      → map_batches(clean + explode cells)        [stateless, zero-copy Arrow]
+      → map_batches(TypingStage, actor pool)      [gazetteer NER state]
+      → map_batches(add_bucket)                   [hash(conv_id) % B]
+      → groupby(bucket).map_groups(AnnotateBucket, actor pool)
+                                                   [lookup + KB + 4-loop model]
+      → triples → global dedup (one all-to-all)
+      → write hash(subj)-partitioned Parquet + manifests   [resumable]
+
+This is the streaming re-expression of the reference's per-table
+``table_annotation`` entry point (annotation/table_annotation.py:22-148)
+over 10^12-turn transcript shards.  No stage materializes the full
+dataset; the only shuffles are the bucket groupby (key cardinality =
+num_buckets) and the final triple dedup.
+
+Nothing here calls ray.init() — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..state.kb import load_kb
+from ..stages.annotate_stage import AnnotateBucket, add_bucket
+from ..stages.clean import clean_and_explode
+from ..stages.triples import dedup_triples, write_triples_partitioned
+from ..stages.typing_stage import TypingStage
+
+
+def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Prune at the read: the KG pipeline needs only the table-bearing
+    columns (conv_id, turn_idx, text)."""
+    return rd.read_parquet(path, columns=columns or ["conv_id", "turn_idx", "text"])
+
+
+def mentions_dataset(
+    transcripts: rd.Dataset,
+    kb_ref,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> rd.Dataset:
+    """transcripts → typed mentions (stages 1-2)."""
+    cells = transcripts.map_batches(clean_and_explode, batch_format="pyarrow")
+    # autoscaling pool (1, N): a fixed-size pool can reserve every CPU
+    # alongside the annotate pool and starve the read/shuffle tasks
+    return cells.map_batches(
+        TypingStage,
+        batch_format="pyarrow",
+        batch_size=cfg.runtime.typing_batch_size,
+        fn_constructor_kwargs={"kb_ref": kb_ref},
+        concurrency=(1, cfg.runtime.lookup_concurrency),
+    )
+
+
+def triples_dataset(
+    mentions: rd.Dataset,
+    kb_ref,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> rd.Dataset:
+    """typed mentions → deduplicated triples (stages 3-4)."""
+    bucketed = mentions.map_batches(
+        add_bucket,
+        batch_format="pyarrow",
+        fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
+    )
+    raw = bucketed.groupby("bucket").map_groups(
+        AnnotateBucket,
+        batch_format="pandas",
+        fn_constructor_kwargs={"kb_ref": kb_ref, "config": cfg},
+        concurrency=(1, cfg.runtime.annotate_concurrency),
+    )
+    return dedup_triples(raw)
+
+
+def run_kg_pipeline(
+    transcripts_path: str,
+    kb_dir: str,
+    out_dir: str | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> rd.Dataset:
+    """Full DAG; returns the deduplicated triples Dataset (lazy).  When
+    ``out_dir`` is given, also writes the partitioned, resumable sink."""
+    kb_ref = ray.put(load_kb(kb_dir))
+    transcripts = read_transcripts(transcripts_path)
+    mentions = mentions_dataset(transcripts, kb_ref, cfg)
+    triples = triples_dataset(mentions, kb_ref, cfg)
+    if out_dir is not None:
+        write_triples_partitioned(triples, out_dir, cfg.runtime.triple_partitions)
+    return triples

@@ -46,25 +46,36 @@ COUNTRIES = {
 }
 
 # city -> (label, aliases, country, founded_date, nickname)
+# nicknames deliberately avoid tokens that collide with KB labels so the
+# nickname column's lookup coverage is ~0 → the <0.3 demotion path
+# (annotation_models.py:273-277) fires and the column is re-classified
+# as textual (then matched via String literal edges P1449)
 CITIES = {
-    "Q90": ("Paris", ["City of Light"], "Q142", "1163-04-12", "City of Light"),
-    "Q64": ("Berlin", [], "Q183", "1237-10-28", "Grey City"),
+    "Q90": ("Paris", ["City of Light"], "Q142", "1163-04-12", "Ville Lumière"),
+    "Q64": ("Berlin", [], "Q183", "1237-10-28", "Athens on the Spree"),
     "Q2807": ("Madrid", [], "Q29", "0865-05-09", "Villa y Corte"),
-    "Q220": ("Rome", ["Eternal City"], "Q38", "0753-04-21", "Eternal City"),
+    "Q220": ("Rome", ["Eternal City"], "Q38", "0753-04-21", "Caput Mundi"),
     "Q84": ("London", [], "Q145", "0047-01-15", "The Big Smoke"),
-    "Q61": ("Washington, D.C.", ["Washington"], "Q30", "1790-07-16", "DC"),
-    "Q1490": ("Tokyo", ["Edo"], "Q17", "1457-06-08", "Eastern Capital"),
-    "Q2844": ("Brasília", [], "Q155", "1960-04-21", "Capital of Hope"),
-    "Q456": ("Lyon", [], "Q142", "0043-10-09", "Gastronomy Capital"),
-    "Q1055": ("Hamburg", [], "Q183", "0808-05-02", "Gateway to the World"),
+    "Q61": ("Washington, D.C.", ["Washington"], "Q30", "1790-07-16", "Seat of Power"),
+    "Q1490": ("Tokyo", ["Edo"], "Q17", "1457-06-08", "Eastern Metropolis"),
+    "Q2844": ("Brasília", [], "Q155", "1960-04-21", "Plano Piloto"),
+    "Q456": ("Lyon", [], "Q142", "0043-10-09", "Gastronomy Hub"),
+    "Q1055": ("Hamburg", [], "Q183", "0808-05-02", "Gateway to Trade"),
     "Q1492": ("Barcelona", [], "Q29", "0218-03-01", "Ciudad Condal"),
-    "Q490": ("Milan", [], "Q38", "0590-09-22", "Moral Capital"),
+    "Q490": ("Milan", [], "Q38", "0590-09-22", "Moral Center"),
     "Q18419": ("Manchester", [], "Q145", "0079-06-17", "Cottonopolis"),
-    "Q1297": ("Chicago", ["Chi-Town"], "Q30", "1837-03-04", "Windy City"),
+    "Q1297": ("Chicago", ["Chi-Town"], "Q30", "1837-03-04", "Windy Town"),
     "Q35765": ("Osaka", [], "Q17", "0645-08-12", "Nation's Kitchen"),
-    "Q8678": ("Rio de Janeiro", ["Rio"], "Q155", "1565-03-01", "Marvelous City"),
+    "Q8678": ("Rio de Janeiro", ["Rio"], "Q155", "1565-03-01", "Marvelous Town"),
 }
 CAPITALS = {"Q90", "Q64", "Q2807", "Q220", "Q84", "Q61", "Q1490", "Q2844"}
+
+# deterministic country areas (km²), shared by the KB edges and the
+# transcript cells so Quantity matching (annotation_models.py:646-670)
+# resolves exactly
+COUNTRY_AREAS = {
+    qid: round(10000 + (int(qid[1:]) * 7919) % 8_000_000 + 0.5, 1) for qid in COUNTRIES
+}
 
 # films -> (label, aliases, actor, character, published)
 FILMS = {
@@ -86,6 +97,8 @@ ACTORS = {
 }
 
 # synthetic mayors: person -> (label, city, country, term_period, birth)
+# the governed city and the birthplace city differ (birthplace is the
+# "next" capital) so CPA(person, city) has a unique winner (-)P6
 MAYORS = {
     "Q900001": ("Anne Moreau", "Q90", "Q142", "2014-05-16:2020-06-28", "1959-06-23"),
     "Q900002": ("Karl Fischer", "Q64", "Q183", "2011-09-01:2021-12-21", "1964-11-04"),
@@ -196,8 +209,7 @@ def build_mini_kb(n_extra: int = 200, seed: int = 42) -> MiniKB:
     for qid, (label, aliases) in COUNTRIES.items():
         kb.add_entity(qid, label, aliases, pr=float(rng.uniform(50, 100)))
         kb.add_edge(qid, "P31", "Q6256", "NORMAL")
-        kb.add_edge(qid, "P2046", str(round(float(rng.uniform(1e4, 9e6)), 1)),
-                    "Quantity-Q712226", reverse=False)
+        kb.add_edge(qid, "P2046", str(COUNTRY_AREAS[qid]), "Quantity-Q712226", reverse=False)
 
     for qid, (label, aliases, country, founded, nickname) in CITIES.items():
         kb.add_entity(qid, label, aliases, pr=float(rng.uniform(20, 80)))
@@ -220,14 +232,17 @@ def build_mini_kb(n_extra: int = 200, seed: int = 42) -> MiniKB:
         kb.add_edge(qid, "P31", "Q5", "NORMAL")
         kb.add_edge(qid, "P106", "Q33999", "NORMAL")
 
+    capitals = sorted(CAPITALS)
     for qid, (label, city, country, term, birth) in MAYORS.items():
         kb.add_entity(qid, label, [], pr=float(rng.uniform(1, 10)))
         kb.add_edge(qid, "P31", "Q5", "NORMAL")
         kb.add_edge(qid, "P106", "Q82955", "NORMAL")
         kb.add_edge(city, "P6", qid, "PREFERRED")
         kb.add_edge(qid, "P27", country, "NORMAL")
-        kb.add_edge(qid, "P19", city, "NORMAL")
+        birthplace = capitals[(capitals.index(city) + 1) % len(capitals)]
+        kb.add_edge(qid, "P19", birthplace, "NORMAL")
         kb.add_edge(qid, "P39", term, "DateTime-Period", reverse=False)
+        kb.add_edge(qid, "P580", term.split(":")[0], "DateTime-Gregorian", reverse=False)
         kb.add_edge(qid, "P569", birth, "DateTime-Gregorian", reverse=False)
 
     for qid, (label, aliases, typ) in DISTRACTORS.items():
@@ -301,8 +316,8 @@ def kb_to_parquet(kb: MiniKB, out_dir: str) -> None:
 # template: (name, columns, CPA golden {(head,tail): pid}, CTA golden {col: type})
 CITY_TEMPLATE = {
     "name": "cities",
-    "n_cols": 4,  # [city, country, founded(date), nickname(text)]
-    "cpa": {(0, 1): "P17", (0, 2): "P571", (0, 3): "P1449"},
+    "n_cols": 5,  # [city, country, founded(date), nickname(text), area(quantity)]
+    "cpa": {(0, 1): "P17", (0, 2): "P571", (0, 3): "P1449", (1, 4): "P2046"},
     "cta": {0: "Q515", 1: "Q6256"},
     "entity_cols": [0, 1],
 }
@@ -310,14 +325,14 @@ FILM_TEMPLATE = {
     "name": "films",
     "n_cols": 4,  # [film, actor, character(text), published(date)]
     "cpa": {(0, 1): "P161", (0, 2): "P674", (0, 3): "P577"},
-    "cta": {0: "Q11424", 1: "Q5"},
+    "cta": {0: "Q11424", 1: "Q33999"},
     "entity_cols": [0, 1],
 }
 MAYOR_TEMPLATE = {
     "name": "mayors",
-    "n_cols": 4,  # [person, city, country, term(period)]
-    "cpa": {(0, 1): "(-)P6", (0, 2): "P27", (0, 3): "P39"},
-    "cta": {0: "Q5", 1: "Q515"},
+    "n_cols": 4,  # [person, city, country, term_start(date)]
+    "cpa": {(0, 1): "(-)P6", (0, 2): "P27", (0, 3): "P580", (1, 2): "P17"},
+    "cta": {0: "Q82955", 1: "Q515", 2: "Q6256"},
     "entity_cols": [0, 1, 2],
 }
 TEMPLATES = [CITY_TEMPLATE, FILM_TEMPLATE, MAYOR_TEMPLATE]
@@ -356,8 +371,12 @@ def _rows_for_template(t: dict, rng) -> list[tuple[list[str], list[str | None]]]
     if t["name"] == "cities":
         for qid, (label, _al, country, founded, nickname) in CITIES.items():
             c_label = COUNTRIES[country][0]
+            area_cell = f"{COUNTRY_AREAS[country]} km2"
             rows.append(
-                ([label, c_label, founded, nickname], [qid, country, None, None])
+                (
+                    [label, c_label, founded, nickname, area_cell],
+                    [qid, country, None, None, None],
+                )
             )
     elif t["name"] == "films":
         for qid, (label, _al, actor, character, published) in FILMS.items():
@@ -366,8 +385,7 @@ def _rows_for_template(t: dict, rng) -> list[tuple[list[str], list[str | None]]]
             )
     else:
         for qid, (label, city, country, term, _birth) in MAYORS.items():
-            cells = [label, CITIES[city][0], COUNTRIES[country][0],
-                     "[" + term.split(":")[0][:4] + "-" + term.split(":")[1][:4] + "]"]
+            cells = [label, CITIES[city][0], COUNTRIES[country][0], term.split(":")[0]]
             rows.append((cells, [qid, city, country, None]))
     return rows
 
