@@ -1,0 +1,159 @@
+"""Scalar-function semantics: encoding repair, typing parsers, dates,
+quantities — against the reference's documented behaviors
+(prp_scripts/utils.py, entity_parsers/*, annot_scripts/utils.py)."""
+
+import pytest
+
+from table_annotation_ray.functions import quantities as q
+from table_annotation_ray.functions.dates import dates_equal, get_year_from_date, split_period
+from table_annotation_ray.functions.text import fix_encoding, normalize_label, string_datatype
+from table_annotation_ray.functions.typing_rules import (
+    GazetteerNER,
+    cell_is_typable,
+    is_concept,
+    phone_typing,
+    regex_typing,
+    type_cell,
+    unit_typing,
+)
+
+NER = GazetteerNER({"paris": "GPE", "france": "GPE", "john travolta": "PERSON",
+                    "orange labs": "ORG"})
+
+
+# ---- encoding (utils.py:135-147) ------------------------------------------
+def test_fix_encoding_mojibake_roundtrip():
+    for s in ["Brasília", "Ville Lumière", "café ☕", "München"]:
+        corrupted = s.encode("utf-8").decode("latin-1")
+        assert fix_encoding(corrupted) == s
+
+
+def test_fix_encoding_unicode_escape():
+    assert fix_encoding(r"Brasília") == "Brasília"
+
+
+def test_fix_encoding_ascii_identity():
+    assert fix_encoding("plain ascii text") == "plain ascii text"
+
+
+# ---- normalization / datatypes -------------------------------------------
+def test_normalize_label():
+    assert normalize_label('  "Hello"   world ') == "Hello world"
+
+
+def test_string_datatype():
+    assert string_datatype("x" * 100) == "String_Normal"
+    assert string_datatype("ab12") == "String_Number"
+    assert string_datatype("NASA") == "String_Uppercase"
+    assert string_datatype("Paris") == "String_Normal"
+
+
+# ---- regex typing (regex_parser.py:22-70) ---------------------------------
+@pytest.mark.parametrize(
+    "cell,expected",
+    [
+        ("1994", ["DATE", "CARDINAL"]),
+        ("42", ["CARDINAL"]),
+        ("-3.5", ["CARDINAL"]),
+        ("½", ["CARDINAL"]),
+        ("12 %", ["PERCENT"]),
+        ("(2-3)", ["RANGE"]),
+        ("[2, 3]", ["RANGE"]),
+        ("192.168.0.1", ["IP ADDRESS"]),
+        ("true", ["BOOLEAN"]),
+        ("Yes", ["BOOLEAN"]),
+        ("hello", []),
+        ("2023", []),  # outside the [1000, 2022] DATE window, not pure digits? it IS digits
+    ],
+)
+def test_regex_typing(cell, expected):
+    got = regex_typing(cell)
+    if cell == "2023":
+        assert got == ["CARDINAL"]
+    else:
+        assert got == expected
+
+
+# ---- phone typing ----------------------------------------------------------
+def test_phone_typing():
+    assert phone_typing("+33 6 24 75 98 12") == ["PHONE NUMBER"]
+    assert phone_typing("093-456-123") == ["PHONE NUMBER"]
+    assert phone_typing("1994-05-21") == []  # ISO date excluded
+    assert phone_typing("hello") == []
+
+
+# ---- unit typing (unit_parser.py:22-47) -----------------------------------
+def test_unit_typing():
+    assert unit_typing("2 m/s") == ["SPEED"]
+    assert unit_typing("6 kilo") == ["MASS"]
+    assert unit_typing("120 km2") == ["AREA"]
+    assert unit_typing("$5") == ["MONEY"]
+    # coverage rule: number+unit buried in long text is not a unit cell
+    assert unit_typing("the 5 km road that goes on and on and on") == []
+
+
+# ---- full cell typing (utils.py:64-112) -----------------------------------
+def test_type_cell_rules():
+    assert not cell_is_typable("")
+    assert not cell_is_typable("---")
+    assert not cell_is_typable("°")
+    typ, dt = type_cell("x" * 71, NER)
+    assert typ == ["UNKNOWN"] and dt == ["String_Normal"]
+    typ, dt = type_cell("Paris", NER)
+    assert typ == ["GPE"] and dt == ["String_Normal"]
+    typ, dt = type_cell("1994", NER)
+    assert "DATE" in typ and "CARDINAL" in typ
+    # concept label maps datatype to string type (utils.py:101-108)
+    typ, dt = type_cell("Orange Labs", NER)
+    assert typ == ["ORG"] and dt == ["String_Normal"]
+
+
+def test_ner_date_shapes():
+    assert NER("1994-05-21") == ["DATE"]
+    assert NER("[1959-2020]") == ["DATE"]
+    assert NER("May 21, 1994") == ["DATE"]
+
+
+def test_ner_concept_drops_numeric_labels():
+    # when a concept label is present, CARDINAL/ORDINAL/DATE are dropped
+    # (spacy_ner_parser.py:40-48)
+    ner = GazetteerNER({"paris 2024": "EVENT"})
+    assert ner("Paris 2024") == ["EVENT"]
+
+
+def test_is_concept():
+    assert is_concept("GPE") and is_concept("WORK_OF_ART") and is_concept("UNKNOWN")
+    assert not is_concept("CARDINAL") and not is_concept("MONEY")
+
+
+# ---- dates (annot_scripts/utils.py:49-63) ---------------------------------
+def test_dates():
+    assert dates_equal("1994-05-21", "1994-05-21")
+    assert not dates_equal("1994-05-21", "1994-05-22")
+    assert get_year_from_date("1994-05-21") == "1994"
+    assert get_year_from_date("not a date") is False
+    assert split_period("[2014–2020]") == ["2014", "2020"]
+
+
+# ---- quantities (annot_scripts/utils.py:39-47, 78-116) --------------------
+def test_float_parse():
+    assert q.float_parse("1,234.5") == 1234.5
+    assert q.float_parse("abc") is None
+    assert q.float_parse(3) == 3.0
+
+
+def test_dimensionless_similarity():
+    assert q.dimensionless_quantity_similarity("5", "5") == pytest.approx(1.0, abs=1e-4)
+    assert q.dimensionless_quantity_similarity("5", "50") < 0.2
+
+
+def test_standardize_to_base_unit():
+    out = q.standardize_to_base_unit("5 km")
+    assert out == {"metre": [5000.0]}
+    out = q.standardize_to_base_unit({"value": "3", "unit": "km²"})
+    assert out == {"square metre": [3e6]}
+    out = q.standardize_to_base_unit("10 euro")
+    assert out == {"dollar": [pytest.approx(11.0)]}
+    # ±2% near-duplicate suppression (utils.py:104-111)
+    out = q.standardize_to_base_unit("5 km 5.01 km")
+    assert len(out["metre"]) == 1

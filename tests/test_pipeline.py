@@ -1,0 +1,132 @@
+"""End-to-end Ray pipeline tests: the P/R gate, the per-turn text
+invariant, and checkpoint/resume equivalence (north_rule)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def triples_df(ray_session, synth_root):
+    from table_annotation_ray.pipelines.kg_pipeline import run_kg_pipeline
+
+    ds = run_kg_pipeline(
+        os.path.join(synth_root, "transcripts.parquet"), os.path.join(synth_root, "kb")
+    )
+    return ds.to_pandas()
+
+
+def test_triple_pr_gate(triples_df, synth_root):
+    """P/R >= 0.95 vs the golden triple set (BASELINE.json gate)."""
+    golden = pq.read_table(os.path.join(synth_root, "golden_triples.parquet")).to_pandas()
+    got = set(zip(triples_df.subj, triples_df.pred, triples_df.obj))
+    want = set(zip(golden.subj, golden.pred, golden.obj))
+    tp = len(got & want)
+    precision = tp / max(1, len(got))
+    recall = tp / max(1, len(want))
+    assert precision >= 0.95, f"precision {precision:.3f}"
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_triples_deduplicated(triples_df):
+    assert not triples_df.duplicated(subset=["subj", "pred", "obj"]).any()
+
+
+def test_per_turn_text_equality(ray_session, synth_root):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering
+    (input_hint invariant): reading + cleaning + re-joining cells must
+    reproduce the de-mojibake'd text exactly, independent of block order."""
+    import ray.data as rd
+
+    from table_annotation_ray.functions.text import fix_encoding
+    from table_annotation_ray.stages.clean import clean_and_explode
+    from table_annotation_ray.synth import CELL_SEP
+
+    path = os.path.join(synth_root, "transcripts.parquet")
+    raw = pq.read_table(path).to_pylist()
+    expected = {
+        (r["conv_id"], r["turn_idx"]): fix_encoding(r["text"]) for r in raw
+    }
+
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    cells = ds.map_batches(clean_and_explode, batch_format="pyarrow").to_pandas()
+    rebuilt = (
+        cells.sort_values(["conv_id", "turn_idx", "col_slot"])
+        .groupby(["conv_id", "turn_idx"])["mention"]
+        .agg(lambda xs: CELL_SEP.join(xs))
+    )
+    assert len(rebuilt) == len(expected)
+    for (conv, turn), text in rebuilt.items():
+        assert text == expected[(conv, turn)], (conv, turn)
+
+
+def test_resume_equals_single_run(ray_session, synth_root, tmp_path):
+    """Killing after some partitions and resuming yields the same output
+    as a single run (north_rule resumability)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from table_annotation_ray.config import DEFAULT_CONFIG
+    from table_annotation_ray.pipelines.kg_pipeline import (
+        mentions_dataset,
+        read_transcripts,
+        triples_dataset,
+    )
+    from table_annotation_ray.stages.triples import write_triples_partitioned
+    from table_annotation_ray.state.kb import load_kb
+
+    kb_ref = ray.put(load_kb(os.path.join(synth_root, "kb")))
+    path = os.path.join(synth_root, "transcripts.parquet")
+
+    def build():
+        return triples_dataset(
+            mentions_dataset(read_transcripts(path), kb_ref), kb_ref
+        )
+
+    single_dir = str(tmp_path / "single")
+    write_triples_partitioned(build(), single_dir, num_partitions=4)
+
+    resumed_dir = str(tmp_path / "resumed")
+    # first run: pretend partitions 0 and 2 were committed by an earlier
+    # run — write everything, then delete markers+dirs for 1 and 3
+    write_triples_partitioned(build(), resumed_dir, num_partitions=4)
+    import shutil
+
+    for part in (1, 3):
+        shutil.rmtree(os.path.join(resumed_dir, f"part={part}"))
+    # resume: must rewrite only 1 and 3
+    manifest = write_triples_partitioned(build(), resumed_dir, num_partitions=4)
+    assert manifest["partitions"]["0"]["status"] == "resumed(skip)"
+    assert manifest["partitions"]["1"]["status"] == "written"
+
+    def read_all(d):
+        df = pq.read_table(d).to_pandas()
+        cols = ["subj", "pred", "obj"]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(read_all(single_dir), read_all(resumed_dir))
+
+
+def test_manifest_lineage(ray_session, synth_root, tmp_path):
+    """The sink writes per-partition row counts (lineage sidecar)."""
+    import json
+
+    import ray
+
+    from table_annotation_ray.pipelines.kg_pipeline import run_kg_pipeline
+
+    out = str(tmp_path / "triples")
+    run_kg_pipeline(
+        os.path.join(synth_root, "transcripts.parquet"),
+        os.path.join(synth_root, "kb"),
+        out_dir=out,
+    )
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    total = sum(p["rows"] for p in manifest["partitions"].values())
+    assert total > 0
+    for part_name in os.listdir(out):
+        if part_name.startswith("part="):
+            assert os.path.exists(os.path.join(out, part_name, "_SUCCESS"))
