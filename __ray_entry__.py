@@ -1,44 +1,480 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline (transcripts → triples) on a
+small deterministic synthetic transcript set (the testdata star schema
+has no transcript table; BASELINE.json input_hint mandates the shape,
+synthesized by table_annotation_ray.synth).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the engine's operators over the driver's parquet
+tables (sf_dir); SQL-expressible ones have DuckDB oracles in
+``oracle_sql()`` with IDENTICAL column names; KG/model/sketch operators
+are rows-only checked (documented per entry).
+
+Ray is initialised by the driver BEFORE importing this module — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+_ENGLISH_STOPS = "('the','and','of','to','a','in','is','it','you','that','was','for')"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _round_ha(s: pd.Series, d: int) -> pd.Series:
+    """Round-half-away-from-zero to match DuckDB/SQL ROUND (pandas/numpy
+    round is half-even)."""
+    f = 10.0**d
+    return np.sign(s) * np.floor(np.abs(s) * f + 0.5) / f
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def _synth_root_for(sf_dir: str) -> str:
+    """Deterministic transcripts+KB sized by sf (cached under /tmp)."""
+    from table_annotation_ray import synth
+
+    n_convs = int(4000 * _sf_of(sf_dir)) + 30
+    return synth.default_dataset(n_convs=n_convs, seed=42)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcripts → clean/explode → typing → annotate → triples."""
+    from table_annotation_ray import synth
+    from table_annotation_ray.pipelines.kg_pipeline import run_kg_pipeline
+
+    root = synth.default_dataset(n_convs=34, seed=42)
+    return run_kg_pipeline(
+        os.path.join(root, "transcripts.parquet"), os.path.join(root, "kb")
+    )
+
+
+# ---- relational / aggregate operators (engine plumbing, SQL-verified) -----
+
+def _q_pricing_summary(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def with_disc(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(with_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        out[c] = _round_ha(out[c], 2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Broadcast join: customer (dimension) shipped once via ray.put."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+
+    class AttachSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["c_mktsegment"] = b["o_custkey"].map(self.seg)
+            return b[["c_mktsegment", "o_totalprice"]]
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(AttachSegment, batch_format="pandas", concurrency=(1, 2))
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+        .to_pandas()
+    )
+    out["total_price"] = _round_ha(out["total_price"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def _q_top_parts_by_revenue(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_partkey": b["l_partkey"], "revenue": r})
+
+    agg = ds.map_batches(rev, batch_format="pyarrow").groupby("l_partkey").aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    top = agg.sort("revenue", descending=True).limit(10).to_pandas()
+    top["revenue"] = _round_ha(top["revenue"], 2)
+    return top
+
+
+def _q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+                "event_type": b["event_type"],
+                "value": b["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(hour, batch_format="pandas")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    # sum of 2-decimal values rounded at 2dp can never sit on a rounding
+    # boundary, unlike avg — keeps the float compare exact vs the oracle
+    out["sum_value"] = _round_ha(out["sum_value"], 2)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _q_user_sessions(sf_dir: str):
+    """Sessionization: 30-min-gap sessions per user — the stream-shaped
+    windowed aggregate (groupby key, sort by ts inside the group)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+# ---- text / dedup / similarity operators ----------------------------------
+
+def _q_dedup_exact(sf_dir: str):
+    from table_annotation_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def _q_token_stats(sf_dir: str):
+    from table_annotation_ray.stages.textstats import token_stats
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_stats, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _q_quality_scores(sf_dir: str):
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(quality_scores, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    from table_annotation_ray.stages.textstats import fingerprint
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fingerprint, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    """Heuristic language ID (rows-only: the prediction has no SQL oracle)."""
+    from table_annotation_ray.stages.textstats import lang_id
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lang_id, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    from table_annotation_ray.stages.similarity import brute_force_topk
+
+    out = brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3], k=5
+    )
+    out = out.copy()
+    out["cosine"] = _round_ha(out["cosine"], 4)
+    for c in ("query_id", "neighbor_id", "rank"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (rows-only: approximate by design)."""
+    from table_annotation_ray.stages.similarity import lsh_topk
+
+    return lsh_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3], k=5)
+
+
+def _q_minhash_components(sf_dir: str):
+    from table_annotation_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from table_annotation_ray.stages.dedup import simhash_near_pairs, simhash_signatures
+
+    sigs = simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return simhash_near_pairs(sigs, max_hamming=3).to_pandas()
+
+
+# ---- KG pipeline operators over synthesized transcripts (rows-only) -------
+
+def _q_kg_mentions(sf_dir: str):
+    import ray
+
+    from table_annotation_ray.pipelines.kg_pipeline import mentions_dataset, read_transcripts
+    from table_annotation_ray.state.kb import load_kb
+
+    root = _synth_root_for(sf_dir)
+    kb_ref = ray.put(load_kb(os.path.join(root, "kb")))
+    ds = mentions_dataset(read_transcripts(os.path.join(root, "transcripts.parquet")), kb_ref)
+    out = ds.to_pandas()
+    out["typing"] = out["typing"].map(lambda xs: ",".join(xs))
+    out["datatype"] = out["datatype"].map(lambda xs: ",".join(xs))
+    return out
+
+
+def _q_kg_candidates(sf_dir: str):
+    import ray
+
+    from table_annotation_ray.pipelines.kg_pipeline import mentions_dataset, read_transcripts
+    from table_annotation_ray.stages.lookup_stage import LookupStage
+    from table_annotation_ray.state.kb import load_kb
+
+    root = _synth_root_for(sf_dir)
+    kb_ref = ray.put(load_kb(os.path.join(root, "kb")))
+    mentions = mentions_dataset(
+        read_transcripts(os.path.join(root, "transcripts.parquet")), kb_ref
+    ).drop_columns(["typing", "datatype"])
+    return mentions.map_batches(
+        LookupStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"kb_ref": kb_ref},
+        concurrency=(1, 4),
+    ).to_pandas()
+
+
+def _q_kg_triples(sf_dir: str):
+    from table_annotation_ray.pipelines.kg_pipeline import run_kg_pipeline
+
+    root = _synth_root_for(sf_dir)
+    return run_kg_pipeline(
+        os.path.join(root, "transcripts.parquet"), os.path.join(root, "kb")
+    ).to_pandas()
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload column → per-media features
+    (decode kernel stubbed; rows-only)."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        RECOMMENDED_BATCH_SIZE,
+        DecodeImage,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=128, seed=5))
+    return ds.map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=(1, 2),
+    ).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_segment": _q_orders_by_segment,
+        "top_parts_by_revenue": _q_top_parts_by_revenue,
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality_scores,
+        "fingerprint": _q_fingerprint,
+        "lang_id": _q_lang_id,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "minhash_components": _q_minhash_components,
+        "simhash_pairs": _q_simhash_pairs,
+        "kg_mentions": _q_kg_mentions,
+        "kg_candidates": _q_kg_candidates,
+        "kg_triples": _q_kg_triples,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                               AS sum_qty,
+                   round(sum(l_extendedprice), 2)                          AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+                   round(avg(l_quantity), 2)                               AS avg_qty,
+                   count(*)                                                AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   count(*)                        AS n_orders,
+                   round(sum(o_totalprice), 2)     AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_parts_by_revenue": """
+            SELECT l_partkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   event_type,
+                   count(*)              AS n,
+                   round(sum(value), 2)  AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*)                         AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                   END            AS n_tokens,
+                   length(text)   AS n_chars
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / greatest(length(text), 1), 6)                   AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '\\d', '', 'g')))
+                         / greatest(length(text), 1), 6)                   AS digit_ratio,
+                   round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                         x -> x IN """ + _ENGLISH_STOPS + """))
+                         / greatest(CASE WHEN trim(text) = '' THEN 0
+                                         ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                    END, 1), 6)                            AS stopword_ratio,
+                   round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                         / greatest(CASE WHEN trim(text) = '' THEN 0
+                                         ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                    END, 1), 6)                            AS mean_token_len
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS e
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            sims AS (SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+                            list_cosine_similarity(CAST(q.e AS DOUBLE[]),
+                                                   CAST(v.embedding AS DOUBLE[])) AS cos
+                     FROM q CROSS JOIN embeddings v
+                     WHERE v.vec_id <> q.qid),
+            ranked AS (SELECT query_id, neighbor_id, cos,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM sims)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+                   round(cos, 4) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        # lang_id / ann_lsh / minhash_components / simhash_pairs /
+        # kg_* / media_features: heuristic, approximate or model-driven —
+        # no SQL equivalent; the driver records rows-only checks.
+    }

@@ -1,0 +1,132 @@
+"""Multimodal (image / audio / video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata columns
+alongside; decode / feature-extract stages are actor-pool
+``map_batches`` classes with SMALL batch sizes (binary payloads are
+wide — a 4 MiB image × 1024-row batch would blow the worker heap; see
+ray_guide "Memory-aware").
+
+The decode kernels themselves are STUBBED (no PIL / ffmpeg in this
+environment): ``DecodeImage`` computes deterministic fake features
+(payload length, crc32, parsed header dims) and raises
+``NotImplementedError`` from ``_decode_pixels`` where a real decoder
+would plug in.  The Ray-side plumbing — schema, actor signature, batch
+sizing, zero-copy binary handling — is real and tested.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # -1 when unknown
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("checksum", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+RECOMMENDED_BATCH_SIZE = 64  # small: payload-dominated rows
+
+
+class DecodeImage:
+    """Actor-pool stage: (media rows) → per-image features.
+
+    Use as::
+
+        ds.map_batches(DecodeImage, batch_format="pyarrow",
+                       batch_size=RECOMMENDED_BATCH_SIZE,
+                       concurrency=(1, N), num_cpus=1)
+    """
+
+    def __init__(self, target_size: tuple[int, int] = (224, 224)):
+        # a real implementation loads the decoder/model here, once per actor
+        self.target_size = target_size
+
+    @staticmethod
+    def _decode_pixels(payload: bytes):
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "environment; plug PIL/turbojpeg in here"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n_bytes = [len(p) if p is not None else 0 for p in payloads]
+        checksum = [zlib.crc32(p) if p else 0 for p in payloads]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "checksum": pa.array(checksum, pa.int64()),
+                "width": batch["width"],
+                "height": batch["height"],
+            }
+        )
+
+
+class SampleVideoFrames:
+    """Actor-pool stage stub: (video rows) → (media_id, frame_idx, frame
+    payload slice).  Deterministic byte-range sampling stands in for real
+    frame extraction; the fan-out shape (flat_map-like explode inside
+    map_batches) is the part that matters for the pipeline."""
+
+    def __init__(self, frames_per_video: int = 4):
+        self.frames = frames_per_video
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, slices = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            payload = payload or b""
+            step = max(1, len(payload) // max(1, self.frames))
+            for f in range(self.frames):
+                ids.append(mid)
+                idxs.append(f)
+                slices.append(payload[f * step : f * step + min(step, 1024)])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_bytes": pa.array(slices, pa.binary()),
+            }
+        )
+
+
+def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic fake media rows for tests/benches."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(int(rng.randint(256, 4096))) for _ in range(n)]
+    kinds = ["image", "audio", "video"]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array([kinds[i % 3] for i in range(n)], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(
+                ["image/jpeg" if i % 3 == 0 else "application/octet-stream" for i in range(n)]
+            ),
+            "width": pa.array([224 if i % 3 == 0 else -1 for i in range(n)], pa.int32()),
+            "height": pa.array([224 if i % 3 == 0 else -1 for i in range(n)], pa.int32()),
+            "duration_ms": pa.array([-1] * n, pa.int32()),
+        }
+    )

