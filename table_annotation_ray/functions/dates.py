@@ -8,17 +8,32 @@ from __future__ import annotations
 
 import operator as _op
 import unicodedata
+from functools import lru_cache
 
 from dateutil.parser import parse as _parse
 
 __all__ = ["date_similarity", "get_year_from_date", "dates_equal", "split_period"]
 
 
+@lru_cache(maxsize=65536)
+def _parse_cached(s: str):
+    """Memoized dateutil parse; None on failure (failures cache too —
+    date strings repeat per candidate × row, and dateutil dominates the
+    annotator profile without this)."""
+    try:
+        return _parse(s)
+    except Exception:
+        return None
+
+
 def date_similarity(s1, s2, op=_op.eq) -> bool:
     """True when both strings parse as dates and ``op`` holds
     (utils.py:49-56)."""
+    d1, d2 = _parse_cached(str(s1)), _parse_cached(str(s2))
+    if d1 is None or d2 is None:
+        return False
     try:
-        return bool(op(_parse(str(s1)), _parse(str(s2))))
+        return bool(op(d1, d2))
     except Exception:
         return False
 
@@ -29,10 +44,8 @@ def dates_equal(s1, s2) -> bool:
 
 def get_year_from_date(d):
     """Year (as str) of a parseable date, else False (utils.py:58-63)."""
-    try:
-        return str(_parse(str(d)).year)
-    except Exception:
-        return False
+    parsed = _parse_cached(str(d))
+    return str(parsed.year) if parsed is not None else False
 
 
 def split_period(cell: str) -> list[str]:

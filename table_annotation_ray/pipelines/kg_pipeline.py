@@ -27,16 +27,33 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..state.kb import load_kb
-from ..stages.annotate_stage import AnnotateBucket, add_bucket
+from ..stages.annotate_stage import add_bucket, annotate_bucket_batch
 from ..stages.clean import clean_and_explode
 from ..stages.triples import dedup_triples, write_triples_partitioned
-from ..stages.typing_stage import TypingStage
+from ..stages.typing_stage import typing_batch
 
 
 def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """Prune at the read: the KG pipeline needs only the table-bearing
     columns (conv_id, turn_idx, text)."""
     return rd.read_parquet(path, columns=columns or ["conv_id", "turn_idx", "text"])
+
+
+def _session_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _pool_sizes() -> tuple[int, int]:
+    """(typing_pool, annotate_pool): fixed-size pools sized to the session
+    — Ray Data's autoscaling pools ramp too slowly for stage lifetimes in
+    the minutes range, and two full-width fixed pools would starve the
+    read/shuffle tasks (deadlock).  Keep typing ≈ CPU/4 and annotate ≈
+    CPU/2, total ≤ 3/4 of the session."""
+    cpus = _session_cpus()
+    return max(1, cpus // 4), max(2, cpus // 2)
 
 
 def mentions_dataset(
@@ -46,14 +63,13 @@ def mentions_dataset(
 ) -> rd.Dataset:
     """transcripts → typed mentions (stages 1-2)."""
     cells = transcripts.map_batches(clean_and_explode, batch_format="pyarrow")
-    # autoscaling pool (1, N): a fixed-size pool can reserve every CPU
-    # alongside the annotate pool and starve the read/shuffle tasks
+    # task-based stateful stage: state cached per worker process
+    # (state/worker_state.py) — elastic scheduling, no reserved pool
     return cells.map_batches(
-        TypingStage,
+        typing_batch,
         batch_format="pyarrow",
         batch_size=cfg.runtime.typing_batch_size,
-        fn_constructor_kwargs={"kb_ref": kb_ref},
-        concurrency=(1, cfg.runtime.lookup_concurrency),
+        fn_kwargs={"kb_ref": kb_ref},
     )
 
 
@@ -68,11 +84,13 @@ def triples_dataset(
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
     )
+    # spread the shuffle output across enough blocks that annotate tasks
+    # saturate the session (block count caps map_groups task parallelism)
+    bucketed = bucketed.repartition(max(cfg.runtime.num_buckets, _session_cpus() * 2))
     raw = bucketed.groupby("bucket").map_groups(
-        AnnotateBucket,
+        annotate_bucket_batch,
         batch_format="pandas",
-        fn_constructor_kwargs={"kb_ref": kb_ref, "config": cfg},
-        concurrency=(1, cfg.runtime.annotate_concurrency),
+        fn_kwargs={"kb_ref": kb_ref, "config": cfg},
     )
     return dedup_triples(raw)
 

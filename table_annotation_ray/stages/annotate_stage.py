@@ -44,13 +44,18 @@ from .triples import conversation_outputs_to_rows
 
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Deterministic hash bucket per conv_id (crc32 — stable across
-    processes, unlike Python's salted hash())."""
-    conv = batch["conv_id"].to_pylist()
-    buckets = np.fromiter(
-        (zlib.crc32(c.encode()) % num_buckets for c in conv),
+    processes, unlike Python's salted hash()).  Hashing runs once per
+    UNIQUE conv_id in the batch (mention rows repeat conv_ids heavily)
+    and is mapped back via dictionary-encode indices."""
+    conv = batch["conv_id"].combine_chunks()
+    dict_arr = conv.dictionary_encode()
+    uniq = dict_arr.dictionary.to_pylist()
+    uniq_buckets = np.fromiter(
+        (zlib.crc32(c.encode()) % num_buckets for c in uniq),
         dtype=np.int32,
-        count=len(conv),
+        count=len(uniq),
     )
+    buckets = uniq_buckets[dict_arr.indices.to_numpy(zero_copy_only=False)]
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
@@ -106,3 +111,16 @@ class AnnotateBucket:
             (int(t), int(s)): m
             for t, s, m in zip(group["turn_idx"], group["col_slot"], group["mention"])
         }
+
+
+def annotate_bucket_batch(bucket_df: pd.DataFrame, kb_ref, config=None) -> pd.DataFrame:
+    """Task-based variant of :class:`AnnotateBucket` — stage state (label
+    index, KB reader, KB-derived caches) is built once per worker process
+    (state/worker_state.py) so annotation runs as elastic tasks and never
+    reserves CPUs while idle."""
+    from ..state.worker_state import get_worker_state, ref_key
+
+    stage = get_worker_state(
+        ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, config)
+    )
+    return stage(bucket_df)

@@ -107,12 +107,13 @@ def dedup_triples(ds: rd.Dataset) -> rd.Dataset:
         )
 
     ds = ds.map_batches(local_dedup, batch_format="pandas")
+    from ray.data.aggregate import Max, Min
 
-    def group_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("score", ascending=False).head(1)
-
-    return ds.groupby(["subj", "pred", "obj"]).map_groups(
-        group_first, batch_format="pandas"
+    # combiner + aggregate beats per-key map_groups by an order of
+    # magnitude; provenance = lexicographically-first emitting conv_id
+    return ds.groupby(["subj", "pred", "obj"]).aggregate(
+        Max("score", alias_name="score"),
+        Min("conv_id", alias_name="conv_id"),
     )
 
 

@@ -55,3 +55,15 @@ class TypingStage:
         return batch.append_column(
             "typing", pa.array(typings, pa.list_(pa.string()))
         ).append_column("datatype", pa.array(datatypes, pa.list_(pa.string())))
+
+
+def typing_batch(batch: pa.Table, kb_ref) -> pa.Table:
+    """Task-based variant: same computation as :class:`TypingStage`, but
+    the stage state is cached per WORKER PROCESS (state/worker_state.py)
+    so it runs as elastic tasks instead of a fixed actor pool."""
+    from ..state.worker_state import get_worker_state, ref_key
+
+    stage = get_worker_state(
+        ("typing", ref_key(kb_ref)), lambda: TypingStage(kb_ref=kb_ref)
+    )
+    return stage(batch)

@@ -1,0 +1,36 @@
+"""Per-worker-process state cache for task-based stateful stages.
+
+Ray Data offers actor pools for stateful stages, but a FIXED pool holds
+its CPUs for the whole pipeline lifetime (starving barrier stages like
+sort on a saturated node) and an AUTOSCALING pool ramps too slowly for
+minute-scale stages.  The alternative used by the flagship pipeline:
+plain task-based ``map_batches`` whose UDF builds its state ONCE PER
+WORKER PROCESS through this cache — Ray reuses worker processes across
+tasks, so the lifecycle matches the reference's module-level model
+loading (spacy_ner_parser.py:30) while scheduling stays fully elastic.
+
+State is keyed by (stage name, object-ref hex) so two pipelines with
+different KBs coexist.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+_STATE: dict[tuple, Any] = {}
+
+
+def get_worker_state(key: tuple, builder: Callable[[], Any]) -> Any:
+    state = _STATE.get(key)
+    if state is None:
+        state = builder()
+        _STATE[key] = state
+    return state
+
+
+def ref_key(obj) -> str:
+    """Stable cache-key fragment for a broadcast ObjectRef (or value)."""
+    try:
+        return obj.hex()  # ray.ObjectRef
+    except AttributeError:
+        return str(id(obj))

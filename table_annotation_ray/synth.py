@@ -553,7 +553,11 @@ def materialize(
         return root
     os.makedirs(root, exist_ok=True)
     res = generate(n_convs=n_convs, seed=seed, **kwargs)
-    pq.write_table(res.transcripts, os.path.join(root, "transcripts.parquet"))
+    # modest row groups so ray.data.read_parquet can split the read into
+    # parallel tasks (a single row group = a serial read)
+    pq.write_table(
+        res.transcripts, os.path.join(root, "transcripts.parquet"), row_group_size=16384
+    )
     pq.write_table(res.golden_cea, os.path.join(root, "golden_cea.parquet"))
     pq.write_table(res.golden_cpa, os.path.join(root, "golden_cpa.parquet"))
     pq.write_table(res.golden_cta, os.path.join(root, "golden_cta.parquet"))
