@@ -74,22 +74,24 @@ def mentions_dataset(
 
 
 def triples_dataset(
-    mentions: rd.Dataset,
+    cells: rd.Dataset,
     kb_ref,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> rd.Dataset:
-    """typed mentions → deduplicated triples (stages 3-4)."""
-    bucketed = mentions.map_batches(
+    """cells (typed or untyped) → deduplicated triples (stages 3-4).
+
+    The flagship path feeds UNTYPED cells: typing happens inside the
+    annotate worker (memoized per worker process), so the conv_id
+    shuffle carries only primitive columns — list<string> typing columns
+    through an all-to-all roughly doubles its byte volume for nothing."""
+    bucketed = cells.map_batches(
         add_bucket,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
     )
-    # spread the shuffle output across enough blocks that annotate tasks
-    # saturate the session (block count caps map_groups task parallelism)
-    bucketed = bucketed.repartition(max(cfg.runtime.num_buckets, _session_cpus() * 2))
     raw = bucketed.groupby("bucket").map_groups(
         annotate_bucket_batch,
-        batch_format="pandas",
+        batch_format="pyarrow",
         fn_kwargs={"kb_ref": kb_ref, "config": cfg},
     )
     return dedup_triples(raw)
@@ -105,8 +107,8 @@ def run_kg_pipeline(
     ``out_dir`` is given, also writes the partitioned, resumable sink."""
     kb_ref = ray.put(load_kb(kb_dir))
     transcripts = read_transcripts(transcripts_path)
-    mentions = mentions_dataset(transcripts, kb_ref, cfg)
-    triples = triples_dataset(mentions, kb_ref, cfg)
+    cells = transcripts.map_batches(clean_and_explode, batch_format="pyarrow")
+    triples = triples_dataset(cells, kb_ref, cfg)
     if out_dir is not None:
         write_triples_partitioned(triples, out_dir, cfg.runtime.triple_partitions)
     return triples

@@ -64,6 +64,10 @@ class AnnotateBucket:
 
     def __init__(self, kb_ref, config: PipelineConfig | None = None,
                  max_rows_per_conv: int = 400):
+        from functools import lru_cache
+
+        from ..functions.typing_rules import GazetteerNER, type_cell
+
         kb: KBData = ray.get(kb_ref) if not isinstance(kb_ref, KBData) else kb_ref
         self.cfg = config or PipelineConfig()
         self.kbr = KBReader(kb)
@@ -73,47 +77,79 @@ class AnnotateBucket:
             self.index, self.kbr, self.cfg.annotation, self.caches
         )
         self.max_rows = max_rows_per_conv
+        # in the fused flagship path the shuffle carries only primitive
+        # columns; cells are typed HERE, memoized per worker
+        ner = GazetteerNER(self.kbr.build_gazetteer())
+        self._type_cell = lru_cache(maxsize=262_144)(
+            lambda cell: tuple(map(tuple, type_cell(cell, ner)))
+        )
 
-    def annotate_conversation(self, group: pd.DataFrame) -> AnnotationResult:
-        group = group.sort_values(["turn_idx", "col_slot"], kind="stable")
-        n_rows = int(group["turn_idx"].max()) + 1
-        n_cols = int(group["col_slot"].max()) + 1
+    def _annotate_rows(
+        self,
+        rows: list[tuple[int, int, str]],
+        typed: dict[str, tuple] | None = None,
+    ) -> tuple[AnnotationResult, dict[tuple[int, int], str]]:
+        """rows = [(turn_idx, col_slot, mention)] of ONE conversation."""
+        n_rows = max(r[0] for r in rows) + 1
+        n_cols = max(r[1] for r in rows) + 1
         table = [[""] * n_cols for _ in range(min(n_rows, self.max_rows))]
+        cells: dict[tuple[int, int], str] = {}
         typings: dict[str, list[str]] = {}
         datatypes: dict[str, list[str]] = {}
-        for turn, slot, mention, typ, dt in zip(
-            group["turn_idx"], group["col_slot"], group["mention"],
-            group["typing"], group["datatype"],
-        ):
+        for turn, slot, mention in rows:
+            cells[(turn, slot)] = mention
             if turn >= self.max_rows:
                 continue  # per-conversation cap (see module docstring)
             table[turn][slot] = mention
             if mention not in typings:
+                if typed is not None:
+                    typ, dt = typed[mention]
+                else:
+                    typ, dt = self._type_cell(mention)
                 typings[mention] = list(typ)
                 datatypes[mention] = list(dt)
-        return self.annotator.annotate(table, typings, datatypes)
+        return self.annotator.annotate(table, typings, datatypes), cells
 
-    def __call__(self, bucket_df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for conv_id, group in bucket_df.groupby("conv_id", sort=True):
-            result = self.annotate_conversation(group)
-            table = self._table_of(group)
-            rows.extend(conversation_outputs_to_rows(conv_id, result, table))
-        if not rows:
-            return pd.DataFrame(
-                {"subj": [], "pred": [], "obj": [], "conv_id": [], "score": []}
-            )
-        return pd.DataFrame(rows, columns=["subj", "pred", "obj", "conv_id", "score"])
+    def annotate_conversation(self, group: pd.DataFrame) -> AnnotationResult:
+        """pandas convenience entry (tests / pre-typed mentions path)."""
+        typed = None
+        if "typing" in group.columns:
+            typed = {
+                m: (list(t), list(d))
+                for m, t, d in zip(group["mention"], group["typing"], group["datatype"])
+            }
+        rows = list(
+            zip(map(int, group["turn_idx"]), map(int, group["col_slot"]), group["mention"])
+        )
+        result, _ = self._annotate_rows(rows, typed)
+        return result
 
-    @staticmethod
-    def _table_of(group: pd.DataFrame) -> dict[tuple[int, int], str]:
-        return {
-            (int(t), int(s)): m
-            for t, s, m in zip(group["turn_idx"], group["col_slot"], group["mention"])
-        }
+    def __call__(self, bucket: pa.Table) -> pa.Table:
+        """One bucket of conversations (Arrow in / Arrow out — no pandas
+        conversion of the wide string blocks)."""
+        conv = bucket["conv_id"].to_pylist()
+        turn = bucket["turn_idx"].to_pylist()
+        slot = bucket["col_slot"].to_pylist()
+        mention = bucket["mention"].to_pylist()
+        by_conv: dict[str, list[tuple[int, int, str]]] = {}
+        for c, t, s, m in zip(conv, turn, slot, mention):
+            by_conv.setdefault(c, []).append((t, s, m))
+        out_rows: list[tuple[str, str, str, str, float]] = []
+        for conv_id in sorted(by_conv):
+            result, cells = self._annotate_rows(by_conv[conv_id])
+            out_rows.extend(conversation_outputs_to_rows(conv_id, result, cells))
+        return pa.table(
+            {
+                "subj": pa.array([r[0] for r in out_rows], pa.string()),
+                "pred": pa.array([r[1] for r in out_rows], pa.string()),
+                "obj": pa.array([r[2] for r in out_rows], pa.string()),
+                "conv_id": pa.array([r[3] for r in out_rows], pa.string()),
+                "score": pa.array([r[4] for r in out_rows], pa.float64()),
+            }
+        )
 
 
-def annotate_bucket_batch(bucket_df: pd.DataFrame, kb_ref, config=None) -> pd.DataFrame:
+def annotate_bucket_batch(bucket: pa.Table, kb_ref, config=None) -> pa.Table:
     """Task-based variant of :class:`AnnotateBucket` — stage state (label
     index, KB reader, KB-derived caches) is built once per worker process
     (state/worker_state.py) so annotation runs as elastic tasks and never
@@ -123,4 +159,4 @@ def annotate_bucket_batch(bucket_df: pd.DataFrame, kb_ref, config=None) -> pd.Da
     stage = get_worker_state(
         ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, config)
     )
-    return stage(bucket_df)
+    return stage(bucket)

@@ -397,6 +397,7 @@ def generate(
     mojibake_rate: float = 0.03,
     hot_fraction: float = 0.02,
     hot_turns: int = 120,
+    with_goldens: bool = True,
 ) -> SynthResult:
     """Generate ``n_convs`` conversations.  A ``hot_fraction`` of them are
     "hot" (``hot_turns`` turns) to exercise skew handling."""
@@ -429,9 +430,10 @@ def generate(
                 if rng.uniform() < mojibake_rate:
                     rendered = _mojibake(rendered)
                 out_cells.append(rendered)
-                clean_cells[(conv_id, turn, slot)] = cell
-                if truths[slot] is not None:
-                    g_cea.append((conv_id, turn, slot, truths[slot]))
+                if with_goldens:
+                    clean_cells[(conv_id, turn, slot)] = cell
+                    if truths[slot] is not None:
+                        g_cea.append((conv_id, turn, slot, truths[slot]))
             conv_ids.append(conv_id)
             turn_idxs.append(turn)
             roles.append("user" if turn % 2 == 0 else "assistant")
@@ -477,7 +479,10 @@ def generate(
             "type_id": [r[2] for r in g_cta],
         }
     )
-    golden_triples = _golden_triples(golden_cea, golden_cpa, golden_cta, clean_cells)
+    if with_goldens:
+        golden_triples = _golden_triples(golden_cea, golden_cpa, golden_cta, clean_cells)
+    else:
+        golden_triples = pa.table({"subj": [], "pred": [], "obj": []})
     return SynthResult(transcripts, golden_cea, golden_cpa, golden_cta, golden_triples)
 
 
@@ -544,6 +549,7 @@ def materialize(
     n_convs: int = 100,
     seed: int = 42,
     n_extra_entities: int = 200,
+    with_goldens: bool = True,
     **kwargs,
 ) -> str:
     """Write transcripts + KB + goldens under ``root`` (idempotent: skips
@@ -552,7 +558,7 @@ def materialize(
     if os.path.exists(marker):
         return root
     os.makedirs(root, exist_ok=True)
-    res = generate(n_convs=n_convs, seed=seed, **kwargs)
+    res = generate(n_convs=n_convs, seed=seed, with_goldens=with_goldens, **kwargs)
     # modest row groups so ray.data.read_parquet can split the read into
     # parallel tasks (a single row group = a serial read)
     pq.write_table(
@@ -569,7 +575,11 @@ def materialize(
     return root
 
 
-def default_dataset(n_convs: int = 100, seed: int = 42) -> str:
-    """Materialize (once) under /tmp keyed by parameters."""
+def default_dataset(n_convs: int = 100, seed: int = 42, with_goldens: bool | None = None) -> str:
+    """Materialize (once) under /tmp keyed by parameters.  Goldens are
+    skipped by default above 50k conversations (bench-scale data — the
+    golden computation is driver-side and memory-heavy)."""
+    if with_goldens is None:
+        with_goldens = n_convs <= 50_000
     root = f"/tmp/ta_ray_synth/convs{n_convs}_seed{seed}"
-    return materialize(root, n_convs=n_convs, seed=seed)
+    return materialize(root, n_convs=n_convs, seed=seed, with_goldens=with_goldens)
