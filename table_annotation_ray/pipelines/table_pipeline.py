@@ -1,0 +1,189 @@
+"""Generic-table pipelines — the reference's three public entry points
+(`table_preprocessing`, `entity_lookup`, `table_annotation`) as Ray
+Data stages over a Dataset of logical tables.
+
+A logical table is rows (table_id, row_idx, cells:list<string>) — the
+output of sources/delimited.read_tables_from_files or any equivalent.
+Per-table computations run inside ``map_groups(table_id)``-style tasks;
+per-worker state (NER gazetteer, lookup index, KB) follows the
+task-based worker-state pattern of the flagship pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..state.worker_state import get_worker_state, ref_key
+
+
+def _group_tables(batch: pa.Table) -> dict[str, list[list[str]]]:
+    tables: dict[str, list[tuple[int, list[str]]]] = {}
+    for tid, idx, cells in zip(
+        batch["table_id"].to_pylist(),
+        batch["row_idx"].to_pylist(),
+        batch["cells"].to_pylist(),
+    ):
+        tables.setdefault(tid, []).append((idx, cells))
+    return {
+        tid: [cells for _, cells in sorted(rows)] for tid, rows in tables.items()
+    }
+
+
+def preprocess_tables(
+    tables_ds: rd.Dataset, kb_ref=None, seed: int = 42
+) -> rd.Dataset:
+    """Dataset of table rows → one row per table with the preprocessing
+    JSON (orientation/header/key/typing) as a string column."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        from ..functions.typing_rules import GazetteerNER
+        from ..stages.preprocess import preprocess_table
+
+        def build_ner():
+            if kb_ref is None:
+                return GazetteerNER({})
+            from ..state.kb import KBReader
+
+            kb = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
+            return GazetteerNER(KBReader(kb).build_gazetteer())
+
+        ner = get_worker_state(("prep-ner", ref_key(kb_ref)), build_ner)
+        ids, infos = [], []
+        for tid, table in _group_tables(batch).items():
+            out = preprocess_table(table, ner, seed=seed)
+            ids.append(tid)
+            infos.append(json.dumps(out["preprocessed"]))
+        return pa.table(
+            {"table_id": pa.array(ids, pa.string()), "preprocessed": pa.array(infos, pa.string())}
+        )
+
+    grouped = tables_ds.groupby("table_id").map_groups(run, batch_format="pyarrow")
+    return grouped
+
+
+def lookup_labels(
+    labels_ds: rd.Dataset,
+    kb_ref,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    label_col: str = "label",
+) -> rd.Dataset:
+    """The ``entity_lookup`` service (lookup/entity_lookup.py:74-76) as a
+    batch stage: (label) → (label, entity, score, rank) rows."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        from ..state.kb import KBData
+        from ..state.lookup_index import LabelIndex
+
+        def build():
+            kb: KBData = ray.get(kb_ref) if not isinstance(kb_ref, KBData) else kb_ref
+            return LabelIndex(kb, cfg.lookup)
+
+        index = get_worker_state(("lookup", ref_key(kb_ref)), build)
+        out = {"label": [], "entity": [], "score": [], "rank": []}
+        for label in batch[label_col].to_pylist():
+            for rank, (eid, score) in enumerate(index.search(label.lower()), 1):
+                out["label"].append(label)
+                out["entity"].append(eid)
+                out["score"].append(score)
+                out["rank"].append(rank)
+        return pa.table(
+            {
+                "label": pa.array(out["label"], pa.string()),
+                "entity": pa.array(out["entity"], pa.string()),
+                "score": pa.array(out["score"], pa.float64()),
+                "rank": pa.array(out["rank"], pa.int32()),
+            }
+        )
+
+    return labels_ds.map_batches(run, batch_format="pyarrow")
+
+
+def annotate_tables(
+    tables_ds: rd.Dataset,
+    kb_ref,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> rd.Dataset:
+    """The full ``table_annotation`` (table_annotation.py:22-148) over a
+    Dataset of generic tables → one row per table with CEA/CTA/CPA JSON
+    (entity URIs + labels, reference output shape)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        from ..stages.annotate_stage import AnnotateBucket
+
+        stage: AnnotateBucket = get_worker_state(
+            ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, cfg)
+        )
+        kbr = stage.kbr
+        ids, payloads = [], []
+        for tid, table in _group_tables(batch).items():
+            rows = [
+                (r, c, cell)
+                for r, row in enumerate(table)
+                for c, cell in enumerate(row)
+            ]
+            if not rows:
+                continue
+            result, _cells = stage._annotate_rows(rows)
+            cea = [
+                {
+                    "row": r,
+                    "column": c,
+                    "annotation": {
+                        "label": kbr.get_label_of_entity(eid),
+                        "uri": kbr.prefixing_entity(eid),
+                        "score": round(score, 2),
+                    },
+                }
+                for (r, c), (eid, score) in sorted(result.cea.items())
+            ]
+            cta = [
+                {
+                    "column": col,
+                    "annotation": [
+                        {
+                            "label": kbr.get_label_of_entity(t),
+                            "uri": kbr.prefixing_entity(t),
+                            "score": round(s, 2),
+                            "coverage": round(cov, 2),
+                        }
+                        for t, s, cov in annots
+                    ],
+                }
+                for col, annots in sorted(result.cta.items())
+            ]
+            cpa = []
+            for (h, t), annots in sorted(result.cpa.items()):
+                rel_id = annots[0][0]
+                components = set(
+                    rel_id.replace("(-)", "").replace("(", "").replace(")", "").split("::")
+                )
+                uri, label = rel_id, rel_id
+                for comp in components:
+                    if kbr.is_valid_id(comp):
+                        uri = uri.replace(comp, kbr.prefixing_entity(comp))
+                        label = label.replace(comp, kbr.get_label_of_entity(comp))
+                cpa.append(
+                    {
+                        "headColumn": h,
+                        "tailColumn": t,
+                        "annotation": {
+                            "label": label,
+                            "uri": uri,
+                            "score": round(annots[0][1], 2),
+                            "coverage": round(annots[0][2], 2),
+                        },
+                    }
+                )
+            ids.append(tid)
+            payloads.append(json.dumps({"CEA": cea, "CTA": cta, "CPA": cpa}))
+        return pa.table(
+            {"table_id": pa.array(ids, pa.string()), "annotated": pa.array(payloads, pa.string())}
+        )
+
+    return tables_ds.groupby("table_id").map_groups(run, batch_format="pyarrow")

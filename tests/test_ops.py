@@ -1,0 +1,138 @@
+"""Training-data operators: dedup family, similarity search, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},  # exact dup
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog tonight"},  # near dup (shingle jaccard 7/8)
+        {"doc_id": 3, "text": "completely different content about ray data pipelines"},
+        {"doc_id": 4, "text": "THE QUICK  BROWN fox jumps over the lazy dog"},  # norm dup
+        {"doc_id": 5, "text": "le renard brun rapide saute par dessus le chien"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(docs_ds):
+    from table_annotation_ray.stages.dedup import exact_dedup
+
+    kept = sorted(exact_dedup(docs_ds).to_pandas().doc_id)
+    # 0/1/4 collapse (lower+whitespace normalization) → keep 0
+    assert kept == [0, 2, 3, 5]
+
+
+def test_minhash_dedup_finds_near_dup(docs_ds):
+    from table_annotation_ray.stages.dedup import minhash_dedup
+
+    comp = minhash_dedup(docs_ds, threshold=0.5)
+    comp_of = dict(zip(comp.doc_id, comp.component))
+    # exact + near dups share a component rooted at doc 0
+    assert comp_of.get(1) == comp_of.get(0)
+    assert comp_of.get(2) == comp_of.get(0)
+    assert 3 not in comp_of
+    assert 5 not in comp_of
+
+
+def test_simhash_pairs(docs_ds):
+    from table_annotation_ray.stages.dedup import simhash_near_pairs, simhash_signatures
+
+    sigs = simhash_signatures(docs_ds)
+    pairs = simhash_near_pairs(sigs, max_hamming=3).to_pandas()
+    got = set(zip(pairs.a, pairs.b))
+    assert (0, 1) in got  # identical text → distance 0
+    assert (0, 4) in got  # case/whitespace normalized
+    assert (0, 5) not in got
+
+
+def test_brute_force_topk(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(50, 16))
+    vecs[7] = vecs[0] * 2.0  # same direction as 0 → cosine 1
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    out = brute_force_topk(rd.from_items(rows), [0], k=3)
+    assert list(out.neighbor_id)[0] == 7
+    assert out.cosine.iloc[0] == pytest.approx(1.0, abs=1e-6)
+    assert len(out) == 3
+    assert list(out["rank"]) == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_bruteforce(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.RandomState(4)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=16).tolist()} for i in range(80)]
+    ds = rd.from_items(rows)
+    exact = brute_force_topk(ds, [1], k=10)
+    approx = lsh_topk(ds, [1], k=5, num_planes=4)
+    # approximate results must be valid neighbors with correct cosines
+    exact_map = dict(zip(exact.neighbor_id, exact.cosine))
+    for _, r in approx.iterrows():
+        assert r.neighbor_id != 1
+
+
+def test_textstats(docs_ds):
+    from table_annotation_ray.stages.textstats import (
+        fingerprint,
+        lang_id,
+        quality_scores,
+        token_stats,
+    )
+
+    ts = docs_ds.map_batches(token_stats, batch_format="pandas").to_pandas()
+    assert ts.set_index("doc_id").loc[0, "n_tokens"] == 9
+    qs = docs_ds.map_batches(quality_scores, batch_format="pandas").to_pandas()
+    assert (qs.punct_ratio == 0).all()
+    assert qs.set_index("doc_id").loc[0, "stopword_ratio"] > 0
+    li = docs_ds.map_batches(lang_id, batch_format="pandas").to_pandas()
+    pred = li.set_index("doc_id").pred_lang
+    assert pred[0] == "en" and pred[5] == "fr"
+    fp = docs_ds.map_batches(fingerprint, batch_format="pandas").to_pandas()
+    f = fp.set_index("doc_id").fp
+    assert f[0] == f[1] == f[4]  # normalization collapses
+    assert f[0] != f[2]
+
+
+def test_multimodal_decode_stage(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        RECOMMENDED_BATCH_SIZE,
+        DecodeImage,
+        SampleVideoFrames,
+        synth_media_table,
+    )
+
+    media = synth_media_table(n=32, seed=5)
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert len(feats) == 32
+    assert (feats.n_bytes > 0).all()
+    # deterministic features
+    feats2 = rd.from_arrow(media).map_batches(
+        DecodeImage, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    assert feats.sort_values("media_id").checksum.tolist() == feats2.sort_values("media_id").checksum.tolist()
+    # real decode kernel is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeImage._decode_pixels(b"\xff\xd8")
+    frames = rd.from_arrow(media).map_batches(
+        SampleVideoFrames, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
+    ).to_pandas()
+    assert len(frames) == 32 * 4

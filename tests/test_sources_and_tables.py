@@ -1,0 +1,97 @@
+"""Delimited sources (S1) + generic-table Ray pipelines."""
+
+import json
+import os
+
+import pytest
+
+from table_annotation_ray.sources import delimited
+
+
+def test_txt_to_table_comma():
+    payload = b"a,b,c\n1,2,3\n"
+    assert delimited.txt_to_table(payload) == [["a", "b", "c"], ["1", "2", "3"]]
+
+
+def test_txt_to_table_tab_and_semicolon():
+    assert delimited.txt_to_table(b"a\tb\n1\t2\n") == [["a", "b"], ["1", "2"]]
+    assert delimited.txt_to_table(b"a;b\n1;2\n") == [["a", "b"], ["1", "2"]]
+
+
+def test_encoding_sniffing():
+    text = "café,prix\n"
+    assert delimited.sniff_encoding(text.encode("utf-8")) == "utf-8"
+    assert delimited.sniff_encoding(text.encode("latin-1")) == "latin-1"
+    assert delimited.sniff_encoding("﻿x,y".encode("utf-8")) == "utf-8-sig"
+    t = delimited.txt_to_table(text.encode("latin-1") + b"1,2\n")
+    assert t[0][0] == "café"
+
+
+def test_xlsx_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        delimited.excel_to_table(b"PK...")
+
+
+def test_read_tables_from_files(ray_session, tmp_path):
+    for name, content in [("t1.csv", "x,y\nParis,France\n"), ("t2.tsv", "a\tb\n1\t2\n")]:
+        (tmp_path / name).write_text(content)
+    ds = delimited.read_tables_from_files(str(tmp_path))
+    df = ds.to_pandas()
+    assert set(os.path.basename(t) for t in df.table_id) == {"t1.csv", "t2.tsv"}
+    assert len(df) == 4
+
+
+def test_preprocess_tables_stage(ray_session, tmp_path, kb_objects):
+    import ray
+
+    from table_annotation_ray.pipelines.table_pipeline import preprocess_tables
+
+    (tmp_path / "cities.csv").write_text(
+        "city,country\nParis,France\nBerlin,Germany\nMadrid,Spain\nRome,Italy\n"
+    )
+    kb, _, _ = kb_objects
+    ds = delimited.read_tables_from_files(str(tmp_path))
+    out = preprocess_tables(ds, ray.put(kb)).to_pandas()
+    info = json.loads(out.preprocessed.iloc[0])
+    assert info["tableOrientation"]["orientationLabel"] == "HORIZONTAL"
+    assert info["headerInfo"]["hasHeader"] is True
+
+
+def test_lookup_labels_stage(ray_session, kb_objects):
+    import ray
+    import ray.data as rd
+
+    from table_annotation_ray.pipelines.table_pipeline import lookup_labels
+
+    kb, _, _ = kb_objects
+    ds = rd.from_items([{"label": "belgium"}, {"label": "MUFC"}, {"label": "paris"}])
+    out = lookup_labels(ds, ray.put(kb)).to_pandas()
+    top = out[out["rank"] == 1].set_index("label")["entity"].to_dict()
+    assert top["MUFC"] == "Q18656"
+    assert top["paris"] == "Q90"
+    assert "belgium" not in top  # not in the mini-KB → no rows
+
+
+def test_annotate_tables_stage(ray_session, tmp_path, kb_objects):
+    import ray
+
+    from table_annotation_ray.pipelines.table_pipeline import annotate_tables
+
+    (tmp_path / "films.csv").write_text(
+        "Pulp Fiction,John Travolta,Vincent Vega,1994-05-21\n"
+        "Casino Royale,Daniel Craig,James Bond,2006-11-14\n"
+        "The Matrix,Keanu Reeves,Neo,1999-03-31\n"
+        "Titanic,Leonardo DiCaprio,Jack Dawson,1997-12-19\n"
+    )
+    kb, _, _ = kb_objects
+    ds = delimited.read_tables_from_files(str(tmp_path))
+    out = annotate_tables(ds, ray.put(kb)).to_pandas()
+    ann = json.loads(out.annotated.iloc[0])
+    cea = {(a["row"], a["column"]): a["annotation"]["uri"] for a in ann["CEA"]}
+    assert cea[(0, 0)].endswith("Q104123")
+    assert cea[(1, 1)].endswith("Q4547")
+    cta = {c["column"]: c["annotation"][0]["uri"] for c in ann["CTA"]}
+    assert cta[0].endswith("Q11424")
+    cpa = {(c["headColumn"], c["tailColumn"]): c["annotation"]["uri"] for c in ann["CPA"]}
+    assert cpa[(0, 1)].endswith("P161")
+    assert cpa[(0, 3)].endswith("P577")
