@@ -335,6 +335,88 @@ def _q_kg_triples(sf_dir: str):
     ).to_pandas()
 
 
+def _q_entity_lookup(sf_dir: str):
+    """The reference's entity_lookup service (lookup/entity_lookup.py) as
+    a batch stage over the distinct mentions of the synthesized
+    transcripts (rows-only: fuzzy scoring has no SQL oracle)."""
+    import ray
+    import ray.data as rd
+
+    from table_annotation_ray.pipelines.table_pipeline import lookup_labels
+    from table_annotation_ray.state.kb import load_kb
+
+    root = _synth_root_for(sf_dir)
+    kb_ref = ray.put(load_kb(os.path.join(root, "kb")))
+    tr = rd.read_parquet(os.path.join(root, "transcripts.parquet"), columns=["text"])
+
+    def distinct_labels(b):
+        import pandas as pd
+
+        cells = b["text"].str.split(" \\| ", regex=True).explode()
+        return pd.DataFrame({"label": cells.dropna().unique()})
+
+    labels = tr.map_batches(distinct_labels, batch_format="pandas")
+    labels = labels.groupby("label").map_groups(lambda g: g.head(1), batch_format="pandas")
+    return lookup_labels(labels, kb_ref).to_pandas()
+
+
+def _q_table_preprocess(sf_dir: str):
+    """Generic-table preprocessing over tables derived from the nation /
+    region testdata (rows-only: heuristic detections)."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from table_annotation_ray.pipelines.table_pipeline import preprocess_tables
+    from table_annotation_ray.state.kb import load_kb
+
+    rows = []
+    for tname in ("nation", "region"):
+        t = pq.read_table(os.path.join(sf_dir, f"{tname}.parquet"))
+        header = [list(t.column_names)]
+        body = [[str(v) for v in row.values()] for row in t.to_pylist()]
+        for i, cells in enumerate(header + body):
+            rows.append({"table_id": tname, "row_idx": i, "cells": cells})
+    ds = rd.from_items(rows)
+    root = _synth_root_for(sf_dir)
+    kb_ref = ray.put(load_kb(os.path.join(root, "kb")))
+    out = preprocess_tables(ds, kb_ref).to_pandas()
+    out["orientation"] = out["preprocessed"].map(
+        lambda s: json.loads(s)["tableOrientation"]["orientationLabel"] if s != "{}" else ""
+    )
+    out["has_header"] = out["preprocessed"].map(
+        lambda s: bool(json.loads(s).get("headerInfo", {}).get("hasHeader")) if s != "{}" else False
+    )
+    return out[["table_id", "orientation", "has_header"]]
+
+
+def _q_table_annotate(sf_dir: str):
+    """Full generic-table annotation (reference table_annotation.py shape)
+    over the films fixture (rows-only: model-driven)."""
+    import json
+
+    import ray
+    import ray.data as rd
+
+    from table_annotation_ray import synth
+    from table_annotation_ray.pipelines.table_pipeline import annotate_tables
+    from table_annotation_ray.state.kb import load_kb
+
+    root = _synth_root_for(sf_dir)
+    kb_ref = ray.put(load_kb(os.path.join(root, "kb")))
+    rows = []
+    for ti, template in enumerate(synth.TEMPLATES):
+        for i, (cells, _truth) in enumerate(synth._rows_for_template(template, None)):
+            rows.append({"table_id": template["name"], "row_idx": i, "cells": cells})
+    out = annotate_tables(rd.from_items(rows), kb_ref).to_pandas()
+    out["n_cea"] = out["annotated"].map(lambda s: len(json.loads(s)["CEA"]))
+    out["n_cta"] = out["annotated"].map(lambda s: len(json.loads(s)["CTA"]))
+    out["n_cpa"] = out["annotated"].map(lambda s: len(json.loads(s)["CPA"]))
+    return out[["table_id", "n_cea", "n_cta", "n_cpa"]]
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column → per-media features
     (decode kernel stubbed; rows-only)."""
@@ -374,6 +456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
         "kg_triples": _q_kg_triples,
+        "entity_lookup": _q_entity_lookup,
+        "table_preprocess": _q_table_preprocess,
+        "table_annotate": _q_table_annotate,
         "media_features": _q_media_features,
     }
 

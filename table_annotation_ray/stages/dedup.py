@@ -250,10 +250,18 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    sigs: rd.Dataset, id_col: str = "doc_id", max_hamming: int = 3
+    sigs: rd.Dataset, id_col: str = "doc_id", max_hamming: int = 3,
+    max_bucket: int = 256,
 ) -> rd.Dataset:
     """Band the 64-bit signature into 4×16-bit keys; by pigeonhole any
-    pair within Hamming ≤ 3 shares at least one 16-bit band."""
+    pair within Hamming ≤ 3 shares at least one 16-bit band.
+
+    ``max_bucket`` caps the per-bucket pair expansion: a band key shared
+    by more than ``max_bucket`` docs (a degenerate band on a
+    near-uniform corpus) is truncated to its first ``max_bucket`` ids by
+    sort order — a documented recall cap that bounds the otherwise
+    quadratic blowup.  Raise it (or pre-shard by an extra band) when
+    exhaustive recall matters more than latency."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         rows = {"band": [], "key": [], id_col: [], "simhash": []}
@@ -267,7 +275,7 @@ def simhash_near_pairs(
         return pd.DataFrame(rows)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(group[id_col], group["simhash"])))
+        recs = sorted(set(zip(group[id_col], group["simhash"])))[:max_bucket]
         out_a, out_b, dist = [], [], []
         for i in range(len(recs)):
             for j in range(i + 1, len(recs)):
