@@ -110,5 +110,17 @@ def run_kg_pipeline(
     cells = transcripts.map_batches(clean_and_explode, batch_format="pyarrow")
     triples = triples_dataset(cells, kb_ref, cfg)
     if out_dir is not None:
-        write_triples_partitioned(triples, out_dir, cfg.runtime.triple_partitions)
+        from dataclasses import asdict
+        from datetime import datetime, timezone
+
+        lineage = {
+            "input": transcripts_path,
+            "kb_dir": kb_dir,
+            "started_utc": datetime.now(timezone.utc).isoformat(),
+            "config": asdict(cfg),
+            "engine_version": __import__("table_annotation_ray").__version__,
+        }
+        write_triples_partitioned(
+            triples, out_dir, cfg.runtime.triple_partitions, lineage=lineage
+        )
     return triples

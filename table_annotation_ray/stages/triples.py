@@ -144,7 +144,8 @@ def completed_partitions(out_dir: str) -> set[int]:
 
 
 def write_triples_partitioned(
-    ds: rd.Dataset, out_dir: str, num_partitions: int = 16
+    ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
+    lineage: dict | None = None,
 ) -> dict:
     """Write hash(subj)-partitioned adjacency Parquet in ONE streaming
     pass with per-partition commit markers; returns the run manifest.
@@ -154,6 +155,9 @@ def write_triples_partitioned(
     north_rule lineage/metrics sidecar).  Resume = completed partitions
     are filtered OUT of the write; partial directories from a crashed
     run are removed first (see :func:`completed_partitions`)."""
+    import time
+
+    t_start = time.time()
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
     ds = ds.map_batches(
@@ -181,6 +185,10 @@ def write_triples_partitioned(
             with open(os.path.join(part_dir, "_SUCCESS"), "w") as f:
                 json.dump({"partition": part, "rows": n_rows}, f)
         manifest["partitions"][str(part)] = {"status": status, "rows": n_rows}
+    manifest["total_rows"] = sum(p["rows"] for p in manifest["partitions"].values())
+    manifest["resumed_partitions"] = sorted(done)
+    manifest["write_wall_sec"] = round(time.time() - t_start, 3)
+    manifest["lineage"] = lineage or {}
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
