@@ -181,7 +181,16 @@ def annotate_tables(
                     }
                 )
             ids.append(tid)
-            payloads.append(json.dumps({"CEA": cea, "CTA": cta, "CPA": cpa}))
+            payloads.append(
+                json.dumps(
+                    {
+                        "CEA": cea,
+                        "CTA": cta,
+                        "CPA": cpa,
+                        "avgLookupCandidate": result.avg_lookup_candidates,
+                    }
+                )
+            )
         return pa.table(
             {"table_id": pa.array(ids, pa.string()), "annotated": pa.array(payloads, pa.string())}
         )

@@ -71,6 +71,7 @@ class AnnotationResult:
     cpa: dict[tuple[int, int], list[tuple[str, float, float]]]  # (h,t) -> [(pid, score, cov)]
     entity_cols: list[int]
     literal_cols: list[int]
+    avg_lookup_candidates: float = 0.0  # A16 metric (annotation_models.py:285-291)
 
 
 # ---------------------------------------------------------------------------
@@ -324,8 +325,14 @@ class TableAnnotator:
             for pair, cpas in self.cpa_annot.items()
             if cpas
         }
+        avg_candidates = (
+            round(sum(len(v) for v in self.lookup.values()) / len(self.lookup), 2)
+            if self.lookup
+            else 0.0
+        )
         return AnnotationResult(
-            cea_out, cta_out, cpa_out, list(self.entity_cols), list(self.literal_cols)
+            cea_out, cta_out, cpa_out, list(self.entity_cols),
+            list(self.literal_cols), avg_candidates,
         )
 
     # ------------------------------------------------------------------

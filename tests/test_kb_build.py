@@ -1,0 +1,81 @@
+"""Offline KB builders (state/kb_build.py) — dump-quirk semantics."""
+
+import gzip
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from table_annotation_ray.state.kb_build import (
+    build_edges_from_dump,
+    build_labels_from_dump,
+    edges_rows_from_item,
+    label_rows_from_item,
+)
+
+
+def test_edges_quirks():
+    item = {
+        "Q90": {
+            "labels": {"en-us": ["Paris"]},
+            "aliases": {"en-us": ["City of Light"]},
+            "descriptions": {"en-us": ["capital of France"]},
+            "P17": {"Q142": "NORMAL"},
+            "P571": {"1163-00-00": "DateTime-Gregorian"},
+            "P1889": {"Q830149": "NORMAL"},  # different-from → dropped
+            "(-)P36": {"Q142": "PREFERRED"},
+        }
+    }
+    rows, meta = edges_rows_from_item(item)
+    pids = {r[1] for r in rows}
+    assert "P1889" not in pids
+    assert "(-)P36" in pids
+    date_rows = [r for r in rows if r[1] == "P571"]
+    assert date_rows[0][2] == "1163"  # -00-00 stripped
+    assert meta == ("Q90", "Paris", 3)
+
+
+def test_label_rows_dedup():
+    item = {
+        "ID": "Q18656",
+        "page_rank": 12.5,
+        "labels": ["Manchester United F.C."],
+        "main_aliases": ["MUFC", "Manchester United F.C."],  # dup of label skipped
+        "sub_aliases": ["Man United", "MUFC"],  # dup of main alias skipped
+    }
+    rows = label_rows_from_item(item)
+    origins = [(r[1], r[3]) for r in rows]
+    assert origins == [
+        ("Manchester United F.C.", "LABEL"),
+        ("MUFC", "MAIN_ALIAS"),
+        ("Man United", "SUB_ALIAS"),
+    ]
+    assert all(r[4] == 12.5 for r in rows)
+
+
+def test_build_end_to_end(ray_session, tmp_path):
+    graph = [
+        {"Q1": {"labels": {"en-us": ["one"]}, "P31": {"Q2": "NORMAL"}}},
+        {"Q2": {"labels": {"en-us": ["two"]}, "P279": {"Q3": "NORMAL"}}},
+    ]
+    dump = tmp_path / "graph.jsonl"
+    dump.write_text("\n".join(json.dumps(g) + "," for g in graph))  # trailing commas
+    out = tmp_path / "kb"
+    build_edges_from_dump(str(dump), str(out), num_buckets=4)
+    edges = pq.read_table(str(out / "edges")).to_pylist()
+    assert {(e["src"], e["pid"], e["obj"]) for e in edges} == {
+        ("Q1", "P31", "Q2"), ("Q2", "P279", "Q3"),
+    }
+    meta = pq.read_table(str(out / "meta")).to_pylist()
+    assert {m["entity"]: m["en_label"] for m in meta} == {"Q1": "one", "Q2": "two"}
+
+    lookup_dump = tmp_path / "labels.jsonl"
+    lookup_dump.write_text(
+        json.dumps({"ID": "Q1", "page_rank": 1.0, "labels": ["one"],
+                    "main_aliases": ["uno"], "sub_aliases": []})
+    )
+    labels_out = tmp_path / "labels"
+    build_labels_from_dump(str(lookup_dump), str(labels_out))
+    labels = pq.read_table(str(labels_out)).to_pylist()
+    assert {(l["label"], l["origin"]) for l in labels} == {("one", "LABEL"), ("uno", "MAIN_ALIAS")}
