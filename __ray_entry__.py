@@ -326,6 +326,57 @@ def _q_kg_candidates(sf_dir: str):
     ).to_pandas()
 
 
+def _q_kg_annotations(sf_dir: str):
+    """The CEA/CTA/CPA annotation relations from the flagship pipeline
+    (rows-only: model-driven)."""
+    import ray
+
+    from table_annotation_ray.pipelines.kg_pipeline import (
+        annotations_dataset,
+        read_transcripts,
+    )
+    from table_annotation_ray.stages.clean import clean_and_explode
+    from table_annotation_ray.state.kb import load_kb
+
+    root = _synth_root_for(sf_dir)
+    kb_ref = ray.put(load_kb(os.path.join(root, "kb")))
+    cells = read_transcripts(os.path.join(root, "transcripts.parquet")).map_batches(
+        clean_and_explode, batch_format="pyarrow"
+    )
+    return annotations_dataset(cells, kb_ref).to_pandas()
+
+
+def _q_parts_never_ordered(sf_dir: str):
+    """Anti-join via broadcast key set (ray_guide semi/anti pattern):
+    parts never ordered in bulk (no lineitem with quantity > 45)."""
+    import pyarrow.compute as pc
+    import ray
+
+    bulk = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)).select(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    keys = set(bulk.unique("l_partkey"))
+    keys_ref = ray.put(keys)
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b[~b["p_partkey"].isin(self.keys)][["p_partkey"]]
+
+    out = (
+        _read(sf_dir, "part", ["p_partkey"])
+        .map_batches(AntiJoin, batch_format="pandas", concurrency=(1, 2))
+        .to_pandas()
+    )
+    if "p_partkey" not in out.columns:  # empty anti-join loses columns
+        out = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64")})
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return out
+
+
 def _q_kg_triples(sf_dir: str):
     from table_annotation_ray.pipelines.kg_pipeline import run_kg_pipeline
 
@@ -455,7 +506,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
+        "kg_annotations": _q_kg_annotations,
         "kg_triples": _q_kg_triples,
+        "parts_never_ordered": _q_parts_never_ordered,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -559,7 +612,14 @@ def oracle_sql() -> dict[str, str]:
                    round(cos, 4) AS cosine
             FROM ranked WHERE rank <= 5
         """,
+        "parts_never_ordered": """
+            SELECT p_partkey FROM part
+            WHERE p_partkey NOT IN (
+                SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+            )
+        """,
         # lang_id / ann_lsh / minhash_components / simhash_pairs /
-        # kg_* / media_features: heuristic, approximate or model-driven —
-        # no SQL equivalent; the driver records rows-only checks.
+        # kg_* / entity_lookup / table_* / media_features: heuristic,
+        # approximate or model-driven — no SQL equivalent; the driver
+        # records rows-only checks.
     }

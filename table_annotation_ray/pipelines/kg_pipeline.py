@@ -97,6 +97,33 @@ def triples_dataset(
     return dedup_triples(raw)
 
 
+def annotations_dataset(
+    cells: rd.Dataset,
+    kb_ref,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> rd.Dataset:
+    """cells → the CEA/CTA/CPA annotation relations as one tall Dataset
+    (kind ∈ {cea, cta, cpa}); same bucketed execution as the triple path."""
+
+    def run(bucket, kb_ref=None, config=None):
+        from ..stages.annotate_stage import AnnotateBucket
+        from ..state.worker_state import get_worker_state, ref_key
+
+        stage = get_worker_state(
+            ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, config)
+        )
+        return stage.annotations_table(bucket)
+
+    bucketed = cells.map_batches(
+        add_bucket,
+        batch_format="pyarrow",
+        fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
+    )
+    return bucketed.groupby("bucket").map_groups(
+        run, batch_format="pyarrow", fn_kwargs={"kb_ref": kb_ref, "config": cfg}
+    )
+
+
 def run_kg_pipeline(
     transcripts_path: str,
     kb_dir: str,

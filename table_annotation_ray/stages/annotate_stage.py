@@ -149,6 +149,56 @@ class AnnotateBucket:
         )
 
 
+    def annotations_table(self, bucket: pa.Table) -> pa.Table:
+        """Alternative output mode: the three annotation relations as one
+        tall table (kind ∈ {cea, cta, cpa}) — SURVEY §1.2's CEA/CTA/CPA
+        Datasets, for consumers that want annotations rather than triples."""
+        conv = bucket["conv_id"].to_pylist()
+        turn = bucket["turn_idx"].to_pylist()
+        slot = bucket["col_slot"].to_pylist()
+        mention = bucket["mention"].to_pylist()
+        by_conv: dict[str, list[tuple[int, int, str]]] = {}
+        for c, t, s, m in zip(conv, turn, slot, mention):
+            by_conv.setdefault(c, []).append((t, s, m))
+        rows = {
+            "conv_id": [], "kind": [], "row": [], "col": [], "col2": [],
+            "id": [], "score": [], "coverage": [],
+        }
+
+        def emit(conv_id, kind, row, col, col2, id_, score, coverage):
+            rows["conv_id"].append(conv_id)
+            rows["kind"].append(kind)
+            rows["row"].append(row)
+            rows["col"].append(col)
+            rows["col2"].append(col2)
+            rows["id"].append(id_)
+            rows["score"].append(score)
+            rows["coverage"].append(coverage)
+
+        for conv_id in sorted(by_conv):
+            result, _cells = self._annotate_rows(by_conv[conv_id])
+            for (r, c), (eid, score) in sorted(result.cea.items()):
+                emit(conv_id, "cea", r, c, -1, eid, score, 1.0)
+            for col, annots in sorted(result.cta.items()):
+                t, s, cov = annots[0]
+                emit(conv_id, "cta", -1, col, -1, t, s, cov)
+            for (h, t_), annots in sorted(result.cpa.items()):
+                pid, s, cov = annots[0]
+                emit(conv_id, "cpa", -1, h, t_, pid, s, cov)
+        return pa.table(
+            {
+                "conv_id": pa.array(rows["conv_id"], pa.string()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "row": pa.array(rows["row"], pa.int32()),
+                "col": pa.array(rows["col"], pa.int32()),
+                "col2": pa.array(rows["col2"], pa.int32()),
+                "id": pa.array(rows["id"], pa.string()),
+                "score": pa.array(rows["score"], pa.float64()),
+                "coverage": pa.array(rows["coverage"], pa.float64()),
+            }
+        )
+
+
 def annotate_bucket_batch(bucket: pa.Table, kb_ref, config=None) -> pa.Table:
     """Task-based variant of :class:`AnnotateBucket` — stage state (label
     index, KB reader, KB-derived caches) is built once per worker process
