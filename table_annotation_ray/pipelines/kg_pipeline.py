@@ -124,6 +124,35 @@ def annotations_dataset(
     )
 
 
+def triples_from_turns(
+    transcripts: rd.Dataset,
+    kb_ref,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> rd.Dataset:
+    """Flagship shuffle layout: bucket WHOLE TURNS by conv_id; encoding
+    repair + cell explosion + typing all happen inside the annotate
+    worker (post-shuffle) — the exchange moves one row per turn."""
+
+    def run(bucket, kb_ref=None, config=None):
+        from ..stages.annotate_stage import AnnotateBucket
+        from ..state.worker_state import get_worker_state, ref_key
+
+        stage = get_worker_state(
+            ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, config)
+        )
+        return stage.annotate_turns_table(bucket)
+
+    bucketed = transcripts.map_batches(
+        add_bucket,
+        batch_format="pyarrow",
+        fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
+    )
+    raw = bucketed.groupby("bucket").map_groups(
+        run, batch_format="pyarrow", fn_kwargs={"kb_ref": kb_ref, "config": cfg}
+    )
+    return dedup_triples(raw)
+
+
 def run_kg_pipeline(
     transcripts_path: str,
     kb_dir: str,
@@ -134,8 +163,7 @@ def run_kg_pipeline(
     ``out_dir`` is given, also writes the partitioned, resumable sink."""
     kb_ref = ray.put(load_kb(kb_dir))
     transcripts = read_transcripts(transcripts_path)
-    cells = transcripts.map_batches(clean_and_explode, batch_format="pyarrow")
-    triples = triples_dataset(cells, kb_ref, cfg)
+    triples = triples_from_turns(transcripts, kb_ref, cfg)
     if out_dir is not None:
         from dataclasses import asdict
         from datetime import datetime, timezone

@@ -149,6 +149,37 @@ class AnnotateBucket:
         )
 
 
+    def annotate_turns_table(self, bucket: pa.Table) -> pa.Table:
+        """Turns-mode entry: bucket rows are (conv_id, turn_idx, text) —
+        encoding repair + cell splitting happen HERE, after the shuffle,
+        so the conv_id exchange moves one row per TURN instead of one
+        per cell (the explode multiplies rows ~4x; at 10^12 turns that
+        factor is the difference between shuffling 60 TB and 250 TB)."""
+        from ..functions.text import fix_encoding
+        from ..synth import CELL_SEP
+
+        conv = bucket["conv_id"].to_pylist()
+        turn = bucket["turn_idx"].to_pylist()
+        text = bucket["text"].to_pylist()
+        by_conv: dict[str, list[tuple[int, int, str]]] = {}
+        for c, t, x in zip(conv, turn, text):
+            fixed = fix_encoding(x) if x else ""
+            for s, cell in enumerate(fixed.split(CELL_SEP)):
+                by_conv.setdefault(c, []).append((t, s, cell.strip()))
+        out_rows: list[tuple[str, str, str, str, float]] = []
+        for conv_id in sorted(by_conv):
+            result, cells = self._annotate_rows(by_conv[conv_id])
+            out_rows.extend(conversation_outputs_to_rows(conv_id, result, cells))
+        return pa.table(
+            {
+                "subj": pa.array([r[0] for r in out_rows], pa.string()),
+                "pred": pa.array([r[1] for r in out_rows], pa.string()),
+                "obj": pa.array([r[2] for r in out_rows], pa.string()),
+                "conv_id": pa.array([r[3] for r in out_rows], pa.string()),
+                "score": pa.array([r[4] for r in out_rows], pa.float64()),
+            }
+        )
+
     def annotations_table(self, bucket: pa.Table) -> pa.Table:
         """Alternative output mode: the three annotation relations as one
         tall table (kind ∈ {cea, cta, cpa}) — SURVEY §1.2's CEA/CTA/CPA

@@ -122,6 +122,10 @@ class LabelIndex:
         partial_exact: set[str] = set()
         max_ratio = 0.0
         n_hits = 0
+        # ratio components depend only on the LABEL STRING (not the
+        # entity), and label strings repeat heavily across entities
+        # (namesakes) — memoize per (label, origin) within this search
+        label_score_cache: dict[tuple[str, str], tuple[float, bool]] = {}
         for rid, overlap in sorted(hits.items(), key=lambda kv: -kv[1]):
             if n_hits >= cfg.max_hits:
                 break
@@ -130,38 +134,44 @@ class LabelIndex:
             if not (lo1 <= ll <= hi1 or lo2 <= ll <= hi2):
                 continue
             n_hits += 1
-            ent_lower = ent_norm
             bm25_score = overlap / bm25_max
             entity_pr[entity] = pr
             entity_bm25[entity] = max(entity_bm25.get(entity, bm25_score), bm25_score)
 
-            char_r = 0.9 * fuzzy.ratio(label_lower, ent_lower) + 0.1 * fuzzy.ratio(
-                new_label, ent_label
-            )
-            tsort_r = 0.9 * fuzzy.token_sort_ratio(label_lower, ent_lower) + 0.1 * (
-                fuzzy.token_sort_ratio(new_label, ent_label)
-            )
-            len_ratio = len(label_lower) / max(1, len(ent_lower))
-            if 0.5 < len_ratio < 2.0:
-                tset_r = 0.9 * fuzzy.token_set_ratio(label_lower, ent_lower) + 0.1 * (
-                    fuzzy.token_set_ratio(new_label, ent_label)
+            cached = label_score_cache.get((ent_label, origin))
+            if cached is None:
+                ent_lower = ent_norm
+                char_r = 0.9 * fuzzy.ratio(label_lower, ent_lower) + 0.1 * fuzzy.ratio(
+                    new_label, ent_label
                 )
-            else:
-                tset_r = 0.0
-            partial_r = 0.9 * fuzzy.partial_ratio(label_lower, ent_lower) + 0.1 * (
-                fuzzy.partial_ratio(new_label, ent_label)
-            )
-            token_diff = abs(n_mention_toks - n_toks)
-            if (partial_r > 0.9 and token_diff <= 2) or (
-                tset_r > 0.9 and 0.5 < len_ratio < 2.0
-            ):
+                tsort_r = 0.9 * fuzzy.token_sort_ratio(label_lower, ent_lower) + 0.1 * (
+                    fuzzy.token_sort_ratio(new_label, ent_label)
+                )
+                len_ratio = len(label_lower) / max(1, len(ent_lower))
+                if 0.5 < len_ratio < 2.0:
+                    tset_r = 0.9 * fuzzy.token_set_ratio(label_lower, ent_lower) + 0.1 * (
+                        fuzzy.token_set_ratio(new_label, ent_label)
+                    )
+                else:
+                    tset_r = 0.0
+                partial_r = 0.9 * fuzzy.partial_ratio(label_lower, ent_lower) + 0.1 * (
+                    fuzzy.partial_ratio(new_label, ent_label)
+                )
+                token_diff = abs(n_mention_toks - n_toks)
+                is_partial = (partial_r > 0.9 and token_diff <= 2) or (
+                    tset_r > 0.9 and 0.5 < len_ratio < 2.0
+                )
+                r2 = sorted((char_r, tsort_r, tset_r), reverse=True)[:2]
+                r = (r2[0] + r2[1]) / 2
+                if origin == "MAIN_ALIAS":
+                    r *= cfg.main_alias_factor
+                elif origin == "SUB_ALIAS":
+                    r *= cfg.sub_alias_factor
+                cached = (r, is_partial)
+                label_score_cache[(ent_label, origin)] = cached
+            r, is_partial = cached
+            if is_partial:
                 partial_exact.add(entity)
-            r2 = sorted((char_r, tsort_r, tset_r), reverse=True)[:2]
-            r = (r2[0] + r2[1]) / 2
-            if origin == "MAIN_ALIAS":
-                r *= cfg.main_alias_factor
-            elif origin == "SUB_ALIAS":
-                r *= cfg.sub_alias_factor
             max_ratio = max(max_ratio, r)
             if r > entity_fuzzy.get(entity, -1.0):
                 entity_fuzzy[entity] = r
