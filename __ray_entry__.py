@@ -108,20 +108,19 @@ def _q_orders_by_segment(sf_dir: str):
     """Broadcast join: customer (dimension) shipped once via ray.put."""
     import ray
 
+    from table_annotation_ray.state.worker_state import get_worker_state, ref_key
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
 
-    class AttachSegment:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["c_mktsegment"] = b["o_custkey"].map(self.seg)
-            return b[["c_mktsegment", "o_totalprice"]]
+    def attach_segment(b: pd.DataFrame) -> pd.DataFrame:
+        seg = get_worker_state(("seg", ref_key(seg_ref)), lambda: ray.get(seg_ref))
+        b = b.copy()
+        b["c_mktsegment"] = b["o_custkey"].map(seg)
+        return b[["c_mktsegment", "o_totalprice"]]
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = ds.map_batches(AttachSegment, batch_format="pandas", concurrency=(1, 2))
+    joined = ds.map_batches(attach_segment, batch_format="pandas")
     from ray.data.aggregate import Count, Sum
 
     out = (
@@ -356,19 +355,18 @@ def _q_parts_never_ordered(sf_dir: str):
         lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)).select(["l_partkey"]),
         batch_format="pyarrow",
     )
+    from table_annotation_ray.state.worker_state import get_worker_state, ref_key
+
     keys = set(bulk.unique("l_partkey"))
     keys_ref = ray.put(keys)
 
-    class AntiJoin:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return b[~b["p_partkey"].isin(self.keys)][["p_partkey"]]
+    def anti_join(b: pd.DataFrame) -> pd.DataFrame:
+        ks = get_worker_state(("antikeys", ref_key(keys_ref)), lambda: ray.get(keys_ref))
+        return b[~b["p_partkey"].isin(ks)][["p_partkey"]]
 
     out = (
         _read(sf_dir, "part", ["p_partkey"])
-        .map_batches(AntiJoin, batch_format="pandas", concurrency=(1, 2))
+        .map_batches(anti_join, batch_format="pandas")
         .to_pandas()
     )
     if "p_partkey" not in out.columns:  # empty anti-join loses columns

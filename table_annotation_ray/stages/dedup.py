@@ -102,24 +102,23 @@ def minhash_bands(
     """documents → exploded (band, band_hash, doc_id) rows (LSH keys)."""
     rows_per_band = num_perms // bands
 
-    class BandStage:
-        def __init__(self):
-            self.hasher = MinHasher(num_perms, seed)
+    def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.worker_state import get_worker_state
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids, band_ids, band_hashes = [], [], []
-            for doc_id, text in zip(batch[id_col], _norm_text(batch[text_col])):
-                sig = self.hasher.signature(_word_ngrams(text, ngram))
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    ids.append(doc_id)
-                    band_ids.append(b)
-                    band_hashes.append(zlib.crc32(chunk.tobytes()))
-            return pd.DataFrame(
-                {"band": band_ids, "band_hash": band_hashes, id_col: ids}
-            )
+        hasher = get_worker_state(
+            ("minhash", num_perms, seed), lambda: MinHasher(num_perms, seed)
+        )
+        ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(batch[id_col], _norm_text(batch[text_col])):
+            sig = hasher.signature(_word_ngrams(text, ngram))
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(zlib.crc32(chunk.tobytes()))
+        return pd.DataFrame({"band": band_ids, "band_hash": band_hashes, id_col: ids})
 
-    return docs.map_batches(BandStage, batch_format="pandas", concurrency=(1, 4))
+    return docs.map_batches(band_stage, batch_format="pandas")
 
 
 def minhash_candidate_pairs(bands_ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
@@ -165,25 +164,24 @@ def jaccard_verify(
             texts[i] = t
     texts_ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.worker_state import get_worker_state, ref_key
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            keep_a, keep_b, sims = [], [], []
-            for a, b in zip(batch["a"], batch["b"]):
-                sa = _word_ngrams(self.texts.get(a, ""), ngram)
-                sb = _word_ngrams(self.texts.get(b, ""), ngram)
-                if not sa or not sb:
-                    continue
-                j = len(sa & sb) / len(sa | sb)
-                if j >= threshold:
-                    keep_a.append(a)
-                    keep_b.append(b)
-                    sims.append(round(j, 6))
-            return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
+        tx = get_worker_state(("jacc-texts", ref_key(texts_ref)), lambda: ray.get(texts_ref))
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(batch["a"], batch["b"]):
+            sa = _word_ngrams(tx.get(a, ""), ngram)
+            sb = _word_ngrams(tx.get(b, ""), ngram)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(round(j, 6))
+        return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
 
-    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:

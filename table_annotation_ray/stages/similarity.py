@@ -53,27 +53,26 @@ def brute_force_topk(
     qids = qdf[id_col].to_numpy()
     q_ref = ray.put((qids, qmat))
 
-    class PartialTopK:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(q_ref)
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.worker_state import get_worker_state, ref_key
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = _normalize(_stack(batch[vec_col]))
-            ids = batch[id_col].to_numpy()
-            sims = self.qmat @ vecs.T  # (Q, B)
-            rows = {"query_id": [], "neighbor_id": [], "cosine": []}
-            kk = min(k + 1, sims.shape[1])
-            for qi in range(sims.shape[0]):
-                part = np.argpartition(-sims[qi], kk - 1)[:kk]
-                for j in part:
-                    rows["query_id"].append(self.qids[qi])
-                    rows["neighbor_id"].append(ids[j])
-                    rows["cosine"].append(sims[qi, j])
-            return pd.DataFrame(rows)
+        b_qids, b_qmat = get_worker_state(
+            ("ann-q", ref_key(q_ref)), lambda: ray.get(q_ref)
+        )
+        vecs = _normalize(_stack(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        sims = b_qmat @ vecs.T  # (Q, B)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            part = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in part:
+                rows["query_id"].append(b_qids[qi])
+                rows["neighbor_id"].append(ids[j])
+                rows["cosine"].append(sims[qi, j])
+        return pd.DataFrame(rows)
 
-    partial = embeddings.map_batches(
-        PartialTopK, batch_format="pandas", concurrency=(1, 4)
-    ).to_pandas()
+    partial = embeddings.map_batches(partial_topk, batch_format="pandas").to_pandas()
     partial = partial[partial.query_id != partial.neighbor_id]
     partial["cosine"] = partial["cosine"].round(6)
     partial = partial.sort_values(
@@ -104,19 +103,20 @@ def lsh_topk(
     planes_ref = ray.put(planes)
     qset = set(query_ids)
 
-    class Bucketize:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.worker_state import get_worker_state, ref_key
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = _stack(batch[vec_col])
-            bits = (vecs @ self.planes.T) > 0
-            keys = bits @ (1 << np.arange(num_planes))
-            out = batch[[id_col]].copy()
-            out["bucket"] = keys.astype(np.int64)
-            out["is_query"] = batch[id_col].isin(qset)
-            out[vec_col] = batch[vec_col]
-            return out
+        b_planes = get_worker_state(
+            ("lsh-planes", ref_key(planes_ref)), lambda: ray.get(planes_ref)
+        )
+        vecs = _stack(batch[vec_col])
+        bits = (vecs @ b_planes.T) > 0
+        keys = bits @ (1 << np.arange(num_planes))
+        out = batch[[id_col]].copy()
+        out["bucket"] = keys.astype(np.int64)
+        out["is_query"] = batch[id_col].isin(qset)
+        out[vec_col] = batch[vec_col]
+        return out
 
     def search_bucket(group: pd.DataFrame) -> pd.DataFrame:
         queries = group[group["is_query"]]
@@ -141,7 +141,7 @@ def lsh_topk(
                     break
         return pd.DataFrame(rows)
 
-    bucketed = embeddings.map_batches(Bucketize, batch_format="pandas", concurrency=(1, 4))
+    bucketed = embeddings.map_batches(bucketize, batch_format="pandas")
     out = (
         bucketed.groupby("bucket")
         .map_groups(search_bucket, batch_format="pandas")
