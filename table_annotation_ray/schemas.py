@@ -10,6 +10,10 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+# transcript cell-encoding convention: a turn's text is its logical table
+# row with cells joined by this separator (SURVEY.md §1.2)
+CELL_SEP = " | "
+
 # ---- primary input (BASELINE.json input_hint) -------------------------------
 TRANSCRIPTS = pa.schema(
     [

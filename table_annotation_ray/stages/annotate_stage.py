@@ -156,7 +156,7 @@ class AnnotateBucket:
         per cell (the explode multiplies rows ~4x; at 10^12 turns that
         factor is the difference between shuffling 60 TB and 250 TB)."""
         from ..functions.text import fix_encoding
-        from ..synth import CELL_SEP
+        from ..schemas import CELL_SEP
 
         conv = bucket["conv_id"].to_pylist()
         turn = bucket["turn_idx"].to_pylist()

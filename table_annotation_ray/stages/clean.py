@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.text import fix_encoding_column
-from ..synth import CELL_SEP
+from ..schemas import CELL_SEP
 
 
 def clean_text_batch(batch: pa.Table) -> pa.Table:

@@ -337,7 +337,7 @@ MAYOR_TEMPLATE = {
 }
 TEMPLATES = [CITY_TEMPLATE, FILM_TEMPLATE, MAYOR_TEMPLATE]
 
-CELL_SEP = " | "
+from .schemas import CELL_SEP  # transcript cell convention (re-export)
 
 
 def _typo(rng, s: str) -> str:

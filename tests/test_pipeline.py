@@ -41,7 +41,7 @@ def test_per_turn_text_equality(ray_session, synth_root):
 
     from table_annotation_ray.functions.text import fix_encoding
     from table_annotation_ray.stages.clean import clean_and_explode
-    from table_annotation_ray.synth import CELL_SEP
+    from table_annotation_ray.schemas import CELL_SEP
 
     path = os.path.join(synth_root, "transcripts.parquet")
     raw = pq.read_table(path).to_pylist()
