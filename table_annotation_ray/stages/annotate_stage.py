@@ -13,11 +13,15 @@ conversations.  Inside a group the conversations are annotated
 sequentially by :class:`TableAnnotator`; the 4-loop model is inherently
 per-table sequential (SURVEY §7) and is never parallelized within.
 
-Skew: conversations are bounded by ``max_rows_per_conv`` (the
-reference's 400-row preprocessing subsample bound,
-table_preprocessing.py:47-55, applied as a hard per-conversation cap
-here) so a hot conversation cannot stall a bucket unboundedly; buckets
-spread hot conversations uniformly by hash.
+Skew: conversations are bounded by ``max_rows_per_conv`` (divergence
+D4: the reference subsamples to 400 rows only for PREPROCESSING stats,
+table_preprocessing.py:47-55, but then annotates every row; we apply
+the same bound as a hard per-conversation cap so one hot conversation
+cannot stall a bucket — the annotation loops are O(rows·K²·cols²) and
+unbounded rows is exactly the skew the north_rule asks us to handle).
+Raise ``max_rows_per_conv`` when full-row annotation matters more than
+tail latency; buckets spread hot conversations uniformly by hash either
+way.
 
 The actor pulls the broadcast KB image from the object store ONCE in
 ``__init__`` (ray.put on the driver → zero extra copies per actor on a

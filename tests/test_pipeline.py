@@ -130,3 +130,30 @@ def test_manifest_lineage(ray_session, synth_root, tmp_path):
     for part_name in os.listdir(out):
         if part_name.startswith("part="):
             assert os.path.exists(os.path.join(out, part_name, "_SUCCESS"))
+
+
+def test_sharded_input_directory(ray_session, synth_root, tmp_path):
+    """100 TB inputs arrive as many files: a directory of transcript
+    shards must produce the identical triple set as the single file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from table_annotation_ray.pipelines.kg_pipeline import run_kg_pipeline
+
+    t = pq.read_table(os.path.join(synth_root, "transcripts.parquet"))
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    n = t.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(t.slice(lo, hi - lo), str(shard_dir / f"shard-{i}.parquet"))
+
+    single = run_kg_pipeline(
+        os.path.join(synth_root, "transcripts.parquet"), os.path.join(synth_root, "kb")
+    ).to_pandas()
+    sharded = run_kg_pipeline(
+        str(shard_dir), os.path.join(synth_root, "kb")
+    ).to_pandas()
+    key = ["subj", "pred", "obj"]
+    assert sorted(map(tuple, single[key].values.tolist())) == sorted(
+        map(tuple, sharded[key].values.tolist())
+    )
