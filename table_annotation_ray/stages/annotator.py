@@ -60,6 +60,8 @@ class ActorCaches:
     pair_relations: dict[tuple[str, str], list[tuple[str, float]]] = field(default_factory=dict)
     unrelated_pairs: set[tuple[str, str]] = field(default_factory=set)
     hierarchical_types: dict[str, dict] = field(default_factory=dict)
+    flat_types: dict[str, list] = field(default_factory=dict)
+    level_sets: dict[str, tuple] = field(default_factory=dict)
     type_graph: dict[str, set] = field(default_factory=dict)
     literal_relations: dict[tuple[str, str], list[tuple[str, float]]] = field(default_factory=dict)
 
@@ -232,6 +234,39 @@ class TableAnnotator:
             h = self.kbr.get_types_of_entity(qid, num_level=3)
             self.caches.hierarchical_types[qid] = h
         return h
+
+    def _flat_types(self, qid: str) -> list[tuple[str, float, int]]:
+        """Cached [(type, level_weight, rank)] across the 3 levels — the
+        CTA vote walks this flat list instead of re-walking the level
+        dicts per row (hot path)."""
+        flat = self.caches.flat_types.get(qid)
+        if flat is None:
+            h = self._hierarchical_types(qid)
+            weights = (
+                self.cfg.cta_weight_level1,
+                self.cfg.cta_weight_level2,
+                self.cfg.cta_weight_level3,
+            )
+            flat = []
+            for lvl, weight in zip(("level_1", "level_2", "level_3"), weights):
+                for t, rank in h.get(lvl, {}).items():
+                    rank_v = self.kbr.map_rank(rank if isinstance(rank, str) else rank[0])
+                    flat.append((t, weight, rank_v))
+            self.caches.flat_types[qid] = flat
+        return flat
+
+    def _level_sets(self, qid: str) -> tuple[frozenset, frozenset, frozenset]:
+        """Cached per-level type id sets (CEA's CTA-membership tests)."""
+        s = self.caches.level_sets.get(qid)
+        if s is None:
+            h = self._hierarchical_types(qid)
+            s = (
+                frozenset(h.get("level_1", ())),
+                frozenset(h.get("level_2", ())),
+                frozenset(h.get("level_3", ())),
+            )
+            self.caches.level_sets[qid] = s
+        return s
 
     def _type_graph(self, type_id: str) -> set:
         """Entity neighbors of a CTA type, minus its instances
@@ -711,17 +746,13 @@ class TableAnnotator:
                 cta_weights.append(a_cta["coverage"])
                 for cea in cea_candidates:
                     cta_scores.setdefault(cea["id"], 0.0)
-                    h = self._hierarchical_types(cea["id"])
+                    l1, l2, l3 = self._level_sets(cea["id"])
                     w = None
-                    if cta_type in h.get("level_1", {}):
+                    if cta_type in l1:
                         w = self.cfg.cta_weight_level1
-                    elif cta_type in h.get("level_2", {}) or any(
-                        t in tg for t in h.get("level_1", {})
-                    ):
+                    elif cta_type in l2 or not tg.isdisjoint(l1):
                         w = self.cfg.cta_weight_level2
-                    elif cta_type in h.get("level_3", {}) or any(
-                        t in tg for t in h.get("level_2", {})
-                    ):
+                    elif cta_type in l3 or not tg.isdisjoint(l2):
                         w = self.cfg.cta_weight_level3
                     if w is not None:
                         cta_scores[cea["id"]] = max(
@@ -766,36 +797,28 @@ class TableAnnotator:
     # ------------------------------------------------------------------
     def _cta_task(self, col: int, only_one: bool = True):
         candidate_types: dict[str, dict] = {}
-        weights = (
-            self.cfg.cta_weight_level1,
-            self.cfg.cta_weight_level2,
-            self.cfg.cta_weight_level3,
-        )
         for row in range(self.first_data_row, self.num_rows):
             ceas = self.cea_annot.get((row, col))
             if not ceas:
                 continue
-            row_types: dict[str, dict] = {}
+            row_types: dict[str, tuple[float, int]] = {}
             for cea in ceas:
-                h = self._hierarchical_types(cea["id"])
-                for lvl, weight in zip(("level_1", "level_2", "level_3"), weights):
-                    for t, rank in h.get(lvl, {}).items():
-                        score = weight * cea["score"]
-                        rank_v = self.kbr.map_rank(
-                            rank if isinstance(rank, str) else rank[0]
-                        )  # D2
-                        if t in row_types:
-                            row_types[t]["score"] = max(row_types[t]["score"], score)
-                            row_types[t]["rank"] = max(row_types[t]["rank"], rank_v)
-                        else:
-                            row_types[t] = {"score": score, "rank": rank_v}
-            for t, info in row_types.items():
-                agg = candidate_types.setdefault(
-                    t, {"count": 0, "total_scores": 0.0, "total_ranks": 0}
-                )
-                agg["count"] += 1
-                agg["total_scores"] += info["score"]
-                agg["total_ranks"] += info["rank"]
+                cand_score = cea["score"]
+                for t, weight, rank_v in self._flat_types(cea["id"]):  # D2
+                    score = weight * cand_score
+                    cur = row_types.get(t)
+                    if cur is None:
+                        row_types[t] = (score, rank_v)
+                    else:
+                        row_types[t] = (max(cur[0], score), max(cur[1], rank_v))
+            for t, (score, rank_v) in row_types.items():
+                agg = candidate_types.get(t)
+                if agg is None:
+                    candidate_types[t] = {"count": 1, "total_scores": score, "total_ranks": rank_v}
+                else:
+                    agg["count"] += 1
+                    agg["total_scores"] += score
+                    agg["total_ranks"] += rank_v
         if not candidate_types:
             return
         ordered = sorted(
