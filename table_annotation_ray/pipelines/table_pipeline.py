@@ -115,21 +115,40 @@ def annotate_tables(
 
     def run(batch: pa.Table) -> pa.Table:
         from ..stages.annotate_stage import AnnotateBucket
+        from ..stages.preprocess import (
+            detect_header,
+            detect_orientation,
+            parse_table,
+            subsample_rows,
+            table_filtering,
+            transpose,
+        )
 
         stage: AnnotateBucket = get_worker_state(
             ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, cfg)
         )
         kbr = stage.kbr
         ids, payloads = [], []
-        for tid, table in _group_tables(batch).items():
-            rows = [
-                (r, c, cell)
-                for r, row in enumerate(table)
-                for c, cell in enumerate(row)
-            ]
-            if not rows:
+        for tid, raw_table in _group_tables(batch).items():
+            # the reference's annotation flow runs preprocessing first
+            # (annotation_models.py:80-93): clean → orientation (transpose
+            # if VERTICAL) → header → first_data_row
+            table = table_filtering(raw_table)
+            if len(table) <= 1:
                 continue
-            result, _cells = stage._annotate_rows(rows)
+            sample = subsample_rows(table)
+            typings, datatypes = parse_table(sample, stage.ner)
+            orientation = detect_orientation(sample, datatypes, typings)
+            if orientation.orientation == "VERTICAL":
+                sample = transpose(sample)
+                table = transpose(table)
+            header = detect_header(sample, orientation.score, typings)
+            first_data_row = 1 if header.has_header else 0
+            # re-type the full (possibly transposed) table's cells
+            typings, datatypes = parse_table(table, stage.ner)
+            result = stage.annotator.annotate(
+                table, typings, datatypes, first_data_row=first_data_row
+            )
             cea = [
                 {
                     "row": r,

@@ -83,7 +83,8 @@ class AnnotateBucket:
         self.max_rows = max_rows_per_conv
         # in the fused flagship path the shuffle carries only primitive
         # columns; cells are typed HERE, memoized per worker
-        ner = GazetteerNER(self.kbr.build_gazetteer())
+        self.ner = GazetteerNER(self.kbr.build_gazetteer())
+        ner = self.ner
         self._type_cell = lru_cache(maxsize=262_144)(
             lambda cell: tuple(map(tuple, type_cell(cell, ner)))
         )

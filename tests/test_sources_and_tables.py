@@ -95,3 +95,53 @@ def test_annotate_tables_stage(ray_session, tmp_path, kb_objects):
     cpa = {(c["headColumn"], c["tailColumn"]): c["annotation"]["uri"] for c in ann["CPA"]}
     assert cpa[(0, 1)].endswith("P161")
     assert cpa[(0, 3)].endswith("P577")
+
+
+def test_annotate_tables_with_header_row(ray_session, tmp_path, kb_objects):
+    """A headered table: preprocessing detects the header, annotation
+    starts at row 1 and CEA never fires on header cells (reference flow,
+    annotation_models.py:85-93)."""
+    import ray
+
+    from table_annotation_ray.pipelines.table_pipeline import annotate_tables
+
+    (tmp_path / "films_hdr.csv").write_text(
+        "Title,Actor,Character,Published\n"
+        "Pulp Fiction,John Travolta,Vincent Vega,1994-05-21\n"
+        "Casino Royale,Daniel Craig,James Bond,2006-11-14\n"
+        "The Matrix,Keanu Reeves,Neo,1999-03-31\n"
+        "Titanic,Leonardo DiCaprio,Jack Dawson,1997-12-19\n"
+    )
+    kb, _, _ = kb_objects
+    ds = delimited.read_tables_from_files(str(tmp_path))
+    out = annotate_tables(ds, ray.put(kb)).to_pandas()
+    ann = json.loads(out.annotated.iloc[0])
+    rows = {a["row"] for a in ann["CEA"]}
+    assert 0 not in rows  # header row not annotated
+    cea = {(a["row"], a["column"]): a["annotation"]["uri"] for a in ann["CEA"]}
+    assert cea[(1, 0)].endswith("Q104123")
+
+
+def test_annotate_tables_vertical(ray_session, tmp_path, kb_objects):
+    """A vertical table is transposed before annotation (preprocessing
+    orientation step) — annotations land on the transposed grid."""
+    import ray
+
+    from table_annotation_ray.pipelines.table_pipeline import annotate_tables
+
+    # 3 attribute rows x 5 record columns (city / country / founded)
+    (tmp_path / "vert.csv").write_text(
+        "Paris,Berlin,Madrid,Rome,London\n"
+        "France,Germany,Spain,Italy,United Kingdom\n"
+        "1163-04-12,1237-10-28,0865-05-09,0753-04-21,0047-01-15\n"
+    )
+    kb, _, _ = kb_objects
+    ds = delimited.read_tables_from_files(str(tmp_path))
+    out = annotate_tables(ds, ray.put(kb)).to_pandas()
+    ann = json.loads(out.annotated.iloc[0])
+    cea = {(a["row"], a["column"]): a["annotation"]["uri"] for a in ann["CEA"]}
+    # after transposition: rows = records, col0 = city, col1 = country
+    assert cea[(0, 0)].endswith("Q90")
+    assert cea[(0, 1)].endswith("Q142")
+    cpa = {(c["headColumn"], c["tailColumn"]): c["annotation"]["uri"] for c in ann["CPA"]}
+    assert cpa[(0, 1)].endswith("P17")
