@@ -49,6 +49,10 @@ def main():
     qs = e.queries()
     oracles = e.oracle_sql()
     only = sys.argv[1:] or list(qs)
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}; available: {sorted(qs)}")
+        sys.exit(2)
     failures = 0
     for name in only:
         fn = qs[name]
