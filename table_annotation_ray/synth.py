@@ -29,6 +29,10 @@ import pyarrow.parquet as pq
 WD_ENTITY_PREFIX = "http://www.wikidata.org/entity/"
 WD_PROP_PREFIX = "http://www.wikidata.org/prop/direct/"
 
+# bump when generator output changes — keys the /tmp cache so stale data
+# from an older generator can never be read
+GENERATOR_VERSION = 2
+
 # --------------------------------------------------------------------------
 # curated world
 # --------------------------------------------------------------------------
@@ -581,5 +585,5 @@ def default_dataset(n_convs: int = 100, seed: int = 42, with_goldens: bool | Non
     golden computation is driver-side and memory-heavy)."""
     if with_goldens is None:
         with_goldens = n_convs <= 50_000
-    root = f"/tmp/ta_ray_synth/convs{n_convs}_seed{seed}"
+    root = f"/tmp/ta_ray_synth/v{GENERATOR_VERSION}_convs{n_convs}_seed{seed}"
     return materialize(root, n_convs=n_convs, seed=seed, with_goldens=with_goldens)
