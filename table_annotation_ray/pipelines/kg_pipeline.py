@@ -46,16 +46,6 @@ def _session_cpus() -> int:
         return 8
 
 
-def _pool_sizes() -> tuple[int, int]:
-    """(typing_pool, annotate_pool): fixed-size pools sized to the session
-    — Ray Data's autoscaling pools ramp too slowly for stage lifetimes in
-    the minutes range, and two full-width fixed pools would starve the
-    read/shuffle tasks (deadlock).  Keep typing ≈ CPU/4 and annotate ≈
-    CPU/2, total ≤ 3/4 of the session."""
-    cpus = _session_cpus()
-    return max(1, cpus // 4), max(2, cpus // 2)
-
-
 def mentions_dataset(
     transcripts: rd.Dataset,
     kb_ref,
