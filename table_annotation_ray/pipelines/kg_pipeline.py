@@ -39,13 +39,6 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns or ["conv_id", "turn_idx", "text"])
 
 
-def _session_cpus() -> int:
-    try:
-        return int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        return 8
-
-
 def mentions_dataset(
     transcripts: rd.Dataset,
     kb_ref,
