@@ -1,26 +1,25 @@
 """End-to-end KG-construction pipeline (the flagship DAG).
 
-    read_parquet(transcripts)
-      → map_batches(clean + explode cells)        [stateless, zero-copy Arrow]
-      → map_batches(TypingStage, actor pool)      [gazetteer NER state]
-      → map_batches(add_bucket)                   [hash(conv_id) % B]
-      → groupby(bucket).map_groups(AnnotateBucket, actor pool)
-                                                   [lookup + KB + 4-loop model]
-      → triples → global dedup (one all-to-all)
-      → write hash(subj)-partitioned Parquet + manifests   [resumable]
+    read_parquet(transcripts: conv_id, turn_idx, text)   [column-pruned scan]
+      → map_batches(add_bucket)                          [crc32(conv_id) % B]
+      → groupby(bucket).map_groups(annotate)             [task-based, per-worker
+            encoding repair → cell explode → typing →     state: gazetteer NER,
+            fuzzy lookup → 4-loop CEA/CTA/CPA model]      label index, KB image]
+      → triples → per-block dedup → groupby(s,p,o) max   [one global shuffle]
+      → write hash(subj)-partitioned Parquet + manifests [resumable]
 
-This is the streaming re-expression of the reference's per-table
+The streaming re-expression of the reference's per-table
 ``table_annotation`` entry point (annotation/table_annotation.py:22-148)
-over 10^12-turn transcript shards.  No stage materializes the full
-dataset; the only shuffles are the bucket groupby (key cardinality =
-num_buckets) and the final triple dedup.
+over 10^12-turn transcript shards.  The bucket exchange moves ONE ROW
+PER TURN (cell explosion happens post-shuffle, inside the annotate
+worker); no stage materializes the full dataset; the only all-to-alls
+are the bucket groupby (key cardinality = num_buckets) and the triple
+dedup.  See docs/SCALING.md for the 100 TB arithmetic.
 
 Nothing here calls ray.init() — the caller owns the session.
 """
 
 from __future__ import annotations
-
-import pyarrow as pa
 
 import ray
 import ray.data as rd
