@@ -2,16 +2,17 @@
 
 Ray mapping (SURVEY.md §3.3 "our lifecycle"):
 
-    mentions.map_batches(add_bucket)                  # hash(conv_id) % B
-            .groupby("bucket")
-            .map_groups(AnnotateBucket, ...)          # actor pool
+    turns.map_batches(add_bucket)                     # hash(conv_id) % B
+         .groupby("bucket")
+         .map_groups(annotate_bucket_batch, ...)      # tasks + per-worker state
 
 One group = one bucket of whole conversations — NOT one conversation —
 so the shuffle key cardinality is bounded (``num_buckets``) and each
-actor amortizes its state (lookup index, KB, caches) across many
-conversations.  Inside a group the conversations are annotated
-sequentially by :class:`TableAnnotator`; the 4-loop model is inherently
-per-table sequential (SURVEY §7) and is never parallelized within.
+worker amortizes its state (lookup index, KB, caches — built once per
+worker process via state/worker_state.py) across many conversations.
+Inside a group the conversations are annotated sequentially by
+:class:`TableAnnotator`; the 4-loop model is inherently per-table
+sequential (SURVEY §7) and is never parallelized within.
 
 Skew: conversations are bounded by ``max_rows_per_conv`` (divergence
 D4: the reference subsamples to 400 rows only for PREPROCESSING stats,
@@ -23,10 +24,10 @@ Raise ``max_rows_per_conv`` when full-row annotation matters more than
 tail latency; buckets spread hot conversations uniformly by hash either
 way.
 
-The actor pulls the broadcast KB image from the object store ONCE in
-``__init__`` (ray.put on the driver → zero extra copies per actor on a
-node) and builds the label index + gazetteer from it — the reference's
-ES server + LMDB mmap collapsed into per-actor state (ST3/ST4).
+The worker pulls the broadcast KB image from the object store ONCE
+(ray.put on the driver → zero extra copies per node) and builds the
+label index + gazetteer from it — the reference's ES server + LMDB
+mmap collapsed into per-worker state (ST3/ST4).
 """
 
 from __future__ import annotations
