@@ -144,7 +144,12 @@ def main_headline_only():
 
 
 def main_scaling():
-    def run(ncpu: int) -> dict:
+    """Each level is the MEDIAN of `GRAFT_SCALING_SAMPLES` fresh-process
+    runs — single-run wall-clock on a shared box swings ±20%, which
+    would swing the efficiency ratio by ±0.2."""
+    samples = _env_int("GRAFT_SCALING_SAMPLES", 3)
+
+    def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -159,11 +164,18 @@ def main_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def run_median(ncpu: int) -> tuple[dict, list[float]]:
+        runs = [run_once(ncpu) for _ in range(samples)]
+        secs = sorted(r["sec"] for r in runs)
+        median = secs[len(secs) // 2]
+        rep = min(runs, key=lambda r: abs(r["sec"] - median))
+        return rep, secs
+
     lo_cpus, hi_cpus = 8, 32
     # synth data materializes (cached) inside the first subprocess;
     # each subprocess does its own small worker-pool + page-cache warmup
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    lo, lo_secs = run_median(lo_cpus)
+    hi, hi_secs = run_median(hi_cpus)
     eff = (lo["sec"] / hi["sec"]) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
@@ -175,6 +187,8 @@ def main_scaling():
                 "cpus_hi": hi_cpus,
                 "sec_lo": lo["sec"],
                 "sec_hi": hi["sec"],
+                "sec_lo_samples": lo_secs,
+                "sec_hi_samples": hi_secs,
                 "turns": lo["turns"],
                 "turns_per_sec_lo": lo["turns_per_sec"],
                 "turns_per_sec_hi": hi["turns_per_sec"],
