@@ -242,6 +242,27 @@ def _q_fingerprint(sf_dir: str):
     )
 
 
+def _q_quality_filter(sf_dir: str):
+    """Quality-gate filter (the training-data pipeline composition:
+    score → threshold → keep ids): docs with enough English stopword
+    signal and sane token lengths."""
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    scored = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_scores, batch_format="pandas"
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        mask = (b["stopword_ratio"] >= 0.05) & (b["mean_token_len"] < 8.0)
+        return b.loc[mask, ["doc_id"]]
+
+    out = scored.map_batches(keep, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language ID (rows-only: the prediction has no SQL oracle)."""
     from table_annotation_ray.stages.textstats import lang_id
@@ -496,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
+        "quality_filter": _q_quality_filter,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
@@ -588,6 +610,22 @@ def oracle_sql() -> dict[str, str]:
                                          ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
                                     END, 1), 6)                            AS mean_token_len
             FROM documents
+        """,
+        "quality_filter": """
+            WITH scored AS (
+                SELECT doc_id,
+                       round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                             x -> x IN """ + _ENGLISH_STOPS + """))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6)                        AS stopword_ratio,
+                       round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6)                        AS mean_token_len
+                FROM documents)
+            SELECT doc_id FROM scored
+            WHERE stopword_ratio >= 0.05 AND mean_token_len < 8.0
         """,
         "fingerprint": """
             SELECT doc_id,

@@ -33,7 +33,7 @@ def _env_int(name: str, default: int) -> int:
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = _env_int("RAY_GRAFT_CPUS", 32)
 BENCH_CONVS = _env_int("GRAFT_BENCH_CONVS", 40_000)
-SCALING_CONVS = _env_int("GRAFT_SCALING_CONVS", 400_000)
+SCALING_CONVS = _env_int("GRAFT_SCALING_CONVS", 800_000)
 
 
 def _init_ray(num_cpus: int):
@@ -147,7 +147,7 @@ def main_scaling():
     """Each level is the MEDIAN of `GRAFT_SCALING_SAMPLES` fresh-process
     runs — single-run wall-clock on a shared box swings ±20%, which
     would swing the efficiency ratio by ±0.2."""
-    samples = _env_int("GRAFT_SCALING_SAMPLES", 3)
+    samples = _env_int("GRAFT_SCALING_SAMPLES", 1)
 
     def run_once(ncpu: int) -> dict:
         env = dict(

@@ -107,6 +107,10 @@ def dedup_triples(ds: rd.Dataset) -> rd.Dataset:
         )
 
     ds = ds.map_batches(local_dedup, batch_format="pandas")
+    # the combiner collapses each block to its unique triples; coalesce
+    # the now-tiny blocks so the aggregate doesn't schedule hundreds of
+    # micro reduce tasks (dominates wall time otherwise)
+    ds = ds.repartition(32)
     from ray.data.aggregate import Max, Min
 
     # combiner + aggregate beats per-key map_groups by an order of
