@@ -56,8 +56,14 @@ def fix_encoding(cell: str) -> str:
     2. mojibake repair (ftfy-equivalent core fix).
     Falls back to the repair-only path when step 1 fails.
     """
+    import warnings
+
     try:
-        unescaped = cell.encode("latin-1").decode("unicode-escape")
+        with warnings.catch_warnings():
+            # invalid escape sequences in arbitrary text raise a
+            # DeprecationWarning from unicode-escape; they are expected here
+            warnings.simplefilter("ignore", DeprecationWarning)
+            unescaped = cell.encode("latin-1").decode("unicode-escape")
         # unicode-escape decodes via latin-1, re-introducing mojibake for
         # genuine UTF-8 text — the repair pass below undoes that.
         return _fix_mojibake(unescaped)
