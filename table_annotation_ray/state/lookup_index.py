@@ -46,7 +46,17 @@ def _deletions(token: str) -> set[str]:
 
 
 class LabelIndex:
-    def __init__(self, kb: KBData, cfg: LookupConfig | None = None):
+    def __init__(
+        self,
+        kb: KBData,
+        cfg: LookupConfig | None = None,
+        df_override: tuple[dict[str, int], int] | None = None,
+    ):
+        """``df_override=(token_df, n_docs)``: use CORPUS-GLOBAL document
+        frequencies for IDF weighting instead of the locally-counted ones
+        — required when this index holds only a shard of the label table
+        (state/sharded_lookup.py) so bm25 weights match the single
+        index exactly."""
         self.cfg = cfg or LookupConfig()
         # label rows: (entity, label, norm_lower, origin, pr, token_count)
         self.rows: list[tuple[str, str, str, str, float, int]] = []
@@ -69,8 +79,13 @@ class LabelIndex:
                 for d in _deletions(tok):
                     self.deletion_index.setdefault(d, []).append(row_id)
         self.n_docs = max(1, len(self.rows))
+        if df_override is not None:
+            self.token_df, self.n_docs = df_override
         # bound the per-actor result cache
         self._search_cached = lru_cache(maxsize=self.cfg.cache_size)(self._search)
+
+    def df_stats(self) -> tuple[dict[str, int], int]:
+        return self.token_df, self.n_docs
 
     # ---------------- recall ----------------
     def _candidate_rows(self, norm_mention: str) -> dict[int, float]:
@@ -98,29 +113,39 @@ class LabelIndex:
         ) / max(1, len(toks))
 
     # ---------------- scoring ----------------
-    def _search(self, raw_mention: str) -> tuple[tuple[str, float], ...]:
+    def scored_candidates(
+        self, raw_mention: str
+    ) -> dict[str, tuple[float, float, float, bool]]:
+        """Per-entity partial scores BEFORE the query-global steps:
+        ``{entity: (fuzzy_ratio, raw_overlap, pr, is_partial_exact)}``.
+
+        The query-global steps (bm25 normalization by the best hit,
+        adaptive threshold from the max ratio, PR log-normalization,
+        final mix, sort) live in :func:`finalize_candidates` — this
+        split is what makes the sharded lookup tier
+        (state/sharded_lookup.py) EXACTLY equivalent to the single
+        index: shards compute partials over their rows, the router
+        merges and finalizes globally."""
         cfg = self.cfg
         new_label = normalize_label(raw_mention)
         label_lower = new_label.lower()
         if not label_lower:
-            return ()
+            return {}
         hits = self._candidate_rows(label_lower)
         if not hits:
-            return ()
+            return {}
         # ES length-window filters (es_lookup.py:205-210): analyzed-field
         # window OR keyword-field ±LABEL_TOKEN_DIFF window
         lo1 = int(len(new_label) * cfg.label_length_min_factor)
         hi1 = int(len(new_label) * cfg.label_length_max_factor)
         lo2 = max(0, len(new_label) - cfg.label_token_diff)
         hi2 = len(new_label) + cfg.label_token_diff
-        bm25_max = max(hits.values())
         n_mention_toks = len(label_lower.split())
 
         entity_fuzzy: dict[str, float] = {}
-        entity_bm25: dict[str, float] = {}
+        entity_overlap: dict[str, float] = {}
         entity_pr: dict[str, float] = {}
         partial_exact: set[str] = set()
-        max_ratio = 0.0
         n_hits = 0
         # ratio components depend only on the LABEL STRING (not the
         # entity), and label strings repeat heavily across entities
@@ -134,9 +159,8 @@ class LabelIndex:
             if not (lo1 <= ll <= hi1 or lo2 <= ll <= hi2):
                 continue
             n_hits += 1
-            bm25_score = overlap / bm25_max
             entity_pr[entity] = pr
-            entity_bm25[entity] = max(entity_bm25.get(entity, bm25_score), bm25_score)
+            entity_overlap[entity] = max(entity_overlap.get(entity, overlap), overlap)
 
             cached = label_score_cache.get((ent_label, origin))
             if cached is None:
@@ -172,34 +196,69 @@ class LabelIndex:
             r, is_partial = cached
             if is_partial:
                 partial_exact.add(entity)
-            max_ratio = max(max_ratio, r)
             if r > entity_fuzzy.get(entity, -1.0):
                 entity_fuzzy[entity] = r
 
-        threshold = max(cfg.adaptive_ratio_min_threshold, max_ratio - cfg.adaptive_ratio_max_gap)
-        kept = [
-            e
-            for e, r in entity_fuzzy.items()
-            if r >= threshold or e in partial_exact
-        ]
-        if not kept:
-            return ()
-        max_pr = max((entity_pr[e] for e in kept), default=0.0) or 1.0
-        fuzz_w = 1.0 - cfg.page_rank_factor - cfg.bm25_factor
-        scored = [
-            (
-                e,
-                fuzz_w * entity_fuzzy[e]
-                + cfg.page_rank_factor * math.log2(entity_pr[e] + 1) / math.log2(max_pr + 1)
-                + cfg.bm25_factor * entity_bm25[e],
-            )
-            for e in kept
-        ]
-        # deterministic total order: score desc, then entity id (SURVEY §7
-        # "hard parts" — the reference relies on dict insertion order)
-        scored.sort(key=lambda t: (-t[1], t[0]))
-        return tuple(scored)
+        return {
+            e: (entity_fuzzy[e], entity_overlap[e], entity_pr[e], e in partial_exact)
+            for e in entity_fuzzy
+        }
+
+    def _search(self, raw_mention: str) -> tuple[tuple[str, float], ...]:
+        return finalize_candidates(self.scored_candidates(raw_mention), self.cfg)
 
     def search(self, raw_mention: str, k: int | None = None) -> list[tuple[str, float]]:
         res = self._search_cached(raw_mention)
         return list(res[:k]) if k else list(res)
+
+
+def finalize_candidates(
+    cands: dict[str, tuple[float, float, float, bool]],
+    cfg: LookupConfig,
+) -> tuple[tuple[str, float], ...]:
+    """Query-global scoring tail (es_lookup.py:170-198): adaptive
+    threshold over the max fuzzy ratio, bm25 normalization by the best
+    overlap, locally log-normalized pagerank, 0.7/0.1/0.2 mix,
+    deterministic sort.  Shared by the single index and the sharded
+    tier (merge shard partials, then call this once)."""
+    if not cands:
+        return ()
+    max_ratio = max(v[0] for v in cands.values())
+    bm25_max = max(v[1] for v in cands.values()) or 1.0
+    threshold = max(cfg.adaptive_ratio_min_threshold, max_ratio - cfg.adaptive_ratio_max_gap)
+    kept = [e for e, (r, _o, _p, part) in cands.items() if r >= threshold or part]
+    if not kept:
+        return ()
+    max_pr = max((cands[e][2] for e in kept), default=0.0) or 1.0
+    fuzz_w = 1.0 - cfg.page_rank_factor - cfg.bm25_factor
+    scored = [
+        (
+            e,
+            fuzz_w * cands[e][0]
+            + cfg.page_rank_factor * math.log2(cands[e][2] + 1) / math.log2(max_pr + 1)
+            + cfg.bm25_factor * (cands[e][1] / bm25_max),
+        )
+        for e in kept
+    ]
+    # deterministic total order: score desc, then entity id (SURVEY §7
+    # "hard parts" — the reference relies on dict insertion order)
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return tuple(scored)
+
+
+def merge_candidates(
+    parts: list[dict[str, tuple[float, float, float, bool]]],
+) -> dict[str, tuple[float, float, float, bool]]:
+    """Merge per-shard partials: max fuzzy/overlap/pr, OR partial flag.
+    (An entity lives in exactly one shard when sharding by entity hash,
+    so this is a plain union there; max-merge keeps it correct for any
+    sharding.)"""
+    out: dict[str, tuple[float, float, float, bool]] = {}
+    for part in parts:
+        for e, (r, o, p, flag) in part.items():
+            cur = out.get(e)
+            if cur is None:
+                out[e] = (r, o, p, flag)
+            else:
+                out[e] = (max(cur[0], r), max(cur[1], o), max(cur[2], p), cur[3] or flag)
+    return out
