@@ -184,11 +184,68 @@ def jaccard_verify(
     return pairs.map_batches(verify, batch_format="pandas")
 
 
+def min_label_components(
+    pairs: rd.Dataset, max_iters: int = 12
+) -> rd.Dataset:
+    """Distributed connected components over duplicate pairs (a, b) →
+    (doc_id, component) via min-label propagation: each round every node
+    takes the min label among itself and its neighbors (groupby-min per
+    round, ray_guide pattern).  Converges in ≤ component-diameter
+    rounds; ``max_iters`` bounds pathological chains (a 12-deep chain
+    of near-duplicates is already degenerate data).  Use when the
+    verified-pair set is too large for driver-side union-find."""
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"src": b["a"], "dst": b["b"]})
+        rev = pd.DataFrame({"src": b["b"], "dst": b["a"]})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+    # initial label = node id
+    labels = edges.map_batches(
+        lambda b: pd.DataFrame({"node": b["src"], "label": b["src"]}),
+        batch_format="pandas",
+    ).groupby("node").map_groups(lambda g: g.head(1), batch_format="pandas").materialize()
+
+    for _ in range(max_iters):
+        # message pass: each src sends its label to dst (join on src)
+        msgs = edges.join(
+            labels.map_batches(
+                lambda b: pd.DataFrame({"src": b["node"], "label": b["label"]}),
+                batch_format="pandas",
+            ),
+            join_type="inner",
+            num_partitions=8,
+            on=("src",),
+        ).map_batches(
+            lambda b: pd.DataFrame({"node": b["dst"], "label": b["label"]}),
+            batch_format="pandas",
+        )
+        from ray.data.aggregate import Min
+
+        new_labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # convergence: total label sum strictly decreases while changing
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["node"], "component": b["label"]}),
+        batch_format="pandas",
+    )
+
+
 def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
     """Union-find over verified duplicate pairs → (doc_id, component).
     Driver-side is acceptable because the verified-duplicate set is
-    orders of magnitude smaller than the corpus; the scale path is
-    min-label propagation with groupby rounds (ray_guide)."""
+    orders of magnitude smaller than the corpus; for larger pair sets
+    use :func:`min_label_components` (distributed)."""
     parent: dict = {}
 
     def find(x):

@@ -136,3 +136,32 @@ def test_multimodal_decode_stage(ray_session):
         SampleVideoFrames, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
     ).to_pandas()
     assert len(frames) == 32 * 4
+
+
+def test_min_label_components_matches_union_find(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import connected_components, min_label_components
+
+    rng = np.random.RandomState(9)
+    # random graph over 60 nodes: chains + clusters + singleton edges
+    pairs = []
+    for base in range(0, 60, 12):
+        for i in range(base, base + 4):
+            pairs.append({"a": i, "b": i + 1})  # chains of length 5
+    for _ in range(15):
+        x, y = rng.randint(0, 60, 2)
+        if x != y:
+            pairs.append({"a": int(min(x, y)), "b": int(max(x, y))})
+    ds = rd.from_items(pairs)
+    dist = min_label_components(ds).to_pandas()
+    import pandas as pd
+
+    uf = connected_components(pd.DataFrame(pairs))
+    d = dict(zip(dist.doc_id, dist.component))
+    u = dict(zip(uf.doc_id, uf.component))
+    assert set(d) == set(u)
+    # same partition: equal component labels for every node pair
+    for n in d:
+        assert d[n] == u[n], n
