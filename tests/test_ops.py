@@ -155,7 +155,7 @@ def test_min_label_components_matches_union_find(ray_session):
         if x != y:
             pairs.append({"a": int(min(x, y)), "b": int(max(x, y))})
     ds = rd.from_items(pairs)
-    dist = min_label_components(ds, max_iters=6).to_pandas()
+    dist = min_label_components(ds).to_pandas()
     import pandas as pd
 
     uf = connected_components(pd.DataFrame(pairs))
