@@ -294,6 +294,16 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3], k=5)
 
 
+def _q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (rows-only: LSH recall is
+    probabilistic by design; cosine verify is exact within buckets)."""
+    from table_annotation_ray.stages.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9
+    ).to_pandas()
+
+
 def _q_minhash_components(sf_dir: str):
     from table_annotation_ray.stages.dedup import minhash_dedup
 
@@ -310,6 +320,38 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 # ---- KG pipeline operators over synthesized transcripts (rows-only) -------
+
+def _q_heavy_parts(sf_dir: str):
+    """Exact heavy hitters via Misra-Gries sketch + verification pass
+    (stages/sketches.py): parts ordered at least max(40, N/1500) times.
+    SQL-verified — the sketch guarantees a candidate superset, the
+    verify pass makes the output exact."""
+    import math
+
+    from table_annotation_ray.stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    min_count = max(40, math.ceil(ds.count() / 1500))
+    return heavy_hitters(ds, "l_partkey", min_count=min_count)
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct count of events.user_id (rows-only: the
+    estimate is approximate by design; the row carries the exact count
+    and relative error so the check is self-evident)."""
+    from table_annotation_ray.stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = len(set(ds.unique("user_id")))
+    return pd.DataFrame(
+        {
+            "approx": [round(est)],
+            "exact": [exact],
+            "rel_error": [round(abs(est - exact) / max(1, exact), 4)],
+        }
+    )
+
 
 def _q_kg_mentions(sf_dir: str):
     import ray
@@ -523,6 +565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "minhash_components": _q_minhash_components,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "heavy_parts": _q_heavy_parts,
+        "approx_distinct_users": _q_approx_distinct_users,
         "simhash_pairs": _q_simhash_pairs,
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
@@ -591,7 +636,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
                    END            AS n_tokens,
-                   length(text)   AS n_chars
+                   length(text)   AS n_chars,
+                   len(list_filter(
+                       regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+                       x -> trim(x) <> '')) AS n_tokens_bpe
             FROM documents
         """,
         "quality_scores": """
@@ -653,6 +701,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey NOT IN (
                 SELECT l_partkey FROM lineitem WHERE l_quantity > 45
             )
+        """,
+        "heavy_parts": """
+            SELECT l_partkey, count(*) AS n
+            FROM lineitem
+            GROUP BY l_partkey
+            HAVING count(*) >= greatest(40, ceil((SELECT count(*) FROM lineitem) / 1500.0))
         """,
         # lang_id / ann_lsh / minhash_components / simhash_pairs /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -83,6 +83,67 @@ def brute_force_topk(
     return top[["query_id", "neighbor_id", "rank", "cosine"]]
 
 
+def embedding_near_dup_pairs(
+    embeddings: rd.Dataset,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate detection: random-hyperplane LSH
+    buckets → exact cosine verify within bucket → (a, b, cosine) pairs
+    with cosine ≥ threshold.  Same bucket-groupby shape as the dedup
+    family; feed the pairs to ``dedup.connected_components`` /
+    ``dedup.min_label_components`` for duplicate groups.
+
+    Recall: a pair at cosine c collides in one probe with prob
+    (1 - arccos(c)/π)^num_planes; at c=0.95, p≈0.66 per probe — two
+    seeded probes push recall ≈0.88 (both probes run here)."""
+    first = embeddings.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.RandomState(seed)
+    planes = [rng.normal(size=(num_planes, dim)) for _ in range(2)]  # 2 probes
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.worker_state import get_worker_state, ref_key
+
+        pl = get_worker_state(("nd-planes", ref_key(planes_ref)), lambda: ray.get(planes_ref))
+        vecs = _stack(batch[vec_col])
+        out_rows = []
+        for probe, p in enumerate(pl):
+            bits = (vecs @ p.T) > 0
+            keys = bits @ (1 << np.arange(num_planes))
+            df = batch[[id_col]].copy()
+            df["bucket"] = keys.astype(np.int64) + (probe << 60)
+            df[vec_col] = batch[vec_col]
+            out_rows.append(df)
+        return pd.concat(out_rows, ignore_index=True)
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop_duplicates(subset=[id_col])
+        if len(group) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        vecs = _normalize(_stack(group[vec_col]))
+        ids = group[id_col].to_numpy()
+        sims = vecs @ vecs.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        mask = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ids[ii[mask]], ids[jj[mask]]),
+                "b": np.maximum(ids[ii[mask]], ids[jj[mask]]),
+                "cosine": np.round(sims[ii[mask], jj[mask]], 6),
+            }
+        )
+
+    bucketed = embeddings.map_batches(bucketize, batch_format="pandas")
+    pairs = bucketed.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
+    # a pair can surface from both probes/buckets — dedup
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
 def lsh_topk(
     embeddings: rd.Dataset,
     query_ids: list[int],

@@ -1,0 +1,181 @@
+"""Mergeable sketches — approximate aggregates for 100 TB-scale passes.
+
+The reference computes everything exactly in memory (SURVEY §2.5 "no
+sketches"); at 10^12 rows a distinct count or heavy-hitter scan needs
+mergeable sketches: one small sketch per batch, a tiny merge stage —
+the ray_guide "sketches are designed to be mergeable" pattern.
+
+* :class:`HyperLogLog` — from-scratch HLL (Flajolet et al.) with the
+  standard bias correction and linear-counting small-range correction;
+  numpy register updates, union = elementwise max.
+* :class:`MisraGries` — heavy-hitter candidate sketch; ``k > 1/θ``
+  guarantees every key with frequency ≥ θ·N survives, so an exact
+  verification pass over the candidate set (a broadcast semi-join +
+  groupby-count) yields EXACTLY the keys above threshold — which is why
+  ``heavy_hitters`` is SQL-oracle-checkable despite using a sketch.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _hash64(values: pd.Series) -> np.ndarray:
+    """Deterministic, well-mixed 64-bit hashes (pandas' vectorized
+    SipHash-like object hash with a fixed key)."""
+    return pd.util.hash_pandas_object(values.astype(str), index=False).to_numpy(
+        dtype=np.uint64
+    )
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = hashes << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits, + 1
+        ranks = np.zeros(len(hashes), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        remaining = rest.copy()
+        rank = np.ones(len(hashes), dtype=np.uint8)
+        active = np.ones(len(hashes), dtype=bool)
+        for _ in range(64 - self.p):
+            is_zero = (remaining & mask) == 0
+            step = active & is_zero
+            rank[step] += 1
+            active &= is_zero
+            remaining = remaining << np.uint64(1)
+            if not active.any():
+                break
+        ranks = rank
+        np.maximum.at(self.registers, idx, ranks)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        return HyperLogLog(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        return cls(p, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Streaming approximate distinct count: one HLL per batch, merged.
+    Standard error ≈ 1.04/sqrt(2^p) (~1.6% at p=12)."""
+
+    def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p)
+        hll.add_hashes(_hash64(batch[col]))
+        return pd.DataFrame({"sketch": [hll.to_bytes()]})
+
+    parts = ds.map_batches(sketch_batch, batch_format="pandas").take_all()
+    merged = HyperLogLog(p)
+    for row in parts:
+        merged = merged.merge(HyperLogLog.from_bytes(row["sketch"], p))
+    return merged.estimate()
+
+
+class MisraGries:
+    def __init__(self, k: int):
+        self.k = k
+        self.counters: dict = {}
+
+    def add(self, key, count: int = 1) -> None:
+        c = self.counters
+        if key in c:
+            c[key] += count
+        elif len(c) < self.k:
+            c[key] = count
+        else:
+            dec = min(count, min(c.values()))
+            for kk in list(c):
+                c[kk] -= dec
+                if c[kk] <= 0:
+                    del c[kk]
+            if count - dec > 0:
+                c[key] = count - dec
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k)
+        for key, cnt in self.counters.items():
+            out.add(key, cnt)
+        for key, cnt in other.counters.items():
+            out.add(key, cnt)
+        return out
+
+
+def heavy_hitters(
+    ds: rd.Dataset, col: str, min_count: int, k: int = 4096
+) -> pd.DataFrame:
+    """Exact heavy hitters via sketch + verify: Misra-Gries per batch →
+    merged candidate set (guaranteed superset of keys with ≥ N/k
+    occurrences) → exact count verification restricted to candidates →
+    keys with count ≥ min_count.  Output is EXACT (SQL: GROUP BY ...
+    HAVING count(*) >= min_count) as long as min_count ≥ N/k — assert
+    that precondition rather than silently under-reporting."""
+
+    def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        mg = MisraGries(k)
+        for key, cnt in batch[col].value_counts().items():
+            mg.add(key, int(cnt))
+        return pd.DataFrame(
+            {"key": list(mg.counters), "cnt": list(mg.counters.values())}
+        )
+
+    total = ds.count()
+    assert min_count >= total / k, (
+        f"min_count={min_count} below the sketch guarantee N/k={total / k:.1f}; "
+        "raise k or min_count"
+    )
+    merged = MisraGries(k)
+    for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
+        merged.add(row["key"], int(row["cnt"]))
+    candidates = set(merged.counters)
+    if not candidates:
+        return pd.DataFrame({col: [], "n": []})
+
+    # exact verify: broadcast the candidate set, count only those keys
+    import ray
+
+    cand_ref = ray.put(candidates)
+
+    def filter_cand(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.worker_state import get_worker_state, ref_key
+
+        cands = get_worker_state(("hh-cand", ref_key(cand_ref)), lambda: ray.get(cand_ref))
+        return batch[batch[col].isin(cands)][[col]]
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        ds.map_batches(filter_cand, batch_format="pandas")
+        .groupby(col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out = counts[counts["n"] >= min_count].sort_values(col).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out

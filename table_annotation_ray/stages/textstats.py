@@ -20,6 +20,19 @@ _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[^\w\s]")
 _DIGIT = re.compile(r"\d")
 
+# GPT-2-style pre-tokenizer classes (letters / digits / other runs, each
+# with optional leading space) — the "BPE-ish regex" token count; the
+# `regex` module supports \p{L}/\p{N} like RE2 does, so the SQL oracle
+# can run the identical pattern
+try:
+    import regex as _regex
+
+    _BPE = _regex.compile(r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+except ImportError:  # pragma: no cover
+    _BPE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+
+BPE_PATTERN_SQL = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
 # small multilingual stopword sets for the n-gram/stopword language heuristic
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "was", "for"},
@@ -30,18 +43,24 @@ _LANG_STOPWORDS = {
 
 
 def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, text) → + n_tokens (whitespace), n_chars, n_words_alpha.
+    """(doc_id, text) → n_tokens (whitespace), n_chars, n_tokens_bpe
+    (GPT-2-style pre-tokenizer segments, whitespace runs excluded).
 
-    SQL-equivalent: ``array_length(regexp_split_to_array(trim(text), '\\s+'))``.
+    SQL-equivalents: ``array_length(regexp_split_to_array(trim(text),
+    '\\s+'))`` and ``len(list_filter(regexp_extract_all(text, BPE), ...))``.
     """
     text = batch["text"].fillna("")
     stripped = text.str.strip()
     n_tokens = stripped.str.split(_WS).map(len).where(stripped.str.len() > 0, 0)
+    n_bpe = text.map(
+        lambda s: sum(1 for t in _BPE.findall(s) if not t.isspace())
+    )
     out = pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
             "n_tokens": n_tokens.astype("int64"),
             "n_chars": text.str.len().astype("int64"),
+            "n_tokens_bpe": n_bpe.astype("int64"),
         }
     )
     return out

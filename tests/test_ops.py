@@ -165,3 +165,75 @@ def test_min_label_components_matches_union_find(ray_session):
     # same partition: equal component labels for every node pair
     for n in d:
         assert d[n] == u[n], n
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(6)
+    base = rng.normal(size=(20, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+    # plant near-duplicates: 20≈0 (tiny noise), 21≈5 (scaled)
+    rows.append({"vec_id": 20, "embedding": (base[0] + 0.01 * rng.normal(size=16)).tolist()})
+    rows.append({"vec_id": 21, "embedding": (2.0 * base[5]).tolist()})
+    pairs = embedding_near_dup_pairs(rd.from_items(rows), threshold=0.95).to_pandas()
+    got = set(zip(pairs.a, pairs.b))
+    assert (0, 20) in got
+    assert (5, 21) in got
+    assert (pairs.cosine >= 0.95).all()
+
+
+def test_bpe_token_count(docs_ds):
+    from table_annotation_ray.stages.textstats import token_stats
+
+    ts = docs_ds.map_batches(token_stats, batch_format="pandas").to_pandas().set_index("doc_id")
+    # word-soup text: BPE segments == whitespace tokens (no punctuation)
+    assert ts.loc[0, "n_tokens_bpe"] == ts.loc[0, "n_tokens"]
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.textstats import token_stats as tsf
+
+    mixed = rd.from_items([{"doc_id": 0, "text": "hello  world42, foo-bar"}])
+    out = mixed.map_batches(tsf, batch_format="pandas").to_pandas()
+    assert out.n_tokens_bpe.iloc[0] == 7  # hello, world, 42, ',', foo, -, bar
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import pandas as pd
+
+    from table_annotation_ray.stages.sketches import HyperLogLog, _hash64
+
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_hashes(_hash64(pd.Series([f"u{i}" for i in range(30000)])))
+    b.add_hashes(_hash64(pd.Series([f"u{i}" for i in range(20000, 50000)])))
+    merged = a.merge(b)
+    est = merged.estimate()
+    assert abs(est - 50000) / 50000 < 0.05  # union, not sum
+    assert abs(a.estimate() - 30000) / 30000 < 0.05
+
+
+def test_approx_distinct_stage(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.sketches import approx_distinct
+
+    rows = [{"k": f"key-{i % 777}"} for i in range(10000)]
+    est = approx_distinct(rd.from_items(rows), "k")
+    assert abs(est - 777) / 777 < 0.05
+
+
+def test_heavy_hitters_exact(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.sketches import heavy_hitters
+
+    rows = (
+        [{"k": "hot1"}] * 500 + [{"k": "hot2"}] * 120
+        + [{"k": f"cold{i}"} for i in range(400)]
+    )
+    out = heavy_hitters(rd.from_items(rows), "k", min_count=100, k=64)
+    got = dict(zip(out.k, out.n))
+    assert got == {"hot1": 500, "hot2": 120}
