@@ -295,13 +295,35 @@ def _q_ann_lsh(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (rows-only: LSH recall is
-    probabilistic by design; cosine verify is exact within buckets)."""
-    from table_annotation_ray.stages.similarity import embedding_near_dup_pairs
+    """Embedding-cosine near-duplicate pairs over the corpus plus 32
+    planted perturbed copies (cos ≈ 0.9988; the raw table is random
+    vectors with no true near-dups, so without planting the result is
+    empty and verifies nothing — VERDICT r1 #6).  ``planted`` marks the
+    ground-truth pairs recovered; rows-only (LSH recall probabilistic)."""
+    from table_annotation_ray.stages.similarity import (
+        embedding_near_dup_pairs,
+        plant_near_dups,
+    )
 
-    return embedding_near_dup_pairs(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9
-    ).to_pandas()
+    seeded = plant_near_dups(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_planted=32
+    )
+    out = embedding_near_dup_pairs(seeded, threshold=0.9).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out["planted"] = (out["b"] - out["a"]) == 1_000_000_000
+    for c in ("a", "b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_ann_lsh_recall(sf_dir: str):
+    """Measured recall of the LSH index vs the exact brute-force top-k
+    (rows-only: the number is the point)."""
+    from table_annotation_ray.stages.similarity import lsh_recall
+
+    return lsh_recall(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3], k=5
+    )
 
 
 def _q_minhash_components(sf_dir: str):
@@ -331,8 +353,11 @@ def _q_heavy_parts(sf_dir: str):
     from table_annotation_ray.stages.sketches import heavy_hitters
 
     ds = _read(sf_dir, "lineitem", ["l_partkey"])
-    min_count = max(40, math.ceil(ds.count() / 1500))
-    return heavy_hitters(ds, "l_partkey", min_count=min_count)
+    # callable threshold: resolved from the sketch pass's piggybacked row
+    # count — the whole query is two scans (sketch, verify), not four
+    return heavy_hitters(
+        ds, "l_partkey", min_count=lambda total: max(40, math.ceil(total / 1500))
+    )
 
 
 def _q_approx_distinct_users(sf_dir: str):
@@ -564,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "minhash_components": _q_minhash_components,
         "embedding_near_dup": _q_embedding_near_dup,
         "heavy_parts": _q_heavy_parts,

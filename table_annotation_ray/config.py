@@ -26,6 +26,10 @@ class LookupConfig:
     label_token_diff: int = 4
     max_hits: int = 10_000  # ES "size" cap (es_lookup.py:76)
     cache_size: int = 65_536  # per-actor LRU over normalized mentions (ours)
+    # ES fuzziness AUTO allows 2 edits for tokens ≥ 6 chars
+    # (es_lookup.py:30-44); tokens at least this long get depth-2
+    # deletion neighborhoods.  0 disables (smaller index for huge KBs).
+    two_edit_min_token_len: int = 6
 
 
 @dataclass(frozen=True)

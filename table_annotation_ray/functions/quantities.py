@@ -104,6 +104,110 @@ _add("currency", "dollar", 0.00082, "₩", "krw", "won", "south korean won", "so
 _add("currency", "dollar", 0.01, "rub", "ruble", "russian ruble", "russian_ruble")
 _add("currency", "dollar", 0.75, "aud", "australian dollar", "australian_dollar")
 _add("percentage", "percent", 1.0, "%", "percent", "pct")
+# --- broadened coverage toward the reference's ~80 unit classes
+# (annot_scripts/utils.py:155-172 with_unit_list; quantulum3 entity names
+# lowercased here, re-uppercased by typing_rules.unit_typing) ------------
+_add("length", "metre", 1e-9, "nm", "nanometer", "nanometers", "nanometre", "nanometres")
+_add("length", "metre", 1e-6, "um", "µm", "micrometer", "micrometre")
+_add("length", "metre", 1852.0, "nmi", "nautical mile", "nautical miles")
+_add("mass", "kilogram", 1e-6, "mg", "milligram", "milligrams")
+_add("mass", "kilogram", 1e-9, "ug", "µg", "microgram", "micrograms")
+_add("mass", "kilogram", 0.0283495, "oz", "ounce", "ounces")
+_add("force", "newton", 1.0, "n", "newton", "newtons")
+_add("force", "newton", 1000.0, "kn", "kilonewton", "kilonewtons")
+_add("force", "newton", 4.4482216, "lbf")
+_add("pressure", "pascal", 1.0, "pa", "pascal", "pascals")
+_add("pressure", "pascal", 100.0, "hpa", "hectopascal")
+_add("pressure", "pascal", 1000.0, "kpa", "kilopascal")
+_add("pressure", "pascal", 1e6, "mpa", "megapascal")
+_add("pressure", "pascal", 100000.0, "bar")
+_add("pressure", "pascal", 100.0, "mbar", "millibar")
+_add("pressure", "pascal", 101325.0, "atm", "atmosphere", "atmospheres")
+_add("pressure", "pascal", 6894.757, "psi")
+_add("pressure", "pascal", 133.3224, "torr", "mmhg")
+_add("angle", "radian", 1.0, "rad", "radian", "radians")
+_add("angle", "radian", 0.0174532925, "°", "deg", "degree", "degrees")
+_add("angle", "radian", 1.0, "sr", "steradian")  # solid angle folded in
+_add("current", "ampere", 1.0, "amp", "amps", "ampere", "amperes")
+_add("current", "ampere", 0.001, "ma", "milliamp", "milliampere")
+_add("electric potential", "volt", 1.0, "v", "volt", "volts")
+_add("electric potential", "volt", 0.001, "mv", "millivolt", "millivolts")
+_add("electric potential", "volt", 1000.0, "kv", "kilovolt", "kilovolts")
+_add("electrical resistance", "ohm", 1.0, "ohm", "ohms", "ω")
+_add("electrical resistance", "ohm", 1000.0, "kohm", "kiloohm")
+_add("electrical resistance", "ohm", 1e6, "mohm", "megaohm")
+_add("electrical conductance", "siemens", 1.0, "siemens")
+_add("capacitance", "farad", 1.0, "farad", "farads")
+_add("capacitance", "farad", 1e-6, "uf", "µf", "microfarad")
+_add("capacitance", "farad", 1e-9, "nf", "nanofarad")
+_add("capacitance", "farad", 1e-12, "pf", "picofarad")
+_add("inductance", "henry", 1.0, "henry", "henries")
+_add("inductance", "henry", 0.001, "mh", "millihenry")
+_add("charge", "coulomb", 1.0, "coulomb", "coulombs")
+_add("charge", "coulomb", 3.6, "mah")
+_add("magnetic flux", "weber", 1.0, "wb", "weber", "webers")
+_add("magnetic field", "tesla", 1.0, "tesla", "teslas")
+_add("magnetic field", "tesla", 1e-4, "gauss")
+_add("luminous intensity", "candela", 1.0, "cd", "candela", "candelas")
+_add("luminous flux", "lumen", 1.0, "lm", "lumen", "lumens")
+_add("illuminance", "lux", 1.0, "lx", "lux")
+_add("luminance", "candela / square metre", 1.0, "cd/m2", "cd/m²", "nit", "nits")
+_add("amount of substance", "mole", 1.0, "mol", "mole", "moles")
+_add("amount of substance", "mole", 0.001, "mmol", "millimole")
+_add("catalytic activity", "katal", 1.0, "kat", "katal")
+_add("radioactivity", "becquerel", 1.0, "bq", "becquerel", "becquerels")
+_add("radioactivity", "becquerel", 3.7e10, "ci", "curie", "curies")
+_add("radiation absorbed dose", "gray", 1.0, "gy", "gray", "grays")
+_add("radiation", "sievert", 1.0, "sv", "sievert", "sieverts")
+_add("radiation", "sievert", 0.001, "msv", "millisievert")
+_add("acceleration", "metre / second²", 1.0, "m/s2", "m/s²")
+_add("angular speed", "radian / second", 1.0, "rad/s")
+_add("angular speed", "radian / second", 0.1047197551, "rpm")
+_add("density", "kilogram / cubic metre", 1.0, "kg/m3", "kg/m³")
+_add("density", "kilogram / cubic metre", 1000.0, "g/cm3", "g/cm³", "g/ml")
+_add("concentration", "mole / litre", 1.0, "mol/l")
+_add("concentration", "mole / litre", 1e-6, "ppm")  # class label parity only
+_add("dynamic viscosity", "pascal second", 0.1, "poise")
+_add("dynamic viscosity", "pascal second", 0.001, "cp", "centipoise")
+_add("kinematic viscosity", "square metre / second", 1e-4, "stokes")
+_add("kinematic viscosity", "square metre / second", 1e-6, "cst", "centistokes")
+_add("surface tension", "newton / metre", 1.0, "n/m")
+_add("torque", "newton metre", 1.0, "n·m", "newton metre", "newton meters")
+_add("volumetric flow", "cubic metre / second", 1.0, "m3/s", "m³/s")
+_add("volumetric flow", "cubic metre / second", 0.001, "l/s")
+_add("volumetric flow", "cubic metre / second", 1.0 / 60000.0, "l/min")
+_add("mass flow", "kilogram / second", 1.0, "kg/s")
+_add("mass flow", "kilogram / second", 0.001, "g/s")
+_add("fuel economy", "kilometre / litre", 1.0, "km/l")
+_add("fuel economy", "kilometre / litre", 0.425144, "mpg")
+_add("fuel consumption", "litre / 100 kilometre", 1.0, "l/100km")
+_add("sound level", "decibel", 1.0, "db", "dba", "decibel", "decibels")
+_add("image resolution", "dots per inch", 1.0, "dpi", "ppi")
+_add("typographical element", "point", 1.0, "pt")
+_add("data transfer rate", "bit / second", 1.0, "bps", "bit/s")
+_add("data transfer rate", "bit / second", 1e3, "kbps")
+_add("data transfer rate", "bit / second", 1e6, "mbps", "mb/s")
+_add("data transfer rate", "bit / second", 1e9, "gbps", "gb/s")
+_add("instance frequency", "per minute", 1.0, "bpm")
+_add("irradiance", "watt / square metre", 1.0, "w/m2", "w/m²")
+_add("speed", "metre / second", 0.3048, "ft/s")
+_add("speed", "metre / second", 0.5144444, "knot", "knots")
+_add("volume", "cubic metre", 1e-6, "ml", "millilitre", "milliliter")
+_add("volume", "cubic metre", 1e-5, "cl")
+_add("volume", "cubic metre", 1e-4, "dl")
+_add("volume", "cubic metre", 0.003785411784, "gal", "gallon", "gallons")
+_add("volume", "cubic metre", 0.000473176473, "pint", "pints")
+_add("energy", "joule", 3600.0, "wh")
+_add("energy", "joule", 3.6e6, "kwh")
+_add("energy", "joule", 3.6e9, "mwh")
+_add("energy", "joule", 1.602176634e-19, "ev")
+_add("energy", "joule", 4.184, "cal")
+_add("energy", "joule", 1e6, "mj")
+_add("energy", "joule", 1e9, "gj")
+_add("energy", "joule", 1055.06, "btu")
+_add("power", "watt", 1e6, "mw", "megawatt", "megawatts")
+_add("power", "watt", 1e9, "gw", "gigawatt", "gigawatts")
+_add("temperature", "kelvin", 1.0, "kelvin", "kelvins")
 
 
 @dataclass(frozen=True)

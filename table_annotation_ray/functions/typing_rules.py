@@ -121,7 +121,12 @@ def phone_typing(cell: str) -> list[str]:
 # despaced cell; rename time→DURATION, length→DISTANCE, currency→MONEY,
 # else UPPERCASE of the dimension name.
 # --------------------------------------------------------------------------
-_DIM_RENAME = {"time": "DURATION", "length": "DISTANCE", "currency": "MONEY"}
+_DIM_RENAME = {
+    "time": "DURATION",
+    "length": "DISTANCE",
+    "currency": "MONEY",
+    "percentage": "PERCENT",
+}
 
 
 def unit_typing(cell: str) -> list[str]:

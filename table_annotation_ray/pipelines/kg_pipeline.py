@@ -83,18 +83,18 @@ def annotations_dataset(
     cells: rd.Dataset,
     kb_ref,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    kb_tier=None,
+    lookup_tier=None,
 ) -> rd.Dataset:
     """cells → the CEA/CTA/CPA annotation relations as one tall Dataset
     (kind ∈ {cea, cta, cpa}); same bucketed execution as the triple path."""
 
-    def run(bucket, kb_ref=None, config=None):
-        from ..stages.annotate_stage import AnnotateBucket
-        from ..state.worker_state import get_worker_state, ref_key
+    def run(bucket, kb_ref=None, config=None, kb_tier=None, lookup_tier=None):
+        from ..stages.annotate_stage import get_annotate_stage
 
-        stage = get_worker_state(
-            ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, config)
-        )
-        return stage.annotations_table(bucket)
+        return get_annotate_stage(
+            kb_ref, config, kb_tier, lookup_tier
+        ).annotations_table(bucket)
 
     bucketed = cells.map_batches(
         add_bucket,
@@ -102,7 +102,10 @@ def annotations_dataset(
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
     )
     return bucketed.groupby("bucket").map_groups(
-        run, batch_format="pyarrow", fn_kwargs={"kb_ref": kb_ref, "config": cfg}
+        run,
+        batch_format="pyarrow",
+        fn_kwargs={"kb_ref": kb_ref, "config": cfg,
+                   "kb_tier": kb_tier, "lookup_tier": lookup_tier},
     )
 
 
@@ -110,19 +113,19 @@ def triples_from_turns(
     transcripts: rd.Dataset,
     kb_ref,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    kb_tier=None,
+    lookup_tier=None,
 ) -> rd.Dataset:
     """Flagship shuffle layout: bucket WHOLE TURNS by conv_id; encoding
     repair + cell explosion + typing all happen inside the annotate
     worker (post-shuffle) — the exchange moves one row per turn."""
 
-    def run(bucket, kb_ref=None, config=None):
-        from ..stages.annotate_stage import AnnotateBucket
-        from ..state.worker_state import get_worker_state, ref_key
+    def run(bucket, kb_ref=None, config=None, kb_tier=None, lookup_tier=None):
+        from ..stages.annotate_stage import get_annotate_stage
 
-        stage = get_worker_state(
-            ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, config)
-        )
-        return stage.annotate_turns_table(bucket)
+        return get_annotate_stage(
+            kb_ref, config, kb_tier, lookup_tier
+        ).annotate_turns_table(bucket)
 
     bucketed = transcripts.map_batches(
         add_bucket,
@@ -130,7 +133,10 @@ def triples_from_turns(
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
     )
     raw = bucketed.groupby("bucket").map_groups(
-        run, batch_format="pyarrow", fn_kwargs={"kb_ref": kb_ref, "config": cfg}
+        run,
+        batch_format="pyarrow",
+        fn_kwargs={"kb_ref": kb_ref, "config": cfg,
+                   "kb_tier": kb_tier, "lookup_tier": lookup_tier},
     )
     return dedup_triples(raw)
 
@@ -140,12 +146,40 @@ def run_kg_pipeline(
     kb_dir: str,
     out_dir: str | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    sharded_kb: bool = False,
+    num_kb_shards: int = 4,
+    num_cpus_per_shard: float = 0.25,
 ) -> rd.Dataset:
     """Full DAG; returns the deduplicated triples Dataset (lazy).  When
-    ``out_dir`` is given, also writes the partitioned, resumable sink."""
-    kb_ref = ray.put(load_kb(kb_dir))
+    ``out_dir`` is given, also writes the partitioned, resumable sink.
+
+    ``sharded_kb=True`` is the real-KB scale path: the edge/meta store is
+    served by a :class:`~..state.sharded_kb.ShardedKBTier` (each shard
+    actor loads its own hash bucket from Parquet — the driver and the
+    annotate workers never hold the full KB image) and the label index by
+    a :class:`~..state.sharded_lookup.ShardedLookupTier`.  Output is
+    identical to the broadcast path (tests/test_sharded_kb.py)."""
     transcripts = read_transcripts(transcripts_path)
-    triples = triples_from_turns(transcripts, kb_ref, cfg)
+    if sharded_kb:
+        from ..state.sharded_kb import ShardedKBTier
+        from ..state.sharded_lookup import ShardedLookupTier
+
+        kb_tier = ShardedKBTier.create_from_parquet(
+            kb_dir, num_shards=num_kb_shards, num_cpus_per_shard=num_cpus_per_shard
+        )
+        # the lookup tier needs corpus-global df stats; the image is
+        # loaded transiently to shard the label table, then dropped —
+        # nothing is broadcast (kb_ref=None)
+        lookup_tier = ShardedLookupTier.create(
+            load_kb(kb_dir), num_shards=num_kb_shards,
+            num_cpus_per_shard=num_cpus_per_shard,
+        )
+        triples = triples_from_turns(
+            transcripts, None, cfg, kb_tier=kb_tier, lookup_tier=lookup_tier
+        )
+    else:
+        kb_ref = ray.put(load_kb(kb_dir))
+        triples = triples_from_turns(transcripts, kb_ref, cfg)
     if out_dir is not None:
         from dataclasses import asdict
         from datetime import datetime, timezone

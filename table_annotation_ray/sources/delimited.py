@@ -12,9 +12,8 @@ thousands of small table files ingest in parallel; each output row is
 (table_id, row_idx, cells list<string>).
 
 The xlsx reader (S2, file_loader.py:79-161 — merged-cell unfolding +
-connected-component multi-table segmentation) requires openpyxl/scipy,
-absent here: ``excel_to_table`` raises NotImplementedError and documents
-the plug-in point.
+connected-component multi-table segmentation) is hermetic stdlib
+zip+XML: see sources/xlsx.py.
 """
 
 from __future__ import annotations
@@ -60,14 +59,20 @@ def txt_to_table(payload: bytes) -> list[list[str]]:
 
 
 def excel_to_table(payload: bytes) -> list[list[str]]:
-    raise NotImplementedError(
-        "xlsx ingestion (merged-cell unfolding + multi-table segmentation, "
-        "file_loader.py:79-161) needs openpyxl/scipy — plug them in here"
-    )
+    """First segmented table of the workbook (single-table convenience;
+    the full multi-table surface is sources/xlsx.excel_to_tables)."""
+    from .xlsx import excel_to_tables
+
+    for tables in excel_to_tables(payload).values():
+        if tables:
+            return tables[0]
+    return []
 
 
-def load_table(path_or_bytes, filename: str = "") -> list[list[str]]:
-    """Extension dispatch (file_loader.py:220-230)."""
+def load_tables(path_or_bytes, filename: str = "") -> list[tuple[str, list[list[str]]]]:
+    """Extension dispatch (file_loader.py:220-230) → [(table_key, table)].
+    Delimited files yield one table; xlsx workbooks yield every
+    connected-component table of every sheet."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         payload = bytes(path_or_bytes)
     else:
@@ -75,11 +80,21 @@ def load_table(path_or_bytes, filename: str = "") -> list[list[str]]:
         with open(path_or_bytes, "rb") as f:
             payload = f.read()
     ext = filename.rsplit(".", 1)[-1].lower() if "." in filename else "csv"
-    if ext in ("csv", "txt", "tsv"):
-        return txt_to_table(payload)
     if ext == "xlsx":
-        return excel_to_table(payload)
-    return txt_to_table(payload)
+        from .xlsx import excel_to_tables
+
+        out = []
+        for key, tables in excel_to_tables(payload).items():
+            for i, t in enumerate(tables):
+                out.append((f"{key}_{i}", t))
+        return out
+    return [("tableFromTextFile_0", txt_to_table(payload))]
+
+
+def load_table(path_or_bytes, filename: str = "") -> list[list[str]]:
+    """Single-table dispatch: first table of the file."""
+    tables = load_tables(path_or_bytes, filename)
+    return tables[0][1] if tables else []
 
 
 def read_tables_from_files(paths: str | list[str]) -> rd.Dataset:
@@ -90,11 +105,15 @@ def read_tables_from_files(paths: str | list[str]) -> rd.Dataset:
     def to_rows(batch: pa.Table) -> pa.Table:
         table_ids, row_idxs, cells = [], [], []
         for path, payload in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            rows = load_table(payload, filename=path)
-            for i, row in enumerate(rows):
-                table_ids.append(path)
-                row_idxs.append(i)
-                cells.append([str(c) for c in row])
+            tables = load_tables(payload, filename=path)
+            for key, rows in tables:
+                # single-table files keep the bare path as their id;
+                # multi-table workbooks get a #<sheet>_<i> suffix
+                tid = path if len(tables) == 1 else f"{path}#{key}"
+                for i, row in enumerate(rows):
+                    table_ids.append(tid)
+                    row_idxs.append(i)
+                    cells.append([str(c) for c in row])
         return pa.table(
             {
                 "table_id": pa.array(table_ids, pa.string()),

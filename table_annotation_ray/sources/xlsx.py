@@ -1,0 +1,309 @@
+"""Hermetic xlsx reader/writer — stdlib zip+XML only (S2,
+`annotation/annot_scripts/file_loader.py:79-161`).
+
+The reference uses openpyxl + scipy.ndimage; neither exists in this
+environment, and neither is needed: xlsx is a zip of XML parts, and the
+reference's two algorithms are small —
+
+* **merged-cell unfolding** (file_loader.py:92-101): every cell of a
+  merged range takes the top-left value;
+* **multi-table segmentation** (file_loader.py:103-160): cells with
+  content form a binary mask; 4-connected components (scipy
+  ``ndi.label`` default connectivity) are labeled; each component's
+  bounding-box slice of the raw sheet is one candidate table, kept when
+  both dimensions exceed 1.
+
+Value semantics follow openpyxl's: datetimes render '%m/%d/%Y'
+(file_loader.py:110), booleans "True"/"False", numbers keep their XML
+text.  Documented divergence Dx1: the reference also counts EMPTY cells
+with a fill pattern or left/right border as foreground (file_loader.py
+:121-126); that requires styles.xml cross-referencing and affects only
+decorative spacer detection — here foreground = has a value.
+
+The writer emits a minimal valid workbook (inline strings) so tests and
+sinks can round-trip without any xlsx dependency.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+_REF = re.compile(r"([A-Z]+)([0-9]+)")
+
+_MAIN_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKG_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _col_to_idx(col: str) -> int:
+    n = 0
+    for ch in col:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def _idx_to_col(idx: int) -> str:
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def _parse_ref(ref: str) -> tuple[int, int]:
+    m = _REF.fullmatch(ref)
+    return int(m.group(2)) - 1, _col_to_idx(m.group(1))  # (row, col)
+
+
+def _cell_text(c: ET.Element, shared: list[str]) -> str:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        return "".join(e.text or "" for e in c.iter(f"{{{_MAIN_NS}}}t"))
+    v = c.find(f"{{{_MAIN_NS}}}v")
+    raw = v.text if v is not None and v.text is not None else ""
+    if raw == "":
+        return ""
+    if t == "s":
+        return shared[int(raw)]
+    if t == "b":
+        return "True" if raw == "1" else "False"
+    if t == "d":
+        # ISO date → openpyxl-datetime rendering (file_loader.py:110)
+        try:
+            return _dt.datetime.fromisoformat(raw).strftime("%m/%d/%Y")
+        except ValueError:
+            return raw
+    return raw  # "n" numbers and "str" formula results keep their text
+
+
+def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet name, zip path)] in workbook order, via the rels part."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    target_by_rid = {
+        r.get("Id"): r.get("Target") for r in rels.iter(f"{{{_PKG_REL_NS}}}Relationship")
+    }
+    out = []
+    for sh in wb.iter(f"{{{_MAIN_NS}}}sheet"):
+        target = target_by_rid[sh.get(f"{{{_REL_NS}}}id")]
+        if not target.startswith("/"):
+            target = "xl/" + target
+        else:
+            target = target[1:]
+        out.append((sh.get("name"), target))
+    return out
+
+
+def _read_sheet(zf: zipfile.ZipFile, part: str, shared: list[str]) -> list[list[str]]:
+    """One worksheet → dense 2D string grid with merged ranges unfolded."""
+    root = ET.fromstring(zf.read(part))
+    cells: dict[tuple[int, int], str] = {}
+    max_r = max_c = -1
+    for c in root.iter(f"{{{_MAIN_NS}}}c"):
+        ref = c.get("r")
+        if not ref:
+            continue
+        r, col = _parse_ref(ref)
+        val = _cell_text(c, shared)
+        cells[(r, col)] = val
+        max_r, max_c = max(max_r, r), max(max_c, col)
+
+    merges: list[tuple[int, int, int, int]] = []
+    for mc in root.iter(f"{{{_MAIN_NS}}}mergeCell"):
+        a, b = mc.get("ref").split(":")
+        r0, c0 = _parse_ref(a)
+        r1, c1 = _parse_ref(b)
+        merges.append((r0, c0, r1, c1))
+        max_r, max_c = max(max_r, r1), max(max_c, c1)
+
+    if max_r < 0:
+        return []
+    grid = [["" for _ in range(max_c + 1)] for _ in range(max_r + 1)]
+    for (r, col), val in cells.items():
+        grid[r][col] = val
+    # merged-cell unfolding: whole range takes the top-left value
+    for r0, c0, r1, c1 in merges:
+        top_left = grid[r0][c0]
+        for r in range(r0, r1 + 1):
+            for col in range(c0, c1 + 1):
+                grid[r][col] = top_left
+    return grid
+
+
+def _label_components(mask: list[list[bool]]) -> tuple[list[list[int]], int]:
+    """4-connected component labeling (scipy ndi.label default
+    connectivity) — BFS, pure python; sheet grids are small."""
+    n_rows, n_cols = len(mask), len(mask[0]) if mask else 0
+    labels = [[0] * n_cols for _ in range(n_rows)]
+    nxt = 0
+    for r in range(n_rows):
+        for c in range(n_cols):
+            if not mask[r][c] or labels[r][c]:
+                continue
+            nxt += 1
+            stack = [(r, c)]
+            labels[r][c] = nxt
+            while stack:
+                rr, cc = stack.pop()
+                for r2, c2 in ((rr - 1, cc), (rr + 1, cc), (rr, cc - 1), (rr, cc + 1)):
+                    if (
+                        0 <= r2 < n_rows
+                        and 0 <= c2 < n_cols
+                        and mask[r2][c2]
+                        and not labels[r2][c2]
+                    ):
+                        labels[r2][c2] = nxt
+                        stack.append((r2, c2))
+    return labels, nxt
+
+
+def segment_tables(grid: list[list[str]]) -> list[list[list[str]]]:
+    """Connected-component multi-table segmentation
+    (file_loader.py:103-160): each component's bounding-box slice of the
+    raw grid is a candidate table; keep those with >1 row and >1 col."""
+    if not grid:
+        return []
+    mask = [[bool(v) for v in row] for row in grid]
+    labels, n = _label_components(mask)
+    tables = []
+    for lab in range(1, n + 1):
+        rs = [r for r in range(len(grid)) if lab in labels[r]]
+        cs = [
+            c
+            for c in range(len(grid[0]))
+            if any(labels[r][c] == lab for r in range(len(grid)))
+        ]
+        r0, r1, c0, c1 = min(rs), max(rs), min(cs), max(cs)
+        if r1 - r0 >= 1 and c1 - c0 >= 1:
+            tables.append([row[c0 : c1 + 1] for row in grid[r0 : r1 + 1]])
+    return tables
+
+
+def excel_to_tables(payload: bytes) -> dict[str, list[list[list[str]]]]:
+    """Reference `excel_to_table` surface: {"tableFromExcelSheet_<name>":
+    [table, ...]} with merged-cell unfolding + CC segmentation."""
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in ss.iter(f"{{{_MAIN_NS}}}si"):
+            shared.append("".join(e.text or "" for e in si.iter(f"{{{_MAIN_NS}}}t")))
+    out: dict[str, list[list[list[str]]]] = {}
+    for name, part in _sheet_parts(zf):
+        grid = _read_sheet(zf, part, shared)
+        out[f"tableFromExcelSheet_{name}"] = segment_tables(grid)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (inline strings) — round-trip support without openpyxl
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    "{overrides}</Types>"
+)
+
+_SHEET_OVERRIDE = (
+    '<Override PartName="/xl/worksheets/sheet{i}.xml" '
+    'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+)
+
+_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<Relationships xmlns="{_PKG_REL_NS}">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def tables_to_xlsx(
+    sheets: dict[str, list[list]],
+    merges: dict[str, list[str]] | None = None,
+) -> bytes:
+    """{sheet name: 2D values} (+ optional {sheet: ["A1:B2", ...]} merged
+    ranges) → xlsx bytes.  Strings go inline; ints/floats as numbers;
+    datetimes as ISO t="d"; None/"" cells are omitted (background)."""
+    merges = merges or {}
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        names = list(sheets)
+        zf.writestr(
+            "[Content_Types].xml",
+            _CONTENT_TYPES.format(
+                overrides="".join(_SHEET_OVERRIDE.format(i=i + 1) for i in range(len(names)))
+            ),
+        )
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        sheet_tags = "".join(
+            f'<sheet name="{_esc(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, n in enumerate(names)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<workbook xmlns="{_MAIN_NS}" xmlns:r="{_REL_NS}">'
+            f"<sheets>{sheet_tags}</sheets></workbook>",
+        )
+        rel_tags = "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{_PKG_REL_NS}">{rel_tags}</Relationships>',
+        )
+        for i, name in enumerate(names):
+            rows_xml = []
+            for r, row in enumerate(sheets[name]):
+                cells_xml = []
+                for c, val in enumerate(row):
+                    if val is None or val == "":
+                        continue
+                    ref = f"{_idx_to_col(c)}{r + 1}"
+                    if isinstance(val, bool):
+                        cells_xml.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
+                    elif isinstance(val, (int, float)):
+                        cells_xml.append(f'<c r="{ref}"><v>{val}</v></c>')
+                    elif isinstance(val, (_dt.datetime, _dt.date)):
+                        cells_xml.append(
+                            f'<c r="{ref}" t="d"><v>{val.isoformat()}</v></c>'
+                        )
+                    else:
+                        cells_xml.append(
+                            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                            f"{_esc(str(val))}</t></is></c>"
+                        )
+                if cells_xml:
+                    rows_xml.append(f'<row r="{r + 1}">{"".join(cells_xml)}</row>')
+            merge_xml = ""
+            if merges.get(name):
+                refs = "".join(f'<mergeCell ref="{m}"/>' for m in merges[name])
+                merge_xml = (
+                    f'<mergeCells count="{len(merges[name])}">{refs}</mergeCells>'
+                )
+            zf.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<worksheet xmlns="{_MAIN_NS}">'
+                f'<sheetData>{"".join(rows_xml)}</sheetData>{merge_xml}</worksheet>',
+            )
+    return buf.getvalue()

@@ -68,15 +68,30 @@ class AnnotateBucket:
     """map_groups callable: one bucket of conversations → annotation rows."""
 
     def __init__(self, kb_ref, config: PipelineConfig | None = None,
-                 max_rows_per_conv: int = 400):
+                 max_rows_per_conv: int = 400,
+                 kb_tier=None, lookup_tier=None):
+        """``kb_ref`` is the broadcast KB image (small-KB fast path).  At
+        real-KB scale pass ``kb_tier`` (state/sharded_kb.ShardedKBTier)
+        and/or ``lookup_tier`` (state/sharded_lookup.ShardedLookupTier)
+        instead — with both tiers set, ``kb_ref`` may be None and the
+        worker never holds the KB image (annotation output is identical,
+        tests/test_sharded_kb.py)."""
         from functools import lru_cache
 
         from ..functions.typing_rules import GazetteerNER, type_cell
 
-        kb: KBData = ray.get(kb_ref) if not isinstance(kb_ref, KBData) else kb_ref
         self.cfg = config or PipelineConfig()
-        self.kbr = KBReader(kb)
-        self.index = LabelIndex(kb, self.cfg.lookup)
+        kb: KBData | None = None
+        if kb_ref is not None:
+            kb = ray.get(kb_ref) if not isinstance(kb_ref, KBData) else kb_ref
+        if kb_tier is not None:
+            self.kbr = kb_tier.make_reader()
+        else:
+            self.kbr = KBReader(kb)
+        if lookup_tier is not None:
+            self.index = lookup_tier
+        else:
+            self.index = LabelIndex(kb, self.cfg.lookup)
         self.caches = ActorCaches()
         self.annotator = TableAnnotator(
             self.index, self.kbr, self.cfg.annotation, self.caches
@@ -236,14 +251,32 @@ class AnnotateBucket:
         )
 
 
-def annotate_bucket_batch(bucket: pa.Table, kb_ref, config=None) -> pa.Table:
+def get_annotate_stage(
+    kb_ref, config=None, kb_tier=None, lookup_tier=None
+) -> "AnnotateBucket":
+    """Per-worker-process :class:`AnnotateBucket` (state/worker_state.py):
+    built once per (KB ref, tier identity) per worker, reused across
+    tasks.  Tier handles pickle into the task; their ``key()`` (actor
+    ids) keeps the cache key stable across unpickling."""
+    from ..state.worker_state import get_worker_state, ref_key
+
+    key = (
+        "annotate",
+        ref_key(kb_ref) if kb_ref is not None else None,
+        kb_tier.key() if kb_tier is not None else None,
+        lookup_tier.key() if lookup_tier is not None else None,
+    )
+    return get_worker_state(
+        key, lambda: AnnotateBucket(kb_ref, config, kb_tier=kb_tier,
+                                    lookup_tier=lookup_tier)
+    )
+
+
+def annotate_bucket_batch(
+    bucket: pa.Table, kb_ref, config=None, kb_tier=None, lookup_tier=None
+) -> pa.Table:
     """Task-based variant of :class:`AnnotateBucket` — stage state (label
     index, KB reader, KB-derived caches) is built once per worker process
     (state/worker_state.py) so annotation runs as elastic tasks and never
     reserves CPUs while idle."""
-    from ..state.worker_state import get_worker_state, ref_key
-
-    stage = get_worker_state(
-        ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, config)
-    )
-    return stage(bucket)
+    return get_annotate_stage(kb_ref, config, kb_tier, lookup_tier)(bucket)

@@ -431,12 +431,25 @@ class TableAnnotator:
     # ------------------------------------------------------------------
     def _lookup_task(self) -> None:
         k = self.cfg.k
-        results: dict[str, list[tuple[str, float]]] = {}
+        mentions: list[str] = []
+        seen: set[str] = set()
         for col in self.entity_cols:
             for row in range(self.first_data_row, self.num_rows):
                 m = self.table[row][col].lower()
-                if len(m) > 1 and m not in results:
-                    results[m] = self.index.search(m, k)
+                if len(m) > 1 and m not in seen:
+                    seen.add(m)
+                    mentions.append(m)
+        if hasattr(self.index, "search_batch"):
+            # remote-backed index (state/sharded_lookup.py): one fan-out
+            # round trip for the whole conversation's mentions
+            results = dict(zip(mentions, self.index.search_batch(mentions, k)))
+        else:
+            results = {m: self.index.search(m, k) for m in mentions}
+        # remote-backed KB (state/sharded_kb.py): batch-load every
+        # candidate subgraph + type hierarchy before the scoring loops
+        self.kbr.prefetch(
+            [e for hits in results.values() for e, _ in hits]
+        )
         for col in list(self.entity_cols):  # D3: snapshot
             coverage = 0.0
             for row in range(self.first_data_row, self.num_rows):

@@ -6,8 +6,10 @@ Scale shapes (ray_guide patterns):
     keep-min — one hash-partition shuffle on the digest, never on text.
   * MinHash-LSH: shingle→minhash per batch (numpy, vectorized over
     permutations) → explode to (band, band_hash, doc_id) rows →
-    groupby band bucket → candidate pairs → exact-Jaccard verify →
-    min-label propagation for components (bounded rounds).
+    groupby band bucket → candidate pairs → exact-Jaccard verify
+    (fully distributed: pair/doc co-location by union+groupby, no
+    driver-side text dict) → components via driver union-find for
+    small pair sets, min-label propagation above a threshold.
   * SimHash: 64-bit signature per doc → 4×16-bit band buckets →
     Hamming-verify within bucket.
 
@@ -39,17 +41,36 @@ def _norm_text(s: pd.Series) -> pd.Series:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def _norm_arrow(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Arrow-native trim+lower+whitespace-collapse (re2 kernels — no
+    Python loop, no pandas conversion of the wide string block)."""
+    import pyarrow.compute as pc
+
+    filled = pc.coalesce(col, pa.scalar("", pa.string()))
+    return pc.replace_substring_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(filled)), pattern=r"\s+", replacement=" "
+    )
+
+
 def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """One representative (min id) per distinct normalized text."""
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = _norm_text(batch[text_col])
-        batch = batch[[id_col]].copy()
-        batch["text_hash"] = norm.map(lambda s: zlib.crc32(s.encode()) )
-        batch["norm_text"] = norm
-        return batch
+    def add_hash(batch: pa.Table) -> pa.Table:
+        norm = _norm_arrow(batch[text_col])
+        # vectorized 64-bit digest as the shuffle key (collisions are
+        # resolved by the regroup on the actual text below)
+        h = pd.util.hash_pandas_object(
+            pd.Series(norm.to_pandas()), index=False
+        ).to_numpy(dtype=np.uint64).view(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text_hash": pa.array(h, pa.int64()),
+                "norm_text": norm,
+            }
+        )
 
-    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
         # hash buckets may collide: group again by the actual text
@@ -127,7 +148,10 @@ def minhash_candidate_pairs(bands_ds: rd.Dataset, id_col: str = "doc_id") -> rd.
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group[id_col]))
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            # dtype-preserving empty (an untyped {} empty becomes float64
+            # and breaks schema unification in downstream hash joins)
+            empty = group[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty})
         out_a, out_b = [], []
         # bucket sizes are tiny for honest thresholds; cap defensively
         for i in range(min(len(ids), 200)):
@@ -153,39 +177,85 @@ def jaccard_verify(
     threshold: float = 0.8,
     ngram: int = 3,
 ) -> rd.Dataset:
-    """Exact n-gram Jaccard for candidate pairs.  The documents side is
-    broadcast (ray.put) — valid while the candidate set's doc closure is
-    the small side; at 100 TB this becomes a hash-join on doc_id."""
-    import ray
+    """Exact n-gram Jaccard for candidate pairs, fully distributed:
+    neither the corpus nor the pair set ever materializes on the driver.
 
-    texts = {}
-    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pandas"):
-        for i, t in zip(b[id_col], _norm_text(b[text_col])):
-            texts[i] = t
-    texts_ref = ray.put(texts)
+    Shape: each pair explodes to two (a, b, jv_doc) rows; the doc texts
+    are attached by CO-LOCATION — union the exploded pair rows with the
+    tagged doc rows and group by ``jv_doc`` (one sort shuffle on a
+    uniform key), each group copying its single text onto its pair rows;
+    a second groupby on the pair key reunites the two sides and
+    verifies.  ``ds.join`` is deliberately avoided: Ray 2.49's hash
+    join loses the schema of empty partitions (ArrowInvalid FieldRef on
+    small/skewed inputs), and the sort-shuffle groupby is this repo's
+    proven exchange (CLAUDE.md)."""
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..state.worker_state import get_worker_state, ref_key
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col]
+        return pd.DataFrame(
+            {
+                "jv_doc": ids,
+                "a": ids,  # placeholders, dtype-consistent with pair rows
+                "b": ids,
+                "jv_text": _norm_text(b[text_col]),
+                "is_text": True,
+            }
+        )
 
-        tx = get_worker_state(("jacc-texts", ref_key(texts_ref)), lambda: ray.get(texts_ref))
-        keep_a, keep_b, sims = [], [], []
-        for a, b in zip(batch["a"], batch["b"]):
-            sa = _word_ngrams(tx.get(a, ""), ngram)
-            sb = _word_ngrams(tx.get(b, ""), ngram)
-            if not sa or not sb:
-                continue
-            j = len(sa & sb) / len(sa | sb)
-            if j >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(round(j, 6))
-        return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
+    def explode_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        two_a = pd.concat([b["a"], b["a"]], ignore_index=True)
+        two_b = pd.concat([b["b"], b["b"]], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "jv_doc": pd.concat([b["a"], b["b"]], ignore_index=True),
+                "a": two_a,
+                "b": two_b,
+                "jv_text": pd.Series([""] * len(two_a), dtype="object"),
+                "is_text": False,
+            }
+        )
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        texts_rows = group[group["is_text"]]
+        pair_rows = group[~group["is_text"]]
+        if texts_rows.empty or pair_rows.empty:
+            return group.iloc[:0][["a", "b", "jv_doc", "jv_text"]]
+        out = pair_rows[["a", "b", "jv_doc"]].copy()
+        out["jv_text"] = texts_rows["jv_text"].iloc[0]
+        return out
+
+    sides = pairs.map_batches(explode_pairs, batch_format="pandas")
+    texts = docs.map_batches(tag_docs, batch_format="pandas")
+    joined = texts.union(sides).groupby("jv_doc").map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": group["a"].iloc[:0],
+                "b": group["b"].iloc[:0],
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(group) != 2:  # a side's doc was missing from the corpus
+            return empty
+        by_doc = dict(zip(group["jv_doc"], group["jv_text"]))
+        a, b = group["a"].iloc[0], group["b"].iloc[0]
+        sa = _word_ngrams(by_doc.get(a, ""), ngram)
+        sb = _word_ngrams(by_doc.get(b, ""), ngram)
+        if not sa or not sb:
+            return empty
+        j = len(sa & sb) / len(sa | sb)
+        if j < threshold:
+            return empty
+        return pd.DataFrame({"a": [a], "b": [b], "jaccard": [round(j, 6)]})
+
+    return joined.groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
 
 
 def min_label_components(
-    pairs: rd.Dataset, max_iters: int = 12
+    pairs: rd.Dataset, max_iters: int = 12, num_partitions: int = 8
 ) -> rd.Dataset:
     """Distributed connected components over duplicate pairs (a, b) →
     (doc_id, component) via min-label propagation: each round every node
@@ -193,7 +263,20 @@ def min_label_components(
     round, ray_guide pattern).  Converges in ≤ component-diameter
     rounds; ``max_iters`` bounds pathological chains (a 12-deep chain
     of near-duplicates is already degenerate data).  Use when the
-    verified-pair set is too large for driver-side union-find."""
+    verified-pair set is too large for driver-side union-find.
+
+    The per-round message pass (each src sends its label along its out
+    edges) runs as union + groupby("src") co-location — same rationale
+    as :func:`jaccard_verify`: Ray 2.49's hash join breaks on empty
+    partitions, the sort-shuffle groupby does not.
+
+    Every round's label set is ``repartition(num_partitions)``-ed before
+    materializing: the groupby inherits the union's block count (edges +
+    labels), so without the rebound the block count — and with it the
+    per-round task count and wall time — grows every iteration
+    (measured: 1.4 s → 35 s by round 11 on a toy graph; flat 0.4 s with
+    the rebound).  Size ``num_partitions`` to the cluster: the labels
+    relation is one row per node."""
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"src": b["a"], "dst": b["b"]})
@@ -202,39 +285,70 @@ def min_label_components(
 
     edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
     # initial label = node id
-    labels = edges.map_batches(
-        lambda b: pd.DataFrame({"node": b["src"], "label": b["src"]}),
-        batch_format="pandas",
-    ).groupby("node").map_groups(lambda g: g.head(1), batch_format="pandas").materialize()
-
-    for _ in range(max_iters):
-        # message pass: each src sends its label to dst (join on src)
-        msgs = edges.join(
-            labels.map_batches(
-                lambda b: pd.DataFrame({"src": b["node"], "label": b["label"]}),
-                batch_format="pandas",
-            ),
-            join_type="inner",
-            num_partitions=8,
-            on=("src",),
-        ).map_batches(
-            lambda b: pd.DataFrame({"node": b["dst"], "label": b["label"]}),
+    labels = (
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": b["src"], "label": b["src"]}),
             batch_format="pandas",
         )
+        .groupby("node")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": b["src"], "dst": b["dst"], "label": b["src"], "is_label": False}
+        )
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": b["node"], "dst": b["node"], "label": b["label"], "is_label": True}
+        )
+
+    def send(group: pd.DataFrame) -> pd.DataFrame:
+        """Emit (dst, label(src)) for every out edge PLUS the node's own
+        (src, label) row — so the groupby-min below needs no second
+        union with ``labels`` (a materialized dataset consumed twice in
+        one execution graph is both wasteful and a flaky-deadlock shape
+        in Ray 2.49's streaming executor)."""
+        lab_rows = group[group["is_label"]]
+        if lab_rows.empty:
+            return pd.DataFrame(
+                {"node": group["dst"].iloc[:0], "label": group["label"].iloc[:0]}
+            )
+        lab = lab_rows["label"].iloc[0]
+        edge_rows = group[~group["is_label"]]
+        nodes = pd.concat(
+            [edge_rows["dst"], lab_rows["src"].iloc[:1]], ignore_index=True
+        )
+        return pd.DataFrame({"node": nodes, "label": lab})
+
+    tagged_edges = (
+        edges.map_batches(tag_edges, batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
         from ray.data.aggregate import Min
 
         new_labels = (
-            labels.union(msgs)
+            tagged_edges.union(labels.map_batches(tag_labels, batch_format="pandas"))
+            .groupby("src")
+            .map_groups(send, batch_format="pandas")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)
             .materialize()
         )
-        # convergence: total label sum strictly decreases while changing
-        old_sum = labels.sum("label")
+        # convergence: total label sum strictly decreases while changing;
+        # carry the previous round's sum instead of re-scanning it
         new_sum = new_labels.sum("label")
         labels = new_labels
-        if old_sum == new_sum:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.map_batches(
         lambda b: pd.DataFrame({"doc_id": b["node"], "component": b["label"]}),
         batch_format="pandas",
@@ -267,12 +381,26 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    distributed_above: int = 200_000,
 ) -> pd.DataFrame:
     """Full near-dup pipeline → (doc_id, component) for docs that have a
-    near-duplicate (singleton docs are not listed)."""
+    near-duplicate (singleton docs are not listed).
+
+    Components run through driver union-find only while the verified
+    pair set is small (≤ ``distributed_above`` pairs); above that the
+    distributed :func:`min_label_components` takes over (equivalent
+    output, tested), so the driver never holds a large pair set."""
     bands = minhash_bands(docs, id_col, text_col)
     cand = minhash_candidate_pairs(bands, id_col)
-    verified = jaccard_verify(cand, docs, id_col, text_col, threshold)
+    verified = jaccard_verify(cand, docs, id_col, text_col, threshold).materialize()
+    if verified.count() > distributed_above:
+        out = (
+            min_label_components(verified)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return out
     return connected_components(verified.to_pandas())
 
 
@@ -283,22 +411,48 @@ def minhash_dedup(
 def simhash_signatures(
     docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", seed: int = 11
 ) -> rd.Dataset:
-    """64-bit SimHash per document (token-hash bit voting)."""
+    """64-bit SimHash per document (token-hash bit voting).
+
+    Vectorized: tokens are exploded to one (doc, token) frame, the
+    ±1 sign rows are looked up from a per-worker token→signs cache
+    (crc32 runs once per *unique* token per worker, not per occurrence),
+    and the bit votes accumulate in a single ``np.add.at`` scatter.
+    Output is bit-identical to the original per-row formulation."""
+    _shifts = np.arange(32)
+
+    def _token_signs(tok: str) -> np.ndarray:
+        lo = np.int64(zlib.crc32(tok.encode()))
+        hi = np.int64(zlib.crc32(tok[::-1].encode()))
+        bits = np.concatenate(((lo >> _shifts) & 1, (hi >> _shifts) & 1))
+        return np.where(bits == 1, 1, -1).astype(np.int8)
+
+    _weights = (np.uint64(1) << np.uint64(63 - np.arange(64))).astype(np.uint64)
 
     def stage(batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in _norm_text(batch[text_col]):
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(32)
-            for tok in set(text.split()):
-                lo = np.int64(zlib.crc32(tok.encode()))
-                hi = np.int64(zlib.crc32(tok[::-1].encode()))
-                bits = np.concatenate(((lo >> shifts) & 1, (hi >> shifts) & 1))
-                votes += np.where(bits == 1, 1, -1)
-            sig = int("".join("1" if v > 0 else "0" for v in votes), 2)
-            sigs.append(sig - (1 << 63))  # store as signed int64
+        from ..state.worker_state import get_worker_state
+
+        cache: dict = get_worker_state(("simhash-signs", seed), dict)
+        texts = _norm_text(batch[text_col]).reset_index(drop=True)
+        n = len(texts)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        exploded = texts.str.split().explode().dropna()
+        if len(exploded):
+            pairs = pd.DataFrame(
+                {"pos": exploded.index.to_numpy(), "tok": exploded.to_numpy()}
+            ).drop_duplicates()  # unique token per doc (set semantics)
+            codes, uniques = pd.factorize(pairs["tok"])
+            signs = np.empty((len(uniques), 64), dtype=np.int8)
+            for i, tok in enumerate(uniques):
+                s = cache.get(tok)
+                if s is None:
+                    s = _token_signs(tok)
+                    cache[tok] = s
+                signs[i] = s
+            np.add.at(votes, pairs["pos"].to_numpy(), signs[codes])
+        sig_u = (votes > 0).astype(np.uint64) @ _weights
+        signed = (sig_u ^ np.uint64(1 << 63)).view(np.int64)  # == sig - 2**63
         out = pd.DataFrame({id_col: batch[id_col]})
-        out["simhash"] = pd.array(sigs, dtype="int64")
+        out["simhash"] = pd.array(signed, dtype="int64")
         return out
 
     return docs.map_batches(stage, batch_format="pandas")

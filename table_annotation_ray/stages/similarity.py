@@ -144,6 +144,76 @@ def embedding_near_dup_pairs(
     return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
+def plant_near_dups(
+    embeddings: rd.Dataset,
+    n_planted: int = 32,
+    id_offset: int = 1_000_000_000,
+    noise: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Append deterministic near-duplicate copies of the first
+    ``n_planted`` vectors (ids ``vec_id + id_offset``): each copy is the
+    original plus ``noise``·‖v‖ in a direction seeded by the id, so
+    cos(v, v') = 1/sqrt(1+noise²) ≈ 0.9988 at the default — a planted
+    ground truth for near-dup recall checks (the raw tables are random
+    vectors with no true near-dups, so a 0-pair result verifies
+    nothing).  Streaming: the copies are built inside ``map_batches``,
+    never on the driver."""
+    planted_ids = frozenset(range(n_planted))
+
+    def perturb(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch[id_col].isin(planted_ids)]
+        ids, vecs = [], []
+        for vid, vec in zip(sel[id_col], sel[vec_col]):
+            v = np.asarray(vec, dtype=np.float64)
+            rng = np.random.RandomState(100_003 + int(vid))
+            d = rng.normal(size=len(v))
+            d /= np.linalg.norm(d)
+            ids.append(int(vid) + id_offset)
+            vecs.append((v + noise * np.linalg.norm(v) * d).tolist())
+        return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), vec_col: vecs})
+
+    copies = embeddings.map_batches(perturb, batch_format="pandas")
+    return embeddings.select_columns([id_col, vec_col]).union(copies)
+
+
+def lsh_recall(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Per-query recall of :func:`lsh_topk` against the exact
+    :func:`brute_force_topk` baseline — the measurement VERDICT r1 asked
+    for (an approximate index without a recall number is unusable).
+    Returns (query_id, recall, n_exact, n_hit)."""
+    exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
+    approx = lsh_topk(embeddings, query_ids, k, num_planes, seed, id_col, vec_col)
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    rows = []
+    for qid in sorted(set(query_ids)):
+        e = ex.get(qid, set())
+        a = ap.get(qid, set())
+        hit = len(e & a)
+        rows.append(
+            {
+                "query_id": qid,
+                "recall": round(hit / len(e), 6) if e else 0.0,
+                "n_exact": len(e),
+                "n_hit": hit,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("query_id", "n_exact", "n_hit"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def lsh_topk(
     embeddings: rd.Dataset,
     query_ids: list[int],

@@ -138,30 +138,48 @@ class MisraGries:
 
 
 def heavy_hitters(
-    ds: rd.Dataset, col: str, min_count: int, k: int = 4096
+    ds: rd.Dataset, col: str, min_count, k: int = 4096
 ) -> pd.DataFrame:
     """Exact heavy hitters via sketch + verify: Misra-Gries per batch →
     merged candidate set (guaranteed superset of keys with ≥ N/k
     occurrences) → exact count verification restricted to candidates →
     keys with count ≥ min_count.  Output is EXACT (SQL: GROUP BY ...
     HAVING count(*) >= min_count) as long as min_count ≥ N/k — assert
-    that precondition rather than silently under-reporting."""
+    that precondition rather than silently under-reporting.
+
+    TWO passes total over ``ds``: the sketch pass piggybacks per-batch
+    row counts (one sentinel row per batch), so the total row count —
+    needed both for the guarantee assert and for callers whose
+    threshold depends on N — costs no extra scan.  ``min_count`` may be
+    an int or a callable ``total_rows -> int`` (resolved after the
+    sketch pass)."""
 
     def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
         mg = MisraGries(k)
         for key, cnt in batch[col].value_counts().items():
             mg.add(key, int(cnt))
         cand = mg.candidates()
-        return pd.DataFrame({"key": list(cand), "cnt": list(cand.values())})
+        return pd.DataFrame(
+            {
+                "key": list(cand) + [None],
+                "cnt": list(cand.values()) + [len(batch)],
+                "is_count": [False] * len(cand) + [True],
+            }
+        )
 
-    total = ds.count()
+    merged = MisraGries(k)
+    total = 0
+    for row in ds.map_batches(sketch_batch, batch_format="pandas", batch_size=65536).take_all():
+        if row["is_count"]:
+            total += int(row["cnt"])
+        else:
+            merged.add(row["key"], int(row["cnt"]))
+    if callable(min_count):
+        min_count = int(min_count(total))
     assert min_count >= total / k, (
         f"min_count={min_count} below the sketch guarantee N/k={total / k:.1f}; "
         "raise k or min_count"
     )
-    merged = MisraGries(k)
-    for row in ds.map_batches(sketch_batch, batch_format="pandas", batch_size=65536).take_all():
-        merged.add(row["key"], int(row["cnt"]))
     candidates = set(merged.candidates())
     if not candidates:
         return pd.DataFrame({col: [], "n": []})

@@ -119,8 +119,15 @@ def lang_id(batch: pd.DataFrame) -> pd.DataFrame:
 
 def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, text) → md5 of the whitespace-normalized lowercased text.
-    SQL-equivalent: ``md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))``."""
-    text = batch["text"].fillna("")
-    norm = text.str.strip().str.lower().str.replace(_WS, " ", regex=True)
-    fp = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    SQL-equivalent: ``md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))``.
+    Normalization runs in Arrow re2 kernels (the md5 itself has no
+    vectorized kernel and stays a per-row hashlib call)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = pa.Array.from_pandas(batch["text"].fillna(""))
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(col)), pattern=r"\s+", replacement=" "
+    )
+    fp = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
     return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})

@@ -101,9 +101,12 @@ def dedup_triples(ds: rd.Dataset) -> rd.Dataset:
     shuffle input first (combiner pattern)."""
 
     def local_dedup(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
-            batch.sort_values("score", ascending=False)
-            .drop_duplicates(subset=["subj", "pred", "obj"], keep="first")
+        # associative partial of the global (Max score, Min conv_id)
+        # reduce — keeping a single arbitrary row per key here would make
+        # the surviving conv_id depend on batch composition (run-order
+        # nondeterminism)
+        return batch.groupby(["subj", "pred", "obj"], as_index=False).agg(
+            score=("score", "max"), conv_id=("conv_id", "min")
         )
 
     ds = ds.map_batches(local_dedup, batch_format="pandas")

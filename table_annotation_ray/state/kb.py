@@ -8,10 +8,14 @@ same plasma copy), and wrapped per actor in :class:`KBReader` which
 reproduces the ``Wikidata_KB`` query surface
 (knowledge_bases.py:63-203).
 
-On a real multi-node cluster the same layout scales: the KB Parquet is
-hash-partitioned by ``src`` and each actor loads either the full KB
-(small side — broadcast join) or its shard.  Here the mini-KB is always
-the broadcast small side.
+SCALE NOTE — this in-memory image is the SMALL-KB FAST PATH.  The
+reference's production KB is a 248 GB LMDB (`data/hashmap/
+wd_hashmap_indexing.py:45`); a KB that size must not be broadcast.  The
+scale path is :mod:`.sharded_kb` (KB-subgraph actor tier, entities
+hash-sharded across K actors, batched fetches + per-worker LRU) +
+:mod:`.sharded_lookup` (label-index tier) — both produce BYTE-IDENTICAL
+annotation output (tests/test_sharded_kb.py) and are enabled with
+``run_kg_pipeline(..., sharded_kb=True)``.
 """
 
 from __future__ import annotations
@@ -114,6 +118,9 @@ class KBReader:
         return 0
 
     # -- graph getters (knowledge_bases.py:69-180) ------------------------
+    # Every derived getter below routes through these three primitives so
+    # a backend that stores the graph elsewhere (state/sharded_kb.py's
+    # actor tier) only overrides the primitives.
     def get_subgraph_of_entity(self, entity_id: str) -> dict[str, dict[str, str]]:
         return self.kb.subgraphs.get(entity_id, {})
 
@@ -123,8 +130,12 @@ class KBReader:
     def get_num_edges(self, entity_id: str) -> int:
         return self.kb.num_edges.get(entity_id, 0)
 
+    def prefetch(self, entity_ids) -> None:
+        """Warm-up hint: a remote-backed reader batches these ids into
+        shard round trips; the in-memory image needs nothing."""
+
     def get_symbol_of_unit_entity(self, unit_entity_id: str):
-        sub = self.kb.subgraphs.get(unit_entity_id)
+        sub = self.get_subgraph_of_entity(unit_entity_id)
         if not sub:
             return None
         if "Q8142" in sub.get(INSTANCE_OF, {}):
@@ -137,7 +148,7 @@ class KBReader:
         return None
 
     def get_supertypes_of_type(self, type_id: str) -> dict[str, str]:
-        return self.kb.subgraphs.get(type_id, {}).get(SUBCLASS_OF, {})
+        return self.get_subgraph_of_entity(type_id).get(SUBCLASS_OF, {})
 
     def get_types_of_entity(self, entity_id: str, num_level: int = 1) -> dict[str, dict]:
         """3-level hierarchical types (knowledge_bases.py:136-180): level 1
@@ -145,7 +156,7 @@ class KBReader:
         hierarchical: dict[str, dict] = {}
         if num_level <= 0:
             return hierarchical
-        sub = self.kb.subgraphs.get(entity_id, {})
+        sub = self.get_subgraph_of_entity(entity_id)
         instance_types: dict[str, str] = {}
         other_types: dict[str, str] = {}
         for prop in TYPE_PROPERTIES:
@@ -164,7 +175,7 @@ class KBReader:
         for lvl in range(2, num_level + 1):
             nxt: dict[str, str] = {}
             for t in inter:
-                sup = self.kb.subgraphs.get(t, {}).get(SUBCLASS_OF)
+                sup = self.get_subgraph_of_entity(t).get(SUBCLASS_OF)
                 if sup:
                     nxt.update(sup)
             hierarchical[f"level_{lvl}"] = nxt

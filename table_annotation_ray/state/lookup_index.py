@@ -4,11 +4,11 @@ Elasticsearch lookup (`lookup/es_lookup.py:27-210`, `lookup/settings.py`).
 Recall layer (stands in for the ES ``match`` + ``fuzziness: AUTO`` query,
 es_lookup.py:30-77):
   * exact normalized-label dict;
-  * token inverted index with a SymSpell-style single-deletion
-    neighborhood (a mention token matches an index token when either
-    equals the other or their 1-deletion sets intersect — covers edit
-    distance 1, the dominant typo class; ES AUTO allows 2 for long
-    tokens, traded here for index size);
+  * token inverted index with a SymSpell-style deletion neighborhood:
+    1-deletion sets for every token ≥ 4 chars (edit distance 1, the
+    dominant typo class) and 2-deletion sets for tokens ≥ 6 chars —
+    ES ``fuzziness: AUTO`` parity (2 edits allowed at length ≥ 6,
+    es_lookup.py:30-44; configurable via two_edit_min_token_len);
   * ES-style label-length window filters: len·0.25 ≤ len(label) ≤ len·4
     OR |len(label) − len| ≤ 4 (es_lookup.py:205-210).
 
@@ -45,6 +45,18 @@ def _deletions(token: str) -> set[str]:
     return {token[:i] + token[i + 1 :] for i in range(len(token))}
 
 
+def _deletions2(token: str) -> set[str]:
+    """Depth-2 deletion neighborhood (SymSpell): covers 2-edit typos in
+    long tokens, matching ES ``fuzziness: AUTO``'s 2-edit allowance for
+    tokens ≥ 6 chars (es_lookup.py:30-44)."""
+    out: set[str] = set()
+    for i in range(len(token)):
+        d1 = token[:i] + token[i + 1 :]
+        for j in range(len(d1)):
+            out.add(d1[:j] + d1[j + 1 :])
+    return out
+
+
 class LabelIndex:
     def __init__(
         self,
@@ -63,7 +75,9 @@ class LabelIndex:
         self.exact: dict[str, list[int]] = {}
         self.token_index: dict[str, list[int]] = {}
         self.deletion_index: dict[str, list[int]] = {}
+        self.deletion2_index: dict[str, list[int]] = {}
         self.token_df: dict[str, int] = {}
+        two_edit_len = self.cfg.two_edit_min_token_len
         for entity, label, origin, pr in kb.label_rows:
             norm = normalize_label(label).lower()
             if not norm:
@@ -78,6 +92,9 @@ class LabelIndex:
                 self.token_df[tok] = self.token_df.get(tok, 0) + 1
                 for d in _deletions(tok):
                     self.deletion_index.setdefault(d, []).append(row_id)
+                if two_edit_len and len(tok) >= two_edit_len:
+                    for d in _deletions2(tok):
+                        self.deletion2_index.setdefault(d, []).append(row_id)
         self.n_docs = max(1, len(self.rows))
         if df_override is not None:
             self.token_df, self.n_docs = df_override
@@ -93,15 +110,29 @@ class LabelIndex:
         hits: dict[int, float] = {}
         for rid in self.exact.get(norm_mention, []):
             hits[rid] = hits.get(rid, 0.0) + 2.0 * self._idf_of_row(rid)
+        two_edit_len = self.cfg.two_edit_min_token_len
         for tok in set(norm_mention.split()):
             idf = math.log(1.0 + self.n_docs / (1 + self.token_df.get(tok, 0)))
             matched: set[int] = set()
             matched.update(self.token_index.get(tok, ()))
             # fuzzy token match via deletion neighborhoods (edit distance 1)
-            for d in _deletions(tok):
+            dels1 = _deletions(tok)
+            for d in dels1:
                 matched.update(self.token_index.get(d, ()))
                 matched.update(self.deletion_index.get(d, ()))
             matched.update(self.deletion_index.get(tok, ()))
+            if two_edit_len and len(tok) >= two_edit_len:
+                # edit distance 2 for long tokens (ES AUTO parity): any
+                # common string across the ≤2-deletion neighborhoods of
+                # query and index token implies ed ≤ 2 (candidates are
+                # verified downstream by the fuzzy-ratio scorer)
+                matched.update(self.deletion2_index.get(tok, ()))
+                for d in dels1:
+                    matched.update(self.deletion2_index.get(d, ()))
+                for d2 in _deletions2(tok):
+                    matched.update(self.token_index.get(d2, ()))
+                    matched.update(self.deletion_index.get(d2, ()))
+                    matched.update(self.deletion2_index.get(d2, ()))
             for rid in matched:
                 hits[rid] = hits.get(rid, 0.0) + idf
         return hits

@@ -72,6 +72,10 @@ class ShardedLookupTier:
         self.cfg = cfg
         self._cache: dict[str, tuple] = {}
 
+    def key(self) -> tuple:
+        """Stable identity across pickling (worker-state cache key)."""
+        return tuple(a._actor_id.hex() for a in self.actors)
+
     @classmethod
     def create(
         cls,

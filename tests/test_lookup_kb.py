@@ -24,6 +24,21 @@ def test_typo_tolerance(kb_objects):
     assert idx.search("John Travlta", 3)[0][0] == "Q80938"
 
 
+def test_two_edit_tolerance_long_tokens(kb_objects):
+    """ES fuzziness AUTO allows 2 edits for tokens ≥ 6 chars
+    (es_lookup.py:30-44) — two-typo long mentions must still recall."""
+    _, _, idx = kb_objects
+    assert idx.search("Gernamy", 3)[0][0] == "Q183"  # 2 substitutions
+    assert idx.search("Mancester Untied", 3)[0][0] == "Q18656"  # 1 del + 1 swap
+    # short tokens stay at 1 edit: a 2-edit 5-char mention may miss
+    from table_annotation_ray.config import LookupConfig
+    from table_annotation_ray.state.lookup_index import LabelIndex
+
+    kb, _, _ = kb_objects
+    no2 = LabelIndex(kb, LookupConfig(two_edit_min_token_len=0))
+    assert not no2.search("Gernamy", 3)  # proves the d2 path did the work
+
+
 def test_partial_exact_match_kept(kb_objects):
     # the YANKEES case (es_lookup.py:118-120): a short mention that is an
     # exact substring of a longer label survives the adaptive threshold

@@ -27,9 +27,81 @@ def test_encoding_sniffing():
     assert t[0][0] == "café"
 
 
-def test_xlsx_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        delimited.excel_to_table(b"PK...")
+def test_xlsx_roundtrip_single_table():
+    from table_annotation_ray.sources.xlsx import excel_to_tables, tables_to_xlsx
+
+    payload = tables_to_xlsx(
+        {"Sheet1": [["city", "pop"], ["Paris", 2100000], ["Berlin", 3600000]]}
+    )
+    out = excel_to_tables(payload)
+    assert list(out) == ["tableFromExcelSheet_Sheet1"]
+    (t,) = out["tableFromExcelSheet_Sheet1"]
+    assert t == [["city", "pop"], ["Paris", "2100000"], ["Berlin", "3600000"]]
+    # single-table convenience dispatch
+    assert delimited.excel_to_table(payload)[0] == ["city", "pop"]
+
+
+def test_xlsx_multi_table_segmentation():
+    """Two islands of cells separated by blank rows/cols → two tables
+    (file_loader.py:103-160 connected-component semantics)."""
+    from table_annotation_ray.sources.xlsx import excel_to_tables, tables_to_xlsx
+
+    grid = [
+        ["a", "b", "", "", "x", "y"],
+        ["1", "2", "", "", "7", "8"],
+        ["", "", "", "", "", ""],
+        ["p", "q", "", "", "", ""],
+        ["3", "4", "", "", "", ""],
+    ]
+    out = excel_to_tables(tables_to_xlsx({"S": grid}))
+    tables = out["tableFromExcelSheet_S"]
+    assert len(tables) == 3
+    assert [["a", "b"], ["1", "2"]] in tables
+    assert [["x", "y"], ["7", "8"]] in tables
+    assert [["p", "q"], ["3", "4"]] in tables
+    # a 1×1 island is dropped (shape > 1 in both dims required)
+    out2 = excel_to_tables(tables_to_xlsx({"S": [["solo"]]}))
+    assert out2["tableFromExcelSheet_S"] == []
+
+
+def test_xlsx_merged_cells_unfold():
+    """Every cell of a merged range takes the top-left value
+    (file_loader.py:92-101)."""
+    from table_annotation_ray.sources.xlsx import excel_to_tables, tables_to_xlsx
+
+    payload = tables_to_xlsx(
+        {"S": [["span", "", "c"], ["1", "2", "3"]]}, merges={"S": ["A1:B1"]}
+    )
+    (t,) = excel_to_tables(payload)["tableFromExcelSheet_S"]
+    assert t[0] == ["span", "span", "c"]
+
+
+def test_xlsx_value_types_and_sheets():
+    import datetime
+
+    from table_annotation_ray.sources.xlsx import excel_to_tables, tables_to_xlsx
+
+    payload = tables_to_xlsx(
+        {
+            "One": [["d", "b"], [datetime.datetime(2023, 5, 17), True]],
+            "Two": [["k", "v"], ["pi", 3.5]],
+        }
+    )
+    out = excel_to_tables(payload)
+    assert out["tableFromExcelSheet_One"][0][1] == ["05/17/2023", "True"]
+    assert out["tableFromExcelSheet_Two"][0][1] == ["pi", "3.5"]
+
+
+def test_xlsx_in_read_tables_from_files(ray_session, tmp_path):
+    from table_annotation_ray.sources.xlsx import tables_to_xlsx
+
+    grid = [["a", "b", "", "x", "y"], ["1", "2", "", "7", "8"]]
+    (tmp_path / "wb.xlsx").write_bytes(tables_to_xlsx({"S": grid}))
+    df = delimited.read_tables_from_files(str(tmp_path)).to_pandas()
+    ids = set(df.table_id)
+    assert len(ids) == 2
+    assert all("#tableFromExcelSheet_S_" in t for t in ids)
+    assert len(df) == 4
 
 
 def test_read_tables_from_files(ray_session, tmp_path):
