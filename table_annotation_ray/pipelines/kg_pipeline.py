@@ -167,11 +167,10 @@ def run_kg_pipeline(
         kb_tier = ShardedKBTier.create_from_parquet(
             kb_dir, num_shards=num_kb_shards, num_cpus_per_shard=num_cpus_per_shard
         )
-        # the lookup tier needs corpus-global df stats; the image is
-        # loaded transiently to shard the label table, then dropped —
-        # nothing is broadcast (kb_ref=None)
-        lookup_tier = ShardedLookupTier.create(
-            load_kb(kb_dir), num_shards=num_kb_shards,
+        # fully driverless: shard actors load their own label slices,
+        # global IDF stats merge from disjoint shard partials
+        lookup_tier = ShardedLookupTier.create_from_parquet(
+            kb_dir, num_shards=num_kb_shards,
             num_cpus_per_shard=num_cpus_per_shard,
         )
         triples = triples_from_turns(

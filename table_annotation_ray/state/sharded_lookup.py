@@ -45,9 +45,26 @@ from .lookup_index import LabelIndex, finalize_candidates, merge_candidates
 class LookupShardActor:
     """Holds a LabelIndex over one entity-hash shard of the label table.
     ``df_stats`` carries corpus-global token document frequencies so the
-    shard's IDF weighting equals the single index's."""
+    shard's IDF weighting equals the single index's.
 
-    def __init__(self, kb_shard: KBData, cfg: LookupConfig, df_stats: tuple):
+    Construction paths: pass ``kb_shard`` (pre-sharded image, small-KB /
+    test path) or ``kb_dir`` + ``num_shards`` + ``shard_id`` (the actor
+    loads its own slice of kb_labels.parquet — the driver never holds
+    the label table).  In the parquet path ``df_stats`` is installed
+    afterwards via :meth:`set_df_stats` (global = merge of the disjoint
+    shard partials)."""
+
+    def __init__(
+        self,
+        kb_shard: KBData | None,
+        cfg: LookupConfig,
+        df_stats: tuple | None,
+        kb_dir: str | None = None,
+        num_shards: int = 1,
+        shard_id: int = 0,
+    ):
+        if kb_shard is None:
+            kb_shard = load_label_shard(kb_dir, num_shards, shard_id)
         self.index = LabelIndex(kb_shard, cfg, df_override=df_stats)
 
     def scored_batch(self, mentions: list[str]) -> list[dict]:
@@ -55,6 +72,35 @@ class LookupShardActor:
 
     def num_rows(self) -> int:
         return len(self.index.rows)
+
+    def df_partial(self) -> tuple[dict, int]:
+        """Locally-counted (token_df, n_docs) over this shard's rows —
+        shards are disjoint, so summing partials gives the global."""
+        return self.index.token_df, len(self.index.rows)
+
+    def set_df_stats(self, df_stats: tuple) -> None:
+        self.index.token_df, self.index.n_docs = df_stats
+
+
+def load_label_shard(kb_dir: str, num_shards: int, shard_id: int) -> KBData:
+    """Read only this shard's rows of kb_labels.parquet (entity-hash
+    partition; at dump scale the table is bucket-partitioned and the
+    scan prunes to the shard's own files)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    kb = KBData()
+    labels = pq.read_table(os.path.join(kb_dir, "kb_labels.parquet"))
+    for row in zip(
+        labels["entity"].to_pylist(),
+        labels["label"].to_pylist(),
+        labels["origin"].to_pylist(),
+        labels["pr"].to_pylist(),
+    ):
+        if zlib.crc32(row[0].encode()) % num_shards == shard_id:
+            kb.label_rows.append(row)
+    return kb
 
 
 def shard_kb_labels(kb: KBData, num_shards: int) -> list[KBData]:
@@ -105,6 +151,37 @@ class ShardedLookupTier:
             )
             for shard in shard_kb_labels(kb, num_shards)
         ]
+        return cls(actors, cfg)
+
+    @classmethod
+    def create_from_parquet(
+        cls,
+        kb_dir: str,
+        num_shards: int = 4,
+        cfg: LookupConfig | None = None,
+        num_cpus_per_shard: float = 0.5,
+    ) -> "ShardedLookupTier":
+        """Fully driverless scale path: each shard actor loads its own
+        slice of kb_labels.parquet, then corpus-global IDF stats are
+        assembled by merging the shards' disjoint partials (one small
+        dict per shard) and pushed back — the driver never materializes
+        the label table.  Result is EXACTLY the single-index scoring
+        (same guarantee as :meth:`create`, tested)."""
+        cfg = cfg or LookupConfig()
+        actors = [
+            LookupShardActor.options(num_cpus=num_cpus_per_shard).remote(
+                None, cfg, None, kb_dir=kb_dir, num_shards=num_shards, shard_id=i
+            )
+            for i in range(num_shards)
+        ]
+        token_df: dict[str, int] = {}
+        n_docs = 0
+        for part_df, part_n in ray.get([a.df_partial.remote() for a in actors]):
+            n_docs += part_n
+            for tok, c in part_df.items():
+                token_df[tok] = token_df.get(tok, 0) + c
+        stats = (token_df, max(1, n_docs))
+        ray.get([a.set_df_stats.remote(stats) for a in actors])
         return cls(actors, cfg)
 
     def search_batch(self, mentions: list[str], k: int | None = None) -> list[list[tuple[str, float]]]:

@@ -38,6 +38,27 @@ def test_shards_are_balanced_partition(tier, kb_objects):
     assert min(sizes) > 0  # every shard got rows
 
 
+def test_parquet_tier_equals_single_index(ray_session, synth_root, kb_objects):
+    """create_from_parquet (driverless: shard actors load their own
+    label slices, IDF stats merged from disjoint partials) must score
+    exactly like the single index."""
+    import os
+
+    from table_annotation_ray.state.sharded_lookup import ShardedLookupTier
+
+    _, _, idx = kb_objects
+    tier = ShardedLookupTier.create_from_parquet(
+        os.path.join(synth_root, "kb"), num_shards=3, num_cpus_per_shard=0
+    )
+    for m in MENTIONS:
+        single = idx.search(m)
+        sharded = tier.search(m)
+        assert len(single) == len(sharded), m
+        for (e1, s1), (e2, s2) in zip(single, sharded):
+            assert e1 == e2, m
+            assert s1 == pytest.approx(s2, abs=1e-12), m
+
+
 def test_batch_api_and_cache(tier):
     out = tier.search_batch(["paris", "paris", "mufc"], k=3)
     assert len(out) == 3
