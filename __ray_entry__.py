@@ -326,6 +326,66 @@ def _q_ann_lsh_recall(sf_dir: str):
     )
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phone runs →
+    <PHONE>) with per-kind counts; RE2-safe regexes shared verbatim with
+    the SQL oracle."""
+    from table_annotation_ray.stages.datapipe import pii_scrub
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pii_scrub, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 20% corpus sample by multiplicative id hash (the
+    stratified mixing primitive; pure int arithmetic = SQL-identical)."""
+    from table_annotation_ray.stages.datapipe import hash_sample
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(hash_sample, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def _q_repetition_stats(sf_dir: str):
+    from table_annotation_ray.stages.datapipe import repetition_stats
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(repetition_stats, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _q_char_entropy(sf_dir: str):
+    """Character-entropy quality proxy (rows-only: no tractable SQL
+    equivalent for per-char Shannon entropy)."""
+    from table_annotation_ray.stages.datapipe import char_entropy
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(char_entropy, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _q_pack_documents(sf_dir: str):
+    """Fixed-size sequence packing via distributed prefix sum (per-chunk
+    aggregate → driver scan → broadcast offsets); SQL oracle is a window
+    running sum."""
+    from table_annotation_ray.stages.datapipe import pack_documents
+
+    return pack_documents(_read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=512)
+
+
 def _q_minhash_components(sf_dir: str):
     from table_annotation_ray.stages.dedup import minhash_dedup
 
@@ -586,6 +646,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "quality_filter": _q_quality_filter,
         "fingerprint": _q_fingerprint,
+        "pii_scrub": _q_pii_scrub,
+        "hash_sample": _q_hash_sample,
+        "repetition_stats": _q_repetition_stats,
+        "char_entropy": _q_char_entropy,
+        "pack_documents": _q_pack_documents,
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -705,6 +770,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "pii_scrub": """
+            WITH s0 AS (SELECT doc_id, text,
+                               len(regexp_extract_all(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g') AS t1
+                        FROM documents),
+            s1 AS (SELECT doc_id, n_email,
+                          len(regexp_extract_all(t1,
+                              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+                          regexp_replace(t1,
+                              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                              '<IP>', 'g') AS t2
+                   FROM s0)
+            SELECT doc_id,
+                   regexp_replace(t2, '\\+?\\d[\\d().-]{7,}\\d', '<PHONE>', 'g') AS scrubbed,
+                   n_email, n_ip,
+                   len(regexp_extract_all(t2, '\\+?\\d[\\d().-]{7,}\\d')) AS n_phone
+            FROM s1
+        """,
+        "hash_sample": """
+            SELECT doc_id FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+        """,
+        "repetition_stats": """
+            WITH s AS (SELECT doc_id,
+                              regexp_split_to_array(COALESCE(text, ''), '\\.\\s+') AS sents
+                       FROM documents)
+            SELECT doc_id,
+                   len(sents)                                   AS n_sent,
+                   len(list_distinct(sents))                    AS n_uniq_sent,
+                   round((len(sents) - len(list_distinct(sents)))
+                         / greatest(len(sents), 1), 6)          AS dup_ratio
+            FROM s
+        """,
+        "pack_documents": """
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN trim(text) = '' THEN 0
+                                   ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                              END AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                  FROM t)
+            SELECT doc_id,
+                   CAST(off // 512 AS BIGINT) AS pack_id,
+                   CAST(off AS BIGINT)        AS token_offset
+            FROM c
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS e

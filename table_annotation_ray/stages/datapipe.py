@@ -1,0 +1,181 @@
+"""Training-data pipeline operators — PII scrubbing, deterministic
+sampling, repetition stats, entropy scoring, and sequence packing.
+
+These extend the textstats family (round-2 additions): every operator is
+a single-pass ``map_batches`` transform except :func:`pack_documents`,
+which demonstrates the distributed prefix-sum pattern (per-chunk
+aggregate → tiny driver scan → broadcast offsets).  Semantics are chosen
+to be exactly reproducible in DuckDB SQL (RE2-compatible regexes, pure
+integer arithmetic) so the driver's oracle can value-hash them — see
+``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+# RE2-compatible patterns (no lookbehind/backrefs) so the identical
+# strings run in DuckDB's regexp_replace / regexp_extract_all
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d().-]{7,}\d"
+
+_EMAIL_RE = re.compile(PII_EMAIL)
+_IP_RE = re.compile(PII_IPV4)
+_PHONE_RE = re.compile(PII_PHONE)
+_WS = re.compile(r"\s+")
+_SENT_SPLIT = r"\.\s+"
+_SENT_RE = re.compile(_SENT_SPLIT)
+
+# Knuth multiplicative hash constants — reproducible with 64-bit integer
+# arithmetic in any SQL engine
+HASH_MULT = 2654435761
+HASH_MOD = 4294967296
+
+
+def pii_scrub(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → scrubbed text + per-kind redaction counts.
+    Emails → <EMAIL>, IPv4s → <IP>, phone-like digit runs → <PHONE>,
+    applied in that order (order matters: an IP inside an email-like
+    token must not double-count)."""
+    text = batch["text"].fillna("")
+    n_email = text.str.count(PII_EMAIL).astype("int64")
+    text = text.str.replace(_EMAIL_RE, "<EMAIL>", regex=True)
+    n_ip = text.str.count(PII_IPV4).astype("int64")
+    text = text.str.replace(_IP_RE, "<IP>", regex=True)
+    n_phone = text.str.count(PII_PHONE).astype("int64")
+    text = text.str.replace(_PHONE_RE, "<PHONE>", regex=True)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "scrubbed": text,
+            "n_email": n_email,
+            "n_ip": n_ip,
+            "n_phone": n_phone,
+        }
+    )
+
+
+def hash_sample(batch: pd.DataFrame, pct: int = 20, id_col: str = "doc_id") -> pd.DataFrame:
+    """Deterministic ``pct``% sample by multiplicative id hash — the
+    stratified-sampling primitive for corpus mixing.  Pure integer
+    arithmetic, so the identical expression runs in SQL (no RNG state,
+    no cluster-order dependence)."""
+    ids = batch[id_col].to_numpy(dtype=np.int64)
+    keep = (ids * HASH_MULT) % HASH_MOD % 100 < pct
+    return batch.loc[keep, [id_col]]
+
+
+def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → sentence counts + duplicate-sentence ratio (the
+    boilerplate/repetition quality signal).  Sentences split on
+    ``\\.\\s+`` (RE2-safe; identical in regexp_split_to_array)."""
+    out = {"doc_id": [], "n_sent": [], "n_uniq_sent": [], "dup_ratio": []}
+    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+        sents = _SENT_RE.split(text)
+        n = len(sents)
+        u = len(set(sents))
+        out["doc_id"].append(doc_id)
+        out["n_sent"].append(n)
+        out["n_uniq_sent"].append(u)
+        out["dup_ratio"].append(round((n - u) / n, 6) if n else 0.0)
+    df = pd.DataFrame(out)
+    for c in ("n_sent", "n_uniq_sent"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def char_entropy(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → character-level Shannon entropy in bits — the
+    cheap perplexity proxy (gibberish/compressed blobs score high,
+    repetitive boilerplate low)."""
+    out = {"doc_id": [], "entropy": []}
+    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+        n = len(text)
+        if n == 0:
+            h = 0.0
+        else:
+            counts = np.fromiter(Counter(text).values(), dtype=np.float64)
+            p = counts / n
+            h = float(-(p * np.log2(p)).sum())
+        out["doc_id"].append(doc_id)
+        out["entropy"].append(round(h, 6))
+    return pd.DataFrame(out)
+
+
+def pack_documents(
+    docs: rd.Dataset,
+    max_tokens: int = 512,
+    chunk: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Assign every document a (pack_id, token_offset) for fixed-size
+    training-sequence packing: documents in ``doc_id`` order are laid
+    end-to-end and ``pack_id = token_offset // max_tokens``.
+
+    Distributed prefix sum, no global sort: (1) per-doc whitespace token
+    counts in ``map_batches``; (2) ``groupby(doc_id // chunk)`` sums —
+    one bounded-key shuffle whose result (one row per chunk) is tiny;
+    (3) the driver scans chunk sums into prefix offsets (10^12 docs /
+    4096 ≈ 2.4×10^8 chunks — raise ``chunk`` at that scale) and
+    broadcasts them; (4) a second pass computes in-chunk cumulative sums
+    and adds the chunk prefix.  Every heavy step streams."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        stripped = b[text_col].fillna("").str.strip()
+        n = stripped.str.split(_WS).map(len).where(stripped.str.len() > 0, 0)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "n_tokens": n.astype("int64"),
+                "chunk_id": (b[id_col] // chunk).astype("int64"),
+            }
+        )
+
+    toks = docs.map_batches(count_tokens, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Sum
+
+    chunk_sums = (
+        toks.groupby("chunk_id").aggregate(Sum("n_tokens", alias_name="total")).to_pandas()
+    )
+    chunk_sums = chunk_sums.sort_values("chunk_id")
+    prefix = {}
+    running = 0
+    for cid, total in zip(chunk_sums["chunk_id"], chunk_sums["total"]):
+        prefix[int(cid)] = running
+        running += int(total)
+    prefix_ref = ray.put(prefix)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        pre = get_worker_state(("pack-prefix", ref_key(prefix_ref)), lambda: ray.get(prefix_ref))
+        g = group.sort_values(id_col)
+        base = pre[int(g["chunk_id"].iloc[0])]
+        offs = base + g["n_tokens"].cumsum().shift(1, fill_value=0)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "pack_id": (offs // max_tokens).astype("int64"),
+                "token_offset": offs.astype("int64"),
+            }
+        )
+
+    out = (
+        toks.groupby("chunk_id")
+        .map_groups(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    return out

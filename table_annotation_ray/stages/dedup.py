@@ -142,8 +142,14 @@ def minhash_bands(
     return docs.map_batches(band_stage, batch_format="pandas")
 
 
-def minhash_candidate_pairs(bands_ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
-    """LSH buckets → unique candidate pairs (a < b)."""
+def minhash_candidate_pairs(
+    bands_ds: rd.Dataset, id_col: str = "doc_id", dedup: bool = True
+) -> rd.Dataset:
+    """LSH buckets → candidate pairs (a < b).
+
+    ``dedup=False`` skips the cross-band pair-dedup groupby (one whole
+    all-to-all) — correct whenever the consumer re-keys by (a, b)
+    anyway, as :func:`jaccard_verify` does."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group[id_col]))
@@ -163,6 +169,8 @@ def minhash_candidate_pairs(bands_ds: rd.Dataset, id_col: str = "doc_id") -> rd.
     cand = bands_ds.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
     )
+    if not dedup:
+        return cand
     # dedup pairs found in multiple bands
     return cand.groupby(["a", "b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
@@ -217,7 +225,10 @@ def jaccard_verify(
 
     def attach(group: pd.DataFrame) -> pd.DataFrame:
         texts_rows = group[group["is_text"]]
-        pair_rows = group[~group["is_text"]]
+        # duplicate pair rows (same pair surfacing from several LSH
+        # bands, when the producer skipped its dedup groupby) collapse
+        # here — one text-attach row per (pair, side)
+        pair_rows = group[~group["is_text"]].drop_duplicates(subset=["a", "b"])
         if texts_rows.empty or pair_rows.empty:
             return group.iloc[:0][["a", "b", "jv_doc", "jv_text"]]
         out = pair_rows[["a", "b", "jv_doc"]].copy()
@@ -391,7 +402,9 @@ def minhash_dedup(
     distributed :func:`min_label_components` takes over (equivalent
     output, tested), so the driver never holds a large pair set."""
     bands = minhash_bands(docs, id_col, text_col)
-    cand = minhash_candidate_pairs(bands, id_col)
+    # dedup=False: jaccard_verify re-keys by (a, b) anyway, so the
+    # cross-band pair-dedup all-to-all is pure overhead here
+    cand = minhash_candidate_pairs(bands, id_col, dedup=False)
     verified = jaccard_verify(cand, docs, id_col, text_col, threshold).materialize()
     if verified.count() > distributed_above:
         out = (

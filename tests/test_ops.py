@@ -191,6 +191,85 @@ def test_multimodal_decode_stage(ray_session):
     assert len(frames) == 32 * 4
 
 
+def test_pii_scrub_matches_duckdb(ray_session):
+    """The scrub semantics are pinned against DuckDB's RE2 on inputs
+    with real matches (the driver testdata has none, so its hash-match
+    alone would be trivially green)."""
+    import duckdb
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import pii_scrub
+
+    docs = [
+        {"doc_id": 0, "text": "contact bob.smith+x@example.co.uk or call +1(555)123-4567 now"},
+        {"doc_id": 1, "text": "server at 192.168.0.1 and 10.0.0.255, backup 8.8.8.8"},
+        {"doc_id": 2, "text": "no pii here at all"},
+        {"doc_id": 3, "text": "a@b.io c@d.net 127.0.0.1 0123-456-7890"},
+    ]
+    ours = (
+        rd.from_items(docs)
+        .map_batches(pii_scrub, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["pii_scrub"] + " ORDER BY doc_id"
+    theirs = con.execute(sql).df()
+    for c in ("scrubbed", "n_email", "n_ip", "n_phone"):
+        assert list(ours[c]) == list(theirs[c]), c
+    assert "<EMAIL>" in ours.scrubbed[0] and "<PHONE>" in ours.scrubbed[0]
+    assert ours.n_ip[1] == 3
+
+
+def test_hash_sample_deterministic(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import hash_sample
+
+    ds = rd.from_items([{"doc_id": i} for i in range(1000)])
+    a = sorted(ds.map_batches(hash_sample, batch_format="pandas").to_pandas().doc_id)
+    b = sorted(ds.map_batches(hash_sample, batch_format="pandas").to_pandas().doc_id)
+    assert a == b
+    assert 120 <= len(a) <= 280  # ~20% of 1000
+
+
+def test_pack_documents_prefix_sum(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import pack_documents
+
+    docs = [{"doc_id": i, "text": " ".join(["w"] * (10 * (i % 7 + 1)))} for i in range(300)]
+    out = pack_documents(rd.from_items(docs), max_tokens=100, chunk=64)
+    # offsets are the running sum of token counts in doc_id order
+    ntok = [10 * (i % 7 + 1) for i in range(300)]
+    expect_off = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    assert list(out.token_offset) == list(expect_off)
+    assert (out.pack_id == out.token_offset // 100).all()
+
+
+def test_char_entropy_and_repetition(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import char_entropy, repetition_stats
+
+    docs = [
+        {"doc_id": 0, "text": "aaaaaaaa"},          # entropy 0
+        {"doc_id": 1, "text": "abcdefgh"},          # entropy 3 bits
+        {"doc_id": 2, "text": "one. one. two. "},   # dup sentence
+    ]
+    ds = rd.from_items(docs)
+    ent = ds.map_batches(char_entropy, batch_format="pandas").to_pandas().set_index("doc_id")
+    assert ent.loc[0, "entropy"] == 0.0
+    assert ent.loc[1, "entropy"] == pytest.approx(3.0)
+    rep = ds.map_batches(repetition_stats, batch_format="pandas").to_pandas().set_index("doc_id")
+    assert rep.loc[2, "n_sent"] > rep.loc[2, "n_uniq_sent"]
+    assert rep.loc[0, "dup_ratio"] == 0.0
+
+
 def test_min_label_components_matches_union_find(ray_session):
     import numpy as np
     import ray.data as rd
