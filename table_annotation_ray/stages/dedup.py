@@ -184,19 +184,29 @@ def jaccard_verify(
     text_col: str = "text",
     threshold: float = 0.8,
     ngram: int = 3,
+    broadcast_below: int = 100_000,
 ) -> rd.Dataset:
     """Exact n-gram Jaccard for candidate pairs, fully distributed:
-    neither the corpus nor the pair set ever materializes on the driver.
+    neither the corpus nor the pair set ever materializes on the driver
+    (above ``broadcast_below`` docs).
 
-    Shape: each pair explodes to two (a, b, jv_doc) rows; the doc texts
-    are attached by CO-LOCATION — union the exploded pair rows with the
-    tagged doc rows and group by ``jv_doc`` (one sort shuffle on a
-    uniform key), each group copying its single text onto its pair rows;
-    a second groupby on the pair key reunites the two sides and
+    Scale shape: each pair explodes to two (a, b, jv_doc) rows; the doc
+    texts are attached by CO-LOCATION — union the exploded pair rows
+    with the tagged doc rows and group by ``jv_doc`` (one sort shuffle
+    on a uniform key), each group copying its single text onto its pair
+    rows; a second groupby on the pair key reunites the two sides and
     verifies.  ``ds.join`` is deliberately avoided: Ray 2.49's hash
     join loses the schema of empty partitions (ArrowInvalid FieldRef on
     small/skewed inputs), and the sort-shuffle groupby is this repo's
-    proven exchange (CLAUDE.md)."""
+    proven exchange (CLAUDE.md).
+
+    Small-corpus fast path (same routing philosophy as
+    ``minhash_dedup``'s union-find threshold): when the corpus holds ≤
+    ``broadcast_below`` docs — a metadata-cheap ``count()`` — the texts
+    are broadcast once via ``ray.put`` and verification is a single
+    streaming map over the pairs, saving both sort shuffles."""
+    if broadcast_below and docs.count() <= broadcast_below:
+        return _jaccard_verify_broadcast(pairs, docs, id_col, text_col, threshold, ngram)
 
     def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
         ids = b[id_col]
@@ -263,6 +273,51 @@ def jaccard_verify(
         return pd.DataFrame({"a": [a], "b": [b], "jaccard": [round(j, 6)]})
 
     return joined.groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
+
+
+def _jaccard_verify_broadcast(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int,
+) -> rd.Dataset:
+    """Small-corpus verify: normalized texts collected once
+    (``to_pandas``, NOT per-row take_all), broadcast via ``ray.put``,
+    pairs verified in one streaming map (dedup across LSH bands handled
+    inline)."""
+    import ray
+
+    tx_df = docs.map_batches(
+        lambda b: pd.DataFrame({id_col: b[id_col], "t": _norm_text(b[text_col])}),
+        batch_format="pandas",
+    ).to_pandas()
+    texts_ref = ray.put(dict(zip(tx_df[id_col], tx_df["t"])))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.worker_state import get_worker_state, ref_key
+
+        tx = get_worker_state(("jacc-texts", ref_key(texts_ref)), lambda: ray.get(texts_ref))
+        batch = batch.drop_duplicates(subset=["a", "b"])
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(batch["a"], batch["b"]):
+            sa = _word_ngrams(tx.get(a, ""), ngram)
+            sb = _word_ngrams(tx.get(b, ""), ngram)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(round(j, 6))
+        return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
+
+    # cross-band duplicate pairs may straddle batch boundaries — the
+    # in-batch drop_duplicates is an optimization, the groupby the truth
+    return pairs.map_batches(verify, batch_format="pandas").groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 def min_label_components(

@@ -92,6 +92,53 @@ def test_unit_typing():
     assert unit_typing("the 5 km road that goes on and on and on") == []
 
 
+def test_spacy_ner_adapter_semantics():
+    """SpacyNER with an injected stub pipeline reproduces the reference
+    spacy_parser rules (coverage >= len/1.4, concept drops numerics)."""
+    from table_annotation_ray.functions.typing_rules import SpacyNER
+
+    class Ent:
+        def __init__(self, text, label):
+            self.text, self.label_ = text, label
+
+    class Doc:
+        def __init__(self, text, ents):
+            self._text, self.ents = text, ents
+
+        def __str__(self):
+            return self._text
+
+    class StubPipe:
+        def __init__(self, table):
+            self.table = table
+
+        def pipe(self, cells):
+            return [Doc(c, self.table.get(c, [])) for c in cells]
+
+    pipe = StubPipe(
+        {
+            "Paris France": [Ent("Paris", "GPE"), Ent("France", "GPE")],
+            "Paris 1889": [Ent("Paris", "GPE"), Ent("1889", "DATE")],
+            "42nd": [Ent("42nd", "ORDINAL")],
+            "Paris is a very long uncovered sentence": [Ent("Paris", "GPE")],
+        }
+    )
+    ner = SpacyNER(pipe)
+    assert ner("Paris France") == ["GPE"]
+    assert ner("Paris 1889") == ["GPE"]       # concept drops DATE
+    assert ner("42nd") == ["ORDINAL"]         # numeric kept without concept
+    assert ner("Paris is a very long uncovered sentence") == []  # coverage rule
+    assert ner.batch(["Paris France", "42nd"]) == {
+        "Paris France": ["GPE"],
+        "42nd": ["ORDINAL"],
+    }
+    # without spaCy installed, load_default raises the documented error
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        SpacyNER.load_default()
+
+
 def test_unit_table_breadth_matches_reference_classes():
     """Every UNIT_TABLE dimension maps into the reference's with_unit
     class list (annot_scripts/utils.py:155-172), and the table now spans
