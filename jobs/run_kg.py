@@ -34,6 +34,13 @@ def main() -> int:
     parser.add_argument("--partitions", type=int, default=16, help="hash(subj) output partitions")
     parser.add_argument("--buckets", type=int, default=64, help="conv_id shuffle buckets")
     parser.add_argument("--k", type=int, default=20, help="candidates per mention")
+    parser.add_argument(
+        "--sharded-kb", action="store_true",
+        help="serve the KB from an entity-hash actor tier instead of a "
+             "broadcast image (the real-KB scale path; identical output)",
+    )
+    parser.add_argument("--kb-shards", type=int, default=4,
+                        help="shard actors for --sharded-kb")
     args = parser.parse_args()
 
     import ray
@@ -62,7 +69,10 @@ def main() -> int:
             triple_partitions=args.partitions,
         ),
     )
-    run_kg_pipeline(args.transcripts, args.kb, out_dir=args.out, cfg=cfg)
+    run_kg_pipeline(
+        args.transcripts, args.kb, out_dir=args.out, cfg=cfg,
+        sharded_kb=args.sharded_kb, num_kb_shards=args.kb_shards,
+    )
     with open(os.path.join(args.out, "_MANIFEST.json")) as f:
         manifest = json.load(f)
     print(json.dumps({"total_rows": manifest["total_rows"],
