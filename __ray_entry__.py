@@ -316,6 +316,17 @@ def _q_embedding_near_dup(sf_dir: str):
     return out
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (coarse k-means quantizer + nprobe bucket
+    search; rows-only: approximate by design, recall asserted in
+    pytest against brute force)."""
+    from table_annotation_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3], k=5
+    )
+
+
 def _q_ann_lsh_recall(sf_dir: str):
     """Measured recall of the LSH index vs the exact brute-force top-k
     (rows-only: the number is the point)."""
@@ -654,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "minhash_components": _q_minhash_components,
         "embedding_near_dup": _q_embedding_near_dup,

@@ -117,6 +117,35 @@ def test_embedding_near_dup_planted_recall(ray_session):
     assert len(pairs) == len(planted)
 
 
+def test_ivf_topk_recall_on_clusters(ray_session):
+    """IVF with enough probes recovers most true neighbors on a
+    clustered corpus; results are valid (no self matches, correct
+    ranks) and deterministic."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(21)
+    centers = rng.normal(size=(6, 16)) * 4
+    rows = [
+        {"vec_id": i, "embedding": (centers[i % 6] + rng.normal(size=16) * 0.3).tolist()}
+        for i in range(240)
+    ]
+    ds = rd.from_items(rows)
+    exact = brute_force_topk(ds, [0, 1], k=5)
+    approx = ivf_topk(ds, [0, 1], k=5, num_centroids=8, nprobe=3)
+    approx2 = ivf_topk(ds, [0, 1], k=5, num_centroids=8, nprobe=3)
+    pd_eq = approx.reset_index(drop=True).equals(approx2.reset_index(drop=True))
+    assert pd_eq  # deterministic (seeded quantizer, seeded assignment)
+    assert (approx.query_id != approx.neighbor_id).all()
+    for qid in (0, 1):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        assert len(e & a) / len(e) >= 0.6, qid  # tight clusters → high recall
+    got = approx[approx.query_id == 0]
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
 def test_lsh_recall_measurement(ray_session):
     import ray.data as rd
 
