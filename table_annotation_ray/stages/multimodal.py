@@ -110,6 +110,54 @@ class SampleVideoFrames:
         )
 
 
+class ExtractAudioFeatures:
+    """Actor-pool stage: (audio rows) → per-clip features.  Same
+    contract as :class:`DecodeImage`: the PCM decode kernel is stubbed
+    (no ffmpeg/soundfile here — ``_decode_pcm`` raises), the Ray-side
+    plumbing (small payload-dominated batches, per-actor model slot,
+    typed output schema) is real.  Deterministic stand-in features:
+    byte stats plus a windowed byte-energy profile (the shape a real
+    loudness/VAD feature would have)."""
+
+    def __init__(self, sample_rate: int = 16_000, n_windows: int = 8):
+        # a real implementation loads the codec/VAD model here, once per actor
+        self.sample_rate = sample_rate
+        self.n_windows = n_windows
+
+    @staticmethod
+    def _decode_pcm(payload: bytes):
+        raise NotImplementedError(
+            "audio decoding requires ffmpeg/soundfile, absent in this "
+            "environment; plug the codec in here"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, n_bytes, checksums, energies = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            payload = payload or b""
+            ids.append(mid)
+            n_bytes.append(len(payload))
+            checksums.append(zlib.crc32(payload))
+            if payload:
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                win = np.array_split(arr, self.n_windows)
+                energies.append([round(float(w.mean()), 3) if len(w) else 0.0 for w in win])
+            else:
+                energies.append([0.0] * self.n_windows)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "checksum": pa.array(checksums, pa.int64()),
+                "energy_profile": pa.array(energies, pa.list_(pa.float64())),
+            }
+        )
+
+
 def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic fake media rows for tests/benches."""
     import numpy as np

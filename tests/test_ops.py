@@ -220,6 +220,34 @@ def test_multimodal_decode_stage(ray_session):
     assert len(frames) == 32 * 4
 
 
+def test_audio_feature_stage(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        RECOMMENDED_BATCH_SIZE,
+        ExtractAudioFeatures,
+        synth_media_table,
+    )
+
+    media = synth_media_table(n=24, seed=7)
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow",
+        batch_size=RECOMMENDED_BATCH_SIZE, concurrency=(1, 2),
+    ).to_pandas()
+    assert len(feats) == 24
+    assert (feats.n_bytes > 0).all()
+    assert feats.energy_profile.map(len).eq(8).all()
+    # deterministic across runs
+    feats2 = rd.from_arrow(media).map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    assert feats.sort_values("media_id").checksum.tolist() == \
+        feats2.sort_values("media_id").checksum.tolist()
+    with pytest.raises(NotImplementedError):
+        ExtractAudioFeatures._decode_pcm(b"RIFF")
+
+
 def test_pii_scrub_matches_duckdb(ray_session):
     """The scrub semantics are pinned against DuckDB's RE2 on inputs
     with real matches (the driver testdata has none, so its hash-match
