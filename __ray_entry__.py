@@ -179,6 +179,41 @@ def _q_events_hourly(sf_dir: str):
     return out
 
 
+def _q_sliding_window_events(sf_dir: str):
+    """Sliding-window aggregate (1 h window, 15 min hop): each event
+    explodes to the 4 hop-aligned windows covering it (map-side, no
+    per-window scan), then one groupby — the streaming-window shape the
+    brief names as a custom operator.  SQL oracle: cross join with the
+    hop offsets."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def explode_windows(b: pd.DataFrame) -> pd.DataFrame:
+        hop = pd.Timedelta(minutes=15)
+        base = b["ts"].dt.floor("15min")
+        frames = []
+        for k in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": b["event_type"],
+                        "window_start": (base - k * hop).dt.strftime("%Y-%m-%d %H:%M:%S"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    out = (
+        ds.map_batches(explode_windows, batch_format="pandas")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def _q_user_sessions(sf_dir: str):
     """Sessionization: 30-min-gap sessions per user — the stream-shaped
     windowed aggregate (groupby key, sort by ts inside the group)."""
@@ -362,6 +397,26 @@ def _q_hash_sample(sf_dir: str):
     )
     if "doc_id" not in out.columns:
         out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment (90/5/5 by the same
+    multiplicative id hash as hash_sample) — the corpus-split primitive;
+    reproducible run-to-run and in SQL."""
+    from table_annotation_ray.stages.datapipe import HASH_MOD, HASH_MULT
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["doc_id"].to_numpy(dtype=np.int64) * HASH_MULT) % HASH_MOD % 100
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pd.DataFrame({"doc_id": b["doc_id"], "split": split})
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+    )
     out["doc_id"] = out["doc_id"].astype("int64")
     return out
 
@@ -651,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "top_parts_by_revenue": _q_top_parts_by_revenue,
         "events_hourly": _q_events_hourly,
+        "sliding_window_events": _q_sliding_window_events,
         "user_sessions": _q_user_sessions,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -659,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "pii_scrub": _q_pii_scrub,
         "hash_sample": _q_hash_sample,
+        "dataset_split": _q_dataset_split,
         "repetition_stats": _q_repetition_stats,
         "char_entropy": _q_char_entropy,
         "pack_documents": _q_pack_documents,
@@ -715,6 +772,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*)              AS n,
                    round(sum(value), 2)  AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_window_events": """
+            SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts)
+                            - k.k * INTERVAL 15 MINUTE,
+                            '%Y-%m-%d %H:%M:%S')  AS window_start,
+                   event_type,
+                   count(*)                        AS n
+            FROM events
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+            GROUP BY 1, 2
         """,
         "user_sessions": """
             WITH gaps AS (
@@ -807,6 +874,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id FROM documents
             WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "repetition_stats": """
             WITH s AS (SELECT doc_id,
