@@ -700,6 +700,30 @@ def _q_media_features(sf_dir: str):
     ).to_pandas()
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio branch of the multimodal family (decode kernel stubbed;
+    rows-only) — deterministic byte-energy profiles per clip."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        RECOMMENDED_BATCH_SIZE,
+        ExtractAudioFeatures,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=96, seed=11))
+    out = ds.map_batches(
+        ExtractAudioFeatures,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=(1, 2),
+    ).to_pandas()
+    out["energy_profile"] = out["energy_profile"].map(
+        lambda xs: ",".join(str(x) for x in xs)
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -738,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
         "media_features": _q_media_features,
+        "audio_features": _q_audio_features,
     }
 
 
