@@ -299,7 +299,10 @@ def _q_quality_filter(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
-    """Heuristic language ID (rows-only: the prediction has no SQL oracle)."""
+    """Heuristic language ID by stopword voting — SQL-verified: the
+    strict-greater update rule equals "first language attaining the
+    positive maximum", which is a CASE chain over per-language
+    list_filter counts."""
     from table_annotation_ray.stages.textstats import lang_id
 
     return (
@@ -961,7 +964,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_partkey
             HAVING count(*) >= greatest(40, ceil((SELECT count(*) FROM lineitem) / 1500.0))
         """,
-        # lang_id / ann_lsh / minhash_components / simhash_pairs /
+        "lang_id": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('the','and','of','to','a','in','is','it','you','that','was','for'))) AS n_en,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('le','la','les','de','des','et','un','une','est','que','pour','dans'))) AS n_fr,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('der','die','das','und','ist','ein','eine','zu','den','von','mit','für'))) AS n_de,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('el','la','los','las','de','y','un','una','es','que','por','para'))) AS n_es
+                FROM documents)
+            -- the heuristic's strict-greater update rule == first language
+            -- (in en,fr,de,es order) attaining the positive maximum
+            SELECT doc_id,
+                   CASE WHEN greatest(n_en, n_fr, n_de, n_es) = 0 THEN 'und'
+                        WHEN n_en = greatest(n_en, n_fr, n_de, n_es) THEN 'en'
+                        WHEN n_fr = greatest(n_en, n_fr, n_de, n_es) THEN 'fr'
+                        WHEN n_de = greatest(n_en, n_fr, n_de, n_es) THEN 'de'
+                        ELSE 'es' END AS pred_lang
+            FROM c
+        """,
+        # ann_lsh / minhash_components / simhash_pairs /
         # kg_* / entity_lookup / table_* / media_features: heuristic,
         # approximate or model-driven — no SQL equivalent; the driver
         # records rows-only checks.
