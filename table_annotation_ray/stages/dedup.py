@@ -120,7 +120,14 @@ def minhash_bands(
     ngram: int = 3,
     seed: int = 7,
 ) -> rd.Dataset:
-    """documents → exploded (band, band_hash, doc_id) rows (LSH keys)."""
+    """documents → exploded (band, band_hash, doc_id) rows (LSH keys).
+
+    The permutation minima are computed for the WHOLE batch in one
+    ``(P, S_total)`` universal-hash matrix + ``np.minimum.reduceat``
+    over per-doc shingle segments — bit-identical to the per-doc
+    :meth:`MinHasher.signature` (same constants, same math) without
+    4096 tiny numpy calls per batch.  Shingling (string n-grams +
+    crc32) stays a per-doc loop: it is C-bound string work."""
     rows_per_band = num_perms // bands
 
     def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
@@ -129,15 +136,40 @@ def minhash_bands(
         hasher = get_worker_state(
             ("minhash", num_perms, seed), lambda: MinHasher(num_perms, seed)
         )
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch[id_col], _norm_text(batch[text_col])):
-            sig = hasher.signature(_word_ngrams(text, ngram))
+        texts = _norm_text(batch[text_col]).reset_index(drop=True)
+        ids = batch[id_col].reset_index(drop=True)
+        n = len(texts)
+        all_hashes: list[int] = []
+        offsets = np.empty(n + 1, dtype=np.int64)
+        offsets[0] = 0
+        for i, text in enumerate(texts):
+            all_hashes.extend(_word_ngrams(text, ngram))
+            offsets[i + 1] = len(all_hashes)
+        sigs = np.full((n, num_perms), _MERSENNE, dtype=np.int64)
+        nonempty = offsets[1:] > offsets[:-1]
+        if all_hashes:
+            h = np.fromiter(all_hashes, dtype=np.int64, count=len(all_hashes))
+            vals = (hasher.a[:, None] * h[None, :] + hasher.b[:, None]) % _MERSENNE
+            # empty docs contribute no elements, so the nonempty starts
+            # partition the concatenated hash array exactly
+            sigs[nonempty] = np.minimum.reduceat(
+                vals, offsets[:-1][nonempty], axis=1
+            ).T
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        band_hashes = np.empty(n * bands, dtype=np.int64)
+        for i in range(n):
+            row = sigs[i]
             for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(zlib.crc32(chunk.tobytes()))
-        return pd.DataFrame({"band": band_ids, "band_hash": band_hashes, id_col: ids})
+                band_hashes[i * bands + b] = zlib.crc32(
+                    row[b * rows_per_band : (b + 1) * rows_per_band].tobytes()
+                )
+        return pd.DataFrame(
+            {
+                "band": band_ids,
+                "band_hash": band_hashes,
+                id_col: np.repeat(ids.to_numpy(), bands),
+            }
+        )
 
     return docs.map_batches(band_stage, batch_format="pandas")
 
