@@ -185,33 +185,44 @@ def _q_sliding_window_events(sf_dir: str):
     per-window scan), then one groupby — the streaming-window shape the
     brief names as a custom operator.  SQL oracle: cross join with the
     hop offsets."""
-    from ray.data.aggregate import Count
-
     ds = _read(sf_dir, "events", ["event_type", "ts"])
 
-    def explode_windows(b: pd.DataFrame) -> pd.DataFrame:
-        hop = pd.Timedelta(minutes=15)
-        base = b["ts"].dt.floor("15min")
-        frames = []
-        for k in range(4):
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "event_type": b["event_type"],
-                        "window_start": (base - k * hop).dt.strftime("%Y-%m-%d %H:%M:%S"),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+    def explode_and_combine(b: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner: the 4x-exploded rows collapse to per-batch
+        # partial counts BEFORE the shuffle (int64 epoch keys, not
+        # strings — formatting happens on the final aggregated rows).
+        # resolution-independent epoch seconds (the arrow→pandas ts may
+        # be datetime64[us], where astype(int64)//1e9 silently breaks)
+        secs = (b["ts"] - pd.Timestamp(0)).dt.total_seconds().astype("int64")
+        base = (secs // 900) * 900
+        frames = [
+            pd.DataFrame({"event_type": b["event_type"], "wstart": base - k * 900})
+            for k in range(4)
+        ]
+        exploded = pd.concat(frames, ignore_index=True)
+        return (
+            exploded.groupby(["wstart", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
 
+    # final merge of the bounded-cardinality partials (≤ windows×types
+    # per batch) — driver-side like the heavy-hitter verify; swap for
+    # groupby(...).aggregate(Sum) when the window×type key space is
+    # unbounded (it costs a full sort shuffle)
+    partials = ds.map_batches(
+        explode_and_combine, batch_format="pandas", batch_size=65536
+    ).to_pandas()
     out = (
-        ds.map_batches(explode_windows, batch_format="pandas")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
+        partials.groupby(["wstart", "event_type"], as_index=False)["partial"]
+        .sum()
+        .rename(columns={"partial": "n"})
+    )
+    out["window_start"] = pd.to_datetime(out.pop("wstart"), unit="s").dt.strftime(
+        "%Y-%m-%d %H:%M:%S"
     )
     out["n"] = out["n"].astype("int64")
-    return out
+    return out[["window_start", "event_type", "n"]]
 
 
 def _q_user_sessions(sf_dir: str):
