@@ -34,6 +34,8 @@ is the one shape the Dataset API cannot express.
 
 from __future__ import annotations
 
+import json
+import math
 import os
 import zlib
 
@@ -76,15 +78,37 @@ def load_kb_shard(kb_dir: str, num_shards: int, shard_id: int) -> KBData:
     """Load ONE entity-hash shard of the KB Parquet tables.  With the
     bucketed `edges/bucket=i/` layout from kb_build the scan is pruned to
     the shard's own files; the flat single-file layout (synth mini-KB)
-    falls back to read-and-filter, which is still per-actor work."""
+    falls back to read-and-filter, which is still per-actor work.
+
+    Routing invariant: the reader sends entity E to shard
+    ``crc32(E) % num_shards`` (:func:`_owner`), while the build bucketed
+    by ``crc32(E) % num_buckets``.  Pruning bucket dirs by
+    ``bucket % num_shards == shard_id`` is exact ONLY when num_shards
+    divides num_buckets; otherwise an entity can sit in a bucket this
+    shard skips while the reader still routes it here (silent
+    missing-entity defaults → wrong triples).  So: read num_buckets from
+    the build manifest, prune by the CRT-compatible condition
+    ``bucket % gcd(num_buckets, num_shards) == shard_id % gcd``, and
+    keep the exact per-row ``_owner`` filter unless divisibility makes
+    the prune exact."""
     kb = KBData()
 
     bucketed = os.path.join(kb_dir, "edges")
     if os.path.isdir(bucketed) and num_shards > 0:
-        # read only this shard's buckets (bucket % num_shards == shard_id)
+        num_buckets = None
+        manifest = os.path.join(bucketed, "_bucket_manifest.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                num_buckets = int(json.load(f)["num_buckets"])
+        if num_buckets is not None and num_buckets % num_shards == 0:
+            g = num_shards  # prune is exact, skip the per-row filter
+            own_src = None
+        else:
+            g = math.gcd(num_buckets, num_shards) if num_buckets else 1
+            own_src = lambda e: _owner(e, num_shards) == shard_id  # noqa: E731
         paths = []
         for d in sorted(os.listdir(bucketed)):
-            if d.startswith("bucket=") and int(d.split("=")[1]) % num_shards == shard_id:
+            if d.startswith("bucket=") and int(d.split("=")[1]) % g == shard_id % g:
                 bdir = os.path.join(bucketed, d)
                 paths.extend(
                     os.path.join(bdir, f)
@@ -92,20 +116,23 @@ def load_kb_shard(kb_dir: str, num_shards: int, shard_id: int) -> KBData:
                     if f.endswith(".parquet")
                 )
         edges = pq.read_table(paths) if paths else None
-        own_src = None  # bucket pruning already filtered
     else:
         edges = pq.read_table(os.path.join(kb_dir, "kb_edges.parquet"))
         own_src = lambda e: _owner(e, num_shards) == shard_id  # noqa: E731
 
     if edges is not None:
+        last_src, last_keep = None, True  # edge rows cluster by src
         for src, pid, obj, kind in zip(
             edges["src"].to_pylist(),
             edges["pid"].to_pylist(),
             edges["obj"].to_pylist(),
             edges["obj_kind"].to_pylist(),
         ):
-            if own_src is not None and not own_src(src):
-                continue
+            if own_src is not None:
+                if src != last_src:
+                    last_src, last_keep = src, own_src(src)
+                if not last_keep:
+                    continue
             kb.subgraphs.setdefault(src, {}).setdefault(pid, {})[obj] = kind
 
     meta = pq.read_table(os.path.join(kb_dir, "kb_entity_meta.parquet"))
@@ -188,8 +215,12 @@ class ShardedKBReader(KBReader):
         self.cache_size = cache_size
         self.kb = None  # no local image — everything goes through shards
         self.transitive_pids = TRANSITIVE_PIDS
+        # True LRU: dict insertion order is recency order; hits move the
+        # entry to the end (dict re-insert), _evict pops the front.
         self._cache: dict[str, tuple] = {}  # eid -> (subgraph, label, num_edges)
         self._meta: dict[str, int] = {}  # eid -> num_edges (light cache)
+        self.hits = 0
+        self.misses = 0
 
     # -- plumbing ----------------------------------------------------------
     def _evict(self) -> None:
@@ -198,10 +229,29 @@ class ShardedKBReader(KBReader):
         while len(self._meta) > self.cache_size:
             self._meta.pop(next(iter(self._meta)))
 
+    def _touch(self, eid: str, entry: tuple) -> None:
+        """Move-to-end on hit (del+reinsert on a plain dict is the
+        cheapest LRU bump available without OrderedDict's overhead)."""
+        del self._cache[eid]
+        self._cache[eid] = entry
+
+    def cache_stats(self) -> dict:
+        total = self.hits + self.misses
+        return {
+            "hits": self.hits,
+            "misses": self.misses,
+            "hit_rate": self.hits / total if total else None,
+            "cached": len(self._cache),
+            "meta_cached": len(self._meta),
+        }
+
     def _fetch(self, ids: list[str]) -> None:
         """One batched fan-out: ids grouped by owning shard, all shard
         calls in flight together."""
-        todo = [e for e in dict.fromkeys(ids) if e not in self._cache]
+        uniq = dict.fromkeys(ids)
+        todo = [e for e in uniq if e not in self._cache]
+        self.misses += len(todo)
+        self.hits += len(uniq) - len(todo)
         if not todo:
             return
         by_shard: dict[int, list[str]] = {}
@@ -236,8 +286,11 @@ class ShardedKBReader(KBReader):
     def _entry(self, eid: str) -> tuple:
         entry = self._cache.get(eid)
         if entry is None:
-            self._fetch([eid])
+            self._fetch([eid])  # counts the miss
             entry = self._cache[eid]
+        else:
+            self.hits += 1
+            self._touch(eid, entry)
         return entry
 
     # -- primitives --------------------------------------------------------
@@ -250,9 +303,12 @@ class ShardedKBReader(KBReader):
     def get_num_edges(self, entity_id: str) -> int:
         entry = self._cache.get(entity_id)
         if entry is not None:
+            self.hits += 1
+            self._touch(entity_id, entry)
             return entry[2]
         n = self._meta.get(entity_id)
         if n is not None:
+            self.hits += 1
             return n
         return self._entry(entity_id)[2]
 

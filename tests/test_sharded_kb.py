@@ -76,6 +76,88 @@ def test_parquet_shards_partition_kb(parquet_tier, kb_objects):
         assert reader.get_subgraph_of_entity(eid) == kb.subgraphs.get(eid, {})
 
 
+def _bucketize_kb(synth_root, out_dir, num_buckets, manifest=True):
+    """Re-shard the flat synth KB into the kb_build `edges/bucket=i/`
+    layout with an arbitrary bucket modulus (to exercise shard routing
+    when num_shards does NOT divide num_buckets)."""
+    import json
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_dir = os.path.join(synth_root, "kb")
+    os.makedirs(out_dir, exist_ok=True)
+    for f in ("kb_entity_meta.parquet", "kb_labels.parquet"):
+        shutil.copy(os.path.join(src_dir, f), os.path.join(out_dir, f))
+    edges = pq.read_table(os.path.join(src_dir, "kb_edges.parquet"))
+    buckets = [zlib.crc32(s.encode()) % num_buckets for s in edges["src"].to_pylist()]
+    edges_dir = os.path.join(out_dir, "edges")
+    os.makedirs(edges_dir, exist_ok=True)
+    for b in range(num_buckets):
+        sub = edges.filter(pa.array([x == b for x in buckets]))
+        if len(sub):
+            d = os.path.join(edges_dir, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, "part-0.parquet"))
+    if manifest:
+        with open(os.path.join(edges_dir, "_bucket_manifest.json"), "w") as f:
+            json.dump({"num_buckets": num_buckets, "hash": "crc32"}, f)
+    return out_dir
+
+
+@pytest.mark.parametrize(
+    "num_buckets,num_shards,manifest",
+    [
+        (5, 3, True),   # non-divisible: CRT prune degenerates, owner filter must save it
+        (6, 3, True),   # divisible: exact dir prune, no row filter
+        (4, 3, False),  # legacy layout without manifest: conservative read-all + filter
+    ],
+)
+def test_bucketed_routing_any_shard_count(
+    ray_session, synth_root, kb_objects, tmp_path, num_buckets, num_shards, manifest
+):
+    """Regression for the bucket%shards vs crc32%shards routing mismatch:
+    every entity must be loaded on exactly the shard the reader routes
+    its fetch to, for ANY (num_buckets, num_shards) combination."""
+    import ray
+
+    from table_annotation_ray.state.sharded_kb import ShardedKBTier
+
+    kb, _, _ = kb_objects
+    kb_dir = _bucketize_kb(
+        synth_root, str(tmp_path / f"kb_b{num_buckets}"), num_buckets, manifest
+    )
+    tier = ShardedKBTier.create_from_parquet(
+        kb_dir, num_shards=num_shards, num_cpus_per_shard=0
+    )
+    sizes = ray.get([a.num_entities.remote() for a in tier.actors])
+    assert sum(sizes) == len(kb.subgraphs)  # no entity lost or duplicated
+    reader = tier.make_reader()
+    for eid in _sample_entities(kb, 25):
+        assert reader.get_subgraph_of_entity(eid) == kb.subgraphs.get(eid, {}), eid
+        assert reader.get_num_edges(eid) == kb.num_edges.get(eid, 0), eid
+
+
+def test_reader_cache_is_true_lru(kb_tier, kb_objects):
+    """Hot entries survive eviction (move-to-end on hit), and hit/miss
+    counters are exposed via cache_stats()."""
+    kb, _, _ = kb_objects
+    ents = sorted(kb.subgraphs)[:4]
+    a, b, c, d = ents
+    reader = kb_tier.make_reader(cache_size=3)
+    for e in (a, b, c):
+        reader.get_subgraph_of_entity(e)  # 3 misses, cache [a, b, c]
+    reader.get_subgraph_of_entity(a)  # hit — a bumped to MRU: [b, c, a]
+    reader.get_subgraph_of_entity(d)  # miss + evict LRU (b): [c, a, d]
+    assert a in reader._cache and d in reader._cache
+    assert b not in reader._cache  # FIFO would have evicted a instead
+    stats = reader.cache_stats()
+    assert stats["misses"] == 4 and stats["hits"] == 1
+    assert stats["hit_rate"] == pytest.approx(0.2)
+
+
 def test_triples_identical_with_tier(ray_session, synth_root, kb_objects):
     """The flagship output is byte-identical with the sharded KB+lookup
     tiers enabled (kb image never shipped to workers)."""
