@@ -82,20 +82,52 @@ class HyperLogLog:
         return cls(p, np.frombuffer(b, dtype=np.uint8).copy())
 
 
-def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
-    """Streaming approximate distinct count: one HLL per batch, merged.
-    Standard error ≈ 1.04/sqrt(2^p) (~1.6% at p=12)."""
+def tree_reduce(
+    parts: rd.Dataset, merge_fn, fanin: int = 64, max_partials: int = 128
+) -> pd.DataFrame:
+    """Distributed reduction of mergeable-partial rows: repeated
+    ``map_batches`` merge tiers (each batch of ≤ ``fanin`` partials →
+    one merged partial) until ≤ ``max_partials`` rows remain, then
+    collect.  At 10^12 rows / 64k batches that is ~15M partials → 3
+    distributed tiers → a driver merge over ≤128 rows, instead of a 15M
+    iteration Python loop on the driver.  Materializing between tiers is
+    fine — partials are sketch-sized, not data-sized."""
+    parts = parts.materialize()
+    n = parts.count()
+    while n > max_partials:
+        parts = parts.map_batches(
+            merge_fn, batch_format="pandas", batch_size=fanin
+        ).materialize()
+        prev, n = n, parts.count()
+        if n >= prev:  # safety: merge_fn failed to reduce — fall out
+            break
+    # to_pandas, not take_all: row materialization is pathologically slow
+    # in ray 2.49 (measured 57 s vs 0.4 s for 76k rows)
+    return parts.to_pandas()
+
+
+def approx_distinct(
+    ds: rd.Dataset, col: str, p: int = 12, batch_size: int = 65536
+) -> float:
+    """Streaming approximate distinct count: one HLL per batch, merged
+    through a distributed tree-reduce (register max is associative —
+    the result is bit-identical to a flat merge)."""
 
     def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
         hll = HyperLogLog(p)
         hll.add_hashes(_hash64(batch[col]))
         return pd.DataFrame({"sketch": [hll.to_bytes()]})
 
-    # to_pandas, not take_all: row materialization is pathologically slow
-    # in ray 2.49 (measured 57 s vs 0.4 s for 76k rows)
-    parts = ds.map_batches(
-        sketch_batch, batch_format="pandas", batch_size=65536
-    ).to_pandas()
+    def merge_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in batch["sketch"]]
+        ).max(axis=0)
+        return pd.DataFrame({"sketch": [regs.tobytes()]})
+
+    parts = tree_reduce(
+        ds.map_batches(sketch_batch, batch_format="pandas", batch_size=batch_size),
+        merge_batch,
+    )
     merged = HyperLogLog(p)
     for sk in parts["sketch"]:
         merged = merged.merge(HyperLogLog.from_bytes(sk, p))
@@ -151,39 +183,53 @@ def heavy_hitters(
     HAVING count(*) >= min_count) as long as min_count ≥ N/k — assert
     that precondition rather than silently under-reporting.
 
-    TWO passes total over ``ds``: the sketch pass piggybacks per-batch
-    row counts (one sentinel row per batch), so the total row count —
-    needed both for the guarantee assert and for callers whose
-    threshold depends on N — costs no extra scan.  ``min_count`` may be
-    an int or a callable ``total_rows -> int`` (resolved after the
-    sketch pass)."""
+    TWO passes total over ``ds``: each sketch partial is ONE row
+    ``(pickled counters, row count)``, so the total row count — needed
+    both for the guarantee assert and for callers whose threshold
+    depends on N — costs no extra scan, and is carried even when a
+    batch's candidates compress to empty (>k all-distinct values: the
+    old per-key row format dropped the count row with them, silently
+    understating N).  Partials are merged through a distributed
+    tree-reduce; the driver merges ≤128 final partials.  ``min_count``
+    may be an int or a callable ``total_rows -> int`` (resolved after
+    the sketch pass)."""
+    import pickle
 
     def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
         mg = MisraGries(k)
         for key, cnt in batch[col].value_counts().items():
             mg.add(key, int(cnt))
-        cand = mg.candidates()
-        keys = list(cand)
-        cnts = list(cand.values())
-        flags = [False] * len(keys)
-        if keys:  # count row reuses a key value (no None → dtype stays clean)
-            keys.append(keys[0])
-            cnts.append(len(batch))
-            flags.append(True)
         return pd.DataFrame(
-            {"key": keys, "cnt": pd.Series(cnts, dtype="int64"), "is_count": flags}
+            {
+                "sketch": [pickle.dumps(mg.candidates())],
+                "rows": pd.Series([len(batch)], dtype="int64"),
+            }
         )
 
+    def merge_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        mg = MisraGries(k)
+        rows = 0
+        for sk, n in zip(batch["sketch"], batch["rows"]):
+            for key, cnt in pickle.loads(sk).items():
+                mg.add(key, int(cnt))
+            rows += int(n)
+        return pd.DataFrame(
+            {
+                "sketch": [pickle.dumps(mg.candidates())],
+                "rows": pd.Series([rows], dtype="int64"),
+            }
+        )
+
+    parts = tree_reduce(
+        ds.map_batches(sketch_batch, batch_format="pandas", batch_size=65536),
+        merge_batch,
+    )
     merged = MisraGries(k)
     total = 0
-    parts = ds.map_batches(
-        sketch_batch, batch_format="pandas", batch_size=65536
-    ).to_pandas()
-    for key, cnt, is_count in zip(parts["key"], parts["cnt"], parts["is_count"]):
-        if is_count:
-            total += int(cnt)
-        else:
+    for sk, n in zip(parts["sketch"], parts["rows"]):
+        for key, cnt in pickle.loads(sk).items():
             merged.add(key, int(cnt))
+        total += int(n)
     if callable(min_count):
         min_count = int(min_count(total))
     assert min_count >= total / k, (

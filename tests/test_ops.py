@@ -426,3 +426,48 @@ def test_heavy_hitters_exact(ray_session):
     out = heavy_hitters(rd.from_items(rows), "k", min_count=100, k=64)
     got = dict(zip(out.k, out.n))
     assert got == {"hot1": 500, "hot2": 120}
+
+
+def test_heavy_hitters_counts_all_distinct_batches(ray_session):
+    """Regression: a batch whose Misra-Gries candidates compress to
+    empty (>k all-distinct values) must still contribute its rows to the
+    total N used for callable thresholds and the N/k guarantee."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.sketches import MisraGries, heavy_hitters
+
+    # unit-level: >k distinct singletons compress to an empty candidate set
+    mg = MisraGries(4)
+    for i in range(9):
+        mg.add(f"d{i}")
+    assert mg.candidates() == {}
+
+    # end-to-end: 2000 all-distinct rows + one hot key; threshold is a
+    # callable over total N — if the distinct batches' counts vanished,
+    # total would understate 2600 and the resolved threshold would drift
+    rows = [{"k": f"cold{i}"} for i in range(2000)] + [{"k": "hot"}] * 600
+    seen = {}
+
+    def threshold(total):
+        seen["total"] = total
+        return max(1, total // 5)  # 520 with the true N
+
+    out = heavy_hitters(
+        rd.from_items(rows).repartition(8), "k", min_count=threshold, k=64
+    )
+    assert seen["total"] == 2600
+    assert dict(zip(out.k, out.n)) == {"hot": 600}
+
+
+def test_tree_reduce_many_partials(ray_session):
+    """approx_distinct through >max_partials sketch partials (forces at
+    least one distributed merge tier) is bit-identical to the flat path."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.sketches import approx_distinct
+
+    rows = [{"k": f"key-{i % 777}"} for i in range(6000)]
+    # batch_size=20 → 300 partials > max_partials=128 → merge tier runs
+    est = approx_distinct(rd.from_items(rows), "k", p=10, batch_size=20)
+    flat = approx_distinct(rd.from_items(rows), "k", p=10)
+    assert est == flat  # register max is associative — identical estimate
