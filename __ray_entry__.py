@@ -463,14 +463,24 @@ def _q_pack_documents(sf_dir: str):
     running sum."""
     from table_annotation_ray.stages.datapipe import pack_documents
 
-    return pack_documents(_read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=512)
+    # collection happens HERE, at known-small sf scale — the stage
+    # itself returns a Dataset (one row per doc = corpus cardinality)
+    return (
+        pack_documents(_read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_minhash_components(sf_dir: str):
     from table_annotation_ray.stages.dedup import minhash_dedup
 
-    return minhash_dedup(
-        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    return (
+        minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )
 
 

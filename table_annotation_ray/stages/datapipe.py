@@ -116,10 +116,12 @@ def pack_documents(
     chunk: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Assign every document a (pack_id, token_offset) for fixed-size
     training-sequence packing: documents in ``doc_id`` order are laid
-    end-to-end and ``pack_id = token_offset // max_tokens``.
+    end-to-end and ``pack_id = token_offset // max_tokens``.  Returns a
+    DATASET (one row per document — corpus cardinality); collection is
+    the caller's choice at the caller's scale.
 
     Distributed prefix sum, no global sort: (1) per-doc whitespace token
     counts in ``map_batches``; (2) ``groupby(doc_id // chunk)`` sums —
@@ -171,11 +173,4 @@ def pack_documents(
             }
         )
 
-    out = (
-        toks.groupby("chunk_id")
-        .map_groups(assign, batch_format="pandas")
-        .to_pandas()
-        .sort_values(id_col)
-        .reset_index(drop=True)
-    )
-    return out
+    return toks.groupby("chunk_id").map_groups(assign, batch_format="pandas")

@@ -480,28 +480,25 @@ def minhash_dedup(
     text_col: str = "text",
     threshold: float = 0.8,
     distributed_above: int = 200_000,
-) -> pd.DataFrame:
-    """Full near-dup pipeline → (doc_id, component) for docs that have a
-    near-duplicate (singleton docs are not listed).
+) -> rd.Dataset:
+    """Full near-dup pipeline → Dataset of (doc_id, component) for docs
+    that have a near-duplicate (singleton docs are not listed).
 
     Components run through driver union-find only while the verified
     pair set is small (≤ ``distributed_above`` pairs); above that the
     distributed :func:`min_label_components` takes over (equivalent
-    output, tested), so the driver never holds a large pair set."""
+    output, tested).  Either way the RESULT stays a Dataset — one row
+    per near-duplicated doc is corpus-cardinality data, so collection
+    (``to_pandas``) is the caller's choice, made at the caller's scale
+    (the sf-scale query wrappers collect; a 100 TB job writes Parquet)."""
     bands = minhash_bands(docs, id_col, text_col)
     # dedup=False: jaccard_verify re-keys by (a, b) anyway, so the
     # cross-band pair-dedup all-to-all is pure overhead here
     cand = minhash_candidate_pairs(bands, id_col, dedup=False)
     verified = jaccard_verify(cand, docs, id_col, text_col, threshold).materialize()
     if verified.count() > distributed_above:
-        out = (
-            min_label_components(verified)
-            .to_pandas()
-            .sort_values("doc_id")
-            .reset_index(drop=True)
-        )
-        return out
-    return connected_components(verified.to_pandas())
+        return min_label_components(verified)
+    return rd.from_pandas(connected_components(verified.to_pandas()))
 
 
 # ---------------------------------------------------------------------------

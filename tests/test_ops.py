@@ -32,7 +32,7 @@ def test_exact_dedup(docs_ds):
 def test_minhash_dedup_finds_near_dup(docs_ds):
     from table_annotation_ray.stages.dedup import minhash_dedup
 
-    comp = minhash_dedup(docs_ds, threshold=0.5)
+    comp = minhash_dedup(docs_ds, threshold=0.5).to_pandas()
     comp_of = dict(zip(comp.doc_id, comp.component))
     # exact + near dups share a component rooted at doc 0
     assert comp_of.get(1) == comp_of.get(0)
@@ -89,8 +89,11 @@ def test_minhash_dedup_distributed_path_equals_driver(docs_ds):
     produce the same components as driver union-find (VERDICT r1 #3)."""
     from table_annotation_ray.stages.dedup import minhash_dedup
 
-    driver = minhash_dedup(docs_ds, threshold=0.5)
-    dist = minhash_dedup(docs_ds, threshold=0.5, distributed_above=0)
+    def collect(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    driver = collect(minhash_dedup(docs_ds, threshold=0.5))
+    dist = collect(minhash_dedup(docs_ds, threshold=0.5, distributed_above=0))
     assert driver.equals(dist)
 
 
@@ -300,7 +303,12 @@ def test_pack_documents_prefix_sum(ray_session):
     from table_annotation_ray.stages.datapipe import pack_documents
 
     docs = [{"doc_id": i, "text": " ".join(["w"] * (10 * (i % 7 + 1)))} for i in range(300)]
-    out = pack_documents(rd.from_items(docs), max_tokens=100, chunk=64)
+    out = (
+        pack_documents(rd.from_items(docs), max_tokens=100, chunk=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     # offsets are the running sum of token counts in doc_id order
     ntok = [10 * (i % 7 + 1) for i in range(300)]
     expect_off = np.concatenate([[0], np.cumsum(ntok)[:-1]])
