@@ -584,33 +584,47 @@ def _q_kg_annotations(sf_dir: str):
 
 
 def _q_parts_never_ordered(sf_dir: str):
-    """Anti-join via broadcast key set (ray_guide semi/anti pattern):
-    parts never ordered in bulk (no lineitem with quantity > 45)."""
+    """Anti-join: parts never ordered in bulk (no lineitem with
+    quantity > 45).  Size-gated in stages/relational.py — broadcast key
+    set below the threshold, co-location groupby-aggregate above (the
+    bulk-ordered key set approaches the part-dimension size at scale, a
+    multi-GB ray.put per worker if always broadcast)."""
     import pyarrow.compute as pc
-    import ray
+
+    from table_annotation_ray.stages.relational import anti_join_keys
 
     bulk = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
         lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)).select(["l_partkey"]),
         batch_format="pyarrow",
     )
-    from table_annotation_ray.state.worker_state import get_worker_state, ref_key
-
-    keys = set(bulk.unique("l_partkey"))
-    keys_ref = ray.put(keys)
-
-    def anti_join(b: pd.DataFrame) -> pd.DataFrame:
-        ks = get_worker_state(("antikeys", ref_key(keys_ref)), lambda: ray.get(keys_ref))
-        return b[~b["p_partkey"].isin(ks)][["p_partkey"]]
-
-    out = (
-        _read(sf_dir, "part", ["p_partkey"])
-        .map_batches(anti_join, batch_format="pandas")
-        .to_pandas()
-    )
+    out = anti_join_keys(
+        _read(sf_dir, "part", ["p_partkey"]), bulk, "p_partkey", "l_partkey"
+    ).to_pandas()
     if "p_partkey" not in out.columns:  # empty anti-join loses columns
         out = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64")})
     out["p_partkey"] = out["p_partkey"].astype("int64")
-    return out
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def _q_parts_bulk_ordered(sf_dir: str):
+    """Semi-join twin of parts_never_ordered, FORCED through the
+    co-location groupby-aggregate path (broadcast_below=0) so the
+    distributed variant — the one a 100 TB run takes — is the one the
+    SQL oracle hash-verifies."""
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.relational import semi_join_keys
+
+    bulk = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)).select(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    out = semi_join_keys(
+        _read(sf_dir, "part", ["p_partkey"]), bulk, "p_partkey", "l_partkey",
+        broadcast_below=0,
+    ).to_pandas()
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
 
 
 def _q_kg_triples(sf_dir: str):
@@ -782,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_annotations": _q_kg_annotations,
         "kg_triples": _q_kg_triples,
         "parts_never_ordered": _q_parts_never_ordered,
+        "parts_bulk_ordered": _q_parts_bulk_ordered,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -976,6 +991,12 @@ def oracle_sql() -> dict[str, str]:
         "parts_never_ordered": """
             SELECT p_partkey FROM part
             WHERE p_partkey NOT IN (
+                SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+            )
+        """,
+        "parts_bulk_ordered": """
+            SELECT p_partkey FROM part
+            WHERE p_partkey IN (
                 SELECT l_partkey FROM lineitem WHERE l_quantity > 45
             )
         """,

@@ -1,0 +1,127 @@
+"""Distributed semi-/anti-join on a key column — size-gated between a
+broadcast key set and a co-location aggregate.
+
+Ray Data has no native anti-join, and ``ds.join`` is unusable here
+(Ray 2.49 hash join loses the schema of empty partitions — ArrowInvalid
+FieldRef, see CLAUDE.md).  The two shapes that work at either end of the
+scale spectrum:
+
+* **broadcast** (small right side): distinct right keys collected once,
+  ``ray.put`` once, membership-filter the left in one streaming map.
+  Gated on the right side's ROW count (metadata-cheap ``count()``, no
+  extra pass) — distinct keys can only be fewer.
+* **co-location** (large right side): both sides reduced to tagged key
+  rows, one ``groupby(key).aggregate(Sum, Sum)`` sort shuffle counts
+  left/right occurrences per key, survivors re-expanded with
+  ``np.repeat`` to preserve left multiplicity.  Nothing driver-side,
+  no per-group Python (aggregate, not map_groups).
+
+The co-location output carries ONLY the key column (left payload would
+need a second co-location pass to reattach); that matches the dominant
+use — anti/semi filters on dimension keys (e.g. "parts never bulk
+ordered").  Reference has no counterpart (SURVEY §2: relational breadth
+beyond the annotator); semantics mirror SQL ``WHERE key [NOT] IN
+(SELECT ...)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+DEFAULT_BROADCAST_BELOW = 5_000_000  # right-side rows; ~40 MB of int64 keys
+
+
+def _filter_by_membership(
+    left: rd.Dataset, col: str, keys_ref, keep_members: bool
+) -> rd.Dataset:
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        ks = get_worker_state(
+            ("joinkeys", ref_key(keys_ref)), lambda: ray.get(keys_ref)
+        )
+        mask = b[col].isin(ks)
+        return b[mask if keep_members else ~mask][[col]]
+
+    return left.map_batches(f, batch_format="pandas")
+
+
+def _colocated(
+    left: rd.Dataset, right: rd.Dataset, col: str, right_col: str, keep_members: bool
+) -> rd.Dataset:
+    from ray.data.aggregate import Sum
+
+    def tag(flag_left: bool, src_col: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame(
+                {
+                    col: b[src_col].to_numpy(),
+                    "nl": np.full(n, 1 if flag_left else 0, dtype=np.int64),
+                    "nr": np.full(n, 0 if flag_left else 1, dtype=np.int64),
+                }
+            )
+
+        return f
+
+    tagged = left.map_batches(tag(True, col), batch_format="pandas").union(
+        right.map_batches(tag(False, right_col), batch_format="pandas")
+    )
+    agg = tagged.groupby(col).aggregate(
+        Sum("nl", alias_name="n_left"), Sum("nr", alias_name="n_right")
+    )
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        present = b["n_right"].to_numpy() > 0
+        keep = present if keep_members else ~present
+        keys = b[col].to_numpy()[keep]
+        reps = b["n_left"].to_numpy()[keep]  # 0 for right-only keys
+        return pd.DataFrame({col: np.repeat(keys, reps)})
+
+    return agg.map_batches(expand, batch_format="pandas")
+
+
+def _keyed_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    col: str,
+    right_col: str | None,
+    broadcast_below: int,
+    keep_members: bool,
+) -> rd.Dataset:
+    import ray
+
+    right_col = right_col or col
+    if broadcast_below and right.count() <= broadcast_below:
+        keys = set(right.unique(right_col))
+        return _filter_by_membership(left, col, ray.put(keys), keep_members)
+    return _colocated(left, right, col, right_col, keep_members)
+
+
+def anti_join_keys(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    col: str,
+    right_col: str | None = None,
+    broadcast_below: int = DEFAULT_BROADCAST_BELOW,
+) -> rd.Dataset:
+    """Left ``col`` values (with multiplicity) that never appear in
+    ``right[right_col]`` — SQL ``WHERE col NOT IN (SELECT right_col)``."""
+    return _keyed_join(left, right, col, right_col, broadcast_below, False)
+
+
+def semi_join_keys(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    col: str,
+    right_col: str | None = None,
+    broadcast_below: int = DEFAULT_BROADCAST_BELOW,
+) -> rd.Dataset:
+    """Left ``col`` values (with multiplicity) that appear in
+    ``right[right_col]`` — SQL ``WHERE col IN (SELECT right_col)``."""
+    return _keyed_join(left, right, col, right_col, broadcast_below, True)

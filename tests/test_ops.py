@@ -297,6 +297,26 @@ def test_hash_sample_deterministic(ray_session):
     assert 120 <= len(a) <= 280  # ~20% of 1000
 
 
+def test_anti_semi_join_paths_agree(ray_session):
+    """Broadcast and co-location paths of the size-gated anti/semi-join
+    produce identical multisets (multiplicity preserved)."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.relational import anti_join_keys, semi_join_keys
+
+    left = rd.from_items([{"k": i % 50} for i in range(400)])  # each key ×8
+    right = rd.from_items([{"r": v} for v in range(0, 50, 3) for _ in range(2)])
+
+    def collect(ds):
+        return sorted(ds.to_pandas()["k"].tolist())
+
+    expect_anti = sorted(i % 50 for i in range(400) if (i % 50) % 3 != 0)
+    expect_semi = sorted(i % 50 for i in range(400) if (i % 50) % 3 == 0)
+    for bb in (10_000, 0):  # broadcast path, then forced co-location
+        assert collect(anti_join_keys(left, right, "k", "r", broadcast_below=bb)) == expect_anti
+        assert collect(semi_join_keys(left, right, "k", "r", broadcast_below=bb)) == expect_semi
+
+
 def test_pack_documents_prefix_sum(ray_session):
     import ray.data as rd
 
