@@ -180,44 +180,15 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_sliding_window_events(sf_dir: str):
-    """Sliding-window aggregate (1 h window, 15 min hop): each event
-    explodes to the 4 hop-aligned windows covering it (map-side, no
-    per-window scan), then one groupby — the streaming-window shape the
-    brief names as a custom operator.  SQL oracle: cross join with the
-    hop offsets."""
+    """Sliding-window aggregate (1 h window, 15 min hop) via
+    stages/windows.py: map-side hop-explode + combine, size-gated final
+    merge (driver below a partial-row threshold, distributed
+    groupby-Sum above — both paths pytest-identical).  SQL oracle:
+    cross join with the hop offsets."""
+    from table_annotation_ray.stages.windows import sliding_window_counts
+
     ds = _read(sf_dir, "events", ["event_type", "ts"])
-
-    def explode_and_combine(b: pd.DataFrame) -> pd.DataFrame:
-        # map-side combiner: the 4x-exploded rows collapse to per-batch
-        # partial counts BEFORE the shuffle (int64 epoch keys, not
-        # strings — formatting happens on the final aggregated rows).
-        # resolution-independent epoch seconds (the arrow→pandas ts may
-        # be datetime64[us], where astype(int64)//1e9 silently breaks)
-        secs = (b["ts"] - pd.Timestamp(0)).dt.total_seconds().astype("int64")
-        base = (secs // 900) * 900
-        frames = [
-            pd.DataFrame({"event_type": b["event_type"], "wstart": base - k * 900})
-            for k in range(4)
-        ]
-        exploded = pd.concat(frames, ignore_index=True)
-        return (
-            exploded.groupby(["wstart", "event_type"], as_index=False)
-            .size()
-            .rename(columns={"size": "partial"})
-        )
-
-    # final merge of the bounded-cardinality partials (≤ windows×types
-    # per batch) — driver-side like the heavy-hitter verify; swap for
-    # groupby(...).aggregate(Sum) when the window×type key space is
-    # unbounded (it costs a full sort shuffle)
-    partials = ds.map_batches(
-        explode_and_combine, batch_format="pandas", batch_size=65536
-    ).to_pandas()
-    out = (
-        partials.groupby(["wstart", "event_type"], as_index=False)["partial"]
-        .sum()
-        .rename(columns={"partial": "n"})
-    )
+    out = sliding_window_counts(ds, "ts", "event_type").to_pandas()
     out["window_start"] = pd.to_datetime(out.pop("wstart"), unit="s").dt.strftime(
         "%Y-%m-%d %H:%M:%S"
     )

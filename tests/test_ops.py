@@ -297,6 +297,33 @@ def test_hash_sample_deterministic(ray_session):
     assert 120 <= len(a) <= 280  # ~20% of 1000
 
 
+def test_sliding_window_merge_paths_agree(ray_session):
+    """Driver-merge and distributed groupby-Sum paths of the sliding
+    window aggregate produce identical (wstart, key, n) rows."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import sliding_window_counts
+
+    rows = [
+        {"ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=137 * i), "event_type": f"t{i % 3}"}
+        for i in range(5000)
+    ]
+    ds = rd.from_items(rows)
+
+    def collect(out):
+        return (
+            out.to_pandas()
+            .sort_values(["wstart", "event_type"])
+            .reset_index(drop=True)
+        )
+
+    driver = collect(sliding_window_counts(ds))
+    dist = collect(sliding_window_counts(ds, driver_merge_below=0))
+    pd.testing.assert_frame_equal(driver, dist)
+    # every event lands in exactly window/hop windows
+    assert driver["n"].sum() == 5000 * 4
+
+
 def test_anti_semi_join_paths_agree(ray_session):
     """Broadcast and co-location paths of the size-gated anti/semi-join
     produce identical multisets (multiplicity preserved)."""
