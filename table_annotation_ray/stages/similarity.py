@@ -194,6 +194,12 @@ def ivf_topk(
     from ..state.worker_state import get_worker_state, ref_key
 
     sample_df = embeddings.limit(train_sample).to_pandas()
+    if sample_df.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [], "cosine": []})
+    # small corpora: fewer vectors than centroids would crash the k-means
+    # init (rng.choice replace=False) — degrade gracefully instead
+    num_centroids = min(num_centroids, len(sample_df))
+    nprobe = min(nprobe, num_centroids)
     centroids = _kmeans(
         _stack(sample_df[vec_col]), num_centroids, kmeans_iters, seed
     )
@@ -204,22 +210,38 @@ def ivf_topk(
         cents = get_worker_state(("ivf-c", ref_key(cent_ref)), lambda: ray.get(cent_ref))
         vecs = _normalize(_stack(batch[vec_col]))
         sims = vecs @ cents.T  # (B, C)
-        rows = []
-        # corpus rows: single bucket; query rows: replicated to nprobe
-        order = np.argsort(-sims, axis=1)
-        for i, vid in enumerate(batch[id_col]):
-            rows.append((int(vid), int(order[i, 0]), False, batch[vec_col].iloc[i]))
-            if vid in qset:
-                for c in order[i, :nprobe]:
-                    rows.append((int(vid), int(c), True, batch[vec_col].iloc[i]))
-        return pd.DataFrame(
-            {
-                id_col: [r[0] for r in rows],
-                "bucket": pd.Series([r[1] for r in rows], dtype="int64"),
-                "is_query": [r[2] for r in rows],
-                vec_col: [r[3] for r in rows],
-            }
-        )
+        ids = batch[id_col].to_numpy()
+        emb = batch[vec_col].reset_index(drop=True)
+        # corpus rows: nearest bucket, emitted wholesale (no per-row
+        # Python, no embedding copies — the object column re-references
+        # the same list cells)
+        frames = [
+            pd.DataFrame(
+                {
+                    id_col: ids,
+                    "bucket": sims.argmax(axis=1).astype("int64"),
+                    "is_query": np.zeros(len(ids), dtype=bool),
+                    vec_col: emb,
+                }
+            )
+        ]
+        # query rows: np.repeat-replicated to their nprobe nearest
+        # centroids (argsort order — identical to the old per-row loop)
+        q_idx = np.nonzero(batch[id_col].isin(qset).to_numpy())[0]
+        if len(q_idx):
+            probes = np.argsort(-sims[q_idx], axis=1)[:, :nprobe]
+            rep = np.repeat(q_idx, probes.shape[1])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids[rep],
+                        "bucket": probes.ravel().astype("int64"),
+                        "is_query": np.ones(len(rep), dtype=bool),
+                        vec_col: emb.iloc[rep].reset_index(drop=True),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     def search_bucket(group: pd.DataFrame) -> pd.DataFrame:
         queries = group[group["is_query"]]

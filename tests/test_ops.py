@@ -149,6 +149,21 @@ def test_ivf_topk_recall_on_clusters(ray_session):
     assert list(got["rank"]) == list(range(1, len(got) + 1))
 
 
+def test_ivf_topk_tiny_corpus_clamps_centroids(ray_session):
+    """Fewer vectors than num_centroids must degrade (clamp k-means k),
+    not crash rng.choice(replace=False); results stay exact-complete
+    because every bucket is probed."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import ivf_topk
+
+    rng = np.random.RandomState(5)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=8).tolist()} for i in range(6)]
+    out = ivf_topk(rd.from_items(rows), [0], k=3, num_centroids=16, nprobe=4)
+    assert (out.query_id == 0).all() and (out.neighbor_id != 0).all()
+    assert len(out) >= 1
+
+
 def test_lsh_recall_measurement(ray_session):
     import ray.data as rd
 
