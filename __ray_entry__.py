@@ -390,10 +390,10 @@ def _q_dataset_split(sf_dir: str):
     """Deterministic train/val/test assignment (90/5/5 by the same
     multiplicative id hash as hash_sample) — the corpus-split primitive;
     reproducible run-to-run and in SQL."""
-    from table_annotation_ray.stages.datapipe import HASH_MOD, HASH_MULT
+    from table_annotation_ray.stages.datapipe import id_hash_bucket
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
-        h = (b["doc_id"].to_numpy(dtype=np.int64) * HASH_MULT) % HASH_MOD % 100
+        h = id_hash_bucket(b["doc_id"])
         split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
         return pd.DataFrame({"doc_id": b["doc_id"], "split": split})
 
@@ -908,14 +908,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_sample": """
             SELECT doc_id FROM documents
-            WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+            WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                   + 4294967296) % 4294967296 % 100 < 20
         """,
         "dataset_split": """
+            WITH h AS (
+                SELECT doc_id,
+                       ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                        + 4294967296) % 4294967296 % 100 AS hb
+                FROM documents
+            )
             SELECT doc_id,
-                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
-                        WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+                   CASE WHEN hb < 90 THEN 'train'
+                        WHEN hb < 95 THEN 'val'
                         ELSE 'test' END AS split
-            FROM documents
+            FROM h
         """,
         "repetition_stats": """
             WITH s AS (SELECT doc_id,

@@ -68,9 +68,19 @@ def hash_sample(batch: pd.DataFrame, pct: int = 20, id_col: str = "doc_id") -> p
     stratified-sampling primitive for corpus mixing.  Pure integer
     arithmetic, so the identical expression runs in SQL (no RNG state,
     no cluster-order dependence)."""
-    ids = batch[id_col].to_numpy(dtype=np.int64)
-    keep = (ids * HASH_MULT) % HASH_MOD % 100 < pct
+    keep = id_hash_bucket(batch[id_col]) < pct
     return batch.loc[keep, [id_col]]
+
+
+def id_hash_bucket(ids: pd.Series) -> np.ndarray:
+    """(id * HASH_MULT) mod 2^32 mod 100 for ANY int64 id: the multiply
+    runs in uint64, whose silent wraparound is exact mod 2^64 and hence
+    exact mod 2^32 (2^32 | 2^64) — int64 math would overflow for
+    id ≳ 3.47e9 and negative ids would take sign-following ``%``.  The
+    SQL mirror is HUGEINT multiply + non-negative mod:
+    ``((CAST(id AS HUGEINT) * M) % 2^32 + 2^32) % 2^32 % 100``."""
+    u = ids.to_numpy(dtype=np.int64).astype(np.uint64)
+    return (u * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD) % np.uint64(100)
 
 
 def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:

@@ -174,14 +174,45 @@ def minhash_bands(
     return docs.map_batches(band_stage, batch_format="pandas")
 
 
+class TruncationCounter:
+    """Tiny zero-CPU actor aggregating LSH bucket truncations across the
+    candidate-pair tasks — the observability VERDICT r2 #6 asked for (a
+    silent recall cap reads as 'covered everything' when it didn't).
+    Plain class; instantiate as an actor via
+    ``ray.remote(TruncationCounter).options(num_cpus=0).remote()``."""
+
+    def __init__(self):
+        self.buckets = 0
+        self.dropped_pairs = 0
+
+    def add(self, buckets: int, dropped_pairs: int) -> None:
+        self.buckets += buckets
+        self.dropped_pairs += dropped_pairs
+
+    def get(self) -> dict:
+        return {"truncated_buckets": self.buckets, "dropped_pairs": self.dropped_pairs}
+
+
 def minhash_candidate_pairs(
-    bands_ds: rd.Dataset, id_col: str = "doc_id", dedup: bool = True
+    bands_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    dedup: bool = True,
+    max_bucket: int = 200,
+    trunc_counter=None,
 ) -> rd.Dataset:
     """LSH buckets → candidate pairs (a < b).
 
     ``dedup=False`` skips the cross-band pair-dedup groupby (one whole
     all-to-all) — correct whenever the consumer re-keys by (a, b)
-    anyway, as :func:`jaccard_verify` does."""
+    anyway, as :func:`jaccard_verify` does.
+
+    ``max_bucket`` bounds the quadratic pair expansion of a degenerate
+    bucket (a band key shared corpus-wide on near-uniform text) to its
+    first ``max_bucket`` ids by sort order — a RECALL CAP.  Truncations
+    are counted on ``trunc_counter`` (a :class:`TruncationCounter`
+    actor handle) when one is passed; counts are final once the
+    consuming pipeline has materialized (the rare-path ``add`` is
+    awaited inside the task)."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group[id_col]))
@@ -190,10 +221,17 @@ def minhash_candidate_pairs(
             # and breaks schema unification in downstream hash joins)
             empty = group[id_col].iloc[:0]
             return pd.DataFrame({"a": empty, "b": empty})
+        n = len(ids)
+        if n > max_bucket and trunc_counter is not None:
+            import ray
+
+            dropped = n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            # block (rare path): guarantees the count is visible as soon
+            # as the dataset has executed, no fire-and-forget race
+            ray.get(trunc_counter.add.remote(1, dropped))
         out_a, out_b = [], []
-        # bucket sizes are tiny for honest thresholds; cap defensively
-        for i in range(min(len(ids), 200)):
-            for j in range(i + 1, min(len(ids), 200)):
+        for i in range(min(n, max_bucket)):
+            for j in range(i + 1, min(n, max_bucket)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
         return pd.DataFrame({"a": out_a, "b": out_b})
@@ -480,6 +518,8 @@ def minhash_dedup(
     text_col: str = "text",
     threshold: float = 0.8,
     distributed_above: int = 200_000,
+    max_bucket: int = 200,
+    stats: dict | None = None,
 ) -> rd.Dataset:
     """Full near-dup pipeline → Dataset of (doc_id, component) for docs
     that have a near-duplicate (singleton docs are not listed).
@@ -490,12 +530,36 @@ def minhash_dedup(
     output, tested).  Either way the RESULT stays a Dataset — one row
     per near-duplicated doc is corpus-cardinality data, so collection
     (``to_pandas``) is the caller's choice, made at the caller's scale
-    (the sf-scale query wrappers collect; a 100 TB job writes Parquet)."""
+    (the sf-scale query wrappers collect; a 100 TB job writes Parquet).
+
+    Pass ``stats={}`` to receive LSH bucket-truncation observability:
+    after the call it holds ``truncated_buckets`` / ``dropped_pairs``
+    (the recall cost of the ``max_bucket`` cap); a warning is logged
+    when any bucket truncated."""
+    import ray
+
+    counter = None
+    if stats is not None:
+        counter = ray.remote(TruncationCounter).options(num_cpus=0).remote()
     bands = minhash_bands(docs, id_col, text_col)
     # dedup=False: jaccard_verify re-keys by (a, b) anyway, so the
     # cross-band pair-dedup all-to-all is pure overhead here
-    cand = minhash_candidate_pairs(bands, id_col, dedup=False)
+    cand = minhash_candidate_pairs(
+        bands, id_col, dedup=False, max_bucket=max_bucket, trunc_counter=counter
+    )
     verified = jaccard_verify(cand, docs, id_col, text_col, threshold).materialize()
+    if counter is not None:
+        stats.update(ray.get(counter.get.remote()))
+        if stats["truncated_buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash LSH: %d bucket(s) over max_bucket=%d truncated, "
+                "%d candidate pair(s) dropped (recall cap)",
+                stats["truncated_buckets"],
+                max_bucket,
+                stats["dropped_pairs"],
+            )
     if verified.count() > distributed_above:
         return min_label_components(verified)
     return rd.from_pandas(connected_components(verified.to_pandas()))

@@ -97,6 +97,32 @@ def test_minhash_dedup_distributed_path_equals_driver(docs_ds):
     assert driver.equals(dist)
 
 
+def test_minhash_bucket_cap_is_counted(ray_session):
+    """The max_bucket recall cap must be observable: a degenerate bucket
+    (identical docs > max_bucket) reports truncated_buckets and
+    dropped_pairs through the stats dict instead of silently shrinking
+    the candidate set."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import minhash_dedup
+
+    docs = [{"doc_id": i, "text": "the same text shingled identically everywhere"} for i in range(12)]
+    stats = {}
+    out = (
+        minhash_dedup(rd.from_items(docs), threshold=0.5, max_bucket=5, stats=stats)
+        .to_pandas()
+    )
+    assert stats["truncated_buckets"] > 0
+    # every bucket kept its first 5 ids → C(12,2)-C(5,2)=56 dropped per band-bucket
+    assert stats["dropped_pairs"] > 0
+    # capped ids still dedup among themselves
+    assert set(out.doc_id) == set(range(5))
+
+    stats_ok = {}
+    minhash_dedup(rd.from_items(docs), threshold=0.5, max_bucket=100, stats=stats_ok).to_pandas()
+    assert stats_ok == {"truncated_buckets": 0, "dropped_pairs": 0}
+
+
 def test_embedding_near_dup_planted_recall(ray_session):
     """Planted near-duplicates (VERDICT r1 #6): perturbed copies at
     cos≈0.9988 must be recovered by the 2-probe LSH + exact verify."""
@@ -310,6 +336,28 @@ def test_hash_sample_deterministic(ray_session):
     b = sorted(ds.map_batches(hash_sample, batch_format="pandas").to_pandas().doc_id)
     assert a == b
     assert 120 <= len(a) <= 280  # ~20% of 1000
+
+
+def test_id_hash_bucket_matches_sql_on_extreme_ids():
+    """The multiplicative id hash must agree with its DuckDB HUGEINT
+    mirror for ids beyond 2^31.6 (where int64 multiply wraps) and for
+    negative ids (where % sign semantics differ)."""
+    import duckdb
+
+    from table_annotation_ray.stages.datapipe import id_hash_bucket
+
+    ids = pd.Series(
+        [0, 1, 7, 3_470_000_000, 2**32, 2**40 + 123, 2**62, 2**63 - 1,
+         -1, -7, -(2**35), -(2**62)],
+        dtype="int64",
+    )
+    ours = id_hash_bucket(ids).astype("int64")
+    sql = duckdb.sql(
+        "SELECT ((CAST(x AS HUGEINT) * 2654435761) % 4294967296 + 4294967296)"
+        " % 4294967296 % 100 AS h FROM (SELECT unnest($ids) AS x)",
+        params={"ids": ids.tolist()},
+    ).df()["h"].astype("int64")
+    assert list(ours) == list(sql)
 
 
 def test_sliding_window_merge_paths_agree(ray_session):
