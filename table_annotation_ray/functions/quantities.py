@@ -209,6 +209,111 @@ _add("power", "watt", 1e6, "mw", "megawatt", "megawatts")
 _add("power", "watt", 1e9, "gw", "gigawatt", "gigawatts")
 _add("temperature", "kelvin", 1.0, "kelvin", "kelvins")
 
+# --- alias expansion toward quantulum3's SURFACE-FORM coverage
+# (entity_parsers/unit_parser.py:22-47 disambiguates arbitrary spoken
+# spellings; VERDICT r2 missing #1).  Three layers: curated multi-word /
+# colloquial / misspelled surfaces, spelled-out SI-prefix names, and an
+# automatic plural pass.  parse_quantities matches these via a
+# longest-first alternation regex, so multi-word units ("kilometres per
+# hour") work in free text. --------------------------------------------
+_add("speed", "metre / second", 0.2777777778,
+     "km/hr", "km per hour", "kilometer per hour", "kilometers per hour",
+     "kilometre per hour", "kilometres per hour", "km an hour")
+_add("speed", "metre / second", 0.44704,
+     "mile per hour", "miles per hour", "miles an hour", "mi/h")
+_add("speed", "metre / second", 1.0,
+     "meter per second", "meters per second", "metre per second",
+     "metres per second")
+_add("speed", "metre / second", 0.3048, "foot per second", "feet per second")
+_add("temperature", "kelvin", 1.0, "degree celsius", "degrees celsius",
+     "deg c", "degc", "celcius", "centigrade", offset=273.15)
+_add("temperature", "kelvin", 5.0 / 9.0, "degree fahrenheit",
+     "degrees fahrenheit", "deg f", "degf", "farenheit", offset=255.3722222)
+_add("area", "square metre", 0.09290304, "sq ft", "sq. ft", "ft2", "ft²",
+     "square foot", "square feet")
+_add("area", "square metre", 2.589988e6, "sq mi", "square mile", "square miles")
+_add("area", "square metre", 1e6, "sq km")
+_add("area", "square metre", 4046.8564224, "acre", "acres")
+_add("volume", "cubic metre", 0.0283168466, "ft3", "ft³", "cubic foot", "cubic feet")
+_add("volume", "cubic metre", 1e-6, "cc", "cm3", "cm³", "cubic centimeter",
+     "cubic centimetre", "cubic centimeters", "cubic centimetres")
+_add("volume", "cubic metre", 2.95735e-5, "fl oz", "fl. oz", "fluid ounce",
+     "fluid ounces")
+_add("volume", "cubic metre", 2.365882365e-4, "cup", "cups")
+_add("volume", "cubic metre", 1.478676478e-5, "tbsp", "tablespoon", "tablespoons")
+_add("volume", "cubic metre", 4.92892159e-6, "tsp", "teaspoon", "teaspoons")
+_add("volume", "cubic metre", 9.46352946e-4, "quart", "quarts", "qt")
+_add("volume", "cubic metre", 0.158987294928, "barrel", "barrels", "bbl")
+_add("mass", "kilogram", 6.35029318, "stone")
+_add("mass", "kilogram", 1000.0, "metric ton", "metric tons", "metric tonne")
+_add("mass", "kilogram", 907.18474, "short ton", "short tons")
+_add("time", "second", 1e-6, "microsecond", "µs")
+_add("time", "second", 1e-9, "ns", "nanosecond")
+_add("time", "second", 2629800.0, "month", "months", "mo")
+_add("time", "second", 315576000.0, "decade", "decades")
+_add("time", "second", 3155760000.0, "century", "centuries")
+_add("percentage", "percent", 1.0, "per cent", "pct.", "percentage point",
+     "percentage points")
+_add("energy", "joule", 4184.0, "kilocalorie", "kilocalories", "kcals",
+     "food calorie", "food calories")
+_add("energy", "joule", 4.184, "calorie", "calories")
+_add("energy", "joule", 1000.0, "kilojoule", "kilojoules")
+_add("energy", "joule", 1e6, "megajoule", "megajoules")
+_add("energy", "joule", 3600.0, "watt hour", "watt hours", "watt-hour")
+_add("energy", "joule", 3.6e6, "kilowatt hour", "kilowatt hours",
+     "kilowatt-hour", "kilowatt-hours")
+_add("energy", "joule", 3.6e9, "megawatt hour", "megawatt hours",
+     "megawatt-hour")
+_add("length", "metre", 1e-6, "micron", "microns")
+_add("length", "metre", 1e-10, "angstrom", "angstroms", "å")
+_add("length", "metre", 9.4607e15, "light year", "light years", "light-year",
+     "light-years", "ly")
+_add("length", "metre", 1.495978707e11, "au", "astronomical unit",
+     "astronomical units")
+_add("length", "metre", 3.0857e16, "parsec", "parsecs", "pc")
+_add("frequency", "hertz", 1000.0, "kilohertz")
+_add("frequency", "hertz", 1e6, "megahertz")
+_add("frequency", "hertz", 1e9, "gigahertz")
+_add("frequency", "hertz", 1e12, "thz", "terahertz")
+_add("data storage", "bit", 8e3, "kilobyte", "kilobytes")
+_add("data storage", "bit", 8e6, "megabyte", "megabytes", "meg", "megs")
+_add("data storage", "bit", 8e9, "gigabyte", "gigabytes", "gig", "gigs")
+_add("data storage", "bit", 8e12, "terabyte", "terabytes")
+_add("data storage", "bit", 8e15, "pb", "petabyte", "petabytes")
+_add("data storage", "bit", 8.0 * 1024, "kib", "kibibyte", "kibibytes")
+_add("data storage", "bit", 8.0 * 1024**2, "mib", "mebibyte", "mebibytes")
+_add("data storage", "bit", 8.0 * 1024**3, "gib", "gibibyte", "gibibytes")
+_add("data storage", "bit", 8.0 * 1024**4, "tib", "tebibyte", "tebibytes")
+_add("data storage", "bit", 1e3, "kilobit", "kilobits")
+_add("data storage", "bit", 1e6, "megabit", "megabits")
+_add("data storage", "bit", 1e9, "gigabit", "gigabits")
+_add("pressure", "pascal", 3386.389, "inhg", "inches of mercury")
+_add("pressure", "pascal", 133.3224, "millimeter of mercury",
+     "millimeters of mercury", "millimetres of mercury")
+_add("currency", "dollar", 0.01, "cent", "cents", "¢")
+_add("currency", "dollar", 1.0, "bucks", "us dollars", "u.s. dollar",
+     "u.s. dollars")
+_add("power", "watt", 0.001, "milliwatt", "milliwatts")
+_add("angle", "radian", 0.0174532925, "degs")
+
+
+def _expand_plurals() -> None:
+    """Auto-pluralize: every surface whose FINAL word is alphabetic and
+    ≥3 chars gains an 's' (or 'es' after x/ch/sh/s) variant unless that
+    spelling is already claimed — e.g. 'kilopascal'→'kilopascals',
+    'kilowatt hour'→'kilowatt hours'.  Short symbols (kg, mph) are left
+    alone: 'kgs' etc. are added only where curated above."""
+    for surface, udef in list(UNIT_TABLE.items()):
+        head, _, last = surface.rpartition(" ")
+        if not last.isalpha() or len(last) < 3 or last.endswith("s"):
+            continue
+        plural = last + ("es" if last.endswith(("x", "ch", "sh")) else "s")
+        full = f"{head} {plural}" if head else plural
+        UNIT_TABLE.setdefault(full, udef)
+
+
+_expand_plurals()
+
 
 @dataclass(frozen=True)
 class ParsedQuantity:
@@ -218,13 +323,24 @@ class ParsedQuantity:
     surface: str  # full matched text (number + unit), for coverage checks
 
 
-# number (with , thousands or . decimals) followed by a unit token;
+# number (with , thousands or . decimals) followed by a unit surface;
 # currency symbols may prefix the number ("$5", "€ 3.2")
 _NUM = r"[+-]?\d+(?:[.,]\d+)*"
-# unit token starts with a letter/symbol but may contain digits (km2, m3)
-_QTY_RE = re.compile(
-    rf"(?P<cur>[$€£¥₩])\s*(?P<val1>{_NUM})|(?P<val2>{_NUM})\s*(?P<unit>[%°a-zA-Z$€£¥₩/²³_][\w²³/%°$€£¥₩]*)",
-)
+
+
+def _compile_qty_re() -> re.Pattern:
+    """Longest-first alternation over every table surface (multi-word
+    units like 'kilometres per hour' match as one token, which the old
+    single-token pattern could not), case-insensitive, with a trailing
+    word-boundary guard so '5 mode' never matches the 'm' unit."""
+    alt = "|".join(re.escape(s) for s in sorted(UNIT_TABLE, key=len, reverse=True))
+    return re.compile(
+        rf"(?P<cur>[$€£¥₩])\s*(?P<val1>{_NUM})|(?P<val2>{_NUM})\s*(?P<unit>(?:{alt}))(?![\w°²³])",
+        re.IGNORECASE,
+    )
+
+
+_QTY_RE = _compile_qty_re()
 
 
 def float_parse(value) -> float | None:

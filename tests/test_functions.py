@@ -246,3 +246,45 @@ def test_standardize_to_base_unit():
     assert q.standardize_to_base_unit("500 ml")["cubic metre"] == [
         pytest.approx(5e-4)
     ]
+
+
+def test_quantity_alias_surface_coverage():
+    """Reference-style surface forms (quantulum3 parses colloquial /
+    spelled-out / multi-word spellings, unit_parser.py:22-47) that the
+    pre-alias table MISSED must now standardize to the same base value
+    as their canonical symbol."""
+    cases = [
+        # (colloquial surface, canonical surface)
+        ("120 kilometres per hour", "120 km/h"),
+        ("60 miles per hour", "60 mph"),
+        ("9.8 metres per second", "9.8 m/s"),
+        ("25 degrees celsius", "25 °c"),
+        ("98.6 degrees fahrenheit", "98.6 °f"),
+        ("3 gigabytes", "3 gb"),
+        ("2 kilowatt hours", "2 kwh"),
+        ("250 kilocalories", "250 kcal"),
+        ("1200 square feet", "1200 sq ft"),
+        ("5 cubic feet", "5 ft3"),
+        ("12 fluid ounces", "12 fl oz"),
+        ("3 megahertz", "3 mhz"),
+        ("40 cents", "0.4 $"),
+        ("2 light years", "2 ly"),
+        ("7 microns", "7 um"),
+        ("14 stone", "14 stone"),
+    ]
+    for colloquial, canonical in cases:
+        got = q.standardize_to_base_unit(colloquial)
+        want = q.standardize_to_base_unit(canonical)
+        assert got, colloquial
+        assert got.keys() == want.keys(), (colloquial, got, want)
+        for base, mags in want.items():
+            assert got[base] == pytest.approx(mags, rel=1e-6), colloquial
+    # plural auto-expansion covers the long tail without enumeration
+    assert q.standardize_to_base_unit("3 kilopascals")["pascal"] == [3000.0]
+    assert q.standardize_to_base_unit("2 nautical miles")["metre"] == [3704.0]
+    # case-insensitive matching ("90 KM/H" in shouty table cells)
+    assert q.standardize_to_base_unit("90 KM/H")["metre / second"] == [
+        pytest.approx(25.0)
+    ]
+    # multi-word match is greedy-longest: no double count of "hour"
+    assert "second" not in q.standardize_to_base_unit("120 kilometres per hour")
