@@ -15,10 +15,13 @@ reference's two algorithms are small —
 
 Value semantics follow openpyxl's: datetimes render '%m/%d/%Y'
 (file_loader.py:110), booleans "True"/"False", numbers keep their XML
-text.  Documented divergence Dx1: the reference also counts EMPTY cells
-with a fill pattern or left/right border as foreground (file_loader.py
-:121-126); that requires styles.xml cross-referencing and affects only
-decorative spacer detection — here foreground = has a value.
+text.  Foreground matches the reference exactly (file_loader.py:117-126):
+a cell is foreground when it has a value, OR its style's fill has a
+patternType (≠ "none"), OR its border has a left/right style — the
+styled-empty cases come from cross-referencing each cell's ``s`` index
+through styles.xml cellXfs → fills/borders (what openpyxl's
+``cell.fill.patternType`` / ``cell.border.left.style`` resolve to).
+This closes the former divergence Dx1 (value-only foreground).
 
 The writer emits a minimal valid workbook (inline strings) so tests and
 sinks can round-trip without any xlsx dependency.
@@ -99,10 +102,46 @@ def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     return out
 
 
-def _read_sheet(zf: zipfile.ZipFile, part: str, shared: list[str]) -> list[list[str]]:
-    """One worksheet → dense 2D string grid with merged ranges unfolded."""
+def _read_styles(zf: zipfile.ZipFile):
+    """styles.xml → per-xf "styled foreground" flags: True when the xf's
+    fill has a patternType ≠ none or its border has a left/right style
+    (exactly the reference's openpyxl checks, file_loader.py:121-126)."""
+    if "xl/styles.xml" not in zf.namelist():
+        return []
+    root = ET.fromstring(zf.read("xl/styles.xml"))
+    fills: list[bool] = []
+    fills_el = root.find(f"{{{_MAIN_NS}}}fills")
+    if fills_el is not None:
+        for fill in fills_el.iter(f"{{{_MAIN_NS}}}fill"):
+            pat = fill.find(f"{{{_MAIN_NS}}}patternFill")
+            fills.append(pat is not None and pat.get("patternType", "none") != "none")
+    borders: list[bool] = []
+    borders_el = root.find(f"{{{_MAIN_NS}}}borders")
+    if borders_el is not None:
+        for border in borders_el.iter(f"{{{_MAIN_NS}}}border"):
+            sides = [border.find(f"{{{_MAIN_NS}}}{s}") for s in ("left", "right")]
+            borders.append(any(s is not None and s.get("style") for s in sides))
+    styled: list[bool] = []
+    xfs_el = root.find(f"{{{_MAIN_NS}}}cellXfs")
+    if xfs_el is not None:
+        for xf in xfs_el.iter(f"{{{_MAIN_NS}}}xf"):
+            fid = int(xf.get("fillId", 0))
+            bid = int(xf.get("borderId", 0))
+            styled.append(
+                (fid < len(fills) and fills[fid])
+                or (bid < len(borders) and borders[bid])
+            )
+    return styled
+
+
+def _read_sheet(
+    zf: zipfile.ZipFile, part: str, shared: list[str], styled_xfs: list[bool]
+) -> tuple[list[list[str]], list[list[bool]]]:
+    """One worksheet → (dense 2D string grid with merged ranges unfolded,
+    foreground mask: value OR styled-empty cell)."""
     root = ET.fromstring(zf.read(part))
     cells: dict[tuple[int, int], str] = {}
+    styled_cells: set[tuple[int, int]] = set()
     max_r = max_c = -1
     for c in root.iter(f"{{{_MAIN_NS}}}c"):
         ref = c.get("r")
@@ -111,6 +150,11 @@ def _read_sheet(zf: zipfile.ZipFile, part: str, shared: list[str]) -> list[list[
         r, col = _parse_ref(ref)
         val = _cell_text(c, shared)
         cells[(r, col)] = val
+        s = c.get("s")
+        if s is not None:
+            xf = int(s)
+            if xf < len(styled_xfs) and styled_xfs[xf]:
+                styled_cells.add((r, col))
         max_r, max_c = max(max_r, r), max(max_c, col)
 
     merges: list[tuple[int, int, int, int]] = []
@@ -122,7 +166,7 @@ def _read_sheet(zf: zipfile.ZipFile, part: str, shared: list[str]) -> list[list[
         max_r, max_c = max(max_r, r1), max(max_c, c1)
 
     if max_r < 0:
-        return []
+        return [], []
     grid = [["" for _ in range(max_c + 1)] for _ in range(max_r + 1)]
     for (r, col), val in cells.items():
         grid[r][col] = val
@@ -132,7 +176,11 @@ def _read_sheet(zf: zipfile.ZipFile, part: str, shared: list[str]) -> list[list[
         for r in range(r0, r1 + 1):
             for col in range(c0, c1 + 1):
                 grid[r][col] = top_left
-    return grid
+    fg = [
+        [bool(grid[r][col]) or (r, col) in styled_cells for col in range(max_c + 1)]
+        for r in range(max_r + 1)
+    ]
+    return grid, fg
 
 
 def _label_components(mask: list[list[bool]]) -> tuple[list[list[int]], int]:
@@ -162,13 +210,17 @@ def _label_components(mask: list[list[bool]]) -> tuple[list[list[int]], int]:
     return labels, nxt
 
 
-def segment_tables(grid: list[list[str]]) -> list[list[list[str]]]:
+def segment_tables(
+    grid: list[list[str]], fg: list[list[bool]] | None = None
+) -> list[list[list[str]]]:
     """Connected-component multi-table segmentation
     (file_loader.py:103-160): each component's bounding-box slice of the
-    raw grid is a candidate table; keep those with >1 row and >1 col."""
+    raw grid is a candidate table; keep those with >1 row and >1 col.
+    ``fg`` overrides the foreground mask (styled-empty cells count as
+    foreground, file_loader.py:121-126); default is value-only."""
     if not grid:
         return []
-    mask = [[bool(v) for v in row] for row in grid]
+    mask = fg if fg is not None else [[bool(v) for v in row] for row in grid]
     labels, n = _label_components(mask)
     tables = []
     for lab in range(1, n + 1):
@@ -193,10 +245,11 @@ def excel_to_tables(payload: bytes) -> dict[str, list[list[list[str]]]]:
         ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
         for si in ss.iter(f"{{{_MAIN_NS}}}si"):
             shared.append("".join(e.text or "" for e in si.iter(f"{{{_MAIN_NS}}}t")))
+    styled_xfs = _read_styles(zf)
     out: dict[str, list[list[list[str]]]] = {}
     for name, part in _sheet_parts(zf):
-        grid = _read_sheet(zf, part, shared)
-        out[f"tableFromExcelSheet_{name}"] = segment_tables(grid)
+        grid, fg = _read_sheet(zf, part, shared, styled_xfs)
+        out[f"tableFromExcelSheet_{name}"] = segment_tables(grid, fg)
     return out
 
 
@@ -232,22 +285,51 @@ def _esc(s: str) -> str:
     )
 
 
+_STYLES_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<styleSheet xmlns="{_MAIN_NS}">'
+    '<fills count="3"><fill><patternFill patternType="none"/></fill>'
+    '<fill><patternFill patternType="gray125"/></fill>'
+    '<fill><patternFill patternType="solid"><fgColor rgb="FFDDDDDD"/></patternFill></fill></fills>'
+    '<borders count="2"><border><left/><right/><top/><bottom/></border>'
+    '<border><left style="thin"/><right style="thin"/><top/><bottom/></border></borders>'
+    '<cellXfs count="3"><xf fillId="0" borderId="0"/>'
+    '<xf fillId="2" borderId="0" applyFill="1"/>'
+    '<xf fillId="0" borderId="1" applyBorder="1"/></cellXfs>'
+    "</styleSheet>"
+)
+
+_STYLES_OVERRIDE = (
+    '<Override PartName="/xl/styles.xml" '
+    'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+)
+
+
 def tables_to_xlsx(
     sheets: dict[str, list[list]],
     merges: dict[str, list[str]] | None = None,
+    styled: dict[str, list[tuple[int, int]]] | None = None,
 ) -> bytes:
     """{sheet name: 2D values} (+ optional {sheet: ["A1:B2", ...]} merged
     ranges) → xlsx bytes.  Strings go inline; ints/floats as numbers;
-    datetimes as ISO t="d"; None/"" cells are omitted (background)."""
+    datetimes as ISO t="d"; None/"" cells are omitted (background).
+
+    ``styled`` marks EMPTY cells (0-based (row, col)) that carry a solid
+    fill style — they serialize as valueless ``<c s="1"/>`` elements
+    backed by a styles.xml, i.e. the decorative-spacer shape whose
+    foreground treatment the reference defines (file_loader.py:121-126)."""
     merges = merges or {}
+    styled = styled or {}
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         names = list(sheets)
+        overrides = "".join(_SHEET_OVERRIDE.format(i=i + 1) for i in range(len(names)))
+        if styled:
+            overrides += _STYLES_OVERRIDE
+            zf.writestr("xl/styles.xml", _STYLES_XML)
         zf.writestr(
             "[Content_Types].xml",
-            _CONTENT_TYPES.format(
-                overrides="".join(_SHEET_OVERRIDE.format(i=i + 1) for i in range(len(names)))
-            ),
+            _CONTENT_TYPES.format(overrides=overrides),
         )
         zf.writestr("_rels/.rels", _ROOT_RELS)
         sheet_tags = "".join(
@@ -272,9 +354,17 @@ def tables_to_xlsx(
             f'<Relationships xmlns="{_PKG_REL_NS}">{rel_tags}</Relationships>',
         )
         for i, name in enumerate(names):
+            styled_here = set(styled.get(name, ()))
+            n_rows_sheet = len(sheets[name])
+            rows_by_r: dict[int, list[str]] = {}
+            for r, c in sorted(styled_here):
+                if r >= n_rows_sheet or c >= len(sheets[name][r]) or not sheets[name][r][c]:
+                    rows_by_r.setdefault(r, []).append(
+                        f'<c r="{_idx_to_col(c)}{r + 1}" s="1"/>'
+                    )
             rows_xml = []
             for r, row in enumerate(sheets[name]):
-                cells_xml = []
+                cells_xml = rows_by_r.pop(r, [])
                 for c, val in enumerate(row):
                     if val is None or val == "":
                         continue
@@ -294,6 +384,8 @@ def tables_to_xlsx(
                         )
                 if cells_xml:
                     rows_xml.append(f'<row r="{r + 1}">{"".join(cells_xml)}</row>')
+            for r in sorted(rows_by_r):  # styled rows beyond the value grid
+                rows_xml.append(f'<row r="{r + 1}">{"".join(rows_by_r[r])}</row>')
             merge_xml = ""
             if merges.get(name):
                 refs = "".join(f'<mergeCell ref="{m}"/>' for m in merges[name])

@@ -64,6 +64,36 @@ def test_xlsx_multi_table_segmentation():
     assert out2["tableFromExcelSheet_S"] == []
 
 
+def test_xlsx_styled_empty_cells_are_foreground():
+    """Reference file_loader.py:121-126: an EMPTY cell with a fill
+    pattern (or left/right border) counts as foreground.  A styled
+    spacer column bridging two value islands must merge them into ONE
+    segmented table; without the styling they remain two."""
+    from table_annotation_ray.sources.xlsx import excel_to_tables, tables_to_xlsx
+
+    grid = [
+        ["a", "b", "", "x", "y"],
+        ["1", "2", "", "7", "8"],
+    ]
+    # value-only: two 2x2 tables
+    plain = excel_to_tables(tables_to_xlsx({"S": grid}))["tableFromExcelSheet_S"]
+    assert len(plain) == 2
+
+    # styled empty bridge at column 2 joins the components
+    styled = excel_to_tables(
+        tables_to_xlsx({"S": grid}, styled={"S": [(0, 2), (1, 2)]})
+    )["tableFromExcelSheet_S"]
+    assert len(styled) == 1
+    assert styled[0] == [["a", "b", "", "x", "y"], ["1", "2", "", "7", "8"]]
+
+    # a styled-empty-only island is still dropped by the >1x1 rule, and
+    # styling must not leak values into the grid
+    lone = excel_to_tables(
+        tables_to_xlsx({"S": [["v", ""]]}, styled={"S": [(0, 1)]})
+    )["tableFromExcelSheet_S"]
+    assert lone == []
+
+
 def test_xlsx_merged_cells_unfold():
     """Every cell of a merged range takes the top-left value
     (file_loader.py:92-101)."""
