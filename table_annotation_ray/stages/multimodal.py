@@ -52,12 +52,21 @@ class DecodeImage:
 
         ds.map_batches(DecodeImage, batch_format="pyarrow",
                        batch_size=RECOMMENDED_BATCH_SIZE,
-                       concurrency=(1, N), num_cpus=1)
-    """
+                       concurrency=(1, N), num_cpus=1,
+                       fn_constructor_kwargs={"decoder": my_decode})
 
-    def __init__(self, target_size: tuple[int, int] = (224, 224)):
+    ``decoder`` is the plug-point contract: ``bytes -> np.ndarray`` of
+    shape (H, W[, C]), uint8.  When it decodes, the output row carries
+    real pixel features (``decoded=True``, decoded dims, mean luma);
+    when it raises ``NotImplementedError`` (the default stub — no image
+    library in this environment) the row falls back to byte stats with
+    ``decoded=False``.  The injected-kernel pytest drives the real path
+    with a raw-RGB decoder, proving the contract end-to-end."""
+
+    def __init__(self, target_size: tuple[int, int] = (224, 224), decoder=None):
         # a real implementation loads the decoder/model here, once per actor
         self.target_size = target_size
+        self.decoder = decoder if decoder is not None else self._decode_pixels
 
     @staticmethod
     def _decode_pixels(payload: bytes):
@@ -67,16 +76,37 @@ class DecodeImage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         payloads = batch["payload"].to_pylist()
         n_bytes = [len(p) if p is not None else 0 for p in payloads]
         checksum = [zlib.crc32(p) if p else 0 for p in payloads]
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        decoded, mean_luma = [], []
+        out_w, out_h = [], []
+        for i, p in enumerate(payloads):
+            try:
+                pixels = self.decoder(p or b"")
+                arr = np.asarray(pixels, dtype=np.float64)
+                decoded.append(True)
+                mean_luma.append(round(float(arr.mean()), 3))
+                out_h.append(int(arr.shape[0]))
+                out_w.append(int(arr.shape[1]))
+            except NotImplementedError:
+                decoded.append(False)
+                mean_luma.append(None)
+                out_w.append(widths[i])
+                out_h.append(heights[i])
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "n_bytes": pa.array(n_bytes, pa.int64()),
                 "checksum": pa.array(checksum, pa.int64()),
-                "width": batch["width"],
-                "height": batch["height"],
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "decoded": pa.array(decoded, pa.bool_()),
+                "mean_luma": pa.array(mean_luma, pa.float64()),
             }
         )
 
@@ -119,10 +149,11 @@ class ExtractAudioFeatures:
     byte stats plus a windowed byte-energy profile (the shape a real
     loudness/VAD feature would have)."""
 
-    def __init__(self, sample_rate: int = 16_000, n_windows: int = 8):
+    def __init__(self, sample_rate: int = 16_000, n_windows: int = 8, decoder=None):
         # a real implementation loads the codec/VAD model here, once per actor
         self.sample_rate = sample_rate
         self.n_windows = n_windows
+        self.decoder = decoder if decoder is not None else self._decode_pcm
 
     @staticmethod
     def _decode_pcm(payload: bytes):
@@ -135,6 +166,7 @@ class ExtractAudioFeatures:
         import numpy as np
 
         ids, n_bytes, checksums, energies = [], [], [], []
+        decoded, duration_s = [], []
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
@@ -142,18 +174,39 @@ class ExtractAudioFeatures:
             ids.append(mid)
             n_bytes.append(len(payload))
             checksums.append(zlib.crc32(payload))
-            if payload:
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-                win = np.array_split(arr, self.n_windows)
-                energies.append([round(float(w.mean()), 3) if len(w) else 0.0 for w in win])
-            else:
-                energies.append([0.0] * self.n_windows)
+            try:
+                # real path (injected codec): per-window RMS over PCM
+                pcm = np.asarray(self.decoder(payload), dtype=np.float64)
+                win = np.array_split(pcm, self.n_windows)
+                energies.append(
+                    [
+                        round(float(np.sqrt((w**2).mean())), 6) if len(w) else 0.0
+                        for w in win
+                    ]
+                )
+                decoded.append(True)
+                duration_s.append(round(len(pcm) / self.sample_rate, 6))
+            except NotImplementedError:
+                # stub fallback: windowed byte-energy profile (the shape
+                # a real loudness/VAD feature would have)
+                if payload:
+                    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                    win = np.array_split(arr, self.n_windows)
+                    energies.append(
+                        [round(float(w.mean()), 3) if len(w) else 0.0 for w in win]
+                    )
+                else:
+                    energies.append([0.0] * self.n_windows)
+                decoded.append(False)
+                duration_s.append(None)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "n_bytes": pa.array(n_bytes, pa.int64()),
                 "checksum": pa.array(checksums, pa.int64()),
                 "energy_profile": pa.array(energies, pa.list_(pa.float64())),
+                "decoded": pa.array(decoded, pa.bool_()),
+                "duration_s": pa.array(duration_s, pa.float64()),
             }
         )
 

@@ -292,6 +292,88 @@ def test_audio_feature_stage(ray_session):
         ExtractAudioFeatures._decode_pcm(b"RIFF")
 
 
+def test_multimodal_injected_kernels_real_feature_path(ray_session):
+    """VERDICT r2 #10: plugging a working decoder into the actor-pool
+    stages must exercise the REAL feature path (decoded=True, pixel /
+    PCM-derived values), proving the plug-point contract rather than the
+    stub fallback.  The decoders are defined INSIDE the test: closures
+    pickle by value, while a tests-module top-level function pickles by
+    reference, which workers cannot import (actor ctor retries forever)."""
+    import struct
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        DecodeImage,
+        ExtractAudioFeatures,
+    )
+
+    def _raw_rgb_decode(payload: bytes):
+        # trivial in-repo image codec: 4-byte LE width, 4-byte LE height,
+        # then H*W*3 uint8 pixels — enough to drive the real feature path
+        w, h = struct.unpack("<II", payload[:8])
+        return np.frombuffer(payload[8 : 8 + h * w * 3], dtype=np.uint8).reshape(h, w, 3)
+
+    def _pcm16_decode(payload: bytes):
+        # trivial in-repo audio codec: int16 LE PCM → float in [-1, 1)
+        return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+
+    # two raw-RGB images with known mean pixel values
+    def img(w, h, value):
+        return struct.pack("<II", w, h) + bytes([value]) * (w * h * 3)
+
+    media = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "kind": pa.array(["image", "image"]),
+            "payload": pa.array([img(4, 2, 100), img(3, 5, 30)], pa.binary()),
+            "mime": pa.array(["image/x-raw"] * 2),
+            "width": pa.array([-1, -1], pa.int32()),
+            "height": pa.array([-1, -1], pa.int32()),
+            "duration_ms": pa.array([-1, -1], pa.int32()),
+        }
+    )
+    feats = (
+        rd.from_arrow(media)
+        .map_batches(
+            DecodeImage,
+            batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs={"decoder": _raw_rgb_decode},
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert feats.decoded.all()
+    assert feats.mean_luma.tolist() == [100.0, 30.0]  # real pixel means
+    assert feats.width.tolist() == [4, 3] and feats.height.tolist() == [2, 5]
+
+    # constant-amplitude int16 PCM: RMS is known, duration = n/sr
+    amp = 8192  # 0.25 in float
+    pcm = np.full(16_000, amp, dtype="<i2").tobytes()
+    audio = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "payload": pa.array([pcm], pa.binary()),
+        }
+    )
+    afeats = (
+        rd.from_arrow(audio)
+        .map_batches(
+            ExtractAudioFeatures,
+            batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs={"decoder": _pcm16_decode},
+        )
+        .to_pandas()
+    )
+    assert afeats.decoded.all()
+    assert afeats.duration_s.iloc[0] == pytest.approx(1.0)  # 16k samples @16kHz
+    for e in afeats.energy_profile.iloc[0]:
+        assert e == pytest.approx(0.25, rel=1e-6)  # per-window RMS of 0.25
+
+
 def test_pii_scrub_matches_duckdb(ray_session):
     """The scrub semantics are pinned against DuckDB's RE2 on inputs
     with real matches (the driver testdata has none, so its hash-match
