@@ -462,6 +462,23 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(sigs, max_hamming=3).to_pandas()
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact char-5-gram Jaccard near-dup pairs (stages/dedup.py::
+    ngram_jaccard_pairs): inverted-index candidates (2 ≤ df ≤ 20 grams
+    only), full-set verify ≥ 0.5.  SQL-verified — the deterministic
+    dedup flavor next to probabilistic MinHash/SimHash."""
+    from table_annotation_ray.stages.dedup import ngram_jaccard_pairs
+
+    return (
+        ngram_jaccard_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]), k=5, max_df=20, threshold=0.5
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 # ---- KG pipeline operators over synthesized transcripts (rows-only) -------
 
 def _q_heavy_parts(sf_dir: str):
@@ -762,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_parts": _q_heavy_parts,
         "approx_distinct_users": _q_approx_distinct_users,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
         "kg_annotations": _q_kg_annotations,
@@ -923,6 +941,42 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hb < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM h
+        """,
+        # exact char-5-gram Jaccard: same normalization, same 2<=df<=20
+        # candidate rule, same full-set ratio >= 0.5 (unrounded compare,
+        # 6dp output) as stages/dedup.py::ngram_jaccard_pairs
+        "ngram_jaccard": """
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i
+                FROM norm
+            ),
+            grams AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS g FROM pos),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 20),
+            cand AS (
+                SELECT DISTINCT ga.doc_id AS a, gb.doc_id AS b
+                FROM grams ga JOIN rare USING (g) JOIN grams gb USING (g)
+                WHERE ga.doc_id < gb.doc_id
+            ),
+            inter AS (
+                SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS c
+                FROM grams ga JOIN grams gb USING (g)
+                JOIN cand ON cand.a = ga.doc_id AND cand.b = gb.doc_id
+                WHERE ga.doc_id < gb.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a, i.b,
+                   round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
         """,
         "repetition_stats": """
             WITH s AS (SELECT doc_id,

@@ -247,6 +247,14 @@ def minhash_candidate_pairs(
     )
 
 
+def char_ngrams(text: str, k: int = 5) -> set[str]:
+    """Distinct character k-grams as STRINGS (no hashing — exact-set
+    semantics, so Jaccard over them is SQL-replicable to the bit)."""
+    if len(text) < k:
+        return set()
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
+
+
 def jaccard_verify(
     pairs: rd.Dataset,
     docs: rd.Dataset,
@@ -255,6 +263,7 @@ def jaccard_verify(
     threshold: float = 0.8,
     ngram: int = 3,
     broadcast_below: int = 100_000,
+    gram_fn=None,
 ) -> rd.Dataset:
     """Exact n-gram Jaccard for candidate pairs, fully distributed:
     neither the corpus nor the pair set ever materializes on the driver
@@ -274,9 +283,14 @@ def jaccard_verify(
     ``minhash_dedup``'s union-find threshold): when the corpus holds ≤
     ``broadcast_below`` docs — a metadata-cheap ``count()`` — the texts
     are broadcast once via ``ray.put`` and verification is a single
-    streaming map over the pairs, saving both sort shuffles."""
+    streaming map over the pairs, saving both sort shuffles.
+
+    ``gram_fn`` overrides the shingling (default: crc32-hashed word
+    ``ngram``-grams); pass e.g. ``lambda t: char_ngrams(t, 5)`` for
+    exact string-set semantics (:func:`ngram_jaccard_pairs`)."""
+    gf = gram_fn or (lambda t: _word_ngrams(t, ngram))
     if broadcast_below and docs.count() <= broadcast_below:
-        return _jaccard_verify_broadcast(pairs, docs, id_col, text_col, threshold, ngram)
+        return _jaccard_verify_broadcast(pairs, docs, id_col, text_col, threshold, gf)
 
     def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
         ids = b[id_col]
@@ -333,8 +347,8 @@ def jaccard_verify(
             return empty
         by_doc = dict(zip(group["jv_doc"], group["jv_text"]))
         a, b = group["a"].iloc[0], group["b"].iloc[0]
-        sa = _word_ngrams(by_doc.get(a, ""), ngram)
-        sb = _word_ngrams(by_doc.get(b, ""), ngram)
+        sa = gf(by_doc.get(a, ""))
+        sb = gf(by_doc.get(b, ""))
         if not sa or not sb:
             return empty
         j = len(sa & sb) / len(sa | sb)
@@ -351,7 +365,7 @@ def _jaccard_verify_broadcast(
     id_col: str,
     text_col: str,
     threshold: float,
-    ngram: int,
+    gf,
 ) -> rd.Dataset:
     """Small-corpus verify: normalized texts collected once
     (``to_pandas``, NOT per-row take_all), broadcast via ``ray.put``,
@@ -372,8 +386,8 @@ def _jaccard_verify_broadcast(
         batch = batch.drop_duplicates(subset=["a", "b"])
         keep_a, keep_b, sims = [], [], []
         for a, b in zip(batch["a"], batch["b"]):
-            sa = _word_ngrams(tx.get(a, ""), ngram)
-            sb = _word_ngrams(tx.get(b, ""), ngram)
+            sa = gf(tx.get(a, ""))
+            sb = gf(tx.get(b, ""))
             if not sa or not sb:
                 continue
             j = len(sa & sb) / len(sa | sb)
@@ -387,6 +401,80 @@ def _jaccard_verify_broadcast(
     # in-batch drop_duplicates is an optimization, the groupby the truth
     return pairs.map_batches(verify, batch_format="pandas").groupby(["a", "b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df: int = 20,
+    threshold: float = 0.5,
+    broadcast_below: int = 100_000,
+) -> rd.Dataset:
+    """EXACT character-``k``-gram Jaccard near-dup pairs — the
+    deterministic, SQL-replicable flavor (vs MinHash's probabilistic
+    recall).  Returns (a, b, jaccard) with a < b and jaccard ≥
+    ``threshold`` computed over the FULL distinct-gram sets of the
+    normalized texts.
+
+    Shape: (1) explode each doc's distinct char grams to
+    (gram_hash, doc_id) rows — the inverted index; (2) one groupby on
+    the 64-bit gram hash; groups with 2 ≤ df ≤ ``max_df`` emit their
+    id pairs (the df cap bounds the quadratic blowup of stop-grams AND
+    is part of the semantics: pairs sharing only corpus-common grams
+    are by definition not near-dups); (3) exact verify via
+    :func:`jaccard_verify` with string-set ``char_ngrams`` (re-keys by
+    (a, b), so cross-gram duplicate candidates collapse there).
+
+    Scale note: the exploded index is O(total chars) rows — this is the
+    exact-recall flavor for refined corpora; use ``minhash_dedup`` when
+    a probabilistic candidate pass must cut the exchange first.  Gram
+    hashes are 64-bit (collisions ~1e-10 at 1e5 grams; a collision can
+    only add a candidate the verify rejects, or — vanishingly — inflate
+    one df past the cap)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        texts = _norm_text(batch[text_col])
+        all_grams: list[str] = []
+        counts = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(texts):
+            gs = char_ngrams(t, k)
+            all_grams.extend(gs)
+            counts[i] = len(gs)
+        gh = (
+            pd.util.hash_pandas_object(pd.Series(all_grams, dtype="object"), index=False)
+            .to_numpy(dtype=np.uint64)
+            .view(np.int64)
+        )
+        return pd.DataFrame({"gh": gh, id_col: np.repeat(ids, counts)})
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group[id_col]))
+        n = len(ids)
+        if n < 2 or n > max_df:
+            empty = group[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty})
+        out_a, out_b = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = docs.map_batches(explode, batch_format="pandas").groupby("gh").map_groups(
+        pairs, batch_format="pandas"
+    )
+    return jaccard_verify(
+        cand,
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        broadcast_below=broadcast_below,
+        gram_fn=lambda t: char_ngrams(t, k),
     )
 
 

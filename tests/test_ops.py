@@ -52,6 +52,39 @@ def test_simhash_pairs(docs_ds):
     assert (0, 5) not in got
 
 
+def test_ngram_jaccard_matches_bruteforce(docs_ds):
+    """ngram_jaccard_pairs (inverted index + df-capped candidates +
+    exact verify) must equal the all-pairs brute force wherever the
+    brute-force pair shares at least one rare (df<=max_df) gram —
+    which on this tiny corpus is every qualifying pair."""
+    from table_annotation_ray.stages.dedup import char_ngrams, ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(docs_ds, k=5, max_df=20, threshold=0.3).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got.a, got.b, got.jaccard)}
+
+    import re
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dog tonight",
+        3: "completely different content about ray data pipelines",
+        4: "THE QUICK  BROWN fox jumps over the lazy dog",
+        5: "le renard brun rapide saute par dessus le chien",
+    }
+    norm = {i: re.sub(r"\s+", " ", t).strip().lower() for i, t in texts.items()}
+    grams = {i: char_ngrams(t, 5) for i, t in norm.items()}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b and grams[a] and grams[b]:
+                j = len(grams[a] & grams[b]) / len(grams[a] | grams[b])
+                if j >= 0.3:
+                    want[(a, b)] = round(j, 6)
+    assert got_pairs == want
+    assert (0, 1) in want and want[(0, 1)] == 1.0  # sanity: dups really pair
+
+
 def test_brute_force_topk(ray_session):
     import ray.data as rd
 
