@@ -417,8 +417,11 @@ def _q_repetition_stats(sf_dir: str):
 
 
 def _q_char_entropy(sf_dir: str):
-    """Character-entropy quality proxy (rows-only: no tractable SQL
-    equivalent for per-char Shannon entropy)."""
+    """Character-entropy quality proxy.  SQL-verified: the oracle
+    explodes chars positionally (the ngram-oracle trick) and computes
+    -Σ (c/n)·log2(c/n) per doc; both sides are float64 rounded at 6dp —
+    identical at sf0.01 AND sf0.1 (verified; log values land nowhere
+    near a 5e-7 rounding boundary for real alphabets)."""
     from table_annotation_ray.stages.datapipe import char_entropy
 
     return (
@@ -977,6 +980,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.a
             JOIN sizes sb ON sb.doc_id = i.b
             WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
+        """,
+        # per-char Shannon entropy: positional char explode (the ngram
+        # oracle trick), -sum((c/n)*log2(c/n)) per doc, 6dp round on
+        # both sides (float64-identical at sf0.01 and sf0.1)
+        "char_entropy": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(COALESCE(text,'')))) AS i
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id, substr(text, i, 1) AS ch, count(*)::DOUBLE AS c,
+                       length(text)::DOUBLE AS n
+                FROM pos GROUP BY doc_id, ch, length(text)
+            ),
+            h AS (
+                SELECT doc_id, -sum((c/n) * log2(c/n)) AS ent
+                FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id, round(COALESCE(h.ent, 0.0), 6) AS entropy
+            FROM documents d LEFT JOIN h USING (doc_id)
         """,
         "repetition_stats": """
             WITH s AS (SELECT doc_id,

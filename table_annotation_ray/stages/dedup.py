@@ -52,8 +52,21 @@ def _norm_arrow(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     )
 
 
-def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """One representative (min id) per distinct normalized text."""
+def exact_dedup(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_text: bool = False,
+) -> rd.Dataset:
+    """One representative (min id) per distinct normalized text.
+
+    ``keep_text=True`` returns (id, original text) instead of ids only —
+    the payload-preserving flavor a downstream pipeline stage needs.
+    Wire cost is the same class either way (one text-sized column
+    crosses the digest shuffle: ``norm_text`` in the id-only flavor,
+    the original in the keeping one; collision regrouping re-normalizes
+    in-group with the SAME Arrow kernels, so both flavors keep
+    identical survivors)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         norm = _norm_arrow(batch[text_col])
@@ -62,18 +75,23 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
         h = pd.util.hash_pandas_object(
             pd.Series(norm.to_pandas()), index=False
         ).to_numpy(dtype=np.uint64).view(np.int64)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "text_hash": pa.array(h, pa.int64()),
-                "norm_text": norm,
-            }
-        )
+        cols = {id_col: batch[id_col], "text_hash": pa.array(h, pa.int64())}
+        if keep_text:
+            cols[text_col] = batch[text_col]
+        else:
+            cols["norm_text"] = norm
+        return pa.table(cols)
 
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
         # hash buckets may collide: group again by the actual text
+        if keep_text:
+            g = group.assign(
+                norm_text=_norm_arrow(pa.array(group[text_col], pa.string())).to_pandas()
+            )
+            idx = g.groupby("norm_text", sort=True)[id_col].idxmin()
+            return g.loc[idx, [id_col, text_col]]
         out = group.groupby("norm_text", sort=True)[id_col].min().reset_index()
         return out[[id_col]]
 

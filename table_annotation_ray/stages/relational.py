@@ -115,6 +115,103 @@ def anti_join_keys(
     return _keyed_join(left, right, col, right_col, broadcast_below, False)
 
 
+def filter_rows_by_keys(
+    left: rd.Dataset,
+    keys: rd.Dataset,
+    col: str,
+    keys_col: str | None = None,
+    keep_members: bool = True,
+    broadcast_below: int = DEFAULT_BROADCAST_BELOW,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Payload-PRESERVING semi/anti filter: every ``left`` column
+    survives, rows kept by ``col`` membership in ``keys[keys_col]``.
+
+    The key-only :func:`semi_join_keys` / :func:`anti_join_keys` cover
+    dimension-key filters; this is the row-filter flavor a curation
+    pipeline needs (drop near-dup victim DOCUMENTS, not victim ids).
+
+    * **broadcast** (keys side ≤ ``broadcast_below`` rows): distinct
+      keys ``ray.put`` once, one streaming membership mask — zero
+      shuffle of the payload.
+    * **bucketed co-location** (large keys side): both sides tagged
+      with ``bucket = hash(key) % num_buckets``; ONE
+      ``groupby(bucket)`` sort shuffle co-locates payload rows with the
+      key rows that own the same bucket, and the in-group set-membership
+      filter runs vectorized per bucket.  The payload crosses the wire
+      once — the same cost class as the exact-dedup groupby.  Size
+      ``num_buckets`` so corpus/num_buckets rows fit a worker heap.
+
+    Key column must be integer-like (the bucket hash is the repo's
+    overflow-safe multiplicative ``id_hash_bucket`` family)."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    keys_col = keys_col or col
+    if broadcast_below and keys.count() <= broadcast_below:
+        kset = set(keys.unique(keys_col))
+        kref = ray.put(kset)
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            ks = get_worker_state(
+                ("rowfilter", ref_key(kref)), lambda: ray.get(kref)
+            )
+            mask = b[col].isin(ks)
+            return b[mask if keep_members else ~mask]
+
+        return left.map_batches(f, batch_format="pandas")
+
+    MULT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
+
+    def bucket_of(ids: pd.Series) -> np.ndarray:
+        u = ids.to_numpy(dtype=np.int64).astype(np.uint64)
+        return ((u * MULT) >> np.uint64(32)).astype(np.int64) % num_buckets
+
+    # both union sides emit IDENTICAL column sets with dtype-consistent
+    # sentinel fillers (the jaccard_verify co-location pattern) — NULL
+    # payload would break Arrow schema unification (CLAUDE.md dtype rule)
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    fillers = {
+        name: (
+            "" if pa_type == "string" or str(pa_type).startswith(("string", "large_string"))
+            else 0.0 if str(pa_type).startswith(("double", "float"))
+            else False if str(pa_type) == "bool"
+            else 0
+        )
+        for name, pa_type in zip(left_schema.names, left_schema.types)
+    }
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__rf_bucket"] = bucket_of(b[col])
+        out["__rf_is_key"] = np.zeros(len(b), dtype=bool)
+        return out
+
+    def tag_keys(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        out = pd.DataFrame({c: pd.Series([fillers[c]] * n) for c in left_cols})
+        out[col] = b[keys_col].to_numpy()
+        out["__rf_bucket"] = bucket_of(b[keys_col])
+        out["__rf_is_key"] = np.ones(n, dtype=bool)
+        return out
+
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        keys.map_batches(tag_keys, batch_format="pandas")
+    )
+
+    def filter_group(g: pd.DataFrame) -> pd.DataFrame:
+        is_key = g["__rf_is_key"].to_numpy()
+        kset = set(g.loc[is_key, col])
+        payload = g[~is_key]
+        mask = payload[col].isin(kset)
+        out = payload[mask if keep_members else ~mask]
+        return out.drop(columns=["__rf_bucket", "__rf_is_key"])
+
+    return tagged.groupby("__rf_bucket").map_groups(filter_group, batch_format="pandas")
+
+
 def semi_join_keys(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -1,0 +1,167 @@
+"""Curation composition: payload-preserving key filter, resumable
+partitioned sink, and the end-to-end curation pipeline."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_df():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vocab = [f"word{c}{n}" for c in "abcdefghij" for n in range(20)]
+    rows = []
+    for i in range(20):
+        body = " and the ".join(rng.choice(vocab, size=8, replace=False))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": f"the story of day {i} is about the {body} in the field",
+            }
+        )
+    rows += [
+        # exact dup of doc 0
+        {"doc_id": 100, "text": rows[0]["text"]},
+        # near dup of doc 1 (one word appended)
+        {"doc_id": 101, "text": rows[1]["text"] + " tonight"},
+        # junk: no stopwords, long tokens -> quality gate drops it
+        {"doc_id": 102, "text": "xqzvkjw plmgrtx bnvczsd qwertyzx mnbvcxza"},
+        # French -> dropped when allowed_langs=("en",)
+        {"doc_id": 103, "text": "le renard brun et rapide saute par dessus le chien et la foret"},
+        # English doc with PII
+        {
+            "doc_id": 104,
+            "text": "please contact the team at alice@example.com for more details "
+            "about the quick survey and the data",
+        },
+    ]
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory, corpus_df):
+    p = tmp_path_factory.mktemp("curation") / "documents.parquet"
+    corpus_df.to_parquet(p, index=False)
+    return str(p)
+
+
+def test_filter_rows_by_keys_both_paths(ray_session, corpus_df):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.relational import filter_rows_by_keys
+
+    left = rd.from_pandas(corpus_df)
+    keys = rd.from_items([{"doc_id": i} for i in (1, 3, 101, 104)])
+
+    for keep in (True, False):
+        bc = filter_rows_by_keys(
+            left, keys, "doc_id", keep_members=keep, broadcast_below=10_000
+        ).to_pandas()
+        dist = filter_rows_by_keys(
+            left, keys, "doc_id", keep_members=keep, broadcast_below=0
+        ).to_pandas()
+        want = set(corpus_df.doc_id) & {1, 3, 101, 104} if keep else set(
+            corpus_df.doc_id
+        ) - {1, 3, 101, 104}
+        assert set(bc.doc_id) == want
+        assert set(dist.doc_id) == want
+        # payload survives both paths, byte-identical
+        for got in (bc, dist):
+            assert list(got.columns) == ["doc_id", "text"]
+            merged = got.merge(corpus_df, on="doc_id", suffixes=("", "_orig"))
+            assert (merged.text == merged.text_orig).all()
+
+
+def test_write_partitioned_resume(ray_session, tmp_path, corpus_df):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.sinks import write_partitioned
+
+    out = str(tmp_path / "sink")
+    ds = rd.from_pandas(corpus_df)
+    m1 = write_partitioned(ds, out, key_col="doc_id", num_partitions=4)
+    assert m1["total_rows"] == len(corpus_df)
+    assert m1["resumed_partitions"] == []
+    parts = sorted(int(p["rows"]) for p in m1["partitions"].values())
+    assert sum(parts) == len(corpus_df)
+    for name in os.listdir(out):
+        if name.startswith("part="):
+            assert os.path.exists(os.path.join(out, name, "_SUCCESS"))
+
+    # simulate a crash on one partition: drop its _SUCCESS -> rerun must
+    # rewrite ONLY that partition and skip (not double-write) the rest
+    victim = sorted(
+        n for n in os.listdir(out) if n.startswith("part=")
+    )[0]
+    os.remove(os.path.join(out, victim, "_SUCCESS"))
+    m2 = write_partitioned(ds, out, key_col="doc_id", num_partitions=4)
+    assert m2["total_rows"] == len(corpus_df)  # no duplicates
+    victim_id = victim.split("=")[1]
+    assert m2["partitions"][victim_id]["status"] == "written"
+    resumed = [p for k, p in m2["partitions"].items() if k != victim_id]
+    assert all(p["status"] == "resumed(skip)" for p in resumed)
+    assert m2["partitions"][victim_id]["rows"] == m1["partitions"][victim_id]["rows"]
+
+    # full reread equals the input
+    back = rd.read_parquet(out).to_pandas()
+    assert sorted(back.doc_id) == sorted(corpus_df.doc_id)
+
+
+def test_curation_pipeline_end_to_end(ray_session, tmp_path, corpus_path, corpus_df):
+    import ray.data as rd
+
+    from table_annotation_ray.pipelines.curation_pipeline import run_curation_pipeline
+
+    out = str(tmp_path / "curated")
+    manifest = run_curation_pipeline(
+        corpus_path,
+        out,
+        minhash_threshold=0.8,
+        allowed_langs=("en",),
+        max_tokens=64,
+        num_partitions=4,
+    )
+    assert manifest["n_input"] == len(corpus_df)
+    # exact dup 100 collapses into 0
+    assert manifest["n_after_exact_dedup"] == len(corpus_df) - 1
+    # near-dup 101 is a victim of 1's component
+    assert manifest["n_near_dup_victims"] >= 1
+    # retention funnel is monotonic
+    assert (
+        manifest["n_input"]
+        > manifest["n_after_exact_dedup"]
+        > manifest["n_curated"]
+        > 0
+    )
+
+    docs = rd.read_parquet(os.path.join(out, "docs")).to_pandas()
+    assert len(docs) == manifest["n_curated"]
+    ids = set(docs.doc_id)
+    assert 100 not in ids  # exact dup gone
+    assert 101 not in ids  # near dup gone
+    assert 102 not in ids  # junk quality gone
+    assert 103 not in ids  # non-English gone
+    assert 104 in ids  # PII doc survives, scrubbed
+    pii_row = docs[docs.doc_id == 104].iloc[0]
+    assert "<EMAIL>" in pii_row.text and "alice@example.com" not in pii_row.text
+    assert pii_row.n_email == 1
+    # provenance columns ride along
+    for c in ("stopword_ratio", "mean_token_len", "pred_lang", "n_email"):
+        assert c in docs.columns
+    assert (docs.pred_lang == "en").all()
+
+    packs = rd.read_parquet(os.path.join(out, "packs")).to_pandas()
+    assert sorted(packs.doc_id) == sorted(docs.doc_id)
+    # packing invariant: offsets in doc_id order are a running sum
+    packs = packs.sort_values("doc_id").reset_index(drop=True)
+    assert packs.token_offset.iloc[0] == 0
+    assert (packs.pack_id == packs.token_offset // 64).all()
+
+    # top-level manifest persisted with the funnel
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        top = json.load(f)
+    assert top["n_curated"] == manifest["n_curated"]

@@ -84,6 +84,12 @@ def test_ngram_jaccard_matches_bruteforce(docs_ds):
     assert got_pairs == want
     assert (0, 1) in want and want[(0, 1)] == 1.0  # sanity: dups really pair
 
+    # distributed co-location verify path (broadcast gate off) must agree
+    from table_annotation_ray.stages.dedup import ngram_jaccard_pairs as njp
+
+    dist = njp(docs_ds, k=5, max_df=20, threshold=0.3, broadcast_below=0).to_pandas()
+    assert {(a, b): j for a, b, j in zip(dist.a, dist.b, dist.jaccard)} == want
+
 
 def test_brute_force_topk(ray_session):
     import ray.data as rd
