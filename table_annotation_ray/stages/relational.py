@@ -57,13 +57,20 @@ def _colocated(
     from ray.data.aggregate import Sum
 
     def tag(flag_left: bool, src_col: str):
+        # map-side combiner: the shuffle moves one row per DISTINCT key
+        # per batch, not one per occurrence — on a fact-table right side
+        # (many occurrences per key) this shrinks the sort exchange by
+        # the per-batch duplication factor at zero extra passes
         def f(b: pd.DataFrame) -> pd.DataFrame:
-            n = len(b)
+            counts = b[src_col].value_counts(sort=False)
+            n = len(counts)
+            zeros = np.zeros(n, dtype=np.int64)
+            per_key = counts.to_numpy().astype(np.int64)
             return pd.DataFrame(
                 {
-                    col: b[src_col].to_numpy(),
-                    "nl": np.full(n, 1 if flag_left else 0, dtype=np.int64),
-                    "nr": np.full(n, 0 if flag_left else 1, dtype=np.int64),
+                    col: counts.index.to_numpy(),
+                    "nl": per_key if flag_left else zeros,
+                    "nr": zeros if flag_left else per_key,
                 }
             )
 
