@@ -406,6 +406,87 @@ def _q_dataset_split(sf_dir: str):
     return out
 
 
+_STRATA_RATES = {"en": 80, "fr": 40, "de": 30, "es": 20, "zh": 10}
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language deterministic corpus-mixing sample (en 80% … zh 10%)
+    by the same multiplicative id hash as hash_sample — SQL-identical
+    via a CASE over the hash expression."""
+    from table_annotation_ray.stages.datapipe import stratified_sample
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+        .map_batches(
+            stratified_sample,
+            batch_format="pandas",
+            fn_kwargs={"rates": _STRATA_RATES},
+        )
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_shuffle_order(sf_dir: str):
+    """Deterministic global training-shuffle rank (order by hash(id),
+    id) — distributed prefix-sum over order-aligned hash buckets, no
+    global sort barrier; SQL mirror is row_number() OVER (ORDER BY
+    hash, id) - 1."""
+    from table_annotation_ray.stages.datapipe import shuffle_order
+
+    out = shuffle_order(_read(sf_dir, "documents", ["doc_id"])).to_pandas()
+    return out.astype({"doc_id": "int64", "position": "int64"})
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: top-100 tokens by frequency (ties by token) —
+    per-batch combiner → groupby sum → vocabulary-cardinality sort."""
+    from table_annotation_ray.stages.textstats import vocab_topk
+
+    out = vocab_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=100).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing any word-13-gram
+    with the benchmark slice (docs whose id hash bucket < 5) — the
+    GPT-3-style test-set-overlap rule; broadcast gram-set path."""
+    from table_annotation_ray.stages.datapipe import id_hash_bucket
+    from table_annotation_ray.stages.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b[id_hash_bucket(b["doc_id"]) < 5], batch_format="pandas"
+    )
+    out = decontaminate(docs, bench, n=13).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "n_hits": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_decontaminate_dist(sf_dir: str):
+    """Decontamination FORCED through the co-location groupby path
+    (broadcast_below=0) so the distributed variant — the one a huge
+    benchmark would take — is the one the SQL oracle hash-verifies."""
+    from table_annotation_ray.stages.datapipe import id_hash_bucket
+    from table_annotation_ray.stages.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b[id_hash_bucket(b["doc_id"]) < 5], batch_format="pandas"
+    )
+    out = decontaminate(docs, bench, n=13, broadcast_below=0).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "n_hits": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     from table_annotation_ray.stages.datapipe import repetition_stats
 
@@ -769,6 +850,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "hash_sample": _q_hash_sample,
         "dataset_split": _q_dataset_split,
+        "stratified_sample": _q_stratified_sample,
+        "shuffle_order": _q_shuffle_order,
+        "vocab_topk": _q_vocab_topk,
+        "decontaminate": _q_decontaminate,
+        "decontaminate_dist": _q_decontaminate_dist,
         "repetition_stats": _q_repetition_stats,
         "char_entropy": _q_char_entropy,
         "pack_documents": _q_pack_documents,
@@ -944,6 +1030,82 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hb < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM h
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                   + 4294967296) % 4294967296 % 100
+                  < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
+                              WHEN 'de' THEN 30 WHEN 'es' THEN 20
+                              WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "shuffle_order": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                                 + 4294967296) % 4294967296,
+                                doc_id) - 1 AS position
+            FROM documents
+        """,
+        "vocab_topk": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                      '\\s+')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 100
+        """,
+        # word-13-gram overlap with the hash-bucket<5 benchmark slice;
+        # DuckDB list slice t[i:i+12] is 1-based inclusive = 13 tokens
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                         '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 12)) AS i
+                      FROM toks)
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM grams
+                WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                       + 4294967296) % 4294967296 % 100 < 5
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM grams
+            WHERE gram IN (SELECT gram FROM bench)
+            GROUP BY doc_id
+        """,
+        "decontaminate_dist": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                         '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 12)) AS i
+                      FROM toks)
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM grams
+                WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                       + 4294967296) % 4294967296 % 100 < 5
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM grams
+            WHERE gram IN (SELECT gram FROM bench)
+            GROUP BY doc_id
         """,
         # exact char-5-gram Jaccard: same normalization, same 2<=df<=20
         # candidate rule, same full-set ratio >= 0.5 (unrounded compare,

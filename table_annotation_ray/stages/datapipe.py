@@ -184,3 +184,91 @@ def pack_documents(
         )
 
     return toks.groupby("chunk_id").map_groups(assign, batch_format="pandas")
+
+
+def stratified_sample(
+    batch: pd.DataFrame,
+    rates: dict[str, int],
+    group_col: str = "lang",
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Per-group deterministic sampling — the corpus-mixing primitive
+    (e.g. upweight English, downsample boilerplate sources).  A row
+    survives iff ``id_hash_bucket(id) < rates[group]`` (percent, 0–100);
+    groups absent from ``rates`` fall back to ``default_pct``.  Pure
+    integer arithmetic on the id like :func:`hash_sample`, so the result
+    is independent of batch/cluster order and SQL-replicable with a CASE
+    over the same hash expression."""
+    buckets = id_hash_bucket(batch[id_col])
+    pct = (
+        batch[group_col]
+        .map(lambda g: rates.get(g, default_pct))
+        .to_numpy(dtype=np.int64)
+    )
+    return batch[buckets < pct]
+
+
+def shuffle_order(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+) -> rd.Dataset:
+    """Deterministic global training-shuffle order: every row gets its
+    0-based ``position`` in the ordering by ``(hash(id), id)`` — the
+    reproducible alternative to ``random_shuffle`` (same order at any
+    parallelism, resumable mid-epoch by position range).
+
+    SQL mirror: ``row_number() OVER (ORDER BY hash_expr, id) - 1``.
+
+    Distributed rank without a global sort barrier: the hash's top bits
+    give an ORDER-ALIGNED bucket (every key in bucket b sorts before
+    every key in bucket b+1), so (1) one ``groupby(bucket)`` count pass
+    → tiny driver prefix scan (``num_buckets`` rows); (2) in-bucket
+    sort + cumcount + bucket prefix in ``map_groups``.  Both heavy
+    passes stream; nothing driver-side exceeds ``num_buckets`` rows.
+    Size ``num_buckets`` so corpus/num_buckets rows fit a worker heap
+    (raise it at 100 TB)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    span = HASH_MOD // num_buckets  # 2^32 / buckets: order-aligned split
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        key = (u * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "_key": key.astype(np.int64),
+                "_bucket": (key // np.uint64(span)).astype(np.int64),
+            }
+        )
+
+    keyed = docs.map_batches(add_key, batch_format="pandas").materialize()
+
+    counts = keyed.groupby("_bucket").aggregate(Count(alias_name="n")).to_pandas()
+    counts = counts.sort_values("_bucket")
+    prefix, running = {}, 0
+    for b, n in zip(counts["_bucket"], counts["n"]):
+        prefix[int(b)] = running
+        running += int(n)
+    prefix_ref = ray.put(prefix)
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        pre = get_worker_state(
+            ("shuffle-prefix", ref_key(prefix_ref)), lambda: ray.get(prefix_ref)
+        )
+        g = group.sort_values(["_key", id_col])
+        base = pre[int(g["_bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "position": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("_bucket").map_groups(rank, batch_format="pandas")

@@ -1,0 +1,148 @@
+"""Benchmark decontamination — flag corpus documents sharing any word
+n-gram with a held-out benchmark/eval set (the GPT-3-style 13-gram
+overlap rule: a pre-training corpus must not quote the test set).
+
+Tokenization is the textstats convention (lowercase, split ``\\s+``,
+drop empties); a gram is ``n`` consecutive tokens joined by single
+spaces.  Grams are matched as STRINGS, not hashes — exact semantics,
+SQL-replicable (a 64-bit-hash variant would cut wire bytes ~10× at the
+cost of a documented false-positive rate; exactness wins here because
+the op's output is a drop list).
+
+Scale shapes, size-gated like stages/relational.py:
+
+* **broadcast** (benchmark gram set ≤ ``broadcast_below``): distinct
+  benchmark grams ``ray.put`` once; ONE streaming corpus pass explodes
+  each doc's distinct grams per batch and counts membership hits —
+  zero shuffle.  Real benchmarks (10^3–10^5 docs × ~10^2 grams) fit
+  comfortably.
+* **co-location** (huge benchmark): both sides exploded to (gram,
+  doc_id)-tagged rows, ONE ``groupby(gram)`` sort shuffle emits corpus
+  doc ids whose group contains a benchmark row, then a
+  ``groupby(doc_id)`` count.  Corpus grams cross the wire once.
+
+Output: (doc_id, n_hits) for contaminated docs only — n_hits = number
+of DISTINCT benchmark-overlapping grams in the doc.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+_WS = re.compile(r"\s+")
+
+DEFAULT_BROADCAST_BELOW = 20_000_000  # distinct benchmark grams
+
+
+def doc_ngrams(text: str, n: int) -> set[str]:
+    """Distinct word-``n``-grams of one normalized document."""
+    toks = [t for t in _WS.split(text.strip().lower()) if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _explode_grams(
+    b: pd.DataFrame, id_col: str, text_col: str, n: int
+) -> pd.DataFrame:
+    ids, grams = [], []
+    for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
+        gs = doc_ngrams(text, n)
+        ids.extend([doc_id] * len(gs))
+        grams.extend(gs)
+    return pd.DataFrame(
+        {id_col: pd.Series(ids, dtype="int64"), "gram": pd.Series(grams, dtype="str")}
+    )
+
+
+def decontaminate(
+    corpus: rd.Dataset,
+    benchmark: rd.Dataset,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_below: int = DEFAULT_BROADCAST_BELOW,
+) -> rd.Dataset:
+    """(doc_id, n_hits) over ``corpus`` docs sharing ≥1 word-``n``-gram
+    with any ``benchmark`` doc.  See module docstring for the size-gated
+    execution shapes."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    bench_grams = benchmark.map_batches(
+        _explode_grams,
+        batch_format="pandas",
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
+    )
+
+    if broadcast_below and bench_grams.count() <= broadcast_below:
+        gset = set(bench_grams.unique("gram"))
+        gref = ray.put(gset)
+
+        def hits(b: pd.DataFrame) -> pd.DataFrame:
+            gs = get_worker_state(
+                ("decontam", ref_key(gref)), lambda: ray.get(gref)
+            )
+            out_ids, out_hits = [], []
+            for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
+                k = sum(1 for g in doc_ngrams(text, n) if g in gs)
+                if k:
+                    out_ids.append(doc_id)
+                    out_hits.append(k)
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(out_ids, dtype="int64"),
+                    "n_hits": pd.Series(out_hits, dtype="int64"),
+                }
+            )
+
+        return corpus.map_batches(hits, batch_format="pandas")
+
+    # co-location path: tag sides, ONE groupby(gram) emits corpus doc
+    # ids in benchmark-containing groups, then count per doc
+    from ray.data.aggregate import Sum
+
+    def tag(is_bench: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["_bench"] = np.full(len(b), is_bench)
+            return out
+
+        return f
+
+    tagged = corpus.map_batches(
+        _explode_grams,
+        batch_format="pandas",
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
+    ).map_batches(tag(False), batch_format="pandas").union(
+        bench_grams.map_batches(tag(True), batch_format="pandas")
+    )
+
+    def emit_hits(g: pd.DataFrame) -> pd.DataFrame:
+        is_bench = g["_bench"].to_numpy()
+        if not is_bench.any():
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "one": pd.Series([], dtype="int64"),
+                }
+            )
+        # distinct corpus docs in this gram's group each get one hit
+        ids = pd.unique(g.loc[~is_bench, id_col])
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "one": np.ones(len(ids), dtype=np.int64),
+            }
+        )
+
+    return (
+        tagged.groupby("gram")
+        .map_groups(emit_hits, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Sum("one", alias_name="n_hits"))
+    )

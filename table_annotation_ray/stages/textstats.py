@@ -131,3 +131,36 @@ def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     )
     fp = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
     return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
+
+
+def vocab_topk(docs, k: int = 100, text_col: str = "text"):
+    """Corpus-wide token frequency top-``k`` — the vocabulary-building /
+    tokenizer-training primitive.  Tokens are lowercased
+    whitespace-splits (empty strings dropped), ties broken by token text
+    so the result is deterministic at any parallelism.
+
+    Scale shape: per-batch ``value_counts`` combiner (one row per
+    DISTINCT token per batch crosses the wire) → ``groupby(token)`` sum
+    → sort + limit.  The sort runs over VOCABULARY cardinality — already
+    aggregated, orders of magnitude below corpus cardinality (Heaps'
+    law), so the final exchange is cheap even at 100 TB.
+
+    SQL mirror: unnest(regexp_split_to_array(lower(text),'\\s+')) …
+    GROUP BY / ORDER BY n DESC, token LIMIT k."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.split(_WS).explode()
+        toks = toks[(toks.notna()) & (toks.str.len() > 0)]
+        vc = toks.value_counts(sort=False)
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(key=["n", "token"], descending=[True, False])
+        .limit(k)
+    )

@@ -710,3 +710,91 @@ def test_tree_reduce_many_partials(ray_session):
     est = approx_distinct(rd.from_items(rows), "k", p=10, batch_size=20)
     flat = approx_distinct(rd.from_items(rows), "k", p=10)
     assert est == flat  # register max is associative — identical estimate
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import id_hash_bucket, stratified_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "lang": ["en", "fr", "zz", "de"] * 250,
+        }
+    )
+    rates = {"en": 80, "fr": 40, "de": 0}
+    out = (
+        rd.from_pandas(df)
+        .map_batches(
+            stratified_sample, batch_format="pandas", fn_kwargs={"rates": rates}
+        )
+        .to_pandas()
+    )
+    # exact reproduction of the hash rule per group, incl. default 0
+    h = id_hash_bucket(df["doc_id"])
+    want = df[h < df["lang"].map(lambda g: rates.get(g, 0)).to_numpy()]
+    assert sorted(out.doc_id) == sorted(want.doc_id)
+    assert set(out[out.lang == "de"].doc_id) == set()
+    assert set(out[out.lang == "zz"].doc_id) == set()
+
+
+def test_shuffle_order_is_global_rank(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import (
+        HASH_MOD,
+        HASH_MULT,
+        shuffle_order,
+    )
+
+    ids = np.arange(0, 5000, 7, dtype=np.int64)  # 715 ids, many buckets
+    out = (
+        shuffle_order(rd.from_pandas(pd.DataFrame({"doc_id": ids})), num_buckets=32)
+        .to_pandas()
+        .sort_values("position")
+    )
+    assert len(out) == len(ids)
+    assert list(out.position) == list(range(len(ids)))  # dense 0-based rank
+    key = (ids.astype(np.uint64) * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+    want = [i for _, i in sorted(zip(key.tolist(), ids.tolist()))]
+    assert list(out.doc_id) == want
+
+
+def test_vocab_topk_ties_and_combine(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.textstats import vocab_topk
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "b a  a c"},
+            {"doc_id": 1, "text": " c B b"},
+            {"doc_id": 2, "text": "a"},
+        ]
+    )
+    out = vocab_topk(docs, k=2).to_pandas()
+    # a:3, b:3 (case-folded), c:2 -> top-2 ties broken by token text
+    assert list(out.token) == ["a", "b"]
+    assert list(out.n) == [3, 3]
+
+
+def test_decontaminate_paths_agree(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.decontam import decontaminate, doc_ngrams
+
+    corpus = rd.from_items(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma delta"},
+            {"doc_id": 1, "text": "xx alpha beta gamma yy"},   # shares 3-gram
+            {"doc_id": 2, "text": "totally unrelated words here"},
+            {"doc_id": 3, "text": "ALPHA  beta gamma delta"},  # norm-identical grams
+        ]
+    )
+    bench = rd.from_items([{"doc_id": 90, "text": "alpha beta gamma delta"}])
+    for bb in (10_000, 0):  # broadcast and forced co-location
+        out = decontaminate(corpus, bench, n=3, broadcast_below=bb).to_pandas()
+        got = dict(zip(out.doc_id, out.n_hits))
+        assert got == {0: 2, 1: 1, 3: 2}
+    assert doc_ngrams("a b", 3) == set()  # shorter than n -> no grams
