@@ -487,6 +487,38 @@ def _q_decontaminate_dist(sf_dir: str):
     )
 
 
+def _q_curation_funnel(sf_dir: str):
+    """End-to-end curation pipeline (exact dedup → minhash near-dup
+    removal → quality/lang gate → PII scrub → pack → partitioned sink)
+    over the documents table; returns the curated docs' provenance
+    columns.  Rows-only: the minhash stage has no SQL equivalent, but
+    the output is deterministic (seeded hashes, id-ordered packing)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from table_annotation_ray.pipelines.curation_pipeline import run_curation_pipeline
+
+    out_dir = tempfile.mkdtemp(prefix="ta_ray_curation_")
+    try:
+        run_curation_pipeline(
+            os.path.join(sf_dir, "documents.parquet"),
+            out_dir,
+            minhash_threshold=0.8,
+            num_partitions=4,
+        )
+        curated = rd.read_parquet(os.path.join(out_dir, "docs")).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return (
+        curated[["doc_id", "pred_lang", "n_email", "n_ip", "n_phone"]]
+        .astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     from table_annotation_ray.stages.datapipe import repetition_stats
 
@@ -855,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "decontaminate": _q_decontaminate,
         "decontaminate_dist": _q_decontaminate_dist,
+        "curation_funnel": _q_curation_funnel,
         "repetition_stats": _q_repetition_stats,
         "char_entropy": _q_char_entropy,
         "pack_documents": _q_pack_documents,
