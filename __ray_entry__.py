@@ -866,6 +866,118 @@ def _q_audio_features(sf_dir: str):
     return out
 
 
+# ---- time-keyed joins / order statistics (SQL-verified) -------------------
+
+def _q_asof_view_before_purchase(sf_dir: str):
+    """As-of join: for each purchase event, the latest view by the same
+    user at or before the purchase (ties: max view_id).  One
+    groupby(user_id) co-location, vectorized searchsorted per group —
+    no inequality join, no global sort (stages/joins.py::asof_join)."""
+    from table_annotation_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(etype: str, id_name: str, ts_name: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            m = b[b["event_type"] == etype]
+            return pd.DataFrame(
+                {id_name: m["event_id"], "user_id": m["user_id"], ts_name: m["ts"]}
+            )
+
+        return f
+
+    left = ev.map_batches(side("purchase", "purchase_id", "purchase_ts"),
+                          batch_format="pandas")
+    right = ev.map_batches(side("view", "view_id", "view_ts"),
+                           batch_format="pandas")
+    out = asof_join(
+        left, right, key="user_id",
+        left_ts="purchase_ts", right_ts="view_ts",
+        left_cols=["purchase_id", "user_id", "purchase_ts"],
+        right_cols=["user_id", "view_id", "view_ts"],
+        right_tiebreak="view_id", how="inner",
+    ).to_pandas()
+    for c in ("purchase_ts", "view_ts"):
+        out[c] = out[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    for c in ("purchase_id", "user_id", "view_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+def _q_error_click_window(sf_dir: str):
+    """Interval (range) join: clicks within 1 hour after an error by
+    the same user, counted per error.  Intervals replicate to the time
+    buckets they overlap; each click lives in exactly one bucket, so
+    every pair is tested once (stages/joins.py::interval_join)."""
+    from ray.data.aggregate import Count
+
+    from table_annotation_ray.stages.joins import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    WINDOW = pd.Timedelta(hours=1)
+
+    def errors(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["event_type"] == "error"]
+        return pd.DataFrame(
+            {"error_id": m["event_id"], "user_id": m["user_id"],
+             "wstart": m["ts"], "wend": m["ts"] + WINDOW}
+        )
+
+    def clicks(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["event_type"] == "click"]
+        return pd.DataFrame({"user_id": m["user_id"], "click_ts": m["ts"]})
+
+    pairs = interval_join(
+        ev.map_batches(errors, batch_format="pandas"),
+        ev.map_batches(clicks, batch_format="pandas"),
+        start="wstart", end="wend", right_ts="click_ts",
+        left_cols=["error_id", "user_id", "wstart", "wend"],
+        right_cols=["user_id", "click_ts"],
+        key="user_id",
+        bucket_width_us=3_600_000_000,
+    )
+    out = (
+        pairs.groupby(["error_id", "user_id"])
+        .aggregate(Count(alias_name="n_clicks"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("error_id").reset_index(drop=True)
+
+
+def _q_top_orders_per_customer(sf_dir: str):
+    """Group-wise top-k without a global sort: map-side per-(group,
+    batch) k-row combiner, then a per-group finalizer
+    (stages/relational.py::grouped_topk) — the shuffle moves ≤ k rows
+    per group per batch instead of the whole fact table."""
+    from table_annotation_ray.stages.relational import grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(
+        orders, ["o_custkey"], "o_totalprice", k=2,
+        descending=True, tiebreak="o_orderkey",
+    ).to_pandas()
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)
+
+
+def _q_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles by histogram selection — 2 + log
+    streaming scans, zero shuffle, vs a full global sort
+    (stages/quantiles.py::exact_quantiles).  Values pass through
+    untouched so the float compare vs the rank-k oracle is exact."""
+    from table_annotation_ray.stages.quantiles import exact_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    out = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+    return out.sort_values("q").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -908,6 +1020,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "parts_never_ordered": _q_parts_never_ordered,
         "parts_bulk_ordered": _q_parts_bulk_ordered,
+        "asof_view_before_purchase": _q_asof_view_before_purchase,
+        "error_click_window": _q_error_click_window,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "price_quantiles": _q_price_quantiles,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -1250,6 +1366,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (
                 SELECT l_partkey FROM lineitem WHERE l_quantity > 45
             )
+        """,
+        "asof_view_before_purchase": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+                       FROM events WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+                       FROM events WHERE event_type = 'view'),
+                 j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts,
+                              v.view_id, v.view_ts,
+                              row_number() OVER (
+                                  PARTITION BY p.purchase_id
+                                  ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+                       FROM p JOIN v ON p.user_id = v.user_id
+                                    AND v.view_ts <= p.purchase_ts)
+            SELECT purchase_id, user_id,
+                   strftime(purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   view_id,
+                   strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+            FROM j WHERE rn = 1
+        """,
+        "error_click_window": """
+            SELECT e.event_id AS error_id, e.user_id, count(*) AS n_clicks
+            FROM events e JOIN events c
+              ON c.user_id = e.user_id
+             AND e.event_type = 'error' AND c.event_type = 'click'
+             AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR
+            GROUP BY 1, 2
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 2
+        """,
+        "price_quantiles": """
+            WITH ranked AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                       count(*) OVER () AS n
+                FROM lineitem),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+            SELECT q, v AS value
+            FROM qs JOIN ranked ON rn = CAST(ceil(q * n) AS BIGINT)
         """,
         "heavy_parts": """
             SELECT l_partkey, count(*) AS n

@@ -1,0 +1,243 @@
+"""Time-keyed joins Ray Data lacks natively: as-of join and interval
+(range) join, both built on the repo's union + groupby co-location
+pattern (``ds.join`` is unusable in Ray 2.49 — ArrowInvalid on empty
+hash partitions, see CLAUDE.md).
+
+**As-of join** — for each left row, the single latest right row with
+the same key and ``right_ts <= left_ts`` (SQL ``ASOF JOIN``; ties on
+``right_ts`` broken by the largest ``right_tiebreak``).  Both sides are
+tagged into one schema, one ``groupby(key)`` sort shuffle co-locates a
+key's rows, and the per-group match is a vectorized
+``np.searchsorted`` against the right side sorted by (ts, tiebreak) —
+no per-row Python.
+
+**Interval join** — pairs (left, right) where ``right_ts`` falls in
+the left row's half-open ``[start, end)`` (optionally also key-equal).
+Each interval is replicated to the fixed-width time buckets it
+overlaps; each right row lands in exactly ONE bucket
+(``floor(ts/width)``), so every qualifying pair is tested and emitted
+exactly once — no cross-bucket dedup needed.  The in-bucket probe is a
+sorted ``searchsorted`` range per interval with vectorized pair
+expansion (``np.repeat`` + offset arithmetic).
+
+Partitioning assumptions (documented per the custom-operator rule):
+
+* as-of: one key's rows fit in a worker heap (groups are per-entity
+  histories; salt or time-split pathological keys upstream).
+* interval: one (key, bucket)'s rows fit in a worker heap — choose
+  ``bucket_width`` on the order of the interval length so an interval
+  replicates to ~2 buckets and buckets stay small.
+
+No reference counterpart (SURVEY §2: relational breadth beyond the
+annotator); semantics mirror SQL ASOF JOIN / inequality range join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+_TS_I8 = "datetime64[us]"
+
+
+def _sentinel_for(dtype) -> object:
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return pd.Timestamp(0)
+    if pd.api.types.is_float_dtype(dtype):
+        return 0.0
+    if pd.api.types.is_bool_dtype(dtype):
+        return False
+    if pd.api.types.is_integer_dtype(dtype):
+        return 0
+    return ""
+
+
+def _tag_union(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_cols: list[str],
+    right_cols: list[str],
+    extra_left,
+    extra_right,
+) -> rd.Dataset:
+    """Union both sides under ONE schema: every output column exists on
+    both sides, sentinel-filled where absent (Arrow schema unification
+    rejects dtype drift — CLAUDE.md empty-frame rule).  ``extra_*``
+    optionally append computed columns (e.g. bucket ids) per batch and
+    may RETURN a longer frame (replication)."""
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    # resolve sentinel values/dtypes from both schemas once, driver-side;
+    # the dicts are closed over by value so workers never touch module
+    # globals
+    fill_val: dict[str, object] = {}
+    fill_dt: dict[str, object] = {}
+    for sch in (left.schema(), right.schema()):
+        for name, typ in zip(sch.names, sch.types):
+            if name in all_cols and name not in fill_val:
+                dt = pd.Series([], dtype=typ.to_pandas_dtype()).dtype
+                if str(typ).startswith("timestamp"):
+                    dt = np.dtype(_TS_I8)
+                fill_val[name] = _sentinel_for(dt)
+                fill_dt[name] = dt
+
+    def mk(side_cols: list[str], is_right: bool, extra):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[side_cols].copy()
+            if extra is not None:
+                out = extra(out)
+            n = len(out)
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = pd.Series([fill_val[c]] * n, dtype=fill_dt[c])
+            out["__j_side"] = np.full(n, 1 if is_right else 0, dtype=np.int8)
+            extras = [c for c in out.columns if c.startswith("__j_") and c != "__j_side"]
+            return out[all_cols + extras + ["__j_side"]]
+
+        return f
+
+    return left.map_batches(
+        mk(left_cols, False, extra_left), batch_format="pandas"
+    ).union(
+        right.map_batches(mk(right_cols, True, extra_right), batch_format="pandas")
+    )
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_tiebreak: str,
+    how: str = "inner",
+) -> rd.Dataset:
+    """For every left row, attach the latest right row of the same
+    ``key`` with ``right_ts <= left_ts`` (ties: max ``right_tiebreak``).
+
+    ``left_cols`` / ``right_cols`` are the payload columns each side
+    contributes (must be disjoint apart from ``key``; rename upstream
+    with ``map_batches`` if both sides share a timestamp column name).
+    ``how='left'`` keeps unmatched left rows with nulls.
+    """
+    if key not in left_cols or key not in right_cols:
+        raise ValueError("key must be listed in both column sets")
+    overlap = (set(left_cols) & set(right_cols)) - {key}
+    if overlap:
+        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
+    out_right = [c for c in right_cols if c != key]
+    out_left = list(left_cols)
+
+    tagged = _tag_union(left, right, left_cols, right_cols, None, None)
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        is_r = g["__j_side"].to_numpy() == 1
+        L = g[~is_r]
+        R = g[is_r].sort_values([right_ts, right_tiebreak], kind="mergesort")
+        empty = pd.concat([L[out_left].iloc[:0], R[out_right].iloc[:0]], axis=1)
+        if len(L) == 0 or (len(R) == 0 and how == "inner"):
+            return empty
+        r_ts = R[right_ts].to_numpy()
+        idx = np.searchsorted(r_ts, L[left_ts].to_numpy(), side="right") - 1
+        matched = idx >= 0
+        if how == "inner":
+            L, idx = L[matched], idx[matched]
+            if len(L) == 0:
+                return empty
+            out = L[out_left].reset_index(drop=True)
+            take = R[out_right].iloc[idx].reset_index(drop=True)
+            for c in out_right:
+                out[c] = take[c]
+            return out
+        # left join: unmatched right payload upcasts to NaN/NaT
+        out = L[out_left].reset_index(drop=True)
+        if len(R) == 0:
+            for c in out_right:
+                out[c] = pd.Series([np.nan] * len(out))
+            return out
+        take = R[out_right].iloc[np.clip(idx, 0, None)].reset_index(drop=True)
+        m = pd.Series(matched)
+        for c in out_right:
+            out[c] = take[c].where(m)
+        return out
+
+    return tagged.groupby(key).map_groups(match, batch_format="pandas")
+
+
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    start: str,
+    end: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    key: str | None = None,
+    bucket_width_us: int = 300_000_000,
+) -> rd.Dataset:
+    """Emit one row per (left, right) pair with ``start <= right_ts <
+    end`` (and ``left[key] == right[key]`` when ``key`` is given).
+
+    ``left_cols`` must include ``start``/``end`` (+ ``key``);
+    ``right_cols`` must include ``right_ts`` (+ ``key``).  Output =
+    left_cols + right_cols (key deduplicated).  Timestamps are
+    ``timestamp[us]``; ``bucket_width_us`` sets the replication
+    granularity (default 5 min).
+    """
+    w = np.int64(bucket_width_us)
+
+    def explode_left(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[start].to_numpy().astype(_TS_I8).astype(np.int64)
+        e = b[end].to_numpy().astype(_TS_I8).astype(np.int64)
+        b0 = s // w
+        b1 = np.maximum(e - 1, s) // w  # half-open end: last covered bucket
+        reps = (b1 - b0 + 1).astype(np.int64)
+        out = b.iloc[np.repeat(np.arange(len(b)), reps)].copy()
+        total = int(reps.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        out["__j_bucket"] = np.repeat(b0, reps) + offs
+        return out
+
+    def bucket_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        ts = b[right_ts].to_numpy().astype(_TS_I8).astype(np.int64)
+        out["__j_bucket"] = ts // w
+        return out
+
+    tagged = _tag_union(
+        left, right, left_cols, right_cols, explode_left, bucket_right
+    )
+    group_keys = ["__j_bucket"] if key is None else [key, "__j_bucket"]
+    out_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        is_r = g["__j_side"].to_numpy() == 1
+        L, R = g[~is_r], g[is_r]
+        if len(L) == 0 or len(R) == 0:
+            return g[out_cols].iloc[:0]
+        R = R.sort_values(right_ts, kind="mergesort")
+        r_ts = R[right_ts].to_numpy().astype(_TS_I8).astype(np.int64)
+        s = L[start].to_numpy().astype(_TS_I8).astype(np.int64)
+        e = L[end].to_numpy().astype(_TS_I8).astype(np.int64)
+        lo = np.searchsorted(r_ts, s, side="left")
+        hi = np.searchsorted(r_ts, e, side="left")
+        cnt = (hi - lo).astype(np.int64)
+        total = int(cnt.sum())
+        if total == 0:
+            return g[out_cols].iloc[:0]
+        l_idx = np.repeat(np.arange(len(L)), cnt)
+        r_idx = np.repeat(lo, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        out = L.iloc[l_idx][[c for c in left_cols]].reset_index(drop=True)
+        rr = R.iloc[r_idx].reset_index(drop=True)
+        for c in right_cols:
+            if c not in out.columns:
+                out[c] = rr[c]
+        return out[out_cols]
+
+    return tagged.groupby(group_keys).map_groups(probe, batch_format="pandas")

@@ -219,6 +219,45 @@ def filter_rows_by_keys(
     return tagged.groupby("__rf_bucket").map_groups(filter_group, batch_format="pandas")
 
 
+def grouped_topk(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+) -> rd.Dataset:
+    """Top-``k`` rows per group by ``order_col`` WITHOUT a global sort:
+    a map-side combiner keeps ≤k rows per (group, batch) — the sort
+    shuffle then moves at most ``k × groups × batches`` rows instead of
+    the whole table — and the per-group finalizer re-selects top-k over
+    the combined survivors.  Equivalent to SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY o) <= k``.
+
+    Deterministic under ties when ``tiebreak`` (ascending, unique) is
+    given — both passes order by (order_col, tiebreak), so the boundary
+    row selection matches the SQL window's.  All input columns survive.
+    """
+    by = [order_col] + ([tiebreak] if tiebreak else [])
+    asc = [not descending] + ([True] if tiebreak else [])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(by, ascending=asc, kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_cols[0] if len(group_cols) == 1 else group_cols)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def semi_join_keys(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -1,0 +1,171 @@
+"""Tests for the time-keyed joins (as-of, interval) and exact
+distributed quantiles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from table_annotation_ray.stages.joins import asof_join, interval_join
+from table_annotation_ray.stages.quantiles import exact_quantiles
+from table_annotation_ray.stages.relational import grouped_topk
+
+
+def _ts(s: str) -> pd.Timestamp:
+    return pd.Timestamp(s)
+
+
+def test_asof_join_basic_and_ties(ray_session):
+    left = pd.DataFrame(
+        {
+            "lid": [1, 2, 3, 4],
+            "k": [10, 10, 10, 20],
+            "lts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:00",
+                 "2024-01-01 09:00", "2024-01-01 10:00"]
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": [100, 101, 102, 103],
+            "k": [10, 10, 10, 20],
+            "rts": pd.to_datetime(
+                # 101/102 tie on ts — tie-break must pick max rid (102)
+                ["2024-01-01 09:30", "2024-01-01 10:30",
+                 "2024-01-01 10:30", "2024-01-01 11:00"]
+            ),
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", left_ts="lts", right_ts="rts",
+        left_cols=["lid", "k", "lts"], right_cols=["k", "rid", "rts"],
+        right_tiebreak="rid", how="inner",
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    # lid=1 @10:00 -> rid 100 (09:30); lid=2 @11:00 -> tie at 10:30 -> 102
+    # lid=3 @09:00 -> no prior view (dropped); lid=4 @10:00 key 20 -> none
+    assert out["lid"].tolist() == [1, 2]
+    assert out["rid"].tolist() == [100, 102]
+
+
+def test_asof_join_left_keeps_unmatched(ray_session):
+    left = pd.DataFrame(
+        {"lid": [1, 2], "k": [1, 2],
+         "lts": pd.to_datetime(["2024-01-01", "2024-01-01"])}
+    )
+    right = pd.DataFrame(
+        {"rid": [9], "k": [1], "rts": pd.to_datetime(["2023-12-31"])}
+    )
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", left_ts="lts", right_ts="rts",
+        left_cols=["lid", "k", "lts"], right_cols=["k", "rid", "rts"],
+        right_tiebreak="rid", how="left",
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "rid"] == 9
+    assert pd.isna(out.loc[1, "rid"])
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 60, 400
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    l_start = base + rng.integers(0, 86_400_000_000, n_l)
+    l_len = rng.integers(1, 7_200_000_000, n_l)  # up to 2 h
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.integers(0, 5, n_l),
+            "s": pd.to_datetime(l_start, unit="us"),
+            "e": pd.to_datetime(l_start + l_len, unit="us"),
+        }
+    )
+    r_ts = base + rng.integers(0, 86_400_000_000, n_r)
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(n_r),
+            "k": rng.integers(0, 5, n_r),
+            "t": pd.to_datetime(r_ts, unit="us"),
+        }
+    )
+    out = interval_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        start="s", end="e", right_ts="t",
+        left_cols=["lid", "k", "s", "e"], right_cols=["k", "rid", "t"],
+        key="k", bucket_width_us=1_800_000_000,  # buckets < interval len
+    ).to_pandas()
+    got = set(zip(out["lid"], out["rid"]))
+    want = set()
+    for _, L in left.iterrows():
+        m = right[(right["k"] == L["k"]) & (right["t"] >= L["s"]) & (right["t"] < L["e"])]
+        want |= {(L["lid"], r) for r in m["rid"]}
+    assert got == want and len(want) > 50
+
+
+def test_interval_join_no_key_and_exact_boundaries(ray_session):
+    # ts == start is IN, ts == end is OUT (half-open)
+    left = pd.DataFrame(
+        {"lid": [0], "s": pd.to_datetime(["2024-01-01 00:10:00"]),
+         "e": pd.to_datetime(["2024-01-01 00:20:00"])}
+    )
+    right = pd.DataFrame(
+        {"rid": [0, 1, 2],
+         "t": pd.to_datetime(["2024-01-01 00:10:00.000000",
+                              "2024-01-01 00:19:59.999999",
+                              "2024-01-01 00:20:00.000000"])}
+    )
+    out = interval_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        start="s", end="e", right_ts="t",
+        left_cols=["lid", "s", "e"], right_cols=["rid", "t"],
+        key=None, bucket_width_us=60_000_000,
+    ).to_pandas()
+    assert sorted(out["rid"].tolist()) == [0, 1]
+
+
+def test_grouped_topk_boundary_ties(ray_session):
+    df = pd.DataFrame(
+        {
+            "g": [1] * 4 + [2] * 2,
+            "v": [5.0, 5.0, 5.0, 1.0, 3.0, 3.0],
+            "id": [11, 12, 13, 14, 21, 22],
+        }
+    )
+    out = (
+        grouped_topk(
+            rd.from_pandas(df).repartition(3), ["g"], "v", k=2,
+            descending=True, tiebreak="id",
+        )
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    # group 1: three rows tie at v=5 — k=2 picks the two smallest ids
+    assert out[out["g"] == 1]["id"].tolist() == [11, 12]
+    assert out[out["g"] == 2]["id"].tolist() == [21, 22]
+
+
+@pytest.mark.parametrize("dup_heavy", [False, True])
+def test_exact_quantiles_vs_numpy(ray_session, dup_heavy):
+    rng = np.random.default_rng(3)
+    if dup_heavy:
+        v = rng.integers(0, 20, 5000).astype(float)  # massive ties
+    else:
+        v = rng.lognormal(3.0, 1.0, 5000)
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    # collect_below small enough to force ≥1 histogram refinement
+    out = exact_quantiles(ds, "x", qs, bins=16, collect_below=200)
+    sv = np.sort(v)
+    for q, got in zip(out["q"], out["value"]):
+        k = int(np.ceil(q * len(v)))
+        assert got == sv[k - 1], (q, got, sv[k - 1])
+
+
+def test_exact_quantiles_small_input(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"x": [3.0, 1.0, 2.0]}))
+    out = exact_quantiles(ds, "x", [0.5, 1.0])
+    assert out["value"].tolist() == [2.0, 3.0]
