@@ -966,6 +966,53 @@ def _q_top_orders_per_customer(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_order_priority_revenue(sf_dir: str, broadcast_below: int = 2_000_000):
+    """Large-large payload-preserving equi-join (lineitem ⋈ orders on
+    orderkey) then aggregate — stages/relational.py::equi_join.  At sf
+    scale the orders side fits the broadcast gate; `_dist` forces the
+    bucketed co-location path (the only shape that survives when BOTH
+    sides are fact-table-sized)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from table_annotation_ray.stages.relational import equi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = equi_join(
+        li, orders, "l_orderkey", "o_orderkey", broadcast_below=broadcast_below
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"o_orderpriority": b["o_orderpriority"], "revenue": r})
+
+    out = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = _round_ha(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _q_order_priority_revenue_dist(sf_dir: str):
+    return _q_order_priority_revenue(sf_dir, broadcast_below=0)
+
+
+def _q_value_quantiles_by_type(sf_dir: str):
+    """Exact per-group quantiles in 3 streaming scans for ALL groups
+    (stages/quantiles.py::grouped_quantiles) — huge-group-safe, unlike
+    a per-group sort in map_groups."""
+    from table_annotation_ray.stages.quantiles import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99])
+
+
 def _q_price_quantiles(sf_dir: str):
     """Exact distributed quantiles by histogram selection — 2 + log
     streaming scans, zero shuffle, vs a full global sort
@@ -1023,7 +1070,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_view_before_purchase": _q_asof_view_before_purchase,
         "error_click_window": _q_error_click_window,
         "top_orders_per_customer": _q_top_orders_per_customer,
+        "order_priority_revenue": _q_order_priority_revenue,
+        "order_priority_revenue_dist": _q_order_priority_revenue_dist,
         "price_quantiles": _q_price_quantiles,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -1400,6 +1450,30 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                 FROM orders) WHERE rn <= 2
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "order_priority_revenue_dist": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "value_quantiles_by_type": """
+            WITH ranked AS (
+                SELECT event_type, value AS v,
+                       row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events),
+            qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+            SELECT event_type, q, v AS value
+            FROM qs JOIN ranked ON rn = CAST(ceil(q * n) AS BIGINT)
         """,
         "price_quantiles": """
             WITH ranked AS (

@@ -77,8 +77,11 @@ def _tag_union(
     for sch in (left.schema(), right.schema()):
         for name, typ in zip(sch.names, sch.types):
             if name in all_cols and name not in fill_val:
-                dt = pd.Series([], dtype=typ.to_pandas_dtype()).dtype
-                if str(typ).startswith("timestamp"):
+                # schema types are Arrow types OR numpy dtypes/`object`
+                # depending on the block format upstream
+                pdt = typ.to_pandas_dtype() if hasattr(typ, "to_pandas_dtype") else typ
+                dt = pd.Series([], dtype=pdt).dtype
+                if str(typ).startswith(("timestamp", "datetime")):
                     dt = np.dtype(_TS_I8)
                 fill_val[name] = _sentinel_for(dt)
                 fill_dt[name] = dt

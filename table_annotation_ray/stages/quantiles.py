@@ -41,6 +41,129 @@ DEFAULT_BINS = 4096
 DEFAULT_COLLECT_BELOW = 200_000
 
 
+def grouped_quantiles(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    bins: int = 1024,
+    collect_below: int = DEFAULT_COLLECT_BELOW,
+) -> pd.DataFrame:
+    """Exact per-group quantiles (k = ceil(q·n_g) per group g) in THREE
+    streaming scans regardless of group count — the huge-group-safe
+    alternative to ``groupby(g).map_groups(sort)``, which dies when one
+    group exceeds a worker heap:
+
+    1. ``groupby(group).aggregate(Min, Max, Count)`` — per-group ranges
+       (output is group-cardinality-sized, assumed driver-small; use
+       :func:`exact_quantiles` per group when it is not),
+    2. one ``map_batches`` pass emitting per-(batch, group) histograms
+       over the group's broadcast range, summed by a ``groupby(group)``
+       of sketch-sized rows,
+    3. one filtered collection of each group's owning bins (bounded by
+       ``collect_below`` per group) and exact in-memory selection.
+
+    Groups whose owning bin still exceeds ``collect_below`` fall back to
+    :func:`exact_quantiles` on the group's filtered rows (rare: needs
+    > collect_below·bins rows in one group).  Returns a DataFrame
+    ``(group, q, value)``."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    ds = ds.select_columns([group_col, col])
+    stats = ds.groupby(group_col).aggregate(
+        Min(col), Max(col), Count()
+    ).to_pandas()
+    stats = stats.rename(
+        columns={f"min({col})": "lo", f"max({col})": "hi", "count()": "n"}
+    )
+    ranges = {
+        g: (float(lo), float(hi))
+        for g, lo, hi in zip(stats[group_col], stats["lo"], stats["hi"])
+    }
+    rref = ray.put(ranges)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        rg = get_worker_state(("gq_ranges", ref_key(rref)), lambda: ray.get(rref))
+        rows_g, rows_h = [], []
+        for g, sub in b.groupby(group_col, sort=False):
+            lo, hi = rg[g]
+            h, _ = np.histogram(
+                sub[col].to_numpy(dtype=np.float64),
+                bins=bins, range=(lo, hi if hi > lo else lo + 1.0),
+            )
+            rows_g.append(g)
+            rows_h.append(h.astype(np.int64).tobytes())
+        return pd.DataFrame({group_col: rows_g, "h": rows_h})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.stack([np.frombuffer(x, dtype=np.int64) for x in g["h"]]).sum(axis=0)
+        return pd.DataFrame({group_col: g[group_col].iloc[:1], "h": [s.tobytes()]})
+
+    hists = (
+        ds.map_batches(part, batch_format="pandas", batch_size=262_144)
+        .groupby(group_col)
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # per (group, q): owning bin + in-bin rank; one shared collection pass
+    plan: dict = {}  # group -> list of (q, k_in_bin, blo, bhi)
+    spans: dict = {}  # group -> (min_blo, max_bhi) of all needed bins
+    fallback: list = []
+    for _, row in hists.iterrows():
+        g = row[group_col]
+        h = np.frombuffer(row["h"], dtype=np.int64)
+        lo, hi = ranges[g]
+        n = int(h.sum())
+        edges = np.linspace(lo, hi if hi > lo else lo + 1.0, bins + 1)
+        cum = np.cumsum(h)
+        for q in qs:
+            k = min(max(int(math.ceil(q * n)), 1), n)
+            b = int(np.searchsorted(cum, k, side="left"))
+            below = int(cum[b - 1]) if b > 0 else 0
+            if int(h[b]) > collect_below:
+                fallback.append((g, q))
+                continue
+            blo, bhi = float(edges[b]), float(edges[b + 1])
+            plan.setdefault(g, []).append((q, k - below, blo, bhi))
+            # union of owning BINS, not their hull — the hull between a
+            # p25 bin and a p99 bin would collect most of the group
+            spans.setdefault(g, set()).add((blo, bhi))
+    sref = ray.put({g: sorted(iv) for g, iv in spans.items()})
+
+    def collect(b: pd.DataFrame) -> pd.DataFrame:
+        sp = get_worker_state(("gq_spans", ref_key(sref)), lambda: ray.get(sref))
+        keep = np.zeros(len(b), dtype=bool)
+        v = b[col].to_numpy(dtype=np.float64)
+        gs = b[group_col].to_numpy()
+        for g, ivs in sp.items():
+            gm = gs == g
+            for mn, mx in ivs:
+                keep |= gm & (v >= mn) & (v <= mx)
+        return b[keep]
+
+    cand = ds.map_batches(collect, batch_format="pandas").to_pandas()
+    out_rows = []
+    for g, wants in plan.items():
+        cv = np.sort(cand.loc[cand[group_col] == g, col].to_numpy(dtype=np.float64))
+        for q, k_in, blo, bhi in wants:
+            inbin = cv[(cv >= blo) & (cv <= bhi)]
+            # values == bhi may belong to the bin above; rank ≤ in-bin
+            # count so selection is unaffected (see exact_quantiles)
+            out_rows.append((g, q, float(inbin[k_in - 1])))
+    for g, q in fallback:
+        sub = ds.map_batches(
+            lambda b, g=g: b[b[group_col] == g], batch_format="pandas"
+        )
+        v = exact_quantiles(sub, col, [q], collect_below=collect_below)
+        out_rows.append((g, q, float(v["value"].iloc[0])))
+    out = pd.DataFrame(out_rows, columns=[group_col, "q", "value"])
+    return out.sort_values([group_col, "q"]).reset_index(drop=True)
+
+
 def _histogram(ds: rd.Dataset, col: str, lo: float, hi: float, bins: int) -> np.ndarray:
     """Distributed fixed-range histogram of ``col`` over [lo, hi] —
     per-batch ``np.histogram`` partials tree-reduced to one count row."""

@@ -219,6 +219,83 @@ def filter_rows_by_keys(
     return tagged.groupby("__rf_bucket").map_groups(filter_group, batch_format="pandas")
 
 
+def equi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    col: str,
+    right_col: str | None = None,
+    broadcast_below: int = 2_000_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Payload-preserving INNER equi-join (all columns from both sides;
+    names apart from the key must be disjoint — rename upstream).
+    ``ds.join`` is unusable in Ray 2.49 (CLAUDE.md), so:
+
+    * **broadcast** (right side ≤ ``broadcast_below`` rows): right
+      collected once, ``ray.put`` once, per-batch pandas merge on the
+      left stream — zero shuffle (the ``orders_by_segment`` pattern,
+      generalized to full payload and duplicate right keys).
+    * **bucketed co-location** (large right side): both sides tagged
+      ``bucket = hash(key) % num_buckets`` under ONE sentinel-filled
+      schema, one ``groupby(bucket)`` sort shuffle, vectorized
+      in-bucket pandas merge.  Each side crosses the wire once — the
+      large-large join shape a broadcast can't survive.
+
+    Key must be integer-like for the bucket hash.  Output row count is
+    the SQL inner-join cardinality (duplicate keys multiply)."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    right_col = right_col or col
+
+    # single key column in the output: fold the right key onto `col`
+    if right_col != col:
+        right = right.map_batches(
+            lambda b, rc=right_col, c=col: b.rename(columns={rc: c}),
+            batch_format="pandas",
+        )
+
+    if broadcast_below and right.count() <= broadcast_below:
+        rdf = right.to_pandas()
+        rref = ray.put(rdf)
+
+        def bjoin(b: pd.DataFrame) -> pd.DataFrame:
+            r = get_worker_state(("equijoin", ref_key(rref)), lambda: ray.get(rref))
+            return b.merge(r, on=col, how="inner")
+
+        return left.map_batches(bjoin, batch_format="pandas")
+
+    from .joins import _tag_union
+
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    def bucketer(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[col].to_numpy(dtype=np.int64).astype(np.uint64)
+        b = b.copy()
+        b["__j_bucket"] = (
+            ((u * MULT) >> np.uint64(32)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return b
+
+    l_cols = list(left.schema().names)
+    r_cols = [col if c == right_col else c for c in right.schema().names]
+    overlap = (set(l_cols) & set(r_cols)) - {col}
+    if overlap:
+        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
+    all_cols = list(dict.fromkeys(l_cols + r_cols))
+
+    tagged = _tag_union(left, right, l_cols, r_cols, bucketer, bucketer)
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        is_r = g["__j_side"].to_numpy() == 1
+        L = g[~is_r][l_cols]
+        R = g[is_r][r_cols]
+        return L.merge(R, on=col, how="inner")[all_cols]
+
+    return tagged.groupby("__j_bucket").map_groups(join_group, batch_format="pandas")
+
+
 def grouped_topk(
     ds: rd.Dataset,
     group_cols: list[str],

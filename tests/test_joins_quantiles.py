@@ -126,6 +126,44 @@ def test_interval_join_no_key_and_exact_boundaries(ray_session):
     assert sorted(out["rid"].tolist()) == [0, 1]
 
 
+def test_equi_join_paths_agree(ray_session):
+    from table_annotation_ray.stages.relational import equi_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, 200),  # duplicate keys on both sides
+            "lv": rng.normal(size=200),
+            "ls": [f"l{i}" for i in range(200)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 40, 80),
+            "rv": rng.integers(0, 100, 80),
+            "rts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 1000, 80), unit="s"),
+        }
+    )
+    want = (
+        left.merge(right.rename(columns={"rk": "k"}), on="k", how="inner")
+        .sort_values(["ls", "rv", "rts"])
+        .reset_index(drop=True)
+    )
+    for bb in (10**6, 0):  # broadcast path, then forced co-location
+        got = (
+            equi_join(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(3),
+                "k", "rk", broadcast_below=bb,
+            )
+            .to_pandas()
+            .sort_values(["ls", "rv", "rts"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+
 def test_grouped_topk_boundary_ties(ray_session):
     df = pd.DataFrame(
         {
@@ -163,6 +201,40 @@ def test_exact_quantiles_vs_numpy(ray_session, dup_heavy):
     for q, got in zip(out["q"], out["value"]):
         k = int(np.ceil(q * len(v)))
         assert got == sv[k - 1], (q, got, sv[k - 1])
+
+
+def test_grouped_quantiles_vs_numpy(ray_session):
+    from table_annotation_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 4, 4000)
+    v = np.where(g == 0, rng.integers(0, 5, 4000).astype(float),
+                 rng.normal(g * 10, 3.0, 4000))
+    ds = rd.from_pandas(pd.DataFrame({"g": g, "x": v})).repartition(6)
+    qs = [0.25, 0.5, 0.99]
+    out = grouped_quantiles(ds, "g", "x", qs, bins=32)
+    for gi in range(4):
+        sv = np.sort(v[g == gi])
+        for q in qs:
+            k = int(np.ceil(q * len(sv)))
+            got = out[(out["g"] == gi) & (out["q"] == q)]["value"].iloc[0]
+            assert got == sv[k - 1], (gi, q)
+
+
+def test_grouped_quantiles_fallback_path(ray_session):
+    from table_annotation_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(9)
+    v = rng.normal(0, 1, 2000)
+    df = pd.DataFrame({"g": np.zeros(2000, dtype=np.int64), "x": v})
+    # collect_below smaller than any bin count forces the per-group
+    # exact_quantiles fallback
+    out = grouped_quantiles(
+        rd.from_pandas(df).repartition(4), "g", "x", [0.5], bins=4,
+        collect_below=10,
+    )
+    sv = np.sort(v)
+    assert out["value"].iloc[0] == sv[int(np.ceil(0.5 * 2000)) - 1]
 
 
 def test_exact_quantiles_small_input(ray_session):
