@@ -1003,6 +1003,42 @@ def _q_order_priority_revenue_dist(sf_dir: str):
     return _q_order_priority_revenue(sf_dir, broadcast_below=0)
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding table
+    (stages/clustering.py): one streaming pass per iteration, broadcast
+    centroids, map-side-combined per-centroid partials.  Rows-only
+    (iterative model fit); pytest asserts planted-cluster recovery and
+    monotone inertia."""
+    from ray.data.aggregate import Count, Sum
+
+    from table_annotation_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _hist = kmeans_fit(emb, k=8, iters=8)
+    out = (
+        kmeans_assign(emb, cents)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n"), Sum("dist2", alias_name="inertia"))
+        .to_pandas()
+    )
+    out["inertia"] = _round_ha(out["inertia"], 4)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+def _q_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval (stages/retrieval.py::bm25_topk): one
+    corpus-stats pass (batch partials), one vectorized score pass with
+    per-batch partial top-k.  Scores rounded at 6dp before ranking so
+    the ordering is reproducible vs the SQL formula (libm ln ulp)."""
+    from table_annotation_ray.stages.retrieval import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(docs, ["hash", "join", "vector"], k=10)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def _q_value_quantiles_by_type(sf_dir: str):
     """Exact per-group quantiles in 3 streaming scans for ALL groups
     (stages/quantiles.py::grouped_quantiles) — huge-group-safe, unlike
@@ -1074,6 +1110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue_dist": _q_order_priority_revenue_dist,
         "price_quantiles": _q_price_quantiles,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
+        "bm25_search": _q_bm25_search,
+        "embedding_clusters": _q_embedding_clusters,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -1464,6 +1502,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "bm25_search": """
+            WITH d AS (
+                SELECT doc_id, lower(text) AS t,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       END AS dl
+                FROM documents),
+            tf AS (
+                SELECT doc_id, dl,
+                       len(regexp_extract_all(t, '\\bhash\\b'))   AS tf0,
+                       len(regexp_extract_all(t, '\\bjoin\\b'))   AS tf1,
+                       len(regexp_extract_all(t, '\\bvector\\b')) AS tf2
+                FROM d),
+            st AS (
+                SELECT count(*) AS n, sum(dl) / count(*) AS avgdl,
+                       count(*) FILTER (tf0 > 0) AS df0,
+                       count(*) FILTER (tf1 > 0) AS df1,
+                       count(*) FILTER (tf2 > 0) AS df2
+                FROM tf),
+            sc AS (
+                SELECT doc_id,
+                       round(
+                         ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.5
+                             / (tf0 + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.5
+                             / (tf1 + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.5
+                             / (tf2 + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+                FROM tf, st)
+            SELECT doc_id, score FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "value_quantiles_by_type": """
             WITH ranked AS (

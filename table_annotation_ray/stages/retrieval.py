@@ -1,0 +1,105 @@
+"""Distributed ranked retrieval: BM25 top-k over a document column.
+
+Two streaming passes, no shuffle:
+
+1. **corpus statistics** — one ``map_batches`` pass emits a single
+   partial row per batch (doc count, summed doc length, per-term
+   document frequencies); partials are summed driver-side (one row per
+   batch — bounded and tiny, the sketch-partial shape).
+2. **score + top-k** — per-batch vectorized scoring (pandas
+   ``str.count`` with word-boundary regexes per query term — no
+   per-row Python), each batch keeps only its local top-k, the driver
+   merges ``batches × k`` rows.
+
+Scores use the Robertson/Sparck-Jones BM25 with the +1 idf floor:
+``idf = ln((N - df + .5)/(df + .5) + 1)``,
+``score = Σ idf · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``,
+with ``dl`` = whitespace token count (the token_stats convention).
+
+Scores are rounded half-away at ``round_dp`` decimals BEFORE ranking so
+the ordering is reproducible against a SQL oracle computing the same
+formula (ln differs in the last ulp across libms); ties break by
+ascending doc id.  Docs matching no term (score 0) are excluded.
+
+No reference counterpart (SURVEY §2 extension: text-analysis family).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _round_ha(v: np.ndarray, d: int) -> np.ndarray:
+    f = 10.0**d
+    return np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f
+
+
+def bm25_topk(
+    docs: rd.Dataset,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Top-``k`` documents by BM25 score for ``terms`` — returns a
+    driver-small DataFrame ``(doc_id, score)`` ranked by (score desc,
+    id asc)."""
+    docs = docs.select_columns([id_col, text_col])
+    pats = [r"\b" + re.escape(t.lower()) + r"\b" for t in terms]
+    nt = len(terms)
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].str.lower()
+        stripped = low.str.strip()
+        dl = np.where(stripped.str.len() == 0, 0, stripped.str.count(r"\s+") + 1)
+        row = {"n": [len(batch)], "dl_sum": [int(dl.sum())]}
+        for i, p in enumerate(pats):
+            row[f"df{i}"] = [int((low.str.count(p) > 0).sum())]
+        return pd.DataFrame(row)
+
+    parts = docs.map_batches(stats, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype=float)})
+    avgdl = float(parts["dl_sum"].sum()) / n
+    idf = np.array(
+        [np.log((n - int(parts[f"df{i}"].sum()) + 0.5)
+                / (int(parts[f"df{i}"].sum()) + 0.5) + 1.0)
+         for i in range(nt)]
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].str.lower()
+        stripped = low.str.strip()
+        dl = np.where(
+            stripped.str.len() == 0, 0, stripped.str.count(r"\s+") + 1
+        ).astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(batch))
+        for i, p in enumerate(pats):
+            tf = low.str.count(p).to_numpy(dtype=np.float64)
+            s += idf[i] * tf * (k1 + 1.0) / (tf + norm)
+        out = pd.DataFrame({id_col: batch[id_col], "score": _round_ha(s, round_dp)})
+        out = out[out["score"] > 0]
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True]
+        ).head(k)
+
+    top = docs.map_batches(score, batch_format="pandas").to_pandas()
+    if top.empty:  # all-empty blocks drop the schema
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype=float)})
+    return (
+        top.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,89 @@
+"""Tests for BM25 retrieval and distributed k-means."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from table_annotation_ray.stages.clustering import kmeans_assign, kmeans_fit
+from table_annotation_ray.stages.retrieval import bm25_topk
+
+
+def test_bm25_matches_reference_formula(ray_session):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "hash join hash join hash",
+                "vector scan vector",
+                "hash vector join table scan filter",
+                "table scan only nothing relevant",
+                "",
+            ],
+        }
+    )
+    out = bm25_topk(rd.from_pandas(docs).repartition(3),
+                    ["hash", "vector"], k=3)
+    # straight NumPy reference on the same corpus
+    texts = [t.lower().split() for t in docs["text"]]
+    dls = np.array([len(t) for t in texts], dtype=float)
+    n, avgdl = len(texts), dls.mean()
+    k1, b = 1.5, 0.75
+    scores = np.zeros(n)
+    for term in ("hash", "vector"):
+        tf = np.array([t.count(term) for t in texts], dtype=float)
+        df = int((tf > 0).sum())
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        scores += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls / avgdl))
+    want = sorted(
+        [(round(s, 6), i) for i, s in enumerate(scores) if round(s, 6) > 0],
+        key=lambda x: (-x[0], x[1]),
+    )[:3]
+    assert list(zip(out["score"], out["doc_id"])) == want
+
+
+def test_bm25_no_match_terms(ray_session):
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["aa bb", "cc dd"]})
+    out = bm25_topk(rd.from_pandas(docs), ["zzz"], k=5)
+    assert len(out) == 0
+
+
+def _planted(seed=0, per=60, d=8):
+    rng = np.random.default_rng(seed)
+    centers = np.array([[10.0] * d, [-10.0] * d, [10.0] * (d // 2) + [-10.0] * (d // 2)])
+    X, lab = [], []
+    for c in range(3):
+        X.append(centers[c] + rng.normal(0, 0.5, (per, d)))
+        lab += [c] * per
+    X = np.vstack(X)
+    order = rng.permutation(len(X))
+    return X[order], np.array(lab)[order]
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    X, true_lab = _planted()
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(X)), "embedding": [row.astype(np.float32) for row in X]}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    cents, hist = kmeans_fit(ds, k=3, iters=12)
+    # inertia must be non-increasing
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
+    got = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    # same-partition purity: every true cluster maps to one learned label
+    pred = got["cluster"].to_numpy()
+    for c in range(3):
+        labs = pred[true_lab == c]
+        assert (labs == np.bincount(labs).argmax()).mean() > 0.95
+    assert len(set(pred)) == 3
+
+
+def test_kmeans_deterministic(ray_session):
+    X, _ = _planted(seed=3)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(X)), "embedding": [row.astype(np.float32) for row in X]}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    c1, h1 = kmeans_fit(ds, k=3, iters=5)
+    c2, h2 = kmeans_fit(ds, k=3, iters=5)
+    assert h1 == h2 and np.array_equal(c1, c2)
