@@ -134,9 +134,13 @@ def _q_orders_by_segment(sf_dir: str):
 
 
 def _q_top_parts_by_revenue(sf_dir: str):
+    """20k-key revenue rollup through stages/agg.py::grouped_reduce —
+    ray 2.49's builtin groupby().aggregate() is per-key Python and
+    pathological at this cardinality (CLAUDE.md r3 note)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+
+    from table_annotation_ray.stages.agg import grouped_reduce
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
@@ -144,8 +148,9 @@ def _q_top_parts_by_revenue(sf_dir: str):
         r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
         return pa.table({"l_partkey": b["l_partkey"], "revenue": r})
 
-    agg = ds.map_batches(rev, batch_format="pyarrow").groupby("l_partkey").aggregate(
-        Sum("revenue", alias_name="revenue")
+    agg = grouped_reduce(
+        ds.map_batches(rev, batch_format="pyarrow"),
+        ["l_partkey"], {"revenue": ("revenue", "sum")},
     )
     top = agg.sort("revenue", descending=True).limit(10).to_pandas()
     top["revenue"] = _round_ha(top["revenue"], 2)
@@ -936,11 +941,11 @@ def _q_error_click_window(sf_dir: str):
         key="user_id",
         bucket_width_us=3_600_000_000,
     )
-    out = (
-        pairs.groupby(["error_id", "user_id"])
-        .aggregate(Count(alias_name="n_clicks"))
-        .to_pandas()
-    )
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    out = grouped_reduce(
+        pairs, ["error_id", "user_id"], {"n_clicks": (None, "count")}
+    ).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("error_id").reset_index(drop=True)
@@ -1001,6 +1006,25 @@ def _q_order_priority_revenue(sf_dir: str, broadcast_below: int = 2_000_000):
 
 def _q_order_priority_revenue_dist(sf_dir: str):
     return _q_order_priority_revenue(sf_dir, broadcast_below=0)
+
+
+def _q_user_rolling_value(sf_dir: str):
+    """Trailing 24 h per-user rolling sum over event values
+    (stages/windows.py::rolling_sum_by_key) — the SQL RANGE-frame
+    window, computed per co-located key group from one cumsum + two
+    searchsorted probes."""
+    from table_annotation_ray.stages.windows import rolling_sum_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = rolling_sum_by_key(
+        ev, "user_id", "ts", "value", pd.Timedelta(hours=24)
+    ).to_pandas()
+    out["roll_sum"] = _round_ha(out["roll_sum"], 2)
+    out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    out = out.drop(columns=["value"])
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def _q_embedding_clusters(sf_dir: str):
@@ -1112,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "bm25_search": _q_bm25_search,
         "embedding_clusters": _q_embedding_clusters,
+        "user_rolling_value": _q_user_rolling_value,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -1534,6 +1559,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf, st)
             SELECT doc_id, score FROM sc WHERE score > 0
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "user_rolling_value": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                             AND CURRENT ROW), 2) AS roll_sum
+            FROM events
         """,
         "value_quantiles_by_type": """
             WITH ranked AS (

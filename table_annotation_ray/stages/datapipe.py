@@ -157,11 +157,13 @@ def pack_documents(
 
     toks = docs.map_batches(count_tokens, batch_format="pandas").materialize()
 
-    from ray.data.aggregate import Sum
+    from .agg import grouped_reduce
 
-    chunk_sums = (
-        toks.groupby("chunk_id").aggregate(Sum("n_tokens", alias_name="total")).to_pandas()
-    )
+    # grouped_reduce, not the builtin aggregate: chunk cardinality grows
+    # with the corpus (CLAUDE.md r3 per-key-Python pathology)
+    chunk_sums = grouped_reduce(
+        toks, ["chunk_id"], {"total": ("n_tokens", "sum")}
+    ).to_pandas()
     chunk_sums = chunk_sums.sort_values("chunk_id")
     prefix = {}
     running = 0

@@ -102,15 +102,27 @@ def decontaminate(
 
         return corpus.map_batches(hits, batch_format="pandas")
 
-    # co-location path: tag sides, ONE groupby(gram) emits corpus doc
-    # ids in benchmark-containing groups, then count per doc
-    from ray.data.aggregate import Sum
+    # co-location path: tag sides, bucket by hash(gram) so the exchange
+    # groups over ≤64 values (gram cardinality is corpus-sized — both a
+    # per-gram map_groups UDF call and the builtin per-key aggregate are
+    # pathological there, CLAUDE.md r3), then a vectorized in-bucket
+    # membership pass and a grouped_reduce hit count per doc
+    import pyarrow as pa
+
+    from .agg import grouped_reduce
+
+    NB = np.uint64(64)
 
     def tag(is_bench: bool):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
+        # arrow out — pandas blocks poison the sort-shuffle
+        def f(b: pd.DataFrame) -> pa.Table:
             out = b.copy()
             out["_bench"] = np.full(len(b), is_bench)
-            return out
+            out["_gbkt"] = (
+                pd.util.hash_pandas_object(out["gram"], index=False).to_numpy()
+                % NB
+            ).astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
 
         return f
 
@@ -122,27 +134,19 @@ def decontaminate(
         bench_grams.map_batches(tag(True), batch_format="pandas")
     )
 
-    def emit_hits(g: pd.DataFrame) -> pd.DataFrame:
+    def emit_hits(g: pd.DataFrame) -> pa.Table:
+        # vectorized over the whole bucket: one (gram, doc) hit per
+        # distinct pair whose gram also appears on the benchmark side
         is_bench = g["_bench"].to_numpy()
-        if not is_bench.any():
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype="int64"),
-                    "one": pd.Series([], dtype="int64"),
-                }
-            )
-        # distinct corpus docs in this gram's group each get one hit
-        ids = pd.unique(g.loc[~is_bench, id_col])
-        return pd.DataFrame(
+        bench_set = set(g.loc[is_bench, "gram"])
+        hit = g[~is_bench & g["gram"].isin(bench_set).to_numpy()]
+        hit = hit.drop_duplicates(["gram", id_col])
+        return pa.table(
             {
-                id_col: pd.Series(ids, dtype="int64"),
-                "one": np.ones(len(ids), dtype=np.int64),
+                id_col: hit[id_col].to_numpy(dtype=np.int64),
+                "one": np.ones(len(hit), dtype=np.int64),
             }
         )
 
-    return (
-        tagged.groupby("gram")
-        .map_groups(emit_hits, batch_format="pandas")
-        .groupby(id_col)
-        .aggregate(Sum("one", alias_name="n_hits"))
-    )
+    hits = tagged.groupby("_gbkt").map_groups(emit_hits, batch_format="pandas")
+    return grouped_reduce(hits, [id_col], {"n_hits": ("one", "sum")})

@@ -86,8 +86,13 @@ def _tag_union(
                 fill_val[name] = _sentinel_for(dt)
                 fill_dt[name] = dt
 
+    import pyarrow as pa
+
     def mk(side_cols: list[str], is_right: bool, extra):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
+        # emits ARROW: pandas-format blocks make the downstream groupby
+        # sort-shuffle ~20× slower in ray 2.49 (measured 62 s vs 3 s on
+        # 450k rows / 20k keys)
+        def f(b: pd.DataFrame) -> pa.Table:
             out = b[side_cols].copy()
             if extra is not None:
                 out = extra(out)
@@ -97,14 +102,16 @@ def _tag_union(
                     out[c] = pd.Series([fill_val[c]] * n, dtype=fill_dt[c])
             out["__j_side"] = np.full(n, 1 if is_right else 0, dtype=np.int8)
             extras = [c for c in out.columns if c.startswith("__j_") and c != "__j_side"]
-            return out[all_cols + extras + ["__j_side"]]
+            return pa.Table.from_pandas(
+                out[all_cols + extras + ["__j_side"]], preserve_index=False
+            )
 
         return f
 
     return left.map_batches(
         mk(left_cols, False, extra_left), batch_format="pandas"
     ).union(
-        right.map_batches(mk(right_cols, True, extra_right), batch_format="pandas")
+        right.map_batches(mk(right_cols, True, extra_right), batch_format="pandas", batch_size=16384)
     )
 
 

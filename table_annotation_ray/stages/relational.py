@@ -33,6 +33,12 @@ import ray.data as rd
 
 DEFAULT_BROADCAST_BELOW = 5_000_000  # right-side rows; ~40 MB of int64 keys
 
+# UDF-call granularity for the streaming map stages.  Tasks are still
+# one-per-block; this only sets how many rows each fn call sees — large
+# enough that the map-side combiners actually combine, small enough not
+# to force block bundling that would cut task parallelism.
+JOIN_BATCH = int(__import__("os").environ.get("TA_JOIN_BATCH", "16384"))
+
 
 def _filter_by_membership(
     left: rd.Dataset, col: str, keys_ref, keep_members: bool
@@ -48,49 +54,65 @@ def _filter_by_membership(
         mask = b[col].isin(ks)
         return b[mask if keep_members else ~mask][[col]]
 
-    return left.map_batches(f, batch_format="pandas")
+    return left.map_batches(f, batch_format="pandas", batch_size=JOIN_BATCH)
 
 
 def _colocated(
-    left: rd.Dataset, right: rd.Dataset, col: str, right_col: str, keep_members: bool
+    left: rd.Dataset,
+    right: rd.Dataset,
+    col: str,
+    right_col: str,
+    keep_members: bool,
+    num_buckets: int = 64,
 ) -> rd.Dataset:
-    from ray.data.aggregate import Sum
+    import pyarrow as pa
 
     def tag(flag_left: bool, src_col: str):
         # map-side combiner: the shuffle moves one row per DISTINCT key
         # per batch, not one per occurrence — on a fact-table right side
         # (many occurrences per key) this shrinks the sort exchange by
-        # the per-batch duplication factor at zero extra passes
-        def f(b: pd.DataFrame) -> pd.DataFrame:
+        # the per-batch duplication factor at zero extra passes.
+        # Output is an ARROW table keyed by a HASH BUCKET, not the key
+        # itself: ray 2.49's groupby().aggregate() does per-key Python
+        # in both map and reduce, which is pathological at high key
+        # cardinality (measured 36 s vs 1-4 s for this exact exchange on
+        # 450k rows / 20k keys) — a 64-value bucket groupby plus a
+        # vectorized in-group pandas groupby-sum does the same exchange
+        # with per-BUCKET Python only.
+        def f(b: pd.DataFrame) -> pa.Table:
             counts = b[src_col].value_counts(sort=False)
             n = len(counts)
             zeros = np.zeros(n, dtype=np.int64)
             per_key = counts.to_numpy().astype(np.int64)
-            return pd.DataFrame(
+            keys = counts.index.to_numpy()
+            bkt = (
+                pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
+                % np.uint64(num_buckets)
+            ).astype(np.int64)
+            return pa.table(
                 {
-                    col: counts.index.to_numpy(),
+                    col: keys,
                     "nl": per_key if flag_left else zeros,
                     "nr": zeros if flag_left else per_key,
+                    "__cj_bkt": bkt,
                 }
             )
 
         return f
 
-    tagged = left.map_batches(tag(True, col), batch_format="pandas").union(
-        right.map_batches(tag(False, right_col), batch_format="pandas")
-    )
-    agg = tagged.groupby(col).aggregate(
-        Sum("nl", alias_name="n_left"), Sum("nr", alias_name="n_right")
+    tagged = left.map_batches(tag(True, col), batch_format="pandas", batch_size=JOIN_BATCH).union(
+        right.map_batches(tag(False, right_col), batch_format="pandas", batch_size=JOIN_BATCH)
     )
 
-    def expand(b: pd.DataFrame) -> pd.DataFrame:
-        present = b["n_right"].to_numpy() > 0
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(col, sort=False)[["nl", "nr"]].sum()
+        present = s["nr"].to_numpy() > 0
         keep = present if keep_members else ~present
-        keys = b[col].to_numpy()[keep]
-        reps = b["n_left"].to_numpy()[keep]  # 0 for right-only keys
-        return pd.DataFrame({col: np.repeat(keys, reps)})
+        keys = s.index.to_numpy()[keep]
+        reps = s["nl"].to_numpy()[keep]  # 0 for right-only keys
+        return pa.table({col: np.repeat(keys, reps)})
 
-    return agg.map_batches(expand, batch_format="pandas")
+    return tagged.groupby("__cj_bkt").map_groups(combine, batch_format="pandas")
 
 
 def _keyed_join(
@@ -100,6 +122,7 @@ def _keyed_join(
     right_col: str | None,
     broadcast_below: int,
     keep_members: bool,
+    bloom_bits: int | None = 1 << 27,
 ) -> rd.Dataset:
     import ray
 
@@ -107,7 +130,43 @@ def _keyed_join(
     if broadcast_below and right.count() <= broadcast_below:
         keys = set(right.unique(right_col))
         return _filter_by_membership(left, col, ray.put(keys), keep_members)
-    return _colocated(left, right, col, right_col, keep_members)
+
+    if not bloom_bits:
+        return _colocated(left, right, col, right_col, keep_members)
+
+    # Bloom pre-filter (stages/bloom.py): a FIXED-size broadcast shrinks
+    # the left side entering the all-to-all shuffle to the "maybe"
+    # residue — bloom-absent keys are definitely non-members, so for a
+    # semi join they drop on the map side and for an anti join they are
+    # emitted directly (exactness preserved; only false POSITIVES exist,
+    # and those flow through the exact co-location check).
+    from ..state.worker_state import get_worker_state, ref_key
+    from .bloom import BloomFilter, build_bloom
+
+    bf = build_bloom(right, right_col, m_bits=bloom_bits)
+    bref = ray.put(bf.to_bytes())
+    h = bf.h
+
+    def splitter(keep_maybe: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            w = get_worker_state(
+                ("bloom", ref_key(bref)),
+                lambda: BloomFilter.from_bytes(ray.get(bref), h),
+            )
+            maybe = w.contains(b[col].to_numpy())
+            return b[maybe if keep_maybe else ~maybe][[col]]
+
+        return f
+
+    residue = left.map_batches(splitter(True), batch_format="pandas", batch_size=JOIN_BATCH)
+    exact = _colocated(residue, right, col, right_col, keep_members)
+    if keep_members:
+        return exact
+    # anti join: definitely-absent rows skip the shuffle entirely
+    # (second streaming read of `left` — a scan is far cheaper than
+    # shuffling these rows would have been)
+    definite = left.map_batches(splitter(False), batch_format="pandas", batch_size=JOIN_BATCH)
+    return definite.union(exact)
 
 
 def anti_join_keys(
@@ -116,10 +175,14 @@ def anti_join_keys(
     col: str,
     right_col: str | None = None,
     broadcast_below: int = DEFAULT_BROADCAST_BELOW,
+    bloom_bits: int | None = 1 << 27,
 ) -> rd.Dataset:
     """Left ``col`` values (with multiplicity) that never appear in
-    ``right[right_col]`` — SQL ``WHERE col NOT IN (SELECT right_col)``."""
-    return _keyed_join(left, right, col, right_col, broadcast_below, False)
+    ``right[right_col]`` — SQL ``WHERE col NOT IN (SELECT right_col)``.
+    On the co-location path a Bloom pre-filter (``bloom_bits``; None
+    disables) keeps definitely-absent rows out of the shuffle."""
+    return _keyed_join(left, right, col, right_col, broadcast_below, False,
+                       bloom_bits)
 
 
 def filter_rows_by_keys(
@@ -167,7 +230,7 @@ def filter_rows_by_keys(
             mask = b[col].isin(ks)
             return b[mask if keep_members else ~mask]
 
-        return left.map_batches(f, batch_format="pandas")
+        return left.map_batches(f, batch_format="pandas", batch_size=JOIN_BATCH)
 
     MULT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
 
@@ -190,22 +253,26 @@ def filter_rows_by_keys(
         for name, pa_type in zip(left_schema.names, left_schema.types)
     }
 
-    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    # tags emit ARROW — pandas blocks make the groupby sort-shuffle
+    # ~20× slower in ray 2.49 (see _colocated)
+    def tag_left(b: pd.DataFrame) -> pa.Table:
         out = b.copy()
         out["__rf_bucket"] = bucket_of(b[col])
         out["__rf_is_key"] = np.zeros(len(b), dtype=bool)
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def tag_keys(b: pd.DataFrame) -> pd.DataFrame:
+    def tag_keys(b: pd.DataFrame) -> pa.Table:
         n = len(b)
         out = pd.DataFrame({c: pd.Series([fillers[c]] * n) for c in left_cols})
         out[col] = b[keys_col].to_numpy()
         out["__rf_bucket"] = bucket_of(b[keys_col])
         out["__rf_is_key"] = np.ones(n, dtype=bool)
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    tagged = left.map_batches(tag_left, batch_format="pandas").union(
-        keys.map_batches(tag_keys, batch_format="pandas")
+    tagged = left.map_batches(tag_left, batch_format="pandas", batch_size=JOIN_BATCH).union(
+        keys.map_batches(tag_keys, batch_format="pandas", batch_size=JOIN_BATCH)
     )
 
     def filter_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -264,7 +331,7 @@ def equi_join(
             r = get_worker_state(("equijoin", ref_key(rref)), lambda: ray.get(rref))
             return b.merge(r, on=col, how="inner")
 
-        return left.map_batches(bjoin, batch_format="pandas")
+        return left.map_batches(bjoin, batch_format="pandas", batch_size=JOIN_BATCH)
 
     from .joins import _tag_union
 
@@ -318,18 +385,22 @@ def grouped_topk(
     by = [order_col] + ([tiebreak] if tiebreak else [])
     asc = [not descending] + ([True] if tiebreak else [])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return (
+    def partial(b: pd.DataFrame):
+        import pyarrow as pa
+
+        # arrow out: pandas blocks poison the downstream sort-shuffle
+        return pa.Table.from_pandas(
             b.sort_values(by, ascending=asc, kind="mergesort")
             .groupby(group_cols, sort=False)
-            .head(k)
+            .head(k),
+            preserve_index=False,
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=JOIN_BATCH)
         .groupby(group_cols[0] if len(group_cols) == 1 else group_cols)
         .map_groups(final, batch_format="pandas")
     )
@@ -341,7 +412,11 @@ def semi_join_keys(
     col: str,
     right_col: str | None = None,
     broadcast_below: int = DEFAULT_BROADCAST_BELOW,
+    bloom_bits: int | None = 1 << 27,
 ) -> rd.Dataset:
     """Left ``col`` values (with multiplicity) that appear in
-    ``right[right_col]`` — SQL ``WHERE col IN (SELECT right_col)``."""
-    return _keyed_join(left, right, col, right_col, broadcast_below, True)
+    ``right[right_col]`` — SQL ``WHERE col IN (SELECT right_col)``.
+    On the co-location path a Bloom pre-filter (``bloom_bits``; None
+    disables) drops definitely-absent rows before the shuffle."""
+    return _keyed_join(left, right, col, right_col, broadcast_below, True,
+                       bloom_bits)

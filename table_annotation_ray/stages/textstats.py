@@ -147,20 +147,25 @@ def vocab_topk(docs, k: int = 100, text_col: str = "text"):
 
     SQL mirror: unnest(regexp_split_to_array(lower(text),'\\s+')) …
     GROUP BY / ORDER BY n DESC, token LIMIT k."""
-    from ray.data.aggregate import Sum
+    import pyarrow as pa
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    from .agg import grouped_reduce
+
+    def partial(b: pd.DataFrame) -> pa.Table:
         toks = b[text_col].fillna("").str.lower().str.split(_WS).explode()
         toks = toks[(toks.notna()) & (toks.str.len() > 0)]
         vc = toks.value_counts(sort=False)
-        return pd.DataFrame(
+        return pa.table(
             {"token": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
         )
 
+    # grouped_reduce, not groupby().aggregate(): the builtin is per-key
+    # Python and vocabulary cardinality is the key count (CLAUDE.md r3)
     return (
-        docs.map_batches(partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        grouped_reduce(
+            docs.map_batches(partial, batch_format="pandas"),
+            ["token"], {"n": ("n", "sum")},
+        )
         .sort(key=["n", "token"], descending=[True, False])
         .limit(k)
     )

@@ -111,16 +111,19 @@ def dedup_triples(ds: rd.Dataset) -> rd.Dataset:
 
     ds = ds.map_batches(local_dedup, batch_format="pandas")
     # the combiner collapses each block to its unique triples; coalesce
-    # the now-tiny blocks so the aggregate doesn't schedule hundreds of
-    # micro reduce tasks (dominates wall time otherwise)
+    # the now-tiny blocks so the exchange doesn't schedule hundreds of
+    # micro tasks (dominates wall time otherwise)
     ds = ds.repartition(32)
-    from ray.data.aggregate import Max, Min
+    from .agg import grouped_reduce
 
-    # combiner + aggregate beats per-key map_groups by an order of
-    # magnitude; provenance = lexicographically-first emitting conv_id
-    return ds.groupby(["subj", "pred", "obj"]).aggregate(
-        Max("score", alias_name="score"),
-        Min("conv_id", alias_name="conv_id"),
+    # grouped_reduce (hash-bucket exchange + vectorized in-bucket
+    # reduce): ray's builtin groupby().aggregate() is per-key Python and
+    # triple-key cardinality is output-sized (CLAUDE.md r3); provenance
+    # = lexicographically-first emitting conv_id
+    return grouped_reduce(
+        ds,
+        ["subj", "pred", "obj"],
+        {"score": ("score", "max"), "conv_id": ("conv_id", "min")},
     )
 
 

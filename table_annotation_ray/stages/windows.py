@@ -79,3 +79,43 @@ def sliding_window_counts(
     return partials.groupby(["wstart", key_col]).aggregate(
         Sum("partial", alias_name="n")
     )
+
+
+def rolling_sum_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    window: pd.Timedelta,
+) -> rd.Dataset:
+    """Per-row trailing-window aggregate: for every row, the sum of
+    ``val_col`` over SAME-KEY rows with ``ts >= row.ts - window`` and
+    ``ts <= row.ts`` — SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``.
+
+    One ``groupby(key)`` co-location; inside each group the whole frame
+    is computed vectorized from one cumulative sum and two
+    ``searchsorted`` probes (no per-row Python): ``lo[i]`` = first index
+    with ``ts >= ts[i] - window`` (``side='left'``), ``hi[i]`` = last
+    ts-PEER index — rows tying on ts are all included, matching SQL
+    RANGE-frame peer semantics.
+
+    Partitioning assumption: one key's history fits a worker heap
+    (entity histories; time-chunk with a window-sized halo upstream for
+    pathological keys)."""
+    import numpy as np
+
+    out_cols = list(ds.schema().names) + ["roll_sum"]
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g[val_col].to_numpy(dtype=np.float64)
+        cs = np.cumsum(v)
+        w = np.int64(window // pd.Timedelta(microseconds=1))
+        lo = np.searchsorted(ts, ts - w, side="left")
+        hi = np.searchsorted(ts, ts, side="right") - 1  # last ts-peer
+        g["roll_sum"] = cs[hi] - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0.0)
+        return g[out_cols]
+
+    return ds.groupby(key_col).map_groups(roll, batch_format="pandas")

@@ -126,6 +126,77 @@ def test_interval_join_no_key_and_exact_boundaries(ray_session):
     assert sorted(out["rid"].tolist()) == [0, 1]
 
 
+def test_rolling_sum_by_key_vs_bruteforce(ray_session):
+    from table_annotation_ray.stages.windows import rolling_sum_by_key
+
+    rng = np.random.default_rng(21)
+    n = 500
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "k": rng.integers(0, 4, n),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86_400 * 3, n), unit="s"),
+            "v": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+    # force ts ties inside a key to check RANGE peer semantics
+    df.loc[10, ["k", "ts"]] = [df.loc[11, "k"], df.loc[11, "ts"]]
+    w = pd.Timedelta(hours=6)
+    out = (
+        rolling_sum_by_key(rd.from_pandas(df).repartition(4), "k", "ts", "v", w)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    for _, r in df.iterrows():
+        m = df[(df["k"] == r["k"]) & (df["ts"] >= r["ts"] - w) & (df["ts"] <= r["ts"])]
+        got = float(out.loc[out["id"] == r["id"], "roll_sum"].iloc[0])
+        assert abs(got - m["v"].sum()) < 1e-9
+
+
+def test_bloom_filter_exactness_and_fp_rate(ray_session):
+    from table_annotation_ray.stages.bloom import BloomFilter, build_bloom
+
+    rng = np.random.default_rng(13)
+    members = rng.choice(10**9, 5000, replace=False)
+    bf = BloomFilter(1 << 16)
+    bf.add(members)
+    # no false negatives, ever
+    assert bf.contains(members).all()
+    probe = rng.choice(10**9, 20000, replace=False)
+    non = np.setdiff1d(probe, members)
+    fp = bf.contains(non).mean()
+    assert fp < 0.05  # 64k bits / 5k keys ≈ well under 1%, allow slack
+    # distributed build == flat build, bit for bit
+    ds = rd.from_pandas(pd.DataFrame({"k": members})).repartition(5)
+    dbf = build_bloom(ds, "k", m_bits=1 << 16)
+    assert dbf.to_bytes() == bf.to_bytes()
+
+
+def test_join_bloom_path_matches_plain(ray_session):
+    from table_annotation_ray.stages.relational import (
+        anti_join_keys,
+        semi_join_keys,
+    )
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({"k": rng.integers(0, 500, 3000)})
+    right = pd.DataFrame({"rk": rng.choice(500, 120, replace=False)})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    for fn in (semi_join_keys, anti_join_keys):
+        plain = sorted(
+            fn(lds, rds, "k", "rk", broadcast_below=0, bloom_bits=None)
+            .to_pandas()["k"]
+        )
+        bloom = sorted(
+            fn(lds, rds, "k", "rk", broadcast_below=0, bloom_bits=1 << 12)
+            .to_pandas()["k"]
+        )
+        assert plain == bloom and len(plain) > 0
+
+
 def test_equi_join_paths_agree(ray_session):
     from table_annotation_ray.stages.relational import equi_join
 
