@@ -82,3 +82,36 @@ def grouped_reduce(
         .groupby("__gr_bkt")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def bucketed_distinct(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """First row per distinct key combination — ``groupby(keys).head(1)``
+    without per-key Python: hash-bucket exchange + one vectorized
+    ``drop_duplicates`` per bucket.  Row CONTENT for duplicate keys is
+    whichever copy sorts first within the bucket group (callers here
+    dedup identical rows, so the choice is immaterial)."""
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b.drop_duplicates(key_cols)  # map-side shrink
+        keyframe = out[key_cols[0]] if len(key_cols) == 1 else out[key_cols]
+        out = out.copy()
+        out["__bd_bkt"] = (
+            pd.util.hash_pandas_object(keyframe, index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def uniq(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(key_cols).drop(columns="__bd_bkt")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas", batch_size=batch_size)
+        .groupby("__bd_bkt")
+        .map_groups(uniq, batch_format="pandas")
+    )

@@ -172,20 +172,43 @@ def pack_documents(
         running += int(total)
     prefix_ref = ray.put(prefix)
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
+    # exchange on a 64-value bucket of chunk_id, not chunk_id itself —
+    # chunk cardinality grows with the corpus and per-chunk Ray groups
+    # are pathological (CLAUDE.md r3); the in-bucket cumsum vectorizes
+    # over ALL the bucket's chunks at once via groupby-transform
+    import pyarrow as pa
+
+    def bucketed(b: pd.DataFrame) -> pa.Table:
+        out = b.copy()
+        out["_pk_bkt"] = (
+            pd.util.hash_pandas_object(b["chunk_id"], index=False).to_numpy()
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def assign(group: pd.DataFrame) -> pa.Table:
         pre = get_worker_state(("pack-prefix", ref_key(prefix_ref)), lambda: ray.get(prefix_ref))
-        g = group.sort_values(id_col)
-        base = pre[int(g["chunk_id"].iloc[0])]
-        offs = base + g["n_tokens"].cumsum().shift(1, fill_value=0)
-        return pd.DataFrame(
+        g = group.sort_values(["chunk_id", id_col])
+        base = g["chunk_id"].map(pre).to_numpy()
+        within = (
+            g.groupby("chunk_id", sort=False)["n_tokens"]
+            .cumsum()
+            .to_numpy() - g["n_tokens"].to_numpy()
+        )
+        offs = base + within
+        return pa.table(
             {
-                id_col: g[id_col],
+                id_col: g[id_col].to_numpy(),
                 "pack_id": (offs // max_tokens).astype("int64"),
                 "token_offset": offs.astype("int64"),
             }
         )
 
-    return toks.groupby("chunk_id").map_groups(assign, batch_format="pandas")
+    return (
+        toks.map_batches(bucketed, batch_format="pandas", batch_size=65536)
+        .groupby("_pk_bkt")
+        .map_groups(assign, batch_format="pandas")
+    )
 
 
 def stratified_sample(

@@ -74,8 +74,16 @@ def exact_dedup(
         # resolved by the regroup on the actual text below)
         h = pd.util.hash_pandas_object(
             pd.Series(norm.to_pandas()), index=False
-        ).to_numpy(dtype=np.uint64).view(np.int64)
-        cols = {id_col: batch[id_col], "text_hash": pa.array(h, pa.int64())}
+        ).to_numpy(dtype=np.uint64)
+        # shuffle key is a 64-value BUCKET of the digest, not the digest
+        # itself: distinct-text cardinality ≈ corpus size, and per-key
+        # groups are pathological in ray 2.49 (CLAUDE.md r3); equal
+        # texts share a digest, hence a bucket, so correctness is
+        # unchanged — the in-bucket regroup below is on the actual text
+        cols = {
+            id_col: batch[id_col],
+            "text_bkt": pa.array((h % np.uint64(64)).astype(np.int64), pa.int64()),
+        }
         if keep_text:
             cols[text_col] = batch[text_col]
         else:
@@ -84,18 +92,20 @@ def exact_dedup(
 
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        # hash buckets may collide: group again by the actual text
+    def keep_min(group: pd.DataFrame) -> pa.Table:
+        # one vectorized per-text min over the whole bucket
         if keep_text:
             g = group.assign(
                 norm_text=_norm_arrow(pa.array(group[text_col], pa.string())).to_pandas()
             )
             idx = g.groupby("norm_text", sort=True)[id_col].idxmin()
-            return g.loc[idx, [id_col, text_col]]
+            return pa.Table.from_pandas(
+                g.loc[idx, [id_col, text_col]], preserve_index=False
+            )
         out = group.groupby("norm_text", sort=True)[id_col].min().reset_index()
-        return out[[id_col]]
+        return pa.Table.from_pandas(out[[id_col]], preserve_index=False)
 
-    return hashed.groupby("text_hash").map_groups(keep_min, batch_format="pandas")
+    return hashed.groupby("text_bkt").map_groups(keep_min, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -259,10 +269,11 @@ def minhash_candidate_pairs(
     )
     if not dedup:
         return cand
-    # dedup pairs found in multiple bands
-    return cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # dedup pairs found in multiple bands — bucketed distinct, not a
+    # per-pair map_groups (pair cardinality scales with the corpus)
+    from .agg import bucketed_distinct
+
+    return bucketed_distinct(cand, ["a", "b"])
 
 
 def char_ngrams(text: str, k: int = 5) -> set[str]:
@@ -310,71 +321,90 @@ def jaccard_verify(
     if broadcast_below and docs.count() <= broadcast_below:
         return _jaccard_verify_broadcast(pairs, docs, id_col, text_col, threshold, gf)
 
-    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+    # both exchanges group on a 64-value HASH BUCKET (doc bucket for the
+    # attach, pair bucket for the verify) — per-doc / per-pair Ray
+    # groups are pathological at corpus cardinality (CLAUDE.md r3); the
+    # in-bucket attach is ONE vectorized merge, the in-bucket verify a
+    # local loop over its pairs (set-Jaccard is irreducibly per-pair)
+    NB = np.uint64(64)
+
+    def _bkt(v) -> np.ndarray:
+        return (
+            pd.util.hash_pandas_object(v, index=False).to_numpy() % NB
+        ).astype(np.int64)
+
+    def tag_docs(b: pd.DataFrame) -> pa.Table:
         ids = b[id_col]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "jv_doc": ids,
-                "a": ids,  # placeholders, dtype-consistent with pair rows
-                "b": ids,
-                "jv_text": _norm_text(b[text_col]),
-                "is_text": True,
+                "jv_doc": ids.to_numpy(),
+                "a": ids.to_numpy(),  # placeholders, dtype-consistent
+                "b": ids.to_numpy(),
+                "jv_text": pa.array(_norm_text(b[text_col]), pa.string()),
+                "is_text": np.ones(len(b), dtype=bool),
+                "_jvb": _bkt(ids),
             }
         )
 
-    def explode_pairs(b: pd.DataFrame) -> pd.DataFrame:
+    def explode_pairs(b: pd.DataFrame) -> pa.Table:
         two_a = pd.concat([b["a"], b["a"]], ignore_index=True)
         two_b = pd.concat([b["b"], b["b"]], ignore_index=True)
-        return pd.DataFrame(
+        jv_doc = pd.concat([b["a"], b["b"]], ignore_index=True)
+        n = len(two_a)
+        return pa.table(
             {
-                "jv_doc": pd.concat([b["a"], b["b"]], ignore_index=True),
-                "a": two_a,
-                "b": two_b,
-                "jv_text": pd.Series([""] * len(two_a), dtype="object"),
-                "is_text": False,
+                "jv_doc": jv_doc.to_numpy(),
+                "a": two_a.to_numpy(),
+                "b": two_b.to_numpy(),
+                "jv_text": pa.array([""] * n, pa.string()),
+                "is_text": np.zeros(n, dtype=bool),
+                "_jvb": _bkt(jv_doc),
             }
         )
 
-    def attach(group: pd.DataFrame) -> pd.DataFrame:
-        texts_rows = group[group["is_text"]]
+    def attach(group: pd.DataFrame) -> pa.Table:
+        is_t = group["is_text"].to_numpy()
+        texts_rows = group.loc[is_t, ["jv_doc", "jv_text"]].drop_duplicates("jv_doc")
         # duplicate pair rows (same pair surfacing from several LSH
         # bands, when the producer skipped its dedup groupby) collapse
         # here — one text-attach row per (pair, side)
-        pair_rows = group[~group["is_text"]].drop_duplicates(subset=["a", "b"])
-        if texts_rows.empty or pair_rows.empty:
-            return group.iloc[:0][["a", "b", "jv_doc", "jv_text"]]
-        out = pair_rows[["a", "b", "jv_doc"]].copy()
-        out["jv_text"] = texts_rows["jv_text"].iloc[0]
-        return out
+        pair_rows = group.loc[~is_t, ["a", "b", "jv_doc"]].drop_duplicates()
+        out = pair_rows.merge(texts_rows, on="jv_doc", how="inner")
+        out["_pb"] = _bkt(out[["a", "b"]])
+        return pa.Table.from_pandas(
+            out[["a", "b", "jv_doc", "jv_text", "_pb"]], preserve_index=False
+        )
 
-    sides = pairs.map_batches(explode_pairs, batch_format="pandas")
-    texts = docs.map_batches(tag_docs, batch_format="pandas")
-    joined = texts.union(sides).groupby("jv_doc").map_groups(
+    sides = pairs.map_batches(explode_pairs, batch_format="pandas", batch_size=65536)
+    texts = docs.map_batches(tag_docs, batch_format="pandas", batch_size=65536)
+    joined = texts.union(sides).groupby("_jvb").map_groups(
         attach, batch_format="pandas"
     )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def verify(group: pd.DataFrame) -> pa.Table:
+        keep_a, keep_b, sims = [], [], []
+        for (a, b), sub in group.groupby(["a", "b"], sort=False):
+            if len(sub) != 2:  # a side's doc was missing from the corpus
+                continue
+            by_doc = dict(zip(sub["jv_doc"], sub["jv_text"]))
+            sa = gf(by_doc.get(a, ""))
+            sb = gf(by_doc.get(b, ""))
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(round(j, 6))
+        return pa.table(
             {
-                "a": group["a"].iloc[:0],
-                "b": group["b"].iloc[:0],
-                "jaccard": pd.Series([], dtype="float64"),
+                "a": np.asarray(keep_a, dtype=group["a"].dtype),
+                "b": np.asarray(keep_b, dtype=group["b"].dtype),
+                "jaccard": np.asarray(sims, dtype=np.float64),
             }
         )
-        if len(group) != 2:  # a side's doc was missing from the corpus
-            return empty
-        by_doc = dict(zip(group["jv_doc"], group["jv_text"]))
-        a, b = group["a"].iloc[0], group["b"].iloc[0]
-        sa = gf(by_doc.get(a, ""))
-        sb = gf(by_doc.get(b, ""))
-        if not sa or not sb:
-            return empty
-        j = len(sa & sb) / len(sa | sb)
-        if j < threshold:
-            return empty
-        return pd.DataFrame({"a": [a], "b": [b], "jaccard": [round(j, 6)]})
 
-    return joined.groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
+    return joined.groupby("_pb").map_groups(verify, batch_format="pandas")
 
 
 def _jaccard_verify_broadcast(
@@ -416,9 +446,11 @@ def _jaccard_verify_broadcast(
         return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
 
     # cross-band duplicate pairs may straddle batch boundaries — the
-    # in-batch drop_duplicates is an optimization, the groupby the truth
-    return pairs.map_batches(verify, batch_format="pandas").groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # in-batch drop_duplicates is an optimization, the distinct the truth
+    from .agg import bucketed_distinct
+
+    return bucketed_distinct(
+        pairs.map_batches(verify, batch_format="pandas"), ["a", "b"]
     )
 
 

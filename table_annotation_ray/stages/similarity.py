@@ -141,7 +141,9 @@ def embedding_near_dup_pairs(
     bucketed = embeddings.map_batches(bucketize, batch_format="pandas")
     pairs = bucketed.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
     # a pair can surface from both probes/buckets — dedup
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    from .agg import bucketed_distinct
+
+    return bucketed_distinct(pairs, ["a", "b"])
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
