@@ -382,26 +382,42 @@ def grouped_topk(
     given — both passes order by (order_col, tiebreak), so the boundary
     row selection matches the SQL window's.  All input columns survive.
     """
+    import pyarrow as pa
+
     by = [order_col] + ([tiebreak] if tiebreak else [])
     asc = [not descending] + ([True] if tiebreak else [])
 
-    def partial(b: pd.DataFrame):
-        import pyarrow as pa
-
-        # arrow out: pandas blocks poison the downstream sort-shuffle
-        return pa.Table.from_pandas(
+    def partial(b: pd.DataFrame) -> pa.Table:
+        # arrow out: pandas blocks poison the downstream sort-shuffle;
+        # the exchange groups on a 64-value hash bucket of the group
+        # key, not the key itself — a Ray group per key is pathological
+        # at high group counts (CLAUDE.md r3)
+        out = (
             b.sort_values(by, ascending=asc, kind="mergesort")
             .groupby(group_cols, sort=False)
-            .head(k),
-            preserve_index=False,
+            .head(k)
+            .copy()
         )
+        keyframe = out[group_cols[0]] if len(group_cols) == 1 else out[group_cols]
+        out["__tk_bkt"] = (
+            pd.util.hash_pandas_object(keyframe, index=False).to_numpy()
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+    def final(g: pd.DataFrame) -> pa.Table:
+        # one vectorized sort + per-group head over the whole bucket
+        out = (
+            g.sort_values(by, ascending=asc, kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+            .drop(columns="__tk_bkt")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=JOIN_BATCH)
-        .groupby(group_cols[0] if len(group_cols) == 1 else group_cols)
+        .groupby("__tk_bkt")
         .map_groups(final, batch_format="pandas")
     )
 
