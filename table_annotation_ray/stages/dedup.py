@@ -242,31 +242,55 @@ def minhash_candidate_pairs(
     consuming pipeline has materialized (the rare-path ``add`` is
     awaited inside the task)."""
 
+    # the exchange groups on a 64-value hash of (band, band_hash) — one
+    # Ray group per LSH bucket is pathological at corpus scale (most
+    # buckets are singletons; CLAUDE.md r3 per-group cost).  The pair
+    # expansion loops over the bucket's (band, band_hash) segments with
+    # list-append bodies (segments are ≤ max_bucket by construction).
+    def tag_gb(b: pd.DataFrame) -> pa.Table:
+        out = b.copy()
+        out["__lh_gb"] = (
+            pd.util.hash_pandas_object(
+                b[["band", "band_hash"]], index=False
+            ).to_numpy()
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col]))
-        if len(ids) < 2:
+        out_a: list = []
+        out_b: list = []
+        truncs = 0
+        dropped = 0
+        gvals = group[id_col].to_numpy()
+        for _, idx in group.groupby(["band", "band_hash"], sort=False).indices.items():
+            ids = sorted(set(gvals[idx]))
+            n = len(ids)
+            if n < 2:
+                continue
+            if n > max_bucket:
+                truncs += 1
+                dropped += n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            for i in range(min(n, max_bucket)):
+                for j in range(i + 1, min(n, max_bucket)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        if truncs and trunc_counter is not None:
+            import ray
+
+            # block (rare path): guarantees the count is visible as soon
+            # as the dataset has executed, no fire-and-forget race
+            ray.get(trunc_counter.add.remote(truncs, dropped))
+        if not out_a:
             # dtype-preserving empty (an untyped {} empty becomes float64
             # and breaks schema unification in downstream hash joins)
             empty = group[id_col].iloc[:0]
             return pd.DataFrame({"a": empty, "b": empty})
-        n = len(ids)
-        if n > max_bucket and trunc_counter is not None:
-            import ray
-
-            dropped = n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
-            # block (rare path): guarantees the count is visible as soon
-            # as the dataset has executed, no fire-and-forget race
-            ray.get(trunc_counter.add.remote(1, dropped))
-        out_a, out_b = [], []
-        for i in range(min(n, max_bucket)):
-            for j in range(i + 1, min(n, max_bucket)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
         return pd.DataFrame({"a": out_a, "b": out_b})
 
-    cand = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
+    cand = bands_ds.map_batches(
+        tag_gb, batch_format="pandas", batch_size=65536
+    ).groupby("__lh_gb").map_groups(pairs, batch_format="pandas")
     if not dedup:
         return cand
     # dedup pairs found in multiple bands — bucketed distinct, not a

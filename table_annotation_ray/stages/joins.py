@@ -142,40 +142,78 @@ def asof_join(
     out_right = [c for c in right_cols if c != key]
     out_left = list(left_cols)
 
-    tagged = _tag_union(left, right, left_cols, right_cols, None, None)
+    # exchange on a 64-value hash bucket of the key (a Ray group per
+    # key is pathological at entity-scale key counts — CLAUDE.md r3);
+    # in-group: loop over key segments, numpy searchsorted bodies, one
+    # output frame per bucket
+    def add_kb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__j_kb"] = (
+            pd.util.hash_pandas_object(b[key], index=False).to_numpy()
+            % np.uint64(64)
+        ).astype(np.int64)
+        return b
+
+    tagged = _tag_union(left, right, left_cols, right_cols, add_kb, add_kb)
 
     def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
         is_r = g["__j_side"].to_numpy() == 1
-        L = g[~is_r]
-        R = g[is_r].sort_values([right_ts, right_tiebreak], kind="mergesort")
-        empty = pd.concat([L[out_left].iloc[:0], R[out_right].iloc[:0]], axis=1)
-        if len(L) == 0 or (len(R) == 0 and how == "inner"):
-            return empty
-        r_ts = R[right_ts].to_numpy()
-        idx = np.searchsorted(r_ts, L[left_ts].to_numpy(), side="right") - 1
-        matched = idx >= 0
+        lt = np.where(
+            ~is_r, g[left_ts].to_numpy().astype(_TS_I8).astype(np.int64), 0
+        )
+        rt = np.where(
+            is_r, g[right_ts].to_numpy().astype(_TS_I8).astype(np.int64), 0
+        )
+        tb = np.where(is_r, g[right_tiebreak].to_numpy(), 0)
+        l_take: list[np.ndarray] = []
+        r_take: list[np.ndarray] = []
+        m_take: list[np.ndarray] = []
+        for _, idx in g.groupby(key, sort=False).indices.items():
+            seg_l = idx[~is_r[idx]]
+            seg_r = idx[is_r[idx]]
+            if len(seg_l) == 0:
+                continue
+            if len(seg_r) == 0:
+                if how == "left":
+                    l_take.append(seg_l)
+                    r_take.append(np.zeros(len(seg_l), dtype=np.int64))
+                    m_take.append(np.zeros(len(seg_l), dtype=bool))
+                continue
+            order = np.lexsort((tb[seg_r], rt[seg_r]))
+            seg_r = seg_r[order]
+            pos = np.searchsorted(rt[seg_r], lt[seg_l], side="right") - 1
+            matched = pos >= 0
+            if how == "inner":
+                seg_l, pos = seg_l[matched], pos[matched]
+                if len(seg_l) == 0:
+                    continue
+                l_take.append(seg_l)
+                r_take.append(seg_r[pos])
+                m_take.append(np.ones(len(seg_l), dtype=bool))
+            else:
+                l_take.append(seg_l)
+                r_take.append(seg_r[np.clip(pos, 0, None)])
+                m_take.append(matched)
+        sampleL = g[out_left].iloc[:0]
+        sampleR = g[out_right].iloc[:0]
+        if not l_take:
+            return pd.concat([sampleL, sampleR], axis=1)
+        li = np.concatenate(l_take)
+        ri = np.concatenate(r_take)
+        mm = np.concatenate(m_take)
+        out = g.iloc[li][out_left].reset_index(drop=True)
+        take = g.iloc[ri][out_right].reset_index(drop=True)
         if how == "inner":
-            L, idx = L[matched], idx[matched]
-            if len(L) == 0:
-                return empty
-            out = L[out_left].reset_index(drop=True)
-            take = R[out_right].iloc[idx].reset_index(drop=True)
             for c in out_right:
                 out[c] = take[c]
             return out
-        # left join: unmatched right payload upcasts to NaN/NaT
-        out = L[out_left].reset_index(drop=True)
-        if len(R) == 0:
-            for c in out_right:
-                out[c] = pd.Series([np.nan] * len(out))
-            return out
-        take = R[out_right].iloc[np.clip(idx, 0, None)].reset_index(drop=True)
-        m = pd.Series(matched)
+        m = pd.Series(mm)
         for c in out_right:
             out[c] = take[c].where(m)
         return out
 
-    return tagged.groupby(key).map_groups(match, batch_format="pandas")
+    return tagged.groupby("__j_kb").map_groups(match, batch_format="pandas")
 
 
 def interval_join(
@@ -218,36 +256,75 @@ def interval_join(
         out["__j_bucket"] = ts // w
         return out
 
-    tagged = _tag_union(
-        left, right, left_cols, right_cols, explode_left, bucket_right
-    )
     group_keys = ["__j_bucket"] if key is None else [key, "__j_bucket"]
+
+    # the exchange groups on a 64-value HASH of (key, time-bucket) —
+    # a Ray group per (key, bucket) is pathological once keys × covered
+    # buckets reach the tens of thousands (CLAUDE.md r3; measured 110 s
+    # → seconds at sf0.1); the in-group probe loops over its (key,
+    # bucket) segments with pure-numpy bodies and materializes ONE
+    # frame per bucket group
+    def add_gb(extra):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = extra(b)
+            out["__j_gb"] = (
+                pd.util.hash_pandas_object(out[group_keys], index=False).to_numpy()
+                % np.uint64(64)
+            ).astype(np.int64)
+            return out
+
+        return f
+
+    tagged = _tag_union(
+        left, right, left_cols, right_cols,
+        add_gb(explode_left), add_gb(bucket_right),
+    )
     out_cols = list(dict.fromkeys(left_cols + right_cols))
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
         is_r = g["__j_side"].to_numpy() == 1
-        L, R = g[~is_r], g[is_r]
-        if len(L) == 0 or len(R) == 0:
-            return g[out_cols].iloc[:0]
-        R = R.sort_values(right_ts, kind="mergesort")
-        r_ts = R[right_ts].to_numpy().astype(_TS_I8).astype(np.int64)
-        s = L[start].to_numpy().astype(_TS_I8).astype(np.int64)
-        e = L[end].to_numpy().astype(_TS_I8).astype(np.int64)
-        lo = np.searchsorted(r_ts, s, side="left")
-        hi = np.searchsorted(r_ts, e, side="left")
-        cnt = (hi - lo).astype(np.int64)
-        total = int(cnt.sum())
-        if total == 0:
-            return g[out_cols].iloc[:0]
-        l_idx = np.repeat(np.arange(len(L)), cnt)
-        r_idx = np.repeat(lo, cnt) + (
-            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ts_all = np.where(
+            is_r,
+            g[right_ts].to_numpy().astype(_TS_I8).astype(np.int64),
+            0,
         )
-        out = L.iloc[l_idx][[c for c in left_cols]].reset_index(drop=True)
-        rr = R.iloc[r_idx].reset_index(drop=True)
+        s_all = np.where(
+            is_r, 0, g[start].to_numpy().astype(_TS_I8).astype(np.int64)
+        )
+        e_all = np.where(
+            is_r, 0, g[end].to_numpy().astype(_TS_I8).astype(np.int64)
+        )
+        l_take: list[np.ndarray] = []
+        r_take: list[np.ndarray] = []
+        for _, idx in g.groupby(group_keys, sort=False).indices.items():
+            seg_r = idx[is_r[idx]]
+            seg_l = idx[~is_r[idx]]
+            if len(seg_l) == 0 or len(seg_r) == 0:
+                continue
+            order = np.argsort(ts_all[seg_r], kind="stable")
+            seg_r = seg_r[order]
+            r_ts = ts_all[seg_r]
+            lo = np.searchsorted(r_ts, s_all[seg_l], side="left")
+            hi = np.searchsorted(r_ts, e_all[seg_l], side="left")
+            cnt = (hi - lo).astype(np.int64)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            l_take.append(np.repeat(seg_l, cnt))
+            pos = np.repeat(lo, cnt) + (
+                np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            r_take.append(seg_r[pos])
+        if not l_take:
+            return g[out_cols].iloc[:0]
+        li = np.concatenate(l_take)
+        ri = np.concatenate(r_take)
+        out = g.iloc[li][[c for c in left_cols]].reset_index(drop=True)
+        rr = g.iloc[ri].reset_index(drop=True)
         for c in right_cols:
             if c not in out.columns:
                 out[c] = rr[c]
         return out[out_cols]
 
-    return tagged.groupby(group_keys).map_groups(probe, batch_format="pandas")
+    return tagged.groupby("__j_gb").map_groups(probe, batch_format="pandas")
