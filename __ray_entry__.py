@@ -158,8 +158,6 @@ def _q_top_parts_by_revenue(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def hour(b: pd.DataFrame) -> pd.DataFrame:
@@ -171,12 +169,13 @@ def _q_events_hourly(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(hour, batch_format="pandas")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    out = grouped_reduce(
+        ds.map_batches(hour, batch_format="pandas"),
+        ["hour", "event_type"],
+        {"n": (None, "count"), "sum_value": ("value", "sum")},
+    ).to_pandas()
     # sum of 2-decimal values rounded at 2dp can never sit on a rounding
     # boundary, unlike avg — keeps the float compare exact vs the oracle
     out["sum_value"] = _round_ha(out["sum_value"], 2)

@@ -164,16 +164,22 @@ def grouped_quantiles(
     return out.sort_values([group_col, "q"]).reset_index(drop=True)
 
 
-def _histogram(ds: rd.Dataset, col: str, lo: float, hi: float, bins: int) -> np.ndarray:
-    """Distributed fixed-range histogram of ``col`` over [lo, hi] —
-    per-batch ``np.histogram`` partials tree-reduced to one count row."""
-    edges = np.linspace(lo, hi, bins + 1)
+def _histograms_multi(
+    ds: rd.Dataset, col: str, ranges: list[tuple[float, float]], bins: int
+) -> dict[tuple[float, float], np.ndarray]:
+    """Distributed fixed-range histograms for SEVERAL [lo, hi] ranges in
+    ONE streaming pass — per-batch ``np.histogram`` partials
+    (concatenated across ranges) tree-reduced to one count row."""
+    edge_list = [np.linspace(lo, hi, bins + 1) for lo, hi in ranges]
 
     def part(b: pd.DataFrame) -> pd.DataFrame:
         v = b[col].to_numpy(dtype=np.float64)
-        v = v[(v >= lo) & (v <= hi)]
-        h, _ = np.histogram(v, bins=edges)
-        return pd.DataFrame({"h": [h.astype(np.int64).tobytes()]})
+        hs = []
+        for (lo, hi), edges in zip(ranges, edge_list):
+            vv = v[(v >= lo) & (v <= hi)]
+            h, _ = np.histogram(vv, bins=edges)
+            hs.append(h.astype(np.int64))
+        return pd.DataFrame({"h": [np.concatenate(hs).tobytes()]})
 
     def merge(b: pd.DataFrame) -> pd.DataFrame:
         s = np.stack([np.frombuffer(x, dtype=np.int64) for x in b["h"]]).sum(axis=0)
@@ -182,9 +188,16 @@ def _histogram(ds: rd.Dataset, col: str, lo: float, hi: float, bins: int) -> np.
     parts = tree_reduce(
         ds.map_batches(part, batch_format="pandas", batch_size=262_144), merge
     )
-    return np.stack(
+    flat = np.stack(
         [np.frombuffer(x, dtype=np.int64) for x in parts["h"]]
     ).sum(axis=0)
+    return {
+        r: flat[i * bins : (i + 1) * bins] for i, r in enumerate(ranges)
+    }
+
+
+def _histogram(ds: rd.Dataset, col: str, lo: float, hi: float, bins: int) -> np.ndarray:
+    return _histograms_multi(ds, col, [(lo, hi)], bins)[(lo, hi)]
 
 
 def exact_quantiles(
@@ -207,36 +220,59 @@ def exact_quantiles(
         return pd.DataFrame({"q": pd.Series(qs, dtype=float), "value": np.nan})
     gmin, gmax = float(stats[f"min({col})"]), float(stats[f"max({col})"])
 
-    values: list[float] = []
+    # LEVEL-SYNCHRONOUS refinement: every q refines against the same
+    # scan — one histogram pass per level (ranges batched into a single
+    # map), one shared collection pass at the end.  Total scans:
+    # 1 (min/max/count) + 1 + refinement-levels + 1, independent of
+    # len(qs).
+    state = []
     for q in qs:
-        k = int(math.ceil(q * n))  # 1-indexed rank; q>0 assumed
-        k = min(max(k, 1), n)
-        lo, hi, below, span_n = gmin, gmax, 0, n
-        # invariant: rank-k value lies in [lo, hi], `below` rows < lo-range
-        for _ in range(max_refine):
-            if span_n <= collect_below or lo == hi:
-                break
-            h = _histogram(ds, col, lo, hi, bins)
-            edges = np.linspace(lo, hi, bins + 1)
+        k = min(max(int(math.ceil(q * n)), 1), n)  # 1-indexed rank
+        # invariant: rank-k value lies in [lo, hi], `below` rows < lo
+        state.append({"k": k, "lo": gmin, "hi": gmax, "below": 0, "span": n})
+
+    for _ in range(max_refine):
+        open_idx = [
+            i for i, st in enumerate(state)
+            if st["span"] > collect_below and st["lo"] < st["hi"]
+        ]
+        if not open_idx:
+            break
+        ranges = sorted({(state[i]["lo"], state[i]["hi"]) for i in open_idx})
+        hists = _histograms_multi(ds, col, ranges, bins)
+        for i in open_idx:
+            st = state[i]
+            h = hists[(st["lo"], st["hi"])]
+            edges = np.linspace(st["lo"], st["hi"], bins + 1)
             cum = np.cumsum(h)
-            b = int(np.searchsorted(cum, k - below, side="left"))
-            below += int(cum[b - 1]) if b > 0 else 0
-            span_n = int(h[b])
+            b = int(np.searchsorted(cum, st["k"] - st["below"], side="left"))
+            st["below"] += int(cum[b - 1]) if b > 0 else 0
+            st["span"] = int(h[b])
             # np.histogram bins are [edge, edge) except the last (right-
             # closed), matching the <= hi collection filter; edges[bins]
             # == hi so the top bin never widens the range
-            lo, hi = float(edges[b]), float(edges[b + 1])
-        # exact selection over the (small) candidate range [lo, hi];
-        # values == hi belonging to the bin above may leak in — they sort
-        # after all in-range rows and the rank k-below is ≤ span_n, so
-        # selection is unaffected
+            st["lo"], st["hi"] = float(edges[b]), float(edges[b + 1])
 
-        cand = ds.map_batches(
-            lambda bdf, lo=lo, hi=hi: pd.DataFrame(
-                {col: bdf[col][(bdf[col] >= lo) & (bdf[col] <= hi)]}
-            ),
-            batch_format="pandas",
-        ).to_pandas()[col].to_numpy(dtype=np.float64)
-        cand = np.sort(cand)  # zero-copy Arrow arrays are read-only
-        values.append(float(cand[(k - below) - 1]))
+    # ONE shared collection pass over the union of candidate ranges;
+    # values == hi belonging to the bin above may leak in — they sort
+    # after all in-range rows and each rank k-below is ≤ span, so
+    # selection is unaffected
+    spans = sorted({(st["lo"], st["hi"]) for st in state})
+
+    def collect(bdf: pd.DataFrame) -> pd.DataFrame:
+        v = bdf[col].to_numpy(dtype=np.float64)
+        keep = np.zeros(len(v), dtype=bool)
+        for lo, hi in spans:
+            keep |= (v >= lo) & (v <= hi)
+        return pd.DataFrame({col: v[keep]})
+
+    cand = np.sort(
+        ds.map_batches(collect, batch_format="pandas")
+        .to_pandas()[col]
+        .to_numpy(dtype=np.float64)
+    )
+    values = []
+    for st in state:
+        inseg = cand[(cand >= st["lo"]) & (cand <= st["hi"])]
+        values.append(float(inseg[(st["k"] - st["below"]) - 1]))
     return pd.DataFrame({"q": pd.Series(qs, dtype=float), "value": values})
