@@ -11,10 +11,13 @@ scale spectrum:
   Gated on the right side's ROW count (metadata-cheap ``count()``, no
   extra pass) — distinct keys can only be fewer.
 * **co-location** (large right side): both sides reduced to tagged key
-  rows, one ``groupby(key).aggregate(Sum, Sum)`` sort shuffle counts
-  left/right occurrences per key, survivors re-expanded with
-  ``np.repeat`` to preserve left multiplicity.  Nothing driver-side,
-  no per-group Python (aggregate, not map_groups).
+  rows, one ``groupby(hash(key) % 64)`` sort shuffle co-locates each
+  key's left/right counts, a vectorized in-bucket pandas groupby sums
+  them and survivors re-expand with ``np.repeat`` to preserve left
+  multiplicity.  Nothing driver-side, per-BUCKET Python only (ray's
+  per-key aggregate is pathological at high cardinality — CLAUDE.md
+  r3).  An opt-in Bloom pre-filter keeps definitely-absent left rows
+  out of the exchange for selective joins.
 
 The co-location output carries ONLY the key column (left payload would
 need a second co-location pass to reattach); that matches the dominant
@@ -122,7 +125,7 @@ def _keyed_join(
     right_col: str | None,
     broadcast_below: int,
     keep_members: bool,
-    bloom_bits: int | None = 1 << 27,
+    bloom_bits: int | None = None,
 ) -> rd.Dataset:
     import ray
 
@@ -175,12 +178,14 @@ def anti_join_keys(
     col: str,
     right_col: str | None = None,
     broadcast_below: int = DEFAULT_BROADCAST_BELOW,
-    bloom_bits: int | None = 1 << 27,
+    bloom_bits: int | None = None,
 ) -> rd.Dataset:
     """Left ``col`` values (with multiplicity) that never appear in
     ``right[right_col]`` — SQL ``WHERE col NOT IN (SELECT right_col)``.
-    On the co-location path a Bloom pre-filter (``bloom_bits``; None
-    disables) keeps definitely-absent rows out of the shuffle."""
+    On the co-location path, pass ``bloom_bits`` to pre-filter with a
+    Bloom broadcast — worth its two extra scans when most left keys are
+    absent from the right (low-selectivity anti joins); pure overhead
+    when most keys match, hence OPT-IN."""
     return _keyed_join(left, right, col, right_col, broadcast_below, False,
                        bloom_bits)
 
@@ -428,11 +433,13 @@ def semi_join_keys(
     col: str,
     right_col: str | None = None,
     broadcast_below: int = DEFAULT_BROADCAST_BELOW,
-    bloom_bits: int | None = 1 << 27,
+    bloom_bits: int | None = None,
 ) -> rd.Dataset:
     """Left ``col`` values (with multiplicity) that appear in
     ``right[right_col]`` — SQL ``WHERE col IN (SELECT right_col)``.
-    On the co-location path a Bloom pre-filter (``bloom_bits``; None
-    disables) drops definitely-absent rows before the shuffle."""
+    On the co-location path, pass ``bloom_bits`` to pre-filter with a
+    Bloom broadcast — worth its two extra scans when few left keys
+    match (selective semi joins); pure overhead when most match, hence
+    OPT-IN."""
     return _keyed_join(left, right, col, right_col, broadcast_below, True,
                        bloom_bits)
