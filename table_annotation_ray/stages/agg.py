@@ -39,7 +39,7 @@ def grouped_reduce(
     key_cols: list[str],
     reducers: dict[str, tuple[str | None, str]],
     num_buckets: int = 64,
-    batch_size: int = 65536,
+    batch_size: int | None = 65536,
 ) -> rd.Dataset:
     """``reducers``: out_col -> (in_col, op) with op in sum|min|max|
     count (in_col ignored for count).  Returns one row per distinct key
@@ -77,8 +77,9 @@ def grouped_reduce(
         out = pd.DataFrame(pieces).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    kw = {} if batch_size is None else {"batch_size": batch_size}
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        ds.map_batches(partial, batch_format="pandas", **kw)
         .groupby("__gr_bkt")
         .map_groups(finalize, batch_format="pandas")
     )

@@ -864,14 +864,33 @@ def simhash_near_pairs(
             {"a": ids[ii[keep]], "b": ids[jj[keep]], "hamming": ham[keep]}
         )
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
-    cand = exploded.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
-    # cross-band pair dedup co-located by the FIRST pair member only:
-    # duplicates of (a, b) share a, so an in-group drop_duplicates is
-    # globally exact — one Python call per distinct `a` (≤ corpus size)
-    # instead of per PAIR (a composite-key groupby over dup-heavy data
-    # was the dominant cost; a (a,b) Min aggregate is pathological in
-    # ray 2.49 at 10^5 groups)
-    return cand.groupby("a").map_groups(
-        lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
+    # exchange on a 64-value hash of (band, key) — one Ray group per
+    # band bucket is pathological at corpus scale (CLAUDE.md r3); the
+    # in-group loop applies the pair logic per (band, key) segment
+    def tag_gb(b: pd.DataFrame) -> pa.Table:
+        out = b.copy()
+        out["__sh_gb"] = (
+            pd.util.hash_pandas_object(b[["band", "key"]], index=False).to_numpy()
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, idx in group.groupby(["band", "key"], sort=False).indices.items():
+            outs.append(pairs(group.iloc[idx]))
+        non_empty = [o for o in outs if len(o)]
+        if not non_empty:
+            return pairs(group.iloc[:0])
+        return pd.concat(non_empty, ignore_index=True)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas").map_batches(
+        tag_gb, batch_format="pandas", batch_size=65536
     )
+    cand = exploded.groupby("__sh_gb").map_groups(bucket_pairs, batch_format="pandas")
+    # cross-band pair dedup: bucketed distinct on the pair key
+    # (duplicate (a, b) rows carry identical hamming, so which copy
+    # survives is immaterial)
+    from .agg import bucketed_distinct
+
+    return bucketed_distinct(cand, ["a", "b"])

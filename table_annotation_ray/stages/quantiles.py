@@ -68,17 +68,15 @@ def grouped_quantiles(
     > collect_below·bins rows in one group).  Returns a DataFrame
     ``(group, q, value)``."""
     import ray
-    from ray.data.aggregate import Count, Max, Min
 
     from ..state.worker_state import get_worker_state, ref_key
+    from .agg import grouped_reduce
 
     ds = ds.select_columns([group_col, col])
-    stats = ds.groupby(group_col).aggregate(
-        Min(col), Max(col), Count()
+    stats = grouped_reduce(
+        ds, [group_col],
+        {"lo": (col, "min"), "hi": (col, "max"), "n": (None, "count")},
     ).to_pandas()
-    stats = stats.rename(
-        columns={f"min({col})": "lo", f"max({col})": "hi", "count()": "n"}
-    )
     ranges = {
         g: (float(lo), float(hi))
         for g, lo, hi in zip(stats[group_col], stats["lo"], stats["hi"])

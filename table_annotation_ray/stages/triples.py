@@ -92,7 +92,7 @@ def conversation_outputs_to_rows(
 # global canonicalization + partitioned sink
 # ---------------------------------------------------------------------------
 
-def dedup_triples(ds: rd.Dataset) -> rd.Dataset:
+def dedup_triples(ds: rd.Dataset, high_cardinality: bool = False) -> rd.Dataset:
     """Exact global dedup on (subj, pred, obj), keeping the max score.
 
     This is the engine's one deliberate all-to-all shuffle
@@ -114,16 +114,30 @@ def dedup_triples(ds: rd.Dataset) -> rd.Dataset:
     # the now-tiny blocks so the exchange doesn't schedule hundreds of
     # micro tasks (dominates wall time otherwise)
     ds = ds.repartition(32)
-    from .agg import grouped_reduce
+    if high_cardinality:
+        # corpus-cardinality triple spaces: hash-bucket exchange +
+        # vectorized in-bucket reduce (stages/agg.py) — ray's builtin
+        # aggregate is per-key Python (CLAUDE.md r3)
+        from .agg import grouped_reduce
 
-    # grouped_reduce (hash-bucket exchange + vectorized in-bucket
-    # reduce): ray's builtin groupby().aggregate() is per-key Python and
-    # triple-key cardinality is output-sized (CLAUDE.md r3); provenance
-    # = lexicographically-first emitting conv_id
-    return grouped_reduce(
-        ds,
-        ["subj", "pred", "obj"],
-        {"score": ("score", "max"), "conv_id": ("conv_id", "min")},
+        return grouped_reduce(
+            ds,
+            ["subj", "pred", "obj"],
+            {"score": ("score", "max"), "conv_id": ("conv_id", "min")},
+            batch_size=None,
+        )
+    # DEFAULT: builtin aggregate.  The flagship's distinct-triple space
+    # is KB-bounded (hundreds), where per-key Python is cheap — and
+    # grouped_reduce's map_groups adds a SECOND push-based sort behind
+    # the heavy conv-bucket sort, which starves it at low CPU counts
+    # (measured 414 s vs 184 s at 8 CPUs / 1.75M turns, degrading to a
+    # stall at 7M; the r1 "two barriers" lesson in a new form).
+    # provenance = lexicographically-first emitting conv_id
+    from ray.data.aggregate import Max, Min
+
+    return ds.groupby(["subj", "pred", "obj"]).aggregate(
+        Max("score", alias_name="score"),
+        Min("conv_id", alias_name="conv_id"),
     )
 
 

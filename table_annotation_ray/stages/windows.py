@@ -74,10 +74,12 @@ def sliding_window_counts(
         merged["n"] = merged["n"].astype("int64")
         return rd.from_pandas(merged)
 
-    from ray.data.aggregate import Sum
+    from .agg import grouped_reduce
 
-    return partials.groupby(["wstart", key_col]).aggregate(
-        Sum("partial", alias_name="n")
+    # grouped_reduce, not the builtin aggregate: (window, key)
+    # cardinality grows with the covered time span (CLAUDE.md r3)
+    return grouped_reduce(
+        partials, ["wstart", key_col], {"n": ("partial", "sum")}
     )
 
 
