@@ -1084,6 +1084,89 @@ def _q_price_quantiles(sf_dir: str):
     return out.sort_values("q").reset_index(drop=True)
 
 
+def _q_event_gaps(sf_dir: str):
+    """Per-key LAG window (stages/windows.py::lag_by_key): previous
+    event's type and the gap to it per user — SQL LAG OVER (PARTITION BY
+    user ORDER BY ts, event_id).  One key co-location, vectorized shift;
+    null lags encoded as ''/-1 so the compare is null-representation
+    independent."""
+    from table_annotation_ray.stages.windows import lag_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = lag_by_key(
+        ev, "user_id", ["ts", "event_id"], ["ts", "event_type"]
+    ).to_pandas()
+    gap = out["ts"] - out["ts_prev"]
+    out["gap_us"] = (gap / pd.Timedelta(microseconds=1)).fillna(-1).astype("int64")
+    out["prev_type"] = out["event_type_prev"].fillna("")
+    out = out[["event_id", "user_id", "prev_type", "gap_us"]]
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP in one scan (stages/agg.py::rollup_reduce):
+    map-side partials per grouping set (finest partial relabeled, raw
+    rows never re-aggregated), the 64-value bucket exchange, sentinel
+    '(all)' standing in for the rollup NULL on both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.agg import rollup_reduce
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "revenue": r,
+        })
+
+    out = rollup_reduce(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"revenue": ("revenue", "sum"), "n_items": (None, "count")},
+    ).to_pandas()
+    out["revenue"] = _round_ha(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def _q_part_distinct_suppliers(sf_dir: str):
+    """Exact COUNT(DISTINCT) per key at corpus key cardinality
+    (stages/agg.py::distinct_count_by_key): map-side pair shrink →
+    pair-hash bucket dedup → grouped_reduce count; shuffles distinct
+    pairs, never rows, no per-key Python."""
+    from table_annotation_ray.stages.agg import distinct_count_by_key
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    out = distinct_count_by_key(
+        li, ["l_partkey"], "l_suppkey", out_col="n_suppliers"
+    ).to_pandas()
+    for c in ("l_partkey", "n_suppliers"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+def _q_uniform_sample_k(sf_dir: str):
+    """Deterministic fixed-size-k uniform sample by bottom-k-of-hash
+    (stages/datapipe.py::bottomk_by_hash): per-batch partial bottom-k,
+    then sort+limit over ≤k-per-batch partials — exact count without a
+    global sort of the input and without RNG/cluster-order state."""
+    from table_annotation_ray.stages.datapipe import bottomk_by_hash
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    out = bottomk_by_hash(ev, "event_id", k=256).to_pandas()
+    out = out.drop(columns="__hb")
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1136,6 +1219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "embedding_clusters": _q_embedding_clusters,
         "user_rolling_value": _q_user_rolling_value,
+        "event_gaps": _q_event_gaps,
+        "revenue_rollup": _q_revenue_rollup,
+        "part_distinct_suppliers": _q_part_distinct_suppliers,
+        "uniform_sample_k": _q_uniform_sample_k,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -1558,6 +1645,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf, st)
             SELECT doc_id, score FROM sc WHERE score > 0
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   coalesce(lag(event_type) OVER w, '') AS prev_type,
+                   coalesce(date_diff('microsecond', lag(ts) OVER w, ts), -1) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "revenue_rollup": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "part_distinct_suppliers": """
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "uniform_sample_k": """
+            SELECT event_id, user_id FROM events
+            ORDER BY ((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296
+                      + 4294967296) % 4294967296, event_id
+            LIMIT 256
         """,
         "user_rolling_value": """
             SELECT event_id, user_id,

@@ -85,6 +85,130 @@ def grouped_reduce(
     )
 
 
+def rollup_reduce(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    reducers: dict[str, tuple[str | None, str]],
+    total_label: str = "(all)",
+    num_buckets: int = 64,
+    batch_size: int | None = 65536,
+) -> rd.Dataset:
+    """``GROUP BY ROLLUP(key_cols)`` — one row per key combination for
+    every PREFIX of ``key_cols`` (including the grand total), with
+    rolled-up key columns set to ``total_label``.
+
+    Single scan: the map side computes ONE vectorized pandas-groupby
+    partial per grouping set per batch (the finest partial is reused by
+    relabeling, never the raw rows), so the exchange carries
+    |grouping sets| × |keys-in-batch| partial rows and the finalize is
+    the same 64-value bucket exchange as :func:`grouped_reduce`.
+
+    ``total_label`` stands in for SQL's rollup NULL (a sentinel keeps
+    result comparison well-defined across Arrow/pandas/SQL null
+    encodings); mirror it with ``COALESCE(key, '(all)')`` +
+    ``GROUP BY ROLLUP`` in an oracle.  Key columns must be strings (or
+    castable) for the sentinel to type-unify."""
+    for out_col, (_, op) in reducers.items():
+        if op not in _PARTIAL_OPS:
+            raise ValueError(f"unsupported op {out_col!r}: {op!r}")
+    in_cols = list(
+        dict.fromkeys(c for c, _ in reducers.values() if c is not None)
+    )
+    nb = np.uint64(num_buckets)
+    # COUNT partials must SUM across grouping-set relabels, so compute
+    # the finest-level partial once and re-aggregate it per prefix with
+    # count already converted to a summable column.
+    prefixes = [key_cols[:i] for i in range(len(key_cols), -1, -1)]
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = b[key_cols + in_cols].groupby(key_cols, sort=False)
+        pieces = {}
+        for out_col, (in_col, op) in reducers.items():
+            kind = _PARTIAL_OPS[op]
+            pieces[out_col] = g.size() if kind == "size" else g[in_col].agg(kind)
+        finest = pd.DataFrame(pieces).reset_index()
+        finest[key_cols] = finest[key_cols].astype(str)
+        frames = [finest]
+        for prefix in prefixes[1:]:
+            gb = (
+                finest.groupby(prefix, sort=False)
+                if prefix
+                else finest.assign(__one=0).groupby("__one", sort=False)
+            )
+            agg = pd.DataFrame(
+                {
+                    out_col: gb[out_col].agg(_FINAL_OPS[op])
+                    for out_col, (_, op) in reducers.items()
+                }
+            ).reset_index()
+            if not prefix:
+                agg = agg.drop(columns="__one")
+            for c in key_cols[len(prefix):]:
+                agg[c] = total_label
+            frames.append(agg[finest.columns])
+        out = pd.concat(frames, ignore_index=True)
+        keyframe = out[key_cols[0]] if len(key_cols) == 1 else out[key_cols]
+        out["__gr_bkt"] = (
+            pd.util.hash_pandas_object(keyframe, index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        gb = g.groupby(key_cols, sort=False)
+        pieces = {
+            out_col: gb[out_col].agg(_FINAL_OPS[op])
+            for out_col, (_, op) in reducers.items()
+        }
+        return pa.Table.from_pandas(
+            pd.DataFrame(pieces).reset_index(), preserve_index=False
+        )
+
+    kw = {} if batch_size is None else {"batch_size": batch_size}
+    return (
+        ds.map_batches(partial, batch_format="pandas", **kw)
+        .groupby("__gr_bkt")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def distinct_count_by_key(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Exact ``COUNT(DISTINCT value) GROUP BY keys`` at corpus key
+    cardinality: map-side per-batch ``drop_duplicates`` shrink on
+    (keys, value), ONE hash-bucket exchange on the (keys, value)
+    composite (co-locating every copy of a pair), a vectorized
+    in-bucket pair-dedup, then a map-side count partial + the standard
+    64-value :func:`grouped_reduce` finalize for the per-key counts.
+
+    Two bounded exchanges, no per-key Python anywhere; the shuffle
+    payload is distinct pairs, never raw rows.  For approximate answers
+    at much lower cost see stages/sketches.py::approx_distinct."""
+    pair_cols = key_cols + [value_col]
+    distinct_pairs = bucketed_distinct(
+        ds.map_batches(
+            lambda b: pa.Table.from_pandas(
+                b[pair_cols].drop_duplicates(), preserve_index=False
+            ),
+            batch_format="pandas",
+            batch_size=batch_size,
+        ),
+        pair_cols,
+        num_buckets=num_buckets,
+    )
+    return grouped_reduce(
+        distinct_pairs,
+        key_cols,
+        {out_col: (None, "count")},
+        num_buckets=num_buckets,
+    )
+
+
 def bucketed_distinct(
     ds: rd.Dataset,
     key_cols: list[str],

@@ -83,6 +83,40 @@ def id_hash_bucket(ids: pd.Series) -> np.ndarray:
     return (u * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD) % np.uint64(100)
 
 
+def bottomk_by_hash(
+    ds,
+    id_col: str,
+    k: int,
+    batch_size: int = 65536,
+):
+    """Deterministic fixed-size uniform sample: the k rows with the
+    smallest multiplicative id hash (ties broken by id) — the
+    "bottom-k sketch" sampling primitive.  Unlike ``hash_sample`` (a
+    fixed RATE) this yields an exact COUNT, and unlike a reservoir it
+    is order-independent and mergeable, so it distributes: each batch
+    keeps its own ≤k smallest (vectorized sort+head), and only those
+    ≤ k-per-batch partials reach the final ``sort().limit(k)`` — the
+    input is never globally sorted.  SQL mirror: ``ORDER BY <hash
+    expr>, id LIMIT k`` (same HUGEINT expression as hash_sample)."""
+    import pyarrow as pa
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        u = b[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        hb = ((u * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)).astype(np.int64)
+        out = (
+            b.assign(__hb=hb)
+            .sort_values(["__hb", id_col], kind="mergesort")
+            .head(k)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .sort(["__hb", id_col])
+        .limit(k)
+    )
+
+
 def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, text) → sentence counts + duplicate-sentence ratio (the
     boilerplate/repetition quality signal).  Sentences split on

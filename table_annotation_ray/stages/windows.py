@@ -121,3 +121,37 @@ def rolling_sum_by_key(
         return g[out_cols]
 
     return ds.groupby(key_col).map_groups(roll, batch_format="pandas")
+
+
+def lag_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    lag_cols: list[str],
+    suffix: str = "_prev",
+) -> rd.Dataset:
+    """Per-row previous-row values within each key partition — SQL
+    ``LAG(col) OVER (PARTITION BY key ORDER BY order_cols)``.
+
+    ``order_cols`` must be a TOTAL order within each key (pass a
+    tiebreaker column, e.g. ``["ts", "event_id"]``) or LAG itself is
+    underdetermined.  One ``groupby(key)`` co-location; inside each
+    group one stable sort + a vectorized ``shift`` per lagged column —
+    no per-row Python.  First row per key gets nulls, exactly as SQL.
+
+    Output: every input column plus ``<col><suffix>`` for each entry of
+    ``lag_cols``, emitted as Arrow (pandas blocks would poison any
+    downstream sort-shuffle — CLAUDE.md r3).
+
+    Partitioning assumption (same as rolling_sum_by_key): one key's
+    history fits a worker heap; time-chunk with a 1-row halo upstream
+    for pathological keys."""
+    import pyarrow as pa
+
+    def shift_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        for c in lag_cols:
+            g[c + suffix] = g[c].shift(1)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.groupby(key_col).map_groups(shift_group, batch_format="pandas")

@@ -1,0 +1,137 @@
+"""Tests for lag_by_key, rollup_reduce, distinct_count_by_key and
+bottomk_by_hash — each checked against an in-memory pandas/numpy
+reference on randomized inputs."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from table_annotation_ray.stages.agg import distinct_count_by_key, rollup_reduce
+from table_annotation_ray.stages.datapipe import HASH_MOD, HASH_MULT, bottomk_by_hash
+from table_annotation_ray.stages.windows import lag_by_key
+
+
+def _events(n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+            "event_type": rng.choice(["click", "view", "error"], n),
+        }
+    )
+
+
+def test_lag_by_key_matches_pandas_shift(ray_session):
+    df = _events()
+    out = (
+        lag_by_key(
+            rd.from_pandas(df).repartition(6),
+            "user_id",
+            ["ts", "event_id"],
+            ["ts", "event_type"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["ts_prev"] = ref.groupby("user_id")["ts"].shift(1)
+    ref["event_type_prev"] = ref.groupby("user_id")["event_type"].shift(1)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["ts_prev"], ref["ts_prev"])
+    assert out["event_type_prev"].fillna("").tolist() == ref[
+        "event_type_prev"
+    ].fillna("").tolist()
+
+
+def test_lag_by_key_first_row_null_per_key(ray_session):
+    df = _events(80)
+    out = lag_by_key(
+        rd.from_pandas(df), "user_id", ["ts", "event_id"], ["ts"]
+    ).to_pandas()
+    assert out["ts_prev"].isna().sum() == df["user_id"].nunique()
+
+
+def test_rollup_reduce_matches_pandas(ray_session):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 400),
+            "b": rng.choice(["p", "q"], 400),
+            "v": rng.integers(0, 100, 400).astype(np.int64),
+        }
+    )
+    out = (
+        rollup_reduce(
+            rd.from_pandas(df).repartition(5),
+            ["a", "b"],
+            {"s": ("v", "sum"), "n": (None, "count"), "mx": ("v", "max")},
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    fine = df.groupby(["a", "b"], as_index=False).agg(
+        s=("v", "sum"), n=("v", "size"), mx=("v", "max")
+    )
+    mid = df.groupby("a", as_index=False).agg(
+        s=("v", "sum"), n=("v", "size"), mx=("v", "max")
+    )
+    mid["b"] = "(all)"
+    total = pd.DataFrame(
+        {"a": ["(all)"], "b": ["(all)"], "s": [df["v"].sum()],
+         "n": [len(df)], "mx": [df["v"].max()]}
+    )
+    ref = (
+        pd.concat([fine, mid[fine.columns], total[fine.columns]], ignore_index=True)
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref)
+    for c in ("s", "n", "mx"):
+        assert out[c].astype("int64").tolist() == ref[c].astype("int64").tolist()
+
+
+def test_distinct_count_by_key_matches_nunique(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 2000).astype(np.int64),
+            "v": rng.integers(0, 30, 2000).astype(np.int64),
+        }
+    )
+    out = (
+        distinct_count_by_key(
+            rd.from_pandas(df).repartition(7), ["k"], "v", batch_size=128
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = df.groupby("k")["v"].nunique().sort_index()
+    assert out["k"].tolist() == ref.index.tolist()
+    assert out["n_distinct"].astype("int64").tolist() == ref.tolist()
+
+
+def test_bottomk_by_hash_matches_full_sort(ray_session):
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(10_000)[:3000].astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "payload": ids * 2})
+    out = (
+        bottomk_by_hash(
+            rd.from_pandas(df).repartition(9), "doc_id", k=50, batch_size=200
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    h = (ids.astype(np.uint64) * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+    order = np.lexsort((ids, h.astype(np.int64)))
+    want = np.sort(ids[order[:50]])
+    assert out["doc_id"].tolist() == want.tolist()
+    # payload columns ride along
+    assert (out["payload"].to_numpy() == out["doc_id"].to_numpy() * 2).all()
