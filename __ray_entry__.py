@@ -1152,6 +1152,20 @@ def _q_part_distinct_suppliers(sf_dir: str):
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def _q_repeated_ngrams(sf_dir: str):
+    """Exact cross-doc repeated substrings (stages/dedup.py::
+    repeated_ngrams — the Lee-et-al ExactSubstr primitive): per-doc
+    distinct 40-gram explode → grouped_reduce count/min → filter
+    n_docs ≥ 2.  SQL mirror is a positional substr explode."""
+    from table_annotation_ray.stages.dedup import repeated_ngrams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = repeated_ngrams(docs, k=40, min_docs=2).to_pandas()
+    for c in ("n_docs", "min_doc"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("gram").reset_index(drop=True)
+
+
 def _q_uniform_sample_k(sf_dir: str):
     """Deterministic fixed-size-k uniform sample by bottom-k-of-hash
     (stages/datapipe.py::bottomk_by_hash): per-batch partial bottom-k,
@@ -1223,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": _q_revenue_rollup,
         "part_distinct_suppliers": _q_part_distinct_suppliers,
         "uniform_sample_k": _q_uniform_sample_k,
+        "repeated_ngrams": _q_repeated_ngrams,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -1664,6 +1679,19 @@ def oracle_sql() -> dict[str, str]:
         "part_distinct_suppliers": """
             SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
             FROM lineitem GROUP BY l_partkey
+        """,
+        "repeated_ngrams": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 38, 1))) AS i
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 40) AS gram
+                FROM pos
+            )
+            SELECT gram, count(*) AS n_docs, min(doc_id) AS min_doc
+            FROM g GROUP BY gram HAVING count(*) >= 2
         """,
         "uniform_sample_k": """
             SELECT event_id, user_id FROM events

@@ -552,6 +552,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_ngrams(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    min_docs: int = 2,
+    hash_only: bool = False,
+    num_buckets: int = 64,
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """Cross-document repeated substring detection — every exact
+    character ``k``-gram that occurs in ≥ ``min_docs`` DISTINCT
+    documents, the building block of exact substring deduplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — their 50-token ExactSubstr
+    windows, here over chars so the SQL mirror is plain ``substr``).
+
+    Returns (gram, n_docs, min_doc).  Raw text, raw positions — no
+    normalization, so a surviving gram locates a literal span to mask.
+
+    Shape: per-doc distinct-gram explode (each doc lives in exactly one
+    batch row, so (gram, doc) pairs are already globally distinct — no
+    dedup exchange needed) → :func:`~.agg.grouped_reduce` on the gram
+    (64-value bucket exchange, vectorized in-bucket count/min) → an
+    Arrow filter on ``n_docs``.
+
+    Scale path: with ``hash_only=True`` the exchange carries a 64-bit
+    gram hash instead of the k-char string (~k× fewer shuffle bytes;
+    output column ``gram_hash``) — resolve surviving hashes back to
+    spans with one further pruned scan.  Collisions at 64 bits can only
+    merge two grams (~1e-9 at 1e5 distinct grams), never drop one."""
+    from .agg import grouped_reduce
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        ids: list[int] = []
+        grams: list[str] = []
+        for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
+            gs = {text[i : i + k] for i in range(len(text) - k + 1)}
+            grams.extend(gs)
+            ids.extend([doc_id] * len(gs))
+        out = pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64)})
+        if hash_only:
+            out["gram_hash"] = (
+                pd.util.hash_pandas_object(
+                    pd.Series(grams, dtype="object"), index=False
+                )
+                .to_numpy(dtype=np.uint64)
+                .view(np.int64)
+            )
+        else:
+            out["gram"] = pd.Series(grams, dtype="object")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    gram_col = "gram_hash" if hash_only else "gram"
+    counts = grouped_reduce(
+        docs.map_batches(explode, batch_format="pandas", batch_size=batch_size),
+        [gram_col],
+        {"n_docs": (None, "count"), "min_doc": (id_col, "min")},
+        num_buckets=num_buckets,
+    )
+    import pyarrow.compute as pc
+
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], pa.scalar(min_docs))),
+        batch_format="pyarrow",
+    )
+
+
 def min_label_components(
     pairs: rd.Dataset, max_iters: int = 12, num_partitions: int = 8
 ) -> rd.Dataset:

@@ -135,3 +135,66 @@ def test_bottomk_by_hash_matches_full_sort(ray_session):
     assert out["doc_id"].tolist() == want.tolist()
     # payload columns ride along
     assert (out["payload"].to_numpy() == out["doc_id"].to_numpy() * 2).all()
+
+
+def test_repeated_ngrams_planted_and_hash_only(ray_session):
+    from table_annotation_ray.stages.dedup import repeated_ngrams
+
+    shared = "X" * 10 + "the quick brown fox jumps over the lazy" + "Y" * 10
+    assert len(shared) >= 40
+    rng = np.random.default_rng(9)
+    uniq = [
+        "".join(rng.choice(list("abcdefgh "), 120)) for _ in range(6)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(9, dtype=np.int64),
+            "text": [
+                uniq[0] + shared,
+                shared + uniq[1],
+                uniq[2] + shared + uniq[3],
+                uniq[4],
+                uniq[5],
+                "short",
+                "",
+                uniq[0],          # exact dup of a unique prefix doc
+                uniq[0],
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(4)
+    out = (
+        repeated_ngrams(ds, k=40, min_docs=2)
+        .to_pandas()
+        .sort_values("gram")
+        .reset_index(drop=True)
+    )
+    # every 40-window of `shared` common to docs 0/1/2 must be found
+    core = {shared[i : i + 40] for i in range(len(shared) - 39)}
+    got = dict(zip(out["gram"], out["n_docs"]))
+    assert all(got.get(g, 0) >= 3 for g in core)
+    # exact-dup docs 7/8 (and 0's prefix) share uniq[0] windows
+    assert (out["n_docs"] >= 2).all()
+
+    hashed = (
+        repeated_ngrams(ds, k=40, min_docs=2, hash_only=True)
+        .to_pandas()
+        .sort_values("gram_hash")
+        .reset_index(drop=True)
+    )
+    want_hash = (
+        pd.util.hash_pandas_object(out["gram"].astype("object"), index=False)
+        .to_numpy(dtype="uint64")
+        .view("int64")
+    )
+    ref = (
+        pd.DataFrame(
+            {"gram_hash": want_hash, "n_docs": out["n_docs"], "min_doc": out["min_doc"]}
+        )
+        .sort_values("gram_hash")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        hashed.astype({"n_docs": "int64", "min_doc": "int64"}),
+        ref.astype({"n_docs": "int64", "min_doc": "int64"}),
+    )
