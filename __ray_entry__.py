@@ -1166,6 +1166,40 @@ def _q_repeated_ngrams(sf_dir: str):
     return out.sort_values("gram").reset_index(drop=True)
 
 
+def _q_graph_pagerank(sf_dir: str):
+    """Distributed PageRank (stages/graph.py::pagerank — Pregel-style,
+    two bucket exchanges per iteration, node state never driver-side)
+    over the customer→supplier purchase graph (orders ⋈ lineitem).
+    Rows-only: iterative float fixpoint; pytest asserts equality with
+    an in-memory power iteration and run-to-run determinism."""
+    from table_annotation_ray.stages.graph import pagerank
+    from table_annotation_ray.stages.relational import equi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = equi_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        # disjoint id spaces: customers even, suppliers odd
+        return pd.DataFrame(
+            {
+                "src": b["o_custkey"].to_numpy() * 2,
+                "dst": b["l_suppkey"].to_numpy() * 2 + 1,
+            }
+        )
+
+    ranks = pagerank(
+        joined.map_batches(to_edges, batch_format="pandas"), iters=5
+    )
+    out = (
+        ranks.sort("rank", descending=True).limit(20).to_pandas()
+    )
+    out["is_supplier"] = (out["node"] % 2 == 1).astype("int64")
+    out["entity_id"] = (out["node"] // 2).astype("int64")
+    out["rank"] = _round_ha(out["rank"], 8)
+    return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
+
+
 def _q_uniform_sample_k(sf_dir: str):
     """Deterministic fixed-size-k uniform sample by bottom-k-of-hash
     (stages/datapipe.py::bottomk_by_hash): per-batch partial bottom-k,
@@ -1238,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_distinct_suppliers": _q_part_distinct_suppliers,
         "uniform_sample_k": _q_uniform_sample_k,
         "repeated_ngrams": _q_repeated_ngrams,
+        "graph_pagerank": _q_graph_pagerank,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,

@@ -1,0 +1,211 @@
+"""Distributed PageRank over an edge Dataset — Pregel-style message
+passing with TWO bucket exchanges per iteration, node-cardinality state
+kept distributed end-to-end (never a driver rank vector).
+
+Per iteration:
+
+1. **scatter** — edges (pre-tagged once with ``bucket(src)`` and
+   materialized, reused every round) union the current rank rows
+   (tagged with the SAME bucket function on ``node``) → one
+   ``groupby(bucket)`` over ≤ ``num_buckets`` values; inside each
+   bucket one vectorized merge attaches rank/out_deg to its edges and
+   a pandas groupby pre-sums contributions per dst — the exchange
+   payload out of scatter is per-(bucket, dst) partials, never one row
+   per edge.
+2. **gather** — partials (tagged ``bucket(dst)``) union the static node
+   base rows (tagged ``bucket(node)`` — same hash, so they co-locate)
+   → one ``groupby(bucket)``; each bucket sums its partials per node
+   (canonically sorted first, so float summation order — and hence the
+   result — is run-to-run deterministic despite streaming block order)
+   and emits the new rank row ``(1-d)/N + d·(in_sum + dangling/N)``.
+
+Dangling mass (rank sitting on nodes with no out-edges) is computed at
+the START of each round by a tiny aggregate scan over the rank rows
+(sorted partials, deterministic) and folded into the gather formula —
+the classic uniform-redistribution treatment (Page et al. 1999; the
+iterate-until-converged structure mirrors this repo's
+``dedup.min_label_components`` loop, including the per-round
+``repartition`` that keeps block counts flat — CLAUDE.md r2).
+
+Partitioning assumption: one bucket's edges fit a worker heap (salt
+``num_buckets`` up for denser graphs); ranks/nodes are one row per
+node, spread across the same buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+_DANGLING = np.int64(-(2**62))  # sentinel outside any real node id
+
+
+def _bkt(v: pd.Series, nb: int) -> np.ndarray:
+    return (
+        pd.util.hash_pandas_object(v, index=False).to_numpy() % np.uint64(nb)
+    ).astype(np.int64)
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    num_buckets: int = 64,
+    repartition_to: int = 16,
+) -> rd.Dataset:
+    """PageRank over directed ``(src, dst)`` int64 edges.  Parallel
+    edges count once per copy (pre-dedup upstream if unwanted).
+    Returns a Dataset ``(node, rank)`` summing to 1 (±float error)."""
+    from .agg import grouped_reduce
+
+    nb = num_buckets
+
+    # --- static: node base with out-degree, tagged with its bucket ----
+    def edge_endpoints(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([b[src], b[dst]], ignore_index=True).to_numpy(),
+                "deg": np.r_[
+                    np.ones(len(b), dtype=np.int64),
+                    np.zeros(len(b), dtype=np.int64),
+                ],
+            }
+        )
+        g = out.groupby("node", as_index=False)["deg"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = grouped_reduce(
+        edges.map_batches(edge_endpoints, batch_format="pandas"),
+        ["node"],
+        {"out_deg": ("deg", "sum")},
+        num_buckets=nb,
+    ).materialize()
+    n_nodes = base.count()
+    if n_nodes == 0:
+        return rd.from_pandas(pd.DataFrame({"node": [], "rank": []}))
+
+    # --- static: edges tagged with bucket(src), reused every round ----
+    def tag_edges(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "key": b[src].to_numpy(dtype=np.int64),
+                "dst": b[dst].to_numpy(dtype=np.int64),
+                "rank": np.full(len(b), np.nan),
+                "out_deg": np.full(len(b), -1, dtype=np.int64),
+                "__pr_bkt": _bkt(b[src], nb),
+            }
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+
+    def tag_ranks(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["node"].to_numpy(dtype=np.int64),
+                "dst": np.full(len(b), _DANGLING, dtype=np.int64),
+                "rank": b["rank"].to_numpy(dtype=np.float64),
+                "out_deg": b["out_deg"].to_numpy(dtype=np.int64),
+                "__pr_bkt": _bkt(b["node"], nb),
+            }
+        )
+
+    def init_ranks(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"].to_numpy(dtype=np.int64),
+                "rank": np.full(len(b), 1.0 / n_nodes),
+                "out_deg": b["out_deg"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    ranks = base.map_batches(init_ranks, batch_format="pandas").materialize()
+
+    # gather-side static base rows: zero-contribution partial per node,
+    # carrying out_deg so the new rank row is complete without a join
+    def tag_base(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "gdst": b["node"].to_numpy(dtype=np.int64),
+                "contrib": np.zeros(len(b)),
+                "out_deg": b["out_deg"].to_numpy(dtype=np.int64),
+                "__pg_bkt": _bkt(b["node"], nb),
+            }
+        )
+
+    base_tagged = base.map_batches(tag_base, batch_format="pandas").materialize()
+
+    def scatter(group: pd.DataFrame) -> pa.Table:
+        is_rank = group["dst"].to_numpy() == _DANGLING
+        rk = group.loc[is_rank, ["key", "rank", "out_deg"]]
+        eg = group.loc[~is_rank, ["key", "dst"]]
+        if len(eg) == 0:
+            e = np.empty(0)
+            return pa.table(
+                {"gdst": e.astype(np.int64), "contrib": e,
+                 "out_deg": np.full(0, -1, dtype=np.int64),
+                 "__pg_bkt": e.astype(np.int64)}
+            )
+        # out_deg > 0 for every src that has edges, by construction
+        m = eg.merge(rk, on="key", how="left", sort=True)
+        contrib = m["rank"].to_numpy() / m["out_deg"].to_numpy()
+        part = (
+            pd.DataFrame({"gdst": m["dst"].to_numpy(dtype=np.int64), "c": contrib})
+            .sort_values(["gdst", "c"], kind="mergesort")
+            .groupby("gdst", as_index=False, sort=True)["c"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "gdst": part["gdst"].to_numpy(dtype=np.int64),
+                "contrib": part["c"].to_numpy(),
+                "out_deg": np.full(len(part), -1, dtype=np.int64),
+                "__pg_bkt": _bkt(part["gdst"], nb),
+            }
+        )
+
+    def dangling_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.loc[b["out_deg"].to_numpy() == 0, "rank"].to_numpy()
+        return pd.DataFrame({"s": [float(np.sum(np.sort(d)))]})
+
+    for _ in range(iters):
+        dparts = ranks.map_batches(
+            dangling_partial, batch_format="pandas"
+        ).to_pandas()["s"]
+        dangling = float(np.sum(np.sort(dparts.to_numpy())))
+        teleport = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        scattered = (
+            edges_tagged.union(
+                ranks.map_batches(tag_ranks, batch_format="pandas")
+            )
+            .groupby("__pr_bkt")
+            .map_groups(scatter, batch_format="pandas")
+        )
+
+        def gather(group: pd.DataFrame, _tp=teleport) -> pa.Table:
+            g = group.sort_values(["gdst", "contrib"], kind="mergesort")
+            agg = g.groupby("gdst", as_index=False, sort=True).agg(
+                in_sum=("contrib", "sum"), out_deg=("out_deg", "max")
+            )
+            return pa.table(
+                {
+                    "node": agg["gdst"].to_numpy(dtype=np.int64),
+                    "rank": _tp + damping * agg["in_sum"].to_numpy(),
+                    "out_deg": agg["out_deg"].to_numpy(dtype=np.int64),
+                }
+            )
+
+        ranks = (
+            scattered.union(base_tagged)
+            .groupby("__pg_bkt")
+            .map_groups(gather, batch_format="pandas")
+            .repartition(repartition_to)
+            .materialize()
+        )
+
+    return ranks.select_columns(["node", "rank"])

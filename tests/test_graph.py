@@ -1,0 +1,81 @@
+"""PageRank (stages/graph.py) vs an in-memory numpy power iteration
+with identical dangling/teleport semantics."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from table_annotation_ray.stages.graph import pagerank
+
+
+def _reference_pagerank(edges: pd.DataFrame, damping: float, iters: int):
+    nodes = np.unique(np.r_[edges["src"].to_numpy(), edges["dst"].to_numpy()])
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s in edges["src"]:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    si = edges["src"].map(idx).to_numpy()
+    di = edges["dst"].map(idx).to_numpy()
+    for _ in range(iters):
+        dangling = r[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / out_deg[si])
+        r = (1 - damping) / n + damping * dangling / n + damping * contrib
+    return pd.DataFrame({"node": nodes, "rank": r})
+
+
+def _random_graph(n_nodes=60, n_edges=220, seed=13):
+    rng = np.random.default_rng(seed)
+    # non-contiguous ids; the last 10 nodes never appear as src => dangling
+    ids = rng.permutation(10_000)[:n_nodes].astype(np.int64)
+    src = ids[rng.integers(0, n_nodes - 10, n_edges)]
+    dst = ids[rng.integers(0, n_nodes, n_edges)]
+    keep = src != dst
+    return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    edges = _random_graph()
+    got = (
+        pagerank(rd.from_pandas(edges).repartition(5), iters=12, num_buckets=8, repartition_to=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = _reference_pagerank(edges, 0.85, 12).sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-9, atol=1e-12)
+    # total mass conserved
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_deterministic_across_runs(ray_session):
+    edges = _random_graph(seed=29)
+    a = pagerank(rd.from_pandas(edges).repartition(7), iters=6, num_buckets=8, repartition_to=4).to_pandas()
+    b = pagerank(rd.from_pandas(edges).repartition(3), iters=6, num_buckets=5, repartition_to=2).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-12, atol=0)
+
+
+def test_pagerank_star_graph_closed_form(ray_session):
+    # hub <- n spokes: after 1 iter from uniform, closed forms hold
+    n = 9
+    edges = pd.DataFrame({"src": np.arange(1, n + 1, dtype=np.int64),
+                          "dst": np.zeros(n, dtype=np.int64)})
+    got = pagerank(rd.from_pandas(edges), iters=40, num_buckets=4, repartition_to=2).to_pandas()
+    ranks = dict(zip(got["node"], got["rank"]))
+    N = n + 1
+    d = 0.85
+    # spokes receive only teleport + hub's dangling share; fixed point:
+    # r_spoke = (1-d)/N + d*r_hub/N ; r_hub = (1-d)/N + d*r_hub/N + d*n*r_spoke
+    # solve the 2x2 system
+    A = np.array([[1, -d / N], [-d * n, 1 - d / N]])
+    b = np.array([(1 - d) / N, (1 - d) / N])
+    r_spoke, r_hub = np.linalg.solve(A, b)
+    # power iteration converges like damping**iters (~1.5e-3 at 40)
+    assert abs(ranks[0] - r_hub) < 2e-3
+    assert abs(ranks[5] - r_spoke) < 2e-3
