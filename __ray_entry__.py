@@ -1166,6 +1166,29 @@ def _q_repeated_ngrams(sf_dir: str):
     return out.sort_values("gram").reset_index(drop=True)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA (stages/decomp.py): one streaming moment pass
+    (count/sum/Gram partials, tree-reduced) → d×d driver eigh →
+    broadcast projection pass.  Rows-only (float eigendecomposition);
+    pytest asserts exact agreement with numpy and sign determinism."""
+    from table_annotation_ray.stages.decomp import pca_fit, pca_transform
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(emb, n_components=4)
+    proj = pca_transform(emb, model, keep_cols=["vec_id"]).to_pandas()
+    evr = model["explained_variance_ratio"]
+    out = pd.DataFrame(
+        {
+            "component": np.arange(len(evr), dtype=np.int64),
+            "evr": _round_ha(pd.Series(evr), 6),
+            "proj_var": _round_ha(
+                pd.Series([proj[f"pc{i}"].var(ddof=1) for i in range(len(evr))]), 4
+            ),
+        }
+    )
+    return out
+
+
 def _q_graph_pagerank(sf_dir: str):
     """Distributed PageRank (stages/graph.py::pagerank — Pregel-style,
     two bucket exchanges per iteration, node state never driver-side)
@@ -1273,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniform_sample_k": _q_uniform_sample_k,
         "repeated_ngrams": _q_repeated_ngrams,
         "graph_pagerank": _q_graph_pagerank,
+        "embedding_pca": _q_embedding_pca,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
