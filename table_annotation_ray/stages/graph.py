@@ -30,6 +30,15 @@ iterate-until-converged structure mirrors this repo's
 Partitioning assumption: one bucket's edges fit a worker heap (salt
 ``num_buckets`` up for denser graphs); ranks/nodes are one row per
 node, spread across the same buckets.
+
+Known scale trade-off: the scatter exchange re-shuffles the STATIC
+edge set every iteration (Ray Data's groupby cannot exploit that
+``edges_tagged`` is already bucket-tagged).  For long iteration counts
+on huge graphs the right shape is a stateful shard-actor tier that
+loads each bucket's edges once and exchanges only rank deltas
+(the ``state/sharded_kb.py`` idiom); at the typical 5–20 PageRank
+iterations the per-round edge shuffle is the simpler, still fully
+streaming choice.
 """
 
 from __future__ import annotations
@@ -123,7 +132,9 @@ def pagerank(
             }
         )
 
-    ranks = base.map_batches(init_ranks, batch_format="pandas").materialize()
+    # no materialize: `base` already is, and this map is consumed at most
+    # twice (round-1 dangling scan + scatter) before being replaced
+    ranks = base.map_batches(init_ranks, batch_format="pandas")
 
     # gather-side static base rows: zero-contribution partial per node,
     # carrying out_deg so the new rank row is complete without a join
@@ -200,12 +211,17 @@ def pagerank(
                 }
             )
 
-        ranks = (
+        new_ranks = (
             scattered.union(base_tagged)
             .groupby("__pg_bkt")
             .map_groups(gather, batch_format="pandas")
-            .repartition(repartition_to)
-            .materialize()
         )
+        # block-rebound only when counts actually grew (the iterative-loop
+        # growth pathology, CLAUDE.md r2) — a repartition every round is
+        # an extra exchange the short-loop case doesn't need
+        mat = new_ranks.materialize()
+        if mat.num_blocks() > 4 * repartition_to:
+            mat = mat.repartition(repartition_to).materialize()
+        ranks = mat
 
     return ranks.select_columns(["node", "rank"])
