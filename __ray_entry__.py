@@ -1062,6 +1062,30 @@ def _q_bm25_search(sf_dir: str):
     return out
 
 
+def _q_price_quantiles_approx(sf_dir: str):
+    """ONE-scan approximate quantiles via mergeable KLL sketches
+    (stages/quantiles.py::kll_quantiles, tree-reduced partials) — the
+    100-TB path where exact_quantiles' 2+log scans are too many.
+    Rows-only (randomized compaction); pytest bounds rank error <2.5%,
+    and this query reports the measured rank error vs the exact values
+    so the driver check documents it."""
+    from table_annotation_ray.stages.quantiles import exact_quantiles, kll_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    approx = kll_quantiles(li, "l_extendedprice", qs)
+    exact = exact_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice", qs
+    ).sort_values("q").reset_index(drop=True)
+    out = approx.merge(exact, on="q", suffixes=("_approx", "_exact"))
+    out["rel_err"] = _round_ha(
+        (out["value_approx"] - out["value_exact"]).abs() / out["value_exact"], 4
+    )
+    out["value_approx"] = _round_ha(out["value_approx"], 2)
+    out["value_exact"] = _round_ha(out["value_exact"], 2)
+    return out.sort_values("q").reset_index(drop=True)
+
+
 def _q_value_quantiles_by_type(sf_dir: str):
     """Exact per-group quantiles in 3 streaming scans for ALL groups
     (stages/quantiles.py::grouped_quantiles) — huge-group-safe, unlike
@@ -1297,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_ngrams": _q_repeated_ngrams,
         "graph_pagerank": _q_graph_pagerank,
         "embedding_pca": _q_embedding_pca,
+        "price_quantiles_approx": _q_price_quantiles_approx,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,

@@ -274,3 +274,147 @@ def exact_quantiles(
         inseg = cand[(cand >= st["lo"]) & (cand <= st["hi"])]
         values.append(float(inseg[(st["k"] - st["below"]) - 1]))
     return pd.DataFrame({"q": pd.Series(qs, dtype=float), "value": values})
+
+
+# ---------------------------------------------------------------------------
+# One-scan approximate quantiles: KLL sketch (Karnin–Lang–Liberty 2016,
+# arXiv:1603.05346) — mergeable compactor hierarchy, rank error
+# ~O(1/k) with high probability.  Complements exact_quantiles (2+log
+# scans, exact): at 100 TB the sketch answers any quantile from ONE
+# streaming pass with a few KB of state per partial, tree-reduced like
+# the HLL/Misra-Gries family in stages/sketches.py.
+# ---------------------------------------------------------------------------
+
+
+class KLLSketch:
+    """Levels of buffers; level i items each represent 2^i inputs.
+    When a level overflows its capacity, it is sorted and every other
+    element (random start parity) is promoted to the next level.  The
+    coin uses a per-sketch seeded RNG, so a given (input order, seed)
+    reproduces; across block layouts answers differ only inside the
+    rank-error bound, which the tests assert."""
+
+    def __init__(self, k: int = 256, seed: int = 1, levels=None, rng=None):
+        self.k = k
+        self.levels: list[np.ndarray] = (
+            [np.empty(0)] if levels is None else levels
+        )
+        self.rng = np.random.default_rng(seed) if rng is None else rng
+
+    def _capacity(self, level: int) -> int:
+        # geometric decay toward older levels, floor of 8
+        c = int(self.k * (2.0 / 3.0) ** (len(self.levels) - 1 - level))
+        return max(c, 8)
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) <= self._capacity(i):
+                i += 1
+                continue
+            buf = np.sort(self.levels[i])
+            # odd buffer: hold one end back at this level so total item
+            # weight is EXACTLY conserved (n_items stays exact)
+            if len(buf) % 2:
+                if self.rng.integers(0, 2):
+                    keep, buf = buf[:1], buf[1:]
+                else:
+                    keep, buf = buf[-1:], buf[:-1]
+            else:
+                keep = np.empty(0)
+            start = int(self.rng.integers(0, 2))
+            promoted = buf[start::2]
+            self.levels[i] = keep
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0))
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        n = max(len(self.levels), len(other.levels))
+        levels = []
+        for i in range(n):
+            a = self.levels[i] if i < len(self.levels) else np.empty(0)
+            b = other.levels[i] if i < len(other.levels) else np.empty(0)
+            levels.append(np.concatenate([a, b]))
+        out = KLLSketch(k=self.k, levels=levels, rng=self.rng)
+        out._compress()
+        return out
+
+    def n_items(self) -> int:
+        return int(sum(len(b) * (1 << i) for i, b in enumerate(self.levels)))
+
+    def quantiles(self, qs) -> np.ndarray:
+        items = np.concatenate(self.levels) if self.levels else np.empty(0)
+        if len(items) == 0:
+            return np.full(len(qs), np.nan)
+        weights = np.concatenate(
+            [
+                np.full(len(b), 1 << i, dtype=np.float64)
+                for i, b in enumerate(self.levels)
+            ]
+        )
+        order = np.argsort(items, kind="mergesort")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        total = cum[-1]
+        out = np.empty(len(qs))
+        for j, q in enumerate(qs):
+            target = q * total
+            idx = int(np.searchsorted(cum, target, side="left"))
+            out[j] = items[min(idx, len(items) - 1)]
+        return out
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps([b.astype(np.float64) for b in self.levels])
+
+    @classmethod
+    def from_bytes(cls, data: bytes, k: int = 256, seed: int = 1) -> "KLLSketch":
+        import pickle
+
+        return cls(k=k, seed=seed, levels=pickle.loads(data))
+
+
+def kll_quantiles(
+    ds: rd.Dataset,
+    val_col: str,
+    qs: list[float],
+    k: int = 256,
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Approximate quantiles in ONE streaming scan: per-batch KLL
+    partials → :func:`~.sketches.tree_reduce` merge tiers → one driver
+    merge + query.  Returns (q, value).  Each partial seeds its RNG
+    from its first batch content, so reruns on the same blocks
+    reproduce."""
+    from .sketches import tree_reduce
+
+    def sketch_batch(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[val_col].to_numpy(dtype=np.float64)
+        seed = (len(v) * 2654435761 + int(abs(float(v[0]) * 1e6)) if len(v) else 1) % (2**31)
+        sk = KLLSketch(k=k, seed=int(seed))
+        sk.add(v)
+        return pd.DataFrame({"sk": [sk.to_bytes()], "n": [len(v)]})
+
+    def merge_batch(b: pd.DataFrame) -> pd.DataFrame:
+        sks = [KLLSketch.from_bytes(x, k=k) for x in b["sk"]]
+        acc = sks[0]
+        for s in sks[1:]:
+            acc = acc.merge(s)
+        return pd.DataFrame({"sk": [acc.to_bytes()], "n": [int(b["n"].sum())]})
+
+    parts = ds.map_batches(sketch_batch, batch_format="pandas", batch_size=batch_size)
+    final = merge_batch(tree_reduce(parts, merge_batch))
+    sk = KLLSketch.from_bytes(final["sk"].iloc[0], k=k)
+    vals = sk.quantiles(qs)
+    return pd.DataFrame({"q": pd.Series(qs, dtype=float), "value": vals})

@@ -312,3 +312,42 @@ def test_exact_quantiles_small_input(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"x": [3.0, 1.0, 2.0]}))
     out = exact_quantiles(ds, "x", [0.5, 1.0])
     assert out["value"].tolist() == [2.0, 3.0]
+
+
+def test_kll_sketch_weight_conservation_and_rank_error():
+    from table_annotation_ray.stages.quantiles import KLLSketch
+
+    rng = np.random.default_rng(17)
+    vals = rng.lognormal(0, 1.2, 50_000)
+    sk = KLLSketch(k=256, seed=3)
+    for chunk in np.array_split(vals, 37):
+        sk.add(chunk)
+    assert sk.n_items() == len(vals)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = sk.quantiles(qs)
+    srt = np.sort(vals)
+    for q, e in zip(qs, est):
+        true_rank = np.searchsorted(srt, e) / len(vals)
+        assert abs(true_rank - q) < 0.02, (q, true_rank)
+    # merge of two halves obeys the same bound and exact counts
+    a, b = KLLSketch(k=256, seed=5), KLLSketch(k=256, seed=9)
+    a.add(vals[:25_000]); b.add(vals[25_000:])
+    m = a.merge(b)
+    assert m.n_items() == len(vals)
+    for q, e in zip(qs, m.quantiles(qs)):
+        true_rank = np.searchsorted(srt, e) / len(vals)
+        assert abs(true_rank - q) < 0.025, (q, true_rank)
+
+
+def test_kll_quantiles_dataset_vs_exact(ray_session):
+    from table_annotation_ray.stages.quantiles import kll_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = rng.normal(100, 15, 120_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = kll_quantiles(ds, "v", qs, k=256, batch_size=8192)
+    srt = np.sort(vals)
+    for q, e in zip(out["q"], out["value"]):
+        true_rank = np.searchsorted(srt, e) / len(vals)
+        assert abs(true_rank - q) < 0.025, (q, true_rank)
