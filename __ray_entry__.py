@@ -1026,6 +1026,24 @@ def _q_user_rolling_value(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_user_funnel(sf_dir: str):
+    """Sequence-pattern (funnel) match per user — greedy earliest
+    view→click→purchase chain, each hop within 2 h of the previous
+    match (stages/windows.py::funnel_by_key): map-side step filter,
+    hash-bucket exchange, per-key searchsorted walk."""
+    from table_annotation_ray.stages.windows import funnel_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_by_key(
+        ev, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"], within=pd.Timedelta(hours=2),
+    ).to_pandas()
+    out["last_ts"] = out["last_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    for c in ("user_id", "n_steps"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_embedding_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table
     (stages/clustering.py): one streaming pass per iteration, broadcast
@@ -1322,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "embedding_pca": _q_embedding_pca,
         "price_quantiles_approx": _q_price_quantiles_approx,
+        "user_funnel": _q_user_funnel,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -1744,6 +1763,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf, st)
             SELECT doc_id, score FROM sc WHERE score > 0
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "user_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click'
+                  AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 2 HOUR
+                GROUP BY e.user_id),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 2 HOUR
+                GROUP BY e.user_id)
+            SELECT s1.user_id,
+                   CASE WHEN s3.t IS NOT NULL THEN 3
+                        WHEN s2.t IS NOT NULL THEN 2
+                        ELSE 1 END AS n_steps,
+                   strftime(coalesce(s3.t, s2.t, s1.t),
+                            '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
         """,
         "event_gaps": """
             SELECT event_id, user_id,

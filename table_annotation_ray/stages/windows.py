@@ -83,6 +83,91 @@ def sliding_window_counts(
     )
 
 
+def funnel_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within: pd.Timedelta,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Sequence-pattern (funnel) analysis: per key, greedy
+    first-occurrence matching of ``steps`` — step 1 is the key's
+    EARLIEST event of that type; each later step the earliest event of
+    its type STRICTLY after the previous match and within ``within`` of
+    it.  Greedy-earliest makes the result order-canonical and exactly
+    mirrors the SQL chain ``sN AS (SELECT key, min(ts) FROM events JOIN
+    s{N-1} ... WHERE type = step_N AND ts > t_{N-1} AND ts <= t_{N-1} +
+    within GROUP BY key)``.
+
+    Output: one row per key that completed ≥1 step — ``key_col``,
+    ``n_steps`` (int64), ``last_ts`` (timestamp of the furthest step).
+
+    Exchange on ``hash(key) % num_buckets`` (never per-key Ray groups);
+    in-bucket: one (key, ts) sort, then per key-slice a searchsorted
+    walk over its per-type event lists — loop over keys × steps, numpy
+    inside.  Irrelevant event types are dropped MAP-SIDE before the
+    exchange, so the shuffle carries only funnel-step rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    w = np.int64(within // pd.Timedelta(microseconds=1))
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        keep = b[type_col].isin(step_idx).to_numpy()
+        b = b.loc[keep, [key_col, ts_col, type_col]].copy()
+        b["__step"] = b[type_col].map(step_idx).astype(np.int64)
+        b = b.drop(columns=type_col)
+        b["__fn_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def scan_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        st = g["__step"].to_numpy()
+        bounds = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1, len(keys)]
+        out_key, out_n, out_ts = [], [], []
+        n_steps_total = len(steps)
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            kts, kst = ts[s:t], st[s:t]
+            per_step = [kts[kst == i] for i in range(n_steps_total)]
+            if len(per_step[0]) == 0:
+                continue
+            cur = per_step[0][0]
+            done = 1
+            for i in range(1, n_steps_total):
+                nxt = per_step[i]
+                j = int(np.searchsorted(nxt, cur, side="right"))
+                if j == len(nxt) or nxt[j] > cur + w:
+                    break
+                cur = nxt[j]
+                done += 1
+            out_key.append(keys[s])
+            out_n.append(done)
+            out_ts.append(cur)
+        return pa.table(
+            {
+                key_col: np.asarray(out_key, dtype=keys.dtype),
+                "n_steps": np.asarray(out_n, dtype=np.int64),
+                "last_ts": np.asarray(out_ts, dtype=np.int64).astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__fn_bkt")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
 def rolling_sum_by_key(
     ds: rd.Dataset,
     key_col: str,

@@ -198,3 +198,48 @@ def test_repeated_ngrams_planted_and_hash_only(ray_session):
         hashed.astype({"n_docs": "int64", "min_doc": "int64"}),
         ref.astype({"n_docs": "int64", "min_doc": "int64"}),
     )
+
+
+def test_funnel_by_key_edges(ray_session):
+    from table_annotation_ray.stages.windows import funnel_by_key
+
+    T = pd.Timestamp
+    df = pd.DataFrame(
+        [
+            # user 1: full funnel within windows
+            (1, T("2024-01-01 10:00"), "view"),
+            (1, T("2024-01-01 10:30"), "click"),
+            (1, T("2024-01-01 11:00"), "purchase"),
+            # user 2: click too late (window 1h)
+            (2, T("2024-01-01 10:00"), "view"),
+            (2, T("2024-01-01 11:30"), "click"),
+            # user 3: click at EXACTLY view ts -> not strictly after
+            (3, T("2024-01-01 10:00"), "view"),
+            (3, T("2024-01-01 10:00"), "click"),
+            # user 4: greedy takes EARLIEST view; the qualifying click
+            # for a later view must not count
+            (4, T("2024-01-01 08:00"), "view"),
+            (4, T("2024-01-01 10:00"), "view"),
+            (4, T("2024-01-01 10:30"), "click"),
+            # user 5: no view at all
+            (5, T("2024-01-01 10:00"), "click"),
+            # user 6: boundary - click exactly at view + window counts
+            (6, T("2024-01-01 10:00"), "view"),
+            (6, T("2024-01-01 11:00"), "click"),
+        ],
+        columns=["user_id", "ts", "event_type"],
+    )
+    out = (
+        funnel_by_key(
+            rd.from_pandas(df).repartition(3),
+            "user_id", "ts", "event_type",
+            steps=["view", "click", "purchase"],
+            within=pd.Timedelta(hours=1),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["user_id"], out["n_steps"]))
+    assert got == {1: 3, 2: 1, 3: 1, 4: 1, 6: 2}
+    assert out.loc[out["user_id"] == 1, "last_ts"].iloc[0] == T("2024-01-01 11:00")
