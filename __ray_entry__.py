@@ -1178,6 +1178,37 @@ def _q_revenue_rollup(sf_dir: str):
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def _q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE via rollup_reduce(grouping_sets=all subsets) —
+    same single-scan shape as the rollup, arbitrary sets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.agg import rollup_reduce
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "revenue": r,
+        })
+
+    out = rollup_reduce(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"revenue": ("revenue", "sum"), "n_items": (None, "count")},
+        grouping_sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"],
+                       ["l_linestatus"], []],
+    ).to_pandas()
+    out["revenue"] = _round_ha(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
 def _q_part_distinct_suppliers(sf_dir: str):
     """Exact COUNT(DISTINCT) per key at corpus key cardinality
     (stages/agg.py::distinct_count_by_key): map-side pair shrink →
@@ -1334,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_value": _q_user_rolling_value,
         "event_gaps": _q_event_gaps,
         "revenue_rollup": _q_revenue_rollup,
+        "revenue_cube": _q_revenue_cube,
         "part_distinct_suppliers": _q_part_distinct_suppliers,
         "uniform_sample_k": _q_uniform_sample_k,
         "repeated_ngrams": _q_repeated_ngrams,
@@ -1804,6 +1836,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "revenue_cube": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "part_distinct_suppliers": """
             SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers

@@ -92,10 +92,14 @@ def rollup_reduce(
     total_label: str = "(all)",
     num_buckets: int = 64,
     batch_size: int | None = 65536,
+    grouping_sets: list[list[str]] | None = None,
 ) -> rd.Dataset:
     """``GROUP BY ROLLUP(key_cols)`` — one row per key combination for
     every PREFIX of ``key_cols`` (including the grand total), with
-    rolled-up key columns set to ``total_label``.
+    rolled-up key columns set to ``total_label``.  Pass
+    ``grouping_sets`` (each a subset of ``key_cols``) for arbitrary
+    GROUPING SETS — e.g. all subsets for ``CUBE`` (the finest set is
+    added automatically if missing; duplicates are an error).
 
     Single scan: the map side computes ONE vectorized pandas-groupby
     partial per grouping set per batch (the finest partial is reused by
@@ -116,9 +120,23 @@ def rollup_reduce(
     )
     nb = np.uint64(num_buckets)
     # COUNT partials must SUM across grouping-set relabels, so compute
-    # the finest-level partial once and re-aggregate it per prefix with
+    # the finest-level partial once and re-aggregate it per set with
     # count already converted to a summable column.
-    prefixes = [key_cols[:i] for i in range(len(key_cols), -1, -1)]
+    if grouping_sets is None:
+        emit_sets = [key_cols[:i] for i in range(len(key_cols), -1, -1)]
+    else:
+        emit_sets = [list(s) for s in grouping_sets]
+        for s in emit_sets:
+            if not set(s) <= set(key_cols):
+                raise ValueError(f"grouping set {s!r} not a subset of {key_cols!r}")
+        if len({tuple(s) for s in emit_sets}) != len(emit_sets):
+            raise ValueError("duplicate grouping sets")
+        if not emit_sets:
+            raise ValueError("grouping_sets must be non-empty")
+    # the finest partial is always computed (all sets derive from it)
+    # but emitted only if requested
+    emit_finest = key_cols in emit_sets
+    coarse_sets = [s for s in emit_sets if s != key_cols]
 
     def partial(b: pd.DataFrame) -> pa.Table:
         g = b[key_cols + in_cols].groupby(key_cols, sort=False)
@@ -128,8 +146,8 @@ def rollup_reduce(
             pieces[out_col] = g.size() if kind == "size" else g[in_col].agg(kind)
         finest = pd.DataFrame(pieces).reset_index()
         finest[key_cols] = finest[key_cols].astype(str)
-        frames = [finest]
-        for prefix in prefixes[1:]:
+        frames = [finest] if emit_finest else []
+        for prefix in coarse_sets:
             gb = (
                 finest.groupby(prefix, sort=False)
                 if prefix
@@ -143,8 +161,9 @@ def rollup_reduce(
             ).reset_index()
             if not prefix:
                 agg = agg.drop(columns="__one")
-            for c in key_cols[len(prefix):]:
-                agg[c] = total_label
+            for c in key_cols:
+                if c not in prefix:
+                    agg[c] = total_label
             frames.append(agg[finest.columns])
         out = pd.concat(frames, ignore_index=True)
         keyframe = out[key_cols[0]] if len(key_cols) == 1 else out[key_cols]

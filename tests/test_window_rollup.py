@@ -243,3 +243,35 @@ def test_funnel_by_key_edges(ray_session):
     got = dict(zip(out["user_id"], out["n_steps"]))
     assert got == {1: 3, 2: 1, 3: 1, 4: 1, 6: 2}
     assert out.loc[out["user_id"] == 1, "last_ts"].iloc[0] == T("2024-01-01 11:00")
+
+
+def test_rollup_reduce_grouping_sets_cube(ray_session):
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 300),
+            "b": rng.choice(["p", "q", "r"], 300),
+            "v": rng.integers(0, 50, 300).astype(np.int64),
+        }
+    )
+    # CUBE without the finest set and with a non-prefix set
+    out = (
+        rollup_reduce(
+            rd.from_pandas(df).repartition(4),
+            ["a", "b"],
+            {"s": ("v", "sum"), "n": (None, "count")},
+            grouping_sets=[["b"], []],
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    by_b = df.groupby("b")["v"].agg(["sum", "size"])
+    # only (all, b) rows and the grand total — finest NOT emitted
+    assert (out["a"] == "(all)").all()
+    assert len(out) == len(by_b) + 1
+    got_b = out[out["b"] != "(all)"].set_index("b")
+    assert got_b["s"].astype("int64").to_dict() == by_b["sum"].astype("int64").to_dict()
+    total = out[out["b"] == "(all)"].iloc[0]
+    assert int(total["s"]) == int(df["v"].sum()) and int(total["n"]) == len(df)
