@@ -1007,6 +1007,45 @@ def _q_order_priority_revenue_dist(sf_dir: str):
     return _q_order_priority_revenue(sf_dir, broadcast_below=0)
 
 
+def _q_customer_order_counts(sf_dir: str, broadcast_below: int = 2_000_000):
+    """LEFT outer equi-join (stages/relational.py::equi_join
+    how='left'): zero-order customers survive with null order keys and
+    count 0 — the SQL LEFT JOIN + count(col) null semantics.  `_dist`
+    forces the bucketed co-location path."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import equi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    joined = equi_join(
+        cust, orders, "c_custkey", "o_custkey",
+        broadcast_below=broadcast_below, how="left",
+    )
+
+    def ind(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+                "has_order": b["o_orderkey"].notna().to_numpy().astype(np.int64),
+            }
+        )
+
+    out = grouped_reduce(
+        joined.map_batches(ind, batch_format="pandas"),
+        ["c_custkey"],
+        {"n_orders": ("has_order", "sum")},
+    ).to_pandas()
+    for c in ("c_custkey", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_customer_order_counts_dist(sf_dir: str):
+    return _q_customer_order_counts(sf_dir, broadcast_below=0)
+
+
 def _q_user_rolling_value(sf_dir: str):
     """Trailing 24 h per-user rolling sum over event values
     (stages/windows.py::rolling_sum_by_key) — the SQL RANGE-frame
@@ -1373,6 +1412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "price_quantiles_approx": _q_price_quantiles_approx,
         "user_funnel": _q_user_funnel,
+        "customer_order_counts": _q_customer_order_counts,
+        "customer_order_counts_dist": _q_customer_order_counts_dist,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
@@ -1795,6 +1836,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf, st)
             SELECT doc_id, score FROM sc WHERE score > 0
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        """,
+        "customer_order_counts_dist": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
         """,
         "user_funnel": """
             WITH s1 AS (

@@ -298,10 +298,18 @@ def equi_join(
     right_col: str | None = None,
     broadcast_below: int = 2_000_000,
     num_buckets: int = 64,
+    how: str = "inner",
 ) -> rd.Dataset:
-    """Payload-preserving INNER equi-join (all columns from both sides;
+    """Payload-preserving equi-join (all columns from both sides;
     names apart from the key must be disjoint — rename upstream).
-    ``ds.join`` is unusable in Ray 2.49 (CLAUDE.md), so:
+    ``how``: "inner" | "left" | "full".  LEFT works on both paths (an
+    unmatched left row is decidable per batch once the whole right side
+    is in hand); FULL requires the bucketed path (an unmatched RIGHT
+    row is only decidable with every same-key left row co-located, so a
+    ``broadcast_below`` hit is ignored for it).  Right join = left join
+    with the sides swapped.  Unmatched payload columns come back null
+    (int columns widen to float, pandas semantics — cast in the
+    caller).  ``ds.join`` is unusable in Ray 2.49 (CLAUDE.md), so:
 
     * **broadcast** (right side ≤ ``broadcast_below`` rows): right
       collected once, ``ray.put`` once, per-batch pandas merge on the
@@ -319,6 +327,8 @@ def equi_join(
 
     from ..state.worker_state import get_worker_state, ref_key
 
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be inner|left|full, got {how!r}")
     right_col = right_col or col
 
     # single key column in the output: fold the right key onto `col`
@@ -328,13 +338,13 @@ def equi_join(
             batch_format="pandas",
         )
 
-    if broadcast_below and right.count() <= broadcast_below:
+    if how != "full" and broadcast_below and right.count() <= broadcast_below:
         rdf = right.to_pandas()
         rref = ray.put(rdf)
 
         def bjoin(b: pd.DataFrame) -> pd.DataFrame:
             r = get_worker_state(("equijoin", ref_key(rref)), lambda: ray.get(rref))
-            return b.merge(r, on=col, how="inner")
+            return b.merge(r, on=col, how=how)
 
         return left.map_batches(bjoin, batch_format="pandas", batch_size=JOIN_BATCH)
 
@@ -363,7 +373,7 @@ def equi_join(
         is_r = g["__j_side"].to_numpy() == 1
         L = g[~is_r][l_cols]
         R = g[is_r][r_cols]
-        return L.merge(R, on=col, how="inner")[all_cols]
+        return L.merge(R, on=col, how="outer" if how == "full" else how)[all_cols]
 
     return tagged.groupby("__j_bucket").map_groups(join_group, batch_format="pandas")
 

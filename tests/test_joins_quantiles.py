@@ -351,3 +351,44 @@ def test_kll_quantiles_dataset_vs_exact(ray_session):
     for q, e in zip(out["q"], out["value"]):
         true_rank = np.searchsorted(srt, e) / len(vals)
         assert abs(true_rank - q) < 0.025, (q, true_rank)
+
+
+def test_equi_join_left_and_full_outer(ray_session):
+    from table_annotation_ray.stages.relational import equi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 3, 5], "lv": [10, 20, 30, 31, 50]})
+    right = pd.DataFrame({"rk": [2, 3, 3, 7], "rv": [200, 300, 301, 700]})
+    lds, rds = rd.from_pandas(left).repartition(2), rd.from_pandas(right).repartition(2)
+
+    for bb in (1000, 0):  # broadcast and bucketed paths
+        got = (
+            equi_join(lds, rds, "k", "rk", broadcast_below=bb, how="left")
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right.rename(columns={"rk": "k"}), on="k", how="left")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "int64"}), want.astype({"k": "int64"}), check_dtype=False
+        )
+
+    got = (
+        equi_join(lds, rds, "k", "rk", broadcast_below=1000, how="full")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right.rename(columns={"rk": "k"}), on="k", how="outer")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64"}), want.astype({"k": "int64"}), check_dtype=False
+    )
+    # the unmatched-right row (k=7) must be present exactly once
+    assert (got["k"] == 7).sum() == 1
