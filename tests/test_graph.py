@@ -79,3 +79,23 @@ def test_pagerank_star_graph_closed_form(ray_session):
     # power iteration converges like damping**iters (~1.5e-3 at 40)
     assert abs(ranks[0] - r_hub) < 2e-3
     assert abs(ranks[5] - r_spoke) < 2e-3
+
+
+def test_pagerank_sharded_matches_dataset(ray_session):
+    from table_annotation_ray.state.graph_shards import pagerank_sharded
+
+    edges = _random_graph(seed=41, n_nodes=80, n_edges=400)
+    want = (
+        pagerank(rd.from_pandas(edges).repartition(4), iters=8,
+                 num_buckets=8, repartition_to=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = pagerank_sharded(
+        rd.from_pandas(edges).repartition(4), iters=8,
+        num_shards=3, num_cpus_per_shard=0,
+    )
+    assert got["node"].tolist() == want["node"].tolist()
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-9)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
