@@ -1143,6 +1143,32 @@ def _q_price_quantiles_approx(sf_dir: str):
     return out.sort_values("q").reset_index(drop=True)
 
 
+def _q_value_quantiles_by_type_approx(sf_dir: str):
+    """Per-group ONE-scan approximate quantiles (grouped_kll_quantiles:
+    per-(group,batch) KLL partials, hash-bucket exchange, in-bucket
+    merge) vs the exact 3-scan operator — reports per-row rel_err."""
+    from table_annotation_ray.stages.quantiles import (
+        grouped_kll_quantiles,
+        grouped_quantiles,
+    )
+
+    qs = [0.5, 0.9, 0.99]
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    approx = grouped_kll_quantiles(ev, "event_type", "value", qs).to_pandas()
+    exact = grouped_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]), "event_type", "value", qs
+    )
+    out = approx.merge(exact, on=["event_type", "q"], suffixes=("_approx", "_exact"))
+    out["rel_err"] = _round_ha(
+        (out["value_approx"] - out["value_exact"]).abs()
+        / out["value_exact"].abs().clip(lower=1e-12),
+        4,
+    )
+    out["value_approx"] = _round_ha(out["value_approx"], 4)
+    out["value_exact"] = _round_ha(out["value_exact"], 4)
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def _q_value_quantiles_by_type(sf_dir: str):
     """Exact per-group quantiles in 3 streaming scans for ALL groups
     (stages/quantiles.py::grouped_quantiles) — huge-group-safe, unlike
@@ -1413,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_approx": _q_price_quantiles_approx,
         "user_funnel": _q_user_funnel,
         "customer_order_counts": _q_customer_order_counts,
+        "value_quantiles_by_type_approx": _q_value_quantiles_by_type_approx,
         "customer_order_counts_dist": _q_customer_order_counts_dist,
         "entity_lookup": _q_entity_lookup,
         "table_preprocess": _q_table_preprocess,

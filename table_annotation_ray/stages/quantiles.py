@@ -418,3 +418,65 @@ def kll_quantiles(
     sk = KLLSketch.from_bytes(final["sk"].iloc[0], k=k)
     vals = sk.quantiles(qs)
     return pd.DataFrame({"q": pd.Series(qs, dtype=float), "value": vals})
+
+
+def grouped_kll_quantiles(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    qs: list[float],
+    k: int = 256,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Per-group approximate quantiles in ONE streaming scan — the
+    sketch counterpart of :func:`grouped_quantiles` (exact, 3 scans).
+    Map side: one KLL partial per (group, batch) via a vectorized
+    group-sort + per-slice add; exchange: ``hash(group) % num_buckets``
+    (the grouped_reduce shape — never per-group Ray groups); in-bucket:
+    merge each group's partials, answer ``qs``.  Returns (group, q,
+    value) rows.  Rank error matches the global sketch (~O(1/k) whp),
+    asserted in pytest."""
+
+    nb = np.uint64(num_buckets)
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(group_col, kind="mergesort")
+        g = b[group_col].to_numpy()
+        v = b[val_col].to_numpy(dtype=np.float64)
+        bounds = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1, len(g)]
+        keys, sks = [], []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            seed = (int(t - s) * 2654435761 + 17) % (2**31)
+            sk = KLLSketch(k=k, seed=seed)
+            sk.add(v[s:t])
+            keys.append(g[s])
+            sks.append(sk.to_bytes())
+        out = pd.DataFrame({group_col: keys, "sk": sks})
+        out["__gk_bkt"] = (
+            pd.util.hash_pandas_object(out[group_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(group_col, kind="mergesort")
+        keys_out, q_out, v_out = [], [], []
+        for key, sub in g.groupby(group_col, sort=False):
+            acc = None
+            for blob in sub["sk"]:
+                sk = KLLSketch.from_bytes(blob, k=k)
+                acc = sk if acc is None else acc.merge(sk)
+            vals = acc.quantiles(qs)
+            keys_out.extend([key] * len(qs))
+            q_out.extend(qs)
+            v_out.extend(vals)
+        return pd.DataFrame(
+            {group_col: keys_out, "q": pd.Series(q_out, dtype=float),
+             "value": pd.Series(v_out, dtype=float)}
+        )
+
+    return (
+        ds.map_batches(sketch_partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("__gk_bkt")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )

@@ -392,3 +392,32 @@ def test_equi_join_left_and_full_outer(ray_session):
     )
     # the unmatched-right row (k=7) must be present exactly once
     assert (got["k"] == 7).sum() == 1
+
+
+def test_grouped_kll_quantiles_rank_error(ray_session):
+    from table_annotation_ray.stages.quantiles import grouped_kll_quantiles
+
+    rng = np.random.default_rng(37)
+    n = 80_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "v": rng.lognormal(1.0, 0.8, n),
+        }
+    )
+    qs = [0.25, 0.5, 0.9]
+    out = (
+        grouped_kll_quantiles(
+            rd.from_pandas(df).repartition(6), "g", "v", qs, batch_size=8192
+        )
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4 * len(qs)
+    for g, sub in df.groupby("g"):
+        srt = np.sort(sub["v"].to_numpy())
+        for q in qs:
+            est = out[(out["g"] == g) & (out["q"] == q)]["value"].iloc[0]
+            true_rank = np.searchsorted(srt, est) / len(srt)
+            assert abs(true_rank - q) < 0.025, (g, q, true_rank)
