@@ -1327,6 +1327,23 @@ def _q_embedding_pca(sf_dir: str):
     return out
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means clusters, then cosine
+    near-dup victims searched only within clusters (Σ|c|² not n²).
+    Runs over the embeddings table with planted near-duplicates
+    (stages/similarity.py::plant_near_dups) so the victim set is
+    non-trivial; pytest asserts planted recall ≥0.8."""
+    from table_annotation_ray.stages.similarity import plant_near_dups, semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    planted = plant_near_dups(emb)
+    out = semantic_dedup(planted, k=16, threshold=0.95).to_pandas()
+    out["cosine"] = _round_ha(out["cosine"], 4)
+    for c in ("dup_id", "kept_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["dup_id", "kept_id"]).reset_index(drop=True)
+
+
 def _q_graph_pagerank(sf_dir: str):
     """Distributed PageRank (stages/graph.py::pagerank — Pregel-style,
     two bucket exchanges per iteration, node state never driver-side)
@@ -1435,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniform_sample_k": _q_uniform_sample_k,
         "repeated_ngrams": _q_repeated_ngrams,
         "graph_pagerank": _q_graph_pagerank,
+        "semantic_dedup": _q_semantic_dedup,
         "embedding_pca": _q_embedding_pca,
         "price_quantiles_approx": _q_price_quantiles_approx,
         "user_funnel": _q_user_funnel,

@@ -314,10 +314,33 @@ def plant_near_dups(
             d /= np.linalg.norm(d)
             ids.append(int(vid) + id_offset)
             vecs.append((v + noise * np.linalg.norm(v) * d).tolist())
-        return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), vec_col: vecs})
+        # Arrow out: union with the (Arrow) base must not mix block types
+        # (mixed unions break downstream batchers; CLAUDE.md r3)
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                vec_col: pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    def to_f64(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        vecs = [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                vec_col: pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
 
     copies = embeddings.map_batches(perturb, batch_format="pandas")
-    return embeddings.select_columns([id_col, vec_col]).union(copies)
+    # canonicalize the base to list<double> so both union branches share
+    # one Arrow schema (parquet embeddings are list<float>)
+    base = embeddings.map_batches(to_f64, batch_format="pandas")
+    return base.union(copies)
 
 
 def lsh_recall(
@@ -423,3 +446,86 @@ def lsh_topk(
     out = out.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out.reset_index(drop=True)[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+def semantic_dedup(
+    embeddings: rd.Dataset,
+    k: int = 16,
+    threshold: float = 0.95,
+    iters: int = 6,
+    max_chunk: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters the corpus, then near-duplicate
+    pairs are searched ONLY within each cluster — the cluster pass cuts
+    the pairwise work from O(n²) to Σ|c|², the published trick that
+    makes embedding dedup feasible at web scale.
+
+    Returns victims: (dup_id, kept_id, cosine) — ``dup_id`` has some
+    LOWER-id member of its cluster with cosine ≥ ``threshold``;
+    ``kept_id`` is the lowest such id (deterministic, order-canonical;
+    matches SemDeDup's keep-one-representative rule).  Drop victims
+    with an anti-join to materialize the deduped corpus.
+
+    Shape: distributed Lloyd fit (stages/clustering.py), one broadcast
+    assignment pass carrying the vectors, ``groupby(cluster)`` — k
+    bounded (per-key Ray groups are fine at ≤ ~20k groups; for larger k
+    bucket the cluster ids) — then an in-cluster chunked
+    cosine matmul (≤ ``max_chunk`` rows per block, memory-bounded)."""
+    from .clustering import kmeans_fit
+
+    cents, _ = kmeans_fit(embeddings, col=vec_col, k=k, iters=iters)
+    cref = ray.put(_normalize(np.asarray(cents, dtype=np.float64)))
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    def assign(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        c = get_worker_state(("semdedup_c", ref_key(cref)), lambda: ray.get(cref))
+        raw = _stack(b[vec_col]).astype(np.float64)
+        v = _normalize(raw)
+        cl = np.argmax(v @ c.T, axis=1).astype(np.int64)
+        # Arrow out with canonical list<double> vectors: the cluster
+        # groupby is a sort-shuffle (pandas blocks poison it, and mixed
+        # float/double list schemas fail block unification)
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                vec_col: pa.array(list(raw), pa.list_(pa.float64())),
+                "cluster": pa.array(cl, pa.int64()),
+            }
+        )
+
+    def in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = g[id_col].to_numpy()
+        X = _normalize(_stack(g[vec_col]))
+        n = len(ids)
+        dup, kept, cosv = [], [], []
+        for s in range(1, n, max_chunk):
+            t = min(s + max_chunk, n)
+            sims = X[s:t] @ X.T  # rows s..t vs ALL cluster rows
+            rows = np.arange(s, t)
+            ok = (sims >= threshold) & (np.arange(n)[None, :] < rows[:, None])
+            has = ok.any(axis=1)
+            first = np.argmax(ok, axis=1)  # lowest id ≥ threshold
+            hit_rows = np.flatnonzero(has)
+            dup.extend(ids[rows[hit_rows]])
+            kept.extend(ids[first[hit_rows]])
+            cosv.extend(sims[hit_rows, first[hit_rows]])
+        return pd.DataFrame(
+            {
+                "dup_id": pd.Series(dup, dtype="int64"),
+                "kept_id": pd.Series(kept, dtype="int64"),
+                "cosine": pd.Series(cosv, dtype="float64"),
+            }
+        )
+
+    return (
+        embeddings.map_batches(assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(in_cluster, batch_format="pandas")
+    )

@@ -798,3 +798,29 @@ def test_decontaminate_paths_agree(ray_session):
         got = dict(zip(out.doc_id, out.n_hits))
         assert got == {0: 2, 1: 1, 3: 2}
     assert doc_ngrams("a b", 3) == set()  # shorter than n -> no grams
+
+
+def test_semantic_dedup_planted_recall(ray_session):
+    """SemDeDup: planted perturbed copies (cos≈0.9988) must be caught by
+    the in-cluster cosine pass; kept_id is the lower (original) id and
+    the victim the planted copy. k-means must co-cluster a vector with
+    its tiny perturbation, so the cluster gate costs no recall here."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import plant_near_dups, semantic_dedup
+
+    rng = np.random.RandomState(11)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=32).tolist()} for i in range(240)]
+    seeded = plant_near_dups(rd.from_items(rows), n_planted=24)
+    out = semantic_dedup(seeded, k=6, threshold=0.95, iters=5).to_pandas()
+    planted = out[(out.dup_id - out.kept_id) == 1_000_000_000]
+    assert len(planted) >= 0.8 * 24
+    assert (planted.cosine >= 0.99).all()
+    # no false victims among the 240 random 32-dim originals
+    assert len(out) == len(planted)
+    # deterministic across runs
+    out2 = semantic_dedup(seeded, k=6, threshold=0.95, iters=5).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("dup_id").reset_index(drop=True),
+        out2.sort_values("dup_id").reset_index(drop=True),
+    )
