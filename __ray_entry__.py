@@ -970,6 +970,77 @@ def _q_top_orders_per_customer(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Latest-wins snapshot (upsert/CDC compaction): newest event per
+    user via grouped_topk k=1 descending (ts, event_id tiebreak) — the
+    map-side ≤1-per-(key,batch) combiner means the shuffle moves one
+    row per user per batch, never the event stream."""
+    from table_annotation_ray.stages.relational import grouped_topk
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    out = grouped_topk(
+        ev, ["user_id"], "ts", k=1, descending=True, tiebreak="event_id",
+    ).to_pandas()
+    # ordering is (ts DESC, event_id ASC): ts ties resolve to the
+    # smallest event_id — mirrored exactly in the SQL window
+    out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — two composed equi-joins (customer⋈orders on
+    custkey, then ⋈lineitem on orderkey) + revenue aggregate + top-10:
+    exercises join composition with the broadcast/bucketed gate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import equi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], pa.scalar("BUILDING"))).select(
+            ["c_custkey"]
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    co = equi_join(orders, cust.map_batches(seg, batch_format="pyarrow"),
+                   "o_custkey", "c_custkey")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    j = equi_join(li, co.select_columns(["o_orderkey", "o_orderdate"]),
+                  "l_orderkey", "o_orderkey")
+
+    def rev(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                "o_orderdate": b["o_orderdate"].to_numpy(),
+                "revenue": (
+                    b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    agg = grouped_reduce(
+        j.map_batches(rev, batch_format="pandas"),
+        ["l_orderkey", "o_orderdate"],
+        {"revenue": ("revenue", "sum")},
+    ).to_pandas()
+    agg["revenue"] = _round_ha(agg["revenue"], 2)
+    out = agg.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]).dt.strftime("%Y-%m-%d")
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    return out
+
+
 def _q_order_priority_revenue(sf_dir: str, broadcast_below: int = 2_000_000):
     """Large-large payload-preserving equi-join (lineitem ⋈ orders on
     orderkey) then aggregate — stages/relational.py::equi_join.  At sf
@@ -1327,6 +1398,26 @@ def _q_embedding_pca(sf_dir: str):
     return out
 
 
+def _q_doc_perplexity(sf_dir: str):
+    """Corpus-trained bigram-LM perplexity per document (stages/lm.py)
+    — the KenLM-style model-based quality gate: two grouped_reduce
+    count passes train a bounded model, one broadcast scoring pass.
+    Rows-only (float log-prob model); pytest asserts clean text scores
+    ≥3× lower than shuffled-vocab gibberish and cross-layout
+    determinism."""
+    from table_annotation_ray.stages.lm import score_perplexity, train_bigram_lm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_bigram_lm(docs)
+    out = score_perplexity(
+        _read(sf_dir, "documents", ["doc_id", "text"]), model
+    ).to_pandas()
+    out["ppl"] = _round_ha(out["ppl"], 4)
+    for c in ("doc_id", "n_bigrams"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means clusters, then cosine
     near-dup victims searched only within clusters (Σ|c|² not n²).
@@ -1438,6 +1529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_view_before_purchase": _q_asof_view_before_purchase,
         "error_click_window": _q_error_click_window,
         "top_orders_per_customer": _q_top_orders_per_customer,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "shipping_priority": _q_shipping_priority,
         "order_priority_revenue": _q_order_priority_revenue,
         "order_priority_revenue_dist": _q_order_priority_revenue_dist,
         "price_quantiles": _q_price_quantiles,
@@ -1453,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_ngrams": _q_repeated_ngrams,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
+        "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
         "price_quantiles_approx": _q_price_quantiles_approx,
         "user_funnel": _q_user_funnel,
@@ -1835,6 +1929,26 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                 FROM orders) WHERE rn <= 2
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "order_priority_revenue": """
             SELECT o_orderpriority,

@@ -1,0 +1,141 @@
+"""Corpus-trained bigram language model + perplexity scoring — the
+model-based quality gate of training-data pipelines (the KenLM-filter
+shape: train a cheap n-gram LM on the corpus/reference, broadcast it,
+score every document, drop the tail).
+
+Training is two :func:`~.agg.grouped_reduce` passes (unigram and bigram
+counts — corpus-cardinality keys, never per-key Python), truncated to
+the top ``max_unigrams`` / ``max_bigrams`` by count on the driver
+(bounded model size by construction).  Scoring is one broadcast +
+one streaming pass: per batch, token pairs map through the model's
+hash tables via ``pd.Series.map`` (C-speed lookups, no Python loop
+over tokens beyond the per-doc tokenize).
+
+Probabilities are add-k smoothed conditionals
+``P(b|a) = (c(a,b) + k) / (c(a) + k·V)`` with unseen bigrams falling
+back to the same formula at c(a,b)=0 (and c(a)=0 for OOV contexts), so
+every score is finite and the result deterministic.  Perplexity =
+``exp(-mean log P)`` over a doc's bigrams; docs with <2 tokens score
+the OOV perplexity.
+
+Tokenization is lowercased whitespace splitting — identical to
+stages/textstats.py::vocab_topk, so the signal lines up with the
+vocabulary/token-count family.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+_WS = re.compile(r"\s+")
+
+
+def _tokenize(text: str) -> list[str]:
+    return [t for t in _WS.split(text.lower()) if t]
+
+
+def train_bigram_lm(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    max_unigrams: int = 65_536,
+    max_bigrams: int = 1_048_576,
+    smoothing_k: float = 0.5,
+) -> dict:
+    """Returns {"uni": {tok: count}, "bi": {(a,b): count}, "V": int,
+    "k": float} — bounded driver state (top-K by count, count-desc /
+    lexicographic tie-break so truncation is deterministic)."""
+    from .agg import grouped_reduce
+
+    def unigrams(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in b[text_col].fillna(""):
+            toks.extend(_tokenize(t))
+        return pd.DataFrame({"tok": pd.Series(toks, dtype="object")})
+
+    def bigrams(b: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for t in b[text_col].fillna(""):
+            ts = _tokenize(t)
+            a_out.extend(ts[:-1])
+            b_out.extend(ts[1:])
+        return pd.DataFrame(
+            {"a": pd.Series(a_out, dtype="object"), "b": pd.Series(b_out, dtype="object")}
+        )
+
+    uni = grouped_reduce(
+        docs.map_batches(unigrams, batch_format="pandas"),
+        ["tok"], {"n": (None, "count")},
+    ).to_pandas()
+    uni = uni.sort_values(["n", "tok"], ascending=[False, True]).head(max_unigrams)
+
+    bi = grouped_reduce(
+        docs.map_batches(bigrams, batch_format="pandas"),
+        ["a", "b"], {"n": (None, "count")},
+    ).to_pandas()
+    bi = bi.sort_values(["n", "a", "b"], ascending=[False, True, True]).head(
+        max_bigrams
+    )
+
+    return {
+        "uni": dict(zip(uni["tok"], uni["n"].astype(int))),
+        "bi": dict(zip(zip(bi["a"], bi["b"]), bi["n"].astype(int))),
+        "V": int(len(uni)) + 1,  # +1 for the OOV type
+        "k": float(smoothing_k),
+    }
+
+
+def score_perplexity(
+    docs: rd.Dataset,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """(id, n_bigrams, ppl) per document — one broadcast, one pass."""
+    import pyarrow as pa
+
+    mref = ray.put(model)
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        m = get_worker_state(("bigram_lm", ref_key(mref)), lambda: ray.get(mref))
+        uni, bi, V, k = m["uni"], m["bi"], m["V"], m["k"]
+        kv = k * V
+        oov_lp = math.log(k / kv)  # c(a,b)=0, c(a)=0
+        ids, counts, ppls = [], [], []
+        for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
+            ts = _tokenize(text)
+            ids.append(doc_id)
+            if len(ts) < 2:
+                counts.append(0)
+                ppls.append(math.exp(-oov_lp))
+                continue
+            pairs = pd.Series(list(zip(ts[:-1], ts[1:])), dtype="object")
+            cab = pairs.map(bi).fillna(0.0).to_numpy(dtype=np.float64)
+            ca = (
+                pd.Series(ts[:-1], dtype="object")
+                .map(uni)
+                .fillna(0.0)
+                .to_numpy(dtype=np.float64)
+            )
+            lp = np.log((cab + k) / (ca + kv))
+            counts.append(len(pairs))
+            ppls.append(float(np.exp(-lp.mean())))
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(ids, dtype=np.int64)),
+                "n_bigrams": pa.array(np.asarray(counts, dtype=np.int64)),
+                "ppl": pa.array(np.asarray(ppls, dtype=np.float64)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas", batch_size=batch_size)

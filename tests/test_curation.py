@@ -4,6 +4,7 @@ partitioned sink, and the end-to-end curation pipeline."""
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -165,3 +166,39 @@ def test_curation_pipeline_end_to_end(ray_session, tmp_path, corpus_path, corpus
     with open(os.path.join(out, "_MANIFEST.json")) as f:
         top = json.load(f)
     assert top["n_curated"] == manifest["n_curated"]
+
+
+def test_bigram_lm_perplexity_orders_quality(ray_session):
+    """In-distribution text must score lower perplexity than
+    shuffled-vocab gibberish under the corpus-trained bigram LM."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.lm import score_perplexity, train_bigram_lm
+
+    rng = np.random.default_rng(19)
+    sents = [
+        "the quick brown fox jumps over the lazy dog",
+        "a stitch in time saves nine every single day",
+        "practice makes perfect when the work is steady",
+    ]
+    docs = []
+    for i in range(60):
+        docs.append({"doc_id": i, "text": sents[i % 3]})
+    vocab = " ".join(sents).split()
+    for i in range(60, 70):  # gibberish: same vocab, shuffled order
+        docs.append({"doc_id": i, "text": " ".join(rng.permutation(vocab)[:9])})
+    ds = rd.from_items(docs).repartition(4)
+    model = train_bigram_lm(ds)
+    out = score_perplexity(ds, model).to_pandas().sort_values("doc_id")
+    clean = out[out.doc_id < 60]["ppl"].mean()
+    noise = out[out.doc_id >= 60]["ppl"].mean()
+    assert clean * 3 < noise, (clean, noise)
+    # determinism across block layouts
+    model2 = train_bigram_lm(rd.from_items(docs).repartition(7))
+    out2 = score_perplexity(ds, model2).to_pandas().sort_values("doc_id")
+    np.testing.assert_allclose(out["ppl"].to_numpy(), out2["ppl"].to_numpy(), rtol=1e-12)
+    # short/empty docs get the finite OOV perplexity, not inf/nan
+    short = score_perplexity(
+        rd.from_items([{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "one"}]), model
+    ).to_pandas()
+    assert np.isfinite(short["ppl"]).all()
