@@ -109,7 +109,24 @@ def run_queries(sf_dir: str, repeats: int = 2) -> dict[str, float]:
     return out
 
 
+def run_canary() -> float:
+    """Fixed pure-CPU workload (numpy matmul, no Ray): the host-
+    contention canary.  This sandbox has shown 2-4x wall-clock swings
+    under external load; dividing any wall time by (canary_sec /
+    historical canary_sec) normalizes cross-round comparisons.
+    Reference values on this box: ~1.7 s measured under the heavy
+    contention of the r3 third session; expect lower in clean windows."""
+    import numpy as np
+
+    a = np.random.default_rng(0).normal(size=(1000, 1000))
+    t0 = time.time()
+    for _ in range(6):
+        a = a @ a / np.linalg.norm(a)
+    return round(time.time() - t0, 3)
+
+
 def main_single():
+    canary = run_canary()
     _init_ray(NUM_CPUS)
     import ray
 
@@ -128,6 +145,7 @@ def main_single():
                 "turns": headline["turns"],
                 "turns_per_sec": headline["turns_per_sec"],
                 "triples": headline["triples"],
+                "canary_sec": canary,
             }
         )
     )
