@@ -93,3 +93,73 @@ def test_high_noise_pr_gate(ray_session, tmp_path):
     tp = len(got & want)
     assert tp / max(1, len(got)) >= 0.95
     assert tp / max(1, len(want)) >= 0.95
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1, max_size=400,
+    ),
+    st.integers(min_value=0, max_value=2**30),
+)
+def test_kll_sketch_invariants(values, seed):
+    from table_annotation_ray.stages.quantiles import KLLSketch
+
+    sk = KLLSketch(k=64, seed=seed)
+    sk.add(np.asarray(values))
+    # exact weight conservation regardless of compaction path
+    assert sk.n_items() == len(values)
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    est = sk.quantiles(qs)
+    # monotone in q, bounded by the true extremes
+    assert all(est[i] <= est[i + 1] for i in range(len(qs) - 1))
+    assert min(values) <= est[0] and est[-1] <= max(values)
+    # merge with an empty sketch is identity on counts
+    m = sk.merge(KLLSketch(k=64, seed=seed + 1))
+    assert m.n_items() == len(values)
+
+
+def test_new_aggregates_randomized_multiseed(ray_session):
+    """rollup/distinct-count/lag vs pandas references across several
+    random seeds and block layouts (one session-bound sweep — cheaper
+    than hypothesis-driving Ray per example)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.agg import distinct_count_by_key, rollup_reduce
+    from table_annotation_ray.stages.windows import lag_by_key
+
+    for seed in (1, 7, 23, 99):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 400))
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y", "z"], n),
+                "k": rng.integers(0, 12, n).astype(np.int64),
+                "v": rng.integers(-50, 50, n).astype(np.int64),
+                "id": np.arange(n, dtype=np.int64),
+            }
+        )
+        parts = int(rng.integers(1, 6))
+        ds = rd.from_pandas(df).repartition(parts)
+
+        out = rollup_reduce(
+            ds, ["a"], {"s": ("v", "sum"), "n": (None, "count")}, batch_size=64
+        ).to_pandas().sort_values("a").reset_index(drop=True)
+        fine = df.groupby("a", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        assert out[out.a != "(all)"]["s"].astype(int).tolist() == fine["s"].tolist()
+        tot = out[out.a == "(all)"].iloc[0]
+        assert int(tot["s"]) == int(df["v"].sum()) and int(tot["n"]) == n
+
+        dc = distinct_count_by_key(ds, ["a"], "k", batch_size=64).to_pandas()
+        ref = df.groupby("a")["k"].nunique()
+        assert dict(zip(dc["a"], dc["n_distinct"].astype(int))) == ref.to_dict()
+
+        lag = lag_by_key(ds, "k", ["id"], ["v"]).to_pandas().sort_values("id")
+        ref_lag = df.sort_values(["k", "id"]).copy()
+        ref_lag["v_prev"] = ref_lag.groupby("k")["v"].shift(1)
+        ref_lag = ref_lag.sort_values("id")
+        got = lag["v_prev"].fillna(-999).to_numpy()
+        want = ref_lag["v_prev"].fillna(-999).to_numpy()
+        assert (got == want).all()
