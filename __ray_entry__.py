@@ -113,24 +113,36 @@ def _q_orders_by_segment(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
 
-    def attach_segment(b: pd.DataFrame) -> pd.DataFrame:
+    def attach_and_combine(b: pd.DataFrame) -> "pa.Table":
+        # map-side combine: 5 segment partial rows per batch cross the
+        # wire instead of every order row (and Arrow out — shuffling
+        # 150k pandas rows into a 5-key builtin aggregate was 8-10 s;
+        # this shape is <1 s)
+        import pyarrow as pa
+
         seg = get_worker_state(("seg", ref_key(seg_ref)), lambda: ray.get(seg_ref))
-        b = b.copy()
-        b["c_mktsegment"] = b["o_custkey"].map(seg)
-        return b[["c_mktsegment", "o_totalprice"]]
+        g = (
+            pd.DataFrame(
+                {
+                    "c_mktsegment": b["o_custkey"].map(seg),
+                    "p": b["o_totalprice"],
+                }
+            )
+            .groupby("c_mktsegment", as_index=False)
+            .agg(n_orders=("p", "size"), total_price=("p", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = ds.map_batches(attach_segment, batch_format="pandas")
-    from ray.data.aggregate import Count, Sum
-
+    partials = ds.map_batches(attach_and_combine, batch_format="pandas").to_pandas()
     out = (
-        joined.groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
-        .to_pandas()
+        partials.sort_values(["c_mktsegment", "n_orders", "total_price"])
+        .groupby("c_mktsegment", as_index=False)
+        .agg(n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
     )
     out["total_price"] = _round_ha(out["total_price"], 2)
     out["n_orders"] = out["n_orders"].astype("int64")
-    return out
+    return out.reset_index(drop=True)
 
 
 def _q_top_parts_by_revenue(sf_dir: str):
@@ -1059,15 +1071,22 @@ def _q_order_priority_revenue(sf_dir: str, broadcast_below: int = 2_000_000):
         li, orders, "l_orderkey", "o_orderkey", broadcast_below=broadcast_below
     )
 
-    def rev(b: pa.Table) -> pa.Table:
-        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"o_orderpriority": b["o_orderpriority"], "revenue": r})
+    def rev_combine(b: pd.DataFrame) -> pa.Table:
+        # map-side combine: 5 priority partial rows per batch instead of
+        # shuffling the whole joined fact table into a 5-key aggregate
+        r = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame({"o_orderpriority": b["o_orderpriority"], "r": r})
+            .groupby("o_orderpriority", as_index=False)
+            .agg(revenue=("r", "sum"), n_items=("r", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
+    partials = joined.map_batches(rev_combine, batch_format="pandas").to_pandas()
     out = (
-        joined.map_batches(rev, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
-        .to_pandas()
+        partials.sort_values(["o_orderpriority", "n_items", "revenue"])
+        .groupby("o_orderpriority", as_index=False)
+        .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
     )
     out["revenue"] = _round_ha(out["revenue"], 2)
     out["n_items"] = out["n_items"].astype("int64")

@@ -245,20 +245,26 @@ def heavy_hitters(
 
     cand_ref = ray.put(candidates)
 
-    def filter_cand(batch: pd.DataFrame) -> pd.DataFrame:
+    def filter_cand(batch: pd.DataFrame):
+        import pyarrow as pa
+
         from ..state.worker_state import get_worker_state, ref_key
 
         cands = get_worker_state(("hh-cand", ref_key(cand_ref)), lambda: ray.get(cand_ref))
-        return batch[batch[col].isin(cands)][[col]]
+        # Arrow out (pandas blocks poison the downstream exchange) and
+        # grouped_reduce below, not the builtin aggregate (per-key
+        # Python at up to k candidate keys) — CLAUDE.md r3
+        return pa.Table.from_pandas(
+            batch[batch[col].isin(cands)][[col]], preserve_index=False
+        )
 
-    from ray.data.aggregate import Count
+    from .agg import grouped_reduce
 
-    counts = (
-        ds.map_batches(filter_cand, batch_format="pandas")
-        .groupby(col)
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+    counts = grouped_reduce(
+        ds.map_batches(filter_cand, batch_format="pandas"),
+        [col],
+        {"n": (None, "count")},
+    ).to_pandas()
     out = counts[counts["n"] >= min_count].sort_values(col).reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out
