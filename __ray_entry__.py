@@ -1488,6 +1488,24 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_mask_repeated_spans(sf_dir: str):
+    """Exact-substring dedup ACTION (stages/dedup.py::
+    mask_repeated_spans): drop every char span covered by a cross-doc
+    repeated 40-gram except in its first document.  Rows-only (the
+    detection half, repeated_ngrams, is the SQL-verified one); pytest
+    pins span semantics and broadcast ≡ co-location paths.  Returns the
+    per-doc mask summary (text itself omitted from the result frame)."""
+    from table_annotation_ray.stages.dedup import mask_repeated_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = mask_repeated_spans(docs, k=40, min_docs=2).to_pandas()
+    out["new_len"] = out["text"].str.len().astype("int64")
+    out = out.drop(columns="text")
+    for c in ("doc_id", "n_spans", "n_dropped_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_uniform_sample_k(sf_dir: str):
     """Deterministic fixed-size-k uniform sample by bottom-k-of-hash
     (stages/datapipe.py::bottomk_by_hash): per-batch partial bottom-k,
@@ -1563,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_distinct_suppliers": _q_part_distinct_suppliers,
         "uniform_sample_k": _q_uniform_sample_k,
         "repeated_ngrams": _q_repeated_ngrams,
+        "mask_repeated_spans": _q_mask_repeated_spans,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,

@@ -620,6 +620,237 @@ def repeated_ngrams(
     )
 
 
+def _window_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of every char k-gram window, identical to the
+    ``hash_only`` hashing in :func:`repeated_ngrams` (pandas string
+    hash), so the two passes agree."""
+    n = len(text) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    grams = pd.Series([text[i : i + k] for i in range(n)], dtype="object")
+    return (
+        pd.util.hash_pandas_object(grams, index=False)
+        .to_numpy(dtype=np.uint64)
+        .view(np.int64)
+    )
+
+
+def _merge_spans(positions: np.ndarray, k: int) -> list[tuple[int, int]]:
+    """Overlapping/adjacent [p, p+k) windows → disjoint intervals."""
+    if len(positions) == 0:
+        return []
+    positions = np.sort(positions)
+    out = []
+    start = prev = int(positions[0])
+    for p in positions[1:]:
+        p = int(p)
+        if p <= prev + k:  # overlaps or touches the previous window
+            prev = p
+        else:
+            out.append((start, prev + k))
+            start = prev = p
+    out.append((start, prev + k))
+    return out
+
+
+def mask_repeated_spans(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    min_docs: int = 2,
+    broadcast_below: int = 5_000_000,
+    num_buckets: int = 64,
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """The ACTION half of exact substring deduplication (Lee et al.
+    2022, arXiv:2107.06499): drop every char span covered by a k-gram
+    that occurs in ≥ ``min_docs`` distinct documents — except in the
+    gram's FIRST document (min doc id), which keeps its copy.
+    Overlapping masked windows merge into maximal spans before
+    rewriting, so repeated passages are excised once, cleanly.
+
+    Returns (id, text, n_spans, n_dropped_chars) for EVERY document
+    (untouched docs pass through with 0/0).
+
+    Size-gated like stages/decontam.py:
+
+    * **broadcast** (≤ ``broadcast_below`` surviving repeated grams):
+      the {gram_hash → min_doc} map ships once via ``ray.put``; ONE
+      further streaming pass recomputes each doc's window hashes,
+      masks, and rewrites — zero extra shuffle.
+    * **co-location** (huge survivor sets): window (doc, pos, hash)
+      rows and survivor rows co-locate on ``hash % num_buckets`` to
+      emit (doc, pos) hits; hits then co-locate with the original texts
+      on ``doc % num_buckets`` for the rewrite — two more exchanges,
+      corpus text crossing the wire once.
+
+    Both paths are pytest-pinned identical.  Detection reuses
+    :func:`repeated_ngrams` with ``hash_only=True`` (the k× cheaper
+    exchange); a 64-bit collision can only merge two grams — the worst
+    case is masking a span that occurred once (rate ~1e-9)."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    survivors = repeated_ngrams(
+        docs, id_col=id_col, text_col=text_col, k=k, min_docs=min_docs,
+        hash_only=True, num_buckets=num_buckets, batch_size=batch_size,
+    ).materialize()
+
+    def rewrite_one(text: str, hit_pos: np.ndarray) -> tuple[str, int, int]:
+        spans = _merge_spans(hit_pos, k)
+        if not spans:
+            return text, 0, 0
+        parts, last = [], 0
+        dropped = 0
+        for s, t in spans:
+            parts.append(text[last:s])
+            dropped += t - s
+            last = t
+        parts.append(text[last:])
+        return "".join(parts), len(spans), dropped
+
+    if broadcast_below and survivors.count() <= broadcast_below:
+        sdf = survivors.to_pandas()
+        gmap_ref = ray.put(dict(zip(sdf["gram_hash"], sdf["min_doc"])))
+
+        def mask_batch(b: pd.DataFrame) -> pa.Table:
+            gmap = get_worker_state(
+                ("mask_spans", ref_key(gmap_ref)), lambda: ray.get(gmap_ref)
+            )
+            ids, texts, n_spans, n_drop = [], [], [], []
+            for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
+                hs = _window_hashes(text, k)
+                owners = pd.Series(hs).map(gmap)
+                hit = (owners.notna() & (owners != doc_id)).to_numpy()
+                new_text, ns, nd = rewrite_one(text, np.flatnonzero(hit))
+                ids.append(doc_id)
+                texts.append(new_text)
+                n_spans.append(ns)
+                n_drop.append(nd)
+            return pa.table(
+                {
+                    id_col: pa.array(np.asarray(ids, dtype=np.int64)),
+                    text_col: pa.array(texts, pa.string()),
+                    "n_spans": pa.array(np.asarray(n_spans, dtype=np.int64)),
+                    "n_dropped_chars": pa.array(np.asarray(n_drop, dtype=np.int64)),
+                }
+            )
+
+        return docs.map_batches(
+            mask_batch, batch_format="pandas", batch_size=batch_size
+        )
+
+    # ---- co-location path ------------------------------------------------
+    NB = np.uint64(num_buckets)
+
+    def win_rows(b: pd.DataFrame) -> pa.Table:
+        ids, pos, hs = [], [], []
+        for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
+            h = _window_hashes(text, k)
+            hs.append(h)
+            pos.append(np.arange(len(h), dtype=np.int64))
+            ids.append(np.full(len(h), doc_id, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: np.concatenate(ids) if ids else np.empty(0, np.int64),
+                "pos": np.concatenate(pos) if pos else np.empty(0, np.int64),
+                "gram_hash": h,
+                "min_doc": np.full(len(h), -1, dtype=np.int64),  # sentinel
+                "__ms_bkt": (h.astype(np.uint64) % NB).astype(np.int64),
+            }
+        )
+
+    def surv_rows(b: pd.DataFrame) -> pa.Table:
+        h = b["gram_hash"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                id_col: np.full(len(b), -1, dtype=np.int64),
+                "pos": np.full(len(b), -1, dtype=np.int64),
+                "gram_hash": h,
+                "min_doc": b["min_doc"].to_numpy(dtype=np.int64),
+                "__ms_bkt": (h.astype(np.uint64) % NB).astype(np.int64),
+            }
+        )
+
+    def hits(g: pd.DataFrame) -> pa.Table:
+        surv = g[g["min_doc"] >= 0][["gram_hash", "min_doc"]]
+        wins = g[g["min_doc"] < 0][[id_col, "pos", "gram_hash"]]
+        m = wins.merge(surv, on="gram_hash", how="inner")
+        m = m[m[id_col] != m["min_doc"]]
+        return pa.table(
+            {
+                id_col: m[id_col].to_numpy(dtype=np.int64),
+                "pos": m["pos"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    hit_ds = (
+        docs.map_batches(win_rows, batch_format="pandas", batch_size=batch_size)
+        .union(survivors.map_batches(surv_rows, batch_format="pandas"))
+        .groupby("__ms_bkt")
+        .map_groups(hits, batch_format="pandas")
+    )
+
+    def text_rows(b: pd.DataFrame) -> pa.Table:
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                id_col: ids,
+                "pos": np.full(len(b), -1, dtype=np.int64),
+                text_col: pa.array(b[text_col].fillna("").tolist(), pa.string()),
+                "__mr_bkt": ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                             % NB).astype(np.int64),
+            }
+        )
+
+    def hit_rows(b: pd.DataFrame) -> pa.Table:
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                id_col: ids,
+                "pos": b["pos"].to_numpy(dtype=np.int64),
+                text_col: pa.array([""] * len(b), pa.string()),
+                "__mr_bkt": ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                             % NB).astype(np.int64),
+            }
+        )
+
+    def rewrite_bucket(g: pd.DataFrame) -> pa.Table:
+        is_text = g["pos"].to_numpy() == -1
+        texts = g[is_text]
+        hit = g[~is_text]
+        pos_by_doc = {
+            d: sub["pos"].to_numpy() for d, sub in hit.groupby(id_col, sort=False)
+        }
+        ids, out_t, n_spans, n_drop = [], [], [], []
+        for doc_id, text in zip(texts[id_col], texts[text_col]):
+            new_text, ns, nd = rewrite_one(
+                text, pos_by_doc.get(doc_id, np.empty(0, dtype=np.int64))
+            )
+            ids.append(doc_id)
+            out_t.append(new_text)
+            n_spans.append(ns)
+            n_drop.append(nd)
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(ids, dtype=np.int64)),
+                text_col: pa.array(out_t, pa.string()),
+                "n_spans": pa.array(np.asarray(n_spans, dtype=np.int64)),
+                "n_dropped_chars": pa.array(np.asarray(n_drop, dtype=np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(text_rows, batch_format="pandas", batch_size=batch_size)
+        .union(hit_ds.map_batches(hit_rows, batch_format="pandas"))
+        .groupby("__mr_bkt")
+        .map_groups(rewrite_bucket, batch_format="pandas")
+    )
+
+
 def min_label_components(
     pairs: rd.Dataset, max_iters: int = 12, num_partitions: int = 8
 ) -> rd.Dataset:

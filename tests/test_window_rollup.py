@@ -275,3 +275,53 @@ def test_rollup_reduce_grouping_sets_cube(ray_session):
     assert got_b["s"].astype("int64").to_dict() == by_b["sum"].astype("int64").to_dict()
     total = out[out["b"] == "(all)"].iloc[0]
     assert int(total["s"]) == int(df["v"].sum()) and int(total["n"]) == len(df)
+
+
+def test_mask_repeated_spans_paths_and_semantics(ray_session):
+    from table_annotation_ray.stages.dedup import mask_repeated_spans
+
+    shared = "S" * 10 + "the quick brown fox jumps over the lazy" + "E" * 10
+    rng = np.random.default_rng(13)
+    uniq = ["".join(rng.choice(list("abcdefgh "), 150)) for _ in range(4)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                uniq[0] + shared,          # first (kept) copy
+                shared + uniq[1],          # masked
+                uniq[2] + shared + uniq[3],  # masked
+                uniq[0][:60],              # pure substring of doc 0 -> fully masked
+                "",
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    for bb in (5_000_000, 0):  # broadcast and co-location paths
+        out = (
+            mask_repeated_spans(ds, k=40, min_docs=2, broadcast_below=bb)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 5
+        # first copy untouched
+        assert out.loc[0, "text"] == docs.loc[0, "text"]
+        assert out.loc[0, "n_spans"] == 0
+        # later copies lose exactly the shared passage, keep their unique parts
+        for i in (1, 2):
+            assert out.loc[i, "n_spans"] == 1
+            assert int(out.loc[i, "n_dropped_chars"]) == len(shared)
+            assert shared not in out.loc[i, "text"]
+        assert out.loc[1, "text"] == uniq[1]
+        assert out.loc[2, "text"] == uniq[2] + uniq[3]
+        # a pure substring duplicate is excised entirely (contained-doc
+        # dedup falls out of the span semantics)
+        assert out.loc[3, "text"] == "" and int(out.loc[3, "n_dropped_chars"]) == 60
+        assert out.loc[4, "text"] == ""
+    # the two paths are identical
+    a = mask_repeated_spans(ds, k=40, broadcast_below=5_000_000).to_pandas()
+    b = mask_repeated_spans(ds, k=40, broadcast_below=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
