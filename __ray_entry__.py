@@ -1488,6 +1488,28 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Corpus mixing end-to-end: per-language deterministic sampling
+    rates (stratified_sample: en 80%, fr 50%, others 20%) composed with
+    the deterministic global training order (shuffle_order) — the
+    composition a data-mixing job runs before writing an epoch.  Fully
+    SQL-mirrored: CASE-over-hash sampling + row_number over the same
+    hash ordering."""
+    from table_annotation_ray.stages.datapipe import shuffle_order, stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    sampled = docs.map_batches(
+        stratified_sample,
+        batch_format="pandas",
+        fn_kwargs={"rates": {"en": 80, "fr": 50}, "default_pct": 20,
+                   "group_col": "lang"},
+    )
+    out = shuffle_order(sampled, num_buckets=64).to_pandas()
+    for c in ("doc_id", "position"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "position"]].sort_values("position").reset_index(drop=True)
+
+
 def _q_mask_repeated_spans(sf_dir: str):
     """Exact-substring dedup ACTION (stages/dedup.py::
     mask_repeated_spans): drop every char span covered by a cross-doc
@@ -1582,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniform_sample_k": _q_uniform_sample_k,
         "repeated_ngrams": _q_repeated_ngrams,
         "mask_repeated_spans": _q_mask_repeated_spans,
+        "corpus_mix": _q_corpus_mix,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -1754,6 +1777,21 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "corpus_mix": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                        + 4294967296) % 4294967296 AS hv
+                FROM documents),
+            sampled AS (
+                SELECT doc_id, hv FROM h
+                WHERE hv % 100 < CASE lang WHEN 'en' THEN 80
+                                           WHEN 'fr' THEN 50
+                                           ELSE 20 END)
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY hv, doc_id) - 1 AS position
+            FROM sampled
         """,
         "shuffle_order": """
             SELECT doc_id,
