@@ -1488,6 +1488,21 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_event_value_rank(sf_dir: str):
+    """Distributed row_number over an ARBITRARY sort key
+    (stages/datapipe.py::global_rank — range-partitioned rank, TeraSort
+    shape): sampled boundaries, vectorized bucket tag, count-prefix
+    scan, in-bucket sort+cumcount.  Never a single-node global sort."""
+    from table_annotation_ray.stages.datapipe import global_rank
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    out = global_rank(ev, ["value"], "event_id").to_pandas()
+    for c in ("event_id", "position"):
+        out[c] = out[c].astype("int64")
+    out["value"] = _round_ha(out["value"], 6)
+    return out.sort_values("position").reset_index(drop=True)
+
+
 def _q_corpus_mix(sf_dir: str):
     """Corpus mixing end-to-end: per-language deterministic sampling
     rates (stratified_sample: en 80%, fr 50%, others 20%) composed with
@@ -1605,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_ngrams": _q_repeated_ngrams,
         "mask_repeated_spans": _q_mask_repeated_spans,
         "corpus_mix": _q_corpus_mix,
+        "event_value_rank": _q_event_value_rank,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -1777,6 +1793,11 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "event_value_rank": """
+            SELECT event_id, round(value, 6) AS value,
+                   row_number() OVER (ORDER BY value, event_id) - 1 AS position
+            FROM events
         """,
         "corpus_mix": """
             WITH h AS (

@@ -331,3 +331,112 @@ def shuffle_order(
         )
 
     return keyed.groupby("_bucket").map_groups(rank, batch_format="pandas")
+
+
+def global_rank(
+    ds,
+    order_cols: list[str],
+    tiebreak: str,
+    num_buckets: int = 256,
+    sample_size: int = 10_000,
+    out_col: str = "position",
+):
+    """Distributed ``row_number() OVER (ORDER BY order_cols, tiebreak)
+    - 1`` over ARBITRARY sort keys — the range-partitioned rank
+    (TeraSort shape), generalizing :func:`shuffle_order` (whose
+    order-aligned buckets only exist for uniform hash keys):
+
+    1. one deterministic bottom-``sample_size``-by-hash sample of the
+       key columns picks ``num_buckets-1`` boundary rows;
+    2. every row is tagged with its range bucket (vectorized
+       lexicographic searchsorted over the broadcast boundaries);
+    3. one ``groupby(bucket)`` count pass → tiny driver prefix scan;
+    4. in-bucket sort + cumcount + bucket prefix (same final shape as
+       shuffle_order).
+
+    Boundary quality only affects bucket BALANCE, never correctness —
+    counts give exact prefixes and the in-bucket sort is total (the
+    unique ``tiebreak`` column makes the order deterministic).  All
+    input columns survive.  Skew guard: a degenerate sample (few
+    distinct keys) just yields fewer, larger buckets."""
+    import ray
+    import pyarrow as pa
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    key_cols = list(order_cols) + [tiebreak]
+
+    sample = (
+        bottomk_by_hash(ds.select_columns(key_cols), tiebreak, k=sample_size)
+        .to_pandas()
+        .drop(columns="__hb")
+        .sort_values(key_cols, kind="mergesort")
+    )
+    n_bounds = min(num_buckets - 1, max(len(sample) - 1, 0))
+    if n_bounds > 0:
+        idx = np.linspace(0, len(sample) - 1, n_bounds + 2).astype(int)[1:-1]
+        bounds = sample.iloc[idx][key_cols].reset_index(drop=True)
+    else:
+        bounds = sample.iloc[:0][key_cols]
+    bref = ray.put(bounds)
+
+    def _bucket_of(frame: pd.DataFrame, bnd: pd.DataFrame) -> np.ndarray:
+        if len(bnd) == 0:
+            return np.zeros(len(frame), dtype=np.int64)
+        # lexicographic searchsorted via merge-rank: concatenate rows,
+        # stable-sort by keys with boundaries FIRST on ties, then each
+        # row's bucket = number of boundaries before it
+        tag = np.r_[np.zeros(len(bnd), dtype=np.int64),
+                    np.ones(len(frame), dtype=np.int64)]
+        both = pd.concat([bnd, frame[bnd.columns]], ignore_index=True)
+        both["__is_row"] = tag
+        order = both.sort_values(
+            list(bnd.columns) + ["__is_row"], kind="mergesort"
+        ).index.to_numpy()
+        n_before = np.empty(len(both), dtype=np.int64)
+        seen = 0
+        pos_sorted = np.empty(len(both), dtype=np.int64)
+        pos_sorted[order] = np.arange(len(both))
+        is_bnd_sorted = (tag[order] == 0)
+        n_before_sorted = np.cumsum(is_bnd_sorted) - is_bnd_sorted
+        n_before = n_before_sorted[pos_sorted]
+        return n_before[len(bnd):]
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        bnd = get_worker_state(("grank_b", ref_key(bref)), lambda: ray.get(bref))
+        b = b.copy()
+        b["__gr_bucket"] = _bucket_of(b, bnd)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    counts = (
+        tagged.map_batches(
+            lambda b: pd.DataFrame(
+                b["__gr_bucket"].value_counts().rename("n")
+            ).reset_index(names="__gr_bucket"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("__gr_bucket")["n"]
+        .sum()
+        .sort_index()
+    )
+    prefix, running = {}, 0
+    for bkt, n in counts.items():
+        prefix[int(bkt)] = running
+        running += int(n)
+    pref = ray.put(prefix)
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        pre = get_worker_state(("grank_p", ref_key(pref)), lambda: ray.get(pref))
+        g = g.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
+        base = pre[int(g["__gr_bucket"].iloc[0])]
+        g[out_col] = base + np.arange(len(g), dtype=np.int64)
+        return pa.Table.from_pandas(
+            g.drop(columns="__gr_bucket"), preserve_index=False
+        )
+
+    return tagged.groupby("__gr_bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )

@@ -325,3 +325,38 @@ def test_mask_repeated_spans_paths_and_semantics(ray_session):
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_global_rank_matches_lexsort(ray_session):
+    from table_annotation_ray.stages.datapipe import global_rank
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "v": rng.integers(0, 40, n).astype(np.int64),  # heavy ties
+            "w": rng.normal(size=n),
+            "id": rng.permutation(100_000)[:n].astype(np.int64),
+        }
+    )
+    out = (
+        global_rank(
+            rd.from_pandas(df).repartition(7), ["v", "w"], "id",
+            num_buckets=16, sample_size=200,
+        )
+        .to_pandas()
+        .sort_values("position")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["v", "w", "id"], kind="mergesort").reset_index(drop=True)
+    assert out["id"].tolist() == ref["id"].tolist()
+    assert out["position"].tolist() == list(range(n))
+    # payload survives
+    assert (out.sort_values("id")["v"].to_numpy()
+            == df.sort_values("id")["v"].to_numpy()).all()
+    # degenerate boundaries (tiny sample) stay correct
+    out2 = global_rank(
+        rd.from_pandas(df).repartition(3), ["v", "w"], "id",
+        num_buckets=64, sample_size=3,
+    ).to_pandas().sort_values("position")
+    assert out2["id"].tolist() == ref["id"].tolist()
