@@ -1488,6 +1488,44 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_props_k_by_type(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column
+    (real ``json.loads`` per row — per-row work on per-row payloads,
+    same class as repetition_stats), then grouped_reduce sum/count per
+    event type.  SQL mirror: json_extract.  Rows with missing/invalid
+    JSON or key contribute NULL (dropped from the aggregate), matching
+    SQL json_extract semantics."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pd.DataFrame) -> pa.Table:
+        vals = []
+        for p in b["props"]:
+            try:
+                v = _json.loads(p).get("k")
+                vals.append(int(v) if v is not None else None)
+            except (TypeError, ValueError):
+                vals.append(None)
+        out = pd.DataFrame({"event_type": b["event_type"], "k": vals})
+        out = out[out["k"].notna()]
+        out["k"] = out["k"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = grouped_reduce(
+        ev.map_batches(extract, batch_format="pandas"),
+        ["event_type"],
+        {"sum_k": ("k", "sum"), "n": (None, "count")},
+    ).to_pandas()
+    for c in ("sum_k", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_event_value_rank(sf_dir: str):
     """Distributed row_number over an ARBITRARY sort key
     (stages/datapipe.py::global_rank — range-partitioned rank, TeraSort
@@ -1621,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mask_repeated_spans": _q_mask_repeated_spans,
         "corpus_mix": _q_corpus_mix,
         "event_value_rank": _q_event_value_rank,
+        "props_k_by_type": _q_props_k_by_type,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -1793,6 +1832,13 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "props_k_by_type": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(json_extract(props, '$.k')) AS n
+            FROM events
+            GROUP BY event_type
         """,
         "event_value_rank": """
             SELECT event_id, round(value, 6) AS value,
