@@ -1488,6 +1488,23 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis keys from the id hash;
+    stages/datapipe.py::weighted_sample_k): 200 orders sampled
+    proportional to o_totalprice.  Rows-only (the float key ordering is
+    libm-sensitive across engines); pytest asserts the inclusion-rate
+    guarantee and cross-layout determinism."""
+    from table_annotation_ray.stages.datapipe import weighted_sample_k
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = weighted_sample_k(orders, "o_orderkey", "o_totalprice", k=200).to_pandas()
+    out = out.drop(columns="__es_key")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = _round_ha(out["o_totalprice"], 2)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _q_props_k_by_type(sf_dir: str):
     """Semi-structured extraction: parse the JSON ``props`` column
     (real ``json.loads`` per row — per-row work on per-row payloads,
@@ -1660,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _q_corpus_mix,
         "event_value_rank": _q_event_value_rank,
         "props_k_by_type": _q_props_k_by_type,
+        "weighted_sample": _q_weighted_sample,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,

@@ -440,3 +440,47 @@ def global_rank(
     return tagged.groupby("__gr_bucket").map_groups(
         rank_bucket, batch_format="pandas"
     )
+
+
+def weighted_sample_k(
+    ds,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    batch_size: int = 65536,
+):
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis exponential-sort scheme (Inf. Proc. Letters
+    2006): each row gets key ``u^(1/w)`` with ``u`` a deterministic
+    uniform from the multiplicative id hash; the k LARGEST keys are the
+    sample (inclusion probability proportional to weight, exactly the
+    ES guarantee).  Same distributed shape as :func:`bottomk_by_hash`:
+    per-batch partial top-k, then sort+limit over ≤k-per-batch partials
+    — mergeable, order-independent, reproducible (no RNG state).
+
+    Keys are compared as ``log(u)/w`` (monotone transform, better float
+    behavior near 1).  Rows with weight ≤ 0 are excluded (SQL: WHERE
+    w > 0).  Ties broken by id."""
+    import pyarrow as pa
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        w = b[weight_col].to_numpy(dtype=np.float64)
+        u64 = b[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        h = (u64 * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+        u = (h.astype(np.float64) + 0.5) / float(HASH_MOD)  # (0, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(w > 0, np.log(u) / w, -np.inf)
+        out = (
+            b.assign(__es_key=key)
+            .sort_values(["__es_key", id_col], ascending=[False, True],
+                         kind="mergesort")
+            .head(k)
+        )
+        out = out[out["__es_key"] > -np.inf]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .sort(["__es_key", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -360,3 +360,32 @@ def test_global_rank_matches_lexsort(ray_session):
         num_buckets=64, sample_size=3,
     ).to_pandas().sort_values("position")
     assert out2["id"].tolist() == ref["id"].tolist()
+
+
+def test_weighted_sample_k_distribution_and_determinism(ray_session):
+    from table_annotation_ray.stages.datapipe import weighted_sample_k
+
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64)
+    # two strata: weight 9 vs 1 -> heavy items should dominate the sample
+    w = np.where(ids % 10 == 0, 9.0, 1.0)
+    df = pd.DataFrame({"doc_id": ids, "w": w})
+    out = (
+        weighted_sample_k(
+            rd.from_pandas(df).repartition(8), "doc_id", "w", k=1000
+        )
+        .to_pandas()
+    )
+    assert len(out) == 1000
+    heavy_frac = (out["doc_id"] % 10 == 0).mean()
+    # heavy stratum: 10% of rows, 50% of total weight -> ~0.5 of sample
+    assert 0.38 < heavy_frac < 0.62, heavy_frac
+    # deterministic across block layouts
+    out2 = weighted_sample_k(
+        rd.from_pandas(df).repartition(3), "doc_id", "w", k=1000
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # zero/negative weights never sampled
+    df.loc[df["doc_id"] < 100, "w"] = 0.0
+    out3 = weighted_sample_k(rd.from_pandas(df), "doc_id", "w", k=500).to_pandas()
+    assert (out3["doc_id"] >= 100).all()
