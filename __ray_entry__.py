@@ -1488,6 +1488,29 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_approx_distinct_by_type(sf_dir: str):
+    """Per-group HLL distinct counts in one scan
+    (stages/sketches.py::approx_distinct_by_key) vs the exact operator
+    — reports measured rel_err per group (rows-only; pytest bounds
+    <5%)."""
+    from table_annotation_ray.stages.agg import distinct_count_by_key
+    from table_annotation_ray.stages.sketches import approx_distinct_by_key
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    approx = approx_distinct_by_key(ev, ["event_type"], "user_id").to_pandas()
+    exact = distinct_count_by_key(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type"], "user_id", out_col="n_exact",
+    ).to_pandas()
+    out = approx.merge(exact, on="event_type")
+    out["n_exact"] = out["n_exact"].astype("int64")
+    out["rel_err"] = _round_ha(
+        (out["approx_distinct"] - out["n_exact"]).abs() / out["n_exact"], 4
+    )
+    out["approx_distinct"] = _round_ha(out["approx_distinct"], 1)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis keys from the id hash;
@@ -1678,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_rank": _q_event_value_rank,
         "props_k_by_type": _q_props_k_by_type,
         "weighted_sample": _q_weighted_sample,
+        "approx_distinct_by_type": _q_approx_distinct_by_type,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,

@@ -268,3 +268,63 @@ def heavy_hitters(
     out = counts[counts["n"] >= min_count].sort_values(col).reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def approx_distinct_by_key(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    col: str,
+    p: int = 12,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+    out_col: str = "approx_distinct",
+) -> rd.Dataset:
+    """Per-group approximate distinct counts in ONE streaming scan —
+    the sketch counterpart of stages/agg.py::distinct_count_by_key
+    (exact, two exchanges of distinct pairs).  One HLL per (group,
+    batch) map-side, ``hash(group) % num_buckets`` exchange (the
+    grouped_reduce shape — never per-group Ray groups), in-bucket
+    register-max merge per group.  Sketch rows are 2^p bytes each;
+    shrink ``p`` or raise ``batch_size`` if groups-per-batch ×
+    2^p bytes dominates the exchange."""
+    nb = np.uint64(num_buckets)
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(key_cols, kind="mergesort")
+        hashes = _hash64(b[col])
+        keys = b[key_cols].to_records(index=False)
+        bounds = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1, len(b)]
+        rows_k, rows_s = [], []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            hll = HyperLogLog(p)
+            hll.add_hashes(hashes[s:t])
+            rows_k.append(s)
+            rows_s.append(hll.to_bytes())
+        out = b.iloc[rows_k][key_cols].reset_index(drop=True)
+        out["sk"] = rows_s
+        out["__ad_bkt"] = (
+            pd.util.hash_pandas_object(
+                out[key_cols[0]] if len(key_cols) == 1 else out[key_cols],
+                index=False,
+            ).to_numpy()
+            % nb
+        ).astype(np.int64)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, sub in g.groupby(key_cols, sort=False):
+            regs = np.stack(
+                [np.frombuffer(x, dtype=np.uint8) for x in sub["sk"]]
+            ).max(axis=0)
+            est = HyperLogLog(p, registers=regs).estimate()
+            row = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+            row[out_col] = est
+            outs.append(row)
+        return pd.DataFrame(outs)
+
+    return (
+        ds.map_batches(sketch_partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("__ad_bkt")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )

@@ -389,3 +389,28 @@ def test_weighted_sample_k_distribution_and_determinism(ray_session):
     df.loc[df["doc_id"] < 100, "w"] = 0.0
     out3 = weighted_sample_k(rd.from_pandas(df), "doc_id", "w", k=500).to_pandas()
     assert (out3["doc_id"] >= 100).all()
+
+
+def test_approx_distinct_by_key_rel_error(ray_session):
+    from table_annotation_ray.stages.sketches import approx_distinct_by_key
+
+    rng = np.random.default_rng(47)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(0, 5000, n).astype(np.int64),
+        }
+    )
+    out = (
+        approx_distinct_by_key(
+            rd.from_pandas(df).repartition(6), ["g"], "v", batch_size=8192
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    ref = df.groupby("g")["v"].nunique()
+    assert out["g"].tolist() == list(ref.index)
+    rel = (out["approx_distinct"].to_numpy() - ref.to_numpy()) / ref.to_numpy()
+    assert (np.abs(rel) < 0.05).all(), rel
