@@ -146,6 +146,10 @@ def main_single():
                 "turns_per_sec": headline["turns_per_sec"],
                 "triples": headline["triples"],
                 "canary_sec": canary,
+                # single-core canary misses multi-core contention; the
+                # load average catches external core-stealing (observed
+                # loadavg 6+ with zero local work on this box)
+                "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -620,19 +620,30 @@ def repeated_ngrams(
     )
 
 
-def _window_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of every char k-gram window, identical to the
-    ``hash_only`` hashing in :func:`repeated_ngrams` (pandas string
-    hash), so the two passes agree."""
-    n = len(text) - k + 1
-    if n <= 0:
-        return np.empty(0, dtype=np.int64)
-    grams = pd.Series([text[i : i + k] for i in range(n)], dtype="object")
-    return (
-        pd.util.hash_pandas_object(grams, index=False)
+def _window_hashes_batch(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hashes of every char k-gram window for a WHOLE BATCH of
+    texts — one pandas hash call total (a per-document Series
+    construction + hash was measured 133 s over 5k docs; this shape is
+    ~3 s).  Hashing is identical to ``hash_only`` in
+    :func:`repeated_ngrams`, so the passes agree.  Returns (hashes,
+    windows-per-doc counts); split doc d's hashes via the count
+    prefix sums."""
+    grams: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        n = max(len(t) - k + 1, 0)
+        counts[i] = n
+        grams.extend(t[j : j + k] for j in range(n))
+    if not grams:
+        return np.empty(0, dtype=np.int64), counts
+    hs = (
+        pd.util.hash_pandas_object(pd.Series(grams, dtype="object"), index=False)
         .to_numpy(dtype=np.uint64)
         .view(np.int64)
     )
+    return hs, counts
 
 
 def _merge_spans(positions: np.ndarray, k: int) -> list[tuple[int, int]]:
@@ -719,20 +730,33 @@ def mask_repeated_spans(
             gmap = get_worker_state(
                 ("mask_spans", ref_key(gmap_ref)), lambda: ray.get(gmap_ref)
             )
-            ids, texts, n_spans, n_drop = [], [], [], []
-            for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
-                hs = _window_hashes(text, k)
-                owners = pd.Series(hs).map(gmap)
-                hit = (owners.notna() & (owners != doc_id)).to_numpy()
-                new_text, ns, nd = rewrite_one(text, np.flatnonzero(hit))
-                ids.append(doc_id)
-                texts.append(new_text)
+            texts = b[text_col].fillna("").tolist()
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            hs, counts = _window_hashes_batch(texts, k)
+            offsets = np.r_[0, np.cumsum(counts)]
+            # keep owner ids on an object path: int64 ids must not round-
+            # trip through the float64 that fillna/NaN would force
+            owners = pd.Series(hs).map(gmap).to_numpy()
+            doc_of = np.repeat(ids, counts)
+            notna = ~pd.isna(owners)
+            ow_int = np.zeros(len(hs), dtype=np.int64)
+            if notna.any():
+                ow_int[notna] = owners[notna].astype(np.int64)
+            hit = notna & (ow_int != doc_of)
+            pos_global = np.arange(len(hs), dtype=np.int64) - np.repeat(
+                offsets[:-1], counts
+            )
+            out_t, n_spans, n_drop = [], [], []
+            for i, text in enumerate(texts):
+                s, t = offsets[i], offsets[i + 1]
+                new_text, ns, nd = rewrite_one(text, pos_global[s:t][hit[s:t]])
+                out_t.append(new_text)
                 n_spans.append(ns)
                 n_drop.append(nd)
             return pa.table(
                 {
-                    id_col: pa.array(np.asarray(ids, dtype=np.int64)),
-                    text_col: pa.array(texts, pa.string()),
+                    id_col: pa.array(ids),
+                    text_col: pa.array(out_t, pa.string()),
                     "n_spans": pa.array(np.asarray(n_spans, dtype=np.int64)),
                     "n_dropped_chars": pa.array(np.asarray(n_drop, dtype=np.int64)),
                 }
@@ -746,17 +770,15 @@ def mask_repeated_spans(
     NB = np.uint64(num_buckets)
 
     def win_rows(b: pd.DataFrame) -> pa.Table:
-        ids, pos, hs = [], [], []
-        for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
-            h = _window_hashes(text, k)
-            hs.append(h)
-            pos.append(np.arange(len(h), dtype=np.int64))
-            ids.append(np.full(len(h), doc_id, dtype=np.int64))
-        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+        texts = b[text_col].fillna("").tolist()
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        h, counts = _window_hashes_batch(texts, k)
+        offsets = np.r_[0, np.cumsum(counts)]
+        pos = np.arange(len(h), dtype=np.int64) - np.repeat(offsets[:-1], counts)
         return pa.table(
             {
-                id_col: np.concatenate(ids) if ids else np.empty(0, np.int64),
-                "pos": np.concatenate(pos) if pos else np.empty(0, np.int64),
+                id_col: np.repeat(ids, counts),
+                "pos": pos,
                 "gram_hash": h,
                 "min_doc": np.full(len(h), -1, dtype=np.int64),  # sentinel
                 "__ms_bkt": (h.astype(np.uint64) % NB).astype(np.int64),

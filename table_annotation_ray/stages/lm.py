@@ -111,30 +111,37 @@ def score_perplexity(
         uni, bi, V, k = m["uni"], m["bi"], m["V"], m["k"]
         kv = k * V
         oov_lp = math.log(k / kv)  # c(a,b)=0, c(a)=0
-        ids, counts, ppls = [], [], []
-        for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
-            ts = _tokenize(text)
-            ids.append(doc_id)
-            if len(ts) < 2:
-                counts.append(0)
-                ppls.append(math.exp(-oov_lp))
-                continue
-            pairs = pd.Series(list(zip(ts[:-1], ts[1:])), dtype="object")
-            cab = pairs.map(bi).fillna(0.0).to_numpy(dtype=np.float64)
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        # batch-level vectorization: ONE pairs Series + ONE map per
+        # batch (a per-doc Series construction was measured 15 s over
+        # 5k docs; this shape is ~2 s), per-doc means via reduceat
+        tok_lists = [_tokenize(t) for t in b[text_col].fillna("")]
+        counts = np.array([max(len(ts) - 1, 0) for ts in tok_lists], dtype=np.int64)
+        a_all = [t for ts in tok_lists for t in ts[:-1]]
+        b_all = [t for ts in tok_lists for t in ts[1:]]
+        if a_all:
+            cab = (
+                pd.Series(list(zip(a_all, b_all)), dtype="object")
+                .map(bi).fillna(0.0).to_numpy(dtype=np.float64)
+            )
             ca = (
-                pd.Series(ts[:-1], dtype="object")
-                .map(uni)
-                .fillna(0.0)
-                .to_numpy(dtype=np.float64)
+                pd.Series(a_all, dtype="object")
+                .map(uni).fillna(0.0).to_numpy(dtype=np.float64)
             )
             lp = np.log((cab + k) / (ca + kv))
-            counts.append(len(pairs))
-            ppls.append(float(np.exp(-lp.mean())))
+        else:
+            lp = np.empty(0)
+        offsets = np.r_[0, np.cumsum(counts)]
+        ppls = np.full(len(ids), math.exp(-oov_lp))
+        nz = counts > 0
+        if nz.any():
+            sums = np.add.reduceat(lp, offsets[:-1][nz])
+            ppls[nz] = np.exp(-sums / counts[nz])
         return pa.table(
             {
-                id_col: pa.array(np.asarray(ids, dtype=np.int64)),
-                "n_bigrams": pa.array(np.asarray(counts, dtype=np.int64)),
-                "ppl": pa.array(np.asarray(ppls, dtype=np.float64)),
+                id_col: pa.array(ids),
+                "n_bigrams": pa.array(counts),
+                "ppl": pa.array(ppls),
             }
         )
 
