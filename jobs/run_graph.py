@@ -69,11 +69,21 @@ def main() -> int:
         if args.engine == "sharded":
             from table_annotation_ray.state.graph_shards import pagerank_sharded
 
-            ranks = pagerank_sharded(
+            # shards write their own rank parts — node-cardinality state
+            # never routes through the driver
+            manifest = pagerank_sharded(
                 edges, src=args.src, dst=args.dst, damping=args.damping,
                 iters=args.iters, num_shards=args.num_shards,
+                out_dir=args.out,
             )
-            out_ds = rd.from_pandas(ranks)
+            print(json.dumps({
+                "algo": "pagerank", "engine": "sharded",
+                "n_edges": int(n_edges),
+                "n_nodes": int(sum(m["rows"] for m in manifest)),
+                "iters": args.iters, "out": args.out,
+            }))
+            ray.shutdown()
+            return 0
         else:
             from table_annotation_ray.stages.graph import pagerank
 

@@ -151,6 +151,16 @@ class GraphShard:
     def ranks(self) -> pd.DataFrame:
         return pd.DataFrame({"node": self.nodes, "rank": self.rank})
 
+    def write_ranks(self, out_dir: str) -> dict:
+        """Each shard writes its own Parquet part — node-cardinality
+        state never routes through the driver."""
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"ranks_shard_{self.k}.parquet")
+        pq.write_table(
+            pa.table({"node": self.nodes, "rank": self.rank}), path
+        )
+        return {"shard": self.k, "rows": int(len(self.nodes)), "path": path}
+
 
 def pagerank_sharded(
     edges: rd.Dataset,
@@ -161,10 +171,13 @@ def pagerank_sharded(
     num_shards: int = 8,
     num_cpus_per_shard: float = 0.5,
     scratch_dir: str | None = None,
-) -> pd.DataFrame:
+    out_dir: str | None = None,
+):
     """Edges read once, iterations exchange only rank partials.
-    Returns a pandas frame (node, rank) — node-cardinality state lives
-    on the shards; collect to a Dataset upstream if needed."""
+    With ``out_dir`` each shard writes its own rank Parquet part and a
+    manifest list is returned — node-cardinality state never touches
+    the driver (the at-scale path).  Without it, returns a pandas frame
+    (node, rank) — convenient below driver scale."""
     root = scratch_dir or tempfile.mkdtemp(prefix="pr_shards_", dir="/tmp")
     os.makedirs(root, exist_ok=True)
 
@@ -235,6 +248,11 @@ def pagerank_sharded(
             ]
         )
 
+    if out_dir is not None:
+        manifest = ray.get([a.write_ranks.remote(out_dir) for a in actors])
+        for a in actors:
+            ray.kill(a)
+        return manifest
     frames = ray.get([a.ranks.remote() for a in actors])
     for a in actors:
         ray.kill(a)
