@@ -1488,6 +1488,23 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_frequent_users_by_type(sf_dir: str):
+    """EXACT per-group heavy hitters (stages/sketches.py::
+    grouped_heavy_hitters): users with ≥20 events of a type — per-group
+    Misra-Gries candidates (superset guaranteed while min_count ≥
+    N_g/k, asserted) + one exact grouped_reduce verify pass over
+    candidates only."""
+    from table_annotation_ray.stages.sketches import grouped_heavy_hitters
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_heavy_hitters(
+        ev, ["event_type"], "user_id", min_count=20, k=4096
+    ).to_pandas()
+    for c in ("user_id", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "user_id"]).reset_index(drop=True)
+
+
 def _q_approx_distinct_by_type(sf_dir: str):
     """Per-group HLL distinct counts in one scan
     (stages/sketches.py::approx_distinct_by_key) vs the exact operator
@@ -1702,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type": _q_props_k_by_type,
         "weighted_sample": _q_weighted_sample,
         "approx_distinct_by_type": _q_approx_distinct_by_type,
+        "frequent_users_by_type": _q_frequent_users_by_type,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -1874,6 +1892,11 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "frequent_users_by_type": """
+            SELECT event_type, user_id, count(*) AS n
+            FROM events GROUP BY event_type, user_id
+            HAVING count(*) >= 20
         """,
         "props_k_by_type": """
             SELECT event_type,

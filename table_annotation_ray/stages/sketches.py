@@ -328,3 +328,102 @@ def approx_distinct_by_key(
         .groupby("__ad_bkt")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+
+def grouped_heavy_hitters(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    col: str,
+    min_count: int,
+    k: int = 1024,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """EXACT per-group heavy hitters — ``GROUP BY keys, value HAVING
+    count >= min_count`` with the value space too large to aggregate
+    raw: per-(group, batch) Misra-Gries candidate sketches merge in a
+    hash-bucket exchange (one MG per group is a superset of its ≥ N_g/k
+    keys), then ONE exact verification pass counts only candidate
+    (group, value) pairs via grouped_reduce.  Exactness requires
+    ``min_count ≥ N_g/k`` for every group — asserted from the
+    piggybacked per-group row counts, never silently violated.
+
+    Output: one row per (keys, value) with ``n ≥ min_count``."""
+    import pickle
+
+    nb = np.uint64(num_buckets)
+    pair_cols = key_cols + [col]
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows_k, rows_s, rows_n = [], [], []
+        for key, sub in b.groupby(key_cols, sort=False):
+            mg = MisraGries(k)
+            for v, cnt in sub[col].value_counts().items():
+                mg.add(v, int(cnt))
+            rows_k.append(key if isinstance(key, tuple) else (key,))
+            rows_s.append(pickle.dumps(mg.candidates()))
+            rows_n.append(len(sub))
+        out = pd.DataFrame(rows_k, columns=key_cols)
+        out["sk"] = rows_s
+        out["rows"] = pd.Series(rows_n, dtype="int64")
+        out["__gh_bkt"] = (
+            pd.util.hash_pandas_object(
+                out[key_cols[0]] if len(key_cols) == 1 else out[key_cols],
+                index=False,
+            ).to_numpy()
+            % nb
+        ).astype(np.int64)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in g.groupby(key_cols, sort=False):
+            mg = MisraGries(k)
+            n = 0
+            for blob, cnt in zip(sub["sk"], sub["rows"]):
+                for v, c in pickle.loads(blob).items():
+                    mg.add(v, int(c))
+                n += int(cnt)
+            assert min_count >= n / k, (
+                f"min_count={min_count} below N_g/k={n / k:.1f} for group "
+                f"{key!r}; raise k or min_count"
+            )
+            for v in mg.candidates():
+                row = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+                row[col] = v
+                rows.append(row)
+        return pd.DataFrame(rows, columns=pair_cols)
+
+    cands = (
+        ds.map_batches(sketch_partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("__gh_bkt")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    import pyarrow as pa
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    cand_set = set(map(tuple, cands[pair_cols].itertuples(index=False)))
+    cref = ray.put(cand_set)
+
+    def filter_cand(b: pd.DataFrame) -> pa.Table:
+        cs = get_worker_state(("ghh", ref_key(cref)), lambda: ray.get(cref))
+        keep = [tuple(t) in cs for t in b[pair_cols].itertuples(index=False)]
+        return pa.Table.from_pandas(
+            b.loc[keep, pair_cols], preserve_index=False
+        )
+
+    from .agg import grouped_reduce
+
+    counts = grouped_reduce(
+        ds.map_batches(filter_cand, batch_format="pandas", batch_size=batch_size),
+        pair_cols,
+        {"n": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    return counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n"], pa.scalar(min_count))),
+        batch_format="pyarrow",
+    )

@@ -414,3 +414,32 @@ def test_approx_distinct_by_key_rel_error(ray_session):
     assert out["g"].tolist() == list(ref.index)
     rel = (out["approx_distinct"].to_numpy() - ref.to_numpy()) / ref.to_numpy()
     assert (np.abs(rel) < 0.05).all(), rel
+
+
+def test_grouped_heavy_hitters_exact(ray_session):
+    from table_annotation_ray.stages.sketches import grouped_heavy_hitters
+
+    rng = np.random.default_rng(53)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], n),
+            "v": rng.zipf(1.5, n).astype(np.int64) % 500,
+        }
+    )
+    out = (
+        grouped_heavy_hitters(
+            rd.from_pandas(df).repartition(6), ["g"], "v",
+            min_count=100, k=512, batch_size=4096,
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby(["g", "v"], as_index=False).size().rename(columns={"size": "n"})
+    )
+    ref = ref[ref["n"] >= 100].sort_values(["g", "v"]).reset_index(drop=True)
+    assert out["g"].tolist() == ref["g"].tolist()
+    assert out["v"].astype("int64").tolist() == ref["v"].tolist()
+    assert out["n"].astype("int64").tolist() == ref["n"].tolist()
