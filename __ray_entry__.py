@@ -1488,6 +1488,28 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_lineitem_profile(sf_dir: str):
+    """One-pass per-column data-quality profile
+    (stages/datapipe.py::profile_columns): row/null counts, min/max,
+    sums for numerics, length ranges for strings — the ingestion
+    validation scan, SQL-mirrored with a UNION ALL of per-column
+    aggregates."""
+    from table_annotation_ray.stages.datapipe import profile_columns
+
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount",
+                "l_returnflag", "l_linestatus"])
+    out = profile_columns(
+        li,
+        numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        string_cols=["l_returnflag", "l_linestatus"],
+    ).rename(columns={"column": "col"})
+    out["min"] = _round_ha(out["min"], 6)
+    out["max"] = _round_ha(out["max"], 6)
+    out["sum"] = _round_ha(out["sum"], 2)
+    return out.sort_values("col").reset_index(drop=True)
+
+
 def _q_frequent_users_by_type(sf_dir: str):
     """EXACT per-group heavy hitters (stages/sketches.py::
     grouped_heavy_hitters): users with ≥20 events of a type — per-group
@@ -1720,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "approx_distinct_by_type": _q_approx_distinct_by_type,
         "frequent_users_by_type": _q_frequent_users_by_type,
+        "lineitem_profile": _q_lineitem_profile,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -1892,6 +1915,34 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "lineitem_profile": """
+            SELECT 'l_quantity' AS col, count(*) AS n_rows,
+                   count(*) - count(l_quantity) AS n_nulls,
+                   round(min(l_quantity), 6) AS min,
+                   round(max(l_quantity), 6) AS max,
+                   round(sum(l_quantity), 2) AS sum
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   count(*) - count(l_extendedprice),
+                   round(min(l_extendedprice), 6),
+                   round(max(l_extendedprice), 6),
+                   round(sum(l_extendedprice), 2)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*), count(*) - count(l_discount),
+                   round(min(l_discount), 6), round(max(l_discount), 6),
+                   round(sum(l_discount), 2)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+                   min(length(l_returnflag)), max(length(l_returnflag)), 0.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+                   min(length(l_linestatus)), max(length(l_linestatus)), 0.0
+            FROM lineitem
         """,
         "frequent_users_by_type": """
             SELECT event_type, user_id, count(*) AS n

@@ -484,3 +484,63 @@ def weighted_sample_k(
         .sort(["__es_key", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def profile_columns(
+    ds,
+    numeric_cols: list[str],
+    string_cols: list[str] | None = None,
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """One-pass data-quality profile — per column: row/null counts,
+    min/max, and sum (numerics) or min/max length (strings).  The
+    ingestion-validation primitive (schema drift, null explosions,
+    out-of-range values) as one streaming scan: per-batch vectorized
+    partials, canonical-sorted driver merge (partial count is
+    O(batches); route through sketches.tree_reduce beyond ~10^5
+    batches).  Returns one LONG row per column: (column, n_rows,
+    n_nulls, min, max, sum) with min/max/sum for strings being
+    length-based and sum null."""
+    string_cols = string_cols or []
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        n = len(b)
+        for c in numeric_cols:
+            v = b[c]
+            nn = int(v.isna().sum())
+            vv = v.dropna()
+            rows.append(
+                (c, n, nn,
+                 float(vv.min()) if len(vv) else np.nan,
+                 float(vv.max()) if len(vv) else np.nan,
+                 float(vv.sum()) if len(vv) else 0.0)
+            )
+        for c in string_cols:
+            v = b[c]
+            nn = int(v.isna().sum())
+            ln = v.dropna().str.len()
+            rows.append(
+                (c, n, nn,
+                 float(ln.min()) if len(ln) else np.nan,
+                 float(ln.max()) if len(ln) else np.nan,
+                 np.nan)
+            )
+        return pd.DataFrame(
+            rows, columns=["column", "n_rows", "n_nulls", "mn", "mx", "sm"]
+        )
+
+    parts = ds.map_batches(
+        part, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    parts = parts.sort_values(["column", "n_rows", "mn", "mx"], kind="mergesort")
+    out = parts.groupby("column", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        n_nulls=("n_nulls", "sum"),
+        min=("mn", "min"),
+        max=("mx", "max"),
+        sum=("sm", "sum"),
+    )
+    for c in ("n_rows", "n_nulls"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)

@@ -443,3 +443,22 @@ def test_grouped_heavy_hitters_exact(ray_session):
     assert out["g"].tolist() == ref["g"].tolist()
     assert out["v"].astype("int64").tolist() == ref["v"].tolist()
     assert out["n"].astype("int64").tolist() == ref["n"].tolist()
+
+
+def test_profile_columns_nulls_and_merge(ray_session):
+    from table_annotation_ray.stages.datapipe import profile_columns
+
+    df = pd.DataFrame(
+        {
+            "x": [1.0, None, 3.5, -2.0, None, 10.0],
+            "s": ["ab", None, "", "abcd", "x", None],
+        }
+    )
+    out = profile_columns(
+        rd.from_pandas(df).repartition(3), ["x"], ["s"], batch_size=2
+    ).set_index("column")
+    assert int(out.loc["x", "n_rows"]) == 6 and int(out.loc["x", "n_nulls"]) == 2
+    assert out.loc["x", "min"] == -2.0 and out.loc["x", "max"] == 10.0
+    assert abs(out.loc["x", "sum"] - 12.5) < 1e-12
+    assert int(out.loc["s", "n_nulls"]) == 2
+    assert out.loc["s", "min"] == 0.0 and out.loc["s", "max"] == 4.0
