@@ -1488,6 +1488,36 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental near-dedup (stages/dedup.py::cross_corpus_near_dups):
+    a deterministic 20% hash sample of documents, re-ingested with
+    offset ids, is deduped AGAINST the full corpus — only cross-side
+    pairs are generated (the base's quadratic term never exists).
+    Rows-only; pytest pins cross-side-only pairing, planted recall and
+    base-internal-dup exclusion."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.datapipe import id_hash_bucket
+    from table_annotation_ray.stages.dedup import cross_corpus_near_dups
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def resample(b: pd.DataFrame) -> pa.Table:
+        keep = id_hash_bucket(b["doc_id"]) < 20
+        out = b.loc[keep].copy()
+        out["doc_id"] = out["doc_id"] + 1_000_000_000
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        resample, batch_format="pandas"
+    )
+    out = cross_corpus_near_dups(new, base, threshold=0.8).to_pandas()
+    out["jaccard"] = _round_ha(out["jaccard"], 4)
+    for c in ("a", "b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_lineitem_profile(sf_dir: str):
     """One-pass per-column data-quality profile
     (stages/datapipe.py::profile_columns): row/null counts, min/max,
@@ -1743,6 +1773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_by_type": _q_approx_distinct_by_type,
         "frequent_users_by_type": _q_frequent_users_by_type,
         "lineitem_profile": _q_lineitem_profile,
+        "incremental_dedup": _q_incremental_dedup,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,

@@ -1215,3 +1215,86 @@ def simhash_near_pairs(
     from .agg import bucketed_distinct
 
     return bucketed_distinct(cand, ["a", "b"])
+
+
+def cross_corpus_near_dups(
+    new_docs: rd.Dataset,
+    base_docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+    max_bucket: int = 200,
+    broadcast_below: int = 100_000,
+) -> rd.Dataset:
+    """Incremental near-deduplication: (new_id, base_id, jaccard) pairs
+    between an INCOMING batch of documents and an EXISTING corpus — the
+    shape every continuously-ingesting pipeline needs (dedup new data
+    against what is already in the corpus, never re-pairing the base
+    against itself).  Ids across the two datasets must be disjoint
+    (offset upstream).
+
+    Both sides run the shared vectorized MinHash band stage (identical
+    hasher constants, so a doc pairs with its prior copy with the
+    standard LSH recall); candidates come from ONE groupby on
+    (band, band_hash) emitting only CROSS-side pairs — |new|×|base|
+    within a bucket, never base×base (the base side's quadratic term,
+    which dwarfs everything in steady state, is gone by construction).
+    Exact verify via :func:`jaccard_verify` over the unioned texts.
+    ``max_bucket`` caps degenerate buckets per side (counted upstream
+    in minhash_candidate_pairs' stats pattern)."""
+    new_b = minhash_bands(new_docs, id_col, text_col, num_perms, bands, ngram, seed)
+    base_b = minhash_bands(base_docs, id_col, text_col, num_perms, bands, ngram, seed)
+
+    def tag(side: int):
+        def f(b: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {
+                    "band": b["band"].to_numpy(dtype=np.int64),
+                    "band_hash": b["band_hash"].to_numpy(dtype=np.int64),
+                    id_col: b[id_col].to_numpy(dtype=np.int64),
+                    "__side": np.full(len(b), side, dtype=np.int64),
+                    "__cb": (
+                        (b["band"].to_numpy(dtype=np.int64) * np.int64(1_000_003)
+                         + b["band_hash"].to_numpy(dtype=np.int64))
+                        % np.int64(64)
+                    ),
+                }
+            )
+        return f
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            news = np.unique(sub.loc[sub["__side"] == 0, id_col].to_numpy())
+            bases = np.unique(sub.loc[sub["__side"] == 1, id_col].to_numpy())
+            if len(news) == 0 or len(bases) == 0:
+                continue
+            news = news[:max_bucket]
+            bases = bases[:max_bucket]
+            out_a.append(np.repeat(news, len(bases)))
+            out_b.append(np.tile(bases, len(news)))
+        if not out_a:
+            e = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"a": e, "b": e})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    cand = (
+        new_b.map_batches(tag(0), batch_format="pandas")
+        .union(base_b.map_batches(tag(1), batch_format="pandas"))
+        .groupby("__cb")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    all_docs = new_docs.select_columns([id_col, text_col]).union(
+        base_docs.select_columns([id_col, text_col])
+    )
+    return jaccard_verify(
+        cand, all_docs, id_col=id_col, text_col=text_col,
+        threshold=threshold, broadcast_below=broadcast_below,
+        gram_fn=lambda t: _word_ngrams(t, ngram),
+    )

@@ -462,3 +462,45 @@ def test_profile_columns_nulls_and_merge(ray_session):
     assert abs(out.loc["x", "sum"] - 12.5) < 1e-12
     assert int(out.loc["s", "n_nulls"]) == 2
     assert out.loc["s", "min"] == 0.0 and out.loc["s", "max"] == 4.0
+
+
+def test_cross_corpus_near_dups(ray_session):
+    from table_annotation_ray.stages.dedup import cross_corpus_near_dups
+
+    rng = np.random.default_rng(61)
+    words = ["alpha","beta","gamma","delta","epsilon","zeta","eta","theta",
+             "iota","kappa","lam","mu","nu","xi","omicron","pi"]
+    def doc(seed, n=30):
+        r = np.random.default_rng(seed)
+        return " ".join(r.choice(words, n))
+    base = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "text": [doc(s) for s in range(100)],
+    })
+    # new batch: 10 near-copies of base docs (one word changed) + 20 fresh
+    new_rows = []
+    for i in range(10):
+        toks = base.loc[i, "text"].split()
+        toks[5] = "CHANGED"
+        new_rows.append({"doc_id": 1000 + i, "text": " ".join(toks)})
+    for i in range(20):
+        new_rows.append({"doc_id": 1100 + i, "text": doc(10_000 + i)})
+    new = pd.DataFrame(new_rows)
+    # duplicate pair INSIDE base must NOT be reported
+    base.loc[99, "text"] = base.loc[98, "text"]
+
+    out = cross_corpus_near_dups(
+        rd.from_pandas(new).repartition(3),
+        rd.from_pandas(base).repartition(4),
+        threshold=0.5,
+    ).to_pandas()
+    # every pair crosses sides: a is a new id, b a base id (or vice versa)
+    sides = {True: "new", False: "base"}
+    for a, b in zip(out["a"], out["b"]):
+        assert sides[a >= 1000] != sides[b >= 1000], (a, b)
+    # the planted copies are found
+    found = {(min(a, b), max(a, b)) for a, b in zip(out["a"], out["b"])}
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert len(planted & found) >= 8  # LSH recall, 16 bands / 4 rows
+    # base-internal dup (98, 99) absent
+    assert (98, 99) not in found
