@@ -1488,6 +1488,46 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention — users grouped by first-event day, distinct
+    active users per (cohort_day, active_day).  Pure composition of the
+    repo's operators: grouped_reduce (first event per user) →
+    equi_join (events ⋈ cohorts on user, size-gated) →
+    distinct_count_by_key on the day pair.  SQL mirror: min-over-group
+    + join + count(DISTINCT)."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.agg import distinct_count_by_key, grouped_reduce
+    from table_annotation_ray.stages.relational import equi_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].to_numpy(dtype=np.int64),
+                "day": b["ts"].dt.floor("D").to_numpy(),
+            }
+        )
+
+    days = ev.map_batches(to_day, batch_format="pandas")
+    cohorts = grouped_reduce(days, ["user_id"], {"cohort_day": ("day", "min")})
+    joined = equi_join(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            to_day, batch_format="pandas"
+        ),
+        cohorts,
+        "user_id",
+    )
+    out = distinct_count_by_key(
+        joined, ["cohort_day", "day"], "user_id", out_col="n_users"
+    ).to_pandas()
+    out["cohort_day"] = pd.to_datetime(out["cohort_day"]).dt.strftime("%Y-%m-%d")
+    out["day"] = pd.to_datetime(out["day"]).dt.strftime("%Y-%m-%d")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day"]).reset_index(drop=True)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental near-dedup (stages/dedup.py::cross_corpus_near_dups):
     a deterministic 20% hash sample of documents, re-ingested with
@@ -1774,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_users_by_type": _q_frequent_users_by_type,
         "lineitem_profile": _q_lineitem_profile,
         "incremental_dedup": _q_incremental_dedup,
+        "cohort_retention": _q_cohort_retention,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -1946,6 +1987,17 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "cohort_retention": """
+            WITH c AS (
+                SELECT user_id,
+                       strftime(min(date_trunc('day', ts)), '%Y-%m-%d') AS cohort_day
+                FROM events GROUP BY user_id)
+            SELECT c.cohort_day,
+                   strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN c ON e.user_id = c.user_id
+            GROUP BY 1, 2
         """,
         "lineitem_profile": """
             SELECT 'l_quantity' AS col, count(*) AS n_rows,
