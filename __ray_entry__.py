@@ -1488,6 +1488,37 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_value_outliers(sf_dir: str):
+    """Per-group quantile outlier filter — events strictly above their
+    type's exact p99 (grouped_quantiles → broadcast thresholds → one
+    streaming filter pass).  The anomaly-gate composition; SQL mirrors
+    the rank-k quantile then the same join+filter."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.quantiles import grouped_quantiles
+
+    q = grouped_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]), "event_type", "value",
+        [0.99],
+    )
+    thresholds = dict(zip(q["event_type"], q["value"]))
+
+    def flt(b: pd.DataFrame) -> pa.Table:
+        thr = b["event_type"].map(thresholds).to_numpy(dtype=np.float64)
+        keep = b["value"].to_numpy(dtype=np.float64) > thr
+        out = b.loc[keep, ["event_id", "event_type", "value"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(flt, batch_format="pandas")
+        .to_pandas()
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value"] = _round_ha(out["value"], 6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention — users grouped by first-event day, distinct
     active users per (cohort_day, active_day).  Pure composition of the
@@ -1815,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": _q_lineitem_profile,
         "incremental_dedup": _q_incremental_dedup,
         "cohort_retention": _q_cohort_retention,
+        "value_outliers": _q_value_outliers,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -1987,6 +2019,19 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "value_outliers": """
+            WITH ranked AS (
+                SELECT event_type, value AS v,
+                       row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events),
+            p99 AS (
+                SELECT event_type, v AS thr
+                FROM ranked WHERE rn = CAST(ceil(0.99 * n) AS BIGINT))
+            SELECT e.event_id, e.event_type, round(e.value, 6) AS value
+            FROM events e JOIN p99 USING (event_type)
+            WHERE e.value > p99.thr
         """,
         "cohort_retention": """
             WITH c AS (
