@@ -456,10 +456,21 @@ def _jaccard_verify_broadcast(
 
         tx = get_worker_state(("jacc-texts", ref_key(texts_ref)), lambda: ray.get(texts_ref))
         batch = batch.drop_duplicates(subset=["a", "b"])
+        # per-batch gram-set memo: near-dup CLUSTERS repeat the same doc
+        # across many pairs — recomputing its gram set per pair made the
+        # verify 50 s instead of ~3 s on a clustered sf0.1 corpus
+        memo: dict = {}
+
+        def grams(doc_id):
+            s = memo.get(doc_id)
+            if s is None:
+                s = memo[doc_id] = gf(tx.get(doc_id, ""))
+            return s
+
         keep_a, keep_b, sims = [], [], []
         for a, b in zip(batch["a"], batch["b"]):
-            sa = gf(tx.get(a, ""))
-            sb = gf(tx.get(b, ""))
+            sa = grams(a)
+            sb = grams(b)
             if not sa or not sb:
                 continue
             j = len(sa & sb) / len(sa | sb)
@@ -1289,6 +1300,9 @@ def cross_corpus_near_dups(
         .union(base_b.map_batches(tag(1), batch_format="pandas"))
         .groupby("__cb")
         .map_groups(pairs, batch_format="pandas")
+        # groupby output block count caps downstream task parallelism
+        # (CLAUDE.md); without this the fused verify ran as 2 tasks
+        .repartition(32)
     )
     all_docs = new_docs.select_columns([id_col, text_col]).union(
         base_docs.select_columns([id_col, text_col])
