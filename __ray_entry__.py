@@ -1488,6 +1488,21 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Fixed-token chunk assignments with overlap
+    (stages/datapipe.py::chunk_documents): 64-token windows, 8-token
+    overlap — the RAG/context-window preprocessing table, fully
+    vectorized.  SQL mirrors the chunk-count closed form + a positional
+    range explode."""
+    from table_annotation_ray.stages.datapipe import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8).to_pandas()
+    for c in ("doc_id", "chunk_idx", "start_tok", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _q_value_outliers(sf_dir: str):
     """Per-group quantile outlier filter — events strictly above their
     type's exact p99 (grouped_quantiles → broadcast thresholds → one
@@ -1847,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "cohort_retention": _q_cohort_retention,
         "value_outliers": _q_value_outliers,
+        "chunk_documents": _q_chunk_documents,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -2019,6 +2035,25 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n
+                FROM documents),
+            c AS (
+                SELECT doc_id, n,
+                       unnest(range(0,
+                           CASE WHEN n = 0 THEN 0
+                                WHEN n <= 64 THEN 1
+                                ELSE 1 + CAST(ceil((n - 64) / 56.0) AS BIGINT)
+                           END)) AS chunk_idx
+                FROM t)
+            SELECT doc_id, chunk_idx, chunk_idx * 56 AS start_tok,
+                   least(64, n - chunk_idx * 56) AS n_tokens
+            FROM c
         """,
         "value_outliers": """
             WITH ranked AS (

@@ -544,3 +544,59 @@ def profile_columns(
     for c in ("n_rows", "n_nulls"):
         out[c] = out[c].astype("int64")
     return out.sort_values("column").reset_index(drop=True)
+
+
+def chunk_documents(
+    ds,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 8192,
+):
+    """Fixed-size token chunking with overlap — the context-window
+    preprocessing every RAG / training pipeline runs: doc d with n
+    whitespace tokens yields chunks starting every ``chunk_tokens -
+    overlap`` tokens; a trailing start that would only re-cover the
+    previous chunk's overlap is not emitted (``n_chunks = 1 +
+    ceil((n - chunk)/(chunk - overlap))`` for n > chunk, 1 for
+    0 < n ≤ chunk, 0 for empty docs).  Output (id, chunk_idx,
+    start_tok, n_tokens) — the assignment table a slicing pass joins
+    back to text (same contract as pack_documents).  Fully vectorized:
+    token counts from one pandas str op, chunk explode via
+    repeat+arange, no per-row Python.  Tokenization = lowercase-free
+    whitespace split, identical to pack_documents/vocab_topk."""
+    import pyarrow as pa
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def chunks(b: pd.DataFrame) -> pa.Table:
+        stripped = b[text_col].fillna("").str.strip()
+        n = (
+            stripped.str.split(_WS).map(len).where(stripped.str.len() > 0, 0)
+            .to_numpy(dtype=np.int64)
+        )
+        n_chunks = np.where(
+            n == 0, 0,
+            np.where(n <= chunk_tokens, 1,
+                     1 + np.ceil((n - chunk_tokens) / stride).astype(np.int64)),
+        ).astype(np.int64)
+        ids = np.repeat(b[id_col].to_numpy(dtype=np.int64), n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        offsets = np.r_[0, np.cumsum(n_chunks)]
+        idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            offsets[:-1], n_chunks
+        )
+        start = idx * stride
+        return pa.table(
+            {
+                id_col: ids,
+                "chunk_idx": idx,
+                "start_tok": start,
+                "n_tokens": np.minimum(chunk_tokens, n_rep - start),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pandas", batch_size=batch_size)

@@ -504,3 +504,34 @@ def test_cross_corpus_near_dups(ray_session):
     assert len(planted & found) >= 8  # LSH recall, 16 bands / 4 rows
     # base-internal dup (98, 99) absent
     assert (98, 99) not in found
+
+
+def test_chunk_documents_boundaries(ray_session):
+    from table_annotation_ray.stages.datapipe import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["", words(1), words(64), words(65), words(120), words(121)],
+        }
+    )
+    out = (
+        chunk_documents(rd.from_pandas(docs).repartition(3),
+                        chunk_tokens=64, overlap=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    got = out.groupby("doc_id").size().to_dict()
+    # n=0 -> 0 chunks; 1..64 -> 1; 65..120 -> 2 (start 56 covers to 119);
+    # 121 -> 1 + ceil(57/56) = 3
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
+    d5 = out[out.doc_id == 5]
+    assert d5["start_tok"].tolist() == [0, 56, 112]
+    assert d5["n_tokens"].tolist() == [64, 64, 9]
+    # every token of every doc is covered by at least one chunk
+    for _, r in out.iterrows():
+        assert r["n_tokens"] >= 1
