@@ -1488,6 +1488,22 @@ def _q_graph_pagerank(sf_dir: str):
     return out[["entity_id", "is_supplier", "rank"]].reset_index(drop=True)
 
 
+def _q_copurchased_parts(sf_dir: str):
+    """Market-basket co-occurrence (stages/relational.py::
+    cooccurrence_pairs): part pairs appearing together in ≥2 orders —
+    basket-bucket co-location, one vectorized self-merge per bucket,
+    pair counts through grouped_reduce."""
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).to_pandas()
+    for c in ("item_a", "item_b", "n_baskets"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
 def _q_chunk_documents(sf_dir: str):
     """Fixed-token chunk assignments with overlap
     (stages/datapipe.py::chunk_documents): 64-token windows, 8-token
@@ -1863,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "value_outliers": _q_value_outliers,
         "chunk_documents": _q_chunk_documents,
+        "copurchased_parts": _q_copurchased_parts,
         "graph_pagerank": _q_graph_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -2035,6 +2052,14 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
                               WHEN 'de' THEN 30 WHEN 'es' THEN 20
                               WHEN 'zh' THEN 10 ELSE 0 END
+        """,
+        "copurchased_parts": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS n_baskets
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "chunk_documents": """
             WITH t AS (

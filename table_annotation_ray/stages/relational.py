@@ -378,6 +378,71 @@ def equi_join(
     return tagged.groupby("__j_bucket").map_groups(join_group, batch_format="pandas")
 
 
+def cooccurrence_pairs(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Market-basket co-occurrence: (item_a, item_b, n_baskets) for
+    every unordered pair of DISTINCT items sharing a basket, counted
+    once per basket — the association-mining primitive.
+
+    Shape: baskets co-locate on ``hash(basket) % num_buckets`` (baskets
+    span input blocks, so a map-side-only pass would undercount);
+    in-bucket the pair explosion is ONE vectorized self-merge on the
+    basket key (filtered ``a < b``, deduped per basket), locally
+    pre-counted; the pair counts then reduce through
+    :func:`~.agg.grouped_reduce` (pair-cardinality keys).  Skew note:
+    pair volume is Σ|basket|² — cap or sample pathological baskets
+    upstream (TPC-H-style baskets are ≤ single digits)."""
+    import pyarrow as pa
+
+    from .agg import grouped_reduce
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[[basket_col, item_col]].drop_duplicates()
+        out = out.copy()
+        out["__co_bkt"] = (
+            pd.util.hash_pandas_object(out[basket_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = g[[basket_col, item_col]].drop_duplicates()
+        m = g.merge(g, on=basket_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        out = (
+            m.groupby([f"{item_col}_a", f"{item_col}_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial", f"{item_col}_a": "item_a",
+                             f"{item_col}_b": "item_b"})
+        )
+        out["partial"] = out["partial"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas", batch_size=batch_size)
+        .groupby("__co_bkt")
+        .map_groups(pairs, batch_format="pandas"),
+        ["item_a", "item_b"],
+        {"n_baskets": ("partial", "sum")},
+        num_buckets=num_buckets,
+    )
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        counts = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_baskets"], pa.scalar(min_count))),
+            batch_format="pyarrow",
+        )
+    return counts
+
+
 def grouped_topk(
     ds: rd.Dataset,
     group_cols: list[str],

@@ -535,3 +535,25 @@ def test_chunk_documents_boundaries(ray_session):
     # every token of every doc is covered by at least one chunk
     for _, r in out.iterrows():
         assert r["n_tokens"] >= 1
+
+
+def test_cooccurrence_pairs_cross_block_baskets(ray_session):
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    # basket 1 spans blocks; duplicate (basket,item) rows count once
+    df = pd.DataFrame(
+        {
+            "basket": [1, 1, 1, 1, 2, 2, 3, 3, 3],
+            "item":   [10, 20, 20, 30, 10, 20, 10, 20, 40],
+        }
+    ).astype(np.int64)
+    out = (
+        cooccurrence_pairs(
+            rd.from_pandas(df).repartition(5), "basket", "item", batch_size=2
+        )
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    got = {(a, b): n for a, b, n in zip(out["item_a"], out["item_b"], out["n_baskets"])}
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1, (10, 40): 1, (20, 40): 1}
