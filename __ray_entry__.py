@@ -1693,7 +1693,6 @@ def _q_weighted_sample(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     out = weighted_sample_k(orders, "o_orderkey", "o_totalprice", k=200).to_pandas()
-    out = out.drop(columns="__es_key")
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     out["o_totalprice"] = _round_ha(out["o_totalprice"], 2)
     return out.sort_values("o_orderkey").reset_index(drop=True)
@@ -1801,7 +1800,6 @@ def _q_uniform_sample_k(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "user_id"])
     out = bottomk_by_hash(ev, "event_id", k=256).to_pandas()
-    out = out.drop(columns="__hb")
     for c in ("event_id", "user_id"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)

@@ -114,6 +114,7 @@ def bottomk_by_hash(
         ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
         .sort(["__hb", id_col])
         .limit(k)
+        .drop_columns(["__hb"])  # return the input schema, not the sort key
     )
 
 
@@ -369,7 +370,6 @@ def global_rank(
     sample = (
         bottomk_by_hash(ds.select_columns(key_cols), tiebreak, k=sample_size)
         .to_pandas()
-        .drop(columns="__hb")
         .sort_values(key_cols, kind="mergesort")
     )
     n_bounds = min(num_buckets - 1, max(len(sample) - 1, 0))
@@ -483,6 +483,7 @@ def weighted_sample_k(
         ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
         .sort(["__es_key", id_col], descending=[True, False])
         .limit(k)
+        .drop_columns(["__es_key"])  # return the input schema, not the sort key
     )
 
 

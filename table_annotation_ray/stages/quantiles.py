@@ -32,6 +32,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -395,13 +396,15 @@ def kll_quantiles(
     """Approximate quantiles in ONE streaming scan: per-batch KLL
     partials → :func:`~.sketches.tree_reduce` merge tiers → one driver
     merge + query.  Returns (q, value).  Each partial seeds its RNG
-    from its first batch content, so reruns on the same blocks
+    from its batch LENGTH only (never batch values — a NaN/inf first
+    element must not crash the scan; nullable inputs are filtered
+    inside ``KLLSketch.add``), so reruns on the same blocks
     reproduce."""
     from .sketches import tree_reduce
 
     def sketch_batch(b: pd.DataFrame) -> pd.DataFrame:
         v = b[val_col].to_numpy(dtype=np.float64)
-        seed = (len(v) * 2654435761 + int(abs(float(v[0]) * 1e6)) if len(v) else 1) % (2**31)
+        seed = (len(v) * 2654435761 + 17) % (2**31)
         sk = KLLSketch(k=k, seed=int(seed))
         sk.add(v)
         return pd.DataFrame({"sk": [sk.to_bytes()], "n": [len(v)]})
@@ -440,7 +443,7 @@ def grouped_kll_quantiles(
 
     nb = np.uint64(num_buckets)
 
-    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+    def sketch_partial(b: pd.DataFrame) -> pa.Table:
         b = b.sort_values(group_col, kind="mergesort")
         g = b[group_col].to_numpy()
         v = b[val_col].to_numpy(dtype=np.float64)
@@ -456,7 +459,9 @@ def grouped_kll_quantiles(
         out["__gk_bkt"] = (
             pd.util.hash_pandas_object(out[group_col], index=False).to_numpy() % nb
         ).astype(np.int64)
-        return out
+        # Arrow block ahead of the sort-shuffle (pandas blocks are ~20x
+        # slower through the exchange — CLAUDE.md r3 invariant).
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(group_col, kind="mergesort")

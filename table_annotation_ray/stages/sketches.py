@@ -21,6 +21,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -289,7 +290,7 @@ def approx_distinct_by_key(
     2^p bytes dominates the exchange."""
     nb = np.uint64(num_buckets)
 
-    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+    def sketch_partial(b: pd.DataFrame) -> pa.Table:
         b = b.sort_values(key_cols, kind="mergesort")
         hashes = _hash64(b[col])
         keys = b[key_cols].to_records(index=False)
@@ -309,7 +310,9 @@ def approx_distinct_by_key(
             ).to_numpy()
             % nb
         ).astype(np.int64)
-        return out
+        # Arrow block ahead of the sort-shuffle (pandas blocks poison
+        # the exchange — CLAUDE.md r3 invariant; bytes -> Arrow binary).
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -345,8 +348,9 @@ def grouped_heavy_hitters(
     hash-bucket exchange (one MG per group is a superset of its ≥ N_g/k
     keys), then ONE exact verification pass counts only candidate
     (group, value) pairs via grouped_reduce.  Exactness requires
-    ``min_count ≥ N_g/k`` for every group — asserted from the
-    piggybacked per-group row counts, never silently violated.
+    ``min_count ≥ N_g/k`` for every group — enforced with an explicit
+    ``ValueError`` (survives ``python -O``) from the piggybacked
+    per-group row counts, never silently violated.
 
     Output: one row per (keys, value) with ``n ≥ min_count``."""
     import pickle
@@ -354,7 +358,7 @@ def grouped_heavy_hitters(
     nb = np.uint64(num_buckets)
     pair_cols = key_cols + [col]
 
-    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+    def sketch_partial(b: pd.DataFrame) -> pa.Table:
         rows_k, rows_s, rows_n = [], [], []
         for key, sub in b.groupby(key_cols, sort=False):
             mg = MisraGries(k)
@@ -373,7 +377,8 @@ def grouped_heavy_hitters(
             ).to_numpy()
             % nb
         ).astype(np.int64)
-        return out
+        # Arrow block ahead of the sort-shuffle (CLAUDE.md r3 invariant).
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -384,10 +389,13 @@ def grouped_heavy_hitters(
                 for v, c in pickle.loads(blob).items():
                     mg.add(v, int(c))
                 n += int(cnt)
-            assert min_count >= n / k, (
-                f"min_count={min_count} below N_g/k={n / k:.1f} for group "
-                f"{key!r}; raise k or min_count"
-            )
+            # Explicit raise, not `assert` — the exactness guarantee
+            # must survive `python -O` (asserts are stripped there).
+            if min_count < n / k:
+                raise ValueError(
+                    f"min_count={min_count} below N_g/k={n / k:.1f} for group "
+                    f"{key!r}; raise k or min_count"
+                )
             for v in mg.candidates():
                 row = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
                 row[col] = v
@@ -400,7 +408,6 @@ def grouped_heavy_hitters(
         .map_groups(merge_bucket, batch_format="pandas")
         .to_pandas()
     )
-    import pyarrow as pa
     import ray
 
     from ..state.worker_state import get_worker_state, ref_key

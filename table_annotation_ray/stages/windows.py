@@ -112,6 +112,13 @@ def funnel_by_key(
     import numpy as np
     import pyarrow as pa
 
+    if len(set(steps)) != len(steps):
+        # A repeated type would silently map only to its LAST index in
+        # step_idx, leaving earlier occurrences with empty event lists.
+        raise ValueError(
+            f"funnel steps must be distinct event types, got {steps!r}; "
+            "model view->click->view as two funnels or rename the types"
+        )
     nb = np.uint64(num_buckets)
     step_idx = {s: i for i, s in enumerate(steps)}
     w = np.int64(within // pd.Timedelta(microseconds=1))

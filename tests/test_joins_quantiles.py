@@ -353,6 +353,21 @@ def test_kll_quantiles_dataset_vs_exact(ray_session):
         assert abs(true_rank - q) < 0.025, (q, true_rank)
 
 
+def test_kll_quantiles_nan_first_value(ray_session):
+    # A batch whose FIRST element is NaN (or inf) must not crash the
+    # scan: the partial seed derives from batch length, never values.
+    from table_annotation_ray.stages.quantiles import kll_quantiles
+
+    rng = np.random.default_rng(31)
+    vals = rng.normal(0, 1, 5000)
+    vals[0] = np.nan
+    vals[2500] = np.inf  # first value of the second block after repartition
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(2)
+    out = kll_quantiles(ds, "v", [0.5], k=128, batch_size=2048)
+    med = out["value"].iloc[0]
+    assert abs(med - np.median(vals[np.isfinite(vals)])) < 0.15
+
+
 def test_equi_join_left_and_full_outer(ray_session):
     from table_annotation_ray.stages.relational import equi_join
 

@@ -389,6 +389,45 @@ def test_weighted_sample_k_distribution_and_determinism(ray_session):
     df.loc[df["doc_id"] < 100, "w"] = 0.0
     out3 = weighted_sample_k(rd.from_pandas(df), "doc_id", "w", k=500).to_pandas()
     assert (out3["doc_id"] >= 100).all()
+    # internal sort keys never leak: the operator returns the input schema
+    assert sorted(out.columns) == ["doc_id", "w"]
+
+
+def test_samplers_return_input_schema(ray_session):
+    from table_annotation_ray.stages.datapipe import bottomk_by_hash
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64), "x": 1.0})
+    out = bottomk_by_hash(rd.from_pandas(df), "doc_id", k=20).to_pandas()
+    assert sorted(out.columns) == ["doc_id", "x"]
+
+
+def test_funnel_rejects_duplicate_steps(ray_session):
+    import pytest
+
+    from table_annotation_ray.stages.windows import funnel_by_key
+
+    df = pd.DataFrame(
+        {"u": [1], "ts": [pd.Timestamp("2024-01-01")], "t": ["view"]}
+    )
+    with pytest.raises(ValueError, match="distinct event types"):
+        funnel_by_key(
+            rd.from_pandas(df), "u", "ts", "t",
+            steps=["view", "click", "view"], within=pd.Timedelta("1h"),
+        )
+
+
+def test_grouped_heavy_hitters_raises_below_guarantee(ray_session):
+    import pytest
+
+    from table_annotation_ray.stages.sketches import grouped_heavy_hitters
+
+    # n=4000 in one group, k=4 -> N_g/k = 1000 > min_count=10: the
+    # exactness precondition fails and must raise (not silently truncate).
+    df = pd.DataFrame({"g": ["a"] * 4000, "v": np.arange(4000) % 7})
+    with pytest.raises((ValueError, Exception), match="min_count"):
+        grouped_heavy_hitters(
+            rd.from_pandas(df), ["g"], "v", min_count=10, k=4
+        ).to_pandas()
 
 
 def test_approx_distinct_by_key_rel_error(ray_session):
