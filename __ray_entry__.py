@@ -759,11 +759,19 @@ def _q_kg_triples(sf_dir: str):
 def _q_entity_lookup(sf_dir: str):
     """The reference's entity_lookup service (lookup/entity_lookup.py) as
     a batch stage over the distinct mentions of the synthesized
-    transcripts (rows-only: fuzzy scoring has no SQL oracle)."""
+    transcripts (rows-only: fuzzy scoring has no SQL oracle).
+
+    The distinct-mention shuffle is SURVEY §2 J5/D1 made concrete and
+    models the scale-safe shape: map-side per-batch unique + Arrow
+    partials → hash(label) % 64 bucket exchange → ONE vectorized
+    drop_duplicates per bucket (stages/agg.py::bucketed_distinct) —
+    never one Ray group per distinct label, which is per-key Python at
+    corpus cardinality (10^8+ distinct mentions at 100 TB)."""
     import ray
     import ray.data as rd
 
     from table_annotation_ray.pipelines.table_pipeline import lookup_labels
+    from table_annotation_ray.stages.agg import bucketed_distinct
     from table_annotation_ray.state.kb import load_kb
 
     root = _synth_root_for(sf_dir)
@@ -776,8 +784,9 @@ def _q_entity_lookup(sf_dir: str):
         cells = b["text"].str.split(" \\| ", regex=True).explode()
         return pd.DataFrame({"label": cells.dropna().unique()})
 
-    labels = tr.map_batches(distinct_labels, batch_format="pandas")
-    labels = labels.groupby("label").map_groups(lambda g: g.head(1), batch_format="pandas")
+    labels = bucketed_distinct(
+        tr.map_batches(distinct_labels, batch_format="pandas"), ["label"]
+    )
     return lookup_labels(labels, kb_ref).to_pandas()
 
 
@@ -839,8 +848,10 @@ def _q_table_annotate(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing: binary payload column → per-media features
-    (decode kernel stubbed; rows-only)."""
+    """Multimodal image branch: binary payload column → per-media
+    features via the REAL stdlib PNG/BMP codec (functions/codecs.py);
+    image rows are decoded=True with pixel-derived features, opaque
+    formats fall back to byte stats (rows-only: no SQL decoder)."""
     import ray.data as rd
 
     from table_annotation_ray.stages.multimodal import (
@@ -859,8 +870,9 @@ def _q_media_features(sf_dir: str):
 
 
 def _q_audio_features(sf_dir: str):
-    """Audio branch of the multimodal family (decode kernel stubbed;
-    rows-only) — deterministic byte-energy profiles per clip."""
+    """Audio branch of the multimodal family via the REAL stdlib
+    WAV/PCM codec: per-window RMS energy over actual samples for WAV
+    rows (decoded=True), byte-energy fallback otherwise (rows-only)."""
     import ray.data as rd
 
     from table_annotation_ray.stages.multimodal import (

@@ -1,0 +1,245 @@
+"""Pure-stdlib media codecs for the multimodal stages.
+
+This environment has no PIL / turbojpeg / ffmpeg, but PNG, BMP and
+WAV/PCM are fully decodable with ``zlib`` + ``struct`` + ``wave``
+alone, so the DEFAULT decode path of :class:`~..stages.multimodal.
+DecodeImage` / :class:`~..stages.multimodal.ExtractAudioFeatures` runs
+a REAL kernel (``decoded=True``) rather than the byte-stats fallback.
+Formats outside this set (JPEG, MP3, ...) raise
+``NotImplementedError`` — the documented plug-point where PIL/ffmpeg
+slot in — and corrupt payloads of a recognized format raise
+``ValueError`` so one bad row degrades to the fallback instead of
+killing a 100 TB job.
+
+Scope (deliberate): PNG 8-bit gray / RGB / RGBA, non-interlaced, all
+five scanline filters; BMP 24-bit uncompressed (BI_RGB), top-down or
+bottom-up; WAV PCM 8/16-bit, any channel count (mixed to mono).
+Encoders for the same formats feed deterministic test/synth payloads.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color_type -> channels (8-bit only; palettes/16-bit are plug-point)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+# ---------------------------------------------------------------- PNG
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array of shape (H, W) or (H, W, C).
+
+    Raises ``NotImplementedError`` for PNG features outside the
+    supported scope (16-bit, palette, interlaced), ``ValueError`` for
+    corrupt data."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG bit_depth={bit_depth} color_type={color_type} "
+                    "outside the stdlib codec scope; plug PIL in here"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(height):
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left pixel
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if f == 1:  # Sub
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:  # Average
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+    arr = out.reshape(height, width, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (H, W) / (H, W, 3) / (H, W, 4) → PNG bytes (filter 0)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * c)], axis=1
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------- BMP
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → uint8 (H, W, 3) RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp, compression = struct.unpack("<HI", payload[28:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} outside the stdlib "
+            "codec scope (24-bit BI_RGB only)"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    end = offset + stride * height
+    if len(payload) < end:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload[offset:end], dtype=np.uint8).reshape(height, stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → 24-bit bottom-up BMP bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pixels = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + dib + pixels
+
+
+# ------------------------------------------------------- image dispatch
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-sniffing image decode: PNG or BMP via the stdlib codecs,
+    anything else ``NotImplementedError`` (the PIL plug-point)."""
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "image format not in the stdlib codec set (PNG/BMP); plug "
+        "PIL/turbojpeg in here"
+    )
+
+
+# ---------------------------------------------------------------- WAV
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """WAV PCM → float64 mono in [-1, 1) (channels averaged)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            sw = wf.getsampwidth()
+            nch = wf.getnchannels()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"corrupt WAV: {e}") from e
+    if sw == 2:
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        pcm = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(
+            f"WAV sample width {sw} outside the stdlib codec scope (8/16-bit)"
+        )
+    if nch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % nch].reshape(-1, nch).mean(axis=1)
+    return pcm
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """float array in [-1, 1] → 16-bit mono WAV bytes."""
+    i16 = np.clip(np.asarray(pcm, dtype=np.float64) * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(i16.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Magic-sniffing audio decode: WAV/PCM via stdlib ``wave``,
+    anything else ``NotImplementedError`` (the ffmpeg plug-point)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "audio format not in the stdlib codec set (WAV/PCM); plug "
+        "ffmpeg/soundfile in here"
+    )

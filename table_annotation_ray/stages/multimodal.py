@@ -6,12 +6,15 @@ alongside; decode / feature-extract stages are actor-pool
 wide — a 4 MiB image × 1024-row batch would blow the worker heap; see
 ray_guide "Memory-aware").
 
-The decode kernels themselves are STUBBED (no PIL / ffmpeg in this
-environment): ``DecodeImage`` computes deterministic fake features
-(payload length, crc32, parsed header dims) and raises
-``NotImplementedError`` from ``_decode_pixels`` where a real decoder
-would plug in.  The Ray-side plumbing — schema, actor signature, batch
-sizing, zero-copy binary handling — is real and tested.
+The DEFAULT decode kernels are REAL pure-stdlib codecs
+(:mod:`..functions.codecs`): PNG/BMP for images, WAV/PCM for audio —
+rows of those formats come back ``decoded=True`` with pixel/PCM-derived
+features.  Formats needing PIL/ffmpeg (JPEG, MP3, video containers)
+raise ``NotImplementedError`` at the documented plug-point
+(``_decode_pixels`` / ``_decode_pcm``) and degrade per-row to byte
+stats with ``decoded=False`` — one undecodable payload must never kill
+a 100 TB job.  The Ray-side plumbing — schema, actor signature, batch
+sizing, zero-copy binary handling — is format-independent and tested.
 """
 
 from __future__ import annotations
@@ -19,6 +22,8 @@ from __future__ import annotations
 import zlib
 
 import pyarrow as pa
+
+from ..functions import codecs
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -56,22 +61,25 @@ class DecodeImage:
                        fn_constructor_kwargs={"decoder": my_decode})
 
     ``decoder`` is the plug-point contract: ``bytes -> np.ndarray`` of
-    shape (H, W[, C]), uint8.  When it decodes, the output row carries
-    real pixel features (``decoded=True``, decoded dims, mean luma);
-    when it raises ``NotImplementedError`` (the default stub — no image
-    library in this environment) the row falls back to byte stats with
-    ``decoded=False``.  The injected-kernel pytest drives the real path
-    with a raw-RGB decoder, proving the contract end-to-end."""
+    shape (H, W[, C]), uint8.  The DEFAULT is the real stdlib PNG/BMP
+    codec (functions/codecs.py::decode_image) — those rows carry pixel
+    features (``decoded=True``, decoded dims, mean luma).  A decoder
+    raising ``NotImplementedError`` (unsupported format — the
+    PIL/turbojpeg plug-point) or ``ValueError`` (corrupt payload) makes
+    the row fall back to byte stats with ``decoded=False``.  The
+    injected-kernel pytest additionally drives a raw-RGB decoder,
+    proving the contract is not PNG-specific."""
 
     def __init__(self, target_size: tuple[int, int] = (224, 224), decoder=None):
-        # a real implementation loads the decoder/model here, once per actor
+        # decoder/model state is built here, once per actor
         self.target_size = target_size
-        self.decoder = decoder if decoder is not None else self._decode_pixels
+        self.decoder = decoder if decoder is not None else codecs.decode_image
 
     @staticmethod
     def _decode_pixels(payload: bytes):
+        # plug-point for formats beyond the stdlib PNG/BMP codec
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
+            "image format requires an image library not present in this "
             "environment; plug PIL/turbojpeg in here"
         )
 
@@ -93,7 +101,8 @@ class DecodeImage:
                 mean_luma.append(round(float(arr.mean()), 3))
                 out_h.append(int(arr.shape[0]))
                 out_w.append(int(arr.shape[1]))
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
+                # unsupported format / corrupt payload: byte-stats fallback
                 decoded.append(False)
                 mean_luma.append(None)
                 out_w.append(widths[i])
@@ -142,23 +151,25 @@ class SampleVideoFrames:
 
 class ExtractAudioFeatures:
     """Actor-pool stage: (audio rows) → per-clip features.  Same
-    contract as :class:`DecodeImage`: the PCM decode kernel is stubbed
-    (no ffmpeg/soundfile here — ``_decode_pcm`` raises), the Ray-side
-    plumbing (small payload-dominated batches, per-actor model slot,
-    typed output schema) is real.  Deterministic stand-in features:
-    byte stats plus a windowed byte-energy profile (the shape a real
-    loudness/VAD feature would have)."""
+    contract as :class:`DecodeImage`: the DEFAULT decode kernel is the
+    real stdlib WAV/PCM codec (functions/codecs.py::decode_audio) —
+    WAV rows carry per-window RMS energy over actual samples
+    (``decoded=True``).  Non-WAV formats raise at the ffmpeg plug-point
+    (``_decode_pcm``) and fall back per-row to a windowed byte-energy
+    profile (the shape a real loudness/VAD feature would have) with
+    ``decoded=False``."""
 
     def __init__(self, sample_rate: int = 16_000, n_windows: int = 8, decoder=None):
-        # a real implementation loads the codec/VAD model here, once per actor
+        # codec/VAD model state is built here, once per actor
         self.sample_rate = sample_rate
         self.n_windows = n_windows
-        self.decoder = decoder if decoder is not None else self._decode_pcm
+        self.decoder = decoder if decoder is not None else codecs.decode_audio
 
     @staticmethod
     def _decode_pcm(payload: bytes):
+        # plug-point for formats beyond the stdlib WAV codec
         raise NotImplementedError(
-            "audio decoding requires ffmpeg/soundfile, absent in this "
+            "audio format requires ffmpeg/soundfile, absent in this "
             "environment; plug the codec in here"
         )
 
@@ -186,9 +197,9 @@ class ExtractAudioFeatures:
                 )
                 decoded.append(True)
                 duration_s.append(round(len(pcm) / self.sample_rate, 6))
-            except NotImplementedError:
-                # stub fallback: windowed byte-energy profile (the shape
-                # a real loudness/VAD feature would have)
+            except (NotImplementedError, ValueError):
+                # unsupported format / corrupt payload: windowed
+                # byte-energy profile fallback
                 if payload:
                     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
                     win = np.array_split(arr, self.n_windows)
@@ -212,22 +223,52 @@ class ExtractAudioFeatures:
 
 
 def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
-    """Deterministic fake media rows for tests/benches."""
+    """Deterministic media rows for tests/benches.  Image rows are REAL
+    PNGs and audio rows REAL 16 kHz WAVs (functions/codecs.py encoders)
+    so the default decode path exercises ``decoded=True``; video rows
+    stay opaque bytes (container decode is the documented ffmpeg
+    plug-point) and exercise the fallback."""
     import numpy as np
 
+    from ..functions import codecs
+
     rng = np.random.RandomState(seed)
-    payloads = [rng.bytes(int(rng.randint(256, 4096))) for _ in range(n)]
     kinds = ["image", "audio", "video"]
+    payloads, mimes, widths, heights, durations = [], [], [], [], []
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            w, h = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            pixels = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payloads.append(codecs.encode_png(pixels))
+            mimes.append("image/png")
+            widths.append(w)
+            heights.append(h)
+            durations.append(-1)
+        elif kind == "audio":
+            n_samp = int(rng.randint(400, 2400))  # 25–150 ms at 16 kHz
+            t = np.arange(n_samp) / 16_000.0
+            freq = float(rng.randint(100, 2000))
+            pcm = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.randn(n_samp)
+            payloads.append(codecs.encode_wav(pcm, 16_000))
+            mimes.append("audio/wav")
+            widths.append(-1)
+            heights.append(-1)
+            durations.append(int(n_samp / 16))
+        else:
+            payloads.append(rng.bytes(int(rng.randint(256, 4096))))
+            mimes.append("application/octet-stream")
+            widths.append(-1)
+            heights.append(-1)
+            durations.append(-1)
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
             "kind": pa.array([kinds[i % 3] for i in range(n)], pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(
-                ["image/jpeg" if i % 3 == 0 else "application/octet-stream" for i in range(n)]
-            ),
-            "width": pa.array([224 if i % 3 == 0 else -1 for i in range(n)], pa.int32()),
-            "height": pa.array([224 if i % 3 == 0 else -1 for i in range(n)], pa.int32()),
-            "duration_ms": pa.array([-1] * n, pa.int32()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array(durations, pa.int32()),
         }
     )
