@@ -1467,12 +1467,14 @@ def _q_semantic_dedup(sf_dir: str):
 
 
 def _q_graph_pagerank(sf_dir: str):
-    """Distributed PageRank (stages/graph.py::pagerank — Pregel-style,
-    two bucket exchanges per iteration, node state never driver-side)
-    over the customer→supplier purchase graph (orders ⋈ lineitem).
-    Rows-only: iterative float fixpoint; pytest asserts equality with
-    an in-memory power iteration and run-to-run determinism."""
-    from table_annotation_ray.stages.graph import pagerank
+    """Distributed PageRank (stages/graph.py::pagerank_auto — engine
+    dispatch on edges × iters: the shard-actor tier loads edges once
+    and exchanges only rank partials above the threshold, the
+    Dataset/Pregel engine below it; both pytest-pinned identical, node
+    state never driver-side) over the customer→supplier purchase graph
+    (orders ⋈ lineitem).  Rows-only: iterative float fixpoint; pytest
+    asserts equality with an in-memory power iteration."""
+    from table_annotation_ray.stages.graph import pagerank_auto
     from table_annotation_ray.stages.relational import equi_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
@@ -1488,7 +1490,7 @@ def _q_graph_pagerank(sf_dir: str):
             }
         )
 
-    ranks = pagerank(
+    ranks, _engine = pagerank_auto(
         joined.map_batches(to_edges, batch_format="pandas"), iters=5
     )
     out = (

@@ -61,6 +61,25 @@ def test_pagerank_deterministic_across_runs(ray_session):
     np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-12, atol=0)
 
 
+def test_pagerank_auto_dispatch_and_equivalence(ray_session):
+    from table_annotation_ray.stages.graph import pagerank_auto
+
+    edges = _random_graph(seed=37)
+    # tiny graph, default threshold -> Dataset engine
+    ds_ranks, engine = pagerank_auto(rd.from_pandas(edges), iters=6)
+    assert engine == "dataset"
+    # threshold=1 forces the shard tier; ranks must agree to rtol 1e-9
+    sh_ranks, engine2 = pagerank_auto(
+        rd.from_pandas(edges), iters=6, threshold=1, num_shards=3,
+        num_cpus_per_shard=0,
+    )
+    assert engine2 == "sharded"
+    a = ds_ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    b = sh_ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    assert a["node"].tolist() == b["node"].tolist()
+    np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-9, atol=1e-12)
+
+
 def test_pagerank_star_graph_closed_form(ray_session):
     # hub <- n spokes: after 1 iter from uniform, closed forms hold
     n = 9
