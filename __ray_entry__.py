@@ -26,6 +26,16 @@ import pandas as pd
 
 _ENGLISH_STOPS = "('the','and','of','to','a','in','is','it','you','that','was','for')"
 
+# Minhash near-dup victims at sf0.01 (threshold 0.8), injected into the
+# curation_funnel oracle as a literal — the one curation sub-stage with
+# no SQL equivalent.  Deterministic (seeded hashes); pinned by
+# tests/test_curation.py::test_curation_victim_literal_matches_pipeline,
+# which recomputes the set through exact_dedup + minhash_dedup.
+_CURATION_VICTIMS_SF001 = (
+    "(134, 178, 185, 245, 267, 290, 293, 301, 323, 332, 374, 377, 383, "
+    "387, 389, 413, 420, 446, 447, 450, 455, 457, 462, 486)"
+)
+
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -507,8 +517,12 @@ def _q_curation_funnel(sf_dir: str):
     """End-to-end curation pipeline (exact dedup → minhash near-dup
     removal → quality/lang gate → PII scrub → pack → partitioned sink)
     over the documents table; returns the curated docs' provenance
-    columns.  Rows-only: the minhash stage has no SQL equivalent, but
-    the output is deterministic (seeded hashes, id-ordered packing)."""
+    columns.  SQL-verified: every deterministic sub-stage (exact dedup,
+    quality/lang gate, PII counts) is mirrored in the oracle; only the
+    minhash victim set has no SQL equivalent, so it is injected into
+    the oracle as a literal (``_CURATION_VICTIMS_SF001``) — the list is
+    itself pinned by pytest, which recomputes it through the pipeline
+    at sf0.01 (tests/test_curation.py)."""
     import shutil
     import tempfile
 
@@ -2036,6 +2050,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(t2, '\\+?\\d[\\d().-]{7,}\\d', '<PHONE>', 'g') AS scrubbed,
                    n_email, n_ip,
+                   len(regexp_extract_all(t2, '\\+?\\d[\\d().-]{7,}\\d')) AS n_phone
+            FROM s1
+        """,
+        # curation_funnel: every deterministic sub-stage mirrored in SQL
+        # (exact dedup = min-doc_id per normalized text, quality gate,
+        # lang id, sequential PII counts); the minhash victim set — the
+        # only non-SQL stage — enters as the pytest-pinned literal.
+        "curation_funnel": """
+            WITH survivors AS (
+                SELECT min(doc_id) AS doc_id
+                FROM documents
+                GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            ),
+            base AS (
+                SELECT d.doc_id, d.text
+                FROM documents d JOIN survivors USING (doc_id)
+                WHERE d.doc_id NOT IN """ + _CURATION_VICTIMS_SF001 + """
+            ),
+            gated AS (
+                SELECT doc_id, text FROM base
+                WHERE round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                            x -> x IN """ + _ENGLISH_STOPS + """))
+                            / greatest(CASE WHEN trim(text) = '' THEN 0
+                                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                       END, 1), 6) >= 0.05
+                  AND round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                            / greatest(CASE WHEN trim(text) = '' THEN 0
+                                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                       END, 1), 6) < 8.0
+            ),
+            langed AS (
+                SELECT doc_id, text,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('the','and','of','to','a','in','is','it','you','that','was','for'))) AS n_en,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('le','la','les','de','des','et','un','une','est','que','pour','dans'))) AS n_fr,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('der','die','das','und','ist','ein','eine','zu','den','von','mit','für'))) AS n_de,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('el','la','los','las','de','y','un','una','es','que','por','para'))) AS n_es
+                FROM gated
+            ),
+            s0 AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(n_en, n_fr, n_de, n_es) = 0 THEN 'und'
+                            WHEN n_en = greatest(n_en, n_fr, n_de, n_es) THEN 'en'
+                            WHEN n_fr = greatest(n_en, n_fr, n_de, n_es) THEN 'fr'
+                            WHEN n_de = greatest(n_en, n_fr, n_de, n_es) THEN 'de'
+                            ELSE 'es' END AS pred_lang,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM langed
+            ),
+            s1 AS (
+                SELECT doc_id, pred_lang, n_email,
+                       len(regexp_extract_all(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+                       regexp_replace(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM s0
+            )
+            SELECT doc_id, pred_lang, n_email, n_ip,
                    len(regexp_extract_all(t2, '\\+?\\d[\\d().-]{7,}\\d')) AS n_phone
             FROM s1
         """,

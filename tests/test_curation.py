@@ -202,3 +202,35 @@ def test_bigram_lm_perplexity_orders_quality(ray_session):
         rd.from_items([{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "one"}]), model
     ).to_pandas()
     assert np.isfinite(short["ppl"]).all()
+
+
+def test_curation_victim_literal_matches_pipeline(ray_session):
+    """The minhash victim set injected into the curation_funnel SQL
+    oracle (__ray_entry__._CURATION_VICTIMS_SF001) must equal what the
+    pipeline actually computes at sf0.01 — the oracle's one non-SQL
+    stage is pinned here instead."""
+    import os
+    import sys
+
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import exact_dedup, minhash_dedup
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entry
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    survivors = exact_dedup(docs, keep_text=True).materialize()
+    comps = minhash_dedup(survivors, threshold=0.8)
+    victims = sorted(
+        int(x)
+        for x in comps.filter(expr="doc_id != component")
+        .select_columns(["doc_id"])
+        .to_pandas()["doc_id"]
+    )
+    literal = sorted(
+        int(t) for t in entry._CURATION_VICTIMS_SF001.strip("()").split(",")
+    )
+    assert victims == literal
