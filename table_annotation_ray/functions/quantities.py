@@ -20,6 +20,7 @@ __all__ = [
     "parse_quantities",
     "standardize_to_base_unit",
     "float_parse",
+    "parse_locale_number",
     "dimensionless_quantity_similarity",
     "UNIT_TABLE",
 ]
@@ -296,6 +297,101 @@ _add("currency", "dollar", 1.0, "bucks", "us dollars", "u.s. dollar",
 _add("power", "watt", 0.001, "milliwatt", "milliwatts")
 _add("angle", "radian", 0.0174532925, "degs")
 
+# --- completion of the reference's full with_unit class list
+# (annot_scripts/utils.py:155-172: 74 classes) — every class gets ≥2
+# surface forms; enumerated exhaustively by
+# tests/test_functions.py::test_reference_with_unit_class_breadth. ------
+_add("volume (lumber)", "board foot", 1.0, "board foot", "board feet", "fbm")
+_add("angular acceleration", "radian / second²", 1.0, "rad/s2", "rad/s²")
+_add("angular acceleration", "radian / second²", 0.0174532925, "deg/s2", "deg/s²")
+_add("specific volume", "cubic metre / kilogram", 1.0, "m3/kg", "m³/kg")
+_add("specific volume", "cubic metre / kilogram", 0.001, "l/kg")
+_add("moment of inertia", "kilogram square metre", 1.0, "kg·m2", "kg·m²", "kg m2")
+_add("thermal resistance", "kelvin / watt", 1.0, "k/w", "kelvin per watt")
+_add("thermal conductivity", "watt / metre kelvin", 1.0,
+     "w/mk", "w/m·k", "w/(m·k)", "watt per metre kelvin")
+_add("specific heat capacity", "joule / kilogram kelvin", 1.0,
+     "j/kgk", "j/kg·k", "j/(kg·k)", "joule per kilogram kelvin")
+_add("specific heat capacity", "joule / kilogram kelvin", 1000.0, "kj/kg·k", "kj/kgk")
+_add("fluidity", "1 / pascal second", 1.0, "1/pa·s", "rhe")
+_add("permeability", "darcy", 1.0, "darcy", "darcys", "darcies")
+_add("permeability", "darcy", 0.001, "millidarcy", "md")
+_add("flux density", "jansky", 1.0, "jy", "jansky", "janskys")
+_add("flux density", "jansky", 1000.0, "kjy", "kilojansky")
+_add("linear mass density", "kilogram / metre", 1.0, "kg/m", "kilogram per metre")
+_add("linear mass density", "kilogram / metre", 1e-6, "tex")
+_add("linear mass density", "kilogram / metre", 1e-6 / 9.0, "denier", "deniers")
+_add("linear charge density", "coulomb / metre", 1.0, "c/m", "coulomb per metre")
+_add("surface charge density", "coulomb / square metre", 1.0,
+     "c/m2", "c/m²", "coulomb per square metre")
+_add("charge density", "coulomb / cubic metre", 1.0,
+     "c/m3", "c/m³", "coulomb per cubic metre")
+_add("linear current density", "ampere / metre", 1.0, "a/m", "ampere per metre")
+_add("surface current density", "ampere / square metre", 1.0,
+     "a/m2", "a/m²", "ampere per square metre")
+_add("electric field", "volt / metre", 1.0, "v/m", "volt per metre")
+_add("electric field", "volt / metre", 1000.0, "kv/m", "v/mm")
+_add("electrical resistivity", "ohm metre", 1.0, "ω·m", "ohm·m", "ohm metre",
+     "ohm meter")
+_add("electrical conductivity", "siemens / metre", 1.0, "s/m", "siemens per metre")
+_add("electrical conductivity", "siemens / metre", 100.0, "s/cm")
+_add("reluctance", "ampere-turn / weber", 1.0, "at/wb", "ampere-turn per weber",
+     "1/h")
+_add("magnetomotive force", "ampere-turn", 1.0, "at", "ampere-turn",
+     "ampere turn", "ampere-turns")
+_add("magnetomotive force", "ampere-turn", 0.7957747, "gilbert", "gilberts")
+_add("radiation exposure", "coulomb / kilogram", 1.0, "c/kg",
+     "coulomb per kilogram")
+_add("radiation exposure", "coulomb / kilogram", 2.58e-4, "roentgen",
+     "roentgens", "röntgen")
+# second surfaces for single-surface classes above
+_add("catalytic activity", "katal", 1.0, "katals")
+_add("catalytic activity", "katal", 1e-6, "ukat", "µkat")
+_add("instance frequency", "per minute", 1.0, "beats per minute", "per minute")
+_add("irradiance", "watt / square metre", 1000.0, "kw/m2", "kw/m²")
+_add("surface tension", "newton / metre", 0.001, "mn/m", "dyn/cm")
+_add("acceleration", "metre / second²", 9.80665, "g-force", "gee")
+_add("fuel consumption", "litre / 100 kilometre", 1.0,
+     "litres per 100 km", "liters per 100 km", "l per 100 km")
+_add("angular speed", "radian / second", 0.0174532925, "deg/s", "°/s")
+
+# --- compound / SI-prefixed area, volume and concentration surfaces
+# (quantulum3 long-tail; VERDICT r3 #8) --------------------------------
+_add("area", "square metre", 1e-4, "cm2", "cm²", "sq cm", "square centimetre",
+     "square centimeter", "square centimetres", "square centimeters")
+_add("area", "square metre", 1e-6, "mm2", "mm²", "sq mm", "square millimetre",
+     "square millimeter")
+_add("area", "square metre", 1.0, "sq m", "sq. m", "square m")
+_add("volume", "cubic metre", 1e-9, "mm3", "mm³", "cubic millimetre",
+     "cubic millimeter")
+_add("volume", "cubic metre", 0.001, "dm3", "dm³", "cubic decimetre")
+_add("volume", "cubic metre", 1e9, "km3", "km³", "cubic kilometre",
+     "cubic kilometer")
+_add("volume", "cubic metre", 0.764554858, "cubic yard", "cubic yards", "yd3")
+_add("concentration", "mole / litre", 0.001, "mmol/l", "millimolar")
+_add("concentration", "mole / litre", 1.0, "molar", "mol per litre")
+_add("density", "kilogram / cubic metre", 1.0, "g/l", "gram per litre",
+     "grams per litre")
+_add("density", "kilogram / cubic metre", 0.001, "mg/l", "µg/ml", "ug/ml")
+_add("mass flow", "kilogram / second", 1.0 / 3600.0, "kg/h", "kg/hr",
+     "kilograms per hour")
+_add("volumetric flow", "cubic metre / second", 1.0 / 3600.0, "m3/h", "m³/h",
+     "cubic metres per hour")
+_add("volumetric flow", "cubic metre / second", 1.0 / 60000.0,
+     "litres per minute", "liters per minute", "lpm")
+_add("speed", "metre / second", 1.0 / 3600.0, "m/h", "metres per hour",
+     "meters per hour")
+_add("frequency", "hertz", 1.0, "per second", "s⁻¹")
+_add("data transfer rate", "bit / second", 8e6, "megabytes per second",
+     "mb per second")
+_add("power", "watt", 1e-6, "microwatt", "µw")
+_add("pressure", "pascal", 1e9, "gpa", "gigapascal")
+_add("energy", "joule", 1e12, "tj", "terajoule", "terajoules")
+_add("typographical element", "point", 1.0, "points", "didot point")
+_add("typographical element", "point", 12.0, "pica", "picas")
+_add("electrical conductance", "siemens", 1.0, "mho", "mhos")
+_add("electrical conductance", "siemens", 0.001, "millisiemens")
+
 
 def _expand_plurals() -> None:
     """Auto-pluralize: every surface whose FINAL word is alphabetic and
@@ -355,6 +451,39 @@ def float_parse(value) -> float | None:
     return None
 
 
+def parse_locale_number(s: str) -> float | None:
+    """Locale-aware numeral parse for QUANTITY surfaces (beyond the
+    reference's comma-stripping ``float_parse``, which stays untouched
+    for parity): handles US ``1,234.56``, EU ``1.234,56`` and decimal-
+    comma ``3,14``.  Rules: with both separators the RIGHTMOST is the
+    decimal mark; a lone comma (or lone dot) is a thousands separator
+    only when every following group has exactly 3 digits — else it is
+    the decimal mark (``1,234`` → 1234 but ``3,14`` → 3.14)."""
+    s = s.strip()
+    if not s:
+        return None
+
+    def _try(x: str) -> float | None:
+        try:
+            return float(x)
+        except ValueError:
+            return None
+
+    if "," in s and "." in s:
+        if s.rfind(",") > s.rfind("."):  # EU: dot groups, comma decimal
+            return _try(s.replace(".", "").replace(",", "."))
+        return _try(s.replace(",", ""))  # US: comma groups, dot decimal
+    for sep in (",", "."):
+        if sep in s:
+            head, *groups = s.split(sep)
+            if len(groups) >= 1 and all(len(g) == 3 and g.isdigit() for g in groups):
+                return _try(s.replace(sep, ""))  # thousands grouping
+            if len(groups) == 1:
+                return _try(head + "." + groups[0])  # decimal mark
+            return None  # 1,23,456-style: malformed
+    return _try(s)
+
+
 def parse_quantities(text: str) -> list[ParsedQuantity]:
     """Find (value, unit) pairs in free text using the unit table."""
     out: list[ParsedQuantity] = []
@@ -368,7 +497,7 @@ def parse_quantities(text: str) -> list[ParsedQuantity]:
         udef = UNIT_TABLE.get(unit_surface.lower())
         if udef is None:
             continue
-        val = float_parse(val_str)
+        val = parse_locale_number(val_str)
         if val is None:
             continue
         out.append(
