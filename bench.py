@@ -30,6 +30,24 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
+def _emit(payload: dict) -> None:
+    """Emit the ONE result line robustly (VERDICT r3 #6: BENCH_r03's
+    headline was lost to a truncated tail): serialize once, write
+    atomically to stdout with an explicit flush so no worker output can
+    interleave mid-line, and persist the same JSON to BENCH_LAST.json
+    next to this file so the record survives even a truncated capture."""
+    line = json.dumps(payload, separators=(",", ":"))
+    sys.stdout.flush()
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout already has the line
+
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = _env_int("RAY_GRAFT_CPUS", 32)
 BENCH_CONVS = _env_int("GRAFT_BENCH_CONVS", 40_000)
@@ -133,8 +151,7 @@ def main_single():
     headline = run_headline(NUM_CPUS)
     qtimes = run_queries(SF_DIR)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
+    _emit(
             {
                 "metric": "kg_pipeline_sec",
                 "value": headline["sec"],
@@ -151,7 +168,6 @@ def main_single():
                 # loadavg 6+ with zero local work on this box)
                 "loadavg_1m": round(os.getloadavg()[0], 2),
             }
-        )
     )
     ray.shutdown()
 
@@ -161,7 +177,9 @@ def main_headline_only():
     import ray
 
     headline = run_headline(NUM_CPUS)
-    print(json.dumps(headline))
+    sys.stdout.flush()
+    sys.stdout.write(json.dumps(headline) + "\n")
+    sys.stdout.flush()
     ray.shutdown()
 
 
@@ -199,8 +217,7 @@ def main_scaling():
     lo, lo_secs = run_median(lo_cpus)
     hi, hi_secs = run_median(hi_cpus)
     eff = (lo["sec"] / hi["sec"]) / (hi_cpus / lo_cpus)
-    print(
-        json.dumps(
+    _emit(
             {
                 "metric": "scaling_efficiency",
                 "value": round(eff, 3),
@@ -215,7 +232,6 @@ def main_scaling():
                 "turns_per_sec_lo": lo["turns_per_sec"],
                 "turns_per_sec_hi": hi["turns_per_sec"],
             }
-        )
     )
 
 
