@@ -104,6 +104,99 @@ def lookup_labels(
     return labels_ds.map_batches(run, batch_format="pyarrow")
 
 
+def annotate_single(raw_table: list[list[str]], stage) -> dict | None:
+    """One generic table → the reference-shaped CEA/CTA/CPA dict
+    (table_annotation.py:22-148), shared by the Dataset stage below and
+    the serving endpoint (jobs/serve_api.py).  ``stage`` is an
+    AnnotateBucket (holds NER, lookup index, KB reader, annotator).
+    Returns None for tables that preprocessing filters away."""
+    from ..stages.preprocess import (
+        detect_header,
+        detect_orientation,
+        parse_table,
+        subsample_rows,
+        table_filtering,
+        transpose,
+    )
+
+    kbr = stage.kbr
+    # the reference's annotation flow runs preprocessing first
+    # (annotation_models.py:80-93): clean → orientation (transpose
+    # if VERTICAL) → header → first_data_row
+    table = table_filtering(raw_table)
+    if len(table) <= 1:
+        return None
+    sample = subsample_rows(table)
+    typings, datatypes = parse_table(sample, stage.ner)
+    orientation = detect_orientation(sample, datatypes, typings)
+    if orientation.orientation == "VERTICAL":
+        sample = transpose(sample)
+        table = transpose(table)
+    header = detect_header(sample, orientation.score, typings)
+    first_data_row = 1 if header.has_header else 0
+    # re-type the full (possibly transposed) table's cells
+    typings, datatypes = parse_table(table, stage.ner)
+    result = stage.annotator.annotate(
+        table, typings, datatypes, first_data_row=first_data_row
+    )
+    cea = [
+        {
+            "row": r,
+            "column": c,
+            "annotation": {
+                "label": kbr.get_label_of_entity(eid),
+                "uri": kbr.prefixing_entity(eid),
+                "score": round(score, 2),
+            },
+        }
+        for (r, c), (eid, score) in sorted(result.cea.items())
+    ]
+    cta = [
+        {
+            "column": col,
+            "annotation": [
+                {
+                    "label": kbr.get_label_of_entity(t),
+                    "uri": kbr.prefixing_entity(t),
+                    "score": round(s, 2),
+                    "coverage": round(cov, 2),
+                }
+                for t, s, cov in annots
+            ],
+        }
+        for col, annots in sorted(result.cta.items())
+    ]
+    cpa = []
+    for (h, t), annots in sorted(result.cpa.items()):
+        rel_id = annots[0][0]
+        components = set(
+            rel_id.replace("(-)", "").replace("(", "").replace(")", "").split("::")
+        )
+        uri, label = rel_id, rel_id
+        for comp in components:
+            if kbr.is_valid_id(comp):
+                uri = uri.replace(comp, kbr.prefixing_entity(comp))
+                label = label.replace(comp, kbr.get_label_of_entity(comp))
+        cpa.append(
+            {
+                "headColumn": h,
+                "tailColumn": t,
+                "annotation": {
+                    "label": label,
+                    "uri": uri,
+                    "score": round(annots[0][1], 2),
+                    "coverage": round(annots[0][2], 2),
+                },
+            }
+        )
+    return {
+        "CEA": cea,
+        "CTA": cta,
+        "CPA": cpa,
+        "avgLookupCandidate": result.avg_lookup_candidates,
+    }
+
+
 def annotate_tables(
     tables_ds: rd.Dataset,
     kb_ref,
@@ -115,101 +208,17 @@ def annotate_tables(
 
     def run(batch: pa.Table) -> pa.Table:
         from ..stages.annotate_stage import AnnotateBucket
-        from ..stages.preprocess import (
-            detect_header,
-            detect_orientation,
-            parse_table,
-            subsample_rows,
-            table_filtering,
-            transpose,
-        )
 
         stage: AnnotateBucket = get_worker_state(
             ("annotate", ref_key(kb_ref)), lambda: AnnotateBucket(kb_ref, cfg)
         )
-        kbr = stage.kbr
         ids, payloads = [], []
         for tid, raw_table in _group_tables(batch).items():
-            # the reference's annotation flow runs preprocessing first
-            # (annotation_models.py:80-93): clean → orientation (transpose
-            # if VERTICAL) → header → first_data_row
-            table = table_filtering(raw_table)
-            if len(table) <= 1:
+            payload = annotate_single(raw_table, stage)
+            if payload is None:
                 continue
-            sample = subsample_rows(table)
-            typings, datatypes = parse_table(sample, stage.ner)
-            orientation = detect_orientation(sample, datatypes, typings)
-            if orientation.orientation == "VERTICAL":
-                sample = transpose(sample)
-                table = transpose(table)
-            header = detect_header(sample, orientation.score, typings)
-            first_data_row = 1 if header.has_header else 0
-            # re-type the full (possibly transposed) table's cells
-            typings, datatypes = parse_table(table, stage.ner)
-            result = stage.annotator.annotate(
-                table, typings, datatypes, first_data_row=first_data_row
-            )
-            cea = [
-                {
-                    "row": r,
-                    "column": c,
-                    "annotation": {
-                        "label": kbr.get_label_of_entity(eid),
-                        "uri": kbr.prefixing_entity(eid),
-                        "score": round(score, 2),
-                    },
-                }
-                for (r, c), (eid, score) in sorted(result.cea.items())
-            ]
-            cta = [
-                {
-                    "column": col,
-                    "annotation": [
-                        {
-                            "label": kbr.get_label_of_entity(t),
-                            "uri": kbr.prefixing_entity(t),
-                            "score": round(s, 2),
-                            "coverage": round(cov, 2),
-                        }
-                        for t, s, cov in annots
-                    ],
-                }
-                for col, annots in sorted(result.cta.items())
-            ]
-            cpa = []
-            for (h, t), annots in sorted(result.cpa.items()):
-                rel_id = annots[0][0]
-                components = set(
-                    rel_id.replace("(-)", "").replace("(", "").replace(")", "").split("::")
-                )
-                uri, label = rel_id, rel_id
-                for comp in components:
-                    if kbr.is_valid_id(comp):
-                        uri = uri.replace(comp, kbr.prefixing_entity(comp))
-                        label = label.replace(comp, kbr.get_label_of_entity(comp))
-                cpa.append(
-                    {
-                        "headColumn": h,
-                        "tailColumn": t,
-                        "annotation": {
-                            "label": label,
-                            "uri": uri,
-                            "score": round(annots[0][1], 2),
-                            "coverage": round(annots[0][2], 2),
-                        },
-                    }
-                )
             ids.append(tid)
-            payloads.append(
-                json.dumps(
-                    {
-                        "CEA": cea,
-                        "CTA": cta,
-                        "CPA": cpa,
-                        "avgLookupCandidate": result.avg_lookup_candidates,
-                    }
-                )
-            )
+            payloads.append(json.dumps(payload))
         return pa.table(
             {"table_id": pa.array(ids, pa.string()), "annotated": pa.array(payloads, pa.string())}
         )

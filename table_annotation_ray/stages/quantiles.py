@@ -131,17 +131,42 @@ def grouped_quantiles(
             # union of owning BINS, not their hull — the hull between a
             # p25 bin and a p99 bin would collect most of the group
             spans.setdefault(g, set()).add((blo, bhi))
-    sref = ray.put({g: sorted(iv) for g, iv in spans.items()})
+
+    # merged, sorted, non-overlapping interval ARRAYS per group: the
+    # collect pass then costs one group-run sort + one searchsorted per
+    # group PRESENT IN THE BATCH, not O(all groups × intervals) Python
+    # per batch (VERDICT r3 watch-item)
+    def _merge_ivs(ivs):
+        out: list[list[float]] = []
+        for lo, hi in sorted(ivs):
+            if out and lo <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], hi)
+            else:
+                out.append([lo, hi])
+        a = np.asarray(out, dtype=np.float64)
+        return a[:, 0].copy(), a[:, 1].copy()
+
+    sref = ray.put({g: _merge_ivs(iv) for g, iv in spans.items()})
 
     def collect(b: pd.DataFrame) -> pd.DataFrame:
         sp = get_worker_state(("gq_spans", ref_key(sref)), lambda: ray.get(sref))
-        keep = np.zeros(len(b), dtype=bool)
         v = b[col].to_numpy(dtype=np.float64)
         gs = b[group_col].to_numpy()
-        for g, ivs in sp.items():
-            gm = gs == g
-            for mn, mx in ivs:
-                keep |= gm & (v >= mn) & (v <= mx)
+        keep = np.zeros(len(b), dtype=bool)
+        order = np.argsort(gs, kind="mergesort")
+        sg = gs[order]
+        run_bounds = np.r_[0, np.flatnonzero(sg[1:] != sg[:-1]) + 1, len(sg)]
+        for s, t in zip(run_bounds[:-1], run_bounds[1:]):
+            ivs = sp.get(sg[s])
+            if ivs is None:
+                continue
+            starts, ends = ivs
+            rows = order[s:t]
+            vv = v[rows]
+            idx = np.searchsorted(starts, vv, side="right") - 1
+            ok = idx >= 0
+            ok[ok] = vv[ok] <= ends[idx[ok]]
+            keep[rows] = ok
         return b[keep]
 
     cand = ds.map_batches(collect, batch_format="pandas").to_pandas()
