@@ -549,6 +549,20 @@ def _q_curation_funnel(sf_dir: str):
     )
 
 
+def _q_sample_per_lang(sf_dir: str):
+    """Per-group fixed-k uniform sampling (stages/datapipe.py::
+    grouped_uniform_sample): the 20 lowest-hash docs per language —
+    per-group bottom-k-of-hash through the grouped_topk combiner shape
+    (≤k rows per (group, batch) survive the exchange).  SQL mirror:
+    row_number() over (partition by lang order by hash, id) <= k."""
+    from table_annotation_ray.stages.datapipe import grouped_uniform_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = grouped_uniform_sample(docs, ["lang"], "doc_id", k=20).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def _q_repetition_stats(sf_dir: str):
     from table_annotation_ray.stages.datapipe import repetition_stats
 
@@ -1920,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_annotate": _q_table_annotate,
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
+        "sample_per_lang": _q_sample_per_lang,
     }
 
 
@@ -2123,6 +2138,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
                    + 4294967296) % 4294967296 % 100 < 20
+        """,
+        "sample_per_lang": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761)
+                                     % 4294967296 + 4294967296) % 4294967296,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang FROM h WHERE rn <= 20
         """,
         "dataset_split": """
             WITH h AS (

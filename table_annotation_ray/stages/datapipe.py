@@ -118,6 +118,39 @@ def bottomk_by_hash(
     )
 
 
+def grouped_uniform_sample(
+    ds,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    batch_size: int = 65536,
+):
+    """Deterministic per-group fixed-k uniform sample: the k rows with
+    the smallest multiplicative id hash WITHIN EACH GROUP — per-group
+    :func:`bottomk_by_hash`, composed from ``grouped_topk`` (map-side
+    ≤k-per-(group,batch) combiner, hash-bucket exchange — never a Ray
+    group per key).  Exact per-group count (min(k, group size)),
+    order-independent, mergeable, no RNG state.  SQL mirror:
+    ``row_number() OVER (PARTITION BY g ORDER BY <hash expr>, id) <= k``.
+    Returns the input schema (the hash key is internal)."""
+    from .relational import grouped_topk
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        hb = ((u * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)).astype(np.int64)
+        return b.assign(__gs_hash=hb)
+
+    out = grouped_topk(
+        ds.map_batches(tag, batch_format="pandas", batch_size=batch_size),
+        group_cols,
+        "__gs_hash",
+        k,
+        descending=False,
+        tiebreak=id_col,
+    )
+    return out.drop_columns(["__gs_hash"])
+
+
 def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, text) → sentence counts + duplicate-sentence ratio (the
     boilerplate/repetition quality signal).  Sentences split on

@@ -596,3 +596,43 @@ def test_cooccurrence_pairs_cross_block_baskets(ray_session):
     )
     got = {(a, b): n for a, b, n in zip(out["item_a"], out["item_b"], out["n_baskets"])}
     assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1, (10, 40): 1, (20, 40): 1}
+
+
+def test_grouped_uniform_sample(ray_session):
+    from table_annotation_ray.stages.datapipe import (
+        HASH_MOD,
+        HASH_MULT,
+        grouped_uniform_sample,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(50_000)[:n].astype(np.int64),
+            "g": rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1]),
+        }
+    )
+    out = grouped_uniform_sample(
+        rd.from_pandas(df).repartition(7), ["g"], "doc_id", k=40
+    ).to_pandas()
+    # exact per-group counts, input schema, no helper columns
+    assert sorted(out.columns) == ["doc_id", "g"]
+    assert out.groupby("g").size().eq(40).all()
+    # matches the full-sort reference per group
+    h = (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+    ref = df.assign(h=h.astype(np.int64))
+    for g, sub in ref.groupby("g"):
+        want = sub.sort_values(["h", "doc_id"]).head(40)["doc_id"].tolist()
+        got = sorted(out[out["g"] == g]["doc_id"])
+        assert got == sorted(want), g
+    # deterministic across block layouts
+    out2 = grouped_uniform_sample(
+        rd.from_pandas(df).repartition(3), ["g"], "doc_id", k=40
+    ).to_pandas()
+    assert sorted(map(tuple, out[["g", "doc_id"]].itertuples(index=False))) == \
+        sorted(map(tuple, out2[["g", "doc_id"]].itertuples(index=False)))
+    # k larger than a group: min(k, group size) rows survive
+    tiny = df[df["g"] == "c"].head(5)
+    out3 = grouped_uniform_sample(rd.from_pandas(tiny), ["g"], "doc_id", k=40).to_pandas()
+    assert len(out3) == 5
