@@ -437,6 +437,7 @@ def _compile_qty_re() -> re.Pattern:
 
 
 _QTY_RE = _compile_qty_re()
+_HAS_DIGIT = re.compile(r"\d")
 
 
 def float_parse(value) -> float | None:
@@ -486,6 +487,11 @@ def parse_locale_number(s: str) -> float | None:
 
 def parse_quantities(text: str) -> list[ParsedQuantity]:
     """Find (value, unit) pairs in free text using the unit table."""
+    # every match starts with a digit (the value) — pure-text cells
+    # skip the ~700-surface alternation regex entirely (hot path:
+    # per-cell typing in the annotate worker)
+    if _HAS_DIGIT.search(text) is None:
+        return []
     out: list[ParsedQuantity] = []
     for m in _QTY_RE.finditer(text):
         if m.group("cur"):
