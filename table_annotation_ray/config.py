@@ -57,7 +57,13 @@ class RuntimeConfig:
     lookup_batch_size: int = 4096
     lookup_concurrency: int = 4
     annotate_concurrency: int = 4
-    num_buckets: int = 64  # conv_id hash buckets for the annotate shuffle
+    # conv_id hash buckets for the annotate shuffle.  128 measured best
+    # at 352k turns on both 32 CPUs (11.0 s vs 11.8–13.2 s @ 64; group-
+    # task skew max/mean drops ~2x) and 8 CPUs (38.2 vs 40.3 s) — finer
+    # buckets pack the heavyweight annotate tasks better and the sort
+    # itself is insensitive.  Scale num_buckets with cluster cores
+    # (≈ 4x total cores) on a real cluster.
+    num_buckets: int = 128
     triple_partitions: int = 16  # hash(subj) output partitions
 
 
