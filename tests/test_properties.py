@@ -163,3 +163,57 @@ def test_new_aggregates_randomized_multiseed(ray_session):
         got = lag["v_prev"].fillna(-999).to_numpy()
         want = ref_lag["v_prev"].fillna(-999).to_numpy()
         assert (got == want).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**31 - 1),
+)
+def test_png_round_trip_property(w, h, c, seed):
+    from table_annotation_ray.functions import codecs
+
+    rng = np.random.RandomState(seed % (2**31))
+    shape = (h, w) if c == 1 else (h, w, c)
+    arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+    out = codecs.decode_png(codecs.encode_png(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 10), st.integers(1, 10), st.integers(0, 2**31 - 1))
+def test_bmp_round_trip_property(w, h, seed):
+    from table_annotation_ray.functions import codecs
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out = codecs.decode_bmp(codecs.encode_bmp(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(-1.0, 1.0, allow_nan=False), min_size=1, max_size=400))
+def test_wav_round_trip_property(pcm):
+    from table_annotation_ray.functions import codecs
+
+    out = codecs.decode_wav(codecs.encode_wav(np.asarray(pcm), 16_000))
+    assert len(out) == len(pcm)
+    # encode scales by 32767, decode divides by 32768: worst-case
+    # quantization error is 2/32768
+    assert np.abs(out - np.asarray(pcm)).max() <= (2.0 / 32768) + 1e-9
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 10**12), st.integers(0, 999999))
+def test_locale_number_property(intpart, frac):
+    """US-grouped, EU-grouped and plain spellings of the same value parse
+    identically through parse_locale_number."""
+    from table_annotation_ray.functions.quantities import parse_locale_number
+
+    plain = f"{intpart}.{frac:06d}"
+    want = float(plain)
+    us = f"{intpart:,}.{frac:06d}"
+    eu = us.replace(",", "\x00").replace(".", ",").replace("\x00", ".")
+    assert parse_locale_number(plain) == pytest.approx(want)
+    assert parse_locale_number(us) == pytest.approx(want)
+    assert parse_locale_number(eu) == pytest.approx(want)
