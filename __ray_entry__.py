@@ -563,6 +563,44 @@ def _q_sample_per_lang(sf_dir: str):
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_incremental_exact_dedup(sf_dir: str):
+    """Incremental EXACT dedup (stages/dedup.py::cross_corpus_exact_dups
+    — the exact twin of the minhash incremental path): an incoming
+    batch (docs 0-99 re-keyed +1000, i.e. re-ingested copies — the sf
+    corpus itself has zero exact dups, curation funnel manifest) paired
+    against the base corpus; every pair is (id+1000, base min-id rep).
+    One digest-bucket co-location; base×base never materializes.
+    SQL-verified via the normalization-expression join."""
+    from table_annotation_ray.stages.dedup import cross_corpus_exact_dups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rekey(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["doc_id"] < 100].copy()
+        out["doc_id"] = out["doc_id"] + 1000
+        return out
+
+    new = docs.map_batches(rekey, batch_format="pandas")
+    out = cross_corpus_exact_dups(new, docs).to_pandas()
+    for c in ("new_id", "base_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["new_id", "base_id"]).reset_index(drop=True)
+
+
+def _q_user_counts_cms(sf_dir: str):
+    """Count-Min point counts (stages/sketches.py::cms_point_counts):
+    per-batch CM partials over events.user_id, tree-reduced elementwise,
+    queried for a fixed id list.  Rows-only: the sketch may legally
+    overestimate (never under; ≤ (e/width)·N whp — pytest pins both
+    bounds and merge-exactness)."""
+    from table_annotation_ray.stages.sketches import cms_point_counts
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    out = cms_point_counts(ev, "user_id", queries=list(range(1, 41)), width=16384)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_repetition_stats(sf_dir: str):
     from table_annotation_ray.stages.datapipe import repetition_stats
 
@@ -1935,6 +1973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
         "sample_per_lang": _q_sample_per_lang,
+        "incremental_exact_dedup": _q_incremental_exact_dedup,
+        "user_counts_cms": _q_user_counts_cms,
     }
 
 
@@ -2138,6 +2178,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
                    + 4294967296) % 4294967296 % 100 < 20
+        """,
+        "incremental_exact_dedup": """
+            WITH n AS (
+                SELECT doc_id + 1000 AS new_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents WHERE doc_id < 100
+            ),
+            b AS (
+                SELECT min(doc_id) AS base_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents
+                GROUP BY 2
+            )
+            SELECT n.new_id, b.base_id
+            FROM n JOIN b USING (t)
         """,
         "sample_per_lang": """
             WITH h AS (

@@ -1312,3 +1312,63 @@ def cross_corpus_near_dups(
         threshold=threshold, broadcast_below=broadcast_below,
         gram_fn=lambda t: _word_ngrams(t, ngram),
     )
+
+
+def cross_corpus_exact_dups(
+    new_docs: rd.Dataset,
+    base_docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Incremental EXACT dedup: (new_id, base_id) for every incoming
+    document whose normalized text already exists in the base corpus
+    (base_id = the base side's min-id representative of that text) —
+    the exact twin of :func:`cross_corpus_near_dups`, and like it the
+    base×base term never materializes: one digest-bucket co-location,
+    one vectorized in-bucket merge on the actual normalized text (hash
+    collisions cannot produce false pairs).  Both unioned branches emit
+    Arrow (mixed block types break downstream batchers, CLAUDE.md r3).
+
+    SQL mirror: inner join on the normalization expression with the
+    base side pre-aggregated to min(id) per text."""
+    nb = np.uint64(num_buckets)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            norm = _norm_arrow(batch[text_col])
+            h = pd.util.hash_pandas_object(
+                pd.Series(norm.to_pandas()), index=False
+            ).to_numpy(dtype=np.uint64)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "__xt": norm,
+                    "__side": pa.array(
+                        np.full(len(batch), side, dtype=np.int64), pa.int64()
+                    ),
+                    "__xb": pa.array((h % nb).astype(np.int64), pa.int64()),
+                }
+            )
+        return f
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        news = g[g["__side"] == 0]
+        bases = g[g["__side"] == 1]
+        if len(news) == 0 or len(bases) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return pa.table({"new_id": e, "base_id": e})
+        reps = bases.groupby("__xt", as_index=False)[id_col].min()
+        m = news.merge(reps, on="__xt", how="inner", suffixes=("", "_b"))
+        out = m[[id_col, f"{id_col}_b"]].sort_values([id_col, f"{id_col}_b"])
+        return pa.table(
+            {
+                "new_id": out[id_col].to_numpy(dtype=np.int64),
+                "base_id": out[f"{id_col}_b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    tagged = new_docs.map_batches(tag(0), batch_format="pyarrow").union(
+        base_docs.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("__xb").map_groups(pairs, batch_format="pandas")

@@ -636,3 +636,61 @@ def test_grouped_uniform_sample(ray_session):
     tiny = df[df["g"] == "c"].head(5)
     out3 = grouped_uniform_sample(rd.from_pandas(tiny), ["g"], "doc_id", k=40).to_pandas()
     assert len(out3) == 5
+
+
+def test_countmin_bounds_and_merge_exactness(ray_session):
+    from table_annotation_ray.stages.sketches import (
+        CountMin,
+        _hash64,
+        cms_point_counts,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 40_000
+    keys = pd.Series(rng.zipf(1.4, n) % 3000)
+    vc = keys.value_counts()
+    qs = list(vc.index[:30]) + [999_999]  # 30 present + 1 absent
+    out = cms_point_counts(
+        rd.from_pandas(keys.to_frame("k")).repartition(6), "k", qs,
+        width=8192, batch_size=4096,
+    ).set_index("k")["approx_count"]
+    true = {k: int(vc.get(k, 0)) for k in qs}
+    # never underestimates
+    assert all(out[k] >= true[k] for k in qs)
+    # eN overestimate bound (e/width * n), generous against whp
+    bound = 2.7183 / 8192 * n * 4
+    assert all(out[k] - true[k] <= bound for k in qs), out
+    # distributed tree-reduce == flat single-sketch build (merge exact)
+    flat = CountMin(width=8192)
+    flat.add_hashes(_hash64(vc.index.to_series()), vc.to_numpy(dtype=np.int64))
+    flat_est = flat.query_hashes(_hash64(pd.Series(qs)))
+    assert out.to_numpy().tolist() == flat_est.astype("int64").tolist()
+
+
+def test_cross_corpus_exact_dups_pairs_only_cross(ray_session):
+    from table_annotation_ray.stages.dedup import cross_corpus_exact_dups
+
+    base = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            # doc 0 and 1 are MUTUAL base-side dups: pairs must use the
+            # min-id rep and never emit base x base
+            "text": ["same  text", "Same text", "unique base", "other"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": ["SAME TEXT  ", "brand new", "other"],
+        }
+    )
+    out = (
+        cross_corpus_exact_dups(
+            rd.from_pandas(new).repartition(2), rd.from_pandas(base).repartition(2)
+        )
+        .to_pandas()
+        .sort_values("new_id")
+        .reset_index(drop=True)
+    )
+    assert out["new_id"].tolist() == [10, 12]
+    assert out["base_id"].tolist() == [0, 3]  # min-id rep for the dup pair
