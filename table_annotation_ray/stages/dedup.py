@@ -1295,6 +1295,10 @@ def cross_corpus_near_dups(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         ).drop_duplicates()
 
+    # wall profile at sf0.1/32cpu: two band passes ~3 s, this groupby
+    # ~2.8 s, the verify's exchanges ~3 s — each all-to-all carries
+    # ~2.5 s FIXED session overhead at toy scale (amortizes at real
+    # input sizes); a pre-exchange repartition was measured a no-op
     cand = (
         new_b.map_batches(tag(0), batch_format="pandas")
         .union(base_b.map_batches(tag(1), batch_format="pandas"))
