@@ -127,7 +127,16 @@ def triples_from_turns(
             kb_ref, config, kb_tier, lookup_tier
         ).annotate_turns_table(bucket)
 
-    bucketed = transcripts.map_batches(
+    from ..stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
+
+    # skew guard: the annotate worker DROPS turns past the per-conv cap
+    # (their cells entries are never read), so applying the identical
+    # predicate map-side keeps a hot conversation from shipping millions
+    # of rows into one bucket of the exchange — byte-identical triples
+    # (tests/test_pipeline.py::test_hot_conversation_prefilter_identical)
+    bucketed = transcripts.filter(
+        expr=f"turn_idx < {DEFAULT_MAX_ROWS_PER_CONV}"
+    ).map_batches(
         add_bucket,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},

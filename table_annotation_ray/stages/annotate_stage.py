@@ -22,7 +22,13 @@ cannot stall a bucket — the annotation loops are O(rows·K²·cols²) and
 unbounded rows is exactly the skew the north_rule asks us to handle).
 Raise ``max_rows_per_conv`` when full-row annotation matters more than
 tail latency; buckets spread hot conversations uniformly by hash either
-way.
+way.  Because the cap DROPS rows with ``turn_idx >= max_rows`` (their
+``cells`` entries are never read — triples.py only probes rows that
+carry CEA, all < max_rows), the flagship applies the SAME predicate
+map-side BEFORE the conv shuffle (:data:`DEFAULT_MAX_ROWS_PER_CONV`
+filter in pipelines/kg_pipeline.py): a 10M-turn hot conversation ships
+400 rows through the exchange instead of 10M, with byte-identical
+output (pytest-pinned).
 
 The worker pulls the broadcast KB image from the object store ONCE
 (ray.put on the driver → zero extra copies per node) and builds the
@@ -47,6 +53,11 @@ from .annotator import ActorCaches, AnnotationResult, TableAnnotator
 from .triples import conversation_outputs_to_rows
 
 
+# the per-conversation row cap (see module docstring); shared by the
+# annotate worker and the flagship's pre-shuffle skew filter
+DEFAULT_MAX_ROWS_PER_CONV = 400
+
+
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Deterministic hash bucket per conv_id (crc32 — stable across
     processes, unlike Python's salted hash()).  Hashing runs once per
@@ -68,7 +79,7 @@ class AnnotateBucket:
     """map_groups callable: one bucket of conversations → annotation rows."""
 
     def __init__(self, kb_ref, config: PipelineConfig | None = None,
-                 max_rows_per_conv: int = 400,
+                 max_rows_per_conv: int = DEFAULT_MAX_ROWS_PER_CONV,
                  kb_tier=None, lookup_tier=None):
         """``kb_ref`` is the broadcast KB image (small-KB fast path).  At
         real-KB scale pass ``kb_tier`` (state/sharded_kb.ShardedKBTier)

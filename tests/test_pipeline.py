@@ -157,3 +157,82 @@ def test_sharded_input_directory(ray_session, synth_root, tmp_path):
     assert sorted(map(tuple, single[key].values.tolist())) == sorted(
         map(tuple, sharded[key].values.tolist())
     )
+
+
+def test_hot_conversation_prefilter_identical(ray_session, synth_root, tmp_path):
+    """The flagship's pre-shuffle skew filter (turn_idx < cap) must be
+    byte-identical to the annotate worker's own in-group cap: a hot
+    conversation with 3x the cap in turns yields the same triples
+    whether its tail rows cross the exchange or not — and the tail
+    never ships."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from table_annotation_ray.config import DEFAULT_CONFIG
+    from table_annotation_ray.pipelines.kg_pipeline import (
+        read_transcripts,
+        triples_from_turns,
+    )
+    from table_annotation_ray.stages.annotate_stage import (
+        DEFAULT_MAX_ROWS_PER_CONV,
+        AnnotateBucket,
+    )
+    from table_annotation_ray.state.kb import load_kb
+
+    base = pq.read_table(
+        os.path.join(synth_root, "transcripts.parquet")
+    ).to_pandas()
+    # hot conversation: the real turns of one conv + filler far past the cap
+    conv = base[base["conv_id"] == base["conv_id"].iloc[0]].copy()
+    n_cap = DEFAULT_MAX_ROWS_PER_CONV
+    filler = pd.DataFrame(
+        {
+            "conv_id": conv["conv_id"].iloc[0],
+            "turn_idx": pd.array(range(n_cap, 3 * n_cap), dtype="int32"),
+            "role": "user",
+            "text": "hot filler row that must never cross the exchange",
+            "tool": "",
+            "ts": conv["ts"].iloc[0],
+        }
+    )
+    hot = pd.concat([base, filler], ignore_index=True)
+    path = str(tmp_path / "hot.parquet")
+    pq.write_table(pa.Table.from_pandas(hot, preserve_index=False), path)
+
+    kb = load_kb(os.path.join(synth_root, "kb"))
+    got = (
+        triples_from_turns(read_transcripts(path), ray.put(kb), DEFAULT_CONFIG)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+
+    # reference semantics: the worker sees ALL rows and caps in-group
+    stage = AnnotateBucket(kb)
+    from table_annotation_ray.stages.triples import conversation_outputs_to_rows
+
+    rows_all = []
+    for conv_id, sub in hot.groupby("conv_id"):
+        turns = []
+        from table_annotation_ray.functions.text import fix_encoding
+        from table_annotation_ray.schemas import CELL_SEP
+
+        for t, x in zip(sub["turn_idx"], sub["text"]):
+            fixed = fix_encoding(x) if x else ""
+            for s, cell in enumerate(fixed.split(CELL_SEP)):
+                turns.append((int(t), s, cell.strip()))
+        result, cells = stage._annotate_rows(turns)
+        rows_all.extend(conversation_outputs_to_rows(conv_id, result, cells))
+    want = (
+        pd.DataFrame(rows_all, columns=["subj", "pred", "obj", "conv_id", "score"])
+        .groupby(["subj", "pred", "obj"], as_index=False)
+        .agg(conv_id=("conv_id", "min"), score=("score", "max"))
+        [["subj", "pred", "obj", "score", "conv_id"]]
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
