@@ -66,7 +66,13 @@ def triples_dataset(
     annotate worker (memoized per worker process), so the conv_id
     shuffle carries only primitive columns — list<string> typing columns
     through an all-to-all roughly doubles its byte volume for nothing."""
-    bucketed = cells.map_batches(
+    from ..stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
+
+    # same pre-shuffle skew guard as triples_from_turns: rows past the
+    # worker's per-conv cap never cross the exchange (output identical)
+    bucketed = cells.filter(
+        expr=f"turn_idx < {DEFAULT_MAX_ROWS_PER_CONV}"
+    ).map_batches(
         add_bucket,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
@@ -96,7 +102,11 @@ def annotations_dataset(
             kb_ref, config, kb_tier, lookup_tier
         ).annotations_table(bucket)
 
-    bucketed = cells.map_batches(
+    from ..stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
+
+    bucketed = cells.filter(
+        expr=f"turn_idx < {DEFAULT_MAX_ROWS_PER_CONV}"
+    ).map_batches(
         add_bucket,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
