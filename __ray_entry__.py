@@ -2112,6 +2112,10 @@ def oracle_sql() -> dict[str, str]:
         # (exact dedup = min-doc_id per normalized text, quality gate,
         # lang id, sequential PII counts); the minhash victim set — the
         # only non-SQL stage — enters as the pytest-pinned literal.
+        # NOTE: the literal is sf0.01-SPECIFIC (the driver's correctness
+        # scale); running this oracle against another sf is expected to
+        # mismatch — every other SQL oracle is scale-independent and was
+        # verified green at sf0.1 too (BASELINE.md §Round 4).
         "curation_funnel": """
             WITH survivors AS (
                 SELECT min(doc_id) AS doc_id
