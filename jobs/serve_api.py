@@ -54,10 +54,15 @@ class ServiceState:
 
         self.kb = load_kb(kb_dir)
         # AnnotateBucket accepts the raw KB image (no Ray object store):
-        # it builds the lookup index, KB reader, NER and annotator
+        # it builds the lookup index, NER and annotator
         self.stage = AnnotateBucket(self.kb, DEFAULT_CONFIG)
         self._req_id = 0
         self._req_lock = threading.Lock()
+        # TableAnnotator.annotate mutates per-call instance state
+        # (table, cea/cta/cpa dicts) — concurrent /annotate threads
+        # must serialize on it; /lookup and /preprocess only read
+        # shared state (the lru-cached index search is thread-safe)
+        self._annotate_lock = threading.Lock()
 
     def next_request_id(self) -> int:
         with self._req_lock:
@@ -90,7 +95,10 @@ class ServiceState:
     def annotate(self, table: list[list[str]]) -> dict:
         from table_annotation_ray.pipelines.table_pipeline import annotate_single
 
-        payload = annotate_single(table, self.stage) or {"CEA": [], "CTA": [], "CPA": []}
+        with self._annotate_lock:
+            payload = annotate_single(table, self.stage)
+        if payload is None:  # preprocessing filtered the table away
+            payload = {"CEA": [], "CTA": [], "CPA": [], "avgLookupCandidate": 0.0}
         return {
             "annotated": payload,
             "raw": {

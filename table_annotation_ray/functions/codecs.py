@@ -89,14 +89,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the running left pixel
+        elif f == 1:  # Sub = per-channel cumulative sum mod 256 (the
+            # most common real-encoder filter — keep it vectorized)
+            cur = (
+                np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.int64)
+                .reshape(stride) & 0xFF
+            ).astype(np.int32)
+        else:  # Average / Paeth need the running left pixel
             cur = np.empty(stride, dtype=np.int32)
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0  # left
                 b = prev[x]  # up
-                if f == 1:  # Sub
-                    cur[x] = (line[x] + a) & 0xFF
-                elif f == 3:  # Average
+                if f == 3:  # Average
                     cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
                 elif f == 4:  # Paeth
                     c = prev[x - bpp] if x >= bpp else 0  # up-left

@@ -456,10 +456,21 @@ def parse_locale_number(s: str) -> float | None:
     """Locale-aware numeral parse for QUANTITY surfaces (beyond the
     reference's comma-stripping ``float_parse``, which stays untouched
     for parity): handles US ``1,234.56``, EU ``1.234,56`` and decimal-
-    comma ``3,14``.  Rules: with both separators the RIGHTMOST is the
-    decimal mark; a lone comma (or lone dot) is a thousands separator
-    only when every following group has exactly 3 digits — else it is
-    the decimal mark (``1,234`` → 1234 but ``3,14`` → 3.14)."""
+    comma ``3,14``.
+
+    Rules (divergence D5, stages/annotator.py docstring):
+
+    * both separators present → the RIGHTMOST is the decimal mark;
+    * a LONE DOT is ALWAYS the decimal mark (``0.125`` → 0.125,
+      ``9.806`` → 9.806 — scientific/data convention; quantulum
+      likewise) unless there are ≥2 all-3-digit dot groups
+      (``1.234.567`` → EU grouping);
+    * a LONE COMMA with one exactly-3-digit group and a 1–3 digit
+      non-zero head is US thousands (``1,234`` → 1234, matching the
+      reference's float_parse); anything else is the decimal comma
+      (``3,14``, ``0,500``, ``12,3456``);
+    * multiple same-separator groups must all be 3 digits (grouping),
+      else the numeral is malformed (``1,23,45`` → None)."""
     s = s.strip()
     if not s:
         return None
@@ -474,14 +485,27 @@ def parse_locale_number(s: str) -> float | None:
         if s.rfind(",") > s.rfind("."):  # EU: dot groups, comma decimal
             return _try(s.replace(".", "").replace(",", "."))
         return _try(s.replace(",", ""))  # US: comma groups, dot decimal
-    for sep in (",", "."):
-        if sep in s:
-            head, *groups = s.split(sep)
-            if len(groups) >= 1 and all(len(g) == 3 and g.isdigit() for g in groups):
-                return _try(s.replace(sep, ""))  # thousands grouping
-            if len(groups) == 1:
-                return _try(head + "." + groups[0])  # decimal mark
-            return None  # 1,23,456-style: malformed
+    if "." in s:
+        head, *groups = s.split(".")
+        if len(groups) >= 2:
+            if all(len(g) == 3 and g.isdigit() for g in groups):
+                return _try(s.replace(".", ""))  # 1.234.567 EU grouping
+            return None  # 1.23.45-style: malformed
+        return _try(s)  # lone dot = decimal mark, float handles it
+    if "," in s:
+        head, *groups = s.split(",")
+        if len(groups) == 1:
+            g = groups[0]
+            h = head.lstrip("+-")
+            if (
+                len(g) == 3 and g.isdigit()
+                and 1 <= len(h) <= 3 and h.isdigit() and h != "0"
+            ):
+                return _try(s.replace(",", ""))  # US thousands: 1,234
+            return _try(head + "." + g)  # decimal comma: 3,14 / 0,500
+        if all(len(g) == 3 and g.isdigit() for g in groups):
+            return _try(s.replace(",", ""))  # 12,345,678 grouping
+        return None  # malformed grouping
     return _try(s)
 
 

@@ -38,6 +38,18 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns or ["conv_id", "turn_idx", "text"])
 
 
+def _prefilter_cap(ds: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
+    """Pre-shuffle per-conversation cap (skew guard).  Valid only under
+    the input-hint's dense 0-based ``turn_idx`` (RuntimeConfig.
+    prefilter_turn_cap docstring); disabled → the in-worker cap (D4)
+    alone governs."""
+    if not cfg.runtime.prefilter_turn_cap:
+        return ds
+    from ..stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
+
+    return ds.filter(expr=f"turn_idx < {DEFAULT_MAX_ROWS_PER_CONV}")
+
+
 def mentions_dataset(
     transcripts: rd.Dataset,
     kb_ref,
@@ -66,13 +78,9 @@ def triples_dataset(
     annotate worker (memoized per worker process), so the conv_id
     shuffle carries only primitive columns — list<string> typing columns
     through an all-to-all roughly doubles its byte volume for nothing."""
-    from ..stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
-
-    # same pre-shuffle skew guard as triples_from_turns: rows past the
-    # worker's per-conv cap never cross the exchange (output identical)
-    bucketed = cells.filter(
-        expr=f"turn_idx < {DEFAULT_MAX_ROWS_PER_CONV}"
-    ).map_batches(
+    # same pre-shuffle skew guard as triples_from_turns (see
+    # RuntimeConfig.prefilter_turn_cap for the dense-turn_idx contract)
+    bucketed = _prefilter_cap(cells, cfg).map_batches(
         add_bucket,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
@@ -102,11 +110,7 @@ def annotations_dataset(
             kb_ref, config, kb_tier, lookup_tier
         ).annotations_table(bucket)
 
-    from ..stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
-
-    bucketed = cells.filter(
-        expr=f"turn_idx < {DEFAULT_MAX_ROWS_PER_CONV}"
-    ).map_batches(
+    bucketed = _prefilter_cap(cells, cfg).map_batches(
         add_bucket,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},
@@ -137,16 +141,13 @@ def triples_from_turns(
             kb_ref, config, kb_tier, lookup_tier
         ).annotate_turns_table(bucket)
 
-    from ..stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
-
     # skew guard: the annotate worker DROPS turns past the per-conv cap
     # (their cells entries are never read), so applying the identical
     # predicate map-side keeps a hot conversation from shipping millions
-    # of rows into one bucket of the exchange — byte-identical triples
-    # (tests/test_pipeline.py::test_hot_conversation_prefilter_identical)
-    bucketed = transcripts.filter(
-        expr=f"turn_idx < {DEFAULT_MAX_ROWS_PER_CONV}"
-    ).map_batches(
+    # of rows into one bucket of the exchange — output-identical under
+    # the dense-turn_idx input contract (RuntimeConfig.prefilter_turn_cap;
+    # tests/test_pipeline.py::test_hot_conversation_prefilter_identical)
+    bucketed = _prefilter_cap(transcripts, cfg).map_batches(
         add_bucket,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": cfg.runtime.num_buckets},

@@ -23,6 +23,18 @@ deterministic or fixes a latent bug; flagged inline):
   D3: the coverage<0.3 demotion iterates over a snapshot of
       entity_cols (the reference mutates the list while iterating,
       annotation_models.py:261-277, silently skipping the next column).
+  D4: the reference subsamples 400 rows only for PREPROCESSING stats
+      but annotates every row; we apply the bound as a hard per-
+      conversation cap, also enforced map-side before the conv shuffle
+      (stages/annotate_stage.py docstring; requires the input-hint's
+      dense 0-based turn_idx).
+  D5: quantity parsing reads numerals locale-aware
+      (functions/quantities.py::parse_locale_number): a lone dot is
+      always the decimal mark and "3,14" parses as 3.14, where the
+      reference's float_parse comma-stripping would give 314
+      (utils.py:39-47; quantulum — the reference's actual unit parser —
+      behaves like ours).  float_parse itself is kept verbatim for the
+      annotator's literal-match path.
 """
 
 from __future__ import annotations

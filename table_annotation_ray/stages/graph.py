@@ -259,17 +259,32 @@ def pagerank_auto(
     edges = edges.materialize()  # both engines take multiple passes
     n_edges = edges.count()
     if n_edges * iters >= threshold:
+        import glob
+        import os
+        import shutil
         import tempfile
 
         from ..state.graph_shards import pagerank_sharded
 
         target = out_dir or tempfile.mkdtemp(prefix="pr_auto_", dir="/tmp")
+        # a reused out_dir may hold rank parts from a PRIOR run with a
+        # different shard count — stale ranks_shard_N would union into
+        # the read-back; wipe them first
+        for stale in glob.glob(os.path.join(target, "ranks_shard_*.parquet")):
+            os.remove(stale)
         pagerank_sharded(
             edges, src=src, dst=dst, damping=damping, iters=iters,
             num_shards=num_shards, num_cpus_per_shard=num_cpus_per_shard,
             out_dir=target,
         )
-        return rd.read_parquet(target), "sharded"
+        ranks = rd.read_parquet(target)
+        if out_dir is None:
+            # caller asked for a Dataset, not files: pin the blocks in
+            # the object store and remove the scratch dir (no /tmp leak
+            # per call); rank rows stay block-distributed, never driver-side
+            ranks = ranks.materialize()
+            shutil.rmtree(target, ignore_errors=True)
+        return ranks, "sharded"
     return (
         pagerank(
             edges, src=src, dst=dst, damping=damping, iters=iters,

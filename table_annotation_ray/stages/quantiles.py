@@ -421,15 +421,19 @@ def kll_quantiles(
     """Approximate quantiles in ONE streaming scan: per-batch KLL
     partials → :func:`~.sketches.tree_reduce` merge tiers → one driver
     merge + query.  Returns (q, value).  Each partial seeds its RNG
-    from its batch LENGTH only (never batch values — a NaN/inf first
-    element must not crash the scan; nullable inputs are filtered
-    inside ``KLLSketch.add``), so reruns on the same blocks
-    reproduce."""
+    from batch length + a crc32 of the batch's FINITE values (NaN-safe
+    — a NaN/inf element must not crash the scan — yet content-unique,
+    so equal-size batches do NOT share an RNG stream and compaction
+    coin-flips stay independent across partials; deterministic for
+    reruns on the same blocks)."""
+    import zlib
+
     from .sketches import tree_reduce
 
     def sketch_batch(b: pd.DataFrame) -> pd.DataFrame:
         v = b[val_col].to_numpy(dtype=np.float64)
-        seed = (len(v) * 2654435761 + 17) % (2**31)
+        fin = v[np.isfinite(v)]
+        seed = (len(v) * 2654435761 + zlib.crc32(fin.tobytes()) + 17) % (2**31)
         sk = KLLSketch(k=k, seed=int(seed))
         sk.add(v)
         return pd.DataFrame({"sk": [sk.to_bytes()], "n": [len(v)]})
@@ -474,8 +478,16 @@ def grouped_kll_quantiles(
         v = b[val_col].to_numpy(dtype=np.float64)
         bounds = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1, len(g)]
         keys, sks = [], []
+        import zlib
+
         for s, t in zip(bounds[:-1], bounds[1:]):
-            seed = (int(t - s) * 2654435761 + 17) % (2**31)
+            vv = v[s:t]
+            fin = vv[np.isfinite(vv)]
+            # content-mixed seed (same rationale as kll_quantiles):
+            # equal-size per-group slices must not share an RNG stream
+            seed = (
+                int(t - s) * 2654435761 + zlib.crc32(fin.tobytes()) + 17
+            ) % (2**31)
             sk = KLLSketch(k=k, seed=seed)
             sk.add(v[s:t])
             keys.append(g[s])

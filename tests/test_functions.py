@@ -502,10 +502,17 @@ def test_locale_number_formats_round_trip():
     assert q.parse_locale_number("1.234,56") == pytest.approx(1234.56)
     assert q.parse_locale_number("3,14") == pytest.approx(3.14)
     assert q.parse_locale_number("1,234") == 1234.0
-    assert q.parse_locale_number("1.234") == 1234.0  # EU grouping
+    # a LONE DOT is always the decimal mark (code-review r4: '0.125 kg'
+    # must never become 125 kg); >=2 dot groups are EU grouping
+    assert q.parse_locale_number("1.234") == pytest.approx(1.234)
+    assert q.parse_locale_number("0.125") == pytest.approx(0.125)
+    assert q.parse_locale_number("9.806") == pytest.approx(9.806)
+    assert q.parse_locale_number("1.234.567") == 1234567.0
     assert q.parse_locale_number("1.2345") == pytest.approx(1.2345)
+    assert q.parse_locale_number("0,500") == pytest.approx(0.5)  # head 0
     assert q.parse_locale_number("12,345,678") == 12345678.0
     assert q.parse_locale_number("1,23,45") is None  # malformed grouping
+    assert q.parse_locale_number("1.23.45") is None
     # end-to-end: all three spellings standardize to the same metres
     for cell in ("1,234.5 km", "1.234,5 km", "1234.5 km"):
         assert q.standardize_to_base_unit(cell)["metre"] == [

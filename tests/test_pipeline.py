@@ -159,12 +159,43 @@ def test_sharded_input_directory(ray_session, synth_root, tmp_path):
     )
 
 
+def _worker_reference_triples(hot, kb):
+    """Reference semantics: the annotate worker sees ALL rows of each
+    conversation and caps in-group (D4) — computed directly, no Ray."""
+    import pandas as pd
+
+    from table_annotation_ray.functions.text import fix_encoding
+    from table_annotation_ray.schemas import CELL_SEP
+    from table_annotation_ray.stages.annotate_stage import AnnotateBucket
+    from table_annotation_ray.stages.triples import conversation_outputs_to_rows
+
+    stage = AnnotateBucket(kb)
+    rows_all = []
+    for conv_id, sub in hot.groupby("conv_id"):
+        turns = []
+        for t, x in zip(sub["turn_idx"], sub["text"]):
+            fixed = fix_encoding(x) if x else ""
+            for s, cell in enumerate(fixed.split(CELL_SEP)):
+                turns.append((int(t), s, cell.strip()))
+        result, cells = stage._annotate_rows(turns)
+        rows_all.extend(conversation_outputs_to_rows(conv_id, result, cells))
+    return (
+        pd.DataFrame(rows_all, columns=["subj", "pred", "obj", "conv_id", "score"])
+        .groupby(["subj", "pred", "obj"], as_index=False)
+        .agg(conv_id=("conv_id", "min"), score=("score", "max"))
+        [["subj", "pred", "obj", "score", "conv_id"]]
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+
+
 def test_hot_conversation_prefilter_identical(ray_session, synth_root, tmp_path):
-    """The flagship's pre-shuffle skew filter (turn_idx < cap) must be
-    byte-identical to the annotate worker's own in-group cap: a hot
-    conversation with 3x the cap in turns yields the same triples
-    whether its tail rows cross the exchange or not — and the tail
-    never ships."""
+    """The flagship's pre-shuffle skew filter (turn_idx < cap) must
+    equal the annotate worker's own in-group cap on DENSE 0-based
+    turn_idx (the input-hint contract) — checked on a SINGLE hot
+    conversation so cross-conversation triple dedup cannot mask a
+    divergence (code-review r4): one conv, 3x the cap in dense turns,
+    real mention text throughout."""
     import os
 
     import pandas as pd
@@ -177,30 +208,31 @@ def test_hot_conversation_prefilter_identical(ray_session, synth_root, tmp_path)
         read_transcripts,
         triples_from_turns,
     )
-    from table_annotation_ray.stages.annotate_stage import (
-        DEFAULT_MAX_ROWS_PER_CONV,
-        AnnotateBucket,
-    )
+    from table_annotation_ray.stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
     from table_annotation_ray.state.kb import load_kb
 
     base = pq.read_table(
         os.path.join(synth_root, "transcripts.parquet")
     ).to_pandas()
-    # hot conversation: the real turns of one conv + filler far past the cap
-    conv = base[base["conv_id"] == base["conv_id"].iloc[0]].copy()
+    conv = (
+        base[base["conv_id"] == base["conv_id"].iloc[0]]
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
     n_cap = DEFAULT_MAX_ROWS_PER_CONV
-    filler = pd.DataFrame(
+    n_hot = 3 * n_cap
+    # dense hot conversation: real turn texts cycled over 3x the cap
+    hot = pd.DataFrame(
         {
             "conv_id": conv["conv_id"].iloc[0],
-            "turn_idx": pd.array(range(n_cap, 3 * n_cap), dtype="int32"),
+            "turn_idx": pd.array(range(n_hot), dtype="int32"),
             "role": "user",
-            "text": "hot filler row that must never cross the exchange",
+            "text": [conv["text"].iloc[i % len(conv)] for i in range(n_hot)],
             "tool": "",
             "ts": conv["ts"].iloc[0],
         }
     )
-    hot = pd.concat([base, filler], ignore_index=True)
-    path = str(tmp_path / "hot.parquet")
+    path = str(tmp_path / "hot_dense.parquet")
     pq.write_table(pa.Table.from_pandas(hot, preserve_index=False), path)
 
     kb = load_kb(os.path.join(synth_root, "kb"))
@@ -210,29 +242,49 @@ def test_hot_conversation_prefilter_identical(ray_session, synth_root, tmp_path)
         .sort_values(["subj", "pred", "obj"])
         .reset_index(drop=True)
     )
-
-    # reference semantics: the worker sees ALL rows and caps in-group
-    stage = AnnotateBucket(kb)
-    from table_annotation_ray.stages.triples import conversation_outputs_to_rows
-
-    rows_all = []
-    for conv_id, sub in hot.groupby("conv_id"):
-        turns = []
-        from table_annotation_ray.functions.text import fix_encoding
-        from table_annotation_ray.schemas import CELL_SEP
-
-        for t, x in zip(sub["turn_idx"], sub["text"]):
-            fixed = fix_encoding(x) if x else ""
-            for s, cell in enumerate(fixed.split(CELL_SEP)):
-                turns.append((int(t), s, cell.strip()))
-        result, cells = stage._annotate_rows(turns)
-        rows_all.extend(conversation_outputs_to_rows(conv_id, result, cells))
-    want = (
-        pd.DataFrame(rows_all, columns=["subj", "pred", "obj", "conv_id", "score"])
-        .groupby(["subj", "pred", "obj"], as_index=False)
-        .agg(conv_id=("conv_id", "min"), score=("score", "max"))
-        [["subj", "pred", "obj", "score", "conv_id"]]
-        .sort_values(["subj", "pred", "obj"])
-        .reset_index(drop=True)
-    )
+    want = _worker_reference_triples(hot, kb)
+    assert len(want) > 0  # the hot conversation must actually emit triples
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_sparse_turn_idx_needs_prefilter_off(ray_session, synth_root, tmp_path):
+    """For SPARSE turn indexes the prefilter is NOT output-preserving
+    (the worker pads positional gaps, D4) — the documented contract is
+    prefilter_turn_cap=False there; this pins that the disabled path
+    equals the worker on a sparse conversation."""
+    import os
+    from dataclasses import replace
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from table_annotation_ray.config import PipelineConfig, RuntimeConfig
+    from table_annotation_ray.pipelines.kg_pipeline import (
+        read_transcripts,
+        triples_from_turns,
+    )
+    from table_annotation_ray.state.kb import load_kb
+
+    base = pq.read_table(
+        os.path.join(synth_root, "transcripts.parquet")
+    ).to_pandas()
+    conv = base[base["conv_id"] == base["conv_id"].iloc[0]].copy()
+    # sparse: shift the real turns past the cap
+    conv["turn_idx"] = (conv["turn_idx"] + 500).astype("int32")
+    path = str(tmp_path / "sparse.parquet")
+    pq.write_table(pa.Table.from_pandas(conv, preserve_index=False), path)
+
+    kb = load_kb(os.path.join(synth_root, "kb"))
+    cfg = replace(PipelineConfig(), runtime=RuntimeConfig(prefilter_turn_cap=False))
+    got = triples_from_turns(read_transcripts(path), ray.put(kb), cfg).to_pandas()
+    want = _worker_reference_triples(conv, kb)
+    if len(want):
+        got = got.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    else:
+        # an all-past-the-cap sparse conv annotates an all-empty padded
+        # table -> no triples on either path (empty to_pandas loses the
+        # schema, hence the row-count check)
+        assert len(got) == 0
