@@ -47,6 +47,27 @@ def assign_part_str(batch: pa.Table, key_col: str, num_partitions: int) -> pa.Ta
     return batch.append_column("part", pa.array(parts, pa.int32()))
 
 
+def _check_resume_partitions(out_dir: str, num_partitions: int) -> None:
+    """Refuse to resume into a directory written under a DIFFERENT
+    partition count: the hash-mod scheme changes, so trusting the old
+    _SUCCESS markers would silently drop every row whose new-scheme
+    part id collides with a completed old-scheme id (code-review r4)."""
+    mpath = os.path.join(out_dir, "_MANIFEST.json")
+    if not os.path.exists(mpath):
+        return
+    try:
+        with open(mpath) as f:
+            prior = json.load(f).get("num_partitions")
+    except (OSError, json.JSONDecodeError):
+        return
+    if prior is not None and prior != num_partitions:
+        raise ValueError(
+            f"{out_dir} was written with num_partitions={prior}; resuming "
+            f"with num_partitions={num_partitions} would lose rows — "
+            "rerun with the original count or clear the directory"
+        )
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     """Partitions with a ``_SUCCESS`` marker; incomplete leftovers from
     a crashed run are removed so a rerun cannot double-write."""
@@ -81,6 +102,7 @@ def write_partitioned(
     multiplicative hash) or ``"str"`` (crc32)."""
     t_start = time.time()
     os.makedirs(out_dir, exist_ok=True)
+    _check_resume_partitions(out_dir, num_partitions)
     done = completed_partitions(out_dir)
     assign = assign_part_int if key_kind == "int" else assign_part_str
     ds = ds.map_batches(

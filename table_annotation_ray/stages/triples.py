@@ -50,6 +50,12 @@ def conversation_outputs_to_rows(
             seen[key] = score
 
     entity_col_set = set(result.entity_cols)
+    # one pass over cea builds the col -> rows index; rescanning the
+    # full cea dict per CPA pair / CTA column was O(pairs x |cea|) in
+    # the flagship's hottest loop (code-review r4)
+    rows_by_col: dict[int, list[int]] = {}
+    for (r, c) in result.cea:
+        rows_by_col.setdefault(c, []).append(r)
     for (head_col, tail_col), cpas in result.cpa.items():
         pid, score, _cov = cpas[0]
         if "::" in pid:
@@ -57,7 +63,7 @@ def conversation_outputs_to_rows(
         tail_is_entity = tail_col in entity_col_set
         reverse = pid.startswith("(-)")
         bare = pid[3:] if reverse else pid
-        rows = {r for (r, c) in result.cea if c == head_col}
+        rows = rows_by_col.get(head_col, ())
         for row in rows:
             head = result.cea.get((row, head_col))
             if head is None:
@@ -81,9 +87,9 @@ def conversation_outputs_to_rows(
 
     for col, ctas in result.cta.items():
         type_id, score, _cov = ctas[0]
-        for (row, c), (eid, _s) in result.cea.items():
-            if c == col:
-                emit(_PREFIX_E + eid, _PREFIX_P + "P31", _PREFIX_E + type_id, score)
+        for row in rows_by_col.get(col, ()):
+            eid, _s = result.cea[(row, col)]
+            emit(_PREFIX_E + eid, _PREFIX_P + "P31", _PREFIX_E + type_id, score)
 
     return [(s, p, o, conv_id, sc) for (s, p, o), sc in sorted(seen.items())]
 
@@ -100,14 +106,16 @@ def dedup_triples(ds: rd.Dataset, high_cardinality: bool = False) -> rd.Dataset:
     reduce.  Per-batch pre-dedup inside ``map_batches`` shrinks the
     shuffle input first (combiner pattern)."""
 
-    def local_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_dedup(batch: pd.DataFrame) -> pa.Table:
         # associative partial of the global (Max score, Min conv_id)
         # reduce — keeping a single arbitrary row per key here would make
         # the surviving conv_id depend on batch composition (run-order
-        # nondeterminism)
-        return batch.groupby(["subj", "pred", "obj"], as_index=False).agg(
+        # nondeterminism).  Arrow out: this partial feeds the
+        # repartition + groupby exchange (CLAUDE.md r3 invariant).
+        out = batch.groupby(["subj", "pred", "obj"], as_index=False).agg(
             score=("score", "max"), conv_id=("conv_id", "min")
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     ds = ds.map_batches(local_dedup, batch_format="pandas")
     # the combiner collapses each block to its unique triples; coalesce
@@ -147,26 +155,6 @@ def assign_part(batch: pa.Table, num_partitions: int) -> pa.Table:
     return batch.append_column("part", pa.array(parts, pa.int32()))
 
 
-def completed_partitions(out_dir: str) -> set[int]:
-    """Partitions with a ``_SUCCESS`` marker; incomplete leftovers from a
-    crashed run are removed so a rerun cannot double-write."""
-    import shutil
-
-    done: set[int] = set()
-    if not os.path.isdir(out_dir):
-        return done
-    for name in os.listdir(out_dir):
-        if not name.startswith("part="):
-            continue
-        part = int(name.split("=")[1])
-        part_dir = os.path.join(out_dir, name)
-        if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
-            done.add(part)
-        else:
-            shutil.rmtree(part_dir)
-    return done
-
-
 def write_triples_partitioned(
     ds: rd.Dataset, out_dir: str, num_partitions: int = 16,
     lineage: dict | None = None,
@@ -174,45 +162,13 @@ def write_triples_partitioned(
     """Write hash(subj)-partitioned adjacency Parquet in ONE streaming
     pass with per-partition commit markers; returns the run manifest.
 
-    Layout: ``out_dir/part=N/*.parquet`` + ``_SUCCESS`` per partition,
-    ``out_dir/_MANIFEST.json`` with per-partition row counts (the
-    north_rule lineage/metrics sidecar).  Resume = completed partitions
-    are filtered OUT of the write; partial directories from a crashed
-    run are removed first (see :func:`completed_partitions`)."""
-    import time
+    Thin wrapper over the generic resumable sink (stages/sinks.py —
+    layout, resume and manifest contract live THERE, once; the two
+    implementations used to drift, code-review r4): partitions by
+    ``crc32(subj) % num_partitions``."""
+    from .sinks import write_partitioned
 
-    t_start = time.time()
-    os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir)
-    ds = ds.map_batches(
-        assign_part, batch_format="pyarrow", fn_kwargs={"num_partitions": num_partitions}
+    return write_partitioned(
+        ds, out_dir, key_col="subj", num_partitions=num_partitions,
+        key_kind="str", lineage=lineage,
     )
-    if done:
-        done_list = sorted(done)
-        ds = ds.filter(expr=f"part not in {done_list}")
-    ds.write_parquet(out_dir, partition_cols=["part"])
-
-    manifest: dict = {"num_partitions": num_partitions, "partitions": {}}
-    import pyarrow.parquet as pq_mod
-
-    for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("part="):
-            continue
-        part = int(name.split("=")[1])
-        part_dir = os.path.join(out_dir, name)
-        n_rows = 0
-        for f in os.listdir(part_dir):
-            if f.endswith(".parquet"):
-                n_rows += pq_mod.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
-        status = "resumed(skip)" if part in done else "written"
-        if part not in done:
-            with open(os.path.join(part_dir, "_SUCCESS"), "w") as f:
-                json.dump({"partition": part, "rows": n_rows}, f)
-        manifest["partitions"][str(part)] = {"status": status, "rows": n_rows}
-    manifest["total_rows"] = sum(p["rows"] for p in manifest["partitions"].values())
-    manifest["resumed_partitions"] = sorted(done)
-    manifest["write_wall_sec"] = round(time.time() - t_start, 3)
-    manifest["lineage"] = lineage or {}
-    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    return manifest

@@ -69,7 +69,11 @@ def load_kb(kb_dir: str) -> KBData:
         meta["en_label"].to_pylist(),
         meta["num_edges"].to_pylist(),
     ):
-        kb.labels[ent] = lab
+        # a null en_label stored as None would bypass the reader's
+        # "No English Label" default (the key EXISTS) and crash
+        # get_symbol_of_unit_entity's .lower() (code-review r4)
+        if lab is not None:
+            kb.labels[ent] = lab
         kb.num_edges[ent] = int(n)
 
     labels = pq.read_table(os.path.join(kb_dir, "kb_labels.parquet"))
@@ -162,14 +166,15 @@ class KBReader:
         for prop in TYPE_PROPERTIES:
             objs = sub.get(prop)
             if objs:
+                # literal-valued type props (e.g. a DateTime P39 edge in
+                # the mini-KB) are not types — keep entity objs only; the
+                # same guard applies to P31 (a literal P31 would leak a
+                # raw string into level_1 and CTA voting, code-review r4)
+                ent_objs = {o: k for o, k in objs.items() if k in ENTITY_RANKS}
                 if prop == INSTANCE_OF:
-                    instance_types.update(objs)
+                    instance_types.update(ent_objs)
                 else:
-                    # literal-valued type props (e.g. a DateTime P39 edge in
-                    # the mini-KB) are not types — keep entity objs only
-                    other_types.update(
-                        {o: k for o, k in objs.items() if k in ENTITY_RANKS}
-                    )
+                    other_types.update(ent_objs)
         hierarchical["level_1"] = other_types if other_types else instance_types
         inter = hierarchical["level_1"]
         for lvl in range(2, num_level + 1):

@@ -155,8 +155,18 @@ class LabelIndex:
         final mix, sort) live in :func:`finalize_candidates` — this
         split is what makes the sharded lookup tier
         (state/sharded_lookup.py) EXACTLY equivalent to the single
-        index: shards compute partials over their rows, the router
-        merges and finalizes globally."""
+        index WHILE the ``cfg.max_hits`` row cap does not bind: shards
+        compute partials over their rows, the router merges and
+        finalizes globally.  When a mention's filtered candidate rows
+        EXCEED max_hits, truncation is inherently layout-dependent
+        (the kept set under equal-overlap ties follows index insertion
+        order, so even two differently-built single indexes can
+        differ); the sharded tier then evaluates the union of
+        per-shard top-max_hits — a SUPERSET of any single index's rows
+        (recall never lower; adaptive-threshold scores may shift).
+        Mentions with >max_hits surviving rows are ultra-generic
+        strings the annotator's candidate cap would down-rank anyway
+        (code-review r4)."""
         cfg = self.cfg
         new_label = normalize_label(raw_mention)
         label_lower = new_label.lower()

@@ -8,7 +8,12 @@ actors; a query fans out to all shards (each 1/K the size), and the
 router merges shard partials and applies the query-global scoring tail
 — EXACTLY the single-index result (tested), because
 ``LabelIndex.scored_candidates`` computes only per-entity partials and
-``finalize_candidates`` owns every query-global step.
+``finalize_candidates`` owns every query-global step.  Boundary: the
+exactness guarantee holds while ``cfg.max_hits`` does not bind; a
+mention with more filtered candidate rows than max_hits is truncated
+layout-dependently in ANY index build, and this tier then evaluates
+the union of per-shard top-max_hits — a superset of a single index's
+rows (recall never lower; see lookup_index.scored_candidates).
 
 This is the one place the engine drops to raw ``@ray.remote`` actors:
 the index is large, shared, read-only state serving point lookups —
@@ -187,18 +192,22 @@ class ShardedLookupTier:
     def search_batch(self, mentions: list[str], k: int | None = None) -> list[list[tuple[str, float]]]:
         """Fan out the unique uncached mentions to every shard, merge,
         finalize.  One round trip of K actor calls per batch."""
-        uniq = [m for m in dict.fromkeys(mentions) if m not in self._cache]
+        # answer the batch from a LOCAL view first: FIFO eviction below
+        # may evict a mention the CURRENT batch still needs (or, with
+        # more uniques than cache_size, the new entries evict each
+        # other) — reading back through self._cache raised KeyError
+        # (code-review r4)
+        local: dict = {m: self._cache[m] for m in mentions if m in self._cache}
+        uniq = [m for m in dict.fromkeys(mentions) if m not in local]
         if uniq:
             futures = [a.scored_batch.remote(uniq) for a in self.actors]
             per_shard = ray.get(futures)  # K lists aligned with uniq
             for i, m in enumerate(uniq):
                 merged = merge_candidates([shard[i] for shard in per_shard])
-                self._cache[m] = finalize_candidates(merged, self.cfg)
+                local[m] = self._cache[m] = finalize_candidates(merged, self.cfg)
                 if len(self._cache) > self.cfg.cache_size:
                     self._cache.pop(next(iter(self._cache)))
-        return [
-            list(self._cache[m][:k]) if k else list(self._cache[m]) for m in mentions
-        ]
+        return [list(local[m][:k]) if k else list(local[m]) for m in mentions]
 
     def search(self, mention: str, k: int | None = None) -> list[tuple[str, float]]:
         return self.search_batch([mention], k)[0]
