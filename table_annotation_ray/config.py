@@ -58,13 +58,17 @@ class RuntimeConfig:
     lookup_concurrency: int = 4
     annotate_concurrency: int = 4
     # pre-shuffle skew guard: drop turns past the per-conversation cap
-    # BEFORE the conv_id exchange.  Exactly output-preserving ONLY under
-    # the input-hint contract (dense 0-based turn_idx — BASELINE.json):
-    # then "turn_idx < cap" selects precisely the rows the annotate
-    # worker would keep.  For SPARSE turn indexes the worker's
-    # positional table (gaps pad as empty rows, D4) diverges — disable
-    # the prefilter there and let the in-worker cap be authoritative.
+    # BEFORE the conv_id exchange.  Output-identical for ANY turn_idx
+    # distribution: the annotate worker derives its table dims from the
+    # capped rows only, so "turn_idx < cap" selects exactly the rows it
+    # would use (pytest-pinned for dense, sparse and wider-beyond-cap
+    # payloads).  The knob exists for A/B measurement and as an escape
+    # hatch, not for correctness.
     prefilter_turn_cap: bool = True
+    # per-conversation row cap (D4): turns past it are dropped both
+    # map-side (prefilter above) and in-worker; raise when full-row
+    # annotation matters more than skew-bounded tail latency
+    max_rows_per_conv: int = 400
     # conv_id hash buckets for the annotate shuffle.  128 measured best
     # at 352k turns on both 32 CPUs (11.0 s vs 11.8–13.2 s @ 64; group-
     # task skew max/mean drops ~2x) and 8 CPUs (38.2 vs 40.3 s) — finer

@@ -39,15 +39,14 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
 
 
 def _prefilter_cap(ds: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
-    """Pre-shuffle per-conversation cap (skew guard).  Valid only under
-    the input-hint's dense 0-based ``turn_idx`` (RuntimeConfig.
-    prefilter_turn_cap docstring); disabled → the in-worker cap (D4)
+    """Pre-shuffle per-conversation cap (skew guard) — output-identical
+    to the in-worker cap for any turn_idx distribution (the worker's
+    table dims come from capped rows only; RuntimeConfig
+    .prefilter_turn_cap docstring).  Disabled → the in-worker cap (D4)
     alone governs."""
     if not cfg.runtime.prefilter_turn_cap:
         return ds
-    from ..stages.annotate_stage import DEFAULT_MAX_ROWS_PER_CONV
-
-    return ds.filter(expr=f"turn_idx < {DEFAULT_MAX_ROWS_PER_CONV}")
+    return ds.filter(expr=f"turn_idx < {cfg.runtime.max_rows_per_conv}")
 
 
 def mentions_dataset(

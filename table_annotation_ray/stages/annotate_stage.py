@@ -66,6 +66,13 @@ def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     conv = batch["conv_id"].combine_chunks()
     dict_arr = conv.dictionary_encode()
     uniq = dict_arr.dictionary.to_pylist()
+    if any(c is None for c in uniq):
+        # fail fast with a diagnosable error instead of an opaque
+        # AttributeError deep in the shuffle prologue (code-review r4)
+        raise ValueError(
+            "transcripts contain null conv_id rows; conv_id is the "
+            "shuffle key and must be non-null (filter or impute upstream)"
+        )
     uniq_buckets = np.fromiter(
         (zlib.crc32(c.encode()) % num_buckets for c in uniq),
         dtype=np.int32,
@@ -79,7 +86,7 @@ class AnnotateBucket:
     """map_groups callable: one bucket of conversations → annotation rows."""
 
     def __init__(self, kb_ref, config: PipelineConfig | None = None,
-                 max_rows_per_conv: int = DEFAULT_MAX_ROWS_PER_CONV,
+                 max_rows_per_conv: int | None = None,
                  kb_tier=None, lookup_tier=None):
         """``kb_ref`` is the broadcast KB image (small-KB fast path).  At
         real-KB scale pass ``kb_tier`` (state/sharded_kb.ShardedKBTier)
@@ -107,7 +114,15 @@ class AnnotateBucket:
         self.annotator = TableAnnotator(
             self.index, self.kbr, self.cfg.annotation, self.caches
         )
-        self.max_rows = max_rows_per_conv
+        # cap precedence: explicit ctor arg > config knob (the plumbed
+        # path — the flagship entries build AnnotateBucket from config,
+        # so RuntimeConfig.max_rows_per_conv is reachable end-to-end)
+        self.max_rows = (
+            max_rows_per_conv
+            if max_rows_per_conv is not None
+            else getattr(self.cfg.runtime, "max_rows_per_conv",
+                         DEFAULT_MAX_ROWS_PER_CONV)
+        )
         # in the fused flagship path the shuffle carries only primitive
         # columns; cells are typed HERE, memoized per worker
         self.ner = GazetteerNER(self.kbr.build_gazetteer())
@@ -122,9 +137,21 @@ class AnnotateBucket:
         typed: dict[str, tuple] | None = None,
     ) -> tuple[AnnotationResult, dict[tuple[int, int], str]]:
         """rows = [(turn_idx, col_slot, mention)] of ONE conversation."""
-        n_rows = max(r[0] for r in rows) + 1
-        n_cols = max(r[1] for r in rows) + 1
-        table = [[""] * n_cols for _ in range(min(n_rows, self.max_rows))]
+        # dims from the rows WITHIN the cap only: a capped-away turn with
+        # a wider col_slot must not widen the annotated table, or the
+        # in-worker cap diverges from the map-side prefilter
+        # (code-review r4; empty columns flip the num_columns>1 context
+        # machinery)
+        kept = [r for r in rows if r[0] < self.max_rows]
+        if not kept:
+            # fully capped-away conversation: the prefilter path never
+            # sees it — emit the matching empty result directly
+            empty = AnnotationResult(cea={}, cta={}, cpa={},
+                                     entity_cols=[], literal_cols=[])
+            return empty, {(t, s): m for t, s, m in rows}
+        n_rows = max(r[0] for r in kept) + 1
+        n_cols = max(r[1] for r in kept) + 1
+        table = [[""] * n_cols for _ in range(n_rows)]
         cells: dict[tuple[int, int], str] = {}
         typings: dict[str, list[str]] = {}
         datatypes: dict[str, list[str]] = {}
@@ -276,6 +303,10 @@ def get_annotate_stage(
         ref_key(kb_ref) if kb_ref is not None else None,
         kb_tier.key() if kb_tier is not None else None,
         lookup_tier.key() if lookup_tier is not None else None,
+        # config fingerprint: two pipelines in one Ray session with
+        # different knobs must not share a cached stage (frozen
+        # dataclasses repr deterministically; code-review r4)
+        repr(config) if config is not None else None,
     )
     return get_worker_state(
         key, lambda: AnnotateBucket(kb_ref, config, kb_tier=kb_tier,

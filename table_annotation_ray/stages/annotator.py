@@ -35,6 +35,12 @@ deterministic or fixes a latent bug; flagged inline):
       (utils.py:39-47; quantulum — the reference's actual unit parser —
       behaves like ours).  float_parse itself is kept verbatim for the
       annotator's literal-match path.
+  D6: the DateTime literal context score MAX-accumulates across an
+      entity's matching date properties; the reference overwrites it
+      per property (annotation_models.py:619, last dict-iteration
+      order wins — the same insertion-order nondeterminism class D1
+      removes).  String/Quantity literals max-accumulate in the
+      reference too, so this unifies the rule deterministically.
 """
 
 from __future__ import annotations
@@ -144,7 +150,10 @@ def types_per_column(
                             break
                     else:
                         current = idx
-                except (TypeError, ValueError):
+                except (TypeError, ValueError, OverflowError):
+                    # OverflowError: int(float("9e999")) — the reference's
+                    # bare except tolerates it (utils.py:325); without it
+                    # one overflow numeral kills the whole bucket task
                     current = None
                     tolerate += 1
                     if tolerate > 4:

@@ -51,7 +51,11 @@ def table_filtering(table: list[list[str]]) -> list[list[str]]:
     for row in table:
         if not row:
             continue
-        non_missing = sum(1 for c in row if c.strip() != "")
+        # reference missing-cell test is EMPTY-OR-SPACES-ONLY
+        # (utils.py:165: cell != "" and cell != " "*len(cell)) — a
+        # tab/newline-only cell counts as content there, so strip only
+        # spaces (code-review r4 parity fix)
+        non_missing = sum(1 for c in row if c.strip(" ") != "")
         if non_missing == 0:
             continue
         new_table.append([fix_encoding(c) for c in row])

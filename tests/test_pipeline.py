@@ -247,11 +247,13 @@ def test_hot_conversation_prefilter_identical(ray_session, synth_root, tmp_path)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
 
 
-def test_sparse_turn_idx_needs_prefilter_off(ray_session, synth_root, tmp_path):
-    """For SPARSE turn indexes the prefilter is NOT output-preserving
-    (the worker pads positional gaps, D4) — the documented contract is
-    prefilter_turn_cap=False there; this pins that the disabled path
-    equals the worker on a sparse conversation."""
+def test_sparse_turn_idx_both_paths_match_worker(ray_session, synth_root, tmp_path):
+    """SPARSE turn indexes (the case outside the input-hint contract):
+    since the worker derives table dims from capped rows only
+    (code-review r4 fix), the prefilter is output-identical for ANY
+    turn_idx distribution — both the enabled and disabled paths must
+    equal the worker on a conversation mixing in-cap rows with
+    beyond-cap rows carrying a WIDER col_slot payload."""
     import os
     from dataclasses import replace
 
@@ -265,26 +267,39 @@ def test_sparse_turn_idx_needs_prefilter_off(ray_session, synth_root, tmp_path):
         read_transcripts,
         triples_from_turns,
     )
+    from table_annotation_ray.schemas import CELL_SEP
     from table_annotation_ray.state.kb import load_kb
 
     base = pq.read_table(
         os.path.join(synth_root, "transcripts.parquet")
     ).to_pandas()
     conv = base[base["conv_id"] == base["conv_id"].iloc[0]].copy()
-    # sparse: shift the real turns past the cap
-    conv["turn_idx"] = (conv["turn_idx"] + 500).astype("int32")
+    # beyond-cap rows with MORE cells per turn than any in-cap row: the
+    # old dims bug would widen the in-cap table with empty columns
+    wide_text = CELL_SEP.join(["x"] * 12)
+    beyond = pd.DataFrame(
+        {
+            "conv_id": conv["conv_id"].iloc[0],
+            "turn_idx": pd.array([500, 501], dtype="int32"),
+            "role": "user",
+            "text": wide_text,
+            "tool": "",
+            "ts": conv["ts"].iloc[0],
+        }
+    )
+    sparse = pd.concat([conv, beyond], ignore_index=True)
     path = str(tmp_path / "sparse.parquet")
-    pq.write_table(pa.Table.from_pandas(conv, preserve_index=False), path)
+    pq.write_table(pa.Table.from_pandas(sparse, preserve_index=False), path)
 
     kb = load_kb(os.path.join(synth_root, "kb"))
-    cfg = replace(PipelineConfig(), runtime=RuntimeConfig(prefilter_turn_cap=False))
-    got = triples_from_turns(read_transcripts(path), ray.put(kb), cfg).to_pandas()
-    want = _worker_reference_triples(conv, kb)
-    if len(want):
-        got = got.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
-        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
-    else:
-        # an all-past-the-cap sparse conv annotates an all-empty padded
-        # table -> no triples on either path (empty to_pandas loses the
-        # schema, hence the row-count check)
-        assert len(got) == 0
+    want = _worker_reference_triples(sparse, kb)
+    for prefilter in (True, False):
+        cfg = replace(
+            PipelineConfig(), runtime=RuntimeConfig(prefilter_turn_cap=prefilter)
+        )
+        got = triples_from_turns(read_transcripts(path), ray.put(kb), cfg).to_pandas()
+        if len(want):
+            got = got.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+        else:
+            assert len(got) == 0, prefilter
