@@ -2304,11 +2304,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             UNION ALL
             SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
-                   min(length(l_returnflag)), max(length(l_returnflag)), 0.0
+                   min(length(l_returnflag)), max(length(l_returnflag)),
+                   CAST(NULL AS DOUBLE)
             FROM lineitem
             UNION ALL
             SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
-                   min(length(l_linestatus)), max(length(l_linestatus)), 0.0
+                   min(length(l_linestatus)), max(length(l_linestatus)),
+                   CAST(NULL AS DOUBLE)
             FROM lineitem
         """,
         "frequent_users_by_type": """

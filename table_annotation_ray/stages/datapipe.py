@@ -322,18 +322,19 @@ def shuffle_order(
     passes stream; nothing driver-side exceeds ``num_buckets`` rows.
     Size ``num_buckets`` so corpus/num_buckets rows fit a worker heap
     (raise it at 100 TB)."""
+    import pyarrow as pa
     import ray
-
-    from ray.data.aggregate import Count
 
     from ..state.worker_state import get_worker_state, ref_key
 
     span = HASH_MOD // num_buckets  # 2^32 / buckets: order-aligned split
 
-    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+    def add_key(b: pd.DataFrame) -> pa.Table:
+        # Arrow out: the bucket groupby below is a sort-shuffle
+        # (CLAUDE.md r3 invariant; code-review r4)
         u = b[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
         key = (u * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
-        return pd.DataFrame(
+        return pa.table(
             {
                 id_col: b[id_col].to_numpy(),
                 "_key": key.astype(np.int64),
@@ -343,12 +344,21 @@ def shuffle_order(
 
     keyed = docs.map_batches(add_key, batch_format="pandas").materialize()
 
-    counts = keyed.groupby("_bucket").aggregate(Count(alias_name="n")).to_pandas()
-    counts = counts.sort_values("_bucket")
-    prefix, running = {}, 0
-    for b, n in zip(counts["_bucket"], counts["n"]):
-        prefix[int(b)] = running
-        running += int(n)
+    # bucket counts via per-batch bincount partials + driver sum — the
+    # global_rank shape; the old groupby(Count) spent a SECOND full
+    # all-to-all of the keyed relation to produce num_buckets rows
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.bincount(b["_bucket"].to_numpy(), minlength=num_buckets)
+        return pd.DataFrame({"h": [h.astype(np.int64).tobytes()]})
+
+    parts = keyed.map_batches(count_partial, batch_format="pandas").to_pandas()
+    totals = np.stack(
+        [np.frombuffer(x, dtype=np.int64) for x in parts["h"]]
+    ).sum(axis=0)
+    prefix = {
+        int(b): int(p)
+        for b, p in enumerate(np.r_[0, np.cumsum(totals)[:-1]])
+    }
     prefix_ref = ray.put(prefix)
 
     def rank(group: pd.DataFrame) -> pd.DataFrame:
@@ -573,7 +583,10 @@ def profile_columns(
         n_nulls=("n_nulls", "sum"),
         min=("mn", "min"),
         max=("mx", "max"),
-        sum=("sm", "sum"),
+        # min_count=1: an all-NaN group (string columns) must stay NaN —
+        # pandas' default min_count=0 sums it to 0.0, contradicting the
+        # documented "sum for strings is null" (code-review r4)
+        sum=("sm", lambda s: s.sum(min_count=1)),
     )
     for c in ("n_rows", "n_nulls"):
         out[c] = out[c].astype("int64")

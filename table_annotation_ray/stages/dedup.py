@@ -28,7 +28,11 @@ import pyarrow as pa
 
 import ray.data as rd
 
-_WS = re.compile(r"\s+")
+# ASCII-only \s (re.ASCII) so the pandas-side normalization agrees with
+# _norm_arrow (RE2) and the DuckDB oracles — Python's unicode \s would
+# collapse NBSP etc. that the Arrow/SQL side keeps, making exact-dedup
+# and near-dup stages disagree on identity (code-review r4)
+_WS = re.compile(r"\s+", re.ASCII)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -183,19 +187,25 @@ def minhash_bands(
             sigs[nonempty] = np.minimum.reduceat(
                 vals, offsets[:-1][nonempty], axis=1
             ).T
-        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
-        band_hashes = np.empty(n * bands, dtype=np.int64)
-        for i in range(n):
+        # zero-shingle (empty/whitespace) docs all share the all-sentinel
+        # signature — emitting their band rows floods one degenerate
+        # bucket per band with junk pairs that verify must reject and
+        # drowns the truncation counters (code-review r4); skip them
+        keep = np.flatnonzero(nonempty)
+        nk = len(keep)
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), nk)
+        band_hashes = np.empty(nk * bands, dtype=np.int64)
+        for j, i in enumerate(keep):
             row = sigs[i]
             for b in range(bands):
-                band_hashes[i * bands + b] = zlib.crc32(
+                band_hashes[j * bands + b] = zlib.crc32(
                     row[b * rows_per_band : (b + 1) * rows_per_band].tobytes()
                 )
         return pd.DataFrame(
             {
                 "band": band_ids,
                 "band_hash": band_hashes,
-                id_col: np.repeat(ids.to_numpy(), bands),
+                id_col: np.repeat(ids.to_numpy()[keep], bands),
             }
         )
 
@@ -520,13 +530,21 @@ def ngram_jaccard_pairs(
     only add a candidate the verify rejects, or — vanishingly — inflate
     one df past the cap)."""
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    # gram-hash cardinality ≈ corpus size: exchange on hash(gh) % 64
+    # buckets with Arrow partials, NEVER one Ray group per distinct gram
+    # (per-key map_groups + pandas blocks into the sort-shuffle are the
+    # two measured CLAUDE.md r3 pathologies; code-review r4).  Grams are
+    # emitted DISTINCT per doc so the exchange ships each (gram, doc)
+    # once.
+    NB = np.int64(64)
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
         ids = batch[id_col].to_numpy()
         texts = _norm_text(batch[text_col])
         all_grams: list[str] = []
         counts = np.empty(len(ids), dtype=np.int64)
         for i, t in enumerate(texts):
-            gs = char_ngrams(t, k)
+            gs = set(char_ngrams(t, k))
             all_grams.extend(gs)
             counts[i] = len(gs)
         gh = (
@@ -534,23 +552,39 @@ def ngram_jaccard_pairs(
             .to_numpy(dtype=np.uint64)
             .view(np.int64)
         )
-        return pd.DataFrame({"gh": gh, id_col: np.repeat(ids, counts)})
+        return pa.table(
+            {
+                "gh": gh,
+                id_col: np.repeat(ids, counts),
+                "__njb": gh % NB,
+            }
+        )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col]))
-        n = len(ids)
-        if n < 2 or n > max_df:
-            empty = group[id_col].iloc[:0]
-            return pd.DataFrame({"a": empty, "b": empty})
+    def pairs_bucket(group: pd.DataFrame) -> pa.Table:
+        group = group.sort_values(["gh", id_col], kind="mergesort")
+        ghs = group["gh"].to_numpy()
+        ids_all = group[id_col].to_numpy()
+        bounds = np.r_[0, np.flatnonzero(ghs[1:] != ghs[:-1]) + 1, len(ghs)]
         out_a, out_b = [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            n = t - s
+            if n < 2 or n > max_df:
+                continue
+            ids = ids_all[s:t]  # distinct per gram by construction, sorted
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            e = np.empty(0, dtype=ids_all.dtype)
+            return pa.table({"a": e, "b": e})
+        return pa.table(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
-    cand = docs.map_batches(explode, batch_format="pandas").groupby("gh").map_groups(
-        pairs, batch_format="pandas"
+    cand = (
+        docs.map_batches(explode, batch_format="pandas")
+        .groupby("__njb")
+        .map_groups(pairs_bucket, batch_format="pandas")
     )
     return jaccard_verify(
         cand,
@@ -972,6 +1006,7 @@ def min_label_components(
         .materialize()
     )
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_iters):
         new_labels = (
             grouped_reduce(
@@ -990,8 +1025,22 @@ def min_label_components(
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a >max_iters-diameter duplicate chain would otherwise be
+        # SILENTLY split into multiple components, diverging from the
+        # driver union-find path (code-review r4) — make it observable
+        import warnings
+
+        warnings.warn(
+            f"min_label_components stopped after max_iters={max_iters} "
+            "rounds WITHOUT converging: components deeper than max_iters "
+            "are split; raise max_iters for chain-shaped duplicate graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.map_batches(
         lambda b: pd.DataFrame({"doc_id": b["node"], "component": b["label"]}),
         batch_format="pandas",
@@ -1240,6 +1289,7 @@ def cross_corpus_near_dups(
     seed: int = 7,
     max_bucket: int = 200,
     broadcast_below: int = 100_000,
+    trunc_counter=None,
 ) -> rd.Dataset:
     """Incremental near-deduplication: (new_id, base_id, jaccard) pairs
     between an INCOMING batch of documents and an EXISTING corpus — the
@@ -1255,8 +1305,10 @@ def cross_corpus_near_dups(
     within a bucket, never base×base (the base side's quadratic term,
     which dwarfs everything in steady state, is gone by construction).
     Exact verify via :func:`jaccard_verify` over the unioned texts.
-    ``max_bucket`` caps degenerate buckets per side (counted upstream
-    in minhash_candidate_pairs' stats pattern)."""
+    ``max_bucket`` caps degenerate buckets per side; truncations are
+    counted on ``trunc_counter`` (a :class:`TruncationCounter` actor
+    handle, same contract as :func:`minhash_candidate_pairs`) when one
+    is passed — never silent."""
     new_b = minhash_bands(new_docs, id_col, text_col, num_perms, bands, ngram, seed)
     base_b = minhash_bands(base_docs, id_col, text_col, num_perms, bands, ngram, seed)
 
@@ -1279,15 +1331,28 @@ def cross_corpus_near_dups(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
+        truncs = 0
+        dropped = 0
         for _, sub in g.groupby(["band", "band_hash"], sort=False):
             news = np.unique(sub.loc[sub["__side"] == 0, id_col].to_numpy())
             bases = np.unique(sub.loc[sub["__side"] == 1, id_col].to_numpy())
             if len(news) == 0 or len(bases) == 0:
                 continue
+            if len(news) > max_bucket or len(bases) > max_bucket:
+                truncs += 1
+                dropped += len(news) * len(bases) - min(
+                    len(news), max_bucket
+                ) * min(len(bases), max_bucket)
             news = news[:max_bucket]
             bases = bases[:max_bucket]
             out_a.append(np.repeat(news, len(bases)))
             out_b.append(np.tile(bases, len(news)))
+        if truncs and trunc_counter is not None:
+            import ray
+
+            # block (rare path): count visible as soon as the dataset
+            # has executed — same contract as minhash_candidate_pairs
+            ray.get(trunc_counter.add.remote(truncs, dropped))
         if not out_a:
             e = np.empty(0, dtype=np.int64)
             return pd.DataFrame({"a": e, "b": e})

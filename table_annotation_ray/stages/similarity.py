@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -61,15 +62,21 @@ def brute_force_topk(
         )
         vecs = _normalize(_stack(batch[vec_col]))
         ids = batch[id_col].to_numpy()
-        sims = b_qmat @ vecs.T  # (Q, B)
+        # round BEFORE pruning and keep ALL boundary ties: dropping an
+        # arbitrary tied row at the k+1 cut (raw-argpartition order)
+        # could discard the lower-id neighbor the global
+        # (cosine desc, id asc) sort must prefer, making the result
+        # block-layout-dependent (code-review r4)
+        sims = np.round(b_qmat @ vecs.T, 6)  # (Q, B)
         rows = {"query_id": [], "neighbor_id": [], "cosine": []}
         kk = min(k + 1, sims.shape[1])
         for qi in range(sims.shape[0]):
-            part = np.argpartition(-sims[qi], kk - 1)[:kk]
-            for j in part:
+            srow = sims[qi]
+            cut = np.partition(srow, len(srow) - kk)[len(srow) - kk]
+            for j in np.flatnonzero(srow >= cut):
                 rows["query_id"].append(b_qids[qi])
                 rows["neighbor_id"].append(ids[j])
-                rows["cosine"].append(sims[qi, j])
+                rows["cosine"].append(srow[j])
         return pd.DataFrame(rows)
 
     partial = embeddings.map_batches(partial_topk, batch_format="pandas").to_pandas()
@@ -98,28 +105,40 @@ def embedding_near_dup_pairs(
     ``dedup.min_label_components`` for duplicate groups.
 
     Recall: a pair at cosine c collides in one probe with prob
-    (1 - arccos(c)/π)^num_planes; at c=0.95, p≈0.66 per probe — two
-    seeded probes push recall ≈0.88 (both probes run here)."""
+    (1 - arccos(c)/π)^num_planes; at c=0.95 and num_planes=8,
+    p = 0.8989⁸ ≈ 0.43 per probe — two seeded probes push recall to
+    1-(1-0.43)² ≈ 0.67 (both probes run here; raise threshold or drop
+    num_planes for higher recall — the planted-recall pytest pins the
+    measured floor)."""
     first = embeddings.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.RandomState(seed)
     planes = [rng.normal(size=(num_planes, dim)) for _ in range(2)]  # 2 probes
     planes_ref = ray.put(planes)
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(batch: pd.DataFrame) -> pa.Table:
         from ..state.worker_state import get_worker_state, ref_key
 
         pl = get_worker_state(("nd-planes", ref_key(planes_ref)), lambda: ray.get(planes_ref))
-        vecs = _stack(batch[vec_col])
-        out_rows = []
+        vecs = _stack(batch[vec_col]).astype(np.float64)
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        all_ids, all_buckets = [], []
         for probe, p in enumerate(pl):
             bits = (vecs @ p.T) > 0
             keys = bits @ (1 << np.arange(num_planes))
-            df = batch[[id_col]].copy()
-            df["bucket"] = keys.astype(np.int64) + (probe << 60)
-            df[vec_col] = batch[vec_col]
-            out_rows.append(df)
-        return pd.concat(out_rows, ignore_index=True)
+            all_ids.append(ids)
+            all_buckets.append(keys.astype(np.int64) + (probe << 60))
+        # Arrow out with canonical list<double> (the bucket groupby is a
+        # sort-shuffle; pandas blocks poison it — CLAUDE.md r3)
+        emb_arr = pa.array(list(vecs), pa.list_(pa.float64()))
+        n_probes = len(pl)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(all_ids), pa.int64()),
+                "bucket": pa.array(np.concatenate(all_buckets), pa.int64()),
+                vec_col: pa.concat_arrays([emb_arr] * n_probes),
+            }
+        )
 
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
         group = group.drop_duplicates(subset=[id_col])
@@ -208,42 +227,40 @@ def ivf_topk(
     cent_ref = ray.put(centroids)
     qset = set(query_ids)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pd.DataFrame) -> pa.Table:
         cents = get_worker_state(("ivf-c", ref_key(cent_ref)), lambda: ray.get(cent_ref))
-        vecs = _normalize(_stack(batch[vec_col]))
+        raw = _stack(batch[vec_col]).astype(np.float64)
+        vecs = _normalize(raw)
         sims = vecs @ cents.T  # (B, C)
-        ids = batch[id_col].to_numpy()
-        emb = batch[vec_col].reset_index(drop=True)
-        # corpus rows: nearest bucket, emitted wholesale (no per-row
-        # Python, no embedding copies — the object column re-references
-        # the same list cells)
-        frames = [
-            pd.DataFrame(
-                {
-                    id_col: ids,
-                    "bucket": sims.argmax(axis=1).astype("int64"),
-                    "is_query": np.zeros(len(ids), dtype=bool),
-                    vec_col: emb,
-                }
-            )
-        ]
-        # query rows: np.repeat-replicated to their nprobe nearest
-        # centroids (argsort order — identical to the old per-row loop)
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        emb_arr = pa.array(list(raw), pa.list_(pa.float64()))
+        # corpus rows: nearest bucket; query rows: np.repeat-replicated
+        # to their nprobe nearest centroids (argsort order).  Arrow out
+        # with canonical list<double> — the bucket groupby is a
+        # sort-shuffle (CLAUDE.md r3)
+        out_ids = [ids]
+        out_buckets = [sims.argmax(axis=1).astype(np.int64)]
+        out_isq = [np.zeros(len(ids), dtype=bool)]
+        out_emb = [emb_arr]
         q_idx = np.nonzero(batch[id_col].isin(qset).to_numpy())[0]
         if len(q_idx):
             probes = np.argsort(-sims[q_idx], axis=1)[:, :nprobe]
             rep = np.repeat(q_idx, probes.shape[1])
-            frames.append(
-                pd.DataFrame(
-                    {
-                        id_col: ids[rep],
-                        "bucket": probes.ravel().astype("int64"),
-                        "is_query": np.ones(len(rep), dtype=bool),
-                        vec_col: emb.iloc[rep].reset_index(drop=True),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+            out_ids.append(ids[rep])
+            out_buckets.append(probes.ravel().astype(np.int64))
+            out_isq.append(np.ones(len(rep), dtype=bool))
+            out_emb.append(emb_arr.take(pa.array(rep, pa.int64())))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+                "bucket": pa.array(np.concatenate(out_buckets), pa.int64()),
+                "is_query": pa.array(np.concatenate(out_isq), pa.bool_()),
+                vec_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                     for a in out_emb]
+                ),
+            }
+        )
 
     def search_bucket(group: pd.DataFrame) -> pd.DataFrame:
         queries = group[group["is_query"]]
@@ -405,14 +422,22 @@ def lsh_topk(
         b_planes = get_worker_state(
             ("lsh-planes", ref_key(planes_ref)), lambda: ray.get(planes_ref)
         )
-        vecs = _stack(batch[vec_col])
+        vecs = _stack(batch[vec_col]).astype(np.float64)
         bits = (vecs @ b_planes.T) > 0
         keys = bits @ (1 << np.arange(num_planes))
-        out = batch[[id_col]].copy()
-        out["bucket"] = keys.astype(np.int64)
-        out["is_query"] = batch[id_col].isin(qset)
-        out[vec_col] = batch[vec_col]
-        return out
+        # Arrow out with canonical list<double> (sort-shuffle ahead)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "bucket": pa.array(keys.astype(np.int64), pa.int64()),
+                "is_query": pa.array(
+                    batch[id_col].isin(qset).to_numpy(), pa.bool_()
+                ),
+                vec_col: pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
 
     def search_bucket(group: pd.DataFrame) -> pd.DataFrame:
         queries = group[group["is_query"]]
