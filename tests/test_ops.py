@@ -824,3 +824,120 @@ def test_semantic_dedup_planted_recall(ray_session):
         out.sort_values("dup_id").reset_index(drop=True),
         out2.sort_values("dup_id").reset_index(drop=True),
     )
+
+
+# --- fourth code-review batch regressions ---------------------------------
+
+
+def test_minhash_bands_skip_blank_docs(ray_session):
+    """Zero-shingle (empty/whitespace) docs must emit NO band rows —
+    they'd otherwise share the all-sentinel signature and flood one
+    degenerate LSH bucket per band with junk pairs."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import minhash_bands, minhash_dedup
+
+    rows = [
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": "   "},
+        {"doc_id": 2, "text": "\t\n  \t"},
+        {"doc_id": 3, "text": "real content that shingles fine today"},
+        {"doc_id": 4, "text": "real content that shingles fine today"},
+    ]
+    bands = minhash_bands(rd.from_items(rows)).to_pandas()
+    assert set(bands.doc_id) == {3, 4}
+    # and the dedup pipeline never pairs blanks with each other
+    comp = minhash_dedup(rd.from_items(rows), threshold=0.5).to_pandas()
+    assert set(comp.doc_id) <= {3, 4}
+
+
+def test_cross_corpus_trunc_counter(ray_session):
+    """cross_corpus_near_dups counts bucket truncations on the shared
+    TruncationCounter — the cap is never silent."""
+    import ray
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import (
+        TruncationCounter,
+        cross_corpus_near_dups,
+    )
+
+    text = "the same boilerplate text repeated across every single doc"
+    new = rd.from_items(
+        [{"doc_id": i, "text": text} for i in range(12)]
+    ).repartition(2)
+    base = rd.from_items(
+        [{"doc_id": 100 + i, "text": text} for i in range(12)]
+    ).repartition(2)
+    counter = ray.remote(TruncationCounter).options(num_cpus=0).remote()
+    out = cross_corpus_near_dups(
+        new, base, threshold=0.9, max_bucket=5, trunc_counter=counter
+    ).to_pandas()
+    stats = ray.get(counter.get.remote())
+    assert stats["truncated_buckets"] > 0
+    assert stats["dropped_pairs"] > 0
+    # surviving pairs are still cross-side and correct
+    assert ((out.a < 100) ^ (out.b < 100)).all()
+    assert (out.jaccard == 1.0).all()
+
+
+def test_brute_force_topk_tie_determinism(ray_session):
+    """>= k+2 neighbors tied in cosine: the global (cosine desc, id asc)
+    order must pick the LOWEST ids regardless of block layout — the
+    per-batch prune keeps all boundary ties."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import brute_force_topk
+
+    # ids deliberately descending so naive per-batch pruning would favor
+    # whichever tied rows argpartition happens to keep
+    rows = [{"vec_id": 0, "embedding": [1.0, 0.0]}] + [
+        {"vec_id": i, "embedding": [1.0, 0.0]} for i in (17, 16, 15, 14, 13, 12, 11, 10)
+    ]
+    for parts in (1, 3, 9):
+        out = brute_force_topk(
+            rd.from_items(rows).repartition(parts), [0], k=3
+        )
+        assert list(out.neighbor_id) == [10, 11, 12], parts
+        assert (out.cosine == 1.0).all()
+
+
+def test_norm_text_ascii_whitespace_agreement():
+    """_norm_text (pandas/Python path) must agree with _norm_arrow
+    (RE2/DuckDB path) on non-ASCII whitespace: NBSP is NOT collapsed."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.dedup import _norm_arrow, _norm_text
+
+    texts = ["a b", "a b", "  a\t b \n"]
+    py = list(_norm_text(pd.Series(texts)))
+    ar = _norm_arrow(pa.chunked_array([pa.array(texts)])).to_pylist()
+    assert py == ar
+    assert py[0] != py[1]  # NBSP stays distinct from ASCII space
+
+
+def test_min_label_components_warns_on_nonconvergence(ray_session):
+    """A duplicate chain deeper than max_iters must WARN, not silently
+    split the component."""
+    import warnings
+
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import min_label_components
+
+    chain = [{"a": i, "b": i + 1} for i in range(6)]  # diameter 6
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = min_label_components(
+            rd.from_items(chain), max_iters=2, num_partitions=2
+        ).to_pandas()
+    assert any("WITHOUT converging" in str(x.message) for x in w)
+    # converged run: one component, no warning
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        out2 = min_label_components(
+            rd.from_items(chain), max_iters=12, num_partitions=2
+        ).to_pandas()
+    assert not any("WITHOUT converging" in str(x.message) for x in w2)
+    assert set(out2.component) == {0} and len(out2) == 7
+    assert len(out) == 7

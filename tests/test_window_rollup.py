@@ -501,6 +501,8 @@ def test_profile_columns_nulls_and_merge(ray_session):
     assert abs(out.loc["x", "sum"] - 12.5) < 1e-12
     assert int(out.loc["s", "n_nulls"]) == 2
     assert out.loc["s", "min"] == 0.0 and out.loc["s", "max"] == 4.0
+    # string sum is NULL per contract, not 0.0 (min_count=1; review r4)
+    assert pd.isna(out.loc["s", "sum"])
 
 
 def test_cross_corpus_near_dups(ray_session):

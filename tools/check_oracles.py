@@ -1,9 +1,16 @@
 """Local emulation of the driver's correctness gate: run every
 queries() entry at sf0.01 and compare against oracle_sql() via DuckDB
-(row count + column names + order-insensitive values)."""
+(row count + column names + order-insensitive values).
 
+``--json PATH`` additionally writes a CORRECTNESS-style artifact (one
+entry per query: status, row count, oracle mode, value hash) — evidence
+for queries the driver's own file does not reach."""
+
+import hashlib
+import json
 import os
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -48,14 +55,22 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    only = sys.argv[1:] or list(qs)
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = args or list(qs)
     unknown = [n for n in only if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}; available: {sorted(qs)}")
         sys.exit(2)
     failures = 0
+    report: dict = {}
     for name in only:
         fn = qs[name]
+        t0 = time.perf_counter()
         try:
             got = fn(SF_DIR)
             if hasattr(got, "to_pandas"):
@@ -63,29 +78,59 @@ def main():
             got = pd.DataFrame(got)
         except Exception as exc:
             print(f"FAIL  {name}: query raised {type(exc).__name__}: {exc}")
+            report[name] = {"status": "error", "error": f"{type(exc).__name__}: {exc}"}
             failures += 1
             continue
+        wall = round(time.perf_counter() - t0, 3)
+        g = normalize(got)
+        vhash = hashlib.md5(
+            g.to_csv(index=False).encode("utf-8", "replace")
+        ).hexdigest()
+        entry = {"rows": int(len(got)), "wall_sec": wall, "value_hash": vhash}
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(got)} rows)")
+            report[name] = {"status": "pass", "mode": "rows_only", **entry}
             continue
         want = con.execute(oracles[name]).fetchdf()
-        g, w = normalize(got), normalize(want)
+        w = normalize(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
+            report[name] = {"status": "fail", "mode": "sql",
+                            "detail": "column mismatch", **entry}
             failures += 1
             continue
         if len(g) != len(w):
             print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
+            report[name] = {"status": "fail", "mode": "sql",
+                            "detail": f"rows {len(g)} != {len(w)}", **entry}
             failures += 1
             continue
         if not g.equals(w):
             neq = (g != w).any(axis=1)
             print(f"FAIL  {name}: {neq.sum()} mismatching rows; first:")
             print(pd.concat([g[neq].head(3), w[neq].head(3)], keys=["got", "want"]))
+            report[name] = {"status": "fail", "mode": "sql",
+                            "detail": f"{int(neq.sum())} mismatching rows", **entry}
             failures += 1
             continue
         print(f"ok    {name}: {len(g)} rows match")
+        report[name] = {"status": "pass", "mode": "sql", **entry}
     ray.shutdown()
+    if json_path:
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(only),
+            "n_pass": sum(1 for r in report.values() if r["status"] == "pass"),
+            "n_sql_exact": sum(
+                1 for r in report.values()
+                if r["status"] == "pass" and r.get("mode") == "sql"
+            ),
+            "n_fail": failures,
+            "queries": report,
+        }
+        with open(json_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_path}")
     sys.exit(1 if failures else 0)
 
 
