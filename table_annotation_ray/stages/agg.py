@@ -98,8 +98,10 @@ def rollup_reduce(
     every PREFIX of ``key_cols`` (including the grand total), with
     rolled-up key columns set to ``total_label``.  Pass
     ``grouping_sets`` (each a subset of ``key_cols``) for arbitrary
-    GROUPING SETS — e.g. all subsets for ``CUBE`` (the finest set is
-    added automatically if missing; duplicates are an error).
+    GROUPING SETS — e.g. all subsets for ``CUBE``.  Exactly the listed
+    sets are emitted (the finest partial is always COMPUTED as the
+    common input but appears in the output only when listed — SQL
+    GROUPING SETS semantics); duplicates are an error.
 
     Single scan: the map side computes ONE vectorized pandas-groupby
     partial per grouping set per batch (the finest partial is reused by

@@ -84,7 +84,7 @@ def grouped_quantiles(
     }
     rref = ray.put(ranges)
 
-    def part(b: pd.DataFrame) -> pd.DataFrame:
+    def part(b: pd.DataFrame) -> pa.Table:
         rg = get_worker_state(("gq_ranges", ref_key(rref)), lambda: ray.get(rref))
         rows_g, rows_h = [], []
         for g, sub in b.groupby(group_col, sort=False):
@@ -95,7 +95,12 @@ def grouped_quantiles(
             )
             rows_g.append(g)
             rows_h.append(h.astype(np.int64).tobytes())
-        return pd.DataFrame({group_col: rows_g, "h": rows_h})
+        # Arrow out: the group exchange below is a sort-shuffle and
+        # pandas blocks poison it (CLAUDE.md r3; review r4)
+        return pa.Table.from_pandas(
+            pd.DataFrame({group_col: rows_g, "h": rows_h}),
+            preserve_index=False,
+        )
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         s = np.stack([np.frombuffer(x, dtype=np.int64) for x in g["h"]]).sum(axis=0)
@@ -233,16 +238,29 @@ def exact_quantiles(
     max_refine: int = 8,
 ) -> pd.DataFrame:
     """Exact k-th-order-statistic quantiles of ``ds[col]`` (k =
-    ceil(q·n), 1-indexed).  Returns a small DataFrame ``(q, value)`` —
+    ceil(q·n), 1-indexed).  Nulls/NaN are excluded (SQL quantile
+    semantics).  Returns a small DataFrame ``(q, value)`` —
     driver-sized output, streaming input."""
-    from ray.data.aggregate import Count, Max, Min
-
     ds = ds.select_columns([col])
-    stats = ds.aggregate(Min(col), Max(col), Count())
-    n = int(stats["count()"])
+
+    # n must count NON-NULL values only: the histogram and collection
+    # passes below drop NaN via comparisons, so a null-inflated Count()
+    # would shift every rank (or IndexError past cum[-1]) on nullable
+    # columns (review r4)
+    def stats_part(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame({"n": [0], "mn": [np.nan], "mx": [np.nan]})
+        return pd.DataFrame({"n": [len(v)], "mn": [v.min()], "mx": [v.max()]})
+
+    sp = ds.map_batches(
+        stats_part, batch_format="pandas", batch_size=262_144
+    ).to_pandas()
+    n = int(sp["n"].sum())
     if n == 0:
         return pd.DataFrame({"q": pd.Series(qs, dtype=float), "value": np.nan})
-    gmin, gmax = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    gmin, gmax = float(np.nanmin(sp["mn"])), float(np.nanmax(sp["mx"]))
 
     # LEVEL-SYNCHRONOUS refinement: every q refines against the same
     # scan — one histogram pass per level (ranges batched into a single

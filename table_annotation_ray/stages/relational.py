@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -68,7 +69,6 @@ def _colocated(
     keep_members: bool,
     num_buckets: int = 64,
 ) -> rd.Dataset:
-    import pyarrow as pa
 
     def tag(flag_left: bool, src_col: str):
         # map-side combiner: the shuffle moves one row per DISTINCT key
@@ -151,13 +151,19 @@ def _keyed_join(
     h = bf.h
 
     def splitter(keep_maybe: bool):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
+        # emits ARROW: `definite` below unions with _colocated's Arrow
+        # blocks — mixed block types break downstream batchers
+        # (CLAUDE.md r3; review r4)
+        def f(b: pd.DataFrame) -> pa.Table:
             w = get_worker_state(
                 ("bloom", ref_key(bref)),
                 lambda: BloomFilter.from_bytes(ray.get(bref), h),
             )
             maybe = w.contains(b[col].to_numpy())
-            return b[maybe if keep_maybe else ~maybe][[col]]
+            return pa.Table.from_pandas(
+                b[maybe if keep_maybe else ~maybe][[col]],
+                preserve_index=False,
+            )
 
         return f
 
@@ -239,56 +245,37 @@ def filter_rows_by_keys(
 
     MULT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
 
-    def bucket_of(ids: pd.Series) -> np.ndarray:
-        u = ids.to_numpy(dtype=np.int64).astype(np.uint64)
-        return ((u * MULT) >> np.uint64(32)).astype(np.int64) % num_buckets
-
-    # both union sides emit IDENTICAL column sets with dtype-consistent
-    # sentinel fillers (the jaccard_verify co-location pattern) — NULL
-    # payload would break Arrow schema unification (CLAUDE.md dtype rule)
-    left_schema = left.schema()
-    left_cols = list(left_schema.names)
-    fillers = {
-        name: (
-            "" if pa_type == "string" or str(pa_type).startswith(("string", "large_string"))
-            else 0.0 if str(pa_type).startswith(("double", "float"))
-            else False if str(pa_type) == "bool"
-            else 0
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[col].to_numpy(dtype=np.int64).astype(np.uint64)
+        b["__j_rfb"] = (
+            ((u * MULT) >> np.uint64(32)).astype(np.int64) % num_buckets
         )
-        for name, pa_type in zip(left_schema.names, left_schema.types)
-    }
+        return b
 
-    import pyarrow as pa
+    # both union sides under ONE sentinel-filled schema via the shared
+    # joins._tag_union (resolves sentinels from the ACTUAL dtypes incl.
+    # timestamps — the hand-rolled fillers dict this replaced defaulted
+    # e.g. timestamp payload columns to int64 0 and broke schema
+    # unification at the exchange; review r4)
+    from .joins import _tag_union
 
-    # tags emit ARROW — pandas blocks make the groupby sort-shuffle
-    # ~20× slower in ray 2.49 (see _colocated)
-    def tag_left(b: pd.DataFrame) -> pa.Table:
-        out = b.copy()
-        out["__rf_bucket"] = bucket_of(b[col])
-        out["__rf_is_key"] = np.zeros(len(b), dtype=bool)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    def tag_keys(b: pd.DataFrame) -> pa.Table:
-        n = len(b)
-        out = pd.DataFrame({c: pd.Series([fillers[c]] * n) for c in left_cols})
-        out[col] = b[keys_col].to_numpy()
-        out["__rf_bucket"] = bucket_of(b[keys_col])
-        out["__rf_is_key"] = np.ones(n, dtype=bool)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    tagged = left.map_batches(tag_left, batch_format="pandas", batch_size=JOIN_BATCH).union(
-        keys.map_batches(tag_keys, batch_format="pandas", batch_size=JOIN_BATCH)
-    )
+    if keys_col != col:
+        keys = keys.map_batches(
+            lambda b, kc=keys_col, c=col: b.rename(columns={kc: c}),
+            batch_format="pandas",
+        )
+    left_cols = list(left.schema().names)
+    tagged = _tag_union(left, keys, left_cols, [col], add_bucket, add_bucket)
 
     def filter_group(g: pd.DataFrame) -> pd.DataFrame:
-        is_key = g["__rf_is_key"].to_numpy()
+        is_key = g["__j_side"].to_numpy() == 1
         kset = set(g.loc[is_key, col])
         payload = g[~is_key]
         mask = payload[col].isin(kset)
         out = payload[mask if keep_members else ~mask]
-        return out.drop(columns=["__rf_bucket", "__rf_is_key"])
+        return out.drop(columns=["__j_rfb", "__j_side"])
 
-    return tagged.groupby("__rf_bucket").map_groups(filter_group, batch_format="pandas")
+    return tagged.groupby("__j_rfb").map_groups(filter_group, batch_format="pandas")
 
 
 def equi_join(
@@ -338,6 +325,16 @@ def equi_join(
             batch_format="pandas",
         )
 
+    # overlap check BEFORE the size-gated branch: the broadcast path's
+    # pandas merge would otherwise silently suffix shared columns to
+    # _x/_y — same inputs, size-dependent behavior (review r4)
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
+    overlap = (set(l_cols) & set(r_cols)) - {col}
+    if overlap:
+        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
+    all_cols = list(dict.fromkeys(l_cols + r_cols))
+
     if how != "full" and broadcast_below and right.count() <= broadcast_below:
         rdf = right.to_pandas()
         rref = ray.put(rdf)
@@ -359,13 +356,6 @@ def equi_join(
             ((u * MULT) >> np.uint64(32)) % np.uint64(num_buckets)
         ).astype(np.int64)
         return b
-
-    l_cols = list(left.schema().names)
-    r_cols = [col if c == right_col else c for c in right.schema().names]
-    overlap = (set(l_cols) & set(r_cols)) - {col}
-    if overlap:
-        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
-    all_cols = list(dict.fromkeys(l_cols + r_cols))
 
     tagged = _tag_union(left, right, l_cols, r_cols, bucketer, bucketer)
 
@@ -398,7 +388,6 @@ def cooccurrence_pairs(
     :func:`~.agg.grouped_reduce` (pair-cardinality keys).  Skew note:
     pair volume is Σ|basket|² — cap or sample pathological baskets
     upstream (TPC-H-style baskets are ≤ single digits)."""
-    import pyarrow as pa
 
     from .agg import grouped_reduce
 
@@ -462,7 +451,6 @@ def grouped_topk(
     given — both passes order by (order_col, tiebreak), so the boundary
     row selection matches the SQL window's.  All input columns survive.
     """
-    import pyarrow as pa
 
     by = [order_col] + ([tiebreak] if tiebreak else [])
     asc = [not descending] + ([True] if tiebreak else [])

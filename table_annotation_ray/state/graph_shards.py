@@ -127,21 +127,32 @@ class GraphShard:
         r = self.rank[self.out_deg == 0]
         return float(np.sum(np.sort(r)))
 
-    def scatter(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-        """Per destination shard: (dst ids, pre-summed contributions)."""
-        out = {}
+    def scatter(self):
+        """Per destination shard j (list position j): (sorted dst ids,
+        pre-summed contributions).  Called with ``num_returns=K`` so the
+        driver holds only K object REFS per sender and the contribution
+        arrays (node-cardinality data) move shard-to-shard through the
+        object store — never materialized driver-side (review r4 #5).
+        With K == 1 the single tuple is returned bare (num_returns=1
+        wraps the whole return value in one ref)."""
         per_edge_rank = self.rank / np.maximum(self.out_deg, 1)
-        for j, (si, dv) in self.edges_to.items():
+        out = []
+        for j in range(self.K):
+            if j not in self.edges_to:
+                out.append((np.empty(0, dtype=np.int64), np.empty(0)))
+                continue
+            si, dv = self.edges_to[j]
             c = per_edge_rank[si]
             # dv sorted by construction: segment-sum per dst
             bounds = np.r_[0, np.flatnonzero(dv[1:] != dv[:-1]) + 1, len(dv)]
             dsum = np.add.reduceat(c, bounds[:-1])
-            out[j] = (dv[bounds[:-1]], dsum)
-        return out
+            out.append((dv[bounds[:-1]], dsum))
+        return out[0] if self.K == 1 else out
 
-    def gather(self, incoming: list[tuple[np.ndarray, np.ndarray]],
-               teleport: float) -> None:
-        """Apply contributions in canonical (sender) order."""
+    def gather(self, teleport: float, *incoming) -> None:
+        """Apply contributions in canonical (sender) order.  Each piece
+        arrives as a TOP-LEVEL arg so Ray resolves the sender's object
+        ref with a direct object-store transfer."""
         new = np.full(len(self.nodes), teleport)
         for dv, cv in incoming:
             pos = np.searchsorted(self.nodes, dv)
@@ -178,8 +189,16 @@ def pagerank_sharded(
     manifest list is returned — node-cardinality state never touches
     the driver (the at-scale path).  Without it, returns a pandas frame
     (node, rank) — convenient below driver scale."""
+    import glob
+    import shutil
+
     root = scratch_dir or tempfile.mkdtemp(prefix="pr_shards_", dir="/tmp")
     os.makedirs(root, exist_ok=True)
+    # a reused scratch_dir may hold shard files from a PRIOR run; a shard
+    # that owns no edges THIS run would silently load the stale file
+    # (review r4; same bug class as pagerank_auto's ranks-side wipe)
+    for stale in glob.glob(os.path.join(root, "shard_*.parquet")):
+        os.remove(stale)
 
     def tag(b: pd.DataFrame) -> pa.Table:
         return pa.table(
@@ -223,26 +242,46 @@ def pagerank_sharded(
         ]
     )
     n_total = int(sum(counts))
+    if n_total == 0:  # empty edge set: match pagerank()'s empty result
+        for a in actors:
+            ray.kill(a)
+        if scratch_dir is None:
+            shutil.rmtree(root, ignore_errors=True)
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            return []
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=np.int64),
+             "rank": pd.Series([], dtype=np.float64)}
+        )
     ray.get(
         [a.rebuild_src_index.remote(os.path.join(root, f"shard_{k}.parquet"))
          for k, a in enumerate(actors)]
     )
     ray.get([a.finalize_nodes.remote(n_total) for a in actors])
+    if scratch_dir is None:
+        # edges are fully loaded into the actors; the /tmp copy of the
+        # edge set is dead weight from here (review r4 leak fix) — a
+        # caller-supplied scratch_dir is kept (resumable setup)
+        shutil.rmtree(root, ignore_errors=True)
 
     for _ in range(iters):
         dangling = float(
             np.sum(np.sort(ray.get([a.dangling_partial.remote() for a in actors])))
         )
         teleport = (1.0 - damping) / n_total + damping * dangling / n_total
-        outs = ray.get([a.scatter.remote() for a in actors])
+        # K refs per sender (scatter never ray.get-ed on the driver);
+        # gather args are top-level refs → shard-to-shard transfers
+        srefs = [
+            a.scatter.options(num_returns=num_shards).remote() for a in actors
+        ]
+        if num_shards == 1:
+            srefs = [[r] for r in srefs]
         ray.get(
             [
                 a.gather.remote(
-                    [
-                        outs[s].get(k, (np.empty(0, dtype=np.int64), np.empty(0)))
-                        for s in range(num_shards)  # canonical sender order
-                    ],
                     teleport,
+                    *[srefs[s][k] for s in range(num_shards)],  # sender order
                 )
                 for k, a in enumerate(actors)
             ]

@@ -118,3 +118,61 @@ def test_pagerank_sharded_matches_dataset(ray_session):
     assert got["node"].tolist() == want["node"].tolist()
     np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-9)
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+# --- fifth code-review batch regressions -----------------------------------
+
+
+def test_pagerank_sharded_reused_scratch_and_empty(ray_session, tmp_path):
+    """A reused scratch_dir must not leak a PRIOR run's shard files into
+    a shard that owns no edges this run; an empty edge set returns an
+    empty frame instead of ZeroDivisionError."""
+    import ray.data as rd
+
+    from table_annotation_ray.state.graph_shards import pagerank_sharded
+
+    d = str(tmp_path / "scratch")
+    # v1: a dense ring over nodes 0..29 (every shard owns edges)
+    e1 = pd.DataFrame(
+        {"src": np.arange(30, dtype=np.int64),
+         "dst": (np.arange(30, dtype=np.int64) + 1) % 30}
+    )
+    r1 = pagerank_sharded(
+        rd.from_pandas(e1), iters=3, num_shards=4,
+        num_cpus_per_shard=0, scratch_dir=d,
+    )
+    assert set(r1["node"]) == set(range(30))
+    # v2 in the SAME scratch dir: two edges only — stale shard files
+    # must not resurrect v1 nodes
+    e2 = pd.DataFrame({"src": np.array([100, 101], dtype=np.int64),
+                       "dst": np.array([101, 100], dtype=np.int64)})
+    r2 = pagerank_sharded(
+        rd.from_pandas(e2), iters=3, num_shards=4,
+        num_cpus_per_shard=0, scratch_dir=d,
+    )
+    assert set(r2["node"]) == {100, 101}
+    # empty edges: empty result, no crash
+    r3 = pagerank_sharded(
+        rd.from_pandas(pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                     "dst": pd.Series([], dtype=np.int64)})),
+        iters=2, num_shards=2, num_cpus_per_shard=0,
+    )
+    assert len(r3) == 0
+
+
+def test_pagerank_sharded_cleans_tmp_scratch(ray_session):
+    """Without a caller scratch_dir the /tmp copy of the edge set is
+    removed once the actors have loaded it (leak fix)."""
+    import glob
+
+    import ray.data as rd
+
+    from table_annotation_ray.state.graph_shards import pagerank_sharded
+
+    before = set(glob.glob("/tmp/pr_shards_*"))
+    e = pd.DataFrame({"src": np.arange(10, dtype=np.int64),
+                      "dst": (np.arange(10, dtype=np.int64) + 1) % 10})
+    pagerank_sharded(rd.from_pandas(e), iters=2, num_shards=2,
+                     num_cpus_per_shard=0)
+    after = set(glob.glob("/tmp/pr_shards_*"))
+    assert after <= before

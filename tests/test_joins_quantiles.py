@@ -436,3 +436,93 @@ def test_grouped_kll_quantiles_rank_error(ray_session):
             est = out[(out["g"] == g) & (out["q"] == q)]["value"].iloc[0]
             true_rank = np.searchsorted(srt, est) / len(srt)
             assert abs(true_rank - q) < 0.025, (g, q, true_rank)
+
+
+# --- fifth code-review batch regressions -----------------------------------
+
+
+def test_exact_quantiles_ignores_nulls(ray_session):
+    """Rank base = non-null count (SQL semantics); a null-inflated
+    Count() shifted every rank / IndexErrored on nullable columns."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=400)
+    df = pd.DataFrame({"x": np.r_[x, np.full(100, np.nan)]})
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(4)
+    qs = [0.1, 0.5, 0.99, 1.0]
+    out = exact_quantiles(ds, "x", qs, bins=16, collect_below=50)
+    xs = np.sort(x)
+    for q, v in zip(out["q"], out["value"]):
+        k = max(int(np.ceil(q * len(xs))), 1)
+        assert v == xs[k - 1], q
+
+
+def test_anti_join_bloom_path_chains_downstream(ray_session):
+    """The Bloom anti-join unions its definite-absent stream with the
+    co-located exact stream; both must be Arrow so a DOWNSTREAM batcher
+    can consume the union (mixed block types crash next_batch)."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.relational import anti_join_keys
+
+    left = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(1000, dtype=np.int64)})
+    ).repartition(4)
+    right = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(0, 1000, 2, dtype=np.int64)})
+    ).repartition(3)
+    out = anti_join_keys(left, right, "k", broadcast_below=0, bloom_bits=1 << 14)
+    # chain a groupby (sort-shuffle) over the union — the crash site
+    n_odd = (
+        out.map_batches(
+            lambda b: pd.DataFrame({"k": b["k"], "one": np.ones(len(b), dtype=np.int64)}),
+            batch_format="pandas",
+        )
+        .groupby("k")
+        .count()
+        .to_pandas()
+    )
+    assert len(n_odd) == 500
+    assert set(n_odd["k"]) == set(range(1, 1000, 2))
+
+
+def test_filter_rows_by_keys_timestamp_payload(ray_session):
+    """Bucketed path with a timestamp payload column: sentinel fillers
+    must come from the ACTUAL dtypes (joins._tag_union), not int64 0."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.relational import filter_rows_by_keys
+
+    left = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype=np.int64),
+            "ts": pd.date_range("2024-01-01", periods=20, freq="h"),
+            "text": [f"doc {i}" for i in range(20)],
+        }
+    )
+    keys = pd.DataFrame({"doc_id": np.array([3, 7, 11], dtype=np.int64)})
+    out = filter_rows_by_keys(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(keys),
+        "doc_id",
+        keep_members=False,
+        broadcast_below=0,  # force the bucketed exchange
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [i for i in range(20) if i not in (3, 7, 11)]
+    merged = out.merge(left, on="doc_id", suffixes=("", "_want"))
+    assert (merged["ts"] == merged["ts_want"]).all()
+
+
+def test_equi_join_overlap_raises_on_broadcast_path(ray_session):
+    """Overlapping payload columns must raise on BOTH paths — the
+    broadcast early-return previously let pandas suffix them to _x/_y."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.relational import equi_join
+
+    lds = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    rds = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [30, 40]}))
+    for bb in (1000, 0):  # broadcast and bucketed
+        with pytest.raises(ValueError, match="overlapping payload"):
+            equi_join(lds, rds, "k", broadcast_below=bb)
