@@ -14,7 +14,11 @@ reference's two algorithms are small —
   both dimensions exceed 1.
 
 Value semantics follow openpyxl's: datetimes render '%m/%d/%Y'
-(file_loader.py:110), booleans "True"/"False", numbers keep their XML
+(file_loader.py:110) — including real Excel dates, which are stored as
+``t="n"`` SERIAL numbers bound to a date number format (numFmtId 14-17 /
+22 / 27-36 or a custom y/m/d code), not as ``t="d"`` cells; the serial
+is converted with the 1900-system origin 1899-12-30 exactly as openpyxl
+does.  Booleans render "True"/"False", other numbers keep their XML
 text.  Foreground matches the reference exactly (file_loader.py:117-126):
 a cell is foreground when it has a value, OR its style's fill has a
 patternType (≠ "none"), OR its border has a left/right style — the
@@ -102,13 +106,36 @@ def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     return out
 
 
+# builtin date number formats (ECMA-376 §18.8.30): dates, not times —
+# a time-only cell stays numeric text, matching the reference's
+# datetime-only strftime branch
+_DATE_NUMFMT_IDS = frozenset({14, 15, 16, 17, 22, *range(27, 37)})
+_QUOTED = re.compile(r'"[^"]*"|\[[^\]]*\]')
+
+
+def _is_date_code(code: str) -> bool:
+    """Custom format code → is it a DATE format?  Strip quoted literals
+    and bracket sections first (openpyxl's is_date_format heuristic)."""
+    bare = _QUOTED.sub("", code).lower()
+    return "y" in bare or ("d" in bare and "m" in bare)
+
+
 def _read_styles(zf: zipfile.ZipFile):
-    """styles.xml → per-xf "styled foreground" flags: True when the xf's
-    fill has a patternType ≠ none or its border has a left/right style
-    (exactly the reference's openpyxl checks, file_loader.py:121-126)."""
+    """styles.xml → per-xf flags: (styled-foreground, is-date).
+    Styled-foreground: the xf's fill has a patternType ≠ none or its
+    border has a left/right style (the reference's openpyxl checks,
+    file_loader.py:121-126).  Is-date: the xf's numFmtId is a builtin
+    date format or a custom y/m/d code — real Excel stores dates as
+    numeric serials bound to such an xf (review r4)."""
     if "xl/styles.xml" not in zf.namelist():
-        return []
+        return [], []
     root = ET.fromstring(zf.read("xl/styles.xml"))
+    custom_date_ids: set[int] = set()
+    numfmts_el = root.find(f"{{{_MAIN_NS}}}numFmts")
+    if numfmts_el is not None:
+        for nf in numfmts_el.iter(f"{{{_MAIN_NS}}}numFmt"):
+            if _is_date_code(nf.get("formatCode", "")):
+                custom_date_ids.add(int(nf.get("numFmtId")))
     fills: list[bool] = []
     fills_el = root.find(f"{{{_MAIN_NS}}}fills")
     if fills_el is not None:
@@ -122,6 +149,7 @@ def _read_styles(zf: zipfile.ZipFile):
             sides = [border.find(f"{{{_MAIN_NS}}}{s}") for s in ("left", "right")]
             borders.append(any(s is not None and s.get("style") for s in sides))
     styled: list[bool] = []
+    dates: list[bool] = []
     xfs_el = root.find(f"{{{_MAIN_NS}}}cellXfs")
     if xfs_el is not None:
         for xf in xfs_el.iter(f"{{{_MAIN_NS}}}xf"):
@@ -131,14 +159,27 @@ def _read_styles(zf: zipfile.ZipFile):
                 (fid < len(fills) and fills[fid])
                 or (bid < len(borders) and borders[bid])
             )
-    return styled
+            nid = int(xf.get("numFmtId", 0))
+            dates.append(nid in _DATE_NUMFMT_IDS or nid in custom_date_ids)
+    return styled, dates
+
+
+def _serial_to_date(serial: float) -> _dt.datetime:
+    """Excel 1900-system serial → datetime (openpyxl origin 1899-12-30,
+    which absorbs the fictitious 1900-02-29 for serials > 60)."""
+    return _dt.datetime(1899, 12, 30) + _dt.timedelta(days=serial)
 
 
 def _read_sheet(
-    zf: zipfile.ZipFile, part: str, shared: list[str], styled_xfs: list[bool]
+    zf: zipfile.ZipFile,
+    part: str,
+    shared: list[str],
+    styled_xfs: list[bool],
+    date_xfs: list[bool] | None = None,
 ) -> tuple[list[list[str]], list[list[bool]]]:
     """One worksheet → (dense 2D string grid with merged ranges unfolded,
     foreground mask: value OR styled-empty cell)."""
+    date_xfs = date_xfs or []
     root = ET.fromstring(zf.read(part))
     cells: dict[tuple[int, int], str] = {}
     styled_cells: set[tuple[int, int]] = set()
@@ -149,12 +190,23 @@ def _read_sheet(
             continue
         r, col = _parse_ref(ref)
         val = _cell_text(c, shared)
-        cells[(r, col)] = val
         s = c.get("s")
-        if s is not None:
-            xf = int(s)
-            if xf < len(styled_xfs) and styled_xfs[xf]:
-                styled_cells.add((r, col))
+        xf = int(s) if s is not None else -1
+        # real Excel dates: t="n" serial + date number format →
+        # openpyxl-datetime rendering (file_loader.py:110; review r4)
+        if (
+            val
+            and c.get("t", "n") == "n"
+            and 0 <= xf < len(date_xfs)
+            and date_xfs[xf]
+        ):
+            try:
+                val = _serial_to_date(float(val)).strftime("%m/%d/%Y")
+            except (ValueError, OverflowError):
+                pass
+        cells[(r, col)] = val
+        if 0 <= xf < len(styled_xfs) and styled_xfs[xf]:
+            styled_cells.add((r, col))
         max_r, max_c = max(max_r, r), max(max_c, col)
 
     merges: list[tuple[int, int, int, int]] = []
@@ -183,21 +235,37 @@ def _read_sheet(
     return grid, fg
 
 
-def _label_components(mask: list[list[bool]]) -> tuple[list[list[int]], int]:
+def _label_components(
+    mask: list[list[bool]],
+) -> tuple[int, list[list[int]]]:
     """4-connected component labeling (scipy ndi.label default
-    connectivity) — BFS, pure python; sheet grids are small."""
+    connectivity) — BFS, pure python; bounding boxes accumulate DURING
+    the sweep (one pass; the old per-label full-grid rescan was
+    O(components × cells) — review r4).  Returns (n, bboxes) with
+    bboxes[lab-1] = [r0, r1, c0, c1]."""
     n_rows, n_cols = len(mask), len(mask[0]) if mask else 0
     labels = [[0] * n_cols for _ in range(n_rows)]
+    bboxes: list[list[int]] = []
     nxt = 0
     for r in range(n_rows):
         for c in range(n_cols):
             if not mask[r][c] or labels[r][c]:
                 continue
             nxt += 1
+            bb = [r, r, c, c]
+            bboxes.append(bb)
             stack = [(r, c)]
             labels[r][c] = nxt
             while stack:
                 rr, cc = stack.pop()
+                if rr < bb[0]:
+                    bb[0] = rr
+                elif rr > bb[1]:
+                    bb[1] = rr
+                if cc < bb[2]:
+                    bb[2] = cc
+                elif cc > bb[3]:
+                    bb[3] = cc
                 for r2, c2 in ((rr - 1, cc), (rr + 1, cc), (rr, cc - 1), (rr, cc + 1)):
                     if (
                         0 <= r2 < n_rows
@@ -207,7 +275,7 @@ def _label_components(mask: list[list[bool]]) -> tuple[list[list[int]], int]:
                     ):
                         labels[r2][c2] = nxt
                         stack.append((r2, c2))
-    return labels, nxt
+    return nxt, bboxes
 
 
 def segment_tables(
@@ -221,16 +289,9 @@ def segment_tables(
     if not grid:
         return []
     mask = fg if fg is not None else [[bool(v) for v in row] for row in grid]
-    labels, n = _label_components(mask)
+    _n, bboxes = _label_components(mask)
     tables = []
-    for lab in range(1, n + 1):
-        rs = [r for r in range(len(grid)) if lab in labels[r]]
-        cs = [
-            c
-            for c in range(len(grid[0]))
-            if any(labels[r][c] == lab for r in range(len(grid)))
-        ]
-        r0, r1, c0, c1 = min(rs), max(rs), min(cs), max(cs)
+    for r0, r1, c0, c1 in bboxes:
         if r1 - r0 >= 1 and c1 - c0 >= 1:
             tables.append([row[c0 : c1 + 1] for row in grid[r0 : r1 + 1]])
     return tables
@@ -245,10 +306,10 @@ def excel_to_tables(payload: bytes) -> dict[str, list[list[list[str]]]]:
         ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
         for si in ss.iter(f"{{{_MAIN_NS}}}si"):
             shared.append("".join(e.text or "" for e in si.iter(f"{{{_MAIN_NS}}}t")))
-    styled_xfs = _read_styles(zf)
+    styled_xfs, date_xfs = _read_styles(zf)
     out: dict[str, list[list[list[str]]]] = {}
     for name, part in _sheet_parts(zf):
-        grid, fg = _read_sheet(zf, part, shared, styled_xfs)
+        grid, fg = _read_sheet(zf, part, shared, styled_xfs, date_xfs)
         out[f"tableFromExcelSheet_{name}"] = segment_tables(grid, fg)
     return out
 
@@ -280,8 +341,14 @@ _ROOT_RELS = (
 
 
 def _esc(s: str) -> str:
+    # &quot; because _esc is also used inside ATTRIBUTE values (sheet
+    # name="...") — an unescaped double quote produced malformed
+    # workbook.xml (review r4)
     return (
-        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
     )
 
 
@@ -348,6 +415,15 @@ def tables_to_xlsx(
             f'Target="worksheets/sheet{i + 1}.xml"/>'
             for i in range(len(names))
         )
+        if styled:
+            # OPC requires every part to be reachable via a relationship;
+            # styles.xml without one is a spec-invalid package that
+            # strict consumers repair/reject (review r4)
+            rel_tags += (
+                f'<Relationship Id="rId{len(names) + 1}" '
+                'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" '
+                'Target="styles.xml"/>'
+            )
         zf.writestr(
             "xl/_rels/workbook.xml.rels",
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

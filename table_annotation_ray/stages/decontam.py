@@ -73,13 +73,31 @@ def decontaminate(
 
     from ..state.worker_state import get_worker_state, ref_key
 
+    # materialize: the gram explode feeds the size gate AND the chosen
+    # path — without it the benchmark explode recomputed per consumer
+    # (review r4)
     bench_grams = benchmark.map_batches(
         _explode_grams,
         batch_format="pandas",
         fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
-    )
+    ).materialize()
 
-    if broadcast_below and bench_grams.count() <= broadcast_below:
+    # the gate is documented as a DISTINCT-gram threshold (what is
+    # actually ray.put), but raw row count over-counts grams shared
+    # across benchmark docs — gate on an HLL distinct estimate (one
+    # streaming pass, ~1% error; 1.05 headroom keeps the broadcast set
+    # safely under the cap) with the row count as a free short-circuit
+    # upper bound (review r4)
+    def _gate() -> bool:
+        if not broadcast_below:
+            return False
+        if bench_grams.count() <= broadcast_below:
+            return True
+        from .sketches import approx_distinct
+
+        return approx_distinct(bench_grams, "gram") * 1.05 <= broadcast_below
+
+    if _gate():
         gset = set(bench_grams.unique("gram"))
         gref = ray.put(gset)
 

@@ -5,8 +5,17 @@ score every document, drop the tail).
 
 Training is two :func:`~.agg.grouped_reduce` passes (unigram and bigram
 counts — corpus-cardinality keys, never per-key Python), truncated to
-the top ``max_unigrams`` / ``max_bigrams`` by count on the driver
-(bounded model size by construction).  Scoring is one broadcast +
+the top ``max_unigrams`` / ``max_bigrams`` by count.  Truncation is
+two-level: each reduce-output block keeps its local top-K first (a
+global top-K item is by definition inside its block's top-K), so the
+driver collects ≤ blocks×K rows, never the full distinct-gram set —
+at pretraining scale the distinct-bigram table is 10^8+ rows and a
+driver ``to_pandas`` of it would OOM (review r4).  Bigrams whose
+context unigram fell below the unigram cutoff are dropped so every
+retained bigram satisfies c(a) ≥ c(a,b) — without that filter a kept
+bigram with a truncated context scored (c(ab)+k)/(0+kV), inflating
+P(b|a) past 1 and deflating perplexity (review r4).  Scoring is one
+broadcast +
 one streaming pass: per batch, token pairs map through the model's
 hash tables via ``pd.Series.map`` (C-speed lookups, no Python loop
 over tokens beyond the per-doc tokenize).
@@ -70,19 +79,37 @@ def train_bigram_lm(
             {"a": pd.Series(a_out, dtype="object"), "b": pd.Series(b_out, dtype="object")}
         )
 
-    uni = grouped_reduce(
-        docs.map_batches(unigrams, batch_format="pandas"),
-        ["tok"], {"n": (None, "count")},
-    ).to_pandas()
-    uni = uni.sort_values(["n", "tok"], ascending=[False, True]).head(max_unigrams)
+    def _topk(counts_ds: rd.Dataset, sort_cols: list[str], k: int) -> pd.DataFrame:
+        asc = [False] + [True] * (len(sort_cols) - 1)
 
-    bi = grouped_reduce(
-        docs.map_batches(bigrams, batch_format="pandas"),
-        ["a", "b"], {"n": (None, "count")},
-    ).to_pandas()
-    bi = bi.sort_values(["n", "a", "b"], ascending=[False, True, True]).head(
-        max_bigrams
+        # per-block local top-K under the SAME total order: any global
+        # top-K row is inside its block's top-K, so the driver collect
+        # is bounded by blocks×K rows regardless of corpus cardinality
+        def prune(b: pd.DataFrame) -> pd.DataFrame:
+            return b.sort_values(sort_cols, ascending=asc).head(k)
+
+        out = counts_ds.map_batches(prune, batch_format="pandas").to_pandas()
+        return out.sort_values(sort_cols, ascending=asc)
+
+    uni = _topk(
+        grouped_reduce(
+            docs.map_batches(unigrams, batch_format="pandas"),
+            ["tok"], {"n": (None, "count")},
+        ),
+        ["n", "tok"], max_unigrams,
+    ).head(max_unigrams)
+
+    bi = _topk(
+        grouped_reduce(
+            docs.map_batches(bigrams, batch_format="pandas"),
+            ["a", "b"], {"n": (None, "count")},
+        ),
+        ["n", "a", "b"], max_bigrams,
     )
+    # context-consistency: keep only bigrams whose context unigram
+    # survived its own truncation (guarantees c(a) >= c(a,b)); filter
+    # BEFORE the final head so the model keeps max_bigrams USABLE rows
+    bi = bi[bi["a"].isin(set(uni["tok"]))].head(max_bigrams)
 
     return {
         "uni": dict(zip(uni["tok"], uni["n"].astype(int))),

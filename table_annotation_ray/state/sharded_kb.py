@@ -39,6 +39,7 @@ import math
 import os
 import zlib
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
@@ -135,27 +136,67 @@ def load_kb_shard(kb_dir: str, num_shards: int, shard_id: int) -> KBData:
                     continue
             kb.subgraphs.setdefault(src, {}).setdefault(pid, {})[obj] = kind
 
-    meta = pq.read_table(os.path.join(kb_dir, "kb_entity_meta.parquet"))
+    # meta lives at kb_entity_meta.parquet (flat synth layout) OR under
+    # meta/ (build_edges_from_dump's scale layout — the loader
+    # previously only knew the flat name, so the documented dump-built
+    # path FileNotFoundError-ed in every shard actor; review r4)
+    meta_flat = os.path.join(kb_dir, "kb_entity_meta.parquet")
+    meta_dir = os.path.join(kb_dir, "meta")
+    if os.path.exists(meta_flat):
+        meta = pq.read_table(meta_flat)
+    elif os.path.isdir(meta_dir):
+        meta = pq.read_table(
+            [
+                os.path.join(meta_dir, f)
+                for f in sorted(os.listdir(meta_dir))
+                if f.endswith(".parquet")
+            ]
+        )
+    else:
+        raise FileNotFoundError(
+            f"no KB meta found under {kb_dir!r} "
+            "(expected kb_entity_meta.parquet or meta/)"
+        )
+    # mask computed from the entity column alone; only the owned rows
+    # are converted to Python objects (per-actor work O(N) crc32 +
+    # O(N/K) conversion, not O(N x cols); review r4)
+    ents_all = meta["entity"].to_pylist()
+    mask = pa.array(
+        [_owner(e, num_shards) == shard_id for e in ents_all], pa.bool_()
+    )
+    meta = meta.filter(mask)
     for ent, lab, n in zip(
         meta["entity"].to_pylist(),
         meta["en_label"].to_pylist(),
         meta["num_edges"].to_pylist(),
     ):
-        if _owner(ent, num_shards) == shard_id:
+        # a null en_label stored as None would bypass the reader's
+        # "No English Label" default (key exists) and crash
+        # get_symbol_of_unit_entity's .lower() — same guard as
+        # state/kb.py::load_kb (review r4)
+        if lab is not None:
             kb.labels[ent] = lab
-            kb.num_edges[ent] = int(n)
+        kb.num_edges[ent] = int(n)
 
     labels_path = os.path.join(kb_dir, "kb_labels.parquet")
     if os.path.exists(labels_path):
         labels = pq.read_table(labels_path)
-        for row in zip(
-            labels["entity"].to_pylist(),
-            labels["label"].to_pylist(),
-            labels["origin"].to_pylist(),
-            labels["pr"].to_pylist(),
-        ):
-            if _owner(row[0], num_shards) == shard_id:
-                kb.label_rows.append(row)
+        lmask = pa.array(
+            [
+                _owner(e, num_shards) == shard_id
+                for e in labels["entity"].to_pylist()
+            ],
+            pa.bool_(),
+        )
+        labels = labels.filter(lmask)
+        kb.label_rows.extend(
+            zip(
+                labels["entity"].to_pylist(),
+                labels["label"].to_pylist(),
+                labels["origin"].to_pylist(),
+                labels["pr"].to_pylist(),
+            )
+        )
     return kb
 
 

@@ -95,16 +95,30 @@ def load_label_shard(kb_dir: str, num_shards: int, shard_id: int) -> KBData:
 
     import pyarrow.parquet as pq
 
+    import pyarrow as pa
+
     kb = KBData()
     labels = pq.read_table(os.path.join(kb_dir, "kb_labels.parquet"))
-    for row in zip(
-        labels["entity"].to_pylist(),
-        labels["label"].to_pylist(),
-        labels["origin"].to_pylist(),
-        labels["pr"].to_pylist(),
-    ):
-        if zlib.crc32(row[0].encode()) % num_shards == shard_id:
-            kb.label_rows.append(row)
+    # ownership mask from the entity column alone, Arrow-filter, THEN
+    # convert only the kept 1/K of rows to Python objects — the old
+    # to_pylist of all four full columns did O(N x cols) object work in
+    # EVERY shard actor (review r4)
+    mask = pa.array(
+        [
+            zlib.crc32(e.encode()) % num_shards == shard_id
+            for e in labels["entity"].to_pylist()
+        ],
+        pa.bool_(),
+    )
+    labels = labels.filter(mask)
+    kb.label_rows.extend(
+        zip(
+            labels["entity"].to_pylist(),
+            labels["label"].to_pylist(),
+            labels["origin"].to_pylist(),
+            labels["pr"].to_pylist(),
+        )
+    )
     return kb
 
 

@@ -234,3 +234,26 @@ def test_curation_victim_literal_matches_pipeline(ray_session):
         int(t) for t in entry._CURATION_VICTIMS_SF001.strip("()").split(",")
     )
     assert victims == literal
+
+
+def test_bigram_lm_context_consistency_under_truncation(ray_session):
+    """Every retained bigram's context unigram must survive the unigram
+    cutoff, so c(a) >= c(a,b) and P(b|a) <= 1 always — a kept bigram
+    with a truncated context scored (c+k)/(0+kV) > 1 (review r4)."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.lm import score_perplexity, train_bigram_lm
+
+    # 'rare' appears 8x only inside the bigram 'rare gem' — with
+    # max_unigrams=3 'rare' loses its unigram slot while the bigram
+    # count would keep it in an unfiltered top-bigram table
+    docs = (
+        [{"doc_id": i, "text": "the cat sat"} for i in range(50)]
+        + [{"doc_id": 100 + i, "text": "rare gem " * 4} for i in range(8)]
+    )
+    ds = rd.from_items(docs).repartition(3)
+    model = train_bigram_lm(ds, max_unigrams=3, max_bigrams=100)
+    uni_toks = set(model["uni"])
+    assert all(a in uni_toks for a, _ in model["bi"])
+    out = score_perplexity(ds, model).to_pandas()
+    assert (out["ppl"] >= 1.0).all()  # P<=1 everywhere, log P <= 0

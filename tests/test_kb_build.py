@@ -79,3 +79,67 @@ def test_build_end_to_end(ray_session, tmp_path):
     build_labels_from_dump(str(lookup_dump), str(labels_out))
     labels = pq.read_table(str(labels_out)).to_pylist()
     assert {(l["label"], l["origin"]) for l in labels} == {("one", "LABEL"), ("uno", "MAIN_ALIAS")}
+
+
+def test_load_kb_shard_dump_layout_and_null_labels(ray_session, tmp_path):
+    """load_kb_shard must read the meta/ directory build_edges_from_dump
+    actually writes (the flat kb_entity_meta.parquet name is the synth
+    layout), and must skip null en_label rows like state/kb.py::load_kb
+    (review r4)."""
+    import pyarrow as pa
+
+    from table_annotation_ray.state.sharded_kb import _owner, load_kb_shard
+
+    graph = [
+        {"Q1": {"labels": {"en-us": ["one"]}, "P31": {"Q2": "NORMAL"}}},
+        {"Q2": {"labels": {"en-us": ["two"]}, "P279": {"Q3": "NORMAL"}}},
+        {"Q3": {"labels": {}, "P31": {"Q1": "NORMAL"}}},
+    ]
+    dump = tmp_path / "graph.jsonl"
+    dump.write_text("\n".join(json.dumps(g) for g in graph))
+    out = tmp_path / "kb"
+    build_edges_from_dump(str(dump), str(out), num_buckets=4)
+
+    num_shards = 2
+    shards = [load_kb_shard(str(out), num_shards, k) for k in range(num_shards)]
+    # every entity's meta landed on exactly its owner shard
+    for ent, lab in (("Q1", "one"), ("Q2", "two")):
+        k = _owner(ent, num_shards)
+        assert shards[k].labels[ent] == lab
+        assert ent not in shards[1 - k].labels
+    # all edges present across shards, owned by src
+    all_edges = {
+        (s, p, o)
+        for sh in shards
+        for s, subs in sh.subgraphs.items()
+        for p, objs in subs.items()
+        for o in objs
+    }
+    assert all_edges == {("Q1", "P31", "Q2"), ("Q2", "P279", "Q3"), ("Q3", "P31", "Q1")}
+
+    # a NULL en_label in the flat layout is skipped (reader default
+    # "No English Label" applies), never stored as None
+    flat = tmp_path / "flat_kb"
+    flat.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "src": ["Q9"], "pid": ["P31"], "obj": ["Q1"],
+                "obj_kind": ["NORMAL"],
+            }
+        ),
+        str(flat / "kb_edges.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "entity": ["Q9", "Q8"],
+                "en_label": pa.array([None, "eight"], pa.string()),
+                "num_edges": pa.array([1, 0], pa.int64()),
+            }
+        ),
+        str(flat / "kb_entity_meta.parquet"),
+    )
+    sh = load_kb_shard(str(flat), 1, 0)
+    assert "Q9" not in sh.labels and sh.labels["Q8"] == "eight"
+    assert sh.num_edges["Q9"] == 1

@@ -247,3 +247,93 @@ def test_annotate_tables_vertical(ray_session, tmp_path, kb_objects):
     assert cea[(0, 1)].endswith("Q142")
     cpa = {(c["headColumn"], c["tailColumn"]): c["annotation"]["uri"] for c in ann["CPA"]}
     assert cpa[(0, 1)].endswith("P17")
+
+
+# --- sixth code-review batch regressions -----------------------------------
+
+
+def test_xlsx_excel_serial_dates():
+    """Real Excel stores dates as t=\"n\" serials bound to a date numFmt;
+    they must render '%m/%d/%Y' like openpyxl (file_loader.py:110)."""
+    import io
+    import zipfile
+
+    from table_annotation_ray.sources.xlsx import excel_to_tables
+
+    MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    REL = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    PKG = "http://schemas.openxmlformats.org/package/2006/relationships"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{PKG}">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{MAIN}" xmlns:r="{REL}">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{PKG}">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+            "</Relationships>",
+        )
+        # xf 0: general; xf 1: builtin date (numFmtId 14); xf 2: custom
+        # date code; xf 3: time-only (numFmtId 21) — NOT converted
+        zf.writestr(
+            "xl/styles.xml",
+            f'<?xml version="1.0"?><styleSheet xmlns="{MAIN}">'
+            '<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy-mm-dd"/></numFmts>'
+            '<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/>'
+            '<xf numFmtId="164"/><xf numFmtId="21"/></cellXfs></styleSheet>',
+        )
+        # 44927 = 2023-01-01; 45292 = 2024-01-01
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{MAIN}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c>'
+            '<c r="B1" t="inlineStr"><is><t>num</t></is></c></row>'
+            '<row r="2"><c r="A2" s="1"><v>44927</v></c><c r="B2"><v>7</v></c></row>'
+            '<row r="3"><c r="A3" s="2"><v>45292</v></c><c r="B3" s="3"><v>0.5</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    tables = excel_to_tables(buf.getvalue())["tableFromExcelSheet_S"]
+    assert len(tables) == 1
+    t = tables[0]
+    assert t[1][0] == "01/01/2023" and t[2][0] == "01/01/2024"
+    assert t[1][1] == "7" and t[2][1] == "0.5"  # time-only xf untouched
+
+
+def test_xlsx_quoted_sheet_name_roundtrip():
+    from table_annotation_ray.sources.xlsx import excel_to_tables, tables_to_xlsx
+
+    name = 'My "Q1" data'
+    payload = tables_to_xlsx({name: [["a", "b"], ["1", "2"]]})
+    out = excel_to_tables(payload)
+    assert f"tableFromExcelSheet_{name}" in out
+    assert out[f"tableFromExcelSheet_{name}"][0] == [["a", "b"], ["1", "2"]]
+
+
+def test_xlsx_styles_part_has_relationship():
+    import io
+    import zipfile
+
+    from table_annotation_ray.sources.xlsx import tables_to_xlsx
+
+    payload = tables_to_xlsx({"S": [["x", ""], ["1", ""]]}, styled={"S": [(0, 1), (1, 1)]})
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        rels = zf.read("xl/_rels/workbook.xml.rels").decode()
+    assert "styles.xml" in rels and "relationships/styles" in rels
