@@ -26,7 +26,12 @@ import pyarrow as pa
 
 import ray.data as rd
 
+# 4-byte UTF-32 BOMs FIRST: BOM_UTF16_LE (ff fe) is a prefix of
+# BOM_UTF32_LE (ff fe 00 00), so the 2-byte check would misdecode
+# UTF-32LE payloads as NUL-interleaved UTF-16 (code-review r4, pass 7)
 _BOMS = [
+    (codecs.BOM_UTF32_LE, "utf-32"),
+    (codecs.BOM_UTF32_BE, "utf-32"),
     (codecs.BOM_UTF8, "utf-8-sig"),
     (codecs.BOM_UTF16_LE, "utf-16"),
     (codecs.BOM_UTF16_BE, "utf-16"),
@@ -54,8 +59,12 @@ def txt_to_table(payload: bytes) -> list[list[str]]:
         delimiter = dialect.delimiter
     except csv.Error:
         delimiter = ","
-    reader = csv.reader(io.StringIO(text), delimiter=delimiter)
-    return [row for row in reader if row]
+    # skipinitialspace + keep blank rows: both match the reference
+    # parse exactly (file_loader.py:62-65 appends EVERY reader item,
+    # including [] for blank lines — table_filtering drops them later
+    # while preserving them in tableDataRaw; code-review r4, pass 7)
+    reader = csv.reader(io.StringIO(text), delimiter=delimiter, skipinitialspace=True)
+    return list(reader)
 
 
 def excel_to_table(payload: bytes) -> list[list[str]]:

@@ -102,6 +102,17 @@ class AnnotateBucket:
         kb: KBData | None = None
         if kb_ref is not None:
             kb = ray.get(kb_ref) if not isinstance(kb_ref, KBData) else kb_ref
+        if kb is None and (kb_tier is None or lookup_tier is None):
+            # a missing tier falls back to the KB image — with kb_ref
+            # None too, the fallback used to die later with an opaque
+            # AttributeError on NoneType.label_rows deep in the ctor
+            # (code-review r4, pass 7)
+            missing = "kb_tier" if kb_tier is None else "lookup_tier"
+            raise ValueError(
+                f"kb_ref=None requires BOTH tiers; {missing} is None "
+                "(pass the broadcast KB image, or both ShardedKBTier "
+                "and ShardedLookupTier)"
+            )
         if kb_tier is not None:
             self.kbr = kb_tier.make_reader()
         else:
@@ -183,16 +194,13 @@ class AnnotateBucket:
         result, _ = self._annotate_rows(rows, typed)
         return result
 
-    def __call__(self, bucket: pa.Table) -> pa.Table:
-        """One bucket of conversations (Arrow in / Arrow out — no pandas
-        conversion of the wide string blocks)."""
-        conv = bucket["conv_id"].to_pylist()
-        turn = bucket["turn_idx"].to_pylist()
-        slot = bucket["col_slot"].to_pylist()
-        mention = bucket["mention"].to_pylist()
-        by_conv: dict[str, list[tuple[int, int, str]]] = {}
-        for c, t, s, m in zip(conv, turn, slot, mention):
-            by_conv.setdefault(c, []).append((t, s, m))
+    def _triples_table(
+        self, by_conv: dict[str, list[tuple[int, int, str]]]
+    ) -> pa.Table:
+        """Annotate every conversation and materialize the 5-column
+        triple table — the shared tail of ``__call__`` and
+        ``annotate_turns_table`` (was duplicated verbatim; a schema
+        change had to be applied twice, code-review r4 pass 7)."""
         out_rows: list[tuple[str, str, str, str, float]] = []
         for conv_id in sorted(by_conv):
             result, cells = self._annotate_rows(by_conv[conv_id])
@@ -207,6 +215,17 @@ class AnnotateBucket:
             }
         )
 
+    def __call__(self, bucket: pa.Table) -> pa.Table:
+        """One bucket of conversations (Arrow in / Arrow out — no pandas
+        conversion of the wide string blocks)."""
+        conv = bucket["conv_id"].to_pylist()
+        turn = bucket["turn_idx"].to_pylist()
+        slot = bucket["col_slot"].to_pylist()
+        mention = bucket["mention"].to_pylist()
+        by_conv: dict[str, list[tuple[int, int, str]]] = {}
+        for c, t, s, m in zip(conv, turn, slot, mention):
+            by_conv.setdefault(c, []).append((t, s, m))
+        return self._triples_table(by_conv)
 
     def annotate_turns_table(self, bucket: pa.Table) -> pa.Table:
         """Turns-mode entry: bucket rows are (conv_id, turn_idx, text) —
@@ -225,19 +244,7 @@ class AnnotateBucket:
             fixed = fix_encoding(x) if x else ""
             for s, cell in enumerate(fixed.split(CELL_SEP)):
                 by_conv.setdefault(c, []).append((t, s, cell.strip()))
-        out_rows: list[tuple[str, str, str, str, float]] = []
-        for conv_id in sorted(by_conv):
-            result, cells = self._annotate_rows(by_conv[conv_id])
-            out_rows.extend(conversation_outputs_to_rows(conv_id, result, cells))
-        return pa.table(
-            {
-                "subj": pa.array([r[0] for r in out_rows], pa.string()),
-                "pred": pa.array([r[1] for r in out_rows], pa.string()),
-                "obj": pa.array([r[2] for r in out_rows], pa.string()),
-                "conv_id": pa.array([r[3] for r in out_rows], pa.string()),
-                "score": pa.array([r[4] for r in out_rows], pa.float64()),
-            }
-        )
+        return self._triples_table(by_conv)
 
     def annotations_table(self, bucket: pa.Table) -> pa.Table:
         """Alternative output mode: the three annotation relations as one

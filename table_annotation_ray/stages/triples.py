@@ -20,10 +20,6 @@ Emission rules (mirrored by synth goldens):
 
 from __future__ import annotations
 
-import json
-import os
-import zlib
-
 import pandas as pd
 import pyarrow as pa
 
@@ -33,6 +29,17 @@ from .annotator import AnnotationResult
 
 _PREFIX_E = "http://www.wikidata.org/entity/"
 _PREFIX_P = "http://www.wikidata.org/prop/direct/"
+
+# explicit dedup-partial schema (column order = the pandas agg output)
+_TRIPLE_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("score", pa.float64()),
+        ("conv_id", pa.string()),
+    ]
+)
 
 
 def conversation_outputs_to_rows(
@@ -115,6 +122,12 @@ def dedup_triples(ds: rd.Dataset, high_cardinality: bool = False) -> rd.Dataset:
         out = batch.groupby(["subj", "pred", "obj"], as_index=False).agg(
             score=("score", "max"), conv_id=("conv_id", "min")
         )
+        if out.empty:
+            # an empty pandas frame's object columns round-trip through
+            # from_pandas as type NULL, and the groupby exchange dies on
+            # schema unification (CLAUDE.md r2 dtype-preservation rule;
+            # an all-literal bucket with no resolved CEA produces one)
+            return pa.Table.from_pylist([], schema=_TRIPLE_SCHEMA)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     ds = ds.map_batches(local_dedup, batch_format="pandas")
@@ -147,12 +160,6 @@ def dedup_triples(ds: rd.Dataset, high_cardinality: bool = False) -> rd.Dataset:
         Max("score", alias_name="score"),
         Min("conv_id", alias_name="conv_id"),
     )
-
-
-def assign_part(batch: pa.Table, num_partitions: int) -> pa.Table:
-    subj = batch["subj"].to_pylist()
-    parts = [zlib.crc32(s.encode()) % num_partitions for s in subj]
-    return batch.append_column("part", pa.array(parts, pa.int32()))
 
 
 def write_triples_partitioned(

@@ -152,7 +152,14 @@ class KBReader:
         return None
 
     def get_supertypes_of_type(self, type_id: str) -> dict[str, str]:
-        return self.get_subgraph_of_entity(type_id).get(SUBCLASS_OF, {})
+        # same literal-kind guard as the type props below: a
+        # literal-valued P279 edge must not leak a raw string into the
+        # annotator's supertype sets / CTA voting (code-review r4 found
+        # the guard applied at level 1 only — pass 7 completes it)
+        sup = self.get_subgraph_of_entity(type_id).get(SUBCLASS_OF)
+        if not sup:
+            return {}
+        return {o: k for o, k in sup.items() if k in ENTITY_RANKS}
 
     def get_types_of_entity(self, entity_id: str, num_level: int = 1) -> dict[str, dict]:
         """3-level hierarchical types (knowledge_bases.py:136-180): level 1
@@ -180,9 +187,8 @@ class KBReader:
         for lvl in range(2, num_level + 1):
             nxt: dict[str, str] = {}
             for t in inter:
-                sup = self.get_subgraph_of_entity(t).get(SUBCLASS_OF)
-                if sup:
-                    nxt.update(sup)
+                # entity-ranked P279 edges only (see get_supertypes_of_type)
+                nxt.update(self.get_supertypes_of_type(t))
             hierarchical[f"level_{lvl}"] = nxt
             inter = nxt
         return hierarchical

@@ -73,6 +73,31 @@ def edges_rows_from_item(item: dict) -> tuple[list[tuple], tuple | None]:
     return rows, meta
 
 
+def meta_from_item(item: dict) -> tuple[str, str, int]:
+    """One dump object → meta row ONLY — counts edges without
+    materializing the row tuples.  The meta pass over a 100 TB dump
+    used to call :func:`edges_rows_from_item` and throw the rows away,
+    doubling the edge-expansion allocation cost of the most expensive
+    offline job (code-review r4, pass 7).  Both passes stay streaming
+    (no shuffle, no materialization); the remaining shared cost is the
+    per-line JSON parse."""
+    qid = next(iter(item))
+    infos = item[qid]
+    label = "No English Label"
+    n_edges = 0
+    for pid, objs in infos.items():
+        if pid in ("labels", "descriptions", "aliases"):
+            if pid == "labels":
+                labels = objs.get("en-us", []) if isinstance(objs, dict) else objs
+                if labels:
+                    label = labels[0]
+            continue
+        if "P1889" in pid:
+            continue
+        n_edges += len(objs)
+    return qid, label, n_edges
+
+
 def build_edges_from_dump(
     dump_path: str, out_dir: str, num_buckets: int = 64
 ) -> None:
@@ -111,10 +136,10 @@ def build_edges_from_dump(
             item = _parse_dump_line(line)
             if not item:
                 continue
-            _rows, meta = edges_rows_from_item(item)
-            ents.append(meta[0])
-            labels.append(meta[1])
-            counts.append(meta[2])
+            ent, lab, n = meta_from_item(item)
+            ents.append(ent)
+            labels.append(lab)
+            counts.append(n)
         return pa.table(
             {
                 "entity": pa.array(ents, pa.string()),

@@ -393,7 +393,10 @@ class ShardedKBReader(KBReader):
             for t in batch:
                 sup = self._cache.get(t, ({},))[0].get(SUBCLASS_OF)
                 if sup:
-                    nxt.update(sup)
+                    # entity-ranked edges only — a literal P279 object is
+                    # not an entity id and must not enter the fetch
+                    # frontier (mirrors KBReader.get_supertypes_of_type)
+                    nxt.update(o for o, k in sup.items() if k in ENTITY_RANKS)
             type_frontier = {t for t in nxt if t not in self._cache}
 
     def build_gazetteer(self) -> dict[str, str]:

@@ -19,6 +19,13 @@ from typing import Any, Callable
 
 _STATE: dict[tuple, Any] = {}
 
+# raw (non-ObjectRef) values keyed by id() are PINNED here so CPython
+# cannot recycle the address for a different object while a cache entry
+# derived from it is alive — without the pin, a gc'd KBData's id could
+# be reused by a DIFFERENT pipeline's KBData and get_worker_state would
+# serve state built from the WRONG KB (code-review r4, pass 7)
+_PINNED: dict[str, Any] = {}
+
 
 def get_worker_state(key: tuple, builder: Callable[[], Any]) -> Any:
     state = _STATE.get(key)
@@ -29,8 +36,17 @@ def get_worker_state(key: tuple, builder: Callable[[], Any]) -> Any:
 
 
 def ref_key(obj) -> str:
-    """Stable cache-key fragment for a broadcast ObjectRef (or value)."""
+    """Stable cache-key fragment for a broadcast ObjectRef (or value).
+
+    Raw values are supported for IN-PROCESS use (e.g. serve_api holding
+    a KBData directly): the value is keyed by id() and pinned for the
+    process lifetime.  Do NOT ship raw large values through Ray task
+    ``fn_kwargs`` — each task deserializes a fresh copy with a fresh
+    id(), so state rebuilds per task; broadcast with ``ray.put`` and
+    pass the ObjectRef instead."""
     try:
         return obj.hex()  # ray.ObjectRef
     except AttributeError:
-        return str(id(obj))
+        k = str(id(obj))
+        _PINNED[k] = obj
+        return k

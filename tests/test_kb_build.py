@@ -143,3 +143,25 @@ def test_load_kb_shard_dump_layout_and_null_labels(ray_session, tmp_path):
     sh = load_kb_shard(str(flat), 1, 0)
     assert "Q9" not in sh.labels and sh.labels["Q8"] == "eight"
     assert sh.num_edges["Q9"] == 1
+
+
+def test_meta_from_item_matches_edges_rows_meta():
+    """meta_from_item (the lightweight second-pass extractor) must agree
+    with edges_rows_from_item's meta on every quirk: P1889 drop, (-)
+    reverse edges, DateTime literals, missing labels."""
+    from table_annotation_ray.state.kb_build import (
+        edges_rows_from_item,
+        meta_from_item,
+    )
+
+    items = [
+        {"Q1": {"labels": {"en-us": ["one", "uno"]}, "P31": {"Q2": "NORMAL"},
+                "P1889x": {"Q9": "NORMAL"}}},
+        {"Q2": {"labels": {}, "(-)P31": {"Q1": "NORMAL", "Q3": "PREFERRED"},
+                "P569": {"1952-01-01": "DateTime-x"}}},
+        {"Q3": {"descriptions": {"en-us": ["d"]}, "aliases": {"en-us": ["a"]}}},
+        {"Q4": {"labels": ["plainlist"], "(-)P279": ["Q1", "Q2"]}},
+    ]
+    for item in items:
+        _rows, meta = edges_rows_from_item(item)
+        assert meta_from_item(item) == meta, item

@@ -114,3 +114,24 @@ def test_reverse_edges_exist(kb_objects):
     kb, kbr, _ = kb_objects
     sub = kbr.get_subgraph_of_entity("Q142")
     assert "(-)P17" in sub  # cities point at France; reverse edge stored
+
+
+def test_supertype_walk_filters_literal_p279(kb_objects):
+    """The literal-kind guard applies to P279 walks too: a literal
+    P279 edge (e.g. a DateTime) must not leak a raw string into
+    level_2 types or the CTA supertype sets (the r4 level-1 fix,
+    completed in pass 7)."""
+    from table_annotation_ray.state.kb import KBData, KBReader
+
+    kb = KBData()
+    kb.subgraphs = {
+        "Q10": {"P31": {"T1": "NORMAL"}},
+        "T1": {"P279": {"T2": "NORMAL", "1999-01-01": "DateTime-x"}},
+        "T2": {"P279": {"bad-literal": "String"}},
+    }
+    r = KBReader(kb)
+    assert r.get_supertypes_of_type("T1") == {"T2": "NORMAL"}
+    assert r.get_supertypes_of_type("T2") == {}
+    types = r.get_types_of_entity("Q10", num_level=3)
+    assert types["level_2"] == {"T2": "NORMAL"}
+    assert types["level_3"] == {}

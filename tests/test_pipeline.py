@@ -303,3 +303,55 @@ def test_sparse_turn_idx_both_paths_match_worker(ray_session, synth_root, tmp_pa
             pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
         else:
             assert len(got) == 0, prefilter
+
+
+# --- seventh code-review batch regressions ----------------------------------
+
+
+def test_dedup_triples_empty_block_schema(ray_session):
+    """An all-literal bucket can emit a 0-row block; local_dedup's
+    partial must carry the explicit string schema or the groupby
+    exchange dies unifying null-typed columns (CLAUDE.md r2 rule)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.triples import dedup_triples
+
+    full = pd.DataFrame(
+        {
+            "subj": ["s1", "s1"], "pred": ["p", "p"], "obj": ["o", "o"],
+            "conv_id": ["c2", "c1"], "score": [0.5, 0.9],
+        }
+    )
+    empty = full.iloc[:0]
+    ds = rd.from_pandas([full, empty])
+    out = dedup_triples(ds).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["score"] == 0.9 and out.iloc[0]["conv_id"] == "c1"
+
+
+def test_ref_key_pins_raw_values():
+    """Raw (non-ObjectRef) values are pinned so CPython can't recycle
+    their id() for a different object while cached state keyed by that
+    id is alive (silent wrong-KB cache hit otherwise)."""
+    import gc
+
+    from table_annotation_ray.state import worker_state
+
+    class Blob:
+        pass
+
+    obj = Blob()
+    k = worker_state.ref_key(obj)
+    assert worker_state._PINNED[k] is obj
+    del obj
+    gc.collect()
+    # the pin holds the object alive -> its id cannot be reused
+    assert isinstance(worker_state._PINNED[k], Blob)
+    # ObjectRef-like values still key by hex and are NOT pinned
+    class FakeRef:
+        def hex(self):
+            return "abc123"
+
+    assert worker_state.ref_key(FakeRef()) == "abc123"
+    assert "abc123" not in worker_state._PINNED

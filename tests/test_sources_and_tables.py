@@ -1,5 +1,6 @@
 """Delimited sources (S1) + generic-table Ray pipelines."""
 
+import codecs
 import json
 import os
 
@@ -337,3 +338,47 @@ def test_xlsx_styles_part_has_relationship():
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         rels = zf.read("xl/_rels/workbook.xml.rels").decode()
     assert "styles.xml" in rels and "relationships/styles" in rels
+
+
+# --- seventh code-review batch regressions ----------------------------------
+
+
+def test_txt_to_table_skipinitialspace_and_blank_rows():
+    """Reference parity (file_loader.py:62-65): skipinitialspace=True
+    strips the space after the delimiter, and blank lines stay as []
+    rows in the raw table (table_filtering removes them later)."""
+    from table_annotation_ray.sources import delimited
+
+    assert delimited.txt_to_table(b"a, b, c\n1, 2, 3\n") == [
+        ["a", "b", "c"], ["1", "2", "3"],
+    ]
+    assert delimited.txt_to_table(b"a,b\n\n1,2\n") == [["a", "b"], [], ["1", "2"]]
+
+
+def test_sniff_encoding_utf32_before_utf16():
+    """BOM_UTF16_LE is a byte-prefix of BOM_UTF32_LE — the 4-byte BOMs
+    must match first or UTF-32LE decodes as NUL-interleaved UTF-16."""
+    from table_annotation_ray.sources import delimited
+
+    payload = "a,b\n1,2\n".encode("utf-32")  # LE with BOM on this platform
+    assert delimited.sniff_encoding(payload) == "utf-32"
+    assert delimited.txt_to_table(payload) == [["a", "b"], ["1", "2"]]
+    be = codecs.BOM_UTF32_BE + "a,b\n".encode("utf-32-be")
+    assert delimited.sniff_encoding(be) == "utf-32"
+
+
+def test_annotate_bucket_rejects_single_tier_without_kb():
+    """kb_ref=None with only one tier used to die with an opaque
+    AttributeError deep in the ctor; now a ValueError says what to pass."""
+    import pytest as _pytest
+
+    from table_annotation_ray.stages.annotate_stage import AnnotateBucket
+
+    class FakeTier:
+        def make_reader(self):  # pragma: no cover - never reached
+            raise AssertionError
+
+    with _pytest.raises(ValueError, match="lookup_tier is None"):
+        AnnotateBucket(None, kb_tier=FakeTier(), lookup_tier=None)
+    with _pytest.raises(ValueError, match="kb_tier is None"):
+        AnnotateBucket(None, kb_tier=None, lookup_tier=object())
