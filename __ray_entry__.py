@@ -223,22 +223,15 @@ def _q_sliding_window_events(sf_dir: str):
 
 
 def _q_user_sessions(sf_dir: str):
-    """Sessionization: 30-min-gap sessions per user — the stream-shaped
-    windowed aggregate (groupby key, sort by ts inside the group)."""
+    """Sessionization: 30-min-gap sessions per user via
+    stages/windows.py::session_counts — hash(user)%64 bucket exchange +
+    one vectorized in-bucket scan (a Ray group per user is the per-key
+    pathology CLAUDE.md r3 measures; this was the last raw-key
+    map_groups in the query file, review r4)."""
+    from table_annotation_ray.stages.windows import session_counts
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_events": [len(g)],
-            }
-        )
-
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = session_counts(ds, "user_id", "ts", pd.Timedelta(minutes=30)).to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")

@@ -307,7 +307,10 @@ def interval_join(
             r_ts = ts_all[seg_r]
             lo = np.searchsorted(r_ts, s_all[seg_l], side="left")
             hi = np.searchsorted(r_ts, e_all[seg_l], side="left")
-            cnt = (hi - lo).astype(np.int64)
+            # empty/inverted intervals (end <= start) match nothing —
+            # without the clamp hi < lo yields a NEGATIVE count and
+            # np.repeat raises, crashing the whole bucket (review r4)
+            cnt = np.maximum(hi - lo, 0).astype(np.int64)
             total = int(cnt.sum())
             if total == 0:
                 continue

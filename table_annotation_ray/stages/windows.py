@@ -158,12 +158,17 @@ def funnel_by_key(
             out_key.append(keys[s])
             out_n.append(done)
             out_ts.append(cur)
+        # explicit key type: a bucket where NO key completes step 0
+        # emits 0 rows, and an empty object-dtype array infers Arrow
+        # type NULL — downstream schema unification then dies against
+        # the string-typed buckets (CLAUDE.md r2 rule; review r4)
+        ktype = pa.string() if keys.dtype == object else pa.from_numpy_dtype(keys.dtype)
         return pa.table(
             {
-                key_col: np.asarray(out_key, dtype=keys.dtype),
-                "n_steps": np.asarray(out_n, dtype=np.int64),
-                "last_ts": np.asarray(out_ts, dtype=np.int64).astype(
-                    "datetime64[us]"
+                key_col: pa.array(out_key, type=ktype),
+                "n_steps": pa.array(out_n, type=pa.int64()),
+                "last_ts": pa.array(
+                    np.asarray(out_ts, dtype=np.int64).astype("datetime64[us]")
                 ),
             }
         )
@@ -240,6 +245,67 @@ def rolling_sum_by_key(
         ds.map_batches(tag, batch_format="pandas")
         .groupby("__rw_bkt")
         .map_groups(roll_bucket, batch_format="pandas")
+    )
+
+
+def session_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap: pd.Timedelta,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Sessionization: per key, the number of sessions delimited by
+    inter-event gaps > ``gap``, plus the key's event count.  Output: one
+    row per key — ``key_col``, ``n_sessions`` (int64), ``n_events``
+    (int64).
+
+    The exchange groups on ``hash(key) % num_buckets`` — NOT the raw
+    key: one Ray group per user is the per-key pathology CLAUDE.md r3
+    measures (map_groups degrades past ~20k groups; user cardinality at
+    corpus scale is 10^8+).  Inside each bucket: ONE stable (key, ts)
+    sort, then the session count for every key falls out of two
+    vectorized diffs — no per-key Python, no per-key frames.
+
+    Partitioning assumption: one bucket of key histories fits a worker
+    heap (raise ``num_buckets`` for huge corpora)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+    w = np.int64(gap // pd.Timedelta(microseconds=1))
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[[key_col, ts_col]].copy()
+        out["__ss_bkt"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def count_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bounds = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1, len(keys)]
+        # a gap between consecutive SAME-KEY rows opens a new session
+        new_key = keys[1:] != keys[:-1]
+        is_gap = (~new_key) & ((ts[1:] - ts[:-1]) > w)
+        cg = np.r_[0, np.cumsum(is_gap.astype(np.int64))]
+        starts, ends = bounds[:-1], bounds[1:]
+        n_sessions = (cg[ends - 1] - cg[starts]) + 1
+        ktype = pa.string() if keys.dtype == object else pa.from_numpy_dtype(keys.dtype)
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], type=ktype),
+                "n_sessions": pa.array(n_sessions, type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__ss_bkt")
+        .map_groups(count_bucket, batch_format="pandas")
     )
 
 

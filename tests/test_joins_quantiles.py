@@ -526,3 +526,34 @@ def test_equi_join_overlap_raises_on_broadcast_path(ray_session):
     for bb in (1000, 0):  # broadcast and bucketed
         with pytest.raises(ValueError, match="overlapping payload"):
             equi_join(lds, rds, "k", broadcast_below=bb)
+
+
+def test_interval_join_inverted_interval_matches_nothing(ray_session):
+    """end <= start intervals match nothing — the probe used to compute
+    a NEGATIVE searchsorted count and crash np.repeat for the whole
+    bucket (review r4)."""
+    import pandas as pd
+
+    from table_annotation_ray.stages.joins import interval_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "iv_id": np.array([1, 2], dtype=np.int64),
+            "start": [t0, t0 + pd.Timedelta(hours=2)],
+            "end": [t0 + pd.Timedelta(hours=1), t0 + pd.Timedelta(hours=1)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ev_id": np.array([10, 11], dtype=np.int64),
+            "ts": [t0 + pd.Timedelta(minutes=30), t0 + pd.Timedelta(minutes=150)],
+        }
+    )
+    out = interval_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        start="start", end="end", right_ts="ts",
+        left_cols=["iv_id", "start", "end"], right_cols=["ev_id", "ts"],
+    ).to_pandas()
+    # only the well-formed interval matches; the inverted one is silent
+    assert sorted(zip(out["iv_id"], out["ev_id"])) == [(1, 10)]

@@ -696,3 +696,80 @@ def test_cross_corpus_exact_dups_pairs_only_cross(ray_session):
     )
     assert out["new_id"].tolist() == [10, 12]
     assert out["base_id"].tolist() == [0, 3]  # min-id rep for the dup pair
+
+
+# --- eighth code-review batch regressions ------------------------------------
+
+
+def test_session_counts_matches_pandas(ray_session):
+    """session_counts (bucketed sessionization) == the per-user pandas
+    reference, including single-event users and exact-gap boundaries."""
+    from table_annotation_ray.stages.windows import session_counts
+
+    df = _events(600, seed=23)
+    # plant a single-event user and an exact-30-min gap (NOT > gap)
+    extra = pd.DataFrame(
+        {
+            "event_id": [9001, 9002, 9003],
+            "user_id": np.array([777, 778, 778], dtype=np.int64),
+            "ts": [
+                pd.Timestamp("2024-02-01"),
+                pd.Timestamp("2024-02-01"),
+                pd.Timestamp("2024-02-01") + pd.Timedelta(minutes=30),
+            ],
+            "event_type": ["click", "view", "view"],
+        }
+    )
+    df = pd.concat([df, extra], ignore_index=True)
+    gap = pd.Timedelta(minutes=10)
+    out = (
+        session_counts(
+            rd.from_pandas(df).repartition(5), "user_id", "ts", gap, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    def ref_one(g):
+        gaps = g.sort_values("ts")["ts"].diff() > gap
+        return pd.Series(
+            {"n_sessions": int(gaps.sum()) + 1, "n_events": len(g)}
+        )
+
+    ref = (
+        df.groupby("user_id").apply(ref_one, include_groups=False).reset_index()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == ref["user_id"].tolist()
+    assert out["n_sessions"].tolist() == ref["n_sessions"].tolist()
+    assert out["n_events"].tolist() == ref["n_events"].tolist()
+    # exact-gap boundary: 30 min gap with gap=30min is NOT a new session
+    out30 = session_counts(
+        rd.from_pandas(extra), "user_id", "ts", pd.Timedelta(minutes=30)
+    ).to_pandas()
+    assert out30.set_index("user_id").loc[778, "n_sessions"] == 1
+
+
+def test_funnel_empty_bucket_keeps_string_schema(ray_session):
+    """A bucket where NO key completes step 0 emits 0 rows; the key
+    column must stay explicitly string-typed or downstream schema
+    unification dies against the non-empty buckets (review r4)."""
+    from table_annotation_ray.stages.windows import funnel_by_key
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [("winner", t0, "view"), ("winner", t0 + pd.Timedelta(minutes=1), "click")]
+    # 30 keys that only ever emit the SECOND step: every bucket they
+    # land in (without 'winner') used to emit a null-typed key column
+    for i in range(30):
+        rows.append((f"late_{i}", t0, "click"))
+    df = pd.DataFrame(rows, columns=["user", "ts", "etype"])
+    out = funnel_by_key(
+        rd.from_pandas(df).repartition(4),
+        "user", "ts", "etype",
+        steps=["view", "click"],
+        within=pd.Timedelta(hours=1),
+        num_buckets=16,
+    ).to_pandas()
+    assert out["user"].tolist() == ["winner"]
+    assert out["n_steps"].tolist() == [2]
