@@ -12,6 +12,7 @@ task-based worker-state pattern of the flagship pipeline.
 from __future__ import annotations
 
 import json
+import zlib
 
 import pyarrow as pa
 
@@ -20,6 +21,27 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..state.worker_state import get_worker_state, ref_key
+
+TABLE_BUCKETS = 128
+
+
+def _bucket_tables(ds: rd.Dataset, num_buckets: int = TABLE_BUCKETS) -> rd.Dataset:
+    """Tag each row with ``crc32(table_id) % num_buckets`` — the
+    flagship conv-bucket idiom (stages/annotate_stage.py): the exchange
+    groups over ≤``num_buckets`` values instead of one Ray group per
+    table, which pays a per-key UDF call at corpus table counts
+    (CLAUDE.md r3: map_groups degrades past ~20k groups).  The group
+    UDFs already iterate ``_group_tables`` so multi-table groups are
+    free."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        tids = batch["table_id"].to_pylist()
+        uniq = {t: zlib.crc32(t.encode()) % num_buckets for t in set(tids)}
+        return batch.append_column(
+            "__tb_bkt", pa.array([uniq[t] for t in tids], pa.int32())
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
 
 
 def _group_tables(batch: pa.Table) -> dict[str, list[list[str]]]:
@@ -63,8 +85,11 @@ def preprocess_tables(
             {"table_id": pa.array(ids, pa.string()), "preprocessed": pa.array(infos, pa.string())}
         )
 
-    grouped = tables_ds.groupby("table_id").map_groups(run, batch_format="pyarrow")
-    return grouped
+    return (
+        _bucket_tables(tables_ds)
+        .groupby("__tb_bkt")
+        .map_groups(run, batch_format="pyarrow")
+    )
 
 
 def lookup_labels(
@@ -223,4 +248,8 @@ def annotate_tables(
             {"table_id": pa.array(ids, pa.string()), "annotated": pa.array(payloads, pa.string())}
         )
 
-    return tables_ds.groupby("table_id").map_groups(run, batch_format="pyarrow")
+    return (
+        _bucket_tables(tables_ds)
+        .groupby("__tb_bkt")
+        .map_groups(run, batch_format="pyarrow")
+    )
