@@ -1878,6 +1878,50 @@ def _q_uniform_sample_k(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_domain_stats(sf_dir: str):
+    """Per-domain URL statistics (stages/textstats.py::domain_stats —
+    the web-corpus source-filtering primitive): one (domain, doc)
+    map-side combine + ONE hash(domain)%64 bucket exchange.  The synth
+    documents carry no URLs, so deterministic URLs are planted in a
+    pre-map for docs with doc_id % 3 == 0 (the plant_near_dups pattern)
+    and the SQL oracle replants them with the same concat expression —
+    fully SQL-verified."""
+    from table_annotation_ray.stages.textstats import domain_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        ids = out["doc_id"].to_numpy()
+        mask = ids % 3 == 0
+        urls = (
+            " see https://site"
+            + pd.Series(ids % 5).astype(str)
+            + ".example/page/"
+            + pd.Series(ids).astype(str)
+        ).to_numpy()
+        out.loc[mask, "text"] = out.loc[mask, "text"].fillna("") + urls[mask]
+        return out
+
+    out = domain_stats(docs.map_batches(plant, batch_format="pandas")).to_pandas()
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+def _q_price_histogram(sf_dir: str):
+    """Equi-width 20-bin histogram of lineitem.l_extendedprice
+    (stages/quantiles.py::fixed_width_histogram): two zero-shuffle
+    scans (min/max partials, bincount partials).  Bin assignment uses
+    the IDENTICAL float64 expression as the SQL oracle, so the compare
+    is hash-exact."""
+    from table_annotation_ray.stages.quantiles import fixed_width_histogram
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    out = fixed_width_histogram(li, "l_extendedprice", bins=20)
+    out["lo"] = _round_ha(out["lo"], 6)
+    out["hi"] = _round_ha(out["hi"], 6)
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1968,6 +2012,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
         "user_counts_cms": _q_user_counts_cms,
+        "domain_stats": _q_domain_stats,
+        "price_histogram": _q_price_histogram,
     }
 
 
@@ -2755,6 +2801,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_de = greatest(n_en, n_fr, n_de, n_es) THEN 'de'
                         ELSE 'es' END AS pred_lang
             FROM c
+        """,
+        "domain_stats": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN COALESCE(text,'') || ' see https://site'
+                                 || CAST(doc_id % 5 AS VARCHAR)
+                                 || '.example/page/' || CAST(doc_id AS VARCHAR)
+                            ELSE COALESCE(text,'') END AS text
+                FROM documents),
+            urls AS (
+                SELECT doc_id,
+                       lower(regexp_extract(u, 'https?://([^/\\s]+)', 1)) AS domain
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS u
+                      FROM planted))
+            SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+            FROM urls GROUP BY domain
+        """,
+        "price_histogram": """
+            WITH w AS (
+                SELECT min(l_extendedprice) AS mn,
+                       (max(l_extendedprice) - min(l_extendedprice)) / 20 AS w
+                FROM lineitem),
+            b AS (
+                SELECT CAST(least(floor((l_extendedprice - mn) / w), 19) AS BIGINT) AS bin
+                FROM lineitem, w WHERE l_extendedprice IS NOT NULL)
+            SELECT bin,
+                   round(mn + bin * w, 6)       AS lo,
+                   round(mn + (bin + 1) * w, 6) AS hi,
+                   count(*)                     AS n
+            FROM b, w GROUP BY bin, mn, w
         """,
         # ann_lsh / minhash_components / simhash_pairs /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -429,6 +429,72 @@ class KLLSketch:
         return cls(k=k, seed=seed, levels=pickle.loads(data))
 
 
+def fixed_width_histogram(
+    ds: rd.Dataset,
+    col: str,
+    bins: int = 20,
+    batch_size: int = 262_144,
+) -> pd.DataFrame:
+    """Equi-width value histogram — the distribution-profiling scan
+    (data-drift dashboards, outlier eyeballing): ``bins`` equal-width
+    buckets spanning [min, max].  Returns a driver-small DataFrame
+    ``(bin, lo, hi, n)`` with only NON-EMPTY bins (SQL GROUP BY shape).
+
+    Two streaming passes, zero shuffle: (1) per-batch min/max partials;
+    (2) per-batch ``np.bincount`` partials over bin ids, summed
+    driver-side (one ``bins``-long int row per batch — the sketch
+    partial shape).  Nulls/NaN/±inf are excluded (SQL aggregate
+    semantics).
+
+    Bin ids come from the EXPRESSION ``least(floor((v - mn)/w),
+    bins-1)`` evaluated in float64 — the identical expression a SQL
+    oracle runs, so assignment is bit-identical (np.histogram's edge
+    array would drift by a ulp at boundaries).  All values land in
+    [0, bins-1]; a degenerate column (min == max) puts every row in
+    bin 0."""
+    ds = ds.select_columns([col])
+
+    def mm(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if len(v) == 0:
+            return pd.DataFrame({"mn": [np.nan], "mx": [np.nan]})
+        return pd.DataFrame({"mn": [v.min()], "mx": [v.max()]})
+
+    sp = ds.map_batches(mm, batch_format="pandas", batch_size=batch_size).to_pandas()
+    mn, mx = float(np.nanmin(sp["mn"])), float(np.nanmax(sp["mx"]))
+    if not np.isfinite(mn):
+        return pd.DataFrame(
+            {"bin": pd.Series([], dtype="int64"), "lo": pd.Series([], dtype=float),
+             "hi": pd.Series([], dtype=float), "n": pd.Series([], dtype="int64")}
+        )
+    w = (mx - mn) / bins
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if w > 0:
+            idx = np.minimum(np.floor((v - mn) / w), bins - 1).astype(np.int64)
+            idx = np.maximum(idx, 0)  # float dust below mn cannot go negative
+        else:
+            idx = np.zeros(len(v), dtype=np.int64)
+        return pd.DataFrame(
+            {"h": [np.bincount(idx, minlength=bins).astype(np.int64).tobytes()]}
+        )
+
+    parts = ds.map_batches(cnt, batch_format="pandas", batch_size=batch_size).to_pandas()
+    totals = np.stack([np.frombuffer(x, dtype=np.int64) for x in parts["h"]]).sum(axis=0)
+    nz = np.flatnonzero(totals)
+    return pd.DataFrame(
+        {
+            "bin": nz.astype("int64"),
+            "lo": mn + nz * w,
+            "hi": mn + (nz + 1) * w,  # uniform expression == the SQL mirror
+            "n": totals[nz].astype("int64"),
+        }
+    )
+
+
 def kll_quantiles(
     ds: rd.Dataset,
     val_col: str,

@@ -133,6 +133,74 @@ def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
 
 
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/\s]+)"
+_URL_RE = re.compile(URL_PATTERN)
+_DOMAIN_RE = re.compile(DOMAIN_PATTERN)
+
+
+def domain_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-domain URL statistics over a documents table — the
+    source-filtering primitive of web-corpus curation (count URL
+    occurrences and reached documents per domain, then block/downsample
+    domains upstream).  Output: (domain, n_urls, n_docs).
+
+    ONE bucket exchange: the map side extracts every URL, lowercases
+    its host, and pre-aggregates per (domain, doc) within the batch
+    (≤ distinct pairs per batch cross the wire, Arrow blocks); the
+    exchange groups on ``hash(domain) % 64`` — never a Ray group per
+    domain (web corpora have 10^7+ domains, the CLAUDE.md r3 per-key
+    pathology) — and each bucket reduces with one vectorized pandas
+    groupby (n_urls = Σ counts, n_docs = nunique, exact because every
+    copy of a domain's pairs co-locates).
+
+    SQL mirror: unnest(regexp_extract_all(text, URL)) → regexp_extract
+    host → GROUP BY with count(*) / count(DISTINCT doc_id).  Both
+    regexes are RE2-safe and shared verbatim with the oracle."""
+    import pyarrow as pa
+
+    from .agg import grouped_reduce  # noqa: F401  (shape reference)
+
+    NB = np.uint64(64)
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        urls = b.set_index(b[id_col])[text_col].fillna("").str.findall(_URL_RE)
+        exploded = urls.explode().dropna()
+        if len(exploded) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "domain": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        dom = exploded.str.extract(_DOMAIN_RE, expand=False).str.lower()
+        out = (
+            pd.DataFrame({id_col: dom.index.to_numpy(), "domain": dom.to_numpy()})
+            .groupby([id_col, "domain"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["_db"] = (
+            pd.util.hash_pandas_object(out["domain"], index=False).to_numpy() % NB
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("domain", as_index=False).agg(
+            n_urls=("n", "sum"), n_docs=(id_col, "nunique")
+        )
+        out["n_urls"] = out["n_urls"].astype("int64")
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
 def vocab_topk(docs, k: int = 100, text_col: str = "text"):
     """Corpus-wide token frequency top-``k`` — the vocabulary-building /
     tokenizer-training primitive.  Tokens are lowercased

@@ -773,3 +773,77 @@ def test_funnel_empty_bucket_keeps_string_schema(ray_session):
     ).to_pandas()
     assert out["user"].tolist() == ["winner"]
     assert out["n_steps"].tolist() == [2]
+
+
+def test_domain_stats_matches_reference(ray_session):
+    """domain_stats == an in-memory regex reference, including multi-URL
+    rows, repeated domains within one doc, and URL-free corpora."""
+    import re
+
+    from table_annotation_ray.stages.textstats import domain_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "see https://A.example/x and https://a.example/y",  # case-folds, 2 urls 1 doc
+                "plain text no urls",
+                "http://b.example/path https://a.example/z",
+                None,
+                "trailing https://c.example",
+                "dup https://b.example/1 https://b.example/2",
+            ],
+        }
+    )
+    out = (
+        domain_stats(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    ref = {}
+    for did, text in zip(df["doc_id"], df["text"].fillna("")):
+        for u in re.findall(r"https?://[^\s]+", text):
+            d = re.match(r"https?://([^/\s]+)", u).group(1).lower()
+            n_urls, docs = ref.get(d, (0, set()))
+            docs.add(did)
+            ref[d] = (n_urls + 1, docs)
+    assert out["domain"].tolist() == sorted(ref)
+    for _, row in out.iterrows():
+        n_urls, docs = ref[row["domain"]]
+        assert row["n_urls"] == n_urls and row["n_docs"] == len(docs)
+    # URL-free corpus: empty result, schema intact
+    empty = domain_stats(
+        rd.from_pandas(pd.DataFrame({"doc_id": np.array([1], dtype=np.int64),
+                                     "text": ["no links here"]}))
+    ).to_pandas()
+    assert len(empty) == 0
+    # an all-empty result has zero blocks and hence no schema — same
+    # caller-guards convention as the other set-returning queries
+    # (__ray_entry__._q_parts_never_ordered)
+
+
+def test_fixed_width_histogram_vs_numpy(ray_session):
+    """fixed_width_histogram == the floor-expression reference; NaN
+    excluded; degenerate (min == max) column lands in bin 0."""
+    from table_annotation_ray.stages.quantiles import fixed_width_histogram
+
+    rng = np.random.default_rng(3)
+    v = np.r_[rng.uniform(10, 99, 500).round(2), np.nan, np.nan]
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(4)
+    out = fixed_width_histogram(ds, "x", bins=8).sort_values("bin")
+    fin = v[np.isfinite(v)]
+    mn, mx = fin.min(), fin.max()
+    w = (mx - mn) / 8
+    idx = np.minimum(np.floor((fin - mn) / w), 7).astype(int)
+    ref = np.bincount(idx, minlength=8)
+    assert out["n"].sum() == len(fin)
+    assert dict(zip(out["bin"], out["n"])) == {
+        int(b): int(n) for b, n in enumerate(ref) if n
+    }
+    assert np.allclose(out["lo"].to_numpy(), mn + out["bin"].to_numpy() * w)
+    # degenerate column
+    const = fixed_width_histogram(
+        rd.from_pandas(pd.DataFrame({"x": [5.0, 5.0, 5.0]})), "x", bins=4
+    )
+    assert const["bin"].tolist() == [0] and const["n"].tolist() == [3]
