@@ -693,11 +693,17 @@ def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct count of events.user_id (rows-only: the
     estimate is approximate by design; the row carries the exact count
     and relative error so the check is self-evident)."""
+    from table_annotation_ray.stages.agg import bucketed_distinct
     from table_annotation_ray.stages.sketches import approx_distinct
 
     ds = _read(sf_dir, "events", ["user_id"])
     est = approx_distinct(ds, "user_id")
-    exact = len(set(ds.unique("user_id")))
+    # exact baseline via the bucketed-distinct exchange + a distributed
+    # count — ds.unique() ships the whole distinct list to the driver
+    # (10^9 ids at corpus scale; review r4)
+    exact = bucketed_distinct(
+        _read(sf_dir, "events", ["user_id"]), ["user_id"]
+    ).count()
     return pd.DataFrame(
         {
             "approx": [round(est)],
