@@ -97,6 +97,7 @@ def embedding_near_dup_pairs(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> rd.Dataset:
     """Embedding-cosine near-duplicate detection: random-hyperplane LSH
     buckets → exact cosine verify within bucket → (a, b, cosine) pairs
@@ -109,7 +110,17 @@ def embedding_near_dup_pairs(
     p = 0.8989⁸ ≈ 0.43 per probe — two seeded probes push recall to
     1-(1-0.43)² ≈ 0.67 (both probes run here; raise threshold or drop
     num_planes for higher recall — the planted-recall pytest pins the
-    measured floor)."""
+    measured floor).
+
+    ``max_bucket`` bounds the in-bucket O(n²) verify exactly like the
+    dedup family's LSH caps: a hot bucket (2^num_planes buckets total —
+    at corpus scale raise num_planes FIRST) keeps only its
+    ``max_bucket`` smallest ids, truncations are counted on a
+    :class:`~.dedup.TruncationCounter` and logged as a RECALL warning
+    — never a silent cap (VERDICT r2 #6 rule)."""
+    import logging
+    import warnings
+
     first = embeddings.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.RandomState(seed)
@@ -140,10 +151,20 @@ def embedding_near_dup_pairs(
             }
         )
 
+    from .dedup import TruncationCounter
+
+    counter = ray.remote(TruncationCounter).options(num_cpus=0).remote()
+
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
         group = group.drop_duplicates(subset=[id_col])
         if len(group) < 2:
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        if len(group) > max_bucket:
+            n = len(group)
+            counter.add.remote(
+                1, n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            )
+            group = group.sort_values(id_col).head(max_bucket)
         vecs = _normalize(_stack(group[vec_col]))
         ids = group[id_col].to_numpy()
         sims = vecs @ vecs.T
@@ -159,10 +180,27 @@ def embedding_near_dup_pairs(
 
     bucketed = embeddings.map_batches(bucketize, batch_format="pandas")
     pairs = bucketed.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
-    # a pair can surface from both probes/buckets — dedup
+    # a pair can surface from both probes/buckets — dedup (this also
+    # forces the verify stage to run, so the counter read below is
+    # post-hoc, not racing the tasks)
     from .agg import bucketed_distinct
 
-    return bucketed_distinct(pairs, ["a", "b"])
+    out = bucketed_distinct(pairs, ["a", "b"]).materialize()
+    stats = ray.get(counter.get.remote())
+    if stats["truncated_buckets"]:
+        warnings.warn(
+            f"embedding_near_dup_pairs: {stats['truncated_buckets']} hot LSH "
+            f"bucket(s) over max_bucket={max_bucket} truncated "
+            f"({stats['dropped_pairs']} candidate pairs dropped — a RECALL "
+            "cap; raise num_planes to shrink buckets before raising "
+            "max_bucket)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup_pairs truncation: %s", stats
+        )
+    return out
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
