@@ -59,7 +59,14 @@ def main() -> int:
 
     import pyarrow.parquet as pq
 
-    n = pq.read_table(args.out).num_rows
+    # metadata-only count — read_table would materialize every
+    # annotation JSON on the driver just to count rows (the sinks
+    # manifest idiom, stages/sinks.py)
+    n = sum(
+        pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+        for f in os.listdir(args.out)
+        if f.endswith(".parquet")
+    )
     print(json.dumps({"mode": args.mode, "tables": n, "out": args.out}))
     ray.shutdown()
     return 0
