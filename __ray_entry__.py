@@ -1928,6 +1928,116 @@ def _q_price_histogram(sf_dir: str):
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped multiway star join: lineitem ⋈ orders on the
+    fact key (stages/relational.py::equi_join — size-gated broadcast
+    vs bucketed co-location; at 100 TB the orders side exceeds the gate
+    and the same call takes the ONE-exchange path, demonstrated by
+    `customer_order_counts_dist`), then supplier/customer dimension
+    joins on the broadcast path, nation/region folded into one tiny
+    driver-built map.  Local-supplier predicate (c_nationkey =
+    s_nationkey), 1996 order window, region filter, 25-key revenue
+    rollup.  Fully SQL-verified."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import equi_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def window(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"]
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        return b.filter(keep).drop_columns(["o_orderdate"])
+
+    orders = orders.map_batches(window, batch_format="pyarrow")
+    j = equi_join(li, orders, "l_orderkey", "o_orderkey")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.rename(columns={"s_suppkey": "l_suppkey"}), batch_format="pandas")
+    j = equi_join(j, supp, "l_suppkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas")
+    j = equi_join(j, cust, "o_custkey")
+
+    # nation ⋈ region is 25×5 rows — fold to one dict on the driver and
+    # close over it (tiny; no ray.put needed)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = dict(
+        nat.loc[nat["r_name"] == "ASIA", ["n_nationkey", "n_name"]]
+        .itertuples(index=False, name=None)
+    )
+
+    def rev(b: pd.DataFrame) -> pa.Table:
+        b = b[b["s_nationkey"] == b["c_nationkey"]]
+        name = b["s_nationkey"].map(asia)
+        keep = name.notna()
+        r = (b["l_extendedprice"] * (1.0 - b["l_discount"]))[keep]
+        # explicit types: an all-filtered batch must not emit Arrow NULL
+        # columns (CLAUDE.md empty-array rule)
+        return pa.table({
+            "n_name": pa.array(name[keep].tolist(), type=pa.string()),
+            "revenue": pa.array(r.to_numpy(dtype=np.float64), type=pa.float64()),
+        })
+
+    out = grouped_reduce(
+        j.map_batches(rev, batch_format="pandas"),
+        ["n_name"], {"revenue": ("revenue", "sum")},
+    ).to_pandas()
+    out["revenue"] = _round_ha(out["revenue"], 2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def _q_order_pivot(sf_dir: str):
+    """Wide pivot (stages/relational.py::pivot_table): total order value
+    per (priority × status) cell — one widen map + the grouped_reduce
+    hash-bucket exchange; pivot domain discovered with a map-side
+    unique.  Oracle = conditional aggregation (COALESCE'd SUM CASE)."""
+    from table_annotation_ray.stages.relational import pivot_table
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    out = pivot_table(
+        orders, ["o_orderpriority"], "o_orderstatus", "o_totalprice", agg="sum",
+    ).to_pandas()
+    for c in ("sum_F", "sum_O", "sum_P"):
+        out[c] = _round_ha(out[c], 2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """Long-format melt (stages/relational.py::unpivot): the three
+    lineitem measures as (measure, value) rows keyed by (orderkey,
+    linenumber) — zero-shuffle map with in-batch 3× fan-out, Arrow
+    out.  Oracle = UNION ALL of one SELECT per measure; the melt feeds
+    a grouped_reduce per-measure rollup so the query also verifies the
+    long rows aggregate correctly."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import unpivot
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"])
+    long = unpivot(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+    )
+    out = grouped_reduce(
+        long, ["measure"],
+        {"n": (None, "count"), "total": ("value", "sum")},
+    ).to_pandas()
+    out["total"] = _round_ha(out["total"], 2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("measure").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2020,6 +2130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_counts_cms": _q_user_counts_cms,
         "domain_stats": _q_domain_stats,
         "price_histogram": _q_price_histogram,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "order_pivot": _q_order_pivot,
+        "lineitem_unpivot": _q_lineitem_unpivot,
     }
 
 
@@ -2839,6 +2952,40 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + (bin + 1) * w, 6) AS hi,
                    count(*)                     AS n
             FROM b, w GROUP BY bin, mn, w
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1997-01-01'
+            GROUP BY n_name
+        """,
+        "order_pivot": """
+            SELECT o_orderpriority,
+                   round(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 0), 2) AS sum_F,
+                   round(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 0), 2) AS sum_O,
+                   round(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 0), 2) AS sum_P
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "lineitem_unpivot": """
+            WITH long AS (
+                SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                       l_quantity AS value FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                       l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+            SELECT measure, count(*) AS n, round(SUM(value), 2) AS total
+            FROM long GROUP BY measure
         """,
         # ann_lsh / minhash_components / simhash_pairs /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

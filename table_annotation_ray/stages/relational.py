@@ -506,3 +506,92 @@ def semi_join_keys(
     OPT-IN."""
     return _keyed_join(left, right, col, right_col, broadcast_below, True,
                        bloom_bits)
+
+
+def pivot_table(
+    ds: rd.Dataset,
+    index_cols: list[str],
+    pivot_col: str,
+    value_col: str,
+    agg: str = "sum",
+    values: list | None = None,
+    prefix: str | None = None,
+    num_buckets: int = 64,
+    max_values: int = 1000,
+) -> rd.Dataset:
+    """Wide pivot: one output row per distinct ``index_cols``
+    combination, one column per distinct ``pivot_col`` value, cells
+    aggregated from ``value_col`` (``agg``: sum|min|max|count).
+
+    Scale contract: the PIVOT domain must be bounded (the output schema
+    IS the domain) — ``max_values`` hard-caps it; the index side may be
+    corpus-cardinality (rides ``agg.grouped_reduce``'s hash-bucket
+    exchange, never per-key Ray groups).  When ``values`` is omitted it
+    is discovered with a map-side per-batch unique + tiny driver union
+    (≤ max_values rows cross the wire).  Missing cells are 0 for
+    sum/count and NaN for min/max — mirror with ``COALESCE(..., 0)`` in
+    SQL oracles.  Beyond-reference operator (no counterpart in
+    Orange-OpenSource/Table-Annotation)."""
+    from .agg import grouped_reduce
+
+    if agg not in ("sum", "min", "max", "count"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if values is None:
+        uniq = ds.select_columns([pivot_col]).map_batches(
+            lambda b: b.drop_duplicates(),
+            batch_format="pandas", batch_size=JOIN_BATCH,
+        ).to_pandas()[pivot_col].dropna().unique()
+        values = sorted(uniq.tolist())
+    if len(values) > max_values:
+        raise ValueError(
+            f"pivot domain {len(values)} exceeds max_values={max_values}; "
+            "an unbounded pivot cannot have a bounded schema"
+        )
+    pref = f"{agg}_" if prefix is None else prefix
+    out_cols = {v: f"{pref}{v}" for v in values}
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        # one column per pivot value BEFORE the exchange, so the partial
+        # combine is a plain grouped_reduce over a fixed schema
+        out = b[index_cols].copy()
+        pv = b[pivot_col]
+        for v, oc in out_cols.items():
+            cell = b[value_col].where(pv == v)
+            out[oc] = cell.notna().astype("int64") if agg == "count" else cell
+        return out
+
+    reducers = {
+        oc: (oc, "sum" if agg == "count" else agg) for oc in out_cols.values()
+    }
+    wide = grouped_reduce(
+        ds.map_batches(widen, batch_format="pandas", batch_size=JOIN_BATCH),
+        index_cols, reducers, num_buckets=num_buckets,
+    )
+    if agg in ("sum", "count"):
+        return wide  # pandas sum skipna -> all-missing cells already 0
+    return wide
+
+
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> rd.Dataset:
+    """Melt ``value_cols`` into (``var_name``, ``value_name``) long
+    rows — SQL ``UNION ALL`` of one SELECT per measure.  Pure map
+    (zero shuffle, k× row fan-out inside each batch); emits Arrow so a
+    downstream groupby/sort stays on the fast block path.
+    Beyond-reference operator."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def melt(b: pd.DataFrame) -> pa.Table:
+        out = b.melt(
+            id_vars=id_cols, value_vars=value_cols,
+            var_name=var_name, value_name=value_name,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(melt, batch_format="pandas", batch_size=JOIN_BATCH)

@@ -161,9 +161,11 @@ def embedding_near_dup_pairs(
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
         if len(group) > max_bucket:
             n = len(group)
-            counter.add.remote(
+            # blocking ack (dedup-family idiom): a fire-and-forget add can
+            # still be in flight when the post-materialize get() runs
+            ray.get(counter.add.remote(
                 1, n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
-            )
+            ))
             group = group.sort_values(id_col).head(max_bucket)
         vecs = _normalize(_stack(group[vec_col]))
         ids = group[id_col].to_numpy()

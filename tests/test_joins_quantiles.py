@@ -557,3 +557,93 @@ def test_interval_join_inverted_interval_matches_nothing(ray_session):
     ).to_pandas()
     # only the well-formed interval matches; the inverted one is silent
     assert sorted(zip(out["iv_id"], out["ev_id"])) == [(1, 10)]
+
+
+def test_pivot_table_matches_pandas(ray_session):
+    from table_annotation_ray.stages.relational import pivot_table
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "cat": rng.choice(["a", "b", "c"], n),
+            "v": rng.normal(size=n).round(3),
+        }
+    )
+    # a key with no 'c' rows at all -> that cell must come back 0 (sum)
+    df = df[~((df["k"] == 5) & (df["cat"] == "c"))]
+    ds = rd.from_pandas(df).repartition(6)
+
+    got = (
+        pivot_table(ds, ["k"], "cat", "v", agg="sum")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        df.pivot_table(index="k", columns="cat", values="v",
+                       aggfunc="sum", fill_value=0.0)
+        .reset_index().sort_values("k").reset_index(drop=True)
+    )
+    for c in ("a", "b", "c"):
+        np.testing.assert_allclose(
+            got[f"sum_{c}"].to_numpy(), want[c].to_numpy(), rtol=1e-9
+        )
+
+    # count mode counts non-null values only (SQL COUNT(expr))
+    df2 = df.copy()
+    df2.loc[df2.index[:50], "v"] = np.nan
+    got_n = (
+        pivot_table(rd.from_pandas(df2).repartition(4), ["k"], "cat", "v",
+                    agg="count", values=["a", "b", "c"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want_n = (
+        df2.dropna(subset=["v"])
+        .pivot_table(index="k", columns="cat", values="v",
+                     aggfunc="size", fill_value=0)
+        .reindex(sorted(df2["k"].unique()), fill_value=0)
+        .reset_index()
+    )
+    for c in ("a", "b", "c"):
+        np.testing.assert_array_equal(
+            got_n[f"count_{c}"].to_numpy(dtype=np.int64),
+            want_n[c].to_numpy(dtype=np.int64),
+        )
+
+    # bounded-domain contract survives
+    with pytest.raises(ValueError):
+        pivot_table(ds, ["k"], "cat", "v", max_values=2)
+
+
+def test_unpivot_roundtrip(ray_session):
+    from table_annotation_ray.stages.relational import pivot_table, unpivot
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(200, dtype=np.int64),
+            "m1": np.arange(200, dtype=np.float64),
+            "m2": np.arange(200, dtype=np.float64) * 2,
+        }
+    )
+    long = unpivot(rd.from_pandas(df).repartition(3), ["id"], ["m1", "m2"]).to_pandas()
+    assert len(long) == 400
+    assert set(long["measure"]) == {"m1", "m2"}
+    want = df.melt(id_vars=["id"], value_vars=["m1", "m2"],
+                   var_name="measure", value_name="value")
+    got = long.sort_values(["measure", "id"]).reset_index(drop=True)
+    want = want.sort_values(["measure", "id"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["value"].to_numpy(), want["value"].to_numpy())
+
+    # melt -> pivot round-trips to the original wide frame
+    wide = (
+        pivot_table(
+            rd.from_pandas(long), ["id"], "measure", "value",
+            agg="sum", prefix="",
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(wide["m1"].to_numpy(), df["m1"].to_numpy())
+    np.testing.assert_allclose(wide["m2"].to_numpy(), df["m2"].to_numpy())
+
+    with pytest.raises(ValueError):
+        unpivot(rd.from_pandas(df), ["id"], [])
