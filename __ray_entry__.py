@@ -1996,6 +1996,23 @@ def _q_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count on the part co-occurrence graph
+    (stages/graph.py::triangle_count — degree-ordered wedge checking,
+    Suri & Vassilvitskii WWW'11): edges from
+    relational.cooccurrence_pairs (parts sharing an order), then
+    degree joins → oriented wedge generation → wedge↔edge match, every
+    exchange hash-bucketed.  Fully SQL-verified (three-way self-join)."""
+    from table_annotation_ray.stages.graph import triangle_count
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
+    res = triangle_count(edges, "item_a", "item_b", assume_simple=True)
+    return pd.DataFrame({"n_edges": [res["n_edges"]],
+                         "n_triangles": [res["n_triangles"]]})
+
+
 def _q_order_pivot(sf_dir: str):
     """Wide pivot (stages/relational.py::pivot_table): total order value
     per (priority × status) cell — one widen map + the grouped_reduce
@@ -2131,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "price_histogram": _q_price_histogram,
         "revenue_by_nation": _q_revenue_by_nation,
+        "triangle_count": _q_triangle_count,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -2967,6 +2985,17 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "triangle_count": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+            SELECT (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*)
+                    FROM e ab JOIN e bc ON ab.b = bc.a
+                    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles
         """,
         "order_pivot": """
             SELECT o_orderpriority,

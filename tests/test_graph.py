@@ -176,3 +176,36 @@ def test_pagerank_sharded_cleans_tmp_scratch(ray_session):
                      num_cpus_per_shard=0)
     after = set(glob.glob("/tmp/pr_shards_*"))
     assert after <= before
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    n, m = 200, 1500
+    df = pd.DataFrame(
+        {"src": rng.integers(0, n, m), "dst": rng.integers(0, n, m)}
+    )
+    # duplicates + self-loops in the input: canonicalization must absorb both
+    res = triangle_count(rd.from_pandas(df).repartition(5), "src", "dst")
+
+    e = df[df.src != df.dst]
+    lo, hi = np.minimum(e.src, e.dst), np.maximum(e.src, e.dst)
+    E = set(zip(lo.tolist(), hi.tolist()))
+    adj: dict[int, set] = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for (a, b) in E for c in adj[a] & adj[b] if c > b)
+    assert res == {"n_edges": len(E), "n_triangles": tri}
+
+    # degenerate graphs
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+    assert triangle_count(rd.from_pandas(empty))["n_triangles"] == 0
+    path = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})  # no triangle
+    assert triangle_count(rd.from_pandas(path)) == {"n_edges": 2, "n_triangles": 0}
