@@ -1996,6 +1996,25 @@ def _q_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Top-5 TF-IDF keywords per document
+    (stages/textstats.py::tfidf_topk): in-batch TF (a doc is one row),
+    DF through the term-keyed grouped_reduce, tf↔df co-location on
+    hash(term) — never a driver vocabulary broadcast — then
+    grouped_topk with the (rounded score desc, term asc) window
+    ordering mirrored exactly in SQL."""
+    from table_annotation_ray.stages.textstats import tfidf_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_topk(docs, k=5).to_pandas()
+    for c in ("doc_id", "tf"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "term", "tf", "tfidf"]]
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+
+
 def _q_triangle_count(sf_dir: str):
     """Exact triangle count on the part co-occurrence graph
     (stages/graph.py::triangle_count — degree-ordered wedge checking,
@@ -2149,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": _q_price_histogram,
         "revenue_by_nation": _q_revenue_by_nation,
         "triangle_count": _q_triangle_count,
+        "tfidf_keywords": _q_tfidf_keywords,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -2985,6 +3005,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "tfidf_keywords": """
+            WITH tf AS (
+                SELECT doc_id, t AS term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(lower(COALESCE(text,'')), '[a-z]+')) AS t
+                      FROM documents)
+                GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (
+                SELECT doc_id, term, tf,
+                       round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+                FROM tf JOIN df USING (term), n),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+                FROM s)
+            SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
         """,
         "triangle_count": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -237,3 +237,110 @@ def vocab_topk(docs, k: int = 100, text_col: str = "text"):
         .sort(key=["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def tfidf_topk(
+    docs,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    num_buckets: int = 64,
+):
+    """Top-``k`` TF-IDF keywords per document — the corpus-level
+    keyword-extraction primitive.  Tokens are ``[a-z]+`` runs of the
+    lowercased text; score = tf × ln(N / df), rounded to 6 decimals
+    BEFORE ranking so the ordering is engine-portable (np.log vs SQL
+    ln can differ by one ulp); ties broken by term ascending —
+    identical to the SQL window ``row_number() OVER (PARTITION BY doc
+    ORDER BY score DESC, term)``.  Beyond-reference operator.
+
+    Scale shape (a document is one row, so TF needs NO exchange):
+      1. per-batch tokenize → (doc, term, tf) via one explode+groupby;
+      2. DF via ``agg.grouped_reduce`` keyed on term (vocabulary
+         cardinality rides the hash-bucket exchange, never per-key Ray
+         groups);
+      3. tf↔df co-location on hash(term) % num_buckets (terms are
+         strings — the union+groupby idiom, not a driver-broadcast
+         vocabulary, which at web scale would not fit);
+      4. top-k per doc through ``relational.grouped_topk`` (map-side
+         ≤k combiner, deterministic tiebreak).
+    """
+    import pyarrow as pa
+
+    import ray.data as rd  # noqa: F401  (docs is a Dataset)
+
+    from .agg import grouped_reduce
+    from .relational import grouped_topk
+
+    n_docs = docs.count()
+
+    def term_freqs(b: pd.DataFrame) -> pa.Table:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
+        long = pd.DataFrame(
+            {id_col: b[id_col], "term": toks}
+        ).explode("term").dropna(subset=["term"])
+        tf = long.groupby([id_col, "term"], sort=False).size().reset_index(name="tf")
+        return pa.table(
+            {
+                id_col: pa.array(tf[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "term": pa.array(tf["term"].tolist(), pa.string()),
+                "tf": pa.array(tf["tf"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    tf_ds = docs.map_batches(term_freqs, batch_format="pandas").materialize()
+
+    # DF: tf rows are already distinct per (doc, term), so counting per
+    # term IS the document frequency — no extra distinct pass
+    df_ds = grouped_reduce(
+        tf_ds, ["term"], {"df": (None, "count")}, num_buckets=num_buckets
+    )
+
+    nb = np.uint64(num_buckets)
+
+    def tag(side: int):
+        def f(b: pd.DataFrame) -> pa.Table:
+            b = b.copy()
+            b["__tw_bkt"] = (
+                pd.util.hash_pandas_object(b["term"], index=False).to_numpy() % nb
+            ).astype(np.int64)
+            b["__tw_side"] = np.int64(side)
+            for c in (id_col, "tf", "df"):  # sentinel-fill the union schema
+                if c not in b.columns:
+                    b[c] = np.int64(-1)
+            return pa.Table.from_pandas(
+                b[[id_col, "term", "tf", "df", "__tw_bkt", "__tw_side"]],
+                preserve_index=False,
+            )
+        return f
+
+    both = tf_ds.map_batches(tag(0), batch_format="pandas").union(
+        df_ds.map_batches(tag(1), batch_format="pandas")
+    )
+
+    n_f = float(n_docs)
+
+    def score(g: pd.DataFrame) -> pa.Table:
+        is_df = g["__tw_side"].to_numpy() == 1
+        dfm = g[is_df][["term", "df"]]
+        dfm = dfm[dfm["df"] >= min_df]
+        tfm = g[~is_df][[id_col, "term", "tf"]]
+        m = tfm.merge(dfm, on="term", how="inner")
+        # ln(N/df), the exact SQL expression shape (ln N - ln df can
+        # differ by an ulp and flip a rounded rank boundary)
+        s = m["tf"].to_numpy(dtype=np.float64) * np.log(
+            n_f / m["df"].to_numpy(dtype=np.float64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(m[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "term": pa.array(m["term"].tolist(), pa.string()),
+                "tf": pa.array(m["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                "tfidf": pa.array(np.round(s, 6), pa.float64()),
+            }
+        )
+
+    scored = both.groupby("__tw_bkt").map_groups(score, batch_format="pandas")
+    return grouped_topk(scored, [id_col], "tfidf", k, descending=True,
+                        tiebreak="term")

@@ -941,3 +941,54 @@ def test_min_label_components_warns_on_nonconvergence(ray_session):
     assert not any("WITHOUT converging" in str(x.message) for x in w2)
     assert set(out2.component) == {0} and len(out2) == 7
     assert len(out) == 7
+
+
+def test_tfidf_topk_matches_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.textstats import tfidf_topk
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(5, 30))) + " Doc42!"
+                for _ in range(60)
+            ],
+        }
+    )
+    got = (
+        tfidf_topk(rd.from_pandas(docs).repartition(4), k=3)
+        .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+
+    # pure-pandas reference with the same rounded ordering
+    import re
+    rows = []
+    for _, r in docs.iterrows():
+        toks = re.findall(r"[a-z]+", r["text"].lower())
+        for t in set(toks):
+            rows.append((r["doc_id"], t, toks.count(t)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    df = tf.groupby("term").size().rename("df").reset_index()
+    s = tf.merge(df, on="term")
+    s["tfidf"] = np.round(
+        s["tf"].to_numpy(float) * np.log(len(docs) / s["df"].to_numpy(float)), 6
+    )
+    want = (
+        s.sort_values(["tfidf", "term"], ascending=[False, True], kind="mergesort")
+        .groupby("doc_id", sort=False).head(3)
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "term", "tf", "tfidf"]],
+        want[["doc_id", "term", "tf", "tfidf"]],
+        check_dtype=False,
+    )
+    # "doc" from "Doc42!" survives tokenization ([a-z]+ runs) but carries
+    # idf=0 (present in every doc) so it scores, yet never ranks top-3
+    assert "doc" in set(s["term"]) and "doc" not in set(want["term"])
