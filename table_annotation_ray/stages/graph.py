@@ -351,10 +351,12 @@ def triangle_count(
         )
         return pa.table({"node": pa.array(nodes, pa.int64())})
 
+    # materialized: both degree joins consume it (equi_join also
+    # materializes its right side now, but doing it here keeps ONE copy)
     degs = grouped_reduce(
         e.map_batches(stack, batch_format="pandas"),
         ["node"], {"deg": (None, "count")}, num_buckets=num_buckets,
-    )
+    ).materialize()
 
     def _rename(cols: dict):
         return lambda b: b.rename(columns=cols)
@@ -399,38 +401,49 @@ def triangle_count(
                - np.repeat(np.cumsum(rem) - rem, rem) + 1)
         jj = ii + off
         w1, w2 = v_s[ii], v_s[jj]
+        # map-side combine for the pair exchange: a wedge pair closed by
+        # several common neighbors ships once with a count, and the pair
+        # bucket is computed here (no second pass over the wedge rows)
+        wa, wb = np.minimum(w1, w2), np.maximum(w1, w2)
+        wdf = (
+            pd.DataFrame({"a": wa, "b": wb})
+            .groupby(["a", "b"], sort=False).size().reset_index(name="n")
+        )
+        a = wdf["a"].to_numpy(dtype=np.int64)
+        b = wdf["b"].to_numpy(dtype=np.int64)
+        h = (a.astype(np.uint64) * MULT) ^ b.astype(np.uint64)
+        bkt = ((h * MULT) >> np.uint64(32)) % nb
         return pa.table(
-            {"a": pa.array(np.minimum(w1, w2), pa.int64()),
-             "b": pa.array(np.maximum(w1, w2), pa.int64())}
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+             "n": pa.array(wdf["n"].to_numpy(dtype=np.int64), pa.int64()),
+             "__tc_side": pa.array(np.ones(len(a), dtype=np.int64), pa.int64()),
+             "__tc_pbkt": pa.array(bkt.astype(np.int64), pa.int64())}
         )
 
     wedge_ds = oriented.groupby("__tc_bkt").map_groups(
         wedges, batch_format="pandas"
     )
 
-    def tag(side: int):
-        def f(b: pd.DataFrame) -> pa.Table:
-            a = b["a"].to_numpy(dtype=np.int64)
-            bb = b["b"].to_numpy(dtype=np.int64)
-            # bucket from (a, b) ONLY — edge and wedge rows for the same
-            # pair must land in the same group
-            h = (a.astype(np.uint64) * MULT) ^ bb.astype(np.uint64)
-            bkt = ((h * MULT) >> np.uint64(32)) % nb
-            return pa.table(
-                {"a": pa.array(a, pa.int64()), "b": pa.array(bb, pa.int64()),
-                 "__tc_side": pa.array(np.full(len(a), side), pa.int64()),
-                 "__tc_pbkt": pa.array(bkt.astype(np.int64), pa.int64())}
-            )
-        return f
+    def tag_edges(b: pd.DataFrame) -> pa.Table:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        # bucket from (a, b) ONLY — edge and wedge rows for the same
+        # pair must land in the same group
+        h = (a.astype(np.uint64) * MULT) ^ bb.astype(np.uint64)
+        bkt = ((h * MULT) >> np.uint64(32)) % nb
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(bb, pa.int64()),
+             "n": pa.array(np.zeros(len(a), dtype=np.int64), pa.int64()),
+             "__tc_side": pa.array(np.zeros(len(a), dtype=np.int64), pa.int64()),
+             "__tc_pbkt": pa.array(bkt.astype(np.int64), pa.int64())}
+        )
 
-    both = e.map_batches(tag(0), batch_format="pandas").union(
-        wedge_ds.map_batches(tag(1), batch_format="pandas")
-    )
+    both = e.map_batches(tag_edges, batch_format="pandas").union(wedge_ds)
 
     def match(g: pd.DataFrame) -> pa.Table:
         is_edge = g["__tc_side"].to_numpy() == 0
         ek = g[is_edge][["a", "b"]].drop_duplicates()
-        wk = g[~is_edge].groupby(["a", "b"], sort=False).size().reset_index(name="n")
+        wk = g[~is_edge].groupby(["a", "b"], sort=False)["n"].sum().reset_index()
         hit = ek.merge(wk, on=["a", "b"], how="inner")["n"].sum()
         return pa.table({"n": pa.array([int(hit)], pa.int64())})
 

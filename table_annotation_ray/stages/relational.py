@@ -335,6 +335,12 @@ def equi_join(
         raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
     all_cols = list(dict.fromkeys(l_cols + r_cols))
 
+    # materialize the right side ONCE: the size gate (count) plus the
+    # chosen path (to_pandas or the bucket exchange) would otherwise
+    # re-execute the whole right pipeline 2-3x (measured on
+    # triangle_count's degree joins — a grouped_reduce replayed per use)
+    right = right.materialize()
+
     if how != "full" and broadcast_below and right.count() <= broadcast_below:
         rdf = right.to_pandas()
         rref = ray.put(rdf)
