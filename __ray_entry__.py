@@ -2008,6 +2008,29 @@ def _q_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_order_value_ntile(sf_dir: str):
+    """NTILE(8) over the global order-value ordering
+    (stages/datapipe.py::ntile — closed-form tile from the
+    range-partitioned global_rank position, never a single-node sort),
+    verified through per-tile count/min/max against the SQL window."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.datapipe import ntile
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    tiled = ntile(orders, ["o_totalprice"], "o_orderkey", k=8)
+    out = grouped_reduce(
+        tiled,
+        ["tile"],
+        {"n": (None, "count"), "lo": ("o_totalprice", "min"),
+         "hi": ("o_totalprice", "max")},
+    ).to_pandas()
+    for c in ("tile", "n"):
+        out[c] = out[c].astype("int64")
+    for c in ("lo", "hi"):
+        out[c] = _round_ha(out[c], 2)
+    return out.sort_values("tile").reset_index(drop=True)
+
+
 def _q_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per document
     (stages/textstats.py::tfidf_topk): in-batch TF (a doc is one row),
@@ -2187,6 +2210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "triangle_count": _q_triangle_count,
         "tfidf_keywords": _q_tfidf_keywords,
+        "order_value_ntile": _q_order_value_ntile,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3023,6 +3047,16 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "order_value_ntile": """
+            WITH t AS (
+                SELECT o_totalprice,
+                       NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+                FROM orders)
+            SELECT tile, count(*) AS n,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM t GROUP BY tile
         """,
         "tfidf_keywords": """
             WITH tf AS (

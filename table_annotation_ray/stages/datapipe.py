@@ -647,3 +647,40 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunks, batch_format="pandas", batch_size=batch_size)
+
+
+def ntile(
+    ds,
+    order_cols: list[str],
+    tiebreak: str,
+    k: int,
+    out_col: str = "tile",
+    num_buckets: int = 256,
+):
+    """SQL ``NTILE(k) OVER (ORDER BY order_cols, tiebreak)`` — equal-
+    size tiles over a GLOBAL ordering without a global sort: rides
+    :func:`global_rank` (range-partitioned TeraSort rank), then the
+    tile is a closed form of the 0-based position: the first ``n % k``
+    tiles hold ``⌈n/k⌉`` rows, the rest ``⌊n/k⌋`` (exact SQL window
+    semantics, 1-based).  Beyond-reference operator."""
+    import pyarrow as pa
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = ds.count()
+    ranked = global_rank(ds, order_cols, tiebreak,
+                         num_buckets=num_buckets, out_col="__nt_pos")
+    q, rem = divmod(n, k)
+    thr = rem * (q + 1)
+
+    def assign(b: pd.DataFrame) -> pa.Table:
+        p = b["__nt_pos"].to_numpy(dtype=np.int64)
+        if q == 0:  # fewer rows than tiles: tile i+1 gets row i
+            t = p + 1
+        else:
+            t = np.where(p < thr, p // (q + 1), rem + (p - thr) // q) + 1
+        b = b.drop(columns="__nt_pos")
+        b[out_col] = t.astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    return ranked.map_batches(assign, batch_format="pandas")

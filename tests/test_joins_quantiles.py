@@ -647,3 +647,32 @@ def test_unpivot_roundtrip(ray_session):
 
     with pytest.raises(ValueError):
         unpivot(rd.from_pandas(df), ["id"], [])
+
+
+def test_ntile_matches_sql_semantics(ray_session):
+    import duckdb
+
+    from table_annotation_ray.stages.datapipe import ntile
+
+    rng = np.random.default_rng(5)
+    for n, k in [(103, 8), (16, 4), (3, 7)]:
+        df = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype=np.int64),
+                "v": rng.integers(0, 20, n).astype(np.float64),  # heavy ties
+            }
+        )
+        got = (
+            ntile(rd.from_pandas(df).repartition(4), ["v"], "id", k=k)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            f"SELECT id, NTILE({k}) OVER (ORDER BY v, id) AS tile FROM t ORDER BY id"
+        ).fetchdf()
+        np.testing.assert_array_equal(
+            got["tile"].to_numpy(dtype=np.int64), want["tile"].to_numpy(np.int64)
+        )
+    with pytest.raises(ValueError):
+        ntile(rd.from_pandas(df), ["v"], "id", k=0)
