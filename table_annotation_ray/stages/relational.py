@@ -543,9 +543,15 @@ def pivot_table(
     if agg not in ("sum", "min", "max", "count"):
         raise ValueError(f"unsupported agg {agg!r}")
     if values is None:
+        def batch_uniq(b: pd.DataFrame) -> pd.DataFrame:
+            # cap the per-batch emission: an unbounded domain then costs
+            # the driver collect at most batches x (max_values + 1) rows
+            # and still trips the driver-side ValueError below (raising
+            # here would surface as an opaque RayTaskError instead)
+            return b.drop_duplicates().head(max_values + 1)
+
         uniq = ds.select_columns([pivot_col]).map_batches(
-            lambda b: b.drop_duplicates(),
-            batch_format="pandas", batch_size=JOIN_BATCH,
+            batch_uniq, batch_format="pandas", batch_size=JOIN_BATCH,
         ).to_pandas()[pivot_col].dropna().unique()
         values = sorted(uniq.tolist())
     if len(values) > max_values:
