@@ -595,11 +595,21 @@ def unpivot(
     rows — SQL ``UNION ALL`` of one SELECT per measure.  Pure map
     (zero shuffle, k× row fan-out inside each batch); emits Arrow so a
     downstream groupby/sort stays on the fast block path.
-    Beyond-reference operator."""
+    ``value_cols`` must share a type family (all numeric, or all
+    string) — a numeric/object mix would melt to per-batch-inferred
+    object blocks and break Arrow block unification at the next
+    shuffle (CLAUDE.md mixed-block rule), exactly as SQL rejects a
+    UNION ALL of mismatched types.  Beyond-reference operator."""
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
 
     def melt(b: pd.DataFrame) -> pa.Table:
+        kinds = {b[c].dtype.kind for c in value_cols}
+        if len(kinds) > 1 and not kinds <= {"i", "u", "f"}:
+            raise ValueError(
+                f"unpivot value_cols mix type families ({sorted(kinds)}); "
+                "cast upstream — SQL UNION ALL would reject this too"
+            )
         out = b.melt(
             id_vars=id_cols, value_vars=value_cols,
             var_name=var_name, value_name=value_name,
