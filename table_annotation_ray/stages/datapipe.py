@@ -649,6 +649,17 @@ def chunk_documents(
     return ds.map_batches(chunks, batch_format="pandas", batch_size=batch_size)
 
 
+def ntile_of_position(p: np.ndarray, n: int, k: int) -> np.ndarray:
+    """1-based SQL NTILE of 0-based global positions ``p``: the first
+    ``n % k`` tiles hold ``⌈n/k⌉`` rows, the rest ``⌊n/k⌋`` (pure
+    closed form — hypothesis-tested against the window definition)."""
+    q, rem = divmod(n, k)
+    if q == 0:  # fewer rows than tiles: tile i+1 gets row i
+        return p + 1
+    thr = rem * (q + 1)
+    return np.where(p < thr, p // (q + 1), rem + (p - thr) // q) + 1
+
+
 def ntile(
     ds,
     order_cols: list[str],
@@ -670,15 +681,9 @@ def ntile(
     n = ds.count()
     ranked = global_rank(ds, order_cols, tiebreak,
                          num_buckets=num_buckets, out_col="__nt_pos")
-    q, rem = divmod(n, k)
-    thr = rem * (q + 1)
-
     def assign(b: pd.DataFrame) -> pa.Table:
         p = b["__nt_pos"].to_numpy(dtype=np.int64)
-        if q == 0:  # fewer rows than tiles: tile i+1 gets row i
-            t = p + 1
-        else:
-            t = np.where(p < thr, p // (q + 1), rem + (p - thr) // q) + 1
+        t = ntile_of_position(p, n, k)
         b = b.drop(columns="__nt_pos")
         b[out_col] = t.astype(np.int64)
         return pa.Table.from_pandas(b, preserve_index=False)

@@ -217,3 +217,28 @@ def test_locale_number_property(intpart, frac):
     assert parse_locale_number(plain) == pytest.approx(want)
     assert parse_locale_number(us) == pytest.approx(want)
     assert parse_locale_number(eu) == pytest.approx(want)
+
+
+@given(st.integers(0, 5000), st.integers(1, 64))
+@settings(max_examples=200, deadline=None)
+def test_ntile_closed_form_matches_window_definition(n, k):
+    import numpy as np
+
+    from table_annotation_ray.stages.datapipe import ntile_of_position
+
+    p = np.arange(n, dtype=np.int64)
+    t = ntile_of_position(p, n, k)
+    if n == 0:
+        assert len(t) == 0
+        return
+    # 1-based, monotone non-decreasing over positions
+    assert t[0] == 1 and t[-1] == min(n, k)
+    assert (np.diff(t) >= 0).all() and (np.diff(t) <= 1).all()
+    # SQL size law: first n%k tiles get ceil(n/k), the rest floor(n/k)
+    sizes = np.bincount(t)[1:]
+    q, rem = divmod(n, k)
+    if q == 0:
+        assert (sizes == 1).all() and len(sizes) == n
+    else:
+        assert (sizes[:rem] == q + 1).all() and (sizes[rem:] == q).all()
+        assert sizes.sum() == n and len(sizes) == k
