@@ -678,6 +678,11 @@ def ntile(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # one execution of the input, not three: count + global_rank's
+    # sample pass + its tag pass would each replay a derived upstream
+    # (the equi_join right-side rule) — and a nondeterministic upstream
+    # would make n disagree with the ranked rows
+    ds = ds.materialize()
     n = ds.count()
     ranked = global_rank(ds, order_cols, tiebreak,
                          num_buckets=num_buckets, out_col="__nt_pos")

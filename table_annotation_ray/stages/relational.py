@@ -543,16 +543,22 @@ def pivot_table(
     if agg not in ("sum", "min", "max", "count"):
         raise ValueError(f"unsupported agg {agg!r}")
     if values is None:
+        # discovery consumes ds once and widen consumes it again —
+        # materialize so a derived upstream runs once (equi_join rule)
+        ds = ds.materialize()
+
         def batch_uniq(b: pd.DataFrame) -> pd.DataFrame:
-            # cap the per-batch emission: an unbounded domain then costs
-            # the driver collect at most batches x (max_values + 1) rows
-            # and still trips the driver-side ValueError below (raising
-            # here would surface as an opaque RayTaskError instead)
-            return b.drop_duplicates().head(max_values + 1)
+            # dropna BEFORE the cap (a NaN in a head slot would let an
+            # over-limit domain slip past the guard below), then cap the
+            # per-batch emission: an unbounded domain costs the driver
+            # collect at most batches x (max_values + 1) rows and still
+            # trips the driver-side ValueError (raising here would
+            # surface as an opaque RayTaskError instead)
+            return b.dropna().drop_duplicates().head(max_values + 1)
 
         uniq = ds.select_columns([pivot_col]).map_batches(
             batch_uniq, batch_format="pandas", batch_size=JOIN_BATCH,
-        ).to_pandas()[pivot_col].dropna().unique()
+        ).to_pandas()[pivot_col].unique()
         values = sorted(uniq.tolist())
     if len(values) > max_values:
         raise ValueError(
@@ -561,27 +567,42 @@ def pivot_table(
         )
     pref = f"{agg}_" if prefix is None else prefix
     out_cols = {v: f"{pref}{v}" for v in values}
+    named = list(out_cols.values())
+    if len(set(named)) != len(named) or set(named) & set(index_cols):
+        raise ValueError(
+            f"pivot output columns collide ({named} vs index {index_cols}); "
+            "distinct pivot values with identical string forms, or a value "
+            "matching an index column name — adjust `prefix`"
+        )
 
     def widen(b: pd.DataFrame) -> pd.DataFrame:
         # one column per pivot value BEFORE the exchange, so the partial
         # combine is a plain grouped_reduce over a fixed schema
         out = b[index_cols].copy()
         pv = b[pivot_col]
+        numeric = b[value_col].dtype.kind in "iufb"
         for v, oc in out_cols.items():
             cell = b[value_col].where(pv == v)
-            out[oc] = cell.notna().astype("int64") if agg == "count" else cell
+            if agg == "count":
+                out[oc] = cell.notna().astype("int64")
+            elif numeric:
+                # stable dtype across batches: where() keeps int64 when
+                # the mask is all-True but upcasts to float64 otherwise —
+                # the same column must not alternate types per batch
+                # (Arrow block-unification rule)
+                out[oc] = cell.astype("float64")
+            else:
+                out[oc] = cell
         return out
 
     reducers = {
         oc: (oc, "sum" if agg == "count" else agg) for oc in out_cols.values()
     }
-    wide = grouped_reduce(
+    # pandas sum skipna -> all-missing sum/count cells come back 0
+    return grouped_reduce(
         ds.map_batches(widen, batch_format="pandas", batch_size=JOIN_BATCH),
         index_cols, reducers, num_buckets=num_buckets,
     )
-    if agg in ("sum", "count"):
-        return wide  # pandas sum skipna -> all-missing cells already 0
-    return wide
 
 
 def unpivot(
@@ -599,7 +620,9 @@ def unpivot(
     string) — a numeric/object mix would melt to per-batch-inferred
     object blocks and break Arrow block unification at the next
     shuffle (CLAUDE.md mixed-block rule), exactly as SQL rejects a
-    UNION ALL of mismatched types.  Beyond-reference operator."""
+    UNION ALL of mismatched types.  Numeric melts emit float64
+    (a nullable int column would otherwise flip int64/float64 per
+    block).  Beyond-reference operator."""
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
 
@@ -614,6 +637,12 @@ def unpivot(
             id_vars=id_cols, value_vars=value_cols,
             var_name=var_name, value_name=value_name,
         )
+        if kinds <= {"i", "u", "f", "b"}:
+            # normalize: a nullable int parquet column arrives int64 in
+            # null-free batches and float64 in batches with nulls —
+            # without this the melted column's Arrow type flips per
+            # block and the next shuffle dies on unification
+            out[value_name] = out[value_name].astype("float64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(melt, batch_format="pandas", batch_size=JOIN_BATCH)

@@ -273,6 +273,10 @@ def tfidf_topk(
     from .agg import grouped_reduce
     from .relational import grouped_topk
 
+    # one execution of the input: count + the term_freqs map would each
+    # replay a derived upstream (the equi_join right-side rule); for a
+    # plain parquet read both legs stay metadata/stream-cheap either way
+    docs = docs.materialize()
     n_docs = docs.count()
 
     def term_freqs(b: pd.DataFrame) -> pa.Table:
@@ -332,12 +336,15 @@ def tfidf_topk(
         s = m["tf"].to_numpy(dtype=np.float64) * np.log(
             n_f / m["df"].to_numpy(dtype=np.float64)
         )
+        # half-AWAY rounding (scores are >= 0): SQL round() is
+        # half-away; np.round is half-even (CLAUDE.md oracle rule)
+        s6 = np.floor(s * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 id_col: pa.array(m[id_col].to_numpy(dtype=np.int64), pa.int64()),
                 "term": pa.array(m["term"].tolist(), pa.string()),
                 "tf": pa.array(m["tf"].to_numpy(dtype=np.int64), pa.int64()),
-                "tfidf": pa.array(np.round(s, 6), pa.float64()),
+                "tfidf": pa.array(s6, pa.float64()),
             }
         )
 

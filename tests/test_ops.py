@@ -976,9 +976,8 @@ def test_tfidf_topk_matches_pandas_reference(ray_session):
     tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
     df = tf.groupby("term").size().rename("df").reset_index()
     s = tf.merge(df, on="term")
-    s["tfidf"] = np.round(
-        s["tf"].to_numpy(float) * np.log(len(docs) / s["df"].to_numpy(float)), 6
-    )
+    raw = s["tf"].to_numpy(float) * np.log(len(docs) / s["df"].to_numpy(float))
+    s["tfidf"] = np.floor(raw * 1e6 + 0.5) / 1e6  # half-away, like the operator
     want = (
         s.sort_values(["tfidf", "term"], ascending=[False, True], kind="mergesort")
         .groupby("doc_id", sort=False).head(3)
