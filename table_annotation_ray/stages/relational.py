@@ -286,6 +286,7 @@ def equi_join(
     broadcast_below: int = 2_000_000,
     num_buckets: int = 64,
     how: str = "inner",
+    hot_keys=None,
 ) -> rd.Dataset:
     """Payload-preserving equi-join (all columns from both sides;
     names apart from the key must be disjoint — rename upstream).
@@ -308,6 +309,18 @@ def equi_join(
       in-bucket pandas merge.  Each side crosses the wire once — the
       large-large join shape a broadcast can't survive.
 
+    * **skew split** (``hot_keys``, opt-in): a hash-bucketed join
+      co-locates every row of a key in ONE bucket, so a hot key (a
+      celebrity node, a default value) serializes its whole row mass
+      into a single group task.  Passing ``hot_keys`` (e.g. the output
+      of ``sketches.heavy_hitters`` over the left key column) splits
+      both sides: hot-key rows join on the broadcast path (right rows
+      for the hot keys are small by the star-skew contract — assert
+      with ``broadcast_below``), cold rows take the normal size-gated
+      path, results union.  inner/left only (full needs global
+      co-location); identical output to the unsplit join,
+      pytest-pinned.
+
     Key must be integer-like for the bucket hash.  Output row count is
     the SQL inner-join cardinality (duplicate keys multiply)."""
     import ray
@@ -317,6 +330,40 @@ def equi_join(
     if how not in ("inner", "left", "full"):
         raise ValueError(f"how must be inner|left|full, got {how!r}")
     right_col = right_col or col
+
+    if hot_keys is not None and len(hot_keys) > 0:
+        if how == "full":
+            raise ValueError("hot_keys split supports inner|left only")
+        hot = np.asarray(sorted(hot_keys), dtype=np.int64)
+
+        def split(side_col: str, keep_hot: bool):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                m = np.isin(b[side_col].to_numpy(dtype=np.int64), hot)
+                return b[m if keep_hot else ~m]
+            return f
+
+        l_hot = left.map_batches(split(col, True), batch_format="pandas",
+                                 batch_size=JOIN_BATCH)
+        l_cold = left.map_batches(split(col, False), batch_format="pandas",
+                                  batch_size=JOIN_BATCH)
+        right = right.materialize()
+        r_hot = right.map_batches(split(right_col, True),
+                                  batch_format="pandas", batch_size=JOIN_BATCH)
+        r_cold = right.map_batches(split(right_col, False),
+                                   batch_format="pandas", batch_size=JOIN_BATCH)
+        # hot side MUST broadcast (that is the point of the split); the
+        # star-skew contract says hot right rows are few — enforce it
+        if r_hot.count() > broadcast_below:
+            raise ValueError(
+                "hot-key right side exceeds broadcast_below; a key hot on "
+                "BOTH sides cannot be joined by replication — pre-aggregate"
+            )
+        hot_join = equi_join(l_hot, r_hot, col, right_col,
+                             broadcast_below=broadcast_below, how=how)
+        cold_join = equi_join(l_cold, r_cold, col, right_col,
+                              broadcast_below=broadcast_below,
+                              num_buckets=num_buckets, how=how)
+        return hot_join.union(cold_join)
 
     # single key column in the output: fold the right key onto `col`
     if right_col != col:

@@ -676,3 +676,39 @@ def test_ntile_matches_sql_semantics(ray_session):
         )
     with pytest.raises(ValueError):
         ntile(rd.from_pandas(df), ["v"], "id", k=0)
+
+
+def test_equi_join_hot_keys_split_matches_plain(ray_session):
+    from table_annotation_ray.stages.relational import equi_join
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    # one celebrity key holding ~half the left mass
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 500, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 500, 2, dtype=np.int64),
+         "rv": np.arange(250, dtype=np.int64) * 10}
+    )
+
+    # hot_keys: 8 present in right (hot join produces matches via the
+    # broadcast branch), 7 and 3 absent (how='left' null branch); cold
+    # side (248 right rows > broadcast_below=100) takes the bucketed path
+    for how in ("inner", "left"):
+        plain = equi_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(3),
+            "k", broadcast_below=0, how=how,
+        ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        split = equi_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(3),
+            "k", broadcast_below=100, how=how, hot_keys=[7, 3, 8],
+        ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            plain, split[plain.columns], check_dtype=False
+        )
+
+    with pytest.raises(ValueError):
+        equi_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                  how="full", hot_keys=[7])
