@@ -2008,6 +2008,24 @@ def _q_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_part_name_links(sf_dir: str):
+    """Blocked record linkage over the canonical part names
+    (stages/relational.py::char_jaccard_link): distinct names keyed by
+    their min partkey (one grouped_reduce), then same-first-char blocks
+    verify pairwise char-set Jaccard ≥ 0.7 — DuckDB's jaccard() is the
+    identical case-sensitive char-set measure, so the oracle is exact
+    (same blocking predicate, same rounding)."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import char_jaccard_link
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    canon = grouped_reduce(parts, ["p_name"], {"id": ("p_partkey", "min")})
+    out = char_jaccard_link(canon, "id", "p_name", threshold=0.7).to_pandas()
+    for c in ("a", "b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_order_value_ntile(sf_dir: str):
     """NTILE(8) over the global order-value ordering
     (stages/datapipe.py::ntile — closed-form tile from the
@@ -2211,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "tfidf_keywords": _q_tfidf_keywords,
         "order_value_ntile": _q_order_value_ntile,
+        "part_name_links": _q_part_name_links,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3047,6 +3066,16 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "part_name_links": """
+            WITH p AS (
+                SELECT min(p_partkey) AS id, p_name AS name
+                FROM part GROUP BY p_name)
+            SELECT a.id AS a, b.id AS b,
+                   round(jaccard(a.name, b.name), 6) AS sim
+            FROM p a JOIN p b
+              ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.id < b.id
+            WHERE jaccard(a.name, b.name) >= 0.7
         """,
         "order_value_ntile": """
             WITH t AS (

@@ -712,3 +712,41 @@ def test_equi_join_hot_keys_split_matches_plain(ray_session):
     with pytest.raises(ValueError):
         equi_join(rd.from_pandas(left), rd.from_pandas(right), "k",
                   how="full", hot_keys=[7])
+
+
+def test_char_jaccard_link_matches_bruteforce(ray_session):
+    from table_annotation_ray.stages.relational import char_jaccard_link
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "alder", "amber", "beta", "bets", "bolt", "gear",
+             "gaze", "gizmo", "alphas", "bet", ""]
+    ids = np.arange(len(words), dtype=np.int64)
+    df = pd.DataFrame({"vid": ids, "name": words})
+    df.loc[len(df)] = [99, None]  # null text must drop, not crash
+    got = (
+        char_jaccard_link(rd.from_pandas(df).repartition(4), "vid", "name", 0.6)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+
+    want = []
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            s, t = words[i], words[j]
+            if not s or not t or s[0] != t[0]:
+                continue
+            a, b = set(s), set(t)
+            sim = len(a & b) / len(a | b)
+            if sim >= 0.6:
+                want.append((ids[i], ids[j], np.floor(sim * 1e6 + 0.5) / 1e6))
+    want.sort()
+    assert len(got) == len(want) > 0
+    np.testing.assert_array_equal(got["a"].to_numpy(np.int64), [w[0] for w in want])
+    np.testing.assert_array_equal(got["b"].to_numpy(np.int64), [w[1] for w in want])
+    np.testing.assert_allclose(got["sim"].to_numpy(), [w[2] for w in want])
+
+    # degenerate block hard-fails (never silently under-links)
+    big = pd.DataFrame({"vid": np.arange(30, dtype=np.int64),
+                        "name": ["x" + str(i) for i in range(30)]})
+    with pytest.raises(Exception, match="max_block"):
+        char_jaccard_link(rd.from_pandas(big), "vid", "name", 0.5,
+                          max_block=10).to_pandas()
