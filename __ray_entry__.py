@@ -2008,6 +2008,78 @@ def _q_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_user_value_ewma(sf_dir: str):
+    """Per-user EWMA of event values over event time
+    (stages/windows.py::ewma_by_key — one hash(user) exchange, one
+    in-bucket sort, one cython groupby().ewm pass), α=0.5 so the
+    (1-α)^k weights are exact powers of two in BOTH engines; the query
+    keeps each user's LAST smoothed value.  Oracle expands the
+    recurrence into two windowed sums of explicit pow(0.5, rn_max-rn)
+    weights."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.windows import ewma_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    sm = ewma_by_key(ev, "user_id", "ts", "value", alpha=0.5,
+                     tiebreak="event_id")
+
+    def last_marker(b: pd.DataFrame) -> pd.DataFrame:
+        # ewma rows arrive (user, ts, event_id)-sorted per bucket group;
+        # reduce to per-user argmax rows via the grouped_topk-style
+        # combine: keep each batch's last row per user
+        keep = b.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id", sort=False).tail(1)
+        return keep[["user_id", "ts", "event_id", "ewma"]]
+
+    # per-user last row: max (ts, event_id) — event_id is unique, so
+    # grouped_reduce max over a composite packed key would be overkill;
+    # events have unique event_id per row and ewma_by_key preserves all
+    # columns, so take max event_id's row via two-stage combine
+    combined = sm.map_batches(last_marker, batch_format="pandas")
+    # final per-user selection + count through one grouped_reduce on the
+    # FULL stream for n_events, and a tail(1) finalize on the combined
+    # candidates (≤ one row per user per batch)
+    nb = 64
+
+    def tag(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = b.copy()
+        out["__bkt"] = (
+            pd.util.hash_pandas_object(out["user_id"], index=False).to_numpy()
+            % np.uint64(nb)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = g.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id", sort=False).tail(1)
+        return pa.Table.from_pandas(
+            out[["user_id", "ewma"]], preserve_index=False
+        )
+
+    last = (
+        combined.map_batches(tag, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    counts = grouped_reduce(
+        ev.select_columns(["user_id"]),
+        ["user_id"], {"n_events": (None, "count")},
+    ).to_pandas()
+    out = last.merge(counts, on="user_id")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["ewma_last"] = _round_ha(out["ewma"], 6)
+    return (
+        out[["user_id", "n_events", "ewma_last"]]
+        .sort_values("user_id").reset_index(drop=True)
+    )
+
+
 def _q_part_name_links(sf_dir: str):
     """Blocked record linkage over the canonical part names
     (stages/relational.py::char_jaccard_link): distinct names keyed by
@@ -2230,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "order_value_ntile": _q_order_value_ntile,
         "part_name_links": _q_part_name_links,
+        "user_value_ewma": _q_user_value_ewma,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3066,6 +3139,22 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "user_value_ewma": """
+            WITH e AS (
+                SELECT user_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events),
+            m AS (SELECT user_id, max(rn) AS mx, count(*) AS n_events
+                  FROM e GROUP BY user_id),
+            s AS (
+                SELECT e.user_id,
+                       SUM(e.value * power(0.5, m.mx - e.rn))
+                       / SUM(power(0.5, m.mx - e.rn)) AS ew
+                FROM e JOIN m USING (user_id) GROUP BY e.user_id)
+            SELECT s.user_id, m.n_events, round(s.ew, 6) AS ewma_last
+            FROM s JOIN m USING (user_id)
         """,
         "part_name_links": """
             WITH p AS (

@@ -367,3 +367,64 @@ def lag_by_key(
         .groupby("__lag_bkt")
         .map_groups(shift_bucket, batch_format="pandas")
     )
+
+
+def ewma_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    tiebreak: str | None = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key exponentially weighted moving average over event time —
+    the time-series smoothing primitive.  For each row n of a key's
+    ts-ordered history, ``ewma_n = Σ_{i≤n} (1-α)^(n-i)·v_i / Σ_{i≤n}
+    (1-α)^(n-i)`` (pandas ``ewm(adjust=True)`` semantics — the
+    normalized finite-window form, expressible in SQL as two windowed
+    sums of explicit ``pow(1-α, rn_n - rn_i)`` weights, so the operator
+    is oracle-able despite the recurrence).  Pass a unique ``tiebreak``
+    column for a deterministic total order under ts ties (without it,
+    ties fall back to input position — fine for exploration, not for an
+    oracle compare).
+
+    Shape: ONE hash(key) % num_buckets exchange, one in-bucket stable
+    (key, ts) sort, then a single cython ``groupby(...).ewm`` pass over
+    the whole bucket — no per-key Python, no per-key frames (CLAUDE.md
+    r3 rule).  All input columns survive; output adds ``out_col``.
+    Beyond-reference operator."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b.copy()
+        out["__ew_bkt"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sort_cols = [key_col, ts_col] + ([tiebreak] if tiebreak else [])
+
+    def smooth(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(sort_cols, kind="mergesort")
+        ew = (
+            g.groupby(key_col, sort=False)[val_col]
+            .ewm(alpha=alpha, adjust=True)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        g = g.drop(columns="__ew_bkt")
+        g[out_col] = ew
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas", batch_size=65536)
+        .groupby("__ew_bkt")
+        .map_groups(smooth, batch_format="pandas")
+    )

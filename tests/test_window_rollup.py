@@ -847,3 +847,41 @@ def test_fixed_width_histogram_vs_numpy(ray_session):
         rd.from_pandas(pd.DataFrame({"x": [5.0, 5.0, 5.0]})), "x", bins=4
     )
     assert const["bin"].tolist() == [0] and const["n"].tolist() == [3]
+
+
+def test_ewma_by_key_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import ewma_by_key
+
+    rng = np.random.default_rng(23)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 7, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),  # ts ties
+            "v": np.round(rng.normal(10, 3, n), 3),
+        }
+    )
+    got = (
+        ewma_by_key(rd.from_pandas(df).repartition(5), "k", "ts", "v",
+                    alpha=0.3, tiebreak="id")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "ts", "id"], kind="mergesort")
+    ref["ewma"] = (
+        ref.groupby("k", sort=False)["v"].ewm(alpha=0.3, adjust=True)
+        .mean().reset_index(level=0, drop=True)
+    )
+    ref = ref.sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(got["ewma"].to_numpy(), ref["ewma"].to_numpy(),
+                               rtol=1e-12)
+    assert list(got.columns[:4]) == list(df.columns)  # inputs survive
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ewma_by_key(rd.from_pandas(df), "k", "ts", "v", alpha=0.0)
