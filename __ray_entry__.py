@@ -2008,6 +2008,22 @@ def _q_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Top-20 token-pair collocations by PMI
+    (stages/textstats.py::pmi_pairs): pair counts through
+    cooccurrence_pairs, df attachments via string-keyed union+groupby
+    co-locates (no vocabulary broadcast), rounded-PMI ranking with the
+    (term_a, term_b) tiebreak mirrored in the SQL window."""
+    from table_annotation_ray.stages.textstats import pmi_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pmi_pairs(docs, k=20, min_pairs=5).to_pandas()
+    out["n_ab"] = out["n_ab"].astype("int64")
+    return (
+        out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+    )
+
+
 def _q_user_value_ewma(sf_dir: str):
     """Per-user EWMA of event values over event time
     (stages/windows.py::ewma_by_key — one hash(user) exchange, one
@@ -2303,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_ntile": _q_order_value_ntile,
         "part_name_links": _q_part_name_links,
         "user_value_ewma": _q_user_value_ewma,
+        "pmi_collocations": _q_pmi_collocations,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3139,6 +3156,28 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "pmi_collocations": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, t AS term
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(lower(COALESCE(text,'')), '[a-z]+')) AS t
+                      FROM documents)),
+            df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            pairs AS (
+                SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+            s AS (
+                SELECT term_a, term_b, n_ab,
+                       round(ln((CAST(n AS DOUBLE) * n_ab) / (da.df * db.df)), 6) AS pmi
+                FROM pairs
+                JOIN df da ON da.term = term_a
+                JOIN df db ON db.term = term_b, n)
+            SELECT term_a, term_b, n_ab, pmi FROM s
+            ORDER BY pmi DESC, term_a, term_b LIMIT 20
         """,
         "user_value_ewma": """
             WITH e AS (

@@ -351,3 +351,133 @@ def tfidf_topk(
     scored = both.groupby("__tw_bkt").map_groups(score, batch_format="pandas")
     return grouped_topk(scored, [id_col], "tfidf", k, descending=True,
                         tiebreak="term")
+
+
+def pmi_pairs(
+    docs,
+    k: int = 20,
+    min_pairs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """Collocation mining: top-``k`` token pairs by pointwise mutual
+    information, ``pmi = ln(N·c_ab / (df_a·df_b))`` over per-document
+    DISTINCT tokens (``[a-z]+`` runs of the lowercased text), pairs
+    counted once per doc and gated on ``c_ab ≥ min_pairs``.  Rounded
+    half-away to 6 decimals BEFORE the (pmi desc, term_a, term_b)
+    ranking so the top-k boundary is engine-portable.
+
+    Shape: pair counts ride :func:`~.relational.cooccurrence_pairs`
+    (doc-bucket co-locate + pair-keyed grouped_reduce); the two df
+    attachments are string-keyed union+groupby co-locates on
+    hash(term) — like :func:`tfidf_topk`, the vocabulary is never a
+    driver broadcast.  Beyond-reference operator."""
+    import pyarrow as pa
+
+    from .agg import grouped_reduce
+    from .relational import cooccurrence_pairs
+
+    docs = docs.materialize()  # consumed by tokens AND the count
+    n_docs = docs.count()
+
+    def distinct_terms(b: pd.DataFrame) -> pa.Table:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
+        long = pd.DataFrame(
+            {id_col: b[id_col], "term": toks}
+        ).explode("term").dropna(subset=["term"]).drop_duplicates()
+        return pa.table(
+            {
+                id_col: pa.array(long[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "term": pa.array(long["term"].tolist(), pa.string()),
+            }
+        )
+
+    tok_ds = docs.map_batches(distinct_terms, batch_format="pandas").materialize()
+    pairs = cooccurrence_pairs(
+        tok_ds, id_col, "term", min_count=min_pairs, num_buckets=num_buckets
+    )
+    df_ds = grouped_reduce(
+        tok_ds, ["term"], {"df": (None, "count")}, num_buckets=num_buckets
+    ).materialize()  # both attachments consume it
+
+    nb = np.uint64(num_buckets)
+
+    def _attach(pair_ds, key: str, out: str):
+        """Co-locate pair rows with df rows on hash(term) and merge —
+        exact string-key join, no vocabulary broadcast.  Both union
+        branches are sentinel-filled to ONE shared schema (the
+        CLAUDE.md mixed-block/union rule)."""
+        pair_cols = list(pair_ds.schema().names)
+        all_cols = pair_cols + [out]
+        str_cols = {"item_a", "item_b"}
+
+        def _typed(o: pd.DataFrame, cols) -> pa.Table:
+            # explicit types: an empty pandas object column would infer
+            # Arrow NULL and break schema unification (CLAUDE.md rule)
+            return pa.table(
+                {c: pa.array(o[c].tolist(),
+                             pa.string() if c in str_cols else pa.int64())
+                 for c in cols}
+            )
+
+        def to_schema(o: pd.DataFrame, side: int) -> pa.Table:
+            for c in all_cols:
+                if c not in o.columns:
+                    o[c] = "" if c in str_cols else np.int64(-1)
+            o = o[all_cols].copy()
+            o["__pm_bkt"] = (
+                pd.util.hash_pandas_object(o[key], index=False).to_numpy() % nb
+            ).astype(np.int64)
+            o["__pm_side"] = np.int64(side)
+            return _typed(o, all_cols + ["__pm_bkt", "__pm_side"])
+
+        tagged_pairs = pair_ds.map_batches(
+            lambda b: to_schema(b.copy(), 0), batch_format="pandas"
+        )
+        tagged_df = df_ds.map_batches(
+            lambda b: to_schema(
+                pd.DataFrame({key: b["term"], out: b["df"].astype("int64")}), 1
+            ),
+            batch_format="pandas",
+        )
+
+        def merge(g: pd.DataFrame) -> pa.Table:
+            is_df = g["__pm_side"].to_numpy() == 1
+            dfr = g[is_df][[key, out]]
+            pr = g[~is_df].drop(columns=[out, "__pm_bkt", "__pm_side"])
+            m = pr.merge(dfr, on=key, how="inner")
+            return _typed(m, list(m.columns))
+
+        return tagged_pairs.union(tagged_df).groupby("__pm_bkt").map_groups(
+            merge, batch_format="pandas"
+        )
+
+    with_a = _attach(pairs, "item_a", "df_a")
+    with_b = _attach(with_a, "item_b", "df_b")
+
+    n_f = float(n_docs)
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        c = b["n_baskets"].to_numpy(dtype=np.float64)
+        da = b["df_a"].to_numpy(dtype=np.float64)
+        db = b["df_b"].to_numpy(dtype=np.float64)
+        # the exact SQL expression shape: (N * c) / (df_a * df_b)
+        pmi = np.log((n_f * c) / (da * db))
+        pmi6 = np.floor(pmi * 1e6 + 0.5) / 1e6  # half-away; see tfidf note
+        neg = pmi < 0
+        pmi6[neg] = -(np.floor(-pmi[neg] * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {
+                "term_a": pa.array(b["item_a"].tolist(), pa.string()),
+                "term_b": pa.array(b["item_b"].tolist(), pa.string()),
+                "n_ab": pa.array(b["n_baskets"].to_numpy(dtype=np.int64), pa.int64()),
+                "pmi": pa.array(pmi6, pa.float64()),
+            }
+        )
+
+    return (
+        with_b.map_batches(score, batch_format="pandas")
+        .sort(key=["pmi", "term_a", "term_b"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -991,3 +991,52 @@ def test_tfidf_topk_matches_pandas_reference(ray_session):
     # "doc" from "Doc42!" survives tokenization ([a-z]+ runs) but carries
     # idf=0 (present in every doc) so it scores, yet never ranks top-3
     assert "doc" in set(s["term"]) and "doc" not in set(want["term"])
+
+
+def test_pmi_pairs_matches_bruteforce(ray_session):
+    import itertools
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.textstats import pmi_pairs
+
+    rng = np.random.default_rng(29)
+    vocab = ["red", "blue", "gear", "bolt", "ring"]
+    texts = []
+    for i in range(80):
+        ws = list(rng.choice(vocab, rng.integers(1, 5)))
+        if i % 4 == 0:
+            ws += ["red", "gear"]  # planted collocation
+        texts.append(" ".join(ws) + " Zz9")
+    docs = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+    got = (
+        pmi_pairs(rd.from_pandas(docs).repartition(4), k=6, min_pairs=3)
+        .to_pandas().reset_index(drop=True)
+    )
+
+    # brute force with identical rounding/ordering
+    import re
+    tok = [set(re.findall(r"[a-z]+", t.lower())) for t in texts]
+    df: dict = {}
+    for s in tok:
+        for w in s:
+            df[w] = df.get(w, 0) + 1
+    cnt: dict = {}
+    for s in tok:
+        for a, b in itertools.combinations(sorted(s), 2):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    rows = []
+    for (a, b), c in cnt.items():
+        if c < 3:
+            continue
+        pmi = np.log((80.0 * c) / (df[a] * df[b]))
+        pmi6 = np.floor(abs(pmi) * 1e6 + 0.5) / 1e6 * (1 if pmi >= 0 else -1)
+        rows.append((a, b, c, pmi6))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = pd.DataFrame(rows[:6], columns=["term_a", "term_b", "n_ab", "pmi"])
+    pd.testing.assert_frame_equal(
+        got[["term_a", "term_b", "n_ab", "pmi"]], want, check_dtype=False
+    )
+    # the planted pair dominates
+    assert (got.loc[0, "term_a"], got.loc[0, "term_b"]) == ("gear", "red")
