@@ -2008,6 +2008,25 @@ def _q_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_flag_status_dependence(sf_dir: str):
+    """Column-pair dependence profile (stages/stats.py::
+    categorical_dependence): mutual information + chi-squared for
+    (l_returnflag, l_linestatus) — distributed cell counts through
+    grouped_reduce, bounded contingency table closed driver-side with
+    the Σo²/e − n identity, arithmetic mirrored verbatim in SQL."""
+    from table_annotation_ray.stages.stats import categorical_dependence
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    r = categorical_dependence(li, "l_returnflag", "l_linestatus")
+    out = pd.DataFrame(
+        {"n": [r["n"]], "dof": [r["dof"]],
+         "mi": [r["mi"]], "chi2": [r["chi2"]]}
+    )
+    out["mi"] = _round_ha(out["mi"], 6)
+    out["chi2"] = _round_ha(out["chi2"], 4)
+    return out
+
+
 def _q_pmi_collocations(sf_dir: str):
     """Top-20 token-pair collocations by PMI
     (stages/textstats.py::pmi_pairs): pair counts through
@@ -2320,6 +2339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_links": _q_part_name_links,
         "user_value_ewma": _q_user_value_ewma,
         "pmi_collocations": _q_pmi_collocations,
+        "flag_status_dependence": _q_flag_status_dependence,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3156,6 +3176,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "flag_status_dependence": """
+            WITH cells AS (
+                SELECT l_returnflag AS x, l_linestatus AS y,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+                GROUP BY 1, 2),
+            m AS (
+                SELECT x, y, c,
+                       SUM(c) OVER ()            AS n,
+                       SUM(c) OVER (PARTITION BY x) AS rx,
+                       SUM(c) OVER (PARTITION BY y) AS cy
+                FROM cells)
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT) AS dof,
+                   round(SUM((c / n) * ln((c * n) / (rx * cy))), 6) AS mi,
+                   round(SUM((c * c * n) / (rx * cy)) - max(n), 4) AS chi2
+            FROM m
         """,
         "pmi_collocations": """
             WITH toks AS (

@@ -1,0 +1,68 @@
+"""Categorical dependence statistics — mutual information and the
+chi-squared independence test over a two-column contingency table.
+
+The data-profiling primitive for "are these columns related" sweeps
+(column-pair dependence ranking before feature selection or KB schema
+inference).  Beyond-reference operators (no counterpart in
+Orange-OpenSource/Table-Annotation).
+
+Scale contract: the CELL COUNT pass is fully distributed (one
+hash-bucket exchange via ``agg.grouped_reduce``, vectorized map-side
+partials); the closing MI/chi² arithmetic runs driver-side on the
+contingency TABLE, whose size is |X|·|Y| — bounded by contract exactly
+like ``relational.pivot_table``'s output schema (``max_cells``
+hard-fails a corpus-cardinality pair; dependence stats over unbounded
+domains need binning upstream, e.g. ``quantiles.fixed_width_histogram``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def categorical_dependence(
+    ds: rd.Dataset,
+    col_x: str,
+    col_y: str,
+    max_cells: int = 1_000_000,
+    num_buckets: int = 64,
+) -> dict:
+    """Returns ``{"n": rows, "mi": mutual information (nats), "chi2":
+    chi-squared statistic, "dof": (|X|-1)(|Y|-1)}`` for the joint
+    distribution of two categorical columns (null rows dropped — SQL
+    ``WHERE x IS NOT NULL AND y IS NOT NULL`` semantics).
+
+    Expression shapes are chosen for engine-portable oracles:
+    ``mi = Σ (c/n)·ln((c·n)/(rx·cy))`` and ``chi2 = Σ (c·c·n)/(rx·cy)
+    − n`` — the Σo²/e − n identity, which needs OBSERVED cells only
+    (zero cells contribute 0 to Σo²/e), yet equals the full
+    Σ(o−e)²/e over all |X|·|Y| combinations.  Mirror the IDENTICAL
+    arithmetic in SQL and round at compare time."""
+    from .agg import grouped_reduce
+
+    def drop_nulls(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[col_x, col_y]].dropna()
+
+    cells = grouped_reduce(
+        ds.map_batches(drop_nulls, batch_format="pandas"),
+        [col_x, col_y], {"c": (None, "count")}, num_buckets=num_buckets,
+    ).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"contingency table {len(cells)} cells exceeds max_cells="
+            f"{max_cells}; bin the domains upstream"
+        )
+    if len(cells) == 0:
+        return {"n": 0, "mi": 0.0, "chi2": 0.0, "dof": 0}
+
+    c = cells["c"].to_numpy(dtype=np.float64)
+    n = c.sum()
+    rx = cells.groupby(col_x)["c"].transform("sum").to_numpy(dtype=np.float64)
+    cy = cells.groupby(col_y)["c"].transform("sum").to_numpy(dtype=np.float64)
+    mi = float(np.sum((c / n) * np.log((c * n) / (rx * cy))))
+    chi2 = float(np.sum((c * c * n) / (rx * cy)) - n)
+    dof = (cells[col_x].nunique() - 1) * (cells[col_y].nunique() - 1)
+    return {"n": int(n), "mi": mi, "chi2": chi2, "dof": int(dof)}

@@ -1040,3 +1040,33 @@ def test_pmi_pairs_matches_bruteforce(ray_session):
     )
     # the planted pair dominates
     assert (got.loc[0, "term_a"], got.loc[0, "term_b"]) == ("gear", "red")
+
+
+def test_categorical_dependence_known_cases(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.stats import categorical_dependence
+
+    # perfectly dependent: y == x  ->  mi = H(x), chi2 = n*(k-1)
+    n = 600
+    rng = np.random.default_rng(31)
+    x = rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2])
+    df = pd.DataFrame({"x": x, "y": x})
+    r = categorical_dependence(rd.from_pandas(df).repartition(4), "x", "y")
+    px = pd.Series(x).value_counts(normalize=True).to_numpy()
+    assert r["n"] == n and r["dof"] == 4
+    assert abs(r["mi"] - float(-(px * np.log(px)).sum())) < 1e-9
+    assert abs(r["chi2"] - n * 2) < 1e-6  # k=3 -> n*(k-1)
+
+    # independent-by-construction: every (x, y) combo equally frequent
+    xs = np.repeat(["a", "b"], 50)
+    ys = np.tile(["u", "v"], 50)
+    d2 = pd.DataFrame({"x": xs, "y": ys})
+    r2 = categorical_dependence(rd.from_pandas(d2), "x", "y")
+    assert abs(r2["mi"]) < 1e-12 and abs(r2["chi2"]) < 1e-9
+
+    # nulls drop; empty input is the zero profile
+    d3 = pd.DataFrame({"x": [None, "a"], "y": ["u", None]})
+    assert categorical_dependence(rd.from_pandas(d3), "x", "y")["n"] == 0
