@@ -2008,6 +2008,67 @@ def _q_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_viewers_purchasers(sf_dir: str, op: str = "intersect"):
+    """Distinct set ops (stages/relational.py::set_op_distinct — SQL
+    INTERSECT/EXCEPT): users who viewed AND purchased (or viewed and
+    never purchased) — map-side dedup, one hash(user) exchange,
+    vectorized side-flag collapse per bucket."""
+    from table_annotation_ray.stages.relational import set_op_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def of_type(t):
+        return ev.map_batches(
+            lambda b, t=t: b.loc[b["event_type"] == t, ["user_id"]],
+            batch_format="pandas",
+        )
+
+    out = set_op_distinct(
+        of_type("view"), of_type("purchase"), ["user_id"], op
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_parts_except_ordered(sf_dir: str):
+    """SQL EXCEPT through set_op_distinct: part keys never bulk-ordered
+    (quantity > 45) — the same 114-key answer as the anti-join query
+    but through the generic distinct-set machinery.  (Unfiltered EXCEPT
+    demos are all empty in this synth: every part is ordered, every
+    user does every event type.)"""
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.relational import set_op_distinct
+
+    parts = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda b: b.rename(columns={"p_partkey": "key"}), batch_format="pandas")
+    bulk = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0))
+                   .select(["l_partkey"]).rename_columns(["key"]),
+        batch_format="pyarrow",
+    )
+    out = set_op_distinct(parts, bulk, ["key"], "except").to_pandas()
+    if "key" not in out.columns:  # empty set-op loses columns
+        out = pd.DataFrame({"key": pd.Series([], dtype="int64")})
+    out["key"] = out["key"].astype("int64")
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def _q_order_value_pct_rank(sf_dir: str):
+    """SQL PERCENT_RANK over the global order-value ordering
+    (stages/datapipe.py::percent_rank — position/(n−1) from the
+    range-partitioned global_rank; the unique o_orderkey tiebreak makes
+    RANK ≡ ROW_NUMBER in both engines)."""
+    from table_annotation_ray.stages.datapipe import percent_rank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = percent_rank(orders, ["o_totalprice"], "o_orderkey").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["pct_rank"] = _round_ha(out["pct_rank"], 6)
+    out = out.drop(columns=["o_totalprice"])
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _q_flag_status_dependence(sf_dir: str):
     """Column-pair dependence profile (stages/stats.py::
     categorical_dependence): mutual information + chi-squared for
@@ -2340,6 +2401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ewma": _q_user_value_ewma,
         "pmi_collocations": _q_pmi_collocations,
         "flag_status_dependence": _q_flag_status_dependence,
+        "viewers_purchasers": _q_viewers_purchasers,
+        "parts_except_ordered": _q_parts_except_ordered,
+        "order_value_pct_rank": _q_order_value_pct_rank,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3176,6 +3240,22 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate <  DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "viewers_purchasers": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "parts_except_ordered": """
+            SELECT p_partkey AS key FROM part
+            EXCEPT
+            SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+        """,
+        "order_value_pct_rank": """
+            SELECT o_orderkey,
+                   round(PERCENT_RANK() OVER (
+                       ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+            FROM orders
         """,
         "flag_status_dependence": """
             WITH cells AS (

@@ -694,3 +694,32 @@ def ntile(
         return pa.Table.from_pandas(b, preserve_index=False)
 
     return ranked.map_batches(assign, batch_format="pandas")
+
+
+def percent_rank(
+    ds,
+    order_cols: list[str],
+    tiebreak: str,
+    out_col: str = "pct_rank",
+    num_buckets: int = 256,
+):
+    """SQL ``PERCENT_RANK() OVER (ORDER BY order_cols, tiebreak)`` —
+    position/(n−1) over the global total order (the unique tiebreak
+    makes RANK ≡ ROW_NUMBER, so the windowed definition collapses to
+    the closed form); rides :func:`global_rank`, one range exchange,
+    no single-node sort.  n == 1 yields 0.0 (SQL convention)."""
+    import pyarrow as pa
+
+    ds = ds.materialize()  # count + sample + tag: one input execution
+    n = ds.count()
+    denom = float(n - 1) if n > 1 else 1.0
+    ranked = global_rank(ds, order_cols, tiebreak,
+                         num_buckets=num_buckets, out_col="__pr_pos")
+
+    def assign(b: pd.DataFrame) -> pa.Table:
+        p = b["__pr_pos"].to_numpy(dtype=np.float64)
+        b = b.drop(columns="__pr_pos")
+        b[out_col] = p / denom
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    return ranked.map_batches(assign, batch_format="pandas")

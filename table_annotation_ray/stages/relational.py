@@ -787,3 +787,54 @@ def char_jaccard_link(
         .groupby("__fj_bkt")
         .map_groups(verify, batch_format="pandas")
     )
+
+
+def set_op_distinct(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    cols: list[str],
+    op: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) on the
+    named columns: rows of ``a`` present (or absent) in ``b``, each
+    distinct combination once.  ONE hash(cols) bucket exchange over
+    map-side-deduped rows; per bucket a vectorized groupby collapses
+    side flags (never a Ray group per key).  Column dtypes must match
+    across the two inputs (the union schema)."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+    nb = np.uint64(num_buckets)
+
+    def tag(side: int):
+        def f(batch: pd.DataFrame) -> pa.Table:
+            out = batch[cols].drop_duplicates().copy()  # map-side shrink
+            keyframe = out[cols[0]] if len(cols) == 1 else out[cols]
+            out["__so_bkt"] = (
+                pd.util.hash_pandas_object(keyframe, index=False).to_numpy() % nb
+            ).astype(np.int64)
+            out["__so_a"] = np.int64(1 - side)
+            out["__so_b"] = np.int64(side)
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return f
+
+    both = a.map_batches(tag(0), batch_format="pandas", batch_size=JOIN_BATCH).union(
+        b.map_batches(tag(1), batch_format="pandas", batch_size=JOIN_BATCH)
+    )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(cols, sort=False)[["__so_a", "__so_b"]].max()
+        in_a = s["__so_a"].to_numpy() == 1
+        in_b = s["__so_b"].to_numpy() == 1
+        keep = (in_a & in_b) if op == "intersect" else (in_a & ~in_b)
+        out = s.index.to_frame(index=False)[keep]
+        # explicit string typing: an empty object column infers Arrow
+        # NULL and breaks unification (CLAUDE.md empty-array rule)
+        return pa.table(
+            {c: (pa.array(out[c].tolist(), pa.string())
+                 if out[c].dtype == object else
+                 pa.array(out[c].to_numpy()))
+             for c in cols}
+        )
+
+    return both.groupby("__so_bkt").map_groups(combine, batch_format="pandas")

@@ -750,3 +750,60 @@ def test_char_jaccard_link_matches_bruteforce(ray_session):
     with pytest.raises(Exception, match="max_block"):
         char_jaccard_link(rd.from_pandas(big), "vid", "name", 0.5,
                           max_block=10).to_pandas()
+
+
+def test_set_op_distinct_matches_sql_semantics(ray_session):
+    import duckdb
+
+    from table_annotation_ray.stages.relational import set_op_distinct
+
+    a = pd.DataFrame({"k": [1, 1, 2, 3, 5], "s": ["x", "x", "y", "y", "z"]})
+    b = pd.DataFrame({"k": [2, 3, 3, 4], "s": ["y", "y", "q", "y"]})
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    for op, kw in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = (
+            set_op_distinct(rd.from_pandas(a).repartition(3),
+                            rd.from_pandas(b).repartition(2), ["k", "s"], op)
+            .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+        )
+        want = con.execute(
+            f"SELECT k, s FROM a {kw} SELECT k, s FROM b ORDER BY k, s"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # empty result keeps a typed schema (string col must not become NULL)
+    empty = set_op_distinct(
+        rd.from_pandas(a), rd.from_pandas(a), ["k", "s"], "except"
+    ).to_pandas()
+    assert len(empty) == 0
+
+    with pytest.raises(ValueError):
+        set_op_distinct(rd.from_pandas(a), rd.from_pandas(b), ["k"], "union")
+
+
+def test_percent_rank_matches_window(ray_session):
+    import duckdb
+
+    from table_annotation_ray.stages.datapipe import percent_rank
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame(
+        {"id": np.arange(500, dtype=np.int64),
+         "v": rng.integers(0, 50, 500).astype(np.float64)}
+    )
+    got = (
+        percent_rank(rd.from_pandas(df).repartition(4), ["v"], "id")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT id, PERCENT_RANK() OVER (ORDER BY v, id) AS pr FROM t ORDER BY id"
+    ).fetchdf()
+    np.testing.assert_allclose(got["pct_rank"].to_numpy(), want["pr"].to_numpy(),
+                               atol=1e-12)
+    # single row -> 0.0
+    one = percent_rank(rd.from_pandas(df.head(1)), ["v"], "id").to_pandas()
+    assert one["pct_rank"].iloc[0] == 0.0
