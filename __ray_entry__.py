@@ -2069,6 +2069,46 @@ def _q_order_value_pct_rank(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def _q_winsorized_price(sf_dir: str):
+    """Winsorized aggregate: clamp l_extendedprice to its exact
+    [Q05, Q95] (stages/quantiles.py::exact_quantiles — the rank-
+    ceil(q·n) definition shared with price_quantiles' oracle), then one
+    streaming pass of per-batch (sum, clip counts) partials.  The
+    robust-statistics composition: quantile selection without a global
+    sort + a zero-shuffle clamp scan."""
+    from table_annotation_ray.stages.quantiles import exact_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    q = exact_quantiles(li, "l_extendedprice", [0.05, 0.95])
+    lo = float(q.loc[q["q"] == 0.05, "value"].iloc[0])
+    hi = float(q.loc[q["q"] == 0.95, "value"].iloc[0])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["l_extendedprice"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        return pd.DataFrame(
+            {
+                "s": [float(np.clip(v, lo, hi).sum())],
+                "n_lo": [int((v < lo).sum())],
+                "n_hi": [int((v > hi).sum())],
+            }
+        )
+
+    p = li.map_batches(partial, batch_format="pandas").to_pandas()
+    out = pd.DataFrame(
+        {
+            "lo": [lo], "hi": [hi],
+            "sum_winsorized": [p["s"].sum()],
+            "n_clipped_lo": [int(p["n_lo"].sum())],
+            "n_clipped_hi": [int(p["n_hi"].sum())],
+        }
+    )
+    out["sum_winsorized"] = _round_ha(out["sum_winsorized"], 2)
+    for c in ("lo", "hi"):
+        out[c] = _round_ha(out[c], 2)
+    return out
+
+
 def _q_flag_status_dependence(sf_dir: str):
     """Column-pair dependence profile (stages/stats.py::
     categorical_dependence): mutual information + chi-squared for
@@ -2404,6 +2444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewers_purchasers": _q_viewers_purchasers,
         "parts_except_ordered": _q_parts_except_ordered,
         "order_value_pct_rank": _q_order_value_pct_rank,
+        "winsorized_price": _q_winsorized_price,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3256,6 +3297,22 @@ def oracle_sql() -> dict[str, str]:
                    round(PERCENT_RANK() OVER (
                        ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
             FROM orders
+        """,
+        "winsorized_price": """
+            WITH ranked AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                       count(*) OVER () AS n
+                FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            b AS (
+                SELECT (SELECT v FROM ranked WHERE rn = CAST(ceil(0.05 * n) AS BIGINT)) AS lo,
+                       (SELECT v FROM ranked WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)) AS hi)
+            SELECT round(lo, 2) AS lo, round(hi, 2) AS hi,
+                   round(SUM(CASE WHEN v < lo THEN lo
+                                  WHEN v > hi THEN hi ELSE v END), 2) AS sum_winsorized,
+                   COUNT(CASE WHEN v < lo THEN 1 END) AS n_clipped_lo,
+                   COUNT(CASE WHEN v > hi THEN 1 END) AS n_clipped_hi
+            FROM ranked, b GROUP BY lo, hi
         """,
         "flag_status_dependence": """
             WITH cells AS (

@@ -796,14 +796,15 @@ def set_op_distinct(
     op: str,
     num_buckets: int = 64,
 ) -> rd.Dataset:
-    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) on the
-    named columns: rows of ``a`` present (or absent) in ``b``, each
-    distinct combination once.  ONE hash(cols) bucket exchange over
-    map-side-deduped rows; per bucket a vectorized groupby collapses
-    side flags (never a Ray group per key).  Column dtypes must match
-    across the two inputs (the union schema)."""
-    if op not in ("intersect", "except"):
-        raise ValueError(f"op must be intersect|except, got {op!r}")
+    """SQL ``INTERSECT`` / ``EXCEPT`` / ``UNION`` (distinct set
+    semantics) on the named columns: rows of ``a`` present (or absent)
+    in ``b`` — or all distinct rows of either, for ``union``.  ONE
+    hash(cols) bucket exchange over map-side-deduped rows; per bucket a
+    vectorized groupby collapses side flags (never a Ray group per
+    key).  Column dtypes must match across the two inputs (the union
+    schema)."""
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"op must be intersect|except|union, got {op!r}")
     nb = np.uint64(num_buckets)
 
     def tag(side: int):
@@ -826,7 +827,12 @@ def set_op_distinct(
         s = g.groupby(cols, sort=False)[["__so_a", "__so_b"]].max()
         in_a = s["__so_a"].to_numpy() == 1
         in_b = s["__so_b"].to_numpy() == 1
-        keep = (in_a & in_b) if op == "intersect" else (in_a & ~in_b)
+        if op == "intersect":
+            keep = in_a & in_b
+        elif op == "except":
+            keep = in_a & ~in_b
+        else:  # union: every distinct key combination survives
+            keep = in_a | in_b
         out = s.index.to_frame(index=False)[keep]
         # explicit string typing: an empty object column infers Arrow
         # NULL and breaks unification (CLAUDE.md empty-array rule)

@@ -762,7 +762,8 @@ def test_set_op_distinct_matches_sql_semantics(ray_session):
     con = duckdb.connect()
     con.register("a", a)
     con.register("b", b)
-    for op, kw in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+    for op, kw in (("intersect", "INTERSECT"), ("except", "EXCEPT"),
+                   ("union", "UNION")):
         got = (
             set_op_distinct(rd.from_pandas(a).repartition(3),
                             rd.from_pandas(b).repartition(2), ["k", "s"], op)
@@ -780,7 +781,7 @@ def test_set_op_distinct_matches_sql_semantics(ray_session):
     assert len(empty) == 0
 
     with pytest.raises(ValueError):
-        set_op_distinct(rd.from_pandas(a), rd.from_pandas(b), ["k"], "union")
+        set_op_distinct(rd.from_pandas(a), rd.from_pandas(b), ["k"], "minus")
 
 
 def test_percent_rank_matches_window(ray_session):
