@@ -2069,6 +2069,30 @@ def _q_order_value_pct_rank(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def _q_qty_price_moments(sf_dir: str):
+    """Bivariate moments of (l_quantity, l_extendedprice)
+    (stages/stats.py::numeric_moments): one streaming pass of
+    sufficient-statistic partials — one tiny row per batch, never the
+    data — closed driver-side; oracle uses SQL's
+    covar_pop/corr/regr_slope built-ins (definitional formulas agree
+    to ~1e-12, rounded at compare)."""
+    from table_annotation_ray.stages.stats import numeric_moments
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    r = numeric_moments(li, "l_quantity", "l_extendedprice")
+    out = pd.DataFrame(
+        {"n": [r["n"]], "mean_x": [r["mean_x"]], "mean_y": [r["mean_y"]],
+         "covar_xy": [r["covar_pop"]], "corr_xy": [r["corr"]],
+         "slope_yx": [r["slope"]]}
+    )
+    out["mean_x"] = _round_ha(out["mean_x"], 6)
+    out["mean_y"] = _round_ha(out["mean_y"], 2)
+    out["covar_xy"] = _round_ha(out["covar_xy"], 2)
+    out["corr_xy"] = _round_ha(out["corr_xy"], 6)
+    out["slope_yx"] = _round_ha(out["slope_yx"], 4)
+    return out
+
+
 def _q_winsorized_price(sf_dir: str):
     """Winsorized aggregate: clamp l_extendedprice to its exact
     [Q05, Q95] (stages/quantiles.py::exact_quantiles — the rank-
@@ -2445,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_except_ordered": _q_parts_except_ordered,
         "order_value_pct_rank": _q_order_value_pct_rank,
         "winsorized_price": _q_winsorized_price,
+        "qty_price_moments": _q_qty_price_moments,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3297,6 +3322,16 @@ def oracle_sql() -> dict[str, str]:
                    round(PERCENT_RANK() OVER (
                        ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
             FROM orders
+        """,
+        "qty_price_moments": """
+            SELECT count(*) AS n,
+                   round(avg(l_quantity), 6) AS mean_x,
+                   round(avg(l_extendedprice), 2) AS mean_y,
+                   round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_xy,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_yx
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
         """,
         "winsorized_price": """
             WITH ranked AS (

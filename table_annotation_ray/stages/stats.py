@@ -66,3 +66,48 @@ def categorical_dependence(
     chi2 = float(np.sum((c * c * n) / (rx * cy)) - n)
     dof = (cells[col_x].nunique() - 1) * (cells[col_y].nunique() - 1)
     return {"n": int(n), "mi": mi, "chi2": chi2, "dof": int(dof)}
+
+
+def numeric_moments(
+    ds: rd.Dataset,
+    col_x: str,
+    col_y: str,
+) -> dict:
+    """Distributed bivariate moments in ONE streaming pass: per-batch
+    sufficient-statistic partials (n, Σx, Σy, Σxy, Σx², Σy² — one tiny
+    row per batch crosses back, never the data) close driver-side into
+    ``{"n", "mean_x", "mean_y", "covar_pop", "corr", "slope"}`` —
+    covariance, Pearson correlation and the OLS slope dy/dx.  Rows with
+    a null in either column are dropped (SQL corr/covar_pop/regr_slope
+    semantics).  Definitional formulas (Σxy/n − x̄ȳ etc.) match SQL's
+    to ~1e-12; round at compare time."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[[col_x, col_y]].dropna()
+        x = m[col_x].to_numpy(dtype=np.float64)
+        y = m[col_y].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "n": [len(x)],
+                "sx": [float(x.sum())], "sy": [float(y.sum())],
+                "sxy": [float((x * y).sum())],
+                "sxx": [float((x * x).sum())], "syy": [float((y * y).sum())],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    if n == 0:
+        return {"n": 0, "mean_x": 0.0, "mean_y": 0.0,
+                "covar_pop": 0.0, "corr": 0.0, "slope": 0.0}
+    sx, sy = p["sx"].sum(), p["sy"].sum()
+    sxy, sxx, syy = p["sxy"].sum(), p["sxx"].sum(), p["syy"].sum()
+    mx, my = sx / n, sy / n
+    cov = sxy / n - mx * my
+    vx = sxx / n - mx * mx
+    vy = syy / n - my * my
+    corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+    slope = cov / vx if vx > 0 else 0.0
+    return {"n": n, "mean_x": float(mx), "mean_y": float(my),
+            "covar_pop": float(cov), "corr": float(corr),
+            "slope": float(slope)}

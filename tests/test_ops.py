@@ -1070,3 +1070,33 @@ def test_categorical_dependence_known_cases(ray_session):
     # nulls drop; empty input is the zero profile
     d3 = pd.DataFrame({"x": [None, "a"], "y": ["u", None]})
     assert categorical_dependence(rd.from_pandas(d3), "x", "y")["n"] == 0
+
+
+def test_numeric_moments_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.stats import numeric_moments
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    x = rng.normal(10, 2, n)
+    y = 3.5 * x + rng.normal(0, 1, n)
+    df = pd.DataFrame({"x": x, "y": y})
+    df.loc[df.index[:20], "y"] = np.nan  # nulls drop pairwise
+    r = numeric_moments(rd.from_pandas(df).repartition(6), "x", "y")
+    m = df.dropna()
+    assert r["n"] == len(m)
+    assert abs(r["mean_x"] - m["x"].mean()) < 1e-9
+    assert abs(r["covar_pop"] - np.cov(m["x"], m["y"], bias=True)[0, 1]) < 1e-6
+    assert abs(r["corr"] - np.corrcoef(m["x"], m["y"])[0, 1]) < 1e-9
+    assert abs(r["slope"] - 3.5) < 0.1  # planted slope
+    # constant x -> zero-variance guards (no division blowup)
+    dc = pd.DataFrame({"x": np.ones(50), "y": np.arange(50.0)})
+    rc = numeric_moments(rd.from_pandas(dc), "x", "y")
+    assert rc["corr"] == 0.0 and rc["slope"] == 0.0
+    # empty
+    assert numeric_moments(
+        rd.from_pandas(pd.DataFrame({"x": [np.nan], "y": [1.0]})), "x", "y"
+    )["n"] == 0
