@@ -355,3 +355,24 @@ def test_ref_key_pins_raw_values():
 
     assert worker_state.ref_key(FakeRef()) == "abc123"
     assert "abc123" not in worker_state._PINNED
+
+
+def test_run_query_cli_list():
+    """--list enumerates the full registry with oracle modes and needs
+    no Ray session (pure import path)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "jobs/run_query.py", "--list"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert out.returncode == 0
+    lines = [l for l in out.stdout.strip().splitlines() if "\t" in l]
+    assert len(lines) >= 105
+    modes = {l.split("\t")[1] for l in lines}
+    assert modes == {"sql", "rows_only"}
+    names = {l.split("\t")[0] for l in lines}
+    assert {"kg_triples", "pricing_summary", "triangle_count"} <= names
