@@ -2069,6 +2069,34 @@ def _q_order_value_pct_rank(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def _q_event_type_drift(sf_dir: str):
+    """Distribution drift between two deterministic event halves
+    (event_id % 2) — stages/stats.py::distribution_drift: distributed
+    (type, side) cell counts, driver-closed KL both ways + JS on the
+    bounded category table.  Oracle mirrors p=c/n, m=(p+q)/2 and the
+    ln sums verbatim (shared support only for KL, full support for JS
+    — identical restriction in the SQL)."""
+    from table_annotation_ray.stages.stats import distribution_drift
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": b["event_type"], "side": (b["event_id"] % 2)}
+        )
+
+    r = distribution_drift(
+        ev.map_batches(side, batch_format="pandas"), "event_type", "side"
+    )
+    out = pd.DataFrame(
+        {"n_a": [r["n_a"]], "n_b": [r["n_b"]],
+         "kl_ab": [r["kl_ab"]], "kl_ba": [r["kl_ba"]], "js": [r["js"]]}
+    )
+    for c in ("kl_ab", "kl_ba", "js"):
+        out[c] = _round_ha(out[c], 6)
+    return out
+
+
 def _q_qty_price_moments(sf_dir: str):
     """Bivariate moments of (l_quantity, l_extendedprice)
     (stages/stats.py::numeric_moments): one streaming pass of
@@ -2470,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_pct_rank": _q_order_value_pct_rank,
         "winsorized_price": _q_winsorized_price,
         "qty_price_moments": _q_qty_price_moments,
+        "event_type_drift": _q_event_type_drift,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
     }
@@ -3322,6 +3351,30 @@ def oracle_sql() -> dict[str, str]:
                    round(PERCENT_RANK() OVER (
                        ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
             FROM orders
+        """,
+        "event_type_drift": """
+            WITH cells AS (
+                SELECT event_type AS t, event_id % 2 AS side,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY 1, 2),
+            w AS (
+                SELECT t,
+                       COALESCE(SUM(CASE WHEN side = 0 THEN c END), 0) AS ca,
+                       COALESCE(SUM(CASE WHEN side = 1 THEN c END), 0) AS cb
+                FROM cells GROUP BY t),
+            tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM w),
+            pq AS (SELECT ca / na AS p, cb / nb AS q FROM w, tot)
+            SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+                   CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+                   round(SUM(CASE WHEN p > 0 AND q > 0
+                                  THEN p * ln(p / q) ELSE 0 END), 6) AS kl_ab,
+                   round(SUM(CASE WHEN p > 0 AND q > 0
+                                  THEN q * ln(q / p) ELSE 0 END), 6) AS kl_ba,
+                   round(SUM(CASE WHEN p > 0
+                                  THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END)
+                       + SUM(CASE WHEN q > 0
+                                  THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS js
+            FROM pq
         """,
         "qty_price_moments": """
             SELECT count(*) AS n,

@@ -111,3 +111,60 @@ def numeric_moments(
     return {"n": n, "mean_x": float(mx), "mean_y": float(my),
             "covar_pop": float(cov), "corr": float(corr),
             "slope": float(slope)}
+
+
+def distribution_drift(
+    ds: rd.Dataset,
+    cat_col: str,
+    side_col: str,
+    max_cells: int = 1_000_000,
+    num_buckets: int = 64,
+) -> dict:
+    """Categorical distribution drift between two corpus sides (the
+    training-data monitoring primitive: did the event/type/language mix
+    shift between snapshots?).  ``side_col`` must be 0/1; returns
+    ``{"n_a", "n_b", "kl_ab", "kl_ba", "js"}`` — both KL directions
+    (absent categories smoothed out by restriction to the shared
+    support, the standard plug-in estimator caveat) and the
+    Jensen-Shannon divergence (always finite, symmetric, ≤ ln 2).
+
+    Distributed cell counts via ``agg.grouped_reduce`` (bounded
+    category domain by contract, like ``categorical_dependence``);
+    driver closes the bounded table.  Expression shapes are
+    SQL-portable: p = c/n per side, m = (p+q)/2, js = 0.5·Σ p·ln(p/m)
+    + 0.5·Σ q·ln(q/m)."""
+    from .agg import grouped_reduce
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[cat_col, side_col]].dropna()
+
+    cells = grouped_reduce(
+        ds.map_batches(prep, batch_format="pandas"),
+        [cat_col, side_col], {"c": (None, "count")}, num_buckets=num_buckets,
+    ).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"category table {len(cells)} cells exceeds max_cells="
+            f"{max_cells}; bin upstream"
+        )
+    w = cells.pivot_table(index=cat_col, columns=side_col, values="c",
+                          aggfunc="sum", fill_value=0)
+    for s in (0, 1):
+        if s not in w.columns:
+            w[s] = 0
+    ca = w[0].to_numpy(dtype=np.float64)
+    cb = w[1].to_numpy(dtype=np.float64)
+    n_a, n_b = ca.sum(), cb.sum()
+    if n_a == 0 or n_b == 0:
+        return {"n_a": int(n_a), "n_b": int(n_b),
+                "kl_ab": 0.0, "kl_ba": 0.0, "js": 0.0}
+    p, q = ca / n_a, cb / n_b
+    both = (p > 0) & (q > 0)
+    kl_ab = float(np.sum(p[both] * np.log(p[both] / q[both])))
+    kl_ba = float(np.sum(q[both] * np.log(q[both] / p[both])))
+    m = (p + q) / 2.0
+    ap, aq = p > 0, q > 0
+    js = float(0.5 * np.sum(p[ap] * np.log(p[ap] / m[ap]))
+               + 0.5 * np.sum(q[aq] * np.log(q[aq] / m[aq])))
+    return {"n_a": int(n_a), "n_b": int(n_b),
+            "kl_ab": kl_ab, "kl_ba": kl_ba, "js": js}

@@ -1100,3 +1100,38 @@ def test_numeric_moments_matches_numpy(ray_session):
     assert numeric_moments(
         rd.from_pandas(pd.DataFrame({"x": [np.nan], "y": [1.0]})), "x", "y"
     )["n"] == 0
+
+
+def test_distribution_drift_known_cases(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.stats import distribution_drift
+
+    # identical distributions -> zero everywhere
+    df = pd.DataFrame({"t": ["a", "b"] * 100, "side": [0, 0, 1, 1] * 50})
+    r = distribution_drift(rd.from_pandas(df).repartition(3), "t", "side")
+    assert r["n_a"] == r["n_b"] == 100
+    assert abs(r["js"]) < 1e-12 and abs(r["kl_ab"]) < 1e-12
+
+    # disjoint supports -> JS = ln 2, KL restricted to shared support = 0
+    d2 = pd.DataFrame({"t": ["a"] * 50 + ["b"] * 50,
+                       "side": [0] * 50 + [1] * 50})
+    r2 = distribution_drift(rd.from_pandas(d2), "t", "side")
+    assert abs(r2["js"] - np.log(2)) < 1e-12
+    assert r2["kl_ab"] == 0.0  # no shared support
+
+    # hand-computed asymmetric case
+    d3 = pd.DataFrame({"t": ["a"] * 9 + ["b"] * 1 + ["a"] * 5 + ["b"] * 5,
+                       "side": [0] * 10 + [1] * 10})
+    r3 = distribution_drift(rd.from_pandas(d3), "t", "side")
+    p, q = np.array([0.9, 0.1]), np.array([0.5, 0.5])
+    m = (p + q) / 2
+    assert abs(r3["kl_ab"] - (p * np.log(p / q)).sum()) < 1e-12
+    assert abs(r3["kl_ba"] - (q * np.log(q / p)).sum()) < 1e-12
+    assert abs(r3["js"] - 0.5 * ((p * np.log(p / m)).sum()
+                                 + (q * np.log(q / m)).sum())) < 1e-12
+    # one empty side -> zero profile
+    d4 = pd.DataFrame({"t": ["a", "b"], "side": [0, 0]})
+    assert distribution_drift(rd.from_pandas(d4), "t", "side")["js"] == 0.0
