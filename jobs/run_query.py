@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Run any registered query/operator pipeline from ``__ray_entry__``
 against a directory of the TPC-H-ish Parquet tables and write the
-result as Parquet — the ad-hoc batch surface over the same 96-query
+result as Parquet — the ad-hoc batch surface over the same query
 registry the correctness gate verifies.
 
 Submit to a Ray cluster::

@@ -334,6 +334,12 @@ def equi_join(
     if hot_keys is not None and len(hot_keys) > 0:
         if how == "full":
             raise ValueError("hot_keys split supports inner|left only")
+        if not broadcast_below or broadcast_below <= 0:
+            raise ValueError(
+                "hot_keys requires a positive broadcast_below: the hot "
+                "side joins by replication, which a disabled broadcast "
+                "gate cannot express"
+            )
         hot = np.asarray(sorted(hot_keys), dtype=np.int64)
 
         def split(side_col: str, keep_hot: bool):
@@ -342,13 +348,20 @@ def equi_join(
                 return b[m if keep_hot else ~m]
             return f
 
+        # single-execution rule: BOTH sides materialize before deriving
+        # hot/cold splits — a nondeterministic upstream replayed into
+        # each leg could otherwise drop or duplicate join rows
+        left = left.materialize()
+        right = right.materialize()
         l_hot = left.map_batches(split(col, True), batch_format="pandas",
                                  batch_size=JOIN_BATCH)
         l_cold = left.map_batches(split(col, False), batch_format="pandas",
                                   batch_size=JOIN_BATCH)
-        right = right.materialize()
+        # materialize r_hot so the count guard and the recursive join's
+        # own materialize reuse one execution instead of replaying split
         r_hot = right.map_batches(split(right_col, True),
-                                  batch_format="pandas", batch_size=JOIN_BATCH)
+                                  batch_format="pandas",
+                                  batch_size=JOIN_BATCH).materialize()
         r_cold = right.map_batches(split(right_col, False),
                                    batch_format="pandas", batch_size=JOIN_BATCH)
         # hot side MUST broadcast (that is the point of the split); the
@@ -589,6 +602,22 @@ def pivot_table(
 
     if agg not in ("sum", "min", "max", "count"):
         raise ValueError(f"unsupported agg {agg!r}")
+    if agg != "count":
+        # non-numeric cells widen to object columns that are all-NaN in
+        # batches missing a pivot value — pa.Table.from_pandas infers
+        # Arrow NULL for those partials and breaks block unification at
+        # the grouped_reduce exchange (the empty-object-dtype class)
+        sch = ds.schema()
+        vt = dict(zip(sch.names, sch.types))[value_col]
+        numeric = (
+            pa.types.is_integer(vt) or pa.types.is_floating(vt)
+            or pa.types.is_boolean(vt) or pa.types.is_decimal(vt)
+        ) if isinstance(vt, pa.DataType) else np.issubdtype(vt, np.number)
+        if not numeric:
+            raise ValueError(
+                f"pivot agg={agg!r} requires a numeric value_col; "
+                f"{value_col!r} is {vt} — cast upstream or use agg='count'"
+            )
     if values is None:
         # discovery consumes ds once and widen consumes it again —
         # materialize so a derived upstream runs once (equi_join rule)
@@ -802,7 +831,10 @@ def set_op_distinct(
     hash(cols) bucket exchange over map-side-deduped rows; per bucket a
     vectorized groupby collapses side flags (never a Ray group per
     key).  Column dtypes must match across the two inputs (the union
-    schema)."""
+    schema).  NULLs follow SQL set-op semantics: two NULL keys compare
+    EQUAL (unlike join equality), so a row with NULLs survives as one
+    distinct row — ``dropna=False`` through the combine, nulls
+    re-emitted as Arrow nulls."""
     if op not in ("intersect", "except", "union"):
         raise ValueError(f"op must be intersect|except|union, got {op!r}")
     nb = np.uint64(num_buckets)
@@ -824,7 +856,9 @@ def set_op_distinct(
     )
 
     def combine(g: pd.DataFrame) -> pa.Table:
-        s = g.groupby(cols, sort=False)[["__so_a", "__so_b"]].max()
+        # dropna=False: SQL INTERSECT/EXCEPT/UNION treat NULL keys as
+        # equal and keep them as one distinct row
+        s = g.groupby(cols, sort=False, dropna=False)[["__so_a", "__so_b"]].max()
         in_a = s["__so_a"].to_numpy() == 1
         in_b = s["__so_b"].to_numpy() == 1
         if op == "intersect":
@@ -835,9 +869,11 @@ def set_op_distinct(
             keep = in_a | in_b
         out = s.index.to_frame(index=False)[keep]
         # explicit string typing: an empty object column infers Arrow
-        # NULL and breaks unification (CLAUDE.md empty-array rule)
+        # NULL and breaks unification (CLAUDE.md empty-array rule);
+        # NaN sentinels from dropna=False re-emit as Arrow nulls
         return pa.table(
-            {c: (pa.array(out[c].tolist(), pa.string())
+            {c: (pa.array([v if pd.notna(v) else None for v in out[c]],
+                          pa.string())
                  if out[c].dtype == object else
                  pa.array(out[c].to_numpy()))
              for c in cols}

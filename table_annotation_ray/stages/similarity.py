@@ -24,6 +24,21 @@ def _stack(col) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _list_col(vecs: np.ndarray) -> pa.ListArray:
+    """Vectorized ``list<double>`` column from a 2-D float matrix.
+
+    ``pa.array(list(vecs), pa.list_(pa.float64()))`` round-trips the
+    matrix through Python row objects — micro-benched 455× slower than
+    this ravel()+offsets build at 50k×128 (VERDICT r4).  Stays in C:
+    one flat float64 array plus arange offsets."""
+    n, d = vecs.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64), pa.int32())
+    flat = pa.array(
+        np.ascontiguousarray(vecs, dtype=np.float64).ravel(), pa.float64()
+    )
+    return pa.ListArray.from_arrays(offsets, flat)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -141,7 +156,7 @@ def embedding_near_dup_pairs(
             all_buckets.append(keys.astype(np.int64) + (probe << 60))
         # Arrow out with canonical list<double> (the bucket groupby is a
         # sort-shuffle; pandas blocks poison it — CLAUDE.md r3)
-        emb_arr = pa.array(list(vecs), pa.list_(pa.float64()))
+        emb_arr = _list_col(vecs)
         n_probes = len(pl)
         return pa.table(
             {
@@ -273,7 +288,7 @@ def ivf_topk(
         vecs = _normalize(raw)
         sims = vecs @ cents.T  # (B, C)
         ids = batch[id_col].to_numpy(dtype=np.int64)
-        emb_arr = pa.array(list(raw), pa.list_(pa.float64()))
+        emb_arr = _list_col(raw)
         # corpus rows: nearest bucket; query rows: np.repeat-replicated
         # to their nprobe nearest centroids (argsort order).  Arrow out
         # with canonical list<double> — the bucket groupby is a
@@ -383,13 +398,10 @@ def plant_near_dups(
         )
 
     def to_f64(b: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
-
-        vecs = [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
         return pa.table(
             {
                 id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
-                vec_col: pa.array(vecs, pa.list_(pa.float64())),
+                vec_col: _list_col(_stack(b[vec_col])),
             }
         )
 
@@ -475,7 +487,7 @@ def lsh_topk(
                 "is_query": pa.array(
                     batch[id_col].isin(qset).to_numpy(), pa.bool_()
                 ),
-                vec_col: pa.array(list(vecs), pa.list_(pa.float64())),
+                vec_col: _list_col(vecs),
             }
         )
 
@@ -559,7 +571,7 @@ def semantic_dedup(
         return pa.table(
             {
                 id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
-                vec_col: pa.array(list(raw), pa.list_(pa.float64())),
+                vec_col: _list_col(raw),
                 "cluster": pa.array(cl, pa.int64()),
             }
         )
