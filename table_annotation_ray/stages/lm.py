@@ -3,9 +3,17 @@ model-based quality gate of training-data pipelines (the KenLM-filter
 shape: train a cheap n-gram LM on the corpus/reference, broadcast it,
 score every document, drop the tail).
 
-Training is two :func:`~.agg.grouped_reduce` passes (unigram and bigram
-counts — corpus-cardinality keys, never per-key Python), truncated to
-the top ``max_unigrams`` / ``max_bigrams`` by count.  Truncation is
+Training is ONE fused count pass (r5, was two grouped_reduce passes):
+each batch explodes to (token, next-token) rows — the last token of a
+doc pairs with a sentinel "" so every token appears exactly once as a
+context — then a map-side pandas-groupby partial bucketed by
+``hash(a) % 64`` rides one sort exchange; the in-bucket finalize sums
+bigram counts and derives unigram counts as the context margin
+(Σ_b c(a,b) including the sentinel — exactly the token's occurrence
+count).  Bucketing by the CONTEXT token co-locates a unigram with all
+its bigrams, which is what lets one exchange serve both tables; a
+pathologically hot context word skews one bucket, the usual 64-bucket
+grouped_reduce envelope.  Truncation is
 two-level: each reduce-output block keeps its local top-K first (a
 global top-K item is by definition inside its block's top-K), so the
 driver collects ≤ blocks×K rows, never the full distinct-gram set —
@@ -39,6 +47,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -56,63 +65,102 @@ def train_bigram_lm(
     max_unigrams: int = 65_536,
     max_bigrams: int = 1_048_576,
     smoothing_k: float = 0.5,
+    num_buckets: int = 64,
 ) -> dict:
     """Returns {"uni": {tok: count}, "bi": {(a,b): count}, "V": int,
     "k": float} — bounded driver state (top-K by count, count-desc /
-    lexicographic tie-break so truncation is deterministic)."""
-    from .agg import grouped_reduce
+    lexicographic tie-break so truncation is deterministic).
 
-    def unigrams(b: pd.DataFrame) -> pd.DataFrame:
-        toks: list[str] = []
-        for t in b[text_col].fillna(""):
-            toks.extend(_tokenize(t))
-        return pd.DataFrame({"tok": pd.Series(toks, dtype="object")})
+    One corpus pass, one exchange (see module docstring): the sentinel
+    row (a, "") carries the "a was a doc-final token" occurrences, so
+    the in-bucket context margin Σ_b c(a,b) equals c(a) exactly — the
+    tokenizer never emits "" as a real token."""
+    nb = np.uint64(num_buckets)
 
-    def bigrams(b: pd.DataFrame) -> pd.DataFrame:
+    def explode_partial(b: pd.DataFrame) -> pa.Table:
         a_out: list[str] = []
         b_out: list[str] = []
         for t in b[text_col].fillna(""):
             ts = _tokenize(t)
-            a_out.extend(ts[:-1])
+            if not ts:
+                continue
+            a_out.extend(ts)
             b_out.extend(ts[1:])
-        return pd.DataFrame(
-            {"a": pd.Series(a_out, dtype="object"), "b": pd.Series(b_out, dtype="object")}
+            b_out.append("")  # doc-final sentinel: margin row only
+        df = pd.DataFrame(
+            {"a": pd.Series(a_out, dtype="object"),
+             "b": pd.Series(b_out, dtype="object")}
+        )
+        p = df.groupby(["a", "b"], sort=False).size().rename("n").reset_index()
+        bkt = (
+            pd.util.hash_pandas_object(p["a"], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        # explicit Arrow types: an all-empty-text batch yields an empty
+        # object frame that would infer NULL columns (CLAUDE.md rule)
+        return pa.table(
+            {
+                "a": pa.array(p["a"].tolist(), pa.string()),
+                "b": pa.array(p["b"].tolist(), pa.string()),
+                "n": pa.array(p["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "__gr_bkt": pa.array(bkt, pa.int64()),
+            }
         )
 
-    def _topk(counts_ds: rd.Dataset, sort_cols: list[str], k: int) -> pd.DataFrame:
-        asc = [False] + [True] * (len(sort_cols) - 1)
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        bi = g.groupby(["a", "b"], sort=False)["n"].sum().reset_index()
+        # context margin INCLUDING the sentinel rows = unigram count
+        uni = bi.groupby("a", sort=False)["n"].sum().reset_index()
+        bi = bi[bi["b"] != ""]
+        out_a = uni["a"].tolist() + bi["a"].tolist()
+        out_b = [""] * len(uni) + bi["b"].tolist()
+        out_n = np.concatenate(
+            [uni["n"].to_numpy(dtype=np.int64), bi["n"].to_numpy(dtype=np.int64)]
+        ) if len(uni) or len(bi) else np.empty(0, dtype=np.int64)
+        kind = np.r_[np.zeros(len(uni), dtype=np.int64),
+                     np.ones(len(bi), dtype=np.int64)]
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "kind": pa.array(kind, pa.int64()),
+            }
+        )
 
-        # per-block local top-K under the SAME total order: any global
-        # top-K row is inside its block's top-K, so the driver collect
-        # is bounded by blocks×K rows regardless of corpus cardinality
-        def prune(b: pd.DataFrame) -> pd.DataFrame:
-            return b.sort_values(sort_cols, ascending=asc).head(k)
+    counts = (
+        docs.map_batches(explode_partial, batch_format="pandas", batch_size=65536)
+        .groupby("__gr_bkt")
+        .map_groups(finalize, batch_format="pandas")
+    )
 
-        out = counts_ds.map_batches(prune, batch_format="pandas").to_pandas()
-        return out.sort_values(sort_cols, ascending=asc)
+    # per-block local top-K per kind under the SAME total order: any
+    # global top-K row is inside its block's top-K (each (a[,b]) key
+    # lives in exactly one bucket's output), so the driver collect is
+    # bounded by blocks×K rows regardless of corpus cardinality
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        is_u = b["kind"].to_numpy() == 0
+        u = b[is_u].sort_values(["n", "a"], ascending=[False, True]).head(max_unigrams)
+        bg = b[~is_u].sort_values(
+            ["n", "a", "b"], ascending=[False, True, True]
+        ).head(max_bigrams)
+        return pd.concat([u, bg], ignore_index=True)
 
-    uni = _topk(
-        grouped_reduce(
-            docs.map_batches(unigrams, batch_format="pandas"),
-            ["tok"], {"n": (None, "count")},
-        ),
-        ["n", "tok"], max_unigrams,
-    ).head(max_unigrams)
-
-    bi = _topk(
-        grouped_reduce(
-            docs.map_batches(bigrams, batch_format="pandas"),
-            ["a", "b"], {"n": (None, "count")},
-        ),
-        ["n", "a", "b"], max_bigrams,
+    allc = counts.map_batches(prune, batch_format="pandas").to_pandas()
+    uni = (
+        allc[allc["kind"] == 0]
+        .sort_values(["n", "a"], ascending=[False, True])
+        .head(max_unigrams)
+    )
+    bi = allc[allc["kind"] == 1].sort_values(
+        ["n", "a", "b"], ascending=[False, True, True]
     )
     # context-consistency: keep only bigrams whose context unigram
     # survived its own truncation (guarantees c(a) >= c(a,b)); filter
     # BEFORE the final head so the model keeps max_bigrams USABLE rows
-    bi = bi[bi["a"].isin(set(uni["tok"]))].head(max_bigrams)
+    bi = bi[bi["a"].isin(set(uni["a"]))].head(max_bigrams)
 
     return {
-        "uni": dict(zip(uni["tok"], uni["n"].astype(int))),
+        "uni": dict(zip(uni["a"], uni["n"].astype(int))),
         "bi": dict(zip(zip(bi["a"], bi["b"]), bi["n"].astype(int))),
         "V": int(len(uni)) + 1,  # +1 for the OOV type
         "k": float(smoothing_k),
@@ -127,8 +175,6 @@ def score_perplexity(
     batch_size: int = 4096,
 ) -> rd.Dataset:
     """(id, n_bigrams, ppl) per document — one broadcast, one pass."""
-    import pyarrow as pa
-
     mref = ray.put(model)
 
     from ..state.worker_state import get_worker_state, ref_key

@@ -204,6 +204,54 @@ def test_bigram_lm_perplexity_orders_quality(ray_session):
     assert np.isfinite(short["ppl"]).all()
 
 
+def test_bigram_lm_counts_match_brute_force(ray_session):
+    """The fused single-exchange training pass (sentinel context-margin
+    unigrams) must reproduce brute-force Counter counts exactly,
+    including top-K truncation order and the context-consistency
+    filter on bigrams."""
+    import collections
+
+    import ray.data as rd
+
+    from table_annotation_ray.stages.lm import _tokenize, train_bigram_lm
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=int(rng.integers(0, 12))))}
+        for i in range(300)
+    ]
+    ds = rd.from_items(docs).repartition(6)
+
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for d in docs:
+        ts = _tokenize(d["text"])
+        uni.update(ts)
+        bi.update(zip(ts[:-1], ts[1:]))
+    uni_sorted = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+    bi_sorted = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+
+    # untruncated: exact count equivalence, filter is a no-op
+    model = train_bigram_lm(ds, max_unigrams=10_000, max_bigrams=100_000)
+    assert model["uni"] == dict(uni_sorted)
+    assert model["bi"] == dict(bi_sorted)
+    assert model["V"] == len(uni_sorted) + 1
+
+    # truncated, num_buckets=1 so the per-block top-K IS the global
+    # top-K pool: kept bigrams = the global raw top-60 restricted to
+    # surviving contexts (the documented pool-then-filter semantics)
+    model_t = train_bigram_lm(
+        ds, max_unigrams=25, max_bigrams=60, num_buckets=1
+    )
+    uni_ref = dict(uni_sorted[:25])
+    bi_ref = dict([kv for kv in bi_sorted[:60] if kv[0][0] in uni_ref])
+    assert model_t["uni"] == uni_ref
+    assert model_t["bi"] == bi_ref
+    assert model_t["V"] == len(uni_ref) + 1
+
+
 def test_curation_victim_literal_matches_pipeline(ray_session):
     """The minhash victim set injected into the curation_funnel SQL
     oracle (__ray_entry__._CURATION_VICTIMS_SF001) must equal what the

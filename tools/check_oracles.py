@@ -54,7 +54,13 @@ def main():
         )
 
     qs = e.queries()
-    oracles = e.oracle_sql()
+    # oracle_sql_at recomputes scale-dependent literals (the
+    # curation_funnel minhash victim set) for THIS sf dir, so the full
+    # sweep is green at any sf — the driver's oracle_sql() stays pinned
+    # to its sf0.01 constant
+    oracles = (
+        e.oracle_sql_at(SF_DIR) if hasattr(e, "oracle_sql_at") else e.oracle_sql()
+    )
     args = sys.argv[1:]
     json_path = None
     if "--json" in args:
