@@ -213,12 +213,13 @@ def pack_documents(
     from ..state.worker_state import get_worker_state, ref_key
 
     def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
-        stripped = b[text_col].fillna("").str.strip()
-        n = stripped.str.split(_WS).map(len).where(stripped.str.len() > 0, 0)
+        from .textstats import _ws_tokens
+
+        _, n = _ws_tokens(b[text_col])
         return pd.DataFrame(
             {
                 id_col: b[id_col],
-                "n_tokens": n.astype("int64"),
+                "n_tokens": n,
                 "chunk_id": (b[id_col] // chunk).astype("int64"),
             }
         )
@@ -620,11 +621,9 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
 
     def chunks(b: pd.DataFrame) -> pa.Table:
-        stripped = b[text_col].fillna("").str.strip()
-        n = (
-            stripped.str.split(_WS).map(len).where(stripped.str.len() > 0, 0)
-            .to_numpy(dtype=np.int64)
-        )
+        from .textstats import _ws_tokens
+
+        _, n = _ws_tokens(b[text_col])
         n_chunks = np.where(
             n == 0, 0,
             np.where(n <= chunk_tokens, 1,

@@ -15,6 +15,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[^\w\s]")
@@ -32,6 +34,41 @@ except ImportError:  # pragma: no cover
     _BPE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
 
 BPE_PATTERN_SQL = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# the same alternation MINUS the whitespace-run branch: scanning with it
+# yields exactly the full pattern's non-whitespace tokens (between two
+# tokens the whitespace run is either consumed by \s+ [full] or skipped
+# by the scanner with at most one space absorbed into the next token's
+# optional leading space [reduced] — either way one match per token), so
+# pc.count_substring_regex over it equals findall+filter, with no
+# per-row Python (VERDICT r4 #9)
+_BPE_NONSPACE_RE2 = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def _ws_tokens(text: pd.Series, lower: bool = False):
+    """Arrow-side whitespace tokenization of trimmed text: returns
+    (list_array, n_tokens int64 ndarray) with n_tokens = 0 for
+    empty/whitespace-only rows — the vectorized replacement for
+    ``str.split(_WS).map(len)``."""
+    arr = pc.utf8_trim_whitespace(pa.Array.from_pandas(text.fillna("")))
+    if lower:
+        arr = pc.utf8_lower(arr)
+    toks = pc.split_pattern_regex(arr, pattern=r"\s+")
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # "" splits to [""] — mask empties to 0 like the pandas .where did
+    n[pc.equal(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False)] = 0
+    return toks, n
+
+
+def _member_counts(toks, value_set) -> np.ndarray:
+    """Per-row count of list elements that belong to ``value_set`` —
+    flatten + pc.is_in + prefix-sum differences; no per-row Python.
+    (np.add.reduceat mishandles empty lists, hence the cumsum form.)"""
+    hit = pc.is_in(
+        toks.flatten(), value_set=pa.array(sorted(value_set), pa.string())
+    ).to_numpy(zero_copy_only=False)
+    off = toks.offsets.to_numpy()
+    c = np.r_[0, np.cumsum(hit.astype(np.int64))]
+    return c[off[1:]] - c[off[:-1]]
 
 # small multilingual stopword sets for the n-gram/stopword language heuristic
 _LANG_STOPWORDS = {
@@ -50,16 +87,16 @@ def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
     '\\s+'))`` and ``len(list_filter(regexp_extract_all(text, BPE), ...))``.
     """
     text = batch["text"].fillna("")
-    stripped = text.str.strip()
-    n_tokens = stripped.str.split(_WS).map(len).where(stripped.str.len() > 0, 0)
-    n_bpe = text.map(
-        lambda s: sum(1 for t in _BPE.findall(s) if not t.isspace())
-    )
+    arr = pa.Array.from_pandas(text)
+    _, n_tokens = _ws_tokens(text)
+    n_bpe = pc.count_substring_regex(
+        arr, pattern=_BPE_NONSPACE_RE2
+    ).to_numpy(zero_copy_only=False)
     out = pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
-            "n_tokens": n_tokens.astype("int64"),
-            "n_chars": text.str.len().astype("int64"),
+            "n_tokens": n_tokens,
+            "n_chars": pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype("int64"),
             "n_tokens_bpe": n_bpe.astype("int64"),
         }
     )
@@ -76,17 +113,23 @@ def quality_scores(batch: pd.DataFrame) -> pd.DataFrame:
     denom = n_chars.replace(0.0, 1.0)
     punct = (n_chars - text.str.replace(_PUNCT, "", regex=True).str.len()) / denom
     digit = (n_chars - text.str.replace(_DIGIT, "", regex=True).str.len()) / denom
-    stripped = text.str.strip()
-    tokens = stripped.str.lower().str.split(_WS)
-    n_tokens = tokens.map(len).where(stripped.str.len() > 0, 0).astype("int64")
-    en_stop = _LANG_STOPWORDS["en"]
-    stop_ratio = tokens.map(
-        lambda ws: sum(1 for w in ws if w in en_stop)
-    ) / n_tokens.replace(0, 1)
-    stop_ratio = stop_ratio.where(n_tokens > 0, 0.0)
-    mean_tok = (
-        stripped.str.replace(_WS, "", regex=True).str.len() / n_tokens.replace(0, 1)
-    ).where(n_tokens > 0, 0.0)
+    toks, n_tokens = _ws_tokens(text, lower=True)
+    denom_tok = np.maximum(n_tokens, 1).astype("float64")
+    stop_ratio = pd.Series(
+        np.where(
+            n_tokens > 0,
+            _member_counts(toks, _LANG_STOPWORDS["en"]) / denom_tok,
+            0.0,
+        ),
+        index=batch.index,
+    )
+    stripped_arr = pc.utf8_trim_whitespace(pa.Array.from_pandas(text))
+    nonws_chars = pc.utf8_length(
+        pc.replace_substring_regex(stripped_arr, pattern=r"\s+", replacement="")
+    ).to_numpy(zero_copy_only=False)
+    mean_tok = pd.Series(
+        np.where(n_tokens > 0, nonws_chars / denom_tok, 0.0), index=batch.index
+    )
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
@@ -100,20 +143,21 @@ def quality_scores(batch: pd.DataFrame) -> pd.DataFrame:
 
 def lang_id(batch: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, text) → predicted language by stopword-hit voting (the
-    classic n-gram-lite heuristic); 'und' when nothing matches."""
-    text = batch["text"].fillna("").str.lower()
-    tokens = text.str.split(_WS)
+    classic n-gram-lite heuristic); 'und' when nothing matches.
 
-    def vote(ws: list[str]) -> str:
-        best, best_hits = "und", 0
-        for lang, stops in _LANG_STOPWORDS.items():
-            hits = sum(1 for w in ws if w in stops)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
-
+    Vectorized vote: one is_in membership pass per language over the
+    flattened token array, then a columnar argmax — first language in
+    declaration order wins ties (identical to the old strictly-greater
+    per-row loop, since np.argmax returns the first maximum)."""
+    toks, _ = _ws_tokens(batch["text"], lower=True)
+    hits = np.stack(
+        [_member_counts(toks, stops) for stops in _LANG_STOPWORDS.values()]
+    )
+    langs = np.array(list(_LANG_STOPWORDS), dtype=object)
+    pred = np.where(hits.max(axis=0) > 0, langs[hits.argmax(axis=0)], "und")
     return pd.DataFrame(
-        {"doc_id": batch["doc_id"], "pred_lang": tokens.map(vote)}
+        {"doc_id": batch["doc_id"],
+         "pred_lang": pd.Series(pred, index=batch.index, dtype="object")}
     )
 
 
@@ -122,9 +166,6 @@ def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     SQL-equivalent: ``md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))``.
     Normalization runs in Arrow re2 kernels (the md5 itself has no
     vectorized kernel and stays a per-row hashlib call)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     col = pa.Array.from_pandas(batch["text"].fillna(""))
     norm = pc.replace_substring_regex(
         pc.utf8_lower(pc.utf8_trim_whitespace(col)), pattern=r"\s+", replacement=" "
@@ -157,8 +198,6 @@ def domain_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     SQL mirror: unnest(regexp_extract_all(text, URL)) → regexp_extract
     host → GROUP BY with count(*) / count(DISTINCT doc_id).  Both
     regexes are RE2-safe and shared verbatim with the oracle."""
-    import pyarrow as pa
-
     from .agg import grouped_reduce  # noqa: F401  (shape reference)
 
     NB = np.uint64(64)
@@ -215,7 +254,6 @@ def vocab_topk(docs, k: int = 100, text_col: str = "text"):
 
     SQL mirror: unnest(regexp_split_to_array(lower(text),'\\s+')) …
     GROUP BY / ORDER BY n DESC, token LIMIT k."""
-    import pyarrow as pa
 
     from .agg import grouped_reduce
 
