@@ -981,6 +981,32 @@ def _q_media_features(sf_dir: str):
     ).to_pandas()
 
 
+def _q_image_near_dup(sf_dir: str):
+    """Perceptual image near-duplicate detection: DCT pHash over REAL
+    decoded PNG pixels + the banded-Hamming pair machinery (8×8-bit
+    bands ⇒ every pair within Hamming ≤ 7 is found — pigeonhole).
+    Planted noise-perturbed copies give the deterministic ground truth;
+    rows-only (no SQL image decoder), recall pinned by
+    tests/test_codecs.py::test_image_near_dup_planted_recall."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        image_near_dup_pairs,
+        plant_perturbed_images,
+        synth_media_table,
+    )
+
+    planted = plant_perturbed_images(
+        synth_media_table(n=120, seed=5), n_planted=16, noise=1
+    )
+    out = image_near_dup_pairs(rd.from_arrow(planted)).to_pandas()
+    return (
+        out.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """Audio branch of the multimodal family via the REAL stdlib
     WAV/PCM codec: per-window RMS energy over actual samples for WAV
@@ -2526,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_preprocess": _q_table_preprocess,
         "table_annotate": _q_table_annotate,
         "media_features": _q_media_features,
+        "image_near_dup": _q_image_near_dup,
         "audio_features": _q_audio_features,
         "sample_per_lang": _q_sample_per_lang,
         "incremental_exact_dedup": _q_incremental_exact_dedup,

@@ -247,3 +247,63 @@ def decode_audio(payload: bytes) -> np.ndarray:
         "audio format not in the stdlib codec set (WAV/PCM); plug "
         "ffmpeg/soundfile in here"
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing
+# ---------------------------------------------------------------------------
+
+_PHASH_N = 32  # working grid; DCT low-frequency block is 8x8
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (row k = frequency k)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    x = np.arange(n)[None, :].astype(np.float64)
+    d = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_PHASH_DCT = _dct_basis(_PHASH_N)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash (classic DCT pHash): grayscale → 32×32
+    (deterministic integral-image area pooling, nearest upsample below
+    32px) → 2-D DCT-II → top-left 8×8 low-frequency block → bit i =
+    coefficient_i > median of the 63 AC coefficients.  Signed int64
+    (bit pattern offset like the SimHash column) so it rides the same
+    banded-Hamming pair machinery.
+
+    Robust to small pixel noise / re-encodes (low frequencies move
+    little); NOT robust to crops/rotations — that is the documented
+    contract of DCT pHash."""
+    a = np.asarray(pixels, dtype=np.float64)
+    if a.ndim == 3:  # luma (Rec. 601)
+        if a.shape[2] >= 3:
+            a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        else:
+            a = a[..., 0]
+    h, w = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    n = _PHASH_N
+    if h < n or w < n:  # nearest upsample keeps pooling bins non-empty
+        a = a[np.minimum(np.arange(n) * h // n, h - 1)][
+            :, np.minimum(np.arange(n) * w // n, w - 1)
+        ]
+        h = w = n
+    ys = np.linspace(0, h, n + 1).astype(np.int64)
+    xs = np.linspace(0, w, n + 1).astype(np.int64)
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+    s = ii[ys][:, xs]
+    blocks = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    g = blocks / area
+    low = (_PHASH_DCT @ g @ _PHASH_DCT.T)[:8, :8].ravel()
+    med = float(np.median(low[1:]))  # AC median; DC only contributes its bit
+    weights = 1 << np.arange(63, -1, -1, dtype=np.uint64)
+    u = int(((low > med).astype(np.uint64) * weights).sum(dtype=np.uint64))
+    return u - 2**64 if u >= 2**63 else u  # signed two's-complement view

@@ -1177,10 +1177,13 @@ def simhash_signatures(
 
 def simhash_near_pairs(
     sigs: rd.Dataset, id_col: str = "doc_id", max_hamming: int = 3,
-    max_bucket: int = 256,
+    max_bucket: int = 256, bands: int = 4, sig_col: str = "simhash",
 ) -> rd.Dataset:
-    """Band the 64-bit signature into 4×16-bit keys; by pigeonhole any
-    pair within Hamming ≤ 3 shares at least one 16-bit band.
+    """Band the 64-bit signature into ``bands`` equal keys; by
+    pigeonhole any pair within Hamming ≤ bands-1 shares at least one
+    band (defaults: 4×16-bit → guarantee ≤ 3; the pHash image path uses
+    8×8-bit → guarantee ≤ 7).  ``sig_col`` names the int64 signature
+    column (``simhash`` for text SimHash, ``phash`` callers rename).
 
     ``max_bucket`` caps the per-bucket pair expansion: a band key shared
     by more than ``max_bucket`` docs (a degenerate band on a
@@ -1188,23 +1191,27 @@ def simhash_near_pairs(
     sort order — a documented recall cap that bounds the otherwise
     quadratic blowup.  Raise it (or pre-shard by an extra band) when
     exhaustive recall matters more than latency."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    bits = 64 // bands
+    band_mask = np.uint64((1 << bits) - 1)
 
     _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy()
-        s = batch["simhash"].to_numpy(dtype=np.int64)
+        s = batch[sig_col].to_numpy(dtype=np.int64)
         u = s.view(np.uint64) ^ np.uint64(1 << 63)  # == s + 2**63
         n = len(ids)
-        shifts = np.tile((np.arange(4) * 16).astype(np.uint64), n)
+        shifts = np.tile((np.arange(bands) * bits).astype(np.uint64), n)
         return pd.DataFrame(
             {
-                "band": np.tile(np.arange(4, dtype=np.int64), n),
-                "key": ((np.repeat(u, 4) >> shifts) & np.uint64(0xFFFF)).astype(
+                "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                "key": ((np.repeat(u, bands) >> shifts) & band_mask).astype(
                     np.int64
                 ),
-                id_col: np.repeat(ids, 4),
-                "simhash": np.repeat(s, 4),
+                id_col: np.repeat(ids, bands),
+                "simhash": np.repeat(s, bands),
             }
         )
 

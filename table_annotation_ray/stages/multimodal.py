@@ -91,7 +91,7 @@ class DecodeImage:
         checksum = [zlib.crc32(p) if p else 0 for p in payloads]
         widths = batch["width"].to_pylist()
         heights = batch["height"].to_pylist()
-        decoded, mean_luma = [], []
+        decoded, mean_luma, phashes = [], [], []
         out_w, out_h = [], []
         for i, p in enumerate(payloads):
             try:
@@ -101,12 +101,14 @@ class DecodeImage:
                 mean_luma.append(round(float(arr.mean()), 3))
                 out_h.append(int(arr.shape[0]))
                 out_w.append(int(arr.shape[1]))
+                phashes.append(codecs.phash64(pixels))
             except (NotImplementedError, ValueError):
                 # unsupported format / corrupt payload: byte-stats fallback
                 decoded.append(False)
                 mean_luma.append(None)
                 out_w.append(widths[i])
                 out_h.append(heights[i])
+                phashes.append(None)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -116,6 +118,7 @@ class DecodeImage:
                 "height": pa.array(out_h, pa.int32()),
                 "decoded": pa.array(decoded, pa.bool_()),
                 "mean_luma": pa.array(mean_luma, pa.float64()),
+                "phash": pa.array(phashes, pa.int64()),
             }
         )
 
@@ -271,4 +274,80 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
             "height": pa.array(heights, pa.int32()),
             "duration_ms": pa.array(durations, pa.int32()),
         }
+    )
+
+
+def image_near_dup_pairs(
+    media,
+    max_hamming: int = 7,
+    bands: int = 8,
+    max_bucket: int = 256,
+    decoder=None,
+    concurrency=(1, 4),
+):
+    """Perceptual image near-duplicate pairs: decode → 64-bit DCT pHash
+    (functions/codecs.py::phash64) → the dedup family's banded-Hamming
+    machinery (stages/dedup.py::simhash_near_pairs) with 8×8-bit bands,
+    so every pair within Hamming ≤ bands-1 = 7 is GUARANTEED found by
+    pigeonhole — the usual pHash near-dup radius.  Returns
+    (a, b, hamming) over ``media_id``; undecodable rows (no pixels → no
+    perceptual hash) are excluded, exactly like text rows with no
+    shingles.
+
+    Scale shape: decode is embarrassingly parallel map_batches (small
+    batches, payload-dominated rows); the pair search is one bucketed
+    band exchange over (media_id, 8 band keys) rows — never pixels —
+    with the same ``max_bucket`` capped-bucket recall contract as the
+    text family."""
+    from .dedup import simhash_near_pairs
+
+    kwargs = {} if decoder is None else {"fn_constructor_kwargs": {"decoder": decoder}}
+    feats = media.map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=concurrency,
+        **kwargs,
+    )
+    sigs = feats.filter(expr="decoded").select_columns(["media_id", "phash"])
+    return simhash_near_pairs(
+        sigs,
+        id_col="media_id",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        bands=bands,
+        sig_col="phash",
+    )
+
+
+def plant_perturbed_images(
+    table: pa.Table, n_planted: int = 16, noise: int = 1, id_offset: int = 1_000_000
+) -> pa.Table:
+    """Append re-encoded copies of the first ``n_planted`` IMAGE rows
+    with per-pixel uniform noise in [-noise, +noise] (seeded by media
+    id) — planted ground truth for perceptual near-dup recall, the
+    image twin of similarity.plant_near_dups.  Copies keep the original
+    schema with ``media_id + id_offset``."""
+    import numpy as np
+
+    rows = table.to_pylist()
+    out = []
+    planted = 0
+    for r in rows:
+        if planted >= n_planted:
+            break
+        if r["kind"] != "image":
+            continue
+        pixels = codecs.decode_image(r["payload"]).astype(np.int64)
+        rng = np.random.RandomState(900_001 + int(r["media_id"]))
+        noisy = np.clip(
+            pixels + rng.randint(-noise, noise + 1, size=pixels.shape), 0, 255
+        ).astype(np.uint8)
+        out.append(
+            {**r, "media_id": r["media_id"] + id_offset,
+             "payload": codecs.encode_png(noisy), "mime": "image/png"}
+        )
+        planted += 1
+    return pa.concat_tables(
+        [table, pa.Table.from_pylist(out, schema=table.schema)]
     )

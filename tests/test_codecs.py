@@ -163,3 +163,85 @@ def test_default_decode_path_is_real(ray_session):
     win = np.array_split(pcm, 8)
     want = [round(float(np.sqrt((w**2).mean())), 6) for w in win]
     assert list(prof) == pytest.approx(want)
+
+
+def test_phash64_properties():
+    """Determinism, noise robustness, cross-image separation, PNG
+    round-trip invariance of the DCT perceptual hash."""
+    from table_annotation_ray.functions import codecs
+
+    def mk(seed, size=64):
+        r = np.random.RandomState(seed)
+        base = r.randint(0, 256, size=(4, 4, 3)).astype(np.float64)
+        return base.repeat(size // 4, 0).repeat(size // 4, 1).astype(np.uint8)
+
+    def ham(a, b):
+        return bin(((a + 2**64) % 2**64) ^ ((b + 2**64) % 2**64)).count("1")
+
+    h = codecs.phash64(mk(1))
+    assert codecs.phash64(mk(1)) == h  # deterministic
+    # PNG encode/decode round trip is hash-invariant (lossless)
+    assert codecs.phash64(codecs.decode_image(codecs.encode_png(mk(1)))) == h
+    # small pixel noise moves few low-frequency bits (flat-block synth
+    # images are the worst case: many ACs sit at the median threshold,
+    # so the bound is loose here; the pipeline recall test pins the
+    # guaranteed ≤7 radius on its own planted set)
+    r = np.random.RandomState(7)
+    noisy = np.clip(mk(1).astype(int) + r.randint(-1, 2, mk(1).shape), 0, 255)
+    noise_ham = ham(h, codecs.phash64(noisy.astype(np.uint8)))
+    cross_ham = ham(h, codecs.phash64(mk(2)))
+    assert noise_ham <= 12 < cross_ham
+    assert cross_ham > 16
+    # grayscale and sub-32px inputs hash without error
+    assert isinstance(codecs.phash64(np.ones((5, 7)) * 3), int)
+    with pytest.raises(ValueError):
+        codecs.phash64(np.empty((0, 4)))
+
+
+def test_image_near_dup_planted_recall(ray_session):
+    """Every planted noise-perturbed image pair within the 8-band
+    pigeonhole radius (Hamming ≤ 7) MUST be recovered by
+    image_near_dup_pairs; random synth images must not cross-match."""
+    import ray.data as rd
+
+    from table_annotation_ray.functions import codecs
+    from table_annotation_ray.stages.multimodal import (
+        image_near_dup_pairs,
+        plant_perturbed_images,
+        synth_media_table,
+    )
+
+    planted = plant_perturbed_images(
+        synth_media_table(n=90, seed=5), n_planted=12, noise=1
+    )
+    pairs = (
+        image_near_dup_pairs(rd.from_arrow(planted))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    def ham(a, b):
+        return bin(((a + 2**64) % 2**64) ^ ((b + 2**64) % 2**64)).count("1")
+
+    rows = {r["media_id"]: r for r in planted.to_pylist()}
+    expected = []
+    for mid, r in rows.items():
+        if mid >= 1_000_000:
+            h = ham(
+                codecs.phash64(codecs.decode_image(rows[mid - 1_000_000]["payload"])),
+                codecs.phash64(codecs.decode_image(r["payload"])),
+            )
+            if h <= 7:
+                expected.append((mid - 1_000_000, mid))
+    assert expected, "planted set degenerate (all hammings > 7)"
+    found = set(zip(pairs.a, pairs.b))
+    assert set(expected) <= found
+    # no cross-matches between independent random images
+    assert all(b - a == 1_000_000 for a, b in found)
+    # hamming column is the true signature distance
+    for _, row in pairs.iterrows():
+        assert row["hamming"] == ham(
+            codecs.phash64(codecs.decode_image(rows[row["a"]]["payload"])),
+            codecs.phash64(codecs.decode_image(rows[row["b"]]["payload"])),
+        )
