@@ -981,6 +981,41 @@ def _q_media_features(sf_dir: str):
     ).to_pandas()
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Distributed fastText-shape quality classifier
+    (stages/classifier.py): weak labels from the heuristic quality gate
+    (stopword_ratio ≥ 0.05 ∧ mean_token_len < 8 — the curation funnel's
+    own rule), hashed-n-gram logistic training with one grouped_reduce
+    gradient exchange per epoch, then a broadcast scoring pass.
+    Rows-only (iterative training has no SQL equivalent); planted-signal
+    recovery + layout invariance pinned by
+    tests/test_curation.py::test_quality_classifier_planted_signal."""
+    from table_annotation_ray.stages.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def label(b):
+        q = quality_scores(b)
+        b = b.copy()
+        b["label"] = (
+            (q["stopword_ratio"] >= 0.05) & (q["mean_token_len"] < 8.0)
+        ).astype("int64")
+        return b
+
+    labeled = docs.map_batches(label, batch_format="pandas").materialize()
+    model = train_quality_classifier(labeled, dim=1 << 16, epochs=4, lr=1.0)
+    out = score_quality_classifier(labeled, model).to_pandas()
+    return (
+        out.astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_image_near_dup(sf_dir: str):
     """Perceptual image near-duplicate detection: DCT pHash over REAL
     decoded PNG pixels + the banded-Hamming pair machinery (8×8-bit
@@ -2553,6 +2588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_annotate": _q_table_annotate,
         "media_features": _q_media_features,
         "image_near_dup": _q_image_near_dup,
+        "quality_classifier": _q_quality_classifier,
         "audio_features": _q_audio_features,
         "sample_per_lang": _q_sample_per_lang,
         "incremental_exact_dedup": _q_incremental_exact_dedup,

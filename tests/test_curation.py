@@ -305,3 +305,57 @@ def test_bigram_lm_context_consistency_under_truncation(ray_session):
     assert all(a in uni_toks for a, _ in model["bi"])
     out = score_perplexity(ds, model).to_pandas()
     assert (out["ppl"] >= 1.0).all()  # P<=1 everywhere, log P <= 0
+
+
+def test_quality_classifier_planted_signal(ray_session):
+    """Distributed hashed-n-gram logistic training must recover a
+    planted vocabulary signal (AUC ≈ 1 on the training distribution)
+    and be invariant to block layout (full-batch GD: gradients sum
+    commutatively across partitions)."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    rng = np.random.default_rng(5)
+    good = ["clear", "concise", "helpful", "informative", "structured"]
+    bad = ["spam", "clickbait", "lottery", "winner", "unsubscribe"]
+    docs = []
+    for i in range(1200):
+        y = i % 2
+        words = ["the", "quick", "text", "about", "topic"] + list(
+            rng.choice(good if y else bad, size=4)
+        )
+        docs.append(
+            {"doc_id": i, "text": " ".join(rng.permutation(words)), "label": y}
+        )
+    ds = rd.from_items(docs).repartition(8)
+    model = train_quality_classifier(ds, dim=1 << 14, epochs=6, lr=1.0)
+
+    scores = (
+        score_quality_classifier(ds, model)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    y = np.array([d["label"] for d in docs])
+    s = scores["score"].to_numpy()
+    order = np.argsort(s)
+    ranks = np.empty(len(s))
+    ranks[order] = np.arange(1, len(s) + 1)
+    n1, n0 = int((y == 1).sum()), int((y == 0).sum())
+    auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert auc > 0.99, auc
+
+    # block-layout invariance: identical weights from a 3-block layout
+    model2 = train_quality_classifier(
+        rd.from_items(docs).repartition(3), dim=1 << 14, epochs=6, lr=1.0
+    )
+    np.testing.assert_allclose(model["w"], model2["w"], atol=1e-12)
+    assert model["bias"] == pytest.approx(model2["bias"], abs=1e-12)
+
+    # degenerate inputs
+    with pytest.raises(ValueError):
+        train_quality_classifier(rd.from_items([]).repartition(1))
