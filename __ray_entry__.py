@@ -981,6 +981,42 @@ def _q_media_features(sf_dir: str):
     ).to_pandas()
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (stages/bpe.py): one distributed
+    word-count exchange, then the size-gated merge loop (driver engine
+    at this scale; the dataset engine is pytest-pinned byte-identical).
+    Returns the ordered merge table.  Rows-only (iterative training);
+    byte-identity to a single-process Sennrich reference is pinned by
+    tests/test_curation.py::test_bpe_merges_match_reference_and_engines_agree."""
+    from table_annotation_ray.stages.bpe import train_bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=60)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(merges)), dtype="int64"),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """Per-document token counts under the TRAINED BPE tokenizer —
+    train + one broadcast scoring pass with a per-worker encode memo.
+    Rows-only (the trained tokenizer is not SQL-expressible)."""
+    from table_annotation_ray.stages.bpe import bpe_token_counts, train_bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=60)
+    out = bpe_token_counts(docs, merges).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "n_tokens": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_quality_classifier(sf_dir: str):
     """Distributed fastText-shape quality classifier
     (stages/classifier.py): weak labels from the heuristic quality gate
@@ -2589,6 +2625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "image_near_dup": _q_image_near_dup,
         "quality_classifier": _q_quality_classifier,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "audio_features": _q_audio_features,
         "sample_per_lang": _q_sample_per_lang,
         "incremental_exact_dedup": _q_incremental_exact_dedup,

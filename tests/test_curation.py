@@ -359,3 +359,86 @@ def test_quality_classifier_planted_signal(ray_session):
     # degenerate inputs
     with pytest.raises(ValueError):
         train_quality_classifier(rd.from_items([]).repartition(1))
+
+
+def test_bpe_merges_match_reference_and_engines_agree(ray_session):
+    """BPE training must reproduce a hand-rolled single-process Sennrich
+    reference byte-for-byte, and the distributed dataset engine must
+    equal the driver engine on the same corpus."""
+    import collections
+
+    import ray.data as rd
+
+    from table_annotation_ray.stages.bpe import (
+        EOW,
+        bpe_token_counts,
+        encode_word,
+        train_bpe,
+    )
+
+    docs = [
+        {"doc_id": i, "text": t}
+        for i, t in enumerate(
+            [
+                "low lower lowest newer new news",
+                "the newer widow showed the new show",
+                "low low low lower lowest newest",
+                "wide wider widest new newer widow",
+            ]
+            * 5
+        )
+    ]
+    ds = rd.from_items(docs).repartition(4)
+
+    # independent reference: Counter-based word counts + direct
+    # full-recount merge loop (no imports from the module under test
+    # beyond the EOW constant)
+    wc: collections.Counter = collections.Counter()
+    for d in docs:
+        wc.update(d["text"].lower().split())
+    table = {w: list(w) + [EOW] for w in wc}
+    ref_merges = []
+    for _ in range(25):
+        stats: collections.Counter = collections.Counter()
+        for w, syms in table.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += wc[w]
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        ref_merges.append((a, b))
+        for w, syms in table.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            table[w] = out
+
+    m_driver = train_bpe(ds, num_merges=25, engine="driver")
+    assert m_driver == ref_merges
+    m_dataset = train_bpe(
+        ds, num_merges=25, engine="dataset", driver_max_words=0,
+        repartition_blocks=4,
+    )
+    assert m_dataset == ref_merges
+
+    # encode: 'low' must compress under the trained merges, and the
+    # trained-tokenizer counts must equal a direct per-doc encode
+    ranks = {p: i for i, p in enumerate(ref_merges)}
+    assert len(encode_word("low", ranks)) < len("low") + 1
+    counts = (
+        bpe_token_counts(ds, ref_merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for d in docs[:8]:
+        want = sum(len(encode_word(w, ranks)) for w in d["text"].lower().split())
+        assert int(counts.loc[counts.doc_id == d["doc_id"], "n_tokens"].iloc[0]) == want
