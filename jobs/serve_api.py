@@ -59,10 +59,28 @@ class ServiceState:
         self._req_id = 0
         self._req_lock = threading.Lock()
         # TableAnnotator.annotate mutates per-call instance state
-        # (table, cea/cta/cpa dicts) — concurrent /annotate threads
-        # must serialize on it; /lookup and /preprocess only read
-        # shared state (the lru-cached index search is thread-safe)
-        self._annotate_lock = threading.Lock()
+        # (table, cea/cta/cpa dicts), so /annotate gives each handler
+        # THREAD its own TableAnnotator — the heavy state (KB image,
+        # SymSpell index, NER, caches) stays shared: index search is
+        # lru-cached/thread-safe, and ActorCaches entries are
+        # deterministic memos (a racing double-fill writes the same
+        # value).  Requests run concurrently; r4's single global
+        # annotate lock is gone.
+        self._tls = threading.local()
+
+    def _thread_annotator(self):
+        ann = getattr(self._tls, "annotator", None)
+        if ann is None:
+            from table_annotation_ray.stages.annotator import TableAnnotator
+
+            ann = TableAnnotator(
+                self.stage.index,
+                self.stage.kbr,
+                self.stage.cfg.annotation,
+                self.stage.caches,
+            )
+            self._tls.annotator = ann
+        return ann
 
     def next_request_id(self) -> int:
         with self._req_lock:
@@ -95,8 +113,15 @@ class ServiceState:
     def annotate(self, table: list[list[str]]) -> dict:
         from table_annotation_ray.pipelines.table_pipeline import annotate_single
 
-        with self._annotate_lock:
-            payload = annotate_single(table, self.stage)
+        # per-thread view: shared ner/kbr/index, private annotator
+        class _View:
+            pass
+
+        view = _View()
+        view.kbr = self.stage.kbr
+        view.ner = self.stage.ner
+        view.annotator = self._thread_annotator()
+        payload = annotate_single(table, view)
         if payload is None:  # preprocessing filtered the table away
             payload = {"CEA": [], "CTA": [], "CPA": [], "avgLookupCandidate": 0.0}
         return {

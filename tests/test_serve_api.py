@@ -113,3 +113,37 @@ def test_error_paths(server):
     # server still alive afterwards
     with urllib.request.urlopen(base + "/health") as r:
         assert r.status == 200
+
+
+def test_annotate_concurrent_correctness(server):
+    """Concurrent /annotate requests (per-thread annotator, shared
+    index/KB/caches) must each return exactly the single-flight result
+    for their table — no cross-request state bleed, no errors."""
+    import concurrent.futures
+
+    base, state = server
+    labels = list(state.kb.labels.values())
+    tables = []
+    for k in range(6):  # six DIFFERENT tables
+        rows = [["name", "value"]]
+        for label in labels[k : k + 4]:
+            rows.append([label, str(1990 + k)])
+        tables.append(rows)
+
+    # single-flight ground truth per table
+    want = []
+    for t in tables:
+        status, body = _post(base, "/annotate", {"table": t})
+        assert status == 200
+        want.append(body["annotated"])
+
+    # hammer concurrently, interleaving the six tables
+    def call(i):
+        status, body = _post(base, "/annotate", {"table": tables[i % 6]})
+        assert status == 200
+        return i % 6, body["annotated"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(call, range(24)))
+    for i, ann in results:
+        assert ann == want[i], f"table {i} diverged under concurrency"
