@@ -413,6 +413,30 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ADC top-k (Jégou et al. 2011): sample-trained
+    per-subspace codebooks, per-query inner-product LUT broadcast, corpus
+    scored by m table lookups instead of d-dim dot products, ADC
+    shortlist exact-reranked per batch — the compressed-index ANN scale
+    path beside IVF/LSH.  Rows-only (approximate by design; m=1
+    exactness and measured rerank recall are pytest-pinned)."""
+    from table_annotation_ray.stages.similarity import pq_topk
+
+    return pq_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3], k=5
+    )
+
+
+def _q_ann_pq_recall(sf_dir: str):
+    """Measured recall of the PQ/ADC index vs exact brute force
+    (rows-only: the number is the point)."""
+    from table_annotation_ray.stages.similarity import pq_recall
+
+    return pq_recall(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3], k=5
+    )
+
+
 def _q_ann_lsh_recall(sf_dir: str):
     """Measured recall of the LSH index vs the exact brute-force top-k
     (rows-only: the number is the point)."""
@@ -2566,6 +2590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
+        "ann_pq_recall": _q_ann_pq_recall,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "minhash_components": _q_minhash_components,
         "embedding_near_dup": _q_embedding_near_dup,

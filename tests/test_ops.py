@@ -1135,3 +1135,56 @@ def test_distribution_drift_known_cases(ray_session):
     # one empty side -> zero profile
     d4 = pd.DataFrame({"t": ["a", "b"], "side": [0, 0]})
     assert distribution_drift(rd.from_pandas(d4), "t", "side")["js"] == 0.0
+
+
+def test_pq_adc_exact_at_m1_full_codebook(ray_session):
+    """With m=1 and one centroid per corpus vector (trained on the full
+    corpus), every vector is its own code word, the ADC LUT holds exact
+    inner products, and pq_topk must equal brute_force_topk exactly."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import brute_force_topk, pq_topk
+
+    rng = np.random.RandomState(11)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=16).tolist()} for i in range(40)]
+    ds = rd.from_items(rows)
+    exact = brute_force_topk(ds, [0, 1], k=4).reset_index(drop=True)
+    approx = pq_topk(
+        ds, [0, 1], k=4, m=1, ks=40, train_sample=1000, rerank=0
+    ).reset_index(drop=True)
+    assert list(approx.neighbor_id) == list(exact.neighbor_id)
+    assert list(approx["rank"]) == list(exact["rank"])
+    np.testing.assert_allclose(
+        approx.score.to_numpy(), exact.cosine.to_numpy(), atol=2e-6
+    )
+
+
+def test_pq_recall_on_clusters_and_encode_contract(ray_session):
+    """PQ/ADC on a clustered corpus recovers most true neighbors; codes
+    are deterministic, bounded by ks, and m per vector."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import pq_encode, pq_recall, pq_train
+
+    rng = np.random.RandomState(21)
+    centers = rng.normal(size=(6, 16)) * 4
+    rows = [
+        {"vec_id": i,
+         "embedding": (centers[i % 6] + rng.normal(size=16) * 0.3).tolist()}
+        for i in range(240)
+    ]
+    ds = rd.from_items(rows)
+    # rerank path (default): ADC shortlist + exact rerank recovers
+    # within-codeword order — pure ADC cannot rank members of one code
+    # word (identical scores), so the rerank number is the headline
+    rec = pq_recall(ds, [0, 1, 2], k=5, m=4, ks=16, rerank=32)
+    assert (rec["recall"] >= 0.8).all(), rec.to_dict("records")
+
+    books = pq_train(ds, m=4, ks=16, train_sample=240)
+    assert books.shape == (4, 16, 4)
+    codes = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    codes2 = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    assert codes.codes.map(tuple).tolist() == codes2.codes.map(tuple).tolist()
+    flat = np.concatenate([np.asarray(c) for c in codes.codes])
+    assert flat.min() >= 0 and flat.max() < 16
+    assert all(len(c) == 4 for c in codes.codes)
