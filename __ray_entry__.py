@@ -627,6 +627,22 @@ def _q_sample_per_lang(sf_dir: str):
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_lang_temperature_sample(sf_dir: str):
+    """Temperature-balanced corpus sampling (stages/datapipe.py::
+    temperature_sample, alpha=0.5): per-language quotas ∝ sqrt(n_lang)
+    flatten the language mix toward uniform (the multilingual-LM
+    sampling rule), each quota filled by the lang's lowest-hash docs.
+    SQL hash-exact — at alpha=0.5 the quota math is pure integer
+    arithmetic (floor(sqrt(n)) weights, floor division), and selection
+    is the established row_number-over-hash window."""
+    from table_annotation_ray.stages.datapipe import temperature_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = temperature_sample(docs, total_k=120, alpha=0.5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def _q_incremental_exact_dedup(sf_dir: str):
     """Incremental EXACT dedup (stages/dedup.py::cross_corpus_exact_dups
     — the exact twin of the minhash incremental path): an incoming
@@ -2655,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "audio_features": _q_audio_features,
         "sample_per_lang": _q_sample_per_lang,
+        "lang_temperature_sample": _q_lang_temperature_sample,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
         "user_counts_cms": _q_user_counts_cms,
         "domain_stats": _q_domain_stats,
@@ -2909,6 +2926,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, lang FROM h WHERE rn <= 20
+        """,
+        "lang_temperature_sample": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            s AS (
+                SELECT lang, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+                FROM c
+            ),
+            q AS (
+                SELECT lang, n,
+                       least(n, (120 * w) // (SELECT sum(w) FROM s)) AS k
+                FROM s
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761)
+                                     % 4294967296 + 4294967296) % 4294967296,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT r.doc_id, r.lang
+            FROM r JOIN q USING (lang)
+            WHERE r.rn <= q.k
         """,
         "dataset_split": """
             WITH h AS (

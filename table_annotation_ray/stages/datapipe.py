@@ -722,3 +722,101 @@ def percent_rank(
         return pa.Table.from_pandas(b, preserve_index=False)
 
     return ranked.map_batches(assign, batch_format="pandas")
+
+
+def temperature_quotas(
+    counts: "pd.Series",
+    total_k: int,
+    alpha: float = 0.5,
+) -> dict:
+    """Per-group sample quotas for temperature-balanced corpus mixing
+    (the multilingual-LM sampling rule: p_g ∝ n_g**alpha flattens the
+    group distribution; alpha=1 keeps natural proportions, alpha→0
+    approaches uniform).  At ``alpha=0.5`` the whole computation is
+    integer arithmetic — weights ``floor(sqrt(n_g))`` (IEEE sqrt is
+    correctly rounded, so DuckDB's ``floor(sqrt(n))`` is bit-identical)
+    and floor-division quotas ``(total_k·w_g) // Σw`` — making the
+    downstream sample hash-exact oracle-able.  Other alphas take a
+    float path (pytest-covered only; ceil/floor boundaries of float
+    quotas are not portable across engines)."""
+    if alpha == 0.5:
+        w = {g: int(math.floor(math.sqrt(float(n)))) for g, n in counts.items()}
+        wsum = sum(w.values())
+        return {g: min(int(counts[g]), (total_k * w[g]) // wsum) for g in w}
+    w = {g: float(n) ** alpha for g, n in counts.items()}
+    wsum = sum(w.values())
+    return {g: min(int(counts[g]), int(math.floor(total_k * w[g] / wsum))) for g in w}
+
+
+def temperature_sample(
+    docs: rd.Dataset,
+    total_k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Temperature-balanced corpus sampling: draw ~``total_k`` docs with
+    per-group quotas ∝ n_g**alpha (:func:`temperature_quotas`), each
+    group's quota filled by its ``k_g`` lowest-multiplicative-hash ids —
+    deterministic, order-independent, no RNG state.
+
+    Two passes, both scale-shaped: (1) per-group counts via map-side
+    ``value_counts`` partials combined on the driver (group cardinality
+    = languages/sources — bounded, never corpus-cardinality); (2) the
+    ``grouped_topk`` two-pass combiner with a PER-GROUP k: map side
+    keeps ≤k_g rows per (group, batch) so the 64-bucket hash exchange
+    moves at most k_g×groups×batches rows, and the in-bucket finalizer
+    re-selects the global bottom-k_g.  SQL mirror (alpha=0.5):
+    ``row_number() OVER (PARTITION BY g ORDER BY <hash>, id) <=
+    least(n, (K·floor(sqrt(n))) // Σfloor(sqrt(n)))``."""
+    import pyarrow as pa
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[group_col].value_counts()
+        return pd.DataFrame(
+            {group_col: vc.index.to_numpy(), "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    parts = docs.map_batches(
+        cnt, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    counts = parts.groupby(group_col, sort=False)["n"].sum()
+    kmap = temperature_quotas(counts, total_k, alpha)
+
+    def select(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(["__ts_hash", id_col], kind="mergesort")
+        cc = d.groupby(group_col, sort=False).cumcount().to_numpy()
+        kk = d[group_col].map(kmap).fillna(0).to_numpy(dtype=np.int64)
+        return d[cc < kk]
+
+    def partial(b: pa.Table) -> pa.Table:
+        # explicit output schema: a batch whose every row is filtered
+        # out must not let empty object columns infer Arrow NULL
+        # (CLAUDE.md empty-frame rule)
+        out_schema = b.schema.append(pa.field("__ts_hash", pa.int64())).append(
+            pa.field("__ts_bkt", pa.int64())
+        )
+        d = b.to_pandas()
+        u = d[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        d = d.assign(
+            __ts_hash=((u * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)).astype(
+                np.int64
+            )
+        )
+        out = select(d).copy()
+        out["__ts_bkt"] = (
+            pd.util.hash_pandas_object(out[group_col], index=False).to_numpy()
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = select(g).drop(columns=["__ts_hash", "__ts_bkt"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__ts_bkt")
+        .map_groups(final, batch_format="pandas")
+    )

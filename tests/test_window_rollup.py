@@ -640,6 +640,70 @@ def test_grouped_uniform_sample(ray_session):
     assert len(out3) == 5
 
 
+def test_temperature_sample(ray_session):
+    from table_annotation_ray.stages.datapipe import (
+        HASH_MOD,
+        HASH_MULT,
+        temperature_quotas,
+        temperature_sample,
+    )
+
+    rng = np.random.default_rng(62)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(50_000)[:n].astype(np.int64),
+            "lang": rng.choice(
+                ["en", "zh", "es", "de"], n, p=[0.7, 0.15, 0.1, 0.05]
+            ),
+        }
+    )
+    counts = df["lang"].value_counts()
+
+    # quota math (alpha=0.5 integer path): ∝ floor(sqrt(n)), capped at n
+    kmap = temperature_quotas(counts, total_k=400)
+    w = {g: int(np.floor(np.sqrt(float(c)))) for g, c in counts.items()}
+    wsum = sum(w.values())
+    assert kmap == {g: min(int(counts[g]), (400 * w[g]) // wsum) for g in w}
+    # flattening: head lang's share shrinks vs its natural share
+    assert kmap["en"] / sum(kmap.values()) < counts["en"] / n
+    # alpha→1 approaches natural proportions; alpha float path works
+    k1 = temperature_quotas(counts, total_k=400, alpha=1.0)
+    assert abs(k1["en"] / sum(k1.values()) - counts["en"] / n) < 0.01
+
+    out = temperature_sample(
+        rd.from_pandas(df).repartition(7), total_k=400
+    ).to_pandas()
+    assert sorted(out.columns) == ["doc_id", "lang"]
+    assert out.groupby("lang").size().to_dict() == kmap
+    # per-group selection = global bottom-k_g by multiplicative hash
+    h = (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(HASH_MULT)) % np.uint64(
+        HASH_MOD
+    )
+    ref = df.assign(h=h.astype(np.int64))
+    for g, sub in ref.groupby("lang"):
+        want = sub.sort_values(["h", "doc_id"]).head(kmap[g])["doc_id"].tolist()
+        assert sorted(out[out["lang"] == g]["doc_id"]) == sorted(want), g
+    # deterministic across block layouts
+    out2 = temperature_sample(
+        rd.from_pandas(df).repartition(3), total_k=400
+    ).to_pandas()
+    assert sorted(map(tuple, out[["lang", "doc_id"]].itertuples(index=False))) == sorted(
+        map(tuple, out2[["lang", "doc_id"]].itertuples(index=False))
+    )
+    # quota can be 0 for rare groups at tiny total_k (rows filtered
+    # map-side; empty partial batches must not break block unification)
+    k_tiny = temperature_quotas(counts, total_k=4)
+    out3 = temperature_sample(rd.from_pandas(df).repartition(5), total_k=4).to_pandas()
+    assert out3.groupby("lang").size().to_dict() == {
+        g: k for g, k in k_tiny.items() if k > 0
+    }
+    # quota capped at group size when a group is smaller than its share
+    tiny = pd.concat([df[df["lang"] == "en"].head(50), df[df["lang"] == "de"].head(2)])
+    out4 = temperature_sample(rd.from_pandas(tiny), total_k=40).to_pandas()
+    assert out4[out4["lang"] == "de"].shape[0] == 2
+
+
 def test_countmin_bounds_and_merge_exactness(ray_session):
     from table_annotation_ray.stages.sketches import (
         CountMin,
