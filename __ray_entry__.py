@@ -627,6 +627,19 @@ def _q_sample_per_lang(sf_dir: str):
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_token_shards(sf_dir: str):
+    """Balanced training-shard assignment (stages/datapipe.py::
+    shard_by_token_budget): docs in id order cut into 8 contiguous
+    shards of ~equal token budget by floor-dividing each doc's global
+    start offset.  Rides the pack_documents distributed prefix sum;
+    SQL hash-exact (window running sum + identical integer division)."""
+    from table_annotation_ray.stages.datapipe import shard_by_token_budget
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = shard_by_token_budget(docs, n_shards=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lang_temperature_sample(sf_dir: str):
     """Temperature-balanced corpus sampling (stages/datapipe.py::
     temperature_sample, alpha=0.5): per-language quotas ∝ sqrt(n_lang)
@@ -2672,6 +2685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "sample_per_lang": _q_sample_per_lang,
         "lang_temperature_sample": _q_lang_temperature_sample,
+        "token_shards": _q_token_shards,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
         "user_counts_cms": _q_user_counts_cms,
         "domain_stats": _q_domain_stats,
@@ -3236,6 +3250,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(off // 512 AS BIGINT) AS pack_id,
                    CAST(off AS BIGINT)        AS token_offset
+            FROM c
+        """,
+        "token_shards": """
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN trim(text) = '' THEN 0
+                                   ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                              END AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+                         sum(n_tokens) OVER () AS total
+                  FROM t)
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT)                     AS n_tokens,
+                   CAST(off AS BIGINT)                          AS token_offset,
+                   CAST(least(7, (off * 8) // total) AS BIGINT) AS shard_id
             FROM c
         """,
         "ann_topk": """

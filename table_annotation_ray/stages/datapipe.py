@@ -188,22 +188,20 @@ def char_entropy(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def pack_documents(
+def _token_offsets(
     docs: rd.Dataset,
-    max_tokens: int = 512,
     chunk: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> rd.Dataset:
-    """Assign every document a (pack_id, token_offset) for fixed-size
-    training-sequence packing: documents in ``doc_id`` order are laid
-    end-to-end and ``pack_id = token_offset // max_tokens``.  Returns a
-    DATASET (one row per document — corpus cardinality); collection is
-    the caller's choice at the caller's scale.
+):
+    """(id, n_tokens, token_offset) Dataset + corpus total — the
+    distributed-prefix-sum core shared by :func:`pack_documents` and
+    :func:`shard_by_token_budget`.  Documents in ``id`` order are laid
+    end-to-end; ``token_offset`` is each doc's global start.
 
-    Distributed prefix sum, no global sort: (1) per-doc whitespace token
-    counts in ``map_batches``; (2) ``groupby(doc_id // chunk)`` sums —
-    one bounded-key shuffle whose result (one row per chunk) is tiny;
+    No global sort: (1) per-doc whitespace token counts in
+    ``map_batches``; (2) ``groupby(doc_id // chunk)`` sums — one
+    bounded-key shuffle whose result (one row per chunk) is tiny;
     (3) the driver scans chunk sums into prefix offsets (10^12 docs /
     4096 ≈ 2.4×10^8 chunks — raise ``chunk`` at that scale) and
     broadcasts them; (4) a second pass computes in-chunk cumulative sums
@@ -268,16 +266,85 @@ def pack_documents(
         return pa.table(
             {
                 id_col: g[id_col].to_numpy(),
-                "pack_id": (offs // max_tokens).astype("int64"),
+                "n_tokens": g["n_tokens"].to_numpy().astype("int64"),
                 "token_offset": offs.astype("int64"),
             }
         )
 
-    return (
+    out = (
         toks.map_batches(bucketed, batch_format="pandas", batch_size=65536)
         .groupby("_pk_bkt")
         .map_groups(assign, batch_format="pandas")
     )
+    return out, running
+
+
+def pack_documents(
+    docs: rd.Dataset,
+    max_tokens: int = 512,
+    chunk: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Assign every document a (pack_id, token_offset) for fixed-size
+    training-sequence packing: documents in ``doc_id`` order are laid
+    end-to-end and ``pack_id = token_offset // max_tokens``.  Returns a
+    DATASET (one row per document — corpus cardinality); collection is
+    the caller's choice at the caller's scale.  Rides the
+    :func:`_token_offsets` distributed prefix sum."""
+    import pyarrow as pa
+
+    offs, _ = _token_offsets(docs, chunk=chunk, id_col=id_col, text_col=text_col)
+
+    def finish(b: pd.DataFrame) -> pa.Table:
+        off = b["token_offset"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col].to_numpy(),
+                "pack_id": (off // max_tokens).astype("int64"),
+                "token_offset": off,
+            }
+        )
+
+    return offs.map_batches(finish, batch_format="pandas")
+
+
+def shard_by_token_budget(
+    docs: rd.Dataset,
+    n_shards: int,
+    chunk: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Balanced training-shard assignment: documents in ``id`` order are
+    cut into ``n_shards`` contiguous shards of ~equal TOKEN budget (not
+    equal doc count — the quantity that balances training work), by
+    bucketing each doc's global start offset: ``shard_id = min(S-1,
+    (token_offset · S) // total_tokens)``.  Pure integer arithmetic on
+    the :func:`_token_offsets` prefix sum, so the result is
+    order-independent and SQL hash-exact (window running sum + the same
+    floor-division).  Feed the result to a partitioned-parquet sink
+    keyed on ``shard_id`` for resumable training-data writes.  The
+    int64 product bounds: 10^12-token corpora × 10^4 shards sit at
+    10^16 ≪ 2^63."""
+    import pyarrow as pa
+
+    offs, total = _token_offsets(docs, chunk=chunk, id_col=id_col, text_col=text_col)
+    denom = max(int(total), 1)  # all-empty corpus: everything lands in shard 0
+
+    def finish(b: pd.DataFrame) -> pa.Table:
+        off = b["token_offset"].to_numpy(dtype=np.int64)
+        sid = np.minimum(n_shards - 1, off * np.int64(n_shards) // np.int64(denom))
+        return pa.table(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_tokens": b["n_tokens"].to_numpy().astype("int64"),
+                "token_offset": off,
+                "shard_id": sid.astype("int64"),
+            }
+        )
+
+    return offs.map_batches(finish, batch_format="pandas")
 
 
 def stratified_sample(

@@ -547,6 +547,34 @@ def test_pack_documents_prefix_sum(ray_session):
     assert (out.pack_id == out.token_offset // 100).all()
 
 
+def test_shard_by_token_budget(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import shard_by_token_budget
+
+    docs = [{"doc_id": i, "text": " ".join(["w"] * (10 * (i % 7 + 1)))} for i in range(300)]
+    out = (
+        shard_by_token_budget(rd.from_items(docs), n_shards=5, chunk=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ntok = np.array([10 * (i % 7 + 1) for i in range(300)], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    total = int(ntok.sum())
+    assert list(out.token_offset) == list(off)
+    assert list(out.shard_id) == list(np.minimum(4, off * 5 // total))
+    # shards are contiguous in doc order and balanced in tokens
+    per = out.groupby("shard_id").n_tokens.sum()
+    assert len(per) == 5
+    assert per.max() - per.min() <= 2 * ntok.max()
+    assert (out.sort_values("doc_id").shard_id.diff().fillna(0) >= 0).all()
+    # zero-token docs land in a shard without crashing (empty text)
+    tiny = rd.from_items([{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "a b"}])
+    t = shard_by_token_budget(tiny, n_shards=3).to_pandas().sort_values("doc_id")
+    assert list(t.shard_id) == [0, 0] and list(t.n_tokens) == [0, 2]
+
+
 def test_char_entropy_and_repetition(ray_session):
     import ray.data as rd
 
