@@ -627,6 +627,41 @@ def _q_sample_per_lang(sf_dir: str):
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Quality-keeper exact dedup (stages/dedup.py::exact_dedup_keep_best):
+    one survivor per normalized-text cluster chosen by SCORE (raw char
+    length here — 'keep the longest'), not min id.  Duplicates are
+    injected as re-keyed (+2000) copies of docs 0-49 padded with
+    trailing spaces: normalization collapses the padding (same cluster)
+    but the raw length differs, so the COPY must win — distinguishing
+    keeper-by-score from keeper-by-min-id.  SQL hash-exact."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.dedup import exact_dedup_keep_best
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rekey(b: pd.DataFrame) -> "pa.Table":
+        out = b[b["doc_id"] < 50].copy()
+        out["doc_id"] = out["doc_id"] + 2000
+        out["text"] = out["text"] + "  "
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def score(b: pd.DataFrame) -> "pa.Table":
+        out = b.assign(score=b["text"].fillna("").str.len().astype("int64"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # both union branches emit Arrow blocks (mixed-block unions break
+    # downstream batchers — CLAUDE.md r3)
+    both = docs.union(docs.map_batches(rekey, batch_format="pandas")).map_batches(
+        score, batch_format="pandas"
+    )
+    out = exact_dedup_keep_best(both, "score").to_pandas()
+    for c in ("doc_id", "score"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_token_shards(sf_dir: str):
     """Balanced training-shard assignment (stages/datapipe.py::
     shard_by_token_budget): docs in id order cut into 8 contiguous
@@ -2686,6 +2721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "lang_temperature_sample": _q_lang_temperature_sample,
         "token_shards": _q_token_shards,
+        "dedup_keep_best": _q_dedup_keep_best,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
         "user_counts_cms": _q_user_counts_cms,
         "domain_stats": _q_domain_stats,
@@ -3251,6 +3287,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off // 512 AS BIGINT) AS pack_id,
                    CAST(off AS BIGINT)        AS token_offset
             FROM c
+        """,
+        "dedup_keep_best": """
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 2000, text || '  ' FROM documents
+                WHERE doc_id < 50
+            ),
+            n AS (
+                SELECT doc_id,
+                       length(COALESCE(text, '')) AS score,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+                FROM all_docs
+            ),
+            r AS (
+                SELECT doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY nt ORDER BY score DESC, doc_id
+                       ) AS rn
+                FROM n
+            )
+            SELECT doc_id, score FROM r WHERE rn = 1
         """,
         "token_shards": """
             WITH t AS (SELECT doc_id,

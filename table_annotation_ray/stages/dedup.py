@@ -112,6 +112,49 @@ def exact_dedup(
     return hashed.groupby("text_bkt").map_groups(keep_min, batch_format="pandas")
 
 
+def exact_dedup_keep_best(
+    docs: rd.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    descending: bool = True,
+) -> rd.Dataset:
+    """One representative per distinct normalized text, chosen by a
+    QUALITY SCORE (highest wins by default; ties → min id) instead of
+    min id — the production dedup semantics when a quality signal
+    exists (keep the longest / best-scored member of each duplicate
+    cluster, as web-corpus curation does).  Same digest-bucket exchange
+    as :func:`exact_dedup` — the score column rides the shuffle, the
+    in-bucket survivor pick is one vectorized sort + per-text head.
+    Returns (id, score).  SQL mirror: ``row_number() OVER (PARTITION BY
+    norm_text ORDER BY score DESC, id) = 1``."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        norm = _norm_arrow(batch[text_col])
+        h = pd.util.hash_pandas_object(
+            pd.Series(norm.to_pandas()), index=False
+        ).to_numpy(dtype=np.uint64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                score_col: batch[score_col],
+                "norm_text": norm,
+                "text_bkt": pa.array((h % np.uint64(64)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+
+    def keep_best(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            [score_col, id_col], ascending=[not descending, True], kind="mergesort"
+        )
+        out = g.groupby("norm_text", sort=True).head(1)
+        return pa.Table.from_pandas(out[[id_col, score_col]], preserve_index=False)
+
+    return hashed.groupby("text_bkt").map_groups(keep_best, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash
 # ---------------------------------------------------------------------------

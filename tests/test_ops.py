@@ -29,6 +29,34 @@ def test_exact_dedup(docs_ds):
     assert kept == [0, 2, 3, 5]
 
 
+def test_exact_dedup_keep_best(docs_ds, ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import exact_dedup_keep_best
+
+    # score by raw length: doc 4 ("THE QUICK  BROWN ..." with the double
+    # space) is the longest member of the 0/1/4 cluster → it must win,
+    # distinguishing keeper-by-score from exact_dedup's keeper-by-min-id
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(score=b["text"].str.len().astype("int64"))
+
+    scored = docs_ds.map_batches(score, batch_format="pandas")
+    out = exact_dedup_keep_best(scored, "score").to_pandas()
+    assert sorted(out.columns) == ["doc_id", "score"]
+    assert sorted(out.doc_id) == [2, 3, 4, 5]
+    # ties fall back to min id: equal-length exact dups 0 and 1 → 0
+    two = rd.from_items(
+        [
+            {"doc_id": 7, "text": "same text"},
+            {"doc_id": 6, "text": "same text"},
+        ]
+    ).map_batches(score, batch_format="pandas")
+    assert sorted(exact_dedup_keep_best(two, "score").to_pandas().doc_id) == [6]
+    # ascending flavor: keep the SHORTEST member
+    low = exact_dedup_keep_best(scored, "score", descending=False).to_pandas()
+    assert 4 not in set(low.doc_id) and {0, 1, 4} & set(low.doc_id) == {0}
+
+
 def test_minhash_dedup_finds_near_dup(docs_ds):
     from table_annotation_ray.stages.dedup import minhash_dedup
 
