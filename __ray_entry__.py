@@ -627,6 +627,20 @@ def _q_sample_per_lang(sf_dir: str):
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_inverted_postings(sf_dir: str):
+    """Sharded inverted-index construction (stages/retrieval.py::
+    inverted_postings): (term, doc_id, tf, df) posting rows co-located
+    by term hash — per-(term, doc) tf is final map-side (a doc never
+    splits across batches), so the single exchange only attaches df.
+    SQL hash-exact via the token-explode + two-level GROUP BY."""
+    from table_annotation_ray.stages.retrieval import inverted_postings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = inverted_postings(docs).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Quality-keeper exact dedup (stages/dedup.py::exact_dedup_keep_best):
     one survivor per normalized-text cluster chosen by SCORE (raw char
@@ -2722,6 +2736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_temperature_sample": _q_lang_temperature_sample,
         "token_shards": _q_token_shards,
         "dedup_keep_best": _q_dedup_keep_best,
+        "inverted_postings": _q_inverted_postings,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
         "user_counts_cms": _q_user_counts_cms,
         "domain_stats": _q_domain_stats,
@@ -3287,6 +3302,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off // 512 AS BIGINT) AS pack_id,
                    CAST(off AS BIGINT)        AS token_offset
             FROM c
+        """,
+        "inverted_postings": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+                FROM documents
+                WHERE trim(COALESCE(text, '')) <> ''
+            ),
+            p AS (SELECT doc_id, unnest(a) AS term FROM t),
+            tf AS (
+                SELECT term, doc_id, count(*) AS tf
+                FROM p GROUP BY term, doc_id
+            ),
+            d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.term, tf.doc_id, tf.tf, d.df
+            FROM tf JOIN d USING (term)
         """,
         "dedup_keep_best": """
             WITH all_docs AS (

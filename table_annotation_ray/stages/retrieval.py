@@ -103,3 +103,78 @@ def bm25_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def inverted_postings(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Sharded inverted-index construction: (term, doc_id, tf, df)
+    posting rows, co-located by term — the materialization BM25/ANN
+    serving tiers load, where :func:`bm25_topk` is the index-free
+    query-time flavor.
+
+    One exchange, and it is the minimum possible one: a document's
+    tokens never split across batches, so per-(term, doc) ``tf`` is
+    FINAL map-side (vectorized Arrow tokenize → flatten → pandas
+    groupby per batch); the ``hash(term) % num_buckets`` exchange then
+    only attaches ``df`` (posting-list length) with a vectorized
+    in-bucket transform.  Consumers shard the postings by the same term
+    hash — feed to a partitioned sink for a resumable on-disk index.
+    Lowercased whitespace terms (the token_stats convention); empty
+    docs contribute nothing."""
+    import pyarrow as pa
+
+    from .textstats import _ws_tokens
+
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            (id_col, pa.int64()),
+            ("tf", pa.int64()),
+            ("__ip_bkt", pa.int64()),
+        ]
+    )
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks, n = _ws_tokens(b[text_col], lower=True)
+        keep = n > 0
+        ids_all = b[id_col].to_numpy(dtype=np.int64)
+        if not keep.all():
+            toks = toks.filter(pa.array(keep))
+            ids_all = ids_all[keep]
+            n = n[keep]
+        ids = np.repeat(ids_all, n)
+        terms = pc.list_flatten(toks).to_pandas()
+        tf = (
+            pd.DataFrame({"term": terms.to_numpy(), id_col: ids})
+            .groupby(["term", id_col], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        tf["__ip_bkt"] = (
+            pd.util.hash_pandas_object(tf["term"], index=False).to_numpy()
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        # explicit schema: an all-empty-doc batch yields a 0-row frame
+        # whose object columns would otherwise infer Arrow NULL
+        # (CLAUDE.md empty-frame rule)
+        return pa.Table.from_pandas(tf, schema=out_schema, preserve_index=False)
+
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        out = g.drop(columns="__ip_bkt").copy()
+        out["df"] = out.groupby("term", sort=False)[id_col].transform("size")
+        for c in ("tf", "df"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        docs.map_batches(explode, batch_format="pandas")
+        .groupby("__ip_bkt")
+        .map_groups(attach_df, batch_format="pandas")
+    )

@@ -87,3 +87,42 @@ def test_kmeans_deterministic(ray_session):
     c1, h1 = kmeans_fit(ds, k=3, iters=5)
     c2, h2 = kmeans_fit(ds, k=3, iters=5)
     assert h1 == h2 and np.array_equal(c1, c2)
+
+
+def test_inverted_postings(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.retrieval import inverted_postings
+
+    rows = [
+        {"doc_id": 0, "text": "Apple banana apple"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": "   "},           # empty after trim: no postings
+        {"doc_id": 3, "text": "apple"},
+    ]
+    out = (
+        inverted_postings(rd.from_items(rows).repartition(3))
+        .to_pandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+    got = {(t, d): (tf, df) for t, d, tf, df in out.itertuples(index=False)}
+    # lowercased terms, per-doc tf, per-term df (posting-list length)
+    assert got == {
+        ("apple", 0): (2, 2),
+        ("apple", 3): (1, 2),
+        ("banana", 0): (1, 2),
+        ("banana", 1): (1, 2),
+        ("cherry", 1): (1, 1),
+    }
+    # block-layout independence
+    out2 = (
+        inverted_postings(rd.from_items(rows).repartition(1))
+        .to_pandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    # an all-empty block must not poison block unification (empty-frame rule)
+    allempty = rd.from_items([{"doc_id": 9, "text": ""}])
+    assert inverted_postings(allempty).count() == 0
