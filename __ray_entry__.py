@@ -627,6 +627,30 @@ def _q_sample_per_lang(sf_dir: str):
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_split_leakage_safe(sf_dir: str):
+    """Leakage-safe train/val/test split (stages/dedup.py::
+    leakage_safe_split): duplicates are injected as re-keyed (+2000)
+    exact copies of docs 0-99 — each copy must inherit its ORIGINAL's
+    split (rep-id hash), never its own doc-id hash, so no duplicate
+    cluster straddles train and test.  SQL hash-exact."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.dedup import leakage_safe_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rekey(b: pd.DataFrame) -> "pa.Table":
+        out = b[b["doc_id"] < 100].copy()
+        out["doc_id"] = out["doc_id"] + 2000
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    both = docs.union(docs.map_batches(rekey, batch_format="pandas"))
+    out = leakage_safe_split(both).to_pandas()
+    for c in ("doc_id", "rep_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_inverted_postings(sf_dir: str):
     """Sharded inverted-index construction (stages/retrieval.py::
     inverted_postings): (term, doc_id, tf, df) posting rows co-located
@@ -2737,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "dedup_keep_best": _q_dedup_keep_best,
         "inverted_postings": _q_inverted_postings,
+        "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
         "user_counts_cms": _q_user_counts_cms,
         "domain_stats": _q_domain_stats,
@@ -3302,6 +3327,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off // 512 AS BIGINT) AS pack_id,
                    CAST(off AS BIGINT)        AS token_offset
             FROM c
+        """,
+        "split_leakage_safe": """
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 2000, text FROM documents WHERE doc_id < 100
+            ),
+            n AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+                FROM all_docs
+            ),
+            r AS (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS rep_id
+                FROM n
+            ),
+            h AS (
+                SELECT doc_id, rep_id,
+                       ((CAST(rep_id AS HUGEINT) * 2654435761) % 4294967296
+                        + 4294967296) % 4294967296 % 100 AS hb
+                FROM r
+            )
+            SELECT doc_id, rep_id,
+                   CASE WHEN hb < 90 THEN 'train'
+                        WHEN hb < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
         """,
         "inverted_postings": """
             WITH t AS (

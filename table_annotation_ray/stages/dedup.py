@@ -155,6 +155,59 @@ def exact_dedup_keep_best(
     return hashed.groupby("text_bkt").map_groups(keep_best, batch_format="pandas")
 
 
+def leakage_safe_split(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> rd.Dataset:
+    """Train/val/test assignment that cannot leak duplicates across
+    splits: every member of an exact-duplicate cluster (normalized
+    text) gets the split of the cluster's REPRESENTATIVE (min id), via
+    the same multiplicative rep-id hash as ``dataset_split`` — a plain
+    per-doc hash split would scatter copies of one text across train
+    AND test, contaminating held-out evaluation.
+
+    Same digest-bucket exchange as :func:`exact_dedup`; the in-bucket
+    pass is one vectorized groupby-transform(min) + hash.  Returns
+    (id, rep_id, split).  SQL mirror: ``min(id) OVER (PARTITION BY
+    norm_text)`` fed through the established hash-bucket CASE."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        norm = _norm_arrow(batch[text_col])
+        h = pd.util.hash_pandas_object(
+            pd.Series(norm.to_pandas()), index=False
+        ).to_numpy(dtype=np.uint64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "norm_text": norm,
+                "text_bkt": pa.array((h % np.uint64(64)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+
+    def assign(group: pd.DataFrame) -> pa.Table:
+        from .datapipe import id_hash_bucket
+
+        rep = group.groupby("norm_text", sort=False)[id_col].transform("min")
+        hb = id_hash_bucket(rep)
+        split = np.where(
+            hb < train_pct, "train", np.where(hb < train_pct + val_pct, "val", "test")
+        )
+        return pa.table(
+            {
+                id_col: pa.array(group[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "rep_id": pa.array(rep.to_numpy(dtype=np.int64), pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return hashed.groupby("text_bkt").map_groups(assign, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash
 # ---------------------------------------------------------------------------

@@ -57,6 +57,31 @@ def test_exact_dedup_keep_best(docs_ds, ray_session):
     assert 4 not in set(low.doc_id) and {0, 1, 4} & set(low.doc_id) == {0}
 
 
+def test_leakage_safe_split(docs_ds, ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import id_hash_bucket
+    from table_annotation_ray.stages.dedup import leakage_safe_split
+
+    out = leakage_safe_split(docs_ds).to_pandas().set_index("doc_id")
+    # the 0/1/4 normalized-dup cluster shares rep 0 and hence ONE split
+    assert out.loc[[0, 1, 4], "rep_id"].tolist() == [0, 0, 0]
+    assert out.loc[[0, 1, 4], "split"].nunique() == 1
+    # singletons are their own rep: identical to a plain hash split
+    hb = id_hash_bucket(pd.Series([3]))[0]
+    want = "train" if hb < 90 else ("val" if hb < 95 else "test")
+    assert out.loc[3, "rep_id"] == 3 and out.loc[3, "split"] == want
+    # a copy with a doc-id hashing to a DIFFERENT split still follows
+    # its rep (the leakage case a per-doc split would get wrong)
+    base = {"doc_id": 0, "text": "some shared boilerplate text"}
+    ids = [i for i in range(1, 400) if
+           (id_hash_bucket(pd.Series([i]))[0] < 90)
+           != (id_hash_bucket(pd.Series([0]))[0] < 90)]
+    dup = {"doc_id": ids[0], "text": base["text"]}
+    two = leakage_safe_split(rd.from_items([base, dup])).to_pandas()
+    assert two.split.nunique() == 1 and set(two.rep_id) == {0}
+
+
 def test_minhash_dedup_finds_near_dup(docs_ds):
     from table_annotation_ray.stages.dedup import minhash_dedup
 
