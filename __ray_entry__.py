@@ -1556,6 +1556,28 @@ def _q_bm25_search(sf_dir: str):
     return out
 
 
+def _q_bm25_indexed_search(sf_dir: str):
+    """Index-backed BM25 (stages/retrieval.py::bm25_topk_indexed):
+    scores computed from the materialized inverted_postings table +
+    token_stats doc lengths — only query-term posting lists cross the
+    scoring exchange, never the raw text.  Same formula/rounding as
+    bm25_search; pytest pins scan/index equivalence."""
+    from table_annotation_ray.stages.retrieval import (
+        bm25_topk_indexed,
+        inverted_postings,
+    )
+    from table_annotation_ray.stages.textstats import token_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    postings = inverted_postings(docs)
+    lens = docs.map_batches(token_stats, batch_format="pandas").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    out = bm25_topk_indexed(postings, lens, ["scan", "merge"], k=10)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def _q_price_quantiles_approx(sf_dir: str):
     """ONE-scan approximate quantiles via mergeable KLL sketches
     (stages/quantiles.py::kll_quantiles, tree-reduced partials) — the
@@ -2717,6 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "bm25_search": _q_bm25_search,
+        "bm25_indexed_search": _q_bm25_indexed_search,
         "embedding_clusters": _q_embedding_clusters,
         "user_rolling_value": _q_user_rolling_value,
         "event_gaps": _q_event_gaps,
@@ -3534,6 +3557,34 @@ def oracle_sql() -> dict[str, str]:
                              / (tf1 + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
                        + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.5
                              / (tf2 + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+                FROM tf, st)
+            SELECT doc_id, score FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "bm25_indexed_search": """
+            WITH d AS (
+                SELECT doc_id, lower(text) AS t,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       END AS dl
+                FROM documents),
+            tf AS (
+                SELECT doc_id, dl,
+                       len(regexp_extract_all(t, '\\bscan\\b'))  AS tf0,
+                       len(regexp_extract_all(t, '\\bmerge\\b')) AS tf1
+                FROM d),
+            st AS (
+                SELECT count(*) AS n, sum(dl) / count(*) AS avgdl,
+                       count(*) FILTER (tf0 > 0) AS df0,
+                       count(*) FILTER (tf1 > 0) AS df1
+                FROM tf),
+            sc AS (
+                SELECT doc_id,
+                       round(
+                         ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.5
+                             / (tf0 + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.5
+                             / (tf1 + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
                 FROM tf, st)
             SELECT doc_id, score FROM sc WHERE score > 0
             ORDER BY score DESC, doc_id ASC LIMIT 10

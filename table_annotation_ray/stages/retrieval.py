@@ -178,3 +178,153 @@ def inverted_postings(
         .groupby("__ip_bkt")
         .map_groups(attach_df, batch_format="pandas")
     )
+
+
+def bm25_topk_indexed(
+    postings: rd.Dataset,
+    doc_lens: rd.Dataset,
+    terms: list[str],
+    id_col: str = "doc_id",
+    dl_col: str = "n_tokens",
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+    round_dp: int = 6,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Index-backed BM25 top-k: score from a materialized
+    :func:`inverted_postings` table plus a doc-length table (e.g.
+    ``token_stats`` output), instead of re-scanning raw text per query.
+    Only the QUERY TERMS' posting rows and two ints per doc cross the
+    wire — at corpus scale that is the difference between touching a
+    few posting lists and re-reading 100 TB of text per query.
+
+    Same formula/rounding/tie-break as :func:`bm25_topk` (idf with the
+    +1 floor, half-away rounding before ranking); results are identical
+    whenever tokens are punctuation-free, the one divergence being
+    tokenization (the index is whitespace-token-based, the scan flavor
+    counts regex word boundaries — pytest pins the equivalence).
+
+    Shape: tiny driver aggregates for N/avgdl/df, then ONE
+    hash(doc)-bucket exchange carrying (query-term postings ∪ doc
+    lengths); per-doc scores complete in-bucket (a doc's rows co-locate),
+    so each bucket emits only its local top-k."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tset = sorted({t.lower() for t in terms})
+
+    def dstats(bf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(bf)], "dl_sum": [int(bf[dl_col].sum())]})
+
+    doc_lens = doc_lens.select_columns([id_col, dl_col]).materialize()
+    parts = doc_lens.map_batches(dstats, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    empty = pd.DataFrame(
+        {id_col: pd.Series([], dtype="int64"), "score": pd.Series([], dtype=float)}
+    )
+    if n == 0:
+        return empty
+    avgdl = float(parts["dl_sum"].sum()) / n
+
+    qschema = pa.schema(
+        [("term", pa.string()), (id_col, pa.int64()), ("tf", pa.int64()),
+         ("df", pa.int64())]
+    )
+
+    def filt(bt: pa.Table) -> pa.Table:
+        mask = pc.is_in(bt["term"], value_set=pa.array(tset, pa.string()))
+        return bt.filter(mask).select(["term", id_col, "tf", "df"]).cast(qschema)
+
+    # materialize: the filtered postings feed BOTH the df aggregate and
+    # the scoring exchange (single-execution inputs rule)
+    qpost = postings.map_batches(filt, batch_format="pyarrow").materialize()
+
+    def dpart(bf: pd.DataFrame) -> pd.DataFrame:
+        return bf.groupby("term", sort=False)["df"].max().reset_index()
+
+    dff = qpost.map_batches(dpart, batch_format="pandas").to_pandas()
+    dfs = {} if dff.empty else dff.groupby("term")["df"].max().to_dict()
+    idf = {
+        t: float(np.log((n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0))
+        for t in tset
+    }
+
+    uschema = pa.schema(
+        [(id_col, pa.int64()), ("tf", pa.float64()), ("idfv", pa.float64()),
+         ("dl", pa.float64()), ("__bm_bkt", pa.int64())]
+    )
+
+    def _bkt(ids: np.ndarray) -> np.ndarray:
+        return (
+            pd.util.hash_pandas_object(pd.Series(ids), index=False).to_numpy()
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+
+    def tag_post(bf: pd.DataFrame) -> pa.Table:
+        ids = bf[id_col].to_numpy(dtype=np.int64)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    id_col: ids,
+                    "tf": bf["tf"].to_numpy(dtype=np.float64),
+                    "idfv": bf["term"].map(idf).to_numpy(dtype=np.float64),
+                    "dl": np.full(len(bf), -1.0),
+                    "__bm_bkt": _bkt(ids),
+                }
+            ),
+            schema=uschema,
+            preserve_index=False,
+        )
+
+    def tag_len(bf: pd.DataFrame) -> pa.Table:
+        ids = bf[id_col].to_numpy(dtype=np.int64)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    id_col: ids,
+                    "tf": np.zeros(len(bf)),
+                    "idfv": np.zeros(len(bf)),
+                    "dl": bf[dl_col].to_numpy(dtype=np.float64),
+                    "__bm_bkt": _bkt(ids),
+                }
+            ),
+            schema=uschema,
+            preserve_index=False,
+        )
+
+    both = qpost.map_batches(tag_post, batch_format="pandas").union(
+        doc_lens.map_batches(tag_len, batch_format="pandas")
+    )
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        posts = g[g["dl"] < 0]
+        lens = g[g["dl"] >= 0].set_index(id_col)["dl"]
+        m_dl = posts[id_col].map(lens).to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * m_dl / avgdl)
+        tf = posts["tf"].to_numpy(dtype=np.float64)
+        contrib = posts["idfv"].to_numpy() * tf * (k1 + 1.0) / (tf + norm)
+        s = (
+            pd.DataFrame({id_col: posts[id_col].to_numpy(), "c": contrib})
+            .groupby(id_col, sort=False)["c"]
+            .sum()
+        )
+        out = pd.DataFrame({id_col: s.index.to_numpy(), "score": _round_ha(s.to_numpy(), round_dp)})
+        out = out[out["score"] > 0].sort_values(
+            ["score", id_col], ascending=[False, True]
+        ).head(k)
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "score": pa.array(out["score"].to_numpy(dtype=np.float64), pa.float64()),
+            }
+        )
+
+    top = both.groupby("__bm_bkt").map_groups(score_bucket, batch_format="pandas").to_pandas()
+    if top.empty:
+        return empty
+    return (
+        top.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

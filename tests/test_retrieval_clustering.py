@@ -126,3 +126,30 @@ def test_inverted_postings(ray_session):
     # an all-empty block must not poison block unification (empty-frame rule)
     allempty = rd.from_items([{"doc_id": 9, "text": ""}])
     assert inverted_postings(allempty).count() == 0
+
+
+def test_bm25_indexed_equals_scan(ray_session):
+    """bm25_topk_indexed over the materialized inverted index must equal
+    the index-free bm25_topk scan on a punctuation-free corpus (where
+    word-boundary and whitespace tokenizations coincide)."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        inverted_postings,
+    )
+    from table_annotation_ray.stages.textstats import token_stats
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(4)
+    postings = inverted_postings(docs).materialize()
+    lens = docs.map_batches(token_stats, batch_format="pandas").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    for terms in (["table", "fast"], ["window"], ["nosuchterm"], ["table", "nosuchterm"]):
+        scan = bm25_topk(docs, terms, k=12)
+        idx = bm25_topk_indexed(postings, lens, terms, k=12)
+        assert list(scan.doc_id) == list(idx.doc_id), terms
+        assert np.allclose(scan.score, idx.score, atol=1e-9), terms
