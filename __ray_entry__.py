@@ -1578,6 +1578,26 @@ def _q_bm25_indexed_search(sf_dir: str):
     return out
 
 
+def _q_text_clusters(sf_dir: str):
+    """Embedding-free text clustering (stages/textstats.py::
+    hashed_text_features → stages/clustering.py k-means): signed
+    feature hashing turns raw text into 64-d vectors with no vocabulary
+    pass or model, then the distributed k-means gate clusters them.
+    Rows-only (k-means labels have no SQL equivalent); planted-topic
+    recovery is pytest-pinned."""
+    from table_annotation_ray.stages.clustering import kmeans_assign, kmeans_fit
+    from table_annotation_ray.stages.textstats import hashed_text_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialize: the features feed every Lloyd pass AND the final
+    # assign (single-execution inputs rule)
+    feats = hashed_text_features(docs, dim=64).materialize()
+    cents, _ = kmeans_fit(feats, k=4, iters=8)
+    out = kmeans_assign(feats, cents, id_col="doc_id").to_pandas()
+    out = out[["doc_id", "cluster"]].astype({"doc_id": "int64", "cluster": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_price_quantiles_approx(sf_dir: str):
     """ONE-scan approximate quantiles via mergeable KLL sketches
     (stages/quantiles.py::kll_quantiles, tree-reduced partials) — the
@@ -2740,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "bm25_search": _q_bm25_search,
         "bm25_indexed_search": _q_bm25_indexed_search,
+        "text_clusters": _q_text_clusters,
         "embedding_clusters": _q_embedding_clusters,
         "user_rolling_value": _q_user_rolling_value,
         "event_gaps": _q_event_gaps,

@@ -519,3 +519,49 @@ def pmi_pairs(
         .sort(key=["pmi", "term_a", "term_b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def hashed_text_features(
+    docs,
+    dim: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+):
+    """Feature-hashing ("hashing trick") text featurizer: each document
+    becomes a ``dim``-wide ``list<double>`` vector with
+    ``v[hash(term) % dim] += sign(term)`` over its whitespace tokens
+    (signed hashing keeps collision noise zero-mean, Weinberger et al.
+    2009), optionally L2-normalized — text → vector with NO vocabulary
+    pass, no model, and no fixed dictionary to broadcast, so the
+    embedding-free corpus feeds the existing k-means / ANN / SemDeDup
+    machinery directly.
+
+    Map-only (zero exchanges): vectorized Arrow tokenize → one
+    ``np.add.at`` scatter per batch → the shared vectorized Arrow list
+    build.  Deterministic (fixed hash key) and order-independent."""
+    from .similarity import _list_col
+
+    def featurize(b: pd.DataFrame) -> pa.Table:
+        toks, n = _ws_tokens(b[text_col], lower=True)
+        m = np.zeros((len(b), dim), dtype=np.float64)
+        if n.sum() > 0:
+            keep = n > 0
+            rows = np.repeat(np.flatnonzero(keep), n[keep])
+            terms = pc.list_flatten(toks.filter(pa.array(keep))).to_pandas()
+            h = pd.util.hash_pandas_object(terms, index=False).to_numpy()
+            col = (h % np.uint64(dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)) & np.uint64(1), 1.0, -1.0)
+            np.add.at(m, (rows, col), sign)
+        if normalize:
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            m = m / norms
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "embedding": _list_col(m),
+            }
+        )
+
+    return docs.map_batches(featurize, batch_format="pandas")

@@ -153,3 +153,49 @@ def test_bm25_indexed_equals_scan(ray_session):
         idx = bm25_topk_indexed(postings, lens, terms, k=12)
         assert list(scan.doc_id) == list(idx.doc_id), terms
         assert np.allclose(scan.score, idx.score, atol=1e-9), terms
+
+
+def test_hashed_text_features_planted_topics(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.clustering import kmeans_assign, kmeans_fit
+    from table_annotation_ray.stages.textstats import hashed_text_features
+
+    rng = np.random.default_rng(17)
+    vocab_a = [f"alpha{i}" for i in range(30)]
+    vocab_b = [f"beta{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        v = vocab_a if i % 2 == 0 else vocab_b
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(v, 25))})
+    rows.append({"doc_id": 200, "text": "   "})  # zero-token doc → zero vector
+    ds = rd.from_items(rows).repartition(4)
+
+    feats = hashed_text_features(ds, dim=64).materialize()
+    got = feats.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 201
+    m = np.vstack(got["embedding"].to_numpy())
+    assert m.shape == (201, 64)
+    # normalized rows (except the zero vector), deterministic across layouts
+    norms = np.linalg.norm(m, axis=1)
+    assert np.allclose(norms[:200], 1.0) and norms[200] == 0.0
+    got2 = (
+        hashed_text_features(rd.from_items(rows).repartition(1), dim=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(m, np.vstack(got2["embedding"].to_numpy()))
+
+    # the two planted vocabularies are linearly separable in hash space:
+    # k-means (k=2) recovers the topic split
+    cents, _ = kmeans_fit(feats, k=2, iters=10)
+    lab = (
+        kmeans_assign(feats, cents, id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")["cluster"]
+        .to_numpy()[:200]
+    )
+    true = np.arange(200) % 2
+    purity = max((lab == true).mean(), (lab != true).mean())
+    assert purity > 0.95
