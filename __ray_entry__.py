@@ -23,6 +23,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _ENGLISH_STOPS = "('the','and','of','to','a','in','is','it','you','that','was','for')"
 
@@ -41,6 +42,53 @@ _CURATION_VICTIMS_SF001 = (
 _VICTIMS_CACHE = {
     os.path.realpath("/root/testdata/sf0.01"): _CURATION_VICTIMS_SF001,
 }
+
+# MinHash near-dup component mapping at sf0.01 (threshold 0.8, raw
+# documents), injected into the near_dedup_keep_best oracle as a VALUES
+# literal — the one non-SQL sub-stage of that composition; the
+# survivor-by-score pick itself is SQL.  Pinned by
+# tests/test_dedup_keepers.py::test_near_dup_components_literal.
+_NEAR_DUP_COMPONENTS_SF001 = (
+    "(8, 8), (26, 26), (31, 31), (44, 44), (45, 45), (58, 58), (61, 61), "
+    "(70, 70), (72, 72), (87, 87), (92, 92), (98, 98), (107, 107), "
+    "(120, 120), (134, 87), (152, 152), (166, 166), (178, 152), (185, 61), "
+    "(245, 8), (267, 45), (285, 285), (290, 98), (293, 58), (295, 295), "
+    "(301, 285), (310, 310), (323, 166), (326, 326), (332, 120), "
+    "(374, 295), (377, 72), (383, 31), (387, 107), (389, 310), (393, 393), "
+    "(413, 45), (420, 393), (435, 435), (446, 44), (447, 70), (450, 92), "
+    "(455, 26), (457, 326), (458, 458), (462, 458), (486, 435)"
+)
+
+_NEAR_DUP_COMPONENTS_CACHE = {
+    os.path.realpath("/root/testdata/sf0.01"): _NEAR_DUP_COMPONENTS_SF001,
+}
+
+
+def near_dup_components_literal(sf_dir: str) -> str:
+    """SQL VALUES body of the minhash near-dup (doc_id, component)
+    mapping at ``sf_dir`` (threshold 0.8 over raw documents), recomputed
+    through :func:`minhash_dedup` and cached per directory — keeps the
+    ``near_dedup_keep_best`` oracle scale-parametric (the
+    curation-victims pattern).  Requires an initialized Ray session."""
+    key = os.path.realpath(sf_dir)
+    lit = _NEAR_DUP_COMPONENTS_CACHE.get(key)
+    if lit is None:
+        import ray.data as rd
+
+        from table_annotation_ray.stages.dedup import minhash_dedup
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        comps = minhash_dedup(docs, threshold=0.8).to_pandas().sort_values("doc_id")
+        lit = (
+            ", ".join(
+                f"({int(r.doc_id)}, {int(r.component)})" for r in comps.itertuples()
+            )
+            or "(-1, -1)"
+        )
+        _NEAR_DUP_COMPONENTS_CACHE[key] = lit
+    return lit
 
 
 def curation_victims_literal(sf_dir: str) -> str:
@@ -80,6 +128,9 @@ def oracle_sql_at(sf_dir: str) -> "dict[str, str]":
     sqls = oracle_sql()
     sqls["curation_funnel"] = sqls["curation_funnel"].replace(
         _CURATION_VICTIMS_SF001, curation_victims_literal(sf_dir)
+    )
+    sqls["near_dedup_keep_best"] = sqls["near_dedup_keep_best"].replace(
+        _NEAR_DUP_COMPONENTS_SF001, near_dup_components_literal(sf_dir)
     )
     return sqls
 
@@ -698,6 +749,28 @@ def _q_dedup_keep_best(sf_dir: str):
     for c in ("doc_id", "score"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_near_dedup_keep_best(sf_dir: str):
+    """Quality-keeper NEAR dedup (stages/dedup.py::near_dedup_keep_best):
+    MinHash clusters (threshold 0.8) → one survivor per cluster by raw
+    char length ('keep the longest'), ties → min id.  SQL hash-exact
+    via the pinned component-mapping literal (curation-victims pattern:
+    the minhash stage enters the oracle as a VALUES literal pinned by
+    pytest; the survivor pick itself is SQL)."""
+    from table_annotation_ray.stages.dedup import near_dedup_keep_best
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.assign(score=b["text"].fillna("").str.len().astype("int64")),
+            preserve_index=False,
+        ),
+        batch_format="pandas",
+    )
+    out = near_dedup_keep_best(docs, "score", threshold=0.8).to_pandas()
+    for c in ("component", "doc_id", "score", "n_members"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("component").reset_index(drop=True)
 
 
 def _q_token_shards(sf_dir: str):
@@ -2804,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_temperature_sample": _q_lang_temperature_sample,
         "token_shards": _q_token_shards,
         "dedup_keep_best": _q_dedup_keep_best,
+        "near_dedup_keep_best": _q_near_dedup_keep_best,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -3436,6 +3510,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM n
             )
             SELECT doc_id, score FROM r WHERE rn = 1
+        """,
+        # near_dedup_keep_best: the minhash component mapping is the one
+        # non-SQL sub-stage — pinned as a VALUES literal (recomputed
+        # per-sf by oracle_sql_at / pinned by pytest at sf0.01); the
+        # survivor-by-score pick is plain SQL.
+        "near_dedup_keep_best": f"""
+            WITH comp(doc_id, component) AS (VALUES {_NEAR_DUP_COMPONENTS_SF001}),
+            scored AS (
+                SELECT c.component, c.doc_id,
+                       length(COALESCE(d.text, '')) AS score
+                FROM comp c JOIN documents d USING (doc_id)
+            ),
+            r AS (
+                SELECT component, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY component ORDER BY score DESC, doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY component) AS n_members
+                FROM scored
+            )
+            SELECT component, doc_id, score, n_members
+            FROM r WHERE rn = 1 ORDER BY component
         """,
         "token_shards": """
             WITH t AS (SELECT doc_id,

@@ -1544,3 +1544,57 @@ def cross_corpus_exact_dups(
         base_docs.map_batches(tag(1), batch_format="pyarrow")
     )
     return tagged.groupby("__xb").map_groups(pairs, batch_format="pandas")
+
+
+def near_dedup_keep_best(
+    docs: rd.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    descending: bool = True,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """One survivor per MinHash NEAR-duplicate cluster, chosen by a
+    quality score (highest wins by default; ties → min id) — the
+    near-dup counterpart of :func:`exact_dedup_keep_best` (web-corpus
+    curation keeps the best/longest member of each near-dup cluster,
+    not the min-id one).  Returns one row per cluster:
+    ``(component, id, score, n_members)``.
+
+    Shape: :func:`minhash_dedup`'s (id, component) table — only docs
+    that HAVE a near-duplicate, orders of magnitude smaller than the
+    corpus — joins the (id, score) projection via the size-gated
+    ``equi_join`` (broadcast when the component table is small,
+    bucketed co-location when it isn't), then ONE
+    ``hash(component) % num_buckets`` exchange picks survivors with a
+    vectorized in-bucket pandas sort + per-component head (no per-key
+    Python at component cardinality)."""
+    from .relational import equi_join
+
+    comps = minhash_dedup(docs, id_col, text_col, threshold)
+    scores = docs.map_batches(
+        lambda b: b.select([id_col, score_col]), batch_format="pyarrow"
+    )
+    joined = equi_join(scores, comps, id_col, num_buckets=num_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        comp = b["component"].to_numpy().astype(np.uint64)
+        bkt = ((comp * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(
+            num_buckets
+        )
+        return b.append_column("__cb", pa.array(bkt.astype(np.int64), pa.int64()))
+
+    def keep_best(g: pd.DataFrame) -> pa.Table:
+        sizes = g.groupby("component", sort=False).size().rename("n_members")
+        best = g.sort_values(
+            [score_col, id_col], ascending=[not descending, True], kind="mergesort"
+        ).groupby("component", sort=True).head(1)
+        out = best.join(sizes, on="component").sort_values("component")
+        return pa.Table.from_pandas(
+            out[["component", id_col, score_col, "n_members"]], preserve_index=False
+        )
+
+    return joined.map_batches(tag, batch_format="pyarrow").groupby("__cb").map_groups(
+        keep_best, batch_format="pandas"
+    )

@@ -1269,3 +1269,66 @@ def test_pq_recall_on_clusters_and_encode_contract(ray_session):
     flat = np.concatenate([np.asarray(c) for c in codes.codes])
     assert flat.min() >= 0 and flat.max() < 16
     assert all(len(c) == 4 for c in codes.codes)
+
+
+def test_near_dedup_keep_best(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import near_dedup_keep_best
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(vocab, 60))})
+    # near-dup copies of docs 0-9: one token changed plus a longer tail,
+    # so the COPY must win every cluster (keeper-by-score, not min-id)
+    for i in range(10):
+        t = rows[i]["text"].split()
+        t[3] = "CHANGED"
+        rows.append({"doc_id": 100 + i, "text": " ".join(t) + " extra tail tokens"})
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(score=b["text"].str.len().astype("int64"))
+
+    ds = rd.from_items(rows).repartition(4).map_batches(score, batch_format="pandas")
+    out = (
+        near_dedup_keep_best(ds, "score")
+        .to_pandas()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["component", "doc_id", "score", "n_members"]
+    assert list(out.component) == list(range(10))
+    assert list(out.doc_id) == [100 + i for i in range(10)]
+    assert (out.n_members == 2).all()
+    # ascending flavor keeps the SHORTEST member — the originals
+    low = near_dedup_keep_best(ds, "score", descending=False).to_pandas()
+    assert sorted(low.doc_id) == list(range(10))
+
+
+def test_near_dup_components_literal_matches_pipeline(ray_session):
+    """The component mapping injected into the near_dedup_keep_best SQL
+    oracle (__ray_entry__._NEAR_DUP_COMPONENTS_SF001) must equal what
+    minhash_dedup actually computes at sf0.01 (threshold 0.8)."""
+    import os
+    import re
+    import sys
+
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import minhash_dedup
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entry
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    comps = minhash_dedup(docs, threshold=0.8).to_pandas().sort_values("doc_id")
+    computed = [(int(r.doc_id), int(r.component)) for r in comps.itertuples()]
+    literal = [
+        (int(a), int(b))
+        for a, b in re.findall(r"\((-?\d+),\s*(-?\d+)\)", entry._NEAR_DUP_COMPONENTS_SF001)
+    ]
+    assert computed == literal
