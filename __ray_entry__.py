@@ -751,6 +751,20 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_event_transitions(sf_dir: str):
+    """Clickstream Markov transition matrix (stages/windows.py::
+    transition_counts): per-user consecutive event-type pairs ordered
+    by (ts, event_id), counted — SQL LEAD OVER (PARTITION BY user)
+    + GROUP BY.  One hash(user)-bucket exchange (lag_by_key) + a tiny
+    pair-cardinality merge of block-local partial counts."""
+    from table_annotation_ray.stages.windows import transition_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = transition_counts(ev, "user_id", ["ts", "event_id"], "event_type").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
 def _q_near_dedup_keep_best(sf_dir: str):
     """Quality-keeper NEAR dedup (stages/dedup.py::near_dedup_keep_best):
     MinHash clusters (threshold 0.8) → one survivor per cluster by raw
@@ -2878,6 +2892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "dedup_keep_best": _q_dedup_keep_best,
         "near_dedup_keep_best": _q_near_dedup_keep_best,
+        "event_transitions": _q_event_transitions,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -3532,6 +3547,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT component, doc_id, score, n_members
             FROM r WHERE rn = 1 ORDER BY component
+        """,
+        "event_transitions": """
+            WITH t AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nt
+                FROM events
+            )
+            SELECT event_type AS from_type, nt AS to_type, count(*) AS n
+            FROM t WHERE nt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "token_shards": """
             WITH t AS (SELECT doc_id,

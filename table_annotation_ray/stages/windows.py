@@ -428,3 +428,52 @@ def ewma_by_key(
         .groupby("__ew_bkt")
         .map_groups(smooth, batch_format="pandas")
     )
+
+
+def transition_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    type_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Markov transition counts over a typed event stream:
+    ``(from_type, to_type, n)`` for consecutive rows within each key
+    partition ordered by ``order_cols`` — SQL ``LEAD(type) OVER
+    (PARTITION BY key ORDER BY ...)`` + GROUP BY, the clickstream
+    transition-matrix primitive.
+
+    Rides :func:`lag_by_key`'s single hash(key)-bucket exchange, then
+    counts are pre-aggregated per block (pair cardinality = |types|²,
+    tiny), so the final groupby exchanges ≤ blocks × |types|² partial
+    rows — never the raw events."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    lagged = lag_by_key(ds, key_col, order_cols, [type_col], num_buckets=num_buckets)
+    prev = f"{type_col}_prev"
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([prev, type_col]).to_pandas()
+        df = df[df[prev].notna()]
+        cnt = df.groupby([prev, type_col], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "from_type": pa.array(cnt[prev].astype(str), pa.string()),
+                "to_type": pa.array(cnt[type_col].astype(str), pa.string()),
+                "n": pa.array(cnt["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        lagged.map_batches(partial, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n_total"))
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["from_type", "to_type", "n"])
+
+    return merged.map_batches(rename, batch_format="pyarrow")

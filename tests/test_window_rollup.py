@@ -949,3 +949,33 @@ def test_ewma_by_key_matches_pandas(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         ewma_by_key(rd.from_pandas(df), "k", "ts", "v", alpha=0.0)
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    from table_annotation_ray.stages.windows import transition_counts
+
+    df = _events(800, seed=11)
+    out = (
+        transition_counts(
+            rd.from_pandas(df).repartition(6), "user_id", ["ts", "event_id"], "event_type"
+        )
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["nt"] = ref.groupby("user_id")["event_type"].shift(-1)
+    ref = (
+        ref[ref["nt"].notna()]
+        .groupby(["event_type", "nt"], sort=True)
+        .size()
+        .reset_index(name="n")
+        .rename(columns={"event_type": "from_type", "nt": "to_type"})
+    )
+    assert list(out.columns) == ["from_type", "to_type", "n"]
+    pd.testing.assert_frame_equal(
+        out.astype({"n": "int64"}), ref.astype({"n": "int64"})
+    )
+    # totals: every row with a successor is counted exactly once
+    n_keys = df["user_id"].nunique()
+    assert out["n"].sum() == len(df) - n_keys
