@@ -751,6 +751,32 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR data selection (stages/dsir.py — Xie et al. 2023): hashed
+    unigram+bigram count vectors on raw vs target corpora (bounded-dim
+    grouped_reduce), broadcast log-ratio scoring (map-only), Gumbel
+    top-k resample.  Target = docs with doc_id % 10 == 0; raw = the
+    rest; k = 100.  Rows-only (feature hashing has no SQL equivalent);
+    planted-target recovery + determinism are pytest-pinned."""
+    from table_annotation_ray.stages.dsir import dsir_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_target: bool):
+        def f(b: pa.Table) -> pa.Table:
+            is_tgt = (b["doc_id"].to_numpy() % 10) == 0
+            return b.filter(pa.array(is_tgt if keep_target else ~is_tgt))
+
+        return f
+
+    raw = docs.map_batches(split(False), batch_format="pyarrow").materialize()
+    tgt = docs.map_batches(split(True), batch_format="pyarrow")
+    out = dsir_sample(raw, tgt, k=100).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["logw"] = _round_ha(out["logw"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_event_transitions(sf_dir: str):
     """Clickstream Markov transition matrix (stages/windows.py::
     transition_counts): per-user consecutive event-type pairs ordered
@@ -2893,6 +2919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "near_dedup_keep_best": _q_near_dedup_keep_best,
         "event_transitions": _q_event_transitions,
+        "dsir_select": _q_dsir_select,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,

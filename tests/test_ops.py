@@ -1332,3 +1332,47 @@ def test_near_dup_components_literal_matches_pipeline(ray_session):
         for a, b in re.findall(r"\((-?\d+),\s*(-?\d+)\)", entry._NEAR_DUP_COMPONENTS_SF001)
     ]
     assert computed == literal
+
+
+def test_dsir_planted_target_recovery(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dsir import (
+        dsir_logratio,
+        dsir_sample,
+        dsir_weights,
+        hashed_ngram_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    va = [f"alpha{i}" for i in range(50)]  # target-like vocabulary
+    vb = [f"beta{i}" for i in range(50)]  # off-target
+    raw_rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(va if i < 200 else vb, 30))}
+        for i in range(400)
+    ]
+    tgt_rows = [
+        {"doc_id": 1000 + i, "text": " ".join(rng.choice(va, 30))} for i in range(50)
+    ]
+    raw = rd.from_items(raw_rows).repartition(4).materialize()
+    tgt = rd.from_items(tgt_rows).repartition(2)
+
+    # greedy top-k by log-weight: all selected docs are target-like
+    sel = dsir_sample(raw, tgt, k=100, gumbel=False).to_pandas()
+    assert (sel.doc_id < 200).all()
+    # Gumbel resampling: overwhelmingly target-like, and deterministic
+    g1 = dsir_sample(raw, tgt, k=100).to_pandas()
+    g2 = dsir_sample(raw, tgt, k=100).to_pandas()
+    assert (g1.doc_id < 200).mean() > 0.9
+    assert sorted(g1.doc_id) == sorted(g2.doc_id)
+
+    # log-weights: target-vocab docs score strictly above off-target
+    lr = dsir_logratio(
+        hashed_ngram_counts(tgt), hashed_ngram_counts(raw)
+    )
+    w = dsir_weights(raw, lr).to_pandas().sort_values("doc_id")
+    assert w.logw.iloc[:200].min() > w.logw.iloc[200:].max()
+
+    # smoothing guard
+    with pytest.raises(ValueError):
+        dsir_logratio(np.ones(4), np.ones(4), smooth=0.0)
