@@ -751,6 +751,49 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_embedding_decontam(sf_dir: str):
+    """Embedding-space decontamination (stages/decontam.py::
+    embedding_decontam): corpus vectors within cosine ≥ 0.99 of any
+    benchmark vector are flagged.  Bench = vec_id % 20 == 0; corpus =
+    the rest PLUS re-keyed (+10000) copies of the bench — the planted
+    contamination the flag must catch (cosine exactly 1.0).  Map-only
+    (benchmark matrix broadcast once); SQL hash-exact via DuckDB
+    list_cosine_similarity over double-cast lists, both sides rounding
+    half-away to 6 dp BEFORE the threshold compare."""
+    from table_annotation_ray.stages.decontam import embedding_decontam
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def split(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["vec_id"].to_numpy() % 20) == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return f
+
+    def rekey(b: pa.Table) -> pa.Table:
+        m = (b["vec_id"].to_numpy() % 20) == 0
+        kept = b.filter(pa.array(m))
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    kept["vec_id"].to_numpy() + 10000, pa.int64()
+                ),
+                "embedding": kept["embedding"],
+            }
+        )
+
+    bench = emb.map_batches(split(True), batch_format="pyarrow")
+    corpus = emb.map_batches(split(False), batch_format="pyarrow").union(
+        emb.map_batches(rekey, batch_format="pyarrow")
+    )
+    out = embedding_decontam(corpus, bench, threshold=0.99).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    out["max_sim"] = _round_ha(out["max_sim"], 6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR data selection (stages/dsir.py — Xie et al. 2023): hashed
     unigram+bigram count vectors on raw vs target corpora (bounded-dim
@@ -2920,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep_best": _q_near_dedup_keep_best,
         "event_transitions": _q_event_transitions,
         "dsir_select": _q_dsir_select,
+        "embedding_decontam": _q_embedding_decontam,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -3586,6 +3630,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nt AS to_type, count(*) AS n
             FROM t WHERE nt IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # embedding_decontam: double-cast lists so both sides compute
+        # cosine in float64; round half-away to 6 dp BEFORE the
+        # threshold compare (tfidf_topk portability rule)
+        "embedding_decontam": """
+            WITH b AS (
+                SELECT embedding::DOUBLE[] AS be FROM embeddings
+                WHERE vec_id % 20 = 0
+            ),
+            c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+                WHERE vec_id % 20 != 0
+                UNION ALL
+                SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
+                WHERE vec_id % 20 = 0
+            ),
+            s AS (
+                SELECT c.vec_id,
+                       round(list_cosine_similarity(c.ce, b.be), 6) AS sim
+                FROM c CROSS JOIN b
+            )
+            SELECT vec_id,
+                   max(sim) AS max_sim,
+                   sum(CASE WHEN sim >= 0.99 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+                   bool_or(sim >= 0.99) AS contaminated
+            FROM s GROUP BY vec_id ORDER BY vec_id
         """,
         "token_shards": """
             WITH t AS (SELECT doc_id,

@@ -168,3 +168,74 @@ def decontaminate(
 
     hits = tagged.groupby("_gbkt").map_groups(emit_hits, batch_format="pandas")
     return grouped_reduce(hits, [id_col], {"n_hits": ("one", "sum")})
+
+
+def embedding_decontam(
+    corpus: rd.Dataset,
+    bench: rd.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+    max_bench: int = 1_000_000,
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """Embedding-space decontamination — the SEMANTIC analogue of the
+    13-gram rule: flag every corpus vector whose cosine similarity to
+    ANY benchmark vector reaches ``threshold`` (catches paraphrased /
+    reformatted test-set leakage that exact n-gram overlap misses).
+
+    Shape: the benchmark matrix is collected ONCE, L2-normalized and
+    ``ray.put``-broadcast; each corpus batch is one numpy matmul
+    against it — map-only, zero exchanges.  Similarities are rounded
+    half-away to ``round_decimals`` BEFORE the threshold compare (the
+    tfidf_topk portability rule: BLAS vs SQL float paths differ by
+    ulps; compare rounded values on both sides).
+
+    Returns (id, max_sim, n_hits, contaminated) for EVERY corpus row —
+    the caller filters or joins; emitting all rows keeps the output a
+    drop-list AND an audit trail.
+
+    Partitioning assumption: the benchmark fits a worker heap (an eval
+    set by contract; guarded by ``max_bench``).  Benchmarks beyond that
+    need the LSH-bucketed co-location path
+    (``similarity.embedding_near_dup_pairs`` shape)."""
+    import pyarrow as pa
+
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .similarity import _normalize, _stack
+
+    bdf = bench.to_pandas()
+    if len(bdf) > max_bench:
+        raise ValueError(
+            f"benchmark has {len(bdf)} vectors > max_bench={max_bench}; "
+            "use an LSH-bucketed co-location (embedding_near_dup_pairs shape)"
+        )
+    bmat = _normalize(_stack(bdf[vec_col])) if len(bdf) else np.zeros((0, 1))
+    bref = ray.put(np.ascontiguousarray(bmat.T))  # (d, nb), matmul-ready
+    f = 10.0**round_decimals
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        bt = get_worker_state(("edecon-b", ref_key(bref)), lambda: ray.get(bref))
+        x = _normalize(_stack(b[vec_col]))
+        if bt.shape[1] == 0:
+            mx = np.full(len(b), -1.0)
+            nh = np.zeros(len(b), dtype=np.int64)
+        else:
+            sims = x @ bt
+            # round half-away BEFORE max/threshold (portable compare)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * f + 0.5) / f
+            mx = sims.max(axis=1)
+            nh = (sims >= threshold).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "max_sim": pa.array(mx, pa.float64()),
+                "n_hits": pa.array(nh, pa.int64()),
+                "contaminated": pa.array(nh > 0, pa.bool_()),
+            }
+        )
+
+    return corpus.map_batches(score, batch_format="pandas", batch_size=batch_size)

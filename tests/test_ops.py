@@ -1376,3 +1376,48 @@ def test_dsir_planted_target_recovery(ray_session):
     # smoothing guard
     with pytest.raises(ValueError):
         dsir_logratio(np.ones(4), np.ones(4), smooth=0.0)
+
+
+def test_embedding_decontam_planted(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.decontam import embedding_decontam
+
+    rng = np.random.default_rng(5)
+    d = 16
+    bench_m = rng.normal(size=(20, d))
+    corpus_m = rng.normal(size=(200, d))
+    # plant perturbed copies of bench rows 0-9 at ids 500-509 (paraphrase
+    # leakage: high-but-not-exact cosine, what n-gram overlap misses)
+    planted = bench_m[:10] + rng.normal(scale=0.01, size=(10, d))
+    bench = rd.from_items(
+        [{"vec_id": 1000 + i, "embedding": list(map(float, v))} for i, v in enumerate(bench_m)]
+    )
+    corpus_rows = [
+        {"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(corpus_m)
+    ] + [
+        {"vec_id": 500 + i, "embedding": list(map(float, v))} for i, v in enumerate(planted)
+    ]
+    corpus = rd.from_items(corpus_rows).repartition(4)
+
+    out = (
+        embedding_decontam(corpus, bench, threshold=0.98)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 210
+    flagged = set(out[out.contaminated].vec_id)
+    assert flagged == {500 + i for i in range(10)}
+    # random 16-d vectors never reach 0.98 cosine; planted ones all do
+    assert out[out.vec_id >= 500].max_sim.min() > 0.99
+    assert (out[out.vec_id < 500].n_hits == 0).all()
+
+    # empty benchmark: nothing flagged, max_sim sentinel -1
+    empty = bench.filter(lambda r: False)
+    out0 = embedding_decontam(corpus, empty, threshold=0.5).to_pandas()
+    assert (~out0.contaminated).all() and (out0.max_sim == -1.0).all()
+
+    # benchmark size guard
+    with pytest.raises(ValueError):
+        embedding_decontam(corpus, bench, threshold=0.5, max_bench=5).to_pandas()
