@@ -751,6 +751,52 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style cross-corpus line dedup (stages/dedup.py::
+    line_dedup): 5-line documents built from consecutive documents rows
+    (line i of doc g = documents row g*5+i), with boilerplate planted —
+    rows with doc_id % 5 == 0 become 'COOKIE BANNER', % 5 == 4 become
+    'footer: subscribe now' — then every line whose normalized form
+    occurs ≥2 times corpus-wide is removed from all docs (the planted
+    header/footer vanish everywhere, the unique middles survive).
+    SQL hash-exact (count + anti-join + ordered string_agg)."""
+    from table_annotation_ray.stages.dedup import line_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        txt = b["text"].fillna("").to_numpy(dtype=object)
+        txt = np.where(ids % 5 == 0, "COOKIE BANNER", txt)
+        txt = np.where(ids % 5 == 4, "footer: subscribe now", txt)
+        return pa.table(
+            {
+                "gdoc": pa.array(ids // 5, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(txt.astype(object), pa.string()),
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id", kind="mergesort")
+        out = g.groupby("gdoc", sort=True)["text"].agg("\n".join).reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["gdoc"].to_numpy(dtype=np.int64), pa.int64()),
+                "text": pa.array(out["text"].to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(tag, batch_format="pandas").groupby("gdoc").map_groups(
+            build, batch_format="pandas"
+        )
+    )
+    out = line_dedup(grouped, min_count=2).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_embedding_decontam(sf_dir: str):
     """Embedding-space decontamination (stages/decontam.py::
     embedding_decontam): corpus vectors within cosine ≥ 0.99 of any
@@ -2964,6 +3010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "dsir_select": _q_dsir_select,
         "embedding_decontam": _q_embedding_decontam,
+        "line_dedup": _q_line_dedup,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -3656,6 +3703,32 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN sim >= 0.99 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
                    bool_or(sim >= 0.99) AS contaminated
             FROM s GROUP BY vec_id ORDER BY vec_id
+        """,
+        "line_dedup": """
+            WITH lines AS (
+                SELECT doc_id // 5 AS gdoc, doc_id % 5 AS idx,
+                       CASE WHEN doc_id % 5 = 0 THEN 'COOKIE BANNER'
+                            WHEN doc_id % 5 = 4 THEN 'footer: subscribe now'
+                            ELSE COALESCE(text, '') END AS ln,
+                       regexp_replace(lower(trim(
+                           CASE WHEN doc_id % 5 = 0 THEN 'COOKIE BANNER'
+                                WHEN doc_id % 5 = 4 THEN 'footer: subscribe now'
+                                ELSE COALESCE(text, '') END)),
+                                      '\\s+', ' ', 'g') AS lnn
+                FROM documents
+            ),
+            common AS (
+                SELECT lnn FROM lines WHERE lnn != ''
+                GROUP BY lnn HAVING count(*) >= 2
+            ),
+            kept AS (
+                SELECT l.* FROM lines l
+                WHERE l.lnn NOT IN (SELECT lnn FROM common)
+                   OR l.lnn = ''
+            )
+            SELECT gdoc AS doc_id,
+                   string_agg(ln, chr(10) ORDER BY idx) AS text
+            FROM kept GROUP BY gdoc ORDER BY gdoc
         """,
         "token_shards": """
             WITH t AS (SELECT doc_id,

@@ -1598,3 +1598,171 @@ def near_dedup_keep_best(
     return joined.map_batches(tag, batch_format="pyarrow").groupby("__cb").map_groups(
         keep_best, batch_format="pandas"
     )
+
+
+def line_dedup(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    broadcast_below: int = 5_000_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Cross-corpus LINE/paragraph dedup — the CCNet / RefinedWeb
+    boilerplate rule: every line whose normalized form (lower +
+    whitespace collapse, the exact-dedup identity) occurs in ≥
+    ``min_count`` lines corpus-wide is removed from EVERY doc (all
+    occurrences, including the first — boilerplate headers/footers
+    carry no training signal anywhere).  Returns (id, text) with the
+    surviving lines rejoined by ``\\n`` in original order; docs whose
+    every line is removed are dropped.
+
+    Lines travel as normalized STRINGS, not hashes — exact semantics,
+    SQL-replicable (same trade as stages/decontam.py grams).
+
+    Shapes, size-gated like decontaminate:
+
+    1. **Count**: per-batch line explode → batch-local value_counts →
+       ``grouped_reduce`` sum → the common-line set (≥ min_count).
+       The exchange carries batch-DISTINCT partials, never raw lines.
+    2a. **Broadcast scrub** (common set ≤ ``broadcast_below``): the
+        common lines ``ray.put`` once; ONE streaming pass drops
+        matching lines per batch (vectorized isin over the exploded
+        frame) — zero further exchanges.  Boilerplate sets are small
+        by nature (that's what makes them boilerplate).
+    2b. **Co-location scrub**: exploded (doc, idx, line) rows and the
+        common set union under one schema, ``groupby(hash(line_norm))``
+        drops marked groups, then ``groupby(hash(doc))`` reassembles —
+        two more exchanges, no driver set.  Identical output (pytest).
+    """
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import grouped_reduce
+
+    def count_partial(b: pd.DataFrame) -> pa.Table:
+        lines = b[text_col].fillna("").str.split("\n").explode()
+        norm = _norm_text(lines.astype(str))
+        cnt = norm[norm != ""].value_counts()
+        return pa.table(
+            {
+                "__ln": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+                "c": pa.array(cnt.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    common = (
+        grouped_reduce(
+            docs.map_batches(count_partial, batch_format="pandas"),
+            ["__ln"],
+            {"n": ("c", "sum")},
+            num_buckets=num_buckets,
+        )
+        .filter(expr=f"n >= {int(min_count)}")
+        .materialize()
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        lines = b[text_col].fillna("").str.split("\n").explode()
+        pos = lines.index.to_numpy(dtype=np.int64)
+        idx = np.arange(len(lines)) - np.r_[0, np.cumsum(np.bincount(pos))][pos]
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype=np.int64)[pos],
+                "__idx": idx.astype(np.int64),
+                "__line": lines.to_numpy(dtype=object),
+                "__ln": _norm_text(lines.astype(str)).to_numpy(dtype=object),
+            }
+        )
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([id_col, "__idx"], kind="mergesort")
+        out = g.groupby(id_col, sort=True)["__line"].agg("\n".join).reset_index()
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                text_col: pa.array(out["__line"].to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    if common.count() <= broadcast_below:
+        cdf = common.to_pandas()  # empty Dataset loses its schema — guard
+        cset = (
+            cdf["__ln"].to_numpy(dtype=object)
+            if "__ln" in cdf.columns
+            else np.empty(0, dtype=object)
+        )
+        cref = ray.put(cset)
+
+        def scrub(b: pd.DataFrame) -> pa.Table:
+            cs = get_worker_state(("linededup", ref_key(cref)), lambda: ray.get(cref))
+            ex = explode(b)
+            return reassemble(ex[~ex["__ln"].isin(cs)])
+
+        return docs.map_batches(scrub, batch_format="pandas")
+
+    # co-location: exploded rows + marked common lines share one schema
+    nb = np.uint64(num_buckets)
+
+    def _tagged_table(
+        ids: np.ndarray, idx: np.ndarray, line, ln, mark: np.ndarray
+    ) -> pa.Table:
+        # explicit Arrow types: empty object-dtype columns infer NULL
+        # (r4 rule) and these UDFs can all emit 0 rows
+        lb = (
+            pd.util.hash_pandas_object(pd.Series(ln), index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "__idx": pa.array(idx, pa.int64()),
+                "__line": pa.array(line, pa.string()),
+                "__ln": pa.array(ln, pa.string()),
+                "__mark": pa.array(mark, pa.int64()),
+                "__lb": pa.array(lb, pa.int64()),
+            }
+        )
+
+    def tag_rows(b: pd.DataFrame) -> pa.Table:
+        ex = explode(b)
+        return _tagged_table(
+            ex[id_col].to_numpy(dtype=np.int64),
+            ex["__idx"].to_numpy(dtype=np.int64),
+            ex["__line"].to_numpy(dtype=object),
+            ex["__ln"].to_numpy(dtype=object),
+            np.zeros(len(ex), dtype=np.int64),
+        )
+
+    def tag_common(b: pd.DataFrame) -> pa.Table:
+        n = len(b)
+        return _tagged_table(
+            np.full(n, -1, dtype=np.int64),
+            np.full(n, -1, dtype=np.int64),
+            np.full(n, "", dtype=object),
+            b["__ln"].to_numpy(dtype=object),
+            np.ones(n, dtype=np.int64),
+        )
+
+    def drop_marked(g: pd.DataFrame) -> pa.Table:
+        bad = set(g.loc[g["__mark"] == 1, "__ln"])
+        kept = g[(g["__mark"] == 0) & ~g["__ln"].isin(bad)]
+        db = (
+            pd.util.hash_pandas_object(kept[id_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(kept[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "__idx": pa.array(kept["__idx"].to_numpy(dtype=np.int64), pa.int64()),
+                "__line": pa.array(kept["__line"].to_numpy(dtype=object), pa.string()),
+                "__db": pa.array(db, pa.int64()),
+            }
+        )
+
+    tagged = docs.map_batches(tag_rows, batch_format="pandas").union(
+        common.map_batches(tag_common, batch_format="pandas")
+    )
+    kept_rows = tagged.groupby("__lb").map_groups(drop_marked, batch_format="pandas")
+    return kept_rows.groupby("__db").map_groups(
+        lambda g: reassemble(g), batch_format="pandas"
+    )

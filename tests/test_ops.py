@@ -1421,3 +1421,38 @@ def test_embedding_decontam_planted(ray_session):
     # benchmark size guard
     with pytest.raises(ValueError):
         embedding_decontam(corpus, bench, threshold=0.5, max_bench=5).to_pandas()
+
+
+def test_line_dedup_paths_and_semantics(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import line_dedup
+
+    rows = [
+        {"doc_id": 0, "text": "COOKIE BANNER\nunique zero a\nunique zero b"},
+        {"doc_id": 1, "text": "unique one\nCOOKIE BANNER\nfooter text here"},
+        # normalization collapses case/whitespace: these count as the
+        # same boilerplate as above
+        {"doc_id": 2, "text": "cookie   banner\nunique two\nFooter Text HERE"},
+        {"doc_id": 3, "text": "COOKIE BANNER"},  # fully boilerplate -> dropped
+        {"doc_id": 4, "text": "solo doc\nanother solo line"},
+        {"doc_id": 5, "text": ""},  # empty doc: "" is never boilerplate
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    want = {
+        0: "unique zero a\nunique zero b",
+        1: "unique one",
+        2: "unique two",
+        4: "solo doc\nanother solo line",
+        5: "",
+    }
+    out_b = line_dedup(ds, min_count=2).to_pandas()
+    assert dict(zip(out_b.doc_id, out_b.text)) == want
+    # co-location path (broadcast gate forced off): identical output
+    out_c = line_dedup(ds, min_count=2, broadcast_below=0).to_pandas()
+    assert dict(zip(out_c.doc_id, out_c.text)) == want
+    # no common lines at all: corpus passes through intact (empty
+    # common set must not crash the broadcast collect)
+    solo = rd.from_items([{"doc_id": 9, "text": "a\nb"}])
+    out_s = line_dedup(solo, min_count=2).to_pandas()
+    assert list(out_s.text) == ["a\nb"]
