@@ -751,6 +751,21 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_user_top_event_type(sf_dir: str):
+    """Per-key MODE (stages/agg.py::mode_by_key): each user's most
+    frequent event type (ties → lexicographically smallest type).
+    Two (key, value, n)-partial exchanges, never raw events.  SQL
+    hash-exact (counts + row_number window)."""
+    from table_annotation_ray.stages.agg import mode_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = mode_by_key(ev, "user_id", "event_type").to_pandas()
+    out = out.rename(columns={"event_type": "mode"})
+    for c in ("user_id", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style cross-corpus line dedup (stages/dedup.py::
     line_dedup): 5-line documents built from consecutive documents rows
@@ -3011,6 +3026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "embedding_decontam": _q_embedding_decontam,
         "line_dedup": _q_line_dedup,
+        "user_top_event_type": _q_user_top_event_type,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -3729,6 +3745,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT gdoc AS doc_id,
                    string_agg(ln, chr(10) ORDER BY idx) AS text
             FROM kept GROUP BY gdoc ORDER BY gdoc
+        """,
+        "user_top_event_type": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY n DESC, event_type
+                       ) AS rn
+                FROM c
+            )
+            SELECT user_id, event_type AS mode, n
+            FROM r WHERE rn = 1 ORDER BY user_id
         """,
         "token_shards": """
             WITH t AS (SELECT doc_id,

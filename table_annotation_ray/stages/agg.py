@@ -261,3 +261,52 @@ def bucketed_distinct(
         .groupby("__bd_bkt")
         .map_groups(uniq, batch_format="pandas")
     )
+
+
+def mode_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key MODE — the most frequent ``value_col`` per ``key_col``
+    (ties → smallest value), SQL ``row_number() OVER (PARTITION BY key
+    ORDER BY n DESC, value) = 1`` over the (key, value) counts.
+
+    Two bucketed exchanges, both carrying (key, value, n) partials and
+    never raw rows: :func:`grouped_reduce` sums batch-local pair counts
+    (bucketed by hash(key, value)), then a ``hash(key)`` bucket
+    co-locates each key's candidate values for one vectorized in-bucket
+    sort + head.  Safe at corpus key cardinality (no per-key Python)."""
+    counts = grouped_reduce(
+        ds.map_batches(
+            lambda b: b.select([key_col, value_col]), batch_format="pyarrow"
+        ),
+        [key_col, value_col],
+        {"n": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["__mk"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        best = (
+            g.sort_values(["n", value_col], ascending=[False, True], kind="mergesort")
+            .groupby(key_col, sort=True)
+            .head(1)
+        )
+        return pa.Table.from_pandas(
+            best[[key_col, value_col, "n"]], preserve_index=False
+        )
+
+    return (
+        counts.map_batches(tag, batch_format="pandas")
+        .groupby("__mk")
+        .map_groups(pick, batch_format="pandas")
+    )

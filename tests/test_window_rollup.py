@@ -979,3 +979,30 @@ def test_transition_counts_matches_pandas(ray_session):
     # totals: every row with a successor is counted exactly once
     n_keys = df["user_id"].nunique()
     assert out["n"].sum() == len(df) - n_keys
+
+
+def test_mode_by_key_matches_pandas(ray_session):
+    from table_annotation_ray.stages.agg import mode_by_key
+
+    df = _events(1000, seed=23)
+    out = (
+        mode_by_key(rd.from_pandas(df).repartition(6), "user_id", "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    cnt = df.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    ref = (
+        cnt.sort_values(["n", "event_type"], ascending=[False, True], kind="mergesort")
+        .groupby("user_id")
+        .head(1)
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n": "int64"}), ref.astype({"n": "int64"})
+    )
+    # deterministic tie-break: equal counts -> smallest value
+    tie = pd.DataFrame({"k": [1, 1, 1, 1], "v": ["b", "a", "a", "b"]})
+    got = mode_by_key(rd.from_pandas(tie), "k", "v").to_pandas()
+    assert list(got.v) == ["a"] and list(got.n) == [2]
