@@ -751,6 +751,33 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_users_all_event_types(sf_dir: str):
+    """Relational DIVISION: users who performed EVERY event type in the
+    table (events ÷ types).  Composition: distinct_count_by_key
+    (stages/agg.py — pair-dedup exchange + count) filtered against the
+    global distinct-type count (a 5-row driver-side unique on a
+    pre-shrunk projection).  SQL hash-exact (HAVING count(DISTINCT) =
+    scalar subquery)."""
+    from table_annotation_ray.stages.agg import distinct_count_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    n_types = len(
+        ev.map_batches(
+            lambda b: b.select(["event_type"]).combine_chunks().group_by(
+                ["event_type"]
+            ).aggregate([]),
+            batch_format="pyarrow",
+        ).unique("event_type")
+    )
+    per_user = distinct_count_by_key(ev, ["user_id"], "event_type")
+    out = (
+        per_user.filter(expr=f"n_distinct == {n_types}")
+        .to_pandas()[["user_id"]]
+        .astype({"user_id": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_user_top_event_type(sf_dir: str):
     """Per-key MODE (stages/agg.py::mode_by_key): each user's most
     frequent event type (ties → lexicographically smallest type).
@@ -3027,6 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_decontam": _q_embedding_decontam,
         "line_dedup": _q_line_dedup,
         "user_top_event_type": _q_user_top_event_type,
+        "users_all_event_types": _q_users_all_event_types,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -3760,6 +3788,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_type AS mode, n
             FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        "users_all_event_types": """
+            SELECT user_id FROM events
+            GROUP BY user_id
+            HAVING count(DISTINCT event_type) =
+                   (SELECT count(DISTINCT event_type) FROM events)
+            ORDER BY user_id
         """,
         "token_shards": """
             WITH t AS (SELECT doc_id,
