@@ -2907,6 +2907,27 @@ def _q_triangle_count(sf_dir: str):
                          "n_triangles": [res["n_triangles"]]})
 
 
+def _q_graph_kcore(sf_dir: str):
+    """k-core decomposition (stages/graph.py::k_core — iterative
+    peeling with the dropped-set broadcast: degrees via grouped_reduce,
+    each round's small drop set anti-filters the edges map-only,
+    co-location fallback for huge-drop rounds) over the part
+    co-occurrence graph (same 1/3 basket subsample as triangle_count).
+    Rows-only (iterative deletion has no SQL equivalent); pytest pins
+    equality with a single-process reference peeling."""
+    from table_annotation_ray.stages.graph import k_core
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
+    out = k_core(edges, k=4, src="item_a", dst="item_b").to_pandas()
+    for c in ("node", "degree"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_order_pivot(sf_dir: str):
     """Wide pivot (stages/relational.py::pivot_table): total order value
     per (priority × status) cell — one widen map + the grouped_reduce
@@ -3055,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "user_top_event_type": _q_user_top_event_type,
         "users_all_event_types": _q_users_all_event_types,
+        "graph_kcore": _q_graph_kcore,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,

@@ -450,3 +450,169 @@ def triangle_count(
     partials = both.groupby("__tc_pbkt").map_groups(match, batch_format="pandas")
     n_tri = int(partials.to_pandas()["n"].sum())
     return {"n_edges": int(n_edges), "n_triangles": n_tri}
+
+
+def k_core(
+    edges: rd.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+    broadcast_below: int = 2_000_000,
+    num_buckets: int = 64,
+    partitions: int = 16,
+) -> rd.Dataset:
+    """k-core decomposition — the maximal subgraph in which every node
+    has degree ≥ k (simple undirected graph: self-loops dropped,
+    parallel/reverse edges collapsed), the standard graph-curation
+    primitive (spam/low-signal node pruning).  Returns one row per
+    surviving node: ``(node, degree)`` with its IN-CORE degree.
+
+    Iterative peeling, shaped around the observation that after the
+    first round the per-round DROP set is small (nodes that just fell
+    under k), while survivors stay corpus-sized:
+
+    * degrees via one ``grouped_reduce`` over the stacked endpoints
+      (batch-local partials, one bucket exchange);
+    * the round's dropped nodes — not the survivors — are collected
+      and ``ray.put``-broadcast for a map-only edge anti-filter when
+      ≤ ``broadcast_below``, else a two-exchange co-location
+      (union + groupby(hash(endpoint))) handles the rare huge-drop
+      round;
+    * per-round ``repartition`` keeps block counts flat across
+      iterations (the min_label_components rule).
+
+    Converges when a round drops nothing (≤ max_iters rounds; peeling
+    terminates — each round strictly shrinks the node set)."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import grouped_reduce
+
+    def canon(b: pd.DataFrame) -> pa.Table:
+        u = b[src].to_numpy(dtype=np.int64)
+        v = b[dst].to_numpy(dtype=np.int64)
+        keep = u != v
+        lo, hi = np.minimum(u, v)[keep], np.maximum(u, v)[keep]
+        out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(), pa.int64()),
+                "b": pa.array(out["b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def stack(b: pa.Table) -> pa.Table:
+        node = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        return pa.table({"node": pa.array(node, pa.int64())})
+
+    # distinct a<b pairs: batch-local canon shrink, then one pair-hash
+    # bucket exchange dedups across batches
+    nb = np.uint64(num_buckets)
+
+    def pair_bkt(b: pa.Table) -> pa.Table:
+        h = (
+            b["a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + b["b"].to_numpy().astype(np.uint64)
+        )
+        return b.append_column(
+            "__pb", pa.array((h % nb).astype(np.int64), pa.int64())
+        )
+
+    def pair_dedup(g: pd.DataFrame) -> pa.Table:
+        out = g[["a", "b"]].drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(dtype=np.int64), pa.int64()),
+                "b": pa.array(out["b"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    cur = (
+        edges.map_batches(canon, batch_format="pandas")
+        .map_batches(pair_bkt, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .repartition(partitions)
+        .materialize()
+    )
+
+    deg = None
+    for _ in range(max_iters):
+        deg = grouped_reduce(
+            cur.map_batches(stack, batch_format="pyarrow"),
+            ["node"],
+            {"degree": (None, "count")},
+            num_buckets=num_buckets,
+        ).materialize()
+        dropped = deg.filter(expr=f"degree < {int(k)}")
+        n_drop = dropped.count()
+        if n_drop == 0:
+            break
+        if n_drop <= broadcast_below:
+            dset = set(int(x) for x in dropped.to_pandas()["node"])
+            dref = ray.put(dset)
+
+            def anti(b: pd.DataFrame, _dref=dref) -> pa.Table:
+                ds_ = get_worker_state(
+                    ("kcore-drop", ref_key(_dref)), lambda: ray.get(_dref)
+                )
+                kept = b[~b["a"].isin(ds_) & ~b["b"].isin(ds_)]
+                return pa.table(
+                    {
+                        "a": pa.array(kept["a"].to_numpy(dtype=np.int64), pa.int64()),
+                        "b": pa.array(kept["b"].to_numpy(dtype=np.int64), pa.int64()),
+                    }
+                )
+
+            cur = (
+                cur.map_batches(anti, batch_format="pandas")
+                .repartition(partitions)
+                .materialize()
+            )
+        else:
+            # co-location fallback: filter on a, then on b — each one
+            # union + groupby(hash(endpoint)) exchange
+            for col in ("a", "b"):
+
+                def tag_e(b: pd.DataFrame, _c=col) -> pa.Table:
+                    bk = (b[_c].to_numpy().astype(np.uint64) % nb).astype(np.int64)
+                    return pa.table(
+                        {
+                            "a": pa.array(b["a"].to_numpy(dtype=np.int64), pa.int64()),
+                            "b": pa.array(b["b"].to_numpy(dtype=np.int64), pa.int64()),
+                            "__mark": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                            "__kb": pa.array(bk, pa.int64()),
+                        }
+                    )
+
+                def tag_d(b: pd.DataFrame) -> pa.Table:
+                    n_ = b["node"].to_numpy(dtype=np.int64)
+                    bk = (n_.astype(np.uint64) % nb).astype(np.int64)
+                    return pa.table(
+                        {
+                            "a": pa.array(n_, pa.int64()),
+                            "b": pa.array(np.full(len(b), -1, np.int64), pa.int64()),
+                            "__mark": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                            "__kb": pa.array(bk, pa.int64()),
+                        }
+                    )
+
+                def drop_grp(g: pd.DataFrame, _c=col) -> pa.Table:
+                    bad = set(g.loc[g["__mark"] == 1, "a"])
+                    kept = g[(g["__mark"] == 0) & ~g[_c].isin(bad)]
+                    return pa.table(
+                        {
+                            "a": pa.array(kept["a"].to_numpy(dtype=np.int64), pa.int64()),
+                            "b": pa.array(kept["b"].to_numpy(dtype=np.int64), pa.int64()),
+                        }
+                    )
+
+                cur = (
+                    cur.map_batches(tag_e, batch_format="pandas")
+                    .union(dropped.map_batches(tag_d, batch_format="pandas"))
+                    .groupby("__kb")
+                    .map_groups(drop_grp, batch_format="pandas")
+                )
+            cur = cur.repartition(partitions).materialize()
+    return deg.filter(expr=f"degree >= {int(k)}")

@@ -209,3 +209,57 @@ def test_triangle_count_matches_bruteforce(ray_session):
     assert triangle_count(rd.from_pandas(empty))["n_triangles"] == 0
     path = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})  # no triangle
     assert triangle_count(rd.from_pandas(path)) == {"n_edges": 2, "n_triangles": 0}
+
+
+def _ref_kcore(pairs, k):
+    """Single-process reference peeling over (a, b) simple-graph pairs."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(v) for n, v in adj.items()}
+
+
+def test_k_core_matches_reference_peeling(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from table_annotation_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(31)
+    # random sparse graph + a planted 7-clique that must survive k=5
+    rand = [(int(a), int(b)) for a, b in rng.integers(0, 120, (400, 2))]
+    clique = list(itertools.combinations(range(200, 207), 2))
+    pairs = rand + clique
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    # duplicate + reversed rows: canon must collapse them
+    df = pd.concat([df, df.rename(columns={"src": "dst", "dst": "src"})])
+
+    for kk in (3, 5):
+        ref = _ref_kcore(pairs, kk)
+        out = (
+            k_core(rd.from_pandas(df).repartition(5), k=kk)
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out.node, out.degree)) == ref, kk
+        # co-location fallback path: identical
+        out2 = (
+            k_core(rd.from_pandas(df).repartition(5), k=kk, broadcast_below=0)
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out2.node, out2.degree)) == ref, kk
+    assert all(n in _ref_kcore(pairs, 5) for n in range(200, 207))
