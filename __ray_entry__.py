@@ -2928,6 +2928,67 @@ def _q_graph_kcore(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_graph_communities(sf_dir: str):
+    """Label-propagation community detection (stages/graph.py::
+    label_propagation — synchronous min-tie-break LPA: static canonical
+    edges mapped against the broadcast label array each round,
+    mode_by_key tallies neighbour votes in two bucketed exchanges) over
+    the part co-occurrence graph (same 1/3 basket subsample as
+    graph_kcore/triangle_count).  Rows-only (iterative fixpoint has no
+    SQL equivalent); pytest pins equality with a single-process
+    reference applying the identical update rule."""
+    from table_annotation_ray.stages.graph import label_propagation
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
+    out = label_propagation(edges, src="item_a", dst="item_b", max_iters=5)
+    for c in ("node", "label"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_part_skyline(sf_dir: str):
+    """2-criteria skyline (stages/relational.py::skyline): the Pareto
+    frontier of parts — no other part both cheaper (p_retailprice) and
+    larger (p_size).  Two-phase local-then-global frontier with NO
+    exchange: each block's vectorized sort+cummin skyline ships only
+    its survivors (O(frontier) rows) to one driver-side final pass.
+    Oracle is the NOT EXISTS strict-dominance predicate verbatim."""
+    from table_annotation_ray.stages.relational import skyline
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    out = skyline(part, minimize=["p_retailprice"], maximize=["p_size"])
+    out = out[["p_partkey", "p_size", "p_retailprice"]]
+    for c in ("p_partkey", "p_size"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def _q_qty_price_regression(sf_dir: str):
+    """Per-key OLS (stages/agg.py::linreg_by_key): slope / intercept /
+    Pearson corr of l_extendedprice on l_quantity per (returnflag,
+    linestatus), from ONE pass of sufficient-statistic sums through
+    grouped_reduce — the grouped companion to qty_price_moments'
+    global fit.  Oracle = SQL regr_slope/regr_intercept/corr, rounded
+    at the same precisions (float-associativity tolerance)."""
+    from table_annotation_ray.stages.agg import linreg_by_key
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice"]
+    )
+    out = linreg_by_key(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice"
+    )
+    out["slope"] = _round_ha(out["slope"], 4)
+    out["intercept"] = _round_ha(out["intercept"], 2)
+    out["corr"] = _round_ha(out["corr"], 6)
+    return out.reset_index(drop=True)
+
+
 def _q_order_pivot(sf_dir: str):
     """Wide pivot (stages/relational.py::pivot_table): total order value
     per (priority × status) cell — one widen map + the grouped_reduce
@@ -3077,6 +3138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event_type": _q_user_top_event_type,
         "users_all_event_types": _q_users_all_event_types,
         "graph_kcore": _q_graph_kcore,
+        "graph_communities": _q_graph_communities,
+        "part_skyline": _q_part_skyline,
+        "qty_price_regression": _q_qty_price_regression,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -4216,6 +4280,25 @@ def oracle_sql() -> dict[str, str]:
                        + SUM(CASE WHEN q > 0
                                   THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS js
             FROM pq
+        """,
+        "part_skyline": """
+            SELECT p_partkey, p_size, p_retailprice FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+            ORDER BY p_partkey
+        """,
+        "qty_price_regression": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+                   round(corr(l_extendedprice, l_quantity), 6) AS corr
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "qty_price_moments": """
             SELECT count(*) AS n,

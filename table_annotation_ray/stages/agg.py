@@ -310,3 +310,75 @@ def mode_by_key(
         .groupby("__mk")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def linreg_by_key(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Per-key simple linear regression (y = slope·x + intercept) plus
+    Pearson correlation, from ONE pass of sufficient statistics: a map
+    stage adds the xy/x²/y² product columns, ``grouped_reduce`` sums
+    them per key (map-side partials, one 64-value bucket exchange), and
+    the closed forms are evaluated driver-side on the per-key frame —
+    no per-key Python anywhere, no second scan.
+
+    Matches SQL ``regr_slope / regr_intercept / regr_count / corr``
+    modulo float associativity (callers round before hashing).  Inputs
+    must be non-null (SQL's regr_* skip null pairs; here they'd
+    propagate NaN).  Keys with zero x-variance get NaN slope/corr
+    (SQL returns NULL there too).  Returns the small per-key frame:
+    one row per key — bounded by key cardinality, not input rows.
+
+    No reference counterpart (SURVEY §2 analytics breadth — the
+    profiling family next to qty_price_moments).
+    """
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[key_cols].copy()
+        x = b[x_col].to_numpy(dtype=np.float64)
+        y = b[y_col].to_numpy(dtype=np.float64)
+        out["__x"] = x
+        out["__y"] = y
+        out["__xy"] = x * y
+        out["__xx"] = x * x
+        out["__yy"] = y * y
+        return out
+
+    sums = grouped_reduce(
+        ds.map_batches(prep, batch_format="pandas"),
+        key_cols,
+        {
+            "n": ("__x", "count"),
+            "sx": ("__x", "sum"),
+            "sy": ("__y", "sum"),
+            "sxy": ("__xy", "sum"),
+            "sxx": ("__xx", "sum"),
+            "syy": ("__yy", "sum"),
+        },
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    n = sums["n"].to_numpy(dtype=np.float64)
+    sx, sy = sums["sx"].to_numpy(), sums["sy"].to_numpy()
+    sxy, sxx, syy = (
+        sums["sxy"].to_numpy(),
+        sums["sxx"].to_numpy(),
+        sums["syy"].to_numpy(),
+    )
+    cov_n = n * sxy - sx * sy          # n² · cov
+    var_x = n * sxx - sx * sx          # n² · var(x)
+    var_y = n * syy - sy * sy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = cov_n / var_x
+        intercept = (sy - slope * sx) / n
+        corr = cov_n / np.sqrt(var_x * var_y)
+    out = sums[key_cols].copy()
+    out["n"] = sums["n"].astype("int64")
+    out["slope"] = slope
+    out["intercept"] = intercept
+    out["corr"] = corr
+    return out.sort_values(key_cols).reset_index(drop=True)

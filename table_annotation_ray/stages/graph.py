@@ -489,53 +489,12 @@ def k_core(
     from ..state.worker_state import get_worker_state, ref_key
     from .agg import grouped_reduce
 
-    def canon(b: pd.DataFrame) -> pa.Table:
-        u = b[src].to_numpy(dtype=np.int64)
-        v = b[dst].to_numpy(dtype=np.int64)
-        keep = u != v
-        lo, hi = np.minimum(u, v)[keep], np.maximum(u, v)[keep]
-        out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
-        return pa.table(
-            {
-                "a": pa.array(out["a"].to_numpy(), pa.int64()),
-                "b": pa.array(out["b"].to_numpy(), pa.int64()),
-            }
-        )
-
     def stack(b: pa.Table) -> pa.Table:
         node = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
         return pa.table({"node": pa.array(node, pa.int64())})
 
-    # distinct a<b pairs: batch-local canon shrink, then one pair-hash
-    # bucket exchange dedups across batches
     nb = np.uint64(num_buckets)
-
-    def pair_bkt(b: pa.Table) -> pa.Table:
-        h = (
-            b["a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            + b["b"].to_numpy().astype(np.uint64)
-        )
-        return b.append_column(
-            "__pb", pa.array((h % nb).astype(np.int64), pa.int64())
-        )
-
-    def pair_dedup(g: pd.DataFrame) -> pa.Table:
-        out = g[["a", "b"]].drop_duplicates()
-        return pa.table(
-            {
-                "a": pa.array(out["a"].to_numpy(dtype=np.int64), pa.int64()),
-                "b": pa.array(out["b"].to_numpy(dtype=np.int64), pa.int64()),
-            }
-        )
-
-    cur = (
-        edges.map_batches(canon, batch_format="pandas")
-        .map_batches(pair_bkt, batch_format="pyarrow")
-        .groupby("__pb")
-        .map_groups(pair_dedup, batch_format="pandas")
-        .repartition(partitions)
-        .materialize()
-    )
+    cur = _simple_edges(edges, src, dst, num_buckets, partitions)
 
     deg = None
     for _ in range(max_iters):
@@ -616,3 +575,140 @@ def k_core(
                 )
             cur = cur.repartition(partitions).materialize()
     return deg.filter(expr=f"degree >= {int(k)}")
+
+
+def _simple_edges(
+    edges: rd.Dataset,
+    src: str,
+    dst: str,
+    num_buckets: int = 64,
+    partitions: int = 16,
+) -> rd.Dataset:
+    """Materialized distinct ``a < b`` pairs of a simple undirected
+    graph: self-loops dropped, parallel/reverse duplicates collapsed.
+    Batch-local canon shrink, then one pair-hash bucket exchange dedups
+    across batches (the k_core shape, shared with label_propagation)."""
+    nb = np.uint64(num_buckets)
+
+    def canon(b: pd.DataFrame) -> pa.Table:
+        u = b[src].to_numpy(dtype=np.int64)
+        v = b[dst].to_numpy(dtype=np.int64)
+        keep = u != v
+        lo, hi = np.minimum(u, v)[keep], np.maximum(u, v)[keep]
+        out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(), pa.int64()),
+                "b": pa.array(out["b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def pair_bkt(b: pa.Table) -> pa.Table:
+        h = (
+            b["a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + b["b"].to_numpy().astype(np.uint64)
+        )
+        return b.append_column(
+            "__pb", pa.array((h % nb).astype(np.int64), pa.int64())
+        )
+
+    def pair_dedup(g: pd.DataFrame) -> pa.Table:
+        out = g[["a", "b"]].drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(dtype=np.int64), pa.int64()),
+                "b": pa.array(out["b"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(canon, batch_format="pandas")
+        .map_batches(pair_bkt, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .repartition(partitions)
+        .materialize()
+    )
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 10,
+    num_buckets: int = 64,
+    partitions: int = 16,
+) -> pd.DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over a simple undirected graph: every node starts
+    labelled with its own id; each round every node adopts the most
+    frequent label among its NEIGHBOURS (ties → smallest label, the
+    deterministic variant); stop when a round changes nothing or at
+    ``max_iters``.  Returns ``(node, label)`` — nodes sharing a label
+    are one community.
+
+    Round shape: the static canonical edge set (built once via
+    :func:`_simple_edges`, materialized, never re-canonicalized) is
+    mapped against the ray.put-broadcast label array (sorted-node
+    ``searchsorted`` lookup, loaded once per worker process) to emit
+    both directions' (node, neighbour_label) votes; ``mode_by_key``
+    tallies them in two bucketed exchanges with (node, label, n)
+    partials — never per-key Python.  Labels are node-cardinality
+    driver state (int64 pair per node — the pagerank broadcast-tier
+    assumption; the sharded-actor tier is the 100-TB path and is not
+    implemented for LPA).
+
+    Deterministic min-tie-break synchronous LPA can oscillate between
+    two label states (classic bipartite 2-cycle), which is why
+    ``max_iters`` is a hard cap, not just a safety net; the fixture
+    reference in tests applies the IDENTICAL update rule, so
+    equivalence holds even on oscillating inputs.  No reference
+    counterpart (SURVEY §2 graph-curation breadth next to
+    pagerank/k_core)."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import mode_by_key
+
+    cur = _simple_edges(edges, src, dst, num_buckets, partitions)
+
+    def stack_nodes(b: pa.Table) -> pa.Table:
+        node = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        return pa.table({"node": pa.array(np.unique(node), pa.int64())})
+
+    node_arr = np.sort(
+        cur.map_batches(stack_nodes, batch_format="pyarrow")
+        .unique("node")
+    ).astype(np.int64)
+    labels = node_arr.copy()
+
+    for it in range(max_iters):
+        lref = ray.put((node_arr, labels))
+
+        def send(b: pd.DataFrame, _lref=lref) -> pa.Table:
+            na, la = get_worker_state(
+                ("lpa-labels", ref_key(_lref)), lambda: ray.get(_lref)
+            )
+            a = b["a"].to_numpy(dtype=np.int64)
+            bb = b["b"].to_numpy(dtype=np.int64)
+            node = np.concatenate([a, bb])
+            lab = np.concatenate(
+                [la[np.searchsorted(na, bb)], la[np.searchsorted(na, a)]]
+            )
+            return pa.table(
+                {
+                    "node": pa.array(node, pa.int64()),
+                    "lab": pa.array(lab, pa.int64()),
+                }
+            )
+
+        votes = cur.map_batches(send, batch_format="pandas")
+        new = mode_by_key(votes, "node", "lab").to_pandas()
+        new_labels = labels.copy()
+        idx = np.searchsorted(node_arr, new["node"].to_numpy(dtype=np.int64))
+        new_labels[idx] = new["lab"].to_numpy(dtype=np.int64)
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+
+    return pd.DataFrame({"node": node_arr, "label": labels})

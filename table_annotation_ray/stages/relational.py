@@ -880,3 +880,72 @@ def set_op_distinct(
         )
 
     return both.groupby("__so_bkt").map_groups(combine, batch_format="pandas")
+
+
+def _skyline_mask(crit: pd.DataFrame) -> np.ndarray:
+    """Row mask of the 2-criteria skyline of ``crit`` (both columns
+    already oriented MINIMIZE).  SQL NOT-EXISTS strict-dominance
+    semantics: a row survives iff no other row is <= on both criteria
+    and < on at least one; exact duplicates of a frontier point all
+    survive.  Fully vectorized: unique points sorted by (x asc, y asc),
+    a point is on the frontier iff its y beats the running min of every
+    strictly-preceding point (same-x predecessors have smaller y and
+    dominate; smaller-x predecessors dominate iff y <=)."""
+    x, y = crit.columns
+    uniq = crit.drop_duplicates().sort_values([x, y], kind="mergesort")
+    ys = uniq[y].to_numpy()
+    prev_min = np.empty(len(ys))
+    prev_min[0] = np.inf
+    if len(ys) > 1:
+        np.minimum.accumulate(ys[:-1], out=prev_min[1:])
+    front = uniq[ys < prev_min]
+    keep = crit.merge(
+        front.assign(__sky=True), on=[x, y], how="left"
+    )["__sky"].notna()
+    return keep.to_numpy()
+
+
+def skyline(
+    ds: rd.Dataset,
+    minimize: list[str] = (),
+    maximize: list[str] = (),
+    batch_size: int | None = 65536,
+) -> pd.DataFrame:
+    """Distributed 2-criteria skyline (Pareto frontier): the rows not
+    strictly dominated by any other row.  Two-phase shape — a local
+    vectorized skyline per block (each block's survivors are a superset
+    of its contribution to the global frontier, by dominance
+    transitivity), then one driver-side pass over the union of local
+    survivors (tiny: O(frontier) per block).  No exchange at all — the
+    only data movement is the local survivors.  Criteria columns are
+    oriented internally (maximize = negate); exact duplicates of a
+    frontier point all survive (SQL NOT EXISTS parity).  Criteria must
+    be non-null (SQL's NULL-comparison rules would keep every
+    null-criteria row; here they'd be dropped).  Exactly two criteria
+    (the canonical price-vs-capability frontier); higher-d needs a
+    pairwise verify pass — not implemented.
+
+    No reference counterpart (SURVEY §2 relational breadth); semantics
+    mirror ``WHERE NOT EXISTS (SELECT 1 ... dominator)``.
+    """
+    crit_cols = list(minimize) + list(maximize)
+    if len(crit_cols) != 2:
+        raise NotImplementedError(
+            f"skyline supports exactly 2 criteria, got {len(crit_cols)}"
+        )
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        o = b[crit_cols].astype(float)
+        for c in maximize:
+            o[c] = -o[c]
+        return o
+
+    def local(b: pd.DataFrame) -> pa.Table:
+        out = b[_skyline_mask(orient(b))]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    kw = {} if batch_size is None else {"batch_size": batch_size}
+    cand = ds.map_batches(local, batch_format="pandas", **kw).to_pandas()
+    if not len(cand):
+        return cand
+    return cand[_skyline_mask(orient(cand))].reset_index(drop=True)
