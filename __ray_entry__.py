@@ -2989,6 +2989,126 @@ def _q_qty_price_regression(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly revenue
+    lost if orders below 20% of a part's average quantity were dropped,
+    for one brand.  Composition: payload-preserving semi filter of
+    lineitem to the brand's parts (filter_rows_by_keys — broadcast, the
+    brand key set is 1/50 of parts), materialized ONCE and reused by
+    both scans (single-execution rule); per-part avg via one
+    grouped_reduce; thresholds re-attached by a broadcast equi_join
+    (the correlated-subquery-as-broadcast pattern).  The threshold
+    0.2·(Σq/n) is bit-identical to SQL's 0.2*avg — quantities are
+    integral doubles so the sums are exact in both engines and the
+    division/multiply order matches."""
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import (
+        equi_join,
+        filter_rows_by_keys,
+    )
+
+    brand = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], "Brand#23")).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    li_b = filter_rows_by_keys(li, brand, "l_partkey", "p_partkey").materialize()
+
+    sums = grouped_reduce(
+        li_b, ["l_partkey"], {"sq": ("l_quantity", "sum"), "nq": (None, "count")}
+    )
+    thr = sums.map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": pa.array(b["l_partkey"].to_numpy(), pa.int64()),
+                "thr": pa.array(
+                    0.2 * (b["sq"].to_numpy() / b["nq"].to_numpy()), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = equi_join(li_b, thr, "l_partkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        kept = b.loc[b["l_quantity"] < b["thr"], "l_extendedprice"]
+        return pd.DataFrame({"s": [float(kept.sum())]})
+
+    total = j.map_batches(partial, batch_format="pandas").to_pandas()["s"].sum()
+    out = pd.DataFrame({"avg_yearly": [total / 7.0]})
+    out["avg_yearly"] = _round_ha(out["avg_yearly"], 2)
+    return out
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for 'F'
+    orders with ≥2 distinct suppliers, count each supplier's 'R' lines
+    in the orders where it is the ONLY 'R' supplier.  Composition with
+    zero new primitives: payload semi filter to F orders
+    (filter_rows_by_keys, materialized once for both passes),
+    distinct_count_by_key for the ≥2-supplier predicate, grouped_reduce
+    over (order, supplier) R-line counts then per-order — n_rsupp==1
+    makes the min suppkey THE sole culprit and its summed lines the
+    wait count — and two equi_joins (per-order frames, then the
+    100-row supplier dimension broadcast) attach the predicate and the
+    name.  SQL hash-exact vs the classic EXISTS / NOT EXISTS
+    formulation."""
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.agg import (
+        distinct_count_by_key,
+        grouped_reduce,
+    )
+    from table_annotation_ray.stages.relational import (
+        equi_join,
+        filter_rows_by_keys,
+    )
+
+    f_orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+    li_f = filter_rows_by_keys(li, f_orders, "l_orderkey", "o_orderkey").materialize()
+
+    nsupp = distinct_count_by_key(li_f, ["l_orderkey"], "l_suppkey")
+    rcnt = grouped_reduce(
+        li_f.map_batches(
+            lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(
+                ["l_orderkey", "l_suppkey"]
+            ),
+            batch_format="pyarrow",
+        ),
+        ["l_orderkey", "l_suppkey"],
+        {"n_lines": (None, "count")},
+    )
+    per_order = grouped_reduce(
+        rcnt,
+        ["l_orderkey"],
+        {
+            "n_rsupp": (None, "count"),
+            "supp": ("l_suppkey", "min"),
+            "lines": ("n_lines", "sum"),
+        },
+    ).filter(expr="n_rsupp == 1")
+    qual = equi_join(per_order, nsupp, "l_orderkey").filter(expr="n_distinct >= 2")
+    waits = grouped_reduce(qual, ["supp"], {"numwait": ("lines", "sum")})
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda b: b.rename(columns={"s_suppkey": "supp"}), batch_format="pandas"
+    )
+    out = equi_join(waits, supp, "supp").to_pandas()[["s_name", "numwait"]]
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
 def _q_order_pivot(sf_dir: str):
     """Wide pivot (stages/relational.py::pivot_table): total order value
     per (priority × status) cell — one widen map + the grouped_reduce
@@ -3141,6 +3261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_communities": _q_graph_communities,
         "part_skyline": _q_part_skyline,
         "qty_price_regression": _q_qty_price_regression,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "waiting_suppliers": _q_waiting_suppliers,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -4280,6 +4402,31 @@ def oracle_sql() -> dict[str, str]:
                        + SUM(CASE WHEN q > 0
                                   THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS js
             FROM pq
+        """,
+        "small_qty_revenue": """
+            SELECT round(sum(l.l_extendedprice)/7.0, 2) AS avg_yearly
+            FROM lineitem l, part p
+            WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+              AND l.l_quantity < 0.2 * (
+                  SELECT avg(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "waiting_suppliers": """
+            SELECT s.s_name, count(*) AS numwait
+            FROM supplier s, lineitem l1, orders o
+            WHERE s.s_suppkey = l1.l_suppkey
+              AND o.o_orderkey = l1.l_orderkey
+              AND o.o_orderstatus = 'F'
+              AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
         """,
         "part_skyline": """
             SELECT p_partkey, p_size, p_retailprice FROM part p
