@@ -3109,6 +3109,49 @@ def _q_waiting_suppliers(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_ab_value_ttest(sf_dir: str):
+    """Welch two-sample t (stages/stats.py::welch_ttest): purchase vs
+    click event values — ONE streaming pass of per-side (n, Σv, Σv²)
+    partials, closed driver-side into means, sample variances, t and
+    the Welch–Satterthwaite df.  The A/B-experiment primitive next to
+    flag_status_dependence's chi².  Oracle computes the identical
+    closed forms from SQL count/avg/var_samp (definitional vs stable
+    variance formulas agree to ~1e-10 at this value scale; rounded)."""
+    from table_annotation_ray.stages.stats import welch_ttest
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    r = welch_ttest(ev, "event_type", "value", "purchase", "click")
+    out = pd.DataFrame([r])[
+        ["n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t", "df"]
+    ]
+    for c in ("n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    for c, d in (("mean_a", 6), ("mean_b", 6), ("var_a", 6), ("var_b", 6),
+                 ("t", 6), ("df", 4)):
+        out[c] = _round_ha(out[c], d)
+    return out
+
+
+def _q_order_value_zscore(sf_dir: str):
+    """Group-wise z-score normalization (stages/stats.py::
+    zscore_by_key): each order's total price standardized against its
+    OWN customer's mean/stddev — per-key moments via one grouped_reduce
+    exchange, the tiny per-key table re-attached to the streaming row
+    scan by the size-gated broadcast equi_join (zero payload shuffle).
+    Degenerate groups (singleton customers, zero variance) are dropped
+    on both sides.  Oracle = the window-function formulation."""
+    from table_annotation_ray.stages.stats import zscore_by_key
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = zscore_by_key(orders, ["o_custkey"], "o_totalprice").to_pandas()
+    out = out.dropna(subset=["zscore"])
+    out["zscore"] = _round_ha(out["zscore"], 6)
+    out = out[["o_orderkey", "o_custkey", "o_totalprice", "zscore"]]
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _q_order_pivot(sf_dir: str):
     """Wide pivot (stages/relational.py::pivot_table): total order value
     per (priority × status) cell — one widen map + the grouped_reduce
@@ -3263,6 +3306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_regression": _q_qty_price_regression,
         "small_qty_revenue": _q_small_qty_revenue,
         "waiting_suppliers": _q_waiting_suppliers,
+        "ab_value_ttest": _q_ab_value_ttest,
+        "order_value_zscore": _q_order_value_zscore,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
         "incremental_exact_dedup": _q_incremental_exact_dedup,
@@ -4402,6 +4447,30 @@ def oracle_sql() -> dict[str, str]:
                        + SUM(CASE WHEN q > 0
                                   THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS js
             FROM pq
+        """,
+        "ab_value_ttest": """
+            WITH a AS (SELECT count(value) n, avg(value) m, var_samp(value) v
+                       FROM events WHERE event_type = 'purchase'),
+                 b AS (SELECT count(value) n, avg(value) m, var_samp(value) v
+                       FROM events WHERE event_type = 'click')
+            SELECT a.n AS n_a, b.n AS n_b,
+                   round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+                   round(a.v, 6) AS var_a, round(b.v, 6) AS var_b,
+                   round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 6) AS t,
+                   round(pow(a.v/a.n + b.v/b.n, 2) /
+                         (pow(a.v/a.n, 2)/(a.n-1) + pow(b.v/b.n, 2)/(b.n-1)),
+                         4) AS df
+            FROM a, b
+        """,
+        "order_value_zscore": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   round((o_totalprice - avg(o_totalprice) OVER w)
+                         / stddev_samp(o_totalprice) OVER w, 6) AS zscore
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey)
+            QUALIFY count(*) OVER w >= 2
+               AND stddev_samp(o_totalprice) OVER w > 0
+            ORDER BY o_orderkey
         """,
         "small_qty_revenue": """
             SELECT round(sum(l.l_extendedprice)/7.0, 2) AS avg_yearly

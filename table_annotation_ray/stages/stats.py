@@ -168,3 +168,118 @@ def distribution_drift(
                + 0.5 * np.sum(q[aq] * np.log(q[aq] / m[aq])))
     return {"n_a": int(n_a), "n_b": int(n_b),
             "kl_ab": kl_ab, "kl_ba": kl_ba, "js": js}
+
+
+def welch_ttest(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> dict:
+    """Welch's unequal-variance two-sample t statistic between two
+    groups, in ONE streaming pass: per-batch (n, Σv, Σv²) partials per
+    side — two tiny rows per batch, never the data — closed driver-side
+    into means, SAMPLE variances (ddof=1, SQL ``var_samp``), the t
+    statistic and the Welch–Satterthwaite degrees of freedom.  The A/B
+    significance primitive next to :func:`categorical_dependence`'s
+    chi²; no p-value (no scipy in env — compare |t| against a normal
+    quantile at these n).  Returns ``{"n_a","n_b","mean_a","mean_b",
+    "var_a","var_b","t","df"}``; groups with <2 rows yield NaN t/df.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for side, gval in (("a", group_a), ("b", group_b)):
+            v = b.loc[b[group_col] == gval, value_col].dropna().to_numpy(
+                dtype=np.float64
+            )
+            rows.append(
+                {"side": side, "n": len(v), "s": float(v.sum()),
+                 "ss": float((v * v).sum())}
+            )
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = {}
+    stats = {}
+    for side in ("a", "b"):
+        q = p[p["side"] == side]
+        n = int(q["n"].sum())
+        s, ss = float(q["s"].sum()), float(q["ss"].sum())
+        mean = s / n if n else float("nan")
+        # var_samp: (Σv² − n·mean²) / (n−1)
+        var = (ss - n * mean * mean) / (n - 1) if n > 1 else float("nan")
+        stats[side] = (n, mean, var)
+        out[f"n_{side}"], out[f"mean_{side}"], out[f"var_{side}"] = n, mean, var
+    (na, ma, va), (nb, mb, vb) = stats["a"], stats["b"]
+    if na > 1 and nb > 1 and (va / na + vb / nb) > 0:
+        se2 = va / na + vb / nb
+        out["t"] = (ma - mb) / np.sqrt(se2)
+        out["df"] = se2 * se2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+    else:
+        out["t"] = float("nan")
+        out["df"] = float("nan")
+    return out
+
+
+def zscore_by_key(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+    ddof: int = 1,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Group-wise z-score normalization: ``(v − mean_g) / std_g`` with
+    the group's own moments — the per-feature normalization step of a
+    training-data pipeline, and the canonical "attach group statistics
+    back to the rows" shape: per-key (n, Σv, Σv²) via ONE
+    ``grouped_reduce`` exchange, the tiny per-key moment table
+    broadcast back over the streaming row scan by the size-gated
+    ``equi_join`` (zero payload shuffle when the key table fits the
+    broadcast gate).  ``ddof=1`` matches SQL ``stddev_samp`` (window
+    ``STDDEV(v) OVER (PARTITION BY key)``); zero-variance or n≤ddof
+    groups emit null (SQL: division by a null stddev)."""
+    from .agg import grouped_reduce
+    from .relational import equi_join
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[key_cols + [value_col]].copy()
+        v = b[value_col].to_numpy(dtype=np.float64)
+        out["__v2"] = v * v
+        return out
+
+    moments = grouped_reduce(
+        ds.map_batches(prep, batch_format="pandas"),
+        key_cols,
+        {"__n": (value_col, "count"), "__s": (value_col, "sum"),
+         "__ss": ("__v2", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def close(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["__n"].to_numpy(dtype=np.float64)
+        s, ss = b["__s"].to_numpy(), b["__ss"].to_numpy()
+        mean = s / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (ss - n * mean * mean) / (n - ddof)
+            std = np.sqrt(var)
+        out = b[key_cols].copy()
+        out["__mean"] = mean
+        out["__std"] = np.where(std > 0, std, np.nan)
+        return out
+
+    key_stats = moments.map_batches(close, batch_format="pandas")
+    if len(key_cols) != 1:
+        raise NotImplementedError("zscore_by_key: single key column only")
+    joined = equi_join(ds, key_stats, key_cols[0])
+
+    def apply_z(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out_col] = (b[value_col] - b["__mean"]) / b["__std"]
+        return b.drop(columns=["__mean", "__std"])
+
+    return joined.map_batches(apply_z, batch_format="pandas")

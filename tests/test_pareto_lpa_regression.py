@@ -152,3 +152,68 @@ def test_lpa_matches_reference_and_finds_cliques(ray_session):
     assert len({lab[n] for n in range(200, 208)}) == 1
     # ...and the bridge did not merge them
     assert lab[100] != lab[200]
+
+
+# ------------------------------------------------------- welch / zscore
+
+
+def test_welch_ttest_matches_direct_formula(ray_session):
+    from table_annotation_ray.stages.stats import welch_ttest
+
+    rng = np.random.default_rng(5)
+    va = rng.normal(10.0, 2.0, 300)
+    vb = rng.normal(10.8, 3.0, 200)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 300 + ["b"] * 200 + ["c"] * 50,
+            "v": np.r_[va, vb, rng.normal(0, 1, 50)],
+        }
+    )
+    r = welch_ttest(rd.from_pandas(df).repartition(6), "g", "v", "a", "b")
+    ma, mb = va.mean(), vb.mean()
+    sa, sb = va.var(ddof=1), vb.var(ddof=1)
+    se2 = sa / 300 + sb / 200
+    t = (ma - mb) / np.sqrt(se2)
+    dof = se2**2 / ((sa / 300) ** 2 / 299 + (sb / 200) ** 2 / 199)
+    assert r["n_a"] == 300 and r["n_b"] == 200
+    assert abs(r["t"] - t) < 1e-9
+    assert abs(r["df"] - dof) < 1e-6
+    assert abs(r["var_a"] - sa) < 1e-9
+    # the planted shift is detected with the expected sign
+    assert r["t"] < -2
+
+
+def test_welch_ttest_degenerate_group(ray_session):
+    from table_annotation_ray.stages.stats import welch_ttest
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    r = welch_ttest(rd.from_pandas(df), "g", "v", "a", "b")
+    assert r["n_b"] == 1 and np.isnan(r["t"]) and np.isnan(r["df"])
+
+
+def test_zscore_by_key_matches_pandas(ray_session):
+    from table_annotation_ray.stages.stats import zscore_by_key
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(900, dtype=np.int64),
+            "k": rng.integers(0, 30, 900).astype(np.int64),
+            "v": rng.normal(50, 12, 900),
+        }
+    )
+    out = (
+        zscore_by_key(rd.from_pandas(df).repartition(5), ["k"], "v")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    g = ref.groupby("k")["v"]
+    ref["z"] = (ref["v"] - g.transform("mean")) / g.transform("std")
+    assert np.allclose(out["zscore"], ref["z"], atol=1e-9)
+    # singleton group emits null
+    one = pd.DataFrame({"rid": [0, 1, 2], "k": [7, 7, 9], "v": [1.0, 3.0, 5.0]})
+    o2 = zscore_by_key(rd.from_pandas(one), ["k"], "v").to_pandas()
+    assert o2.loc[o2["k"] == 9, "zscore"].isna().all()
+    assert np.isfinite(o2.loc[o2["k"] == 7, "zscore"]).all()
