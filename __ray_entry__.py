@@ -3109,6 +3109,35 @@ def _q_waiting_suppliers(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_qty_price_spearman(sf_dir: str):
+    """Spearman ρ with tie-average ranks (stages/stats.py::
+    spearman_corr): four chained range-partitioned global_rank passes
+    (the asc/desc-tiebreak trick replaces the per-value rank join) +
+    one moments scan — join-free, fully distributed ranking.  Oracle =
+    Pearson corr over SQL's rank()+(count OVER partition−1)/2 average
+    ranks (offset by the constant 1, irrelevant under corr's affine
+    invariance)."""
+    from table_annotation_ray.stages.stats import spearman_corr
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "rid": b["l_orderkey"].to_numpy() * 8 + b["l_linenumber"].to_numpy(),
+                "l_quantity": b["l_quantity"],
+                "l_extendedprice": b["l_extendedprice"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    r = spearman_corr(li, "l_quantity", "l_extendedprice", "rid")
+    out = pd.DataFrame({"n": [int(r["n"])], "rho": [r["rho"]]})
+    out["rho"] = _round_ha(out["rho"], 6)
+    return out
+
+
 def _q_ab_value_ttest(sf_dir: str):
     """Welch two-sample t (stages/stats.py::welch_ttest): purchase vs
     click event values — ONE streaming pass of per-side (n, Σv, Σv²)
@@ -3307,6 +3336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "waiting_suppliers": _q_waiting_suppliers,
         "ab_value_ttest": _q_ab_value_ttest,
+        "qty_price_spearman": _q_qty_price_spearman,
         "order_value_zscore": _q_order_value_zscore,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,
@@ -4447,6 +4477,15 @@ def oracle_sql() -> dict[str, str]:
                        + SUM(CASE WHEN q > 0
                                   THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS js
             FROM pq
+        """,
+        "qty_price_spearman": """
+            WITH r AS (SELECT
+                (rank() OVER (ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0) AS rx,
+                (rank() OVER (ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_extendedprice) - 1)/2.0) AS ry
+            FROM lineitem)
+            SELECT count(*) AS n, round(corr(rx, ry), 6) AS rho FROM r
         """,
         "ab_value_ttest": """
             WITH a AS (SELECT count(value) n, avg(value) m, var_samp(value) v

@@ -283,3 +283,49 @@ def zscore_by_key(
         return b.drop(columns=["__mean", "__std"])
 
     return joined.map_batches(apply_z, batch_format="pandas")
+
+
+def spearman_corr(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> dict:
+    """Spearman rank correlation with tie-average ranks, fully
+    distributed and JOIN-FREE.  The trick: with any unique tiebreak,
+    the 0-based positions of a tie group are consecutive, so the
+    group's AVERAGE rank equals the mean of each row's position under
+    an id-ASCENDING and an id-DESCENDING tiebreak — two chained
+    :func:`~.datapipe.global_rank` passes per column (all input
+    columns survive each pass) replace the per-value rank join a
+    naive formulation needs (whose join key would be the float value
+    itself — unusable for the bucketed join path).  Pearson over the
+    per-row average ranks (one :func:`numeric_moments` streaming
+    pass) is then exactly Spearman's tie-corrected ρ; Pearson's
+    affine invariance makes the 0- vs 1-based offset irrelevant.
+
+    Four range-partitioned rank exchanges + one moments scan; returns
+    ``{"n", "rho"}``.  ``id_col`` must be unique integers."""
+    from .datapipe import global_rank
+
+    def add_nid(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__nid"] = -b[id_col].to_numpy(dtype=np.int64)
+        return b
+
+    t = ds.map_batches(add_nid, batch_format="pandas")
+    t = global_rank(t, [x_col], id_col, out_col="__px1")
+    t = global_rank(t, [x_col], "__nid", out_col="__px2")
+    t = global_rank(t, [y_col], id_col, out_col="__py1")
+    t = global_rank(t, [y_col], "__nid", out_col="__py2")
+
+    def ranks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rx": (b["__px1"].to_numpy() + b["__px2"].to_numpy()) / 2.0,
+                "ry": (b["__py1"].to_numpy() + b["__py2"].to_numpy()) / 2.0,
+            }
+        )
+
+    m = numeric_moments(t.map_batches(ranks, batch_format="pandas"), "rx", "ry")
+    return {"n": m["n"], "rho": m["corr"]}

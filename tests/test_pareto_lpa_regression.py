@@ -217,3 +217,29 @@ def test_zscore_by_key_matches_pandas(ray_session):
     o2 = zscore_by_key(rd.from_pandas(one), ["k"], "v").to_pandas()
     assert o2.loc[o2["k"] == 9, "zscore"].isna().all()
     assert np.isfinite(o2.loc[o2["k"] == 7, "zscore"]).all()
+
+
+def test_spearman_matches_pandas(ray_session):
+    from table_annotation_ray.stages.stats import spearman_corr
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    x = rng.integers(0, 25, n).astype(np.float64)     # heavy ties
+    y = 3.0 * x + rng.normal(0, 10, n)                # monotone-ish + noise
+    df = pd.DataFrame({"rid": np.arange(n, dtype=np.int64), "x": x, "y": y})
+
+    r = spearman_corr(rd.from_pandas(df).repartition(6), "x", "y", "rid")
+    ref = (
+        df["x"].rank(method="average").corr(df["y"].rank(method="average"))
+    )
+    assert r["n"] == n
+    assert abs(r["rho"] - ref) < 1e-9
+
+    # anti-correlated, no ties
+    df2 = pd.DataFrame(
+        {"rid": np.arange(50, dtype=np.int64),
+         "x": np.arange(50, dtype=np.float64),
+         "y": -np.arange(50, dtype=np.float64)}
+    )
+    r2 = spearman_corr(rd.from_pandas(df2), "x", "y", "rid")
+    assert abs(r2["rho"] + 1.0) < 1e-12
