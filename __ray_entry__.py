@@ -1351,6 +1351,39 @@ def _q_media_features(sf_dir: str):
     ).to_pandas()
 
 
+def _q_image_resize(sf_dir: str):
+    """Multimodal preprocessing branch: decode → bilinear resample →
+    PNG re-encode, all real stdlib/numpy kernels
+    (stages/multimodal.py::ResizeImage; codecs.resize_bilinear is the
+    align-corners=False pixel-center convention).  Undecodable rows
+    pass through resized=False.  Rows-only (no SQL codec); payload
+    replaced by its crc so the result frame stays hashable."""
+    import zlib
+
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        RECOMMENDED_BATCH_SIZE,
+        ResizeImage,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=128, seed=5))
+    out = ds.map_batches(
+        ResizeImage,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=(1, 2),
+    ).to_pandas()
+    out["payload_crc"] = [
+        zlib.crc32(p) if p else 0 for p in out["payload"]
+    ]
+    out = out.drop(columns=["payload"])
+    for c in ("media_id", "payload_crc"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (stages/bpe.py): one distributed
     word-count exchange, then the size-gated merge loop (driver engine
@@ -3337,6 +3370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "ab_value_ttest": _q_ab_value_ttest,
         "qty_price_spearman": _q_qty_price_spearman,
+        "image_resize": _q_image_resize,
         "order_value_zscore": _q_order_value_zscore,
         "inverted_postings": _q_inverted_postings,
         "split_leakage_safe": _q_split_leakage_safe,

@@ -307,3 +307,33 @@ def phash64(pixels: np.ndarray) -> int:
     weights = 1 << np.arange(63, -1, -1, dtype=np.uint64)
     u = int(((low > med).astype(np.uint64) * weights).sum(dtype=np.uint64))
     return u - 2**64 if u >= 2**63 else u  # signed two's-complement view
+
+
+def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real vectorized bilinear resize (align-corners=False, the
+    torchvision/PIL convention: sample at pixel centers, clamp at the
+    borders) — pure numpy, no image library.  Accepts (H, W) or
+    (H, W, C) uint8; returns the same layout at (out_h, out_w).  An
+    identity target returns the input values exactly (the sample grid
+    degenerates to the pixel centers)."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"bad target size {(out_h, out_w)}")
+    a = np.asarray(arr)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    af = a.astype(np.float64)
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = af[y0][:, x0] * (1 - wx) + af[y0][:, x1] * wx
+    bot = af[y1][:, x0] * (1 - wx) + af[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out

@@ -123,6 +123,57 @@ class DecodeImage:
         )
 
 
+class ResizeImage:
+    """Actor-pool stage: (media rows) → same rows with the image
+    payload REPLACED by a resized re-encoded PNG (the preprocessing
+    step in front of batched vision inference).  The whole path is
+    real stdlib/numpy: decode (``codecs.decode_image`` by default,
+    same plug-point contract as :class:`DecodeImage`), vectorized
+    bilinear resample (``codecs.resize_bilinear``, align-corners=False
+    pixel-center convention), ``codecs.encode_png`` re-encode.
+    Undecodable/corrupt rows pass through UNCHANGED with
+    ``resized=False`` — one bad payload must never kill the job.
+    Batch size stays small (RECOMMENDED_BATCH_SIZE): payload-dominated
+    rows."""
+
+    def __init__(self, target_size: tuple[int, int] = (224, 224), decoder=None):
+        self.th, self.tw = target_size
+        self.decoder = decoder if decoder is not None else codecs.decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out_payload, out_w, out_h, resized, mime = [], [], [], [], []
+        mimes = batch["mime"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        for i, p in enumerate(payloads):
+            try:
+                pixels = self.decoder(p or b"")
+                small = codecs.resize_bilinear(pixels, self.th, self.tw)
+                out_payload.append(codecs.encode_png(small))
+                out_w.append(self.tw)
+                out_h.append(self.th)
+                resized.append(True)
+                mime.append("image/png")
+            except (NotImplementedError, ValueError):
+                out_payload.append(p)
+                out_w.append(widths[i])
+                out_h.append(heights[i])
+                resized.append(False)
+                mime.append(mimes[i])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out_payload, pa.binary()),
+                "mime": pa.array(mime, pa.string()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "resized": pa.array(resized, pa.bool_()),
+            }
+        )
+
+
 class SampleVideoFrames:
     """Actor-pool stage stub: (video rows) → (media_id, frame_idx, frame
     payload slice).  Deterministic byte-range sampling stands in for real

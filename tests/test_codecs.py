@@ -245,3 +245,63 @@ def test_image_near_dup_planted_recall(ray_session):
             codecs.phash64(codecs.decode_image(rows[row["a"]]["payload"])),
             codecs.phash64(codecs.decode_image(rows[row["b"]]["payload"])),
         )
+
+
+def test_resize_bilinear_kernel():
+    import numpy as np
+
+    from table_annotation_ray.functions.codecs import resize_bilinear
+
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert (resize_bilinear(a, 4, 4) == a).all()  # identity exact
+    b = np.array([[0, 100], [200, 255]], dtype=np.uint8)
+    up = resize_bilinear(b, 4, 4)
+    # corners clamp to the source corners (align-corners=False centers)
+    assert up[0, 0] == 0 and up[-1, -1] == 255
+    # monotone along rows/cols of a monotone source
+    assert (np.diff(up.astype(int), axis=0) >= 0).all()
+    assert (np.diff(up.astype(int), axis=1) >= 0).all()
+    c = np.dstack([b, b, b])
+    out = resize_bilinear(c, 3, 5)
+    assert out.shape == (3, 5, 3)
+    # channel independence: replicated channels stay identical
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        resize_bilinear(b, 0, 4)
+
+
+def test_resize_image_stage(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from table_annotation_ray.functions.codecs import decode_image
+    from table_annotation_ray.stages.multimodal import (
+        RECOMMENDED_BATCH_SIZE,
+        ResizeImage,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=48, seed=5))
+    out = ds.map_batches(
+        ResizeImage,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"target_size": (32, 48)},
+    ).to_pandas()
+    assert len(out) == 48
+    ok = out[out["resized"]]
+    assert len(ok) > 0
+    # resized rows decode back to the target dims as real PNG
+    for _, row in ok.head(4).iterrows():
+        px = decode_image(row["payload"])
+        assert px.shape[:2] == (32, 48)
+        assert row["mime"] == "image/png"
+        assert (row["height"], row["width"]) == (32, 48)
+    # undecodable rows pass through unchanged
+    bad = out[~out["resized"]]
+    src = synth_media_table(n=48, seed=5).to_pandas().set_index("media_id")
+    for _, row in bad.head(4).iterrows():
+        assert row["payload"] == src.loc[row["media_id"], "payload"]
