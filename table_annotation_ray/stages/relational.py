@@ -130,8 +130,23 @@ def _keyed_join(
     import ray
 
     right_col = right_col or col
+    # single-execution rule (the r4 equi_join fix, applied here too):
+    # the size gate's count() would execute the right pipeline once and
+    # the collect/exchange would re-execute it — materialize ONCE, then
+    # count() is metadata-only and every consumer reads object-store
+    # blocks
+    right = right.materialize()
     if broadcast_below and right.count() <= broadcast_below:
-        keys = set(right.unique(right_col))
+        # map-side per-block distinct + driver set union: strictly
+        # cheaper than unique()'s all-to-all for a broadcast-sized side
+        uniq = right.map_batches(
+            lambda t, c=right_col: t.select([c])
+            .combine_chunks()
+            .group_by([c])
+            .aggregate([]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        keys = set(uniq[right_col])
         return _filter_by_membership(left, col, ray.put(keys), keep_members)
 
     if not bloom_bits:
@@ -230,8 +245,18 @@ def filter_rows_by_keys(
     from ..state.worker_state import get_worker_state, ref_key
 
     keys_col = keys_col or col
+    # single-execution rule: materialize once so the size-gate count()
+    # and the collect/exchange don't each re-run the keys pipeline
+    keys = keys.materialize()
     if broadcast_below and keys.count() <= broadcast_below:
-        kset = set(keys.unique(keys_col))
+        uniq = keys.map_batches(
+            lambda t, c=keys_col: t.select([c])
+            .combine_chunks()
+            .group_by([c])
+            .aggregate([]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        kset = set(uniq[keys_col])
         kref = ray.put(kset)
 
         def f(b: pd.DataFrame) -> pd.DataFrame:
