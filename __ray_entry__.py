@@ -1149,7 +1149,7 @@ def _q_kg_candidates(sf_dir: str):
     import ray
 
     from table_annotation_ray.pipelines.kg_pipeline import mentions_dataset, read_transcripts
-    from table_annotation_ray.stages.lookup_stage import LookupStage
+    from table_annotation_ray.stages.lookup_stage import lookup_candidates
     from table_annotation_ray.state.kb import load_kb
 
     root = _synth_root_for(sf_dir)
@@ -1157,12 +1157,7 @@ def _q_kg_candidates(sf_dir: str):
     mentions = mentions_dataset(
         read_transcripts(os.path.join(root, "transcripts.parquet")), kb_ref
     ).drop_columns(["typing", "datatype"])
-    return mentions.map_batches(
-        LookupStage,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"kb_ref": kb_ref},
-        concurrency=(1, 4),
-    ).to_pandas()
+    return lookup_candidates(mentions, kb_ref).to_pandas()
 
 
 def _q_kg_annotations(sf_dir: str):

