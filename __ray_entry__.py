@@ -2978,6 +2978,31 @@ def _q_graph_communities(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_graph_bfs(sf_dir: str):
+    """Single-source BFS hop distances (stages/graph.py::bfs_distances
+    — iterative frontier expansion; neighbors via size-gated
+    filter_rows_by_keys on the once-materialized canonical edges,
+    visited removal via size-gated anti_join_keys, one
+    bucketed_distinct exchange per round) from the minimum part node of
+    the co-occurrence graph (same 1/3 basket subsample as
+    triangle_count), depth cap 4.  SQL-exact vs a DuckDB WITH RECURSIVE
+    walk with the same cap."""
+    from table_annotation_ray.stages.graph import bfs_distances
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
+    src = int(edges.min("item_a"))
+    out = bfs_distances(
+        edges, src, src="item_a", dst="item_b", max_depth=4
+    ).to_pandas()
+    for c in ("node", "dist"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_part_skyline(sf_dir: str):
     """2-criteria skyline (stages/relational.py::skyline): the Pareto
     frontier of parts — no other part both cheaper (p_retailprice) and
@@ -3329,6 +3354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "copurchased_parts": _q_copurchased_parts,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_bfs": _q_graph_bfs,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -4705,6 +4731,25 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "graph_bfs": """
+            WITH RECURSIVE li AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 3 = 0),
+            e0 AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+            walk(node, dist) AS (
+                SELECT (SELECT MIN(a) FROM e), 0
+                UNION
+                SELECT e.b, w.dist + 1
+                FROM walk w JOIN e ON e.a = w.node
+                WHERE w.dist < 4)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node ORDER BY node
         """,
         "triangle_count": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

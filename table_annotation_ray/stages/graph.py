@@ -577,6 +577,86 @@ def k_core(
     return deg.filter(expr=f"degree >= {int(k)}")
 
 
+def bfs_distances(
+    edges: rd.Dataset,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 16,
+    num_buckets: int = 64,
+    partitions: int = 16,
+) -> rd.Dataset:
+    """Single-source BFS hop distances over the simple undirected graph
+    (self-loops dropped, parallel/reverse edges collapsed) — one row
+    ``(node, dist)`` per node reachable from ``source`` within
+    ``max_depth`` hops (the source itself at dist 0).
+
+    Iterative frontier expansion, every per-round step riding the
+    repo's size-gated primitives so no round assumes driver-sized
+    state:
+
+    * edges canonicalized + materialized ONCE (``_simple_edges``);
+      rounds re-filter the static blocks, never re-shuffle them;
+    * neighbors of the frontier via :func:`filter_rows_by_keys` on each
+      endpoint (broadcast for small frontiers, co-location exchange for
+      wide ones), dedup'd with one ``bucketed_distinct`` exchange;
+    * already-visited nodes removed by :func:`anti_join_keys` against
+      the accumulated distance table (size-gated the same way — the
+      visited set is never required to fit on the driver);
+    * per-round ``repartition`` keeps block counts flat across
+      iterations (the min_label_components rule).
+
+    Terminates when a round discovers nothing new. SQL-equivalent to a
+    DuckDB ``WITH RECURSIVE`` walk with a depth cap, which is how the
+    oracle pins it."""
+    from .agg import bucketed_distinct
+    from .relational import anti_join_keys, filter_rows_by_keys
+
+    simple = _simple_edges(edges, src, dst, num_buckets, partitions)
+
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([int(source)], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = dist.select_columns(["node"]).materialize()
+
+    for depth in range(1, max_depth + 1):
+        na = filter_rows_by_keys(simple, frontier, "a", "node").map_batches(
+            lambda t: t.select(["b"]).rename_columns(["node"]),
+            batch_format="pyarrow",
+        )
+        nb_ = filter_rows_by_keys(simple, frontier, "b", "node").map_batches(
+            lambda t: t.select(["a"]).rename_columns(["node"]),
+            batch_format="pyarrow",
+        )
+        nbrs = bucketed_distinct(na.union(nb_), ["node"], num_buckets=num_buckets)
+        new = anti_join_keys(nbrs, dist, "node").materialize()
+        if new.count() == 0:
+            break
+
+        def tag(t: pa.Table, _d=depth) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "dist": pa.array(
+                        np.full(t.num_rows, _d, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        dist = (
+            dist.union(new.map_batches(tag, batch_format="pyarrow"))
+            .repartition(partitions)
+            .materialize()
+        )
+        frontier = new
+    return dist
+
+
 def _simple_edges(
     edges: rd.Dataset,
     src: str,

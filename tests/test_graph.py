@@ -263,3 +263,51 @@ def test_k_core_matches_reference_peeling(ray_session):
         )
         assert dict(zip(out2.node, out2.degree)) == ref, kk
     assert all(n in _ref_kcore(pairs, 5) for n in range(200, 207))
+
+
+def _ref_bfs(pairs, source, max_depth):
+    from collections import deque
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_distances_matches_reference(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.graph import bfs_distances
+
+    rng = np.random.default_rng(77)
+    # two components: BFS from comp-A source must never reach comp B
+    comp_a = [(int(a), int(b)) for a, b in rng.integers(0, 80, (200, 2))]
+    comp_b = [(int(a) + 1000, int(b) + 1000) for a, b in rng.integers(0, 40, (60, 2))]
+    # a long chain to exercise the depth cap
+    chain = [(0, 500), (500, 501), (501, 502), (502, 503), (503, 504)]
+    pairs = comp_a + comp_b + chain
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    df = pd.concat([df, df.rename(columns={"src": "dst", "dst": "src"})])
+
+    for cap in (3, 16):
+        ref = _ref_bfs(pairs, 0, cap)
+        out = (
+            bfs_distances(rd.from_pandas(df).repartition(5), 0, max_depth=cap)
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out.node, out.dist)) == ref, cap
+    assert not any(n >= 1000 for n in _ref_bfs(pairs, 0, 16))
