@@ -3003,6 +3003,28 @@ def _q_graph_bfs(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_link_prediction(sf_dir: str):
+    """Common-neighbors link prediction (stages/graph.py::
+    common_neighbors — exact shared-neighbor counts for non-adjacent
+    pairs through degree-capped wedge centers; the cap is a semantic
+    hub filter that also bounds wedge volume at D² per node) over the
+    part co-occurrence graph (same 1/3 basket subsample as
+    triangle_count).  SQL hash-exact."""
+    from table_annotation_ray.stages.graph import common_neighbors
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
+    out = common_neighbors(
+        edges, "item_a", "item_b", max_center_degree=30, min_common=2
+    ).to_pandas()
+    for c in ("u", "v", "common"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def _q_part_skyline(sf_dir: str):
     """2-criteria skyline (stages/relational.py::skyline): the Pareto
     frontier of parts — no other part both cheaper (p_retailprice) and
@@ -3355,6 +3377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchased_parts": _q_copurchased_parts,
         "graph_pagerank": _q_graph_pagerank,
         "graph_bfs": _q_graph_bfs,
+        "link_prediction": _q_link_prediction,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -4731,6 +4754,30 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "link_prediction": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey % 3 = 0),
+            e0 AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0) GROUP BY node),
+            adj AS (SELECT a AS c, b AS n FROM e0
+                    UNION ALL SELECT b AS c, a AS n FROM e0),
+            af AS (SELECT adj.c, adj.n FROM adj
+                   JOIN deg ON deg.node = adj.c WHERE deg.deg <= 30),
+            w AS (SELECT x.n AS u, y.n AS v
+                  FROM af x JOIN af y ON x.c = y.c AND x.n < y.n),
+            cnt AS (SELECT u, v, COUNT(*) AS common FROM w GROUP BY u, v)
+            SELECT CAST(cnt.u AS BIGINT) AS u, CAST(cnt.v AS BIGINT) AS v,
+                   CAST(cnt.common AS BIGINT) AS common
+            FROM cnt LEFT JOIN e0 ON e0.a = cnt.u AND e0.b = cnt.v
+            WHERE e0.a IS NULL AND cnt.common >= 2
+            ORDER BY u, v
         """,
         "graph_bfs": """
             WITH RECURSIVE li AS (

@@ -311,3 +311,42 @@ def test_bfs_distances_matches_reference(ray_session):
         )
         assert dict(zip(out.node, out.dist)) == ref, cap
     assert not any(n >= 1000 for n in _ref_bfs(pairs, 0, 16))
+
+
+def test_common_neighbors_matches_reference(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from table_annotation_ray.stages.graph import common_neighbors
+
+    rng = np.random.default_rng(5)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 60, (300, 2)) if a != b]
+    # a hub: degree above the cap, must contribute NO wedges
+    hub = [(99, n) for n in range(30)]
+    pairs += hub
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    df = pd.concat([df, df.rename(columns={"src": "dst", "dst": "src"})])
+
+    D, M = 10, 2
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for c, ns in adj.items():
+        if len(ns) > D:
+            continue
+        for u, v in itertools.combinations(sorted(ns), 2):
+            ref[(u, v)] = ref.get((u, v), 0) + 1
+    ref = {
+        k: n for k, n in ref.items()
+        if n >= M and k[1] not in adj.get(k[0], ())
+    }
+
+    out = common_neighbors(
+        rd.from_pandas(df).repartition(5), max_center_degree=D, min_common=M
+    ).to_pandas()
+    assert {(int(r.u), int(r.v)): int(r.common) for r in out.itertuples()} == ref
+    # hub check: 99 has degree 30 > D, so no pair is scored through it
+    assert all(len(adj[c]) <= D for c in adj if c == 99) is False
