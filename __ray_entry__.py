@@ -1620,6 +1620,53 @@ def _q_latest_event_per_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_events_cdc_merge(sf_dir: str):
+    """Lakehouse CDC MERGE (stages/relational.py::merge_upsert):
+    latest-wins upsert of a change stream onto a base snapshot with
+    delete tombstones — base = newest first-half event per user
+    (grouped_topk), changes = second-half events, a winning 'error'
+    event deletes the user.  Map-side ≤1-per-(key,batch) combiner, one
+    hash(key) exchange.  SQL hash-exact vs the row_number window."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.relational import grouped_topk, merge_upsert
+
+    COLS = ["user_id", "event_id", "ts", "event_type", "value", "is_delete"]
+    CUT = pd.Timestamp("2024-01-16")
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def first_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["ts"], pa.scalar(CUT)))
+
+    def add_no_delete(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "is_delete", pa.array(np.zeros(t.num_rows, bool), pa.bool_())
+        )
+        return t.select(COLS)
+
+    def changes_half(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["ts"], pa.scalar(CUT)))
+        t = t.append_column(
+            "is_delete", pc.equal(t["event_type"], pa.scalar("error"))
+        )
+        return t.select(COLS)
+
+    base = grouped_topk(
+        ev.map_batches(first_half, batch_format="pyarrow"),
+        ["user_id"], "ts", k=1, descending=True, tiebreak="event_id",
+    ).map_batches(add_no_delete, batch_format="pyarrow")
+    changes = ev.map_batches(changes_half, batch_format="pyarrow")
+    out = merge_upsert(
+        base, changes, "user_id", "ts", "event_id", delete_col="is_delete"
+    ).to_pandas()
+    out = out.drop(columns=["is_delete"])
+    out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape — two composed equi-joins (customer⋈orders on
     custkey, then ⋈lineitem on orderkey) + revenue aggregate + top-10:
@@ -3378,6 +3425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_bfs": _q_graph_bfs,
         "link_prediction": _q_link_prediction,
+        "events_cdc_merge": _q_events_cdc_merge,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -4754,6 +4802,31 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "events_cdc_merge": """
+            WITH base AS (
+                SELECT user_id, event_id, ts, event_type, value,
+                       FALSE AS is_delete, 0 AS side
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts DESC, event_id ASC
+                    ) AS rn
+                    FROM events WHERE ts < TIMESTAMP '2024-01-16')
+                WHERE rn = 1),
+            ch AS (
+                SELECT user_id, event_id, ts, event_type, value,
+                       event_type = 'error' AS is_delete, 1 AS side
+                FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY side DESC, ts DESC, event_id ASC) AS rn
+                  FROM u)
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   event_type, value
+            FROM w WHERE rn = 1 AND NOT (side = 1 AND is_delete)
+            ORDER BY user_id
         """,
         "link_prediction": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -974,3 +974,100 @@ def skyline(
     if not len(cand):
         return cand
     return cand[_skyline_mask(orient(cand))].reset_index(drop=True)
+
+
+def merge_upsert(
+    base: rd.Dataset,
+    changes: rd.Dataset,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    delete_col: str | None = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """CDC latest-wins merge (the lakehouse MERGE / SCD-1 compaction):
+    apply a change stream onto a base snapshot, keeping ONE row per key.
+
+    Semantics (mirrors ``row_number() OVER (PARTITION BY key ORDER BY
+    side DESC, ts DESC, tiebreak ASC) = 1``):
+
+    * any change beats any base row for the same key (snapshot rows are
+      by definition older than the stream);
+    * among changes, highest ``ts_col`` wins, ties to the smallest
+      ``tiebreak`` (must be unique within a key+ts);
+    * if ``delete_col`` (bool, changes side) is true on the winning
+      row, the key is dropped from the output (a tombstone).
+
+    Scale shape: latest-wins is associative, so a map-side combiner
+    keeps ≤1 row per (key, batch) and the single hash(key) bucket
+    exchange moves one row per key per batch — never the stream.
+    Winner rows are selected as Arrow ``take`` indices, so arbitrary
+    payload schemas survive untouched (no pandas round-trip of the
+    payload columns)."""
+    if base.schema().names != changes.schema().names:
+        raise ValueError(
+            "merge_upsert: base and changes must share one schema "
+            f"({base.schema().names} vs {changes.schema().names})"
+        )
+    if delete_col is not None and delete_col not in changes.schema().names:
+        raise ValueError(f"merge_upsert: missing delete column {delete_col!r}")
+    nb = np.uint64(num_buckets)
+
+    def tagger(side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__mu_side",
+                pa.array(np.full(t.num_rows, side, np.int64), pa.int64()),
+            )
+        return tag
+
+    def _winners(t: pa.Table) -> np.ndarray:
+        """Index of the winning row per key within one table."""
+        df = pd.DataFrame(
+            {
+                "k": t[key].to_pandas(),
+                "s": t["__mu_side"].to_numpy(),
+                "ts": t[ts_col].to_pandas(),
+                "tb": t[tiebreak].to_pandas(),
+            }
+        )
+        top = (
+            df.sort_values(
+                ["k", "s", "ts", "tb"],
+                ascending=[True, False, False, True],
+                kind="mergesort",
+            )
+            .groupby("k", sort=False)
+            .head(1)
+        )
+        return top.index.to_numpy()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__mu_bkt", pa.array([], pa.int64()))
+        out = t.take(_winners(t))
+        h = pd.util.hash_pandas_object(
+            out[key].to_pandas(), index=False
+        ).to_numpy().astype(np.uint64)
+        return out.append_column(
+            "__mu_bkt", pa.array((h % nb).astype(np.int64), pa.int64())
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        out = t.take(_winners(t))
+        if delete_col is not None:
+            alive = ~(
+                (out["__mu_side"].to_numpy() == 1)
+                & out[delete_col].to_numpy(zero_copy_only=False).astype(bool)
+            )
+            out = out.filter(pa.array(alive))
+        return out.drop_columns(["__mu_side", "__mu_bkt"])
+
+    both = base.map_batches(tagger(0), batch_format="pyarrow").union(
+        changes.map_batches(tagger(1), batch_format="pyarrow")
+    )
+    return (
+        both.map_batches(partial, batch_format="pyarrow")
+        .groupby("__mu_bkt")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -808,3 +808,56 @@ def test_percent_rank_matches_window(ray_session):
     # single row -> 0.0
     one = percent_rank(rd.from_pandas(df.head(1)), ["v"], "id").to_pandas()
     assert one["pct_rank"].iloc[0] == 0.0
+
+
+def test_merge_upsert_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from table_annotation_ray.stages.relational import merge_upsert
+
+    cols = ["k", "ts", "seq", "val", "dead"]
+    base = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "ts": [10, 10, 10, 99], "seq": [0, 0, 0, 0],
+         "val": ["b1", "b2", "b3", "b4"], "dead": [False] * 4}
+    )
+    changes = pd.DataFrame(
+        {
+            # k=1: newest change wins; k=2: winning change is a delete;
+            # k=3: no change -> base survives; k=4: change with OLDER ts
+            # than base still beats base (side precedence); k=5: insert;
+            # k=6: equal-ts changes tie-break to smallest seq
+            "k":    [1, 1, 2, 4, 5, 6, 6],
+            "ts":   [20, 30, 20, 5, 7, 8, 8],
+            "seq":  [1, 2, 3, 4, 5, 7, 6],
+            "val":  ["c1a", "c1b", "c2", "c4", "c5", "c6b", "c6a"],
+            "dead": [False, False, True, False, False, False, False],
+        }
+    )
+    out = (
+        merge_upsert(
+            rd.from_pandas(base[cols]).repartition(3),
+            rd.from_pandas(changes[cols]).repartition(4),
+            "k", "ts", "seq", delete_col="dead",
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert dict(zip(out.k, out.val)) == {
+        1: "c1b", 3: "b3", 4: "c4", 5: "c5", 6: "c6a"
+    }
+
+    # without delete semantics the tombstone row simply wins
+    out2 = merge_upsert(
+        rd.from_pandas(base[cols]), rd.from_pandas(changes[cols]),
+        "k", "ts", "seq",
+    ).to_pandas()
+    assert dict(zip(out2.k, out2.val))[2] == "c2"
+
+    with pytest.raises(ValueError, match="share one schema"):
+        merge_upsert(
+            rd.from_pandas(base[["k", "ts", "seq", "val"]]),
+            rd.from_pandas(changes[cols]), "k", "ts", "seq",
+        )
