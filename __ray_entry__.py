@@ -1620,6 +1620,34 @@ def _q_latest_event_per_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_events_ohlc(sf_dir: str):
+    """Hourly OHLC candles over event values (stages/windows.py::
+    ohlc_by_key — associative first/last-by-(ts, tiebreak) partials,
+    one row per (key, batch) into a single hash(key) exchange; the
+    event stream never shuffles).  SQL hash-exact vs row_number
+    boundary windows."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.windows import ohlc_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def hour(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["hour"] = b["ts"].dt.floor("h")
+        return pa.Table.from_pandas(
+            b[["hour", "ts", "event_id", "value"]], preserve_index=False
+        )
+
+    out = ohlc_by_key(
+        ev.map_batches(hour, batch_format="pandas"),
+        ["hour"], "ts", "value", tiebreak="event_id",
+    ).to_pandas()
+    out["hour"] = out["hour"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("hour").reset_index(drop=True)
+
+
 def _q_events_cdc_merge(sf_dir: str):
     """Lakehouse CDC MERGE (stages/relational.py::merge_upsert):
     latest-wins upsert of a change stream onto a base snapshot with
@@ -3426,6 +3454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": _q_graph_bfs,
         "link_prediction": _q_link_prediction,
         "events_cdc_merge": _q_events_cdc_merge,
+        "events_ohlc": _q_events_ohlc,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -4802,6 +4831,24 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "events_ohlc": """
+            WITH b AS (
+                SELECT date_trunc('hour', ts) AS hour, ts, event_id, value
+                FROM events),
+            w AS (
+                SELECT *,
+                    row_number() OVER (PARTITION BY hour
+                        ORDER BY ts ASC, event_id ASC) AS rn_a,
+                    row_number() OVER (PARTITION BY hour
+                        ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM b)
+            SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   count(*) AS n_events
+            FROM w GROUP BY hour ORDER BY hour
         """,
         "events_cdc_merge": """
             WITH base AS (

@@ -477,3 +477,81 @@ def transition_counts(
         return b.rename_columns(["from_type", "to_type", "n"])
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def ohlc_by_key(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    num_buckets: int = 64,
+    batch_size: int | None = 65536,
+) -> rd.Dataset:
+    """Open/high/low/close aggregate per key (the time-series candle /
+    first-last-by-time reduce): per key combination, ``open`` = value of
+    the earliest row, ``close`` = value of the latest, plus min/max and
+    the row count.  Ties at equal ``ts_col`` resolve by ``tiebreak``
+    (ascending for open, descending for close — mirroring
+    ``row_number() OVER (ORDER BY ts, tb)`` windows).
+
+    first/last-by-order is associative, so each batch ships ONE partial
+    row per (key, batch) carrying the batch's boundary (ts, tiebreak,
+    value) triples; the single hash(key) exchange re-applies the same
+    boundary selection per bucket.  The event stream itself never
+    shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        s = b.sort_values(
+            key_cols + [ts_col, tiebreak], kind="mergesort"
+        )
+        g = s.groupby(key_cols, sort=False)
+        first = g.head(1).set_index(key_cols)
+        last = g.tail(1).set_index(key_cols)
+        agg = g.agg(
+            low=(value_col, "min"), high=(value_col, "max"),
+            n_events=(value_col, "size"),
+        )
+        out = agg.reset_index()
+        out["open_ts"] = first[ts_col].to_numpy()
+        out["open_tb"] = first[tiebreak].to_numpy()
+        out["open"] = first[value_col].to_numpy()
+        out["close_ts"] = last[ts_col].to_numpy()
+        out["close_tb"] = last[tiebreak].to_numpy()
+        out["close"] = last[value_col].to_numpy()
+        keyframe = out[key_cols[0]] if len(key_cols) == 1 else out[key_cols]
+        out["__oh_bkt"] = (
+            pd.util.hash_pandas_object(keyframe, index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        opens = (
+            g.sort_values(key_cols + ["open_ts", "open_tb"], kind="mergesort")
+            .groupby(key_cols, sort=False).head(1).set_index(key_cols)
+        )
+        closes = (
+            g.sort_values(key_cols + ["close_ts", "close_tb"], kind="mergesort")
+            .groupby(key_cols, sort=False).tail(1).set_index(key_cols)
+        )
+        agg = g.groupby(key_cols, sort=False).agg(
+            low=("low", "min"), high=("high", "max"), n_events=("n_events", "sum")
+        )
+        out = agg.reset_index()
+        # align by key index — agg's group order (first occurrence in g)
+        # differs from the sorted frames' order
+        out["open"] = opens["open"].reindex(agg.index).to_numpy()
+        out["close"] = closes["close"].reindex(agg.index).to_numpy()
+        out = out[key_cols + ["open", "high", "low", "close", "n_events"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    kw = {} if batch_size is None else {"batch_size": batch_size}
+    return (
+        ds.map_batches(partial, batch_format="pandas", **kw)
+        .groupby("__oh_bkt")
+        .map_groups(finalize, batch_format="pandas")
+    )

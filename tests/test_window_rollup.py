@@ -1006,3 +1006,39 @@ def test_mode_by_key_matches_pandas(ray_session):
     tie = pd.DataFrame({"k": [1, 1, 1, 1], "v": ["b", "a", "a", "b"]})
     got = mode_by_key(rd.from_pandas(tie), "k", "v").to_pandas()
     assert list(got.v) == ["a"] and list(got.n) == [2]
+
+
+def test_ohlc_by_key_matches_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import ohlc_by_key
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            # coarse ts so equal-ts ties are common: tiebreak must decide
+            "ts": rng.integers(0, 50, n),
+            "tb": np.arange(n),
+            "v": rng.normal(size=n).round(3),
+        }
+    )
+    out = (
+        ohlc_by_key(
+            rd.from_pandas(df).repartition(13), ["k"], "ts", "v",
+            tiebreak="tb", batch_size=64,  # many partials per key
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for k, g in df.groupby("k"):
+        s = g.sort_values(["ts", "tb"], kind="mergesort")
+        assert out.loc[k, "open"] == s["v"].iloc[0], k
+        assert out.loc[k, "close"] == s["v"].iloc[-1], k
+        assert out.loc[k, "high"] == g["v"].max(), k
+        assert out.loc[k, "low"] == g["v"].min(), k
+        assert out.loc[k, "n_events"] == len(g), k
