@@ -1620,6 +1620,45 @@ def _q_latest_event_per_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — cheapest supplier per part in one region:
+    groupwise argmin (grouped_topk k=1 ascending with suppkey
+    tiebreak — the map-side combiner ships one row per (part, batch),
+    never the fact table) composed with three dimension joins
+    (supplier, nation, part via size-gated equi_join; region filter via
+    filter_rows_by_keys).  SQL hash-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.relational import (
+        equi_join,
+        filter_rows_by_keys,
+        grouped_topk,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    m = grouped_topk(
+        li, ["l_partkey"], "l_extendedprice", k=1,
+        descending=False, tiebreak="l_suppkey",
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    j = equi_join(m, sup, "l_suppkey", "s_suppkey")
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    j = equi_join(j, nat, "s_nationkey", "n_nationkey")
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).map_batches(
+        lambda t: t.filter(pc.equal(t["r_name"], pa.scalar("EUROPE"))),
+        batch_format="pyarrow",
+    )
+    j = filter_rows_by_keys(j, reg, "n_regionkey", "r_regionkey")
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    j = equi_join(j, part, "l_partkey", "p_partkey")
+    out = j.to_pandas()
+    out = out.rename(columns={"l_extendedprice": "min_price"})
+    out["p_partkey"] = out["l_partkey"].astype("int64")
+    out = out[["p_partkey", "p_name", "s_name", "n_name", "min_price"]]
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def _q_events_ohlc(sf_dir: str):
     """Hourly OHLC candles over event values (stages/windows.py::
     ohlc_by_key — associative first/last-by-(ts, tiebreak) partials,
@@ -3455,6 +3494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": _q_link_prediction,
         "events_cdc_merge": _q_events_cdc_merge,
         "events_ohlc": _q_events_ohlc,
+        "min_cost_supplier": _q_min_cost_supplier,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -4831,6 +4871,24 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "min_cost_supplier": """
+            WITH w AS (
+                SELECT l_partkey, l_suppkey, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_partkey
+                           ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
+                FROM lineitem),
+            m AS (SELECT l_partkey, l_suppkey,
+                         l_extendedprice AS min_price FROM w WHERE rn = 1)
+            SELECT CAST(m.l_partkey AS BIGINT) AS p_partkey, p.p_name,
+                   s.s_name, n.n_name, m.min_price
+            FROM m
+            JOIN supplier s ON s.s_suppkey = m.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            JOIN part p ON p.p_partkey = m.l_partkey
+            WHERE r.r_name = 'EUROPE'
+            ORDER BY p_partkey
         """,
         "events_ohlc": """
             WITH b AS (
