@@ -1233,6 +1233,34 @@ def _q_kg_triples(sf_dir: str):
     ).to_pandas()
 
 
+def _q_kg_entity_pagerank(sf_dir: str):
+    """Entity salience over the flagship KG output: PageRank on the
+    subj→obj entity-entity triples (stages/graph.py::pagerank_labels —
+    string URIs hashed to int64, ranked via the engine-dispatching
+    pagerank_auto, labels re-attached with one size-gated equi_join; no
+    driver-side id map).  Rows-only: the KG edges are model-driven."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.pipelines.kg_pipeline import run_kg_pipeline
+    from table_annotation_ray.stages.graph import pagerank_labels
+
+    root = _synth_root_for(sf_dir)
+    triples = run_kg_pipeline(
+        os.path.join(root, "transcripts.parquet"), os.path.join(root, "kb")
+    )
+
+    def entity_edges(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t["obj"], "http://www.wikidata.org/entity/")
+        keep = t.filter(m)
+        return keep.select(["subj", "obj"])
+
+    edges = triples.map_batches(entity_edges, batch_format="pyarrow")
+    out = pagerank_labels(edges, "subj", "obj", iters=5).to_pandas()
+    out["rank"] = out["rank"].map(lambda v: _round_ha(v, 8))
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_entity_lookup(sf_dir: str):
     """The reference's entity_lookup service (lookup/entity_lookup.py) as
     a batch stage over the distinct mentions of the synthesized
@@ -3495,6 +3523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cdc_merge": _q_events_cdc_merge,
         "events_ohlc": _q_events_ohlc,
         "min_cost_supplier": _q_min_cost_supplier,
+        "kg_entity_pagerank": _q_kg_entity_pagerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,

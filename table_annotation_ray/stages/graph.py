@@ -294,6 +294,69 @@ def pagerank_auto(
     )
 
 
+def pagerank_labels(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """PageRank over STRING-labelled edges (entity URIs, domains,
+    usernames): endpoints are mapped to int64 via a 64-bit stable hash,
+    ranked with :func:`pagerank_auto`, and labels re-attached with one
+    size-gated equi_join against the distinct (hash, label) pairs —
+    fully distributed, no driver-side id map.
+
+    The hash map is collision-checked nowhere by construction (64-bit
+    birthday bound: P(any collision) ≈ n²/2⁶⁵ — ~3e-5 at 10⁶ nodes,
+    still <1e-2 at 10⁸); a colliding pair would merge two nodes' ranks.
+    Returns ``(node, rank)`` with the original string labels."""
+    from .agg import bucketed_distinct
+    from .relational import equi_join
+
+    def hashed(b: pd.DataFrame) -> pa.Table:
+        hs = pd.util.hash_pandas_object(b[src], index=False).to_numpy()
+        hd = pd.util.hash_pandas_object(b[dst], index=False).to_numpy()
+        return pa.table(
+            {
+                "hsrc": pa.array(hs.astype(np.int64), pa.int64()),
+                "hdst": pa.array(hd.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def node_map(b: pd.DataFrame) -> pa.Table:
+        lab = np.concatenate([b[src].to_numpy(), b[dst].to_numpy()])
+        h = pd.util.hash_pandas_object(
+            pd.Series(lab), index=False
+        ).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "hnode": pa.array(h, pa.int64()),
+                "node": pa.array(lab.astype(str), pa.string()),
+            }
+        )
+
+    edges = edges.materialize()  # hashed-edge AND label-map passes
+    labels = bucketed_distinct(
+        edges.map_batches(node_map, batch_format="pandas"),
+        ["hnode", "node"], num_buckets=num_buckets,
+    )
+    ranks, _engine = pagerank_auto(
+        edges.map_batches(hashed, batch_format="pandas"),
+        src="hsrc", dst="hdst", damping=damping, iters=iters,
+        num_buckets=num_buckets,
+    )
+    joined = equi_join(
+        ranks.map_batches(
+            lambda t: t.rename_columns(["hnode", "rank"]),
+            batch_format="pyarrow",
+        ),
+        labels, "hnode",
+    )
+    return joined.select_columns(["node", "rank"])
+
+
 def triangle_count(
     edges: rd.Dataset,
     src: str = "src",

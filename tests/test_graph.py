@@ -350,3 +350,27 @@ def test_common_neighbors_matches_reference(ray_session):
     assert {(int(r.u), int(r.v)): int(r.common) for r in out.itertuples()} == ref
     # hub check: 99 has degree 30 > D, so no pair is scored through it
     assert all(len(adj[c]) <= D for c in adj if c == 99) is False
+
+
+def test_pagerank_labels_matches_int_pagerank(ray_session):
+    import ray.data as rd
+
+    from table_annotation_ray.stages.graph import pagerank, pagerank_labels
+
+    rng = np.random.default_rng(3)
+    e = pd.DataFrame(
+        {"src": rng.integers(0, 50, 400), "dst": rng.integers(0, 50, 400)}
+    )
+    ranks_int = (
+        pagerank(rd.from_pandas(e), iters=6).to_pandas().set_index("node")["rank"]
+    )
+    es = e.copy()
+    es["src"] = "node-" + es["src"].astype(str)
+    es["dst"] = "node-" + es["dst"].astype(str)
+    out = pagerank_labels(
+        rd.from_pandas(es).repartition(4), iters=6
+    ).to_pandas()
+    assert len(out) == len(ranks_int)
+    for r in out.itertuples():
+        n = int(r.node.removeprefix("node-"))
+        assert abs(r.rank - ranks_int.loc[n]) < 1e-9, n
