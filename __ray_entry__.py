@@ -1687,6 +1687,57 @@ def _q_min_cost_supplier(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Per-document zlib compression ratio (stages/textstats.py::
+    compression_stats — map-only, one C zlib call per doc): the
+    repetition/boilerplate quality signal of the Gopher rule family.
+    Rows-only (no SQL zlib); pytest pins the repetitive-text ordering
+    property and exact zlib agreement."""
+    from table_annotation_ray.stages.textstats import compression_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(compression_stats, batch_format="pandas").to_pandas()
+    for c in ("doc_id", "n_bytes", "n_compressed"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_debounce_events(sf_dir: str):
+    """Windowed stream dedup (debounce): drop an event when the
+    previous event of the same (user, type) — by (ts, event_id) order —
+    is within 10 minutes.  Composition of stages/windows.py::lag_by_key
+    (hash-bucket exchange, vectorized in-bucket groupby-shift) and a
+    map-only interval filter.  SQL hash-exact vs the LAG window."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.windows import lag_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def keyed(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["k"] = b["user_id"].astype(str) + "|" + b["event_type"]
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    lag = lag_by_key(
+        ev.map_batches(keyed, batch_format="pandas"),
+        "k", ["ts", "event_id"], ["ts"],
+    )
+
+    def keep(b: pd.DataFrame) -> pa.Table:
+        m = b["ts_prev"].isna() | (
+            (b["ts"] - b["ts_prev"]) > pd.Timedelta(seconds=600)
+        )
+        out = b.loc[m, ["user_id", "event_id", "ts", "event_type"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = lag.map_batches(keep, batch_format="pandas").to_pandas()
+    out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_events_ohlc(sf_dir: str):
     """Hourly OHLC candles over event values (stages/windows.py::
     ohlc_by_key — associative first/last-by-(ts, tiebreak) partials,
@@ -3524,6 +3575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc": _q_events_ohlc,
         "min_cost_supplier": _q_min_cost_supplier,
         "kg_entity_pagerank": _q_kg_entity_pagerank,
+        "debounce_events": _q_debounce_events,
+        "compression_ratio": _q_compression_ratio,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -4900,6 +4953,18 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "debounce_events": """
+            WITH w AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type
+            FROM w
+            WHERE prev IS NULL OR ts - prev > INTERVAL 600 SECOND
+            ORDER BY event_id
         """,
         "min_cost_supplier": """
             WITH w AS (

@@ -565,3 +565,38 @@ def hashed_text_features(
         )
 
     return docs.map_batches(featurize, batch_format="pandas")
+
+
+def compression_stats(
+    batch: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> pd.DataFrame:
+    """Per-document zlib compression ratio — the Gopher-family quality
+    signal the length/punctuation heuristics can't see: highly
+    repetitive or templated text compresses far below natural prose
+    (natural English sits near ratio ~0.4–0.6 at level 6; boilerplate
+    and keyword-stuffed spam drop under ~0.25).
+
+    Map-only (one C zlib call per document inside ``map_batches`` —
+    embarrassingly parallel, no exchange).  Returns ``(id, n_bytes,
+    n_compressed, ratio)``; empty documents get ratio 1.0 so they are
+    never flagged by a low-ratio gate (they have their own filters)."""
+    import zlib
+
+    texts = batch[text_col].fillna("")
+    raw = [t.encode("utf-8", "replace") for t in texts]
+    n_bytes = np.fromiter((len(b) for b in raw), np.int64, len(raw))
+    n_comp = np.fromiter(
+        (len(zlib.compress(b, level)) for b in raw), np.int64, len(raw)
+    )
+    ratio = np.where(n_bytes > 0, n_comp / np.maximum(n_bytes, 1), 1.0)
+    return pd.DataFrame(
+        {
+            id_col: batch[id_col].to_numpy(),
+            "n_bytes": n_bytes,
+            "n_compressed": n_comp,
+            "ratio": np.round(ratio, 6),
+        }
+    )

@@ -1456,3 +1456,39 @@ def test_line_dedup_paths_and_semantics(ray_session):
     solo = rd.from_items([{"doc_id": 9, "text": "a\nb"}])
     out_s = line_dedup(solo, min_count=2).to_pandas()
     assert list(out_s.text) == ["a\nb"]
+
+
+def test_compression_stats(ray_session):
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.textstats import compression_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spam spam spam " * 50,                     # repetitive
+                "The quick brown fox jumps over the lazy dog. "
+                "Colorless green ideas sleep furiously in Prague.",
+                "",                                          # empty
+                None,                                        # null
+            ],
+        }
+    )
+    out = (
+        rd.from_pandas(docs)
+        .map_batches(compression_stats, batch_format="pandas")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # repetitive text compresses far below natural prose
+    assert out.loc[0, "ratio"] < 0.2 < out.loc[1, "ratio"]
+    assert out.loc[2, "ratio"] == 1.0 and out.loc[3, "ratio"] == 1.0
+    # exact zlib agreement
+    assert out.loc[1, "n_compressed"] == len(
+        zlib.compress(docs.loc[1, "text"].encode(), 6)
+    )
