@@ -1687,6 +1687,44 @@ def _q_min_cost_supplier(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def _q_dq_audit(sf_dir: str):
+    """Declarative data-quality audit (stages/dq.py::dq_audit): exact
+    violation counts for null/range/accepted-value checks (one shared
+    map-only pass per table), uniqueness (bucketed_distinct exchange)
+    and referential integrity (size-gated anti_join_keys).  SQL
+    hash-exact vs plain COUNT/filter aggregates."""
+    from table_annotation_ray.stages.dq import Check, dq_audit
+
+    tables = {
+        "orders": _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        "lineitem": _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"]),
+        "events": _read(sf_dir, "events", ["event_id", "event_type"]),
+        "customer": _read(sf_dir, "customer", ["c_custkey"]),
+    }
+    checks = [
+        Check("lineitem_quantity_range", "lineitem", "in_range",
+              col="l_quantity", lo=1, hi=50),
+        Check("lineitem_discount_range", "lineitem", "in_range",
+              col="l_discount", lo=0.0, hi=0.08),
+        Check("orders_custkey_not_null", "orders", "not_null", col="o_custkey"),
+        Check("orders_totalprice_positive", "orders", "in_range",
+              col="o_totalprice", lo=0.0, hi=float("inf")),
+        Check("orders_orderkey_unique", "orders", "unique", col="o_orderkey"),
+        Check("events_type_accepted", "events", "accepted_values",
+              col="event_type",
+              values=["click", "view", "purchase", "signup"]),
+        Check("lineitem_orderkey_fk", "lineitem", "foreign_key",
+              col="l_orderkey", parent_table="orders", parent_col="o_orderkey"),
+        Check("orders_custkey_fk", "orders", "foreign_key",
+              col="o_custkey", parent_table="customer", parent_col="c_custkey"),
+    ]
+    out = dq_audit(tables, checks)
+    for c in ("n_rows", "n_violations"):
+        out[c] = out[c].astype("int64")
+    out["passed"] = out["passed"].astype(bool)
+    return out
+
+
 def _q_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio (stages/textstats.py::
     compression_stats — map-only, one C zlib call per doc): the
@@ -3577,6 +3615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank": _q_kg_entity_pagerank,
         "debounce_events": _q_debounce_events,
         "compression_ratio": _q_compression_ratio,
+        "dq_audit": _q_dq_audit,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -4953,6 +4992,53 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "dq_audit": """
+            WITH r AS (
+                SELECT 'events_type_accepted' AS "check",
+                       (SELECT count(*) FROM events) AS n_rows,
+                       (SELECT count(*) FROM events WHERE event_type NOT IN
+                            ('click','view','purchase','signup')) AS n_violations
+                UNION ALL
+                SELECT 'lineitem_discount_range',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem
+                        WHERE NOT (l_discount BETWEEN 0.0 AND 0.08)
+                           OR l_discount IS NULL)
+                UNION ALL
+                SELECT 'lineitem_orderkey_fk',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                UNION ALL
+                SELECT 'lineitem_quantity_range',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem
+                        WHERE NOT (l_quantity BETWEEN 1 AND 50)
+                           OR l_quantity IS NULL)
+                UNION ALL
+                SELECT 'orders_custkey_fk',
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM orders
+                        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                UNION ALL
+                SELECT 'orders_custkey_not_null',
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                UNION ALL
+                SELECT 'orders_orderkey_unique',
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM orders)
+                       - (SELECT count(DISTINCT o_orderkey) FROM orders)
+                UNION ALL
+                SELECT 'orders_totalprice_positive',
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM orders
+                        WHERE NOT (o_totalprice >= 0.0)
+                           OR o_totalprice IS NULL))
+            SELECT "check", n_rows, n_violations,
+                   n_violations = 0 AS passed
+            FROM r ORDER BY "check"
         """,
         "debounce_events": """
             WITH w AS (

@@ -1,0 +1,138 @@
+"""Distributed data-quality audit — declarative column/table checks
+with exact violation counts (the Great-Expectations-style contract
+gate a 100-TB ingest runs before anything downstream trusts the data).
+
+Check kinds and their distributed shapes:
+
+* ``not_null`` / ``in_range`` / ``accepted_values`` / ``matches_regex``
+  — map-only: every batch emits ONE partial-count row; the driver sums
+  a few-KB frame.  All same-table map checks share a SINGLE pass.
+* ``unique`` — total count vs distinct count via the
+  ``agg.bucketed_distinct`` hash exchange (never a driver-side set).
+* ``foreign_key`` — orphan child keys via the size-gated
+  ``relational.anti_join_keys`` (broadcast parents when small,
+  co-location exchange otherwise).
+
+Returns one row per check: ``(check, n_rows, n_violations, passed)``.
+Beyond-reference operator (SURVEY §2: pipeline breadth beyond the
+annotator); semantics mirror plain SQL COUNT/filter aggregates, which
+is how the oracle pins them.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+@dataclass
+class Check:
+    name: str
+    table: str
+    kind: str  # not_null | in_range | accepted_values | matches_regex | unique | foreign_key
+    col: str | list[str] | None = None
+    lo: float | None = None
+    hi: float | None = None
+    values: list | None = None
+    pattern: str | None = None
+    parent_table: str | None = None
+    parent_col: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+_MAP_KINDS = ("not_null", "in_range", "accepted_values", "matches_regex")
+
+
+def _map_violations(b: pd.DataFrame, checks: list[Check]) -> pa.Table:
+    names, viols = [], []
+    for c in checks:
+        s = b[c.col]
+        if c.kind == "not_null":
+            bad = s.isna()
+        elif c.kind == "in_range":
+            bad = ~s.between(c.lo, c.hi) | s.isna()
+        elif c.kind == "accepted_values":
+            bad = ~s.isin(c.values)
+        else:  # matches_regex
+            pat = re.compile(c.pattern)
+            bad = ~s.fillna("").str.match(pat)
+        names.append(c.name)
+        viols.append(int(bad.to_numpy().sum()))
+    return pa.table(
+        {
+            "check": pa.array(names, pa.string()),
+            "n_rows": pa.array([len(b)] * len(names), pa.int64()),
+            "n_violations": pa.array(viols, pa.int64()),
+        }
+    )
+
+
+def dq_audit(tables: dict[str, rd.Dataset], checks: list[Check]) -> pd.DataFrame:
+    """Run every check, one shared pass per table for the map-only
+    kinds.  ``tables`` maps table name -> Dataset (already column-pruned
+    by the caller).  The returned frame is driver-sized by construction
+    (one row per check)."""
+    from .agg import bucketed_distinct
+    from .relational import anti_join_keys
+
+    rows: list[dict] = []
+
+    for tname in sorted({c.table for c in checks}):
+        mine = [c for c in checks if c.table == tname]
+        ds = tables[tname]
+        mapc = [c for c in mine if c.kind in _MAP_KINDS]
+        if mapc:
+            part = ds.map_batches(
+                lambda b, _cs=mapc: _map_violations(b, _cs),
+                batch_format="pandas",
+            ).to_pandas()
+            agg = part.groupby("check", sort=False)[["n_rows", "n_violations"]].sum()
+            for c in mapc:
+                rows.append(
+                    {
+                        "check": c.name,
+                        "n_rows": int(agg.loc[c.name, "n_rows"]),
+                        "n_violations": int(agg.loc[c.name, "n_violations"]),
+                    }
+                )
+        for c in mine:
+            if c.kind == "unique":
+                cols = [c.col] if isinstance(c.col, str) else list(c.col)
+                total = ds.count()
+                # count() on the distinct exchange is metadata-cheap
+                distinct = bucketed_distinct(
+                    ds.map_batches(
+                        lambda t, _cols=cols: t.select(_cols),
+                        batch_format="pyarrow",
+                    ),
+                    cols,
+                ).count()
+                rows.append(
+                    {
+                        "check": c.name,
+                        "n_rows": int(total),
+                        "n_violations": int(total - distinct),
+                    }
+                )
+            elif c.kind == "foreign_key":
+                parent = tables[c.parent_table]
+                orphans = anti_join_keys(ds, parent, c.col, c.parent_col)
+                rows.append(
+                    {
+                        "check": c.name,
+                        "n_rows": int(ds.count()),
+                        "n_violations": int(orphans.count()),
+                    }
+                )
+            elif c.kind not in _MAP_KINDS:
+                raise ValueError(f"unknown check kind {c.kind!r}")
+
+    out = pd.DataFrame(rows).sort_values("check").reset_index(drop=True)
+    out["passed"] = out["n_violations"] == 0
+    return out

@@ -1492,3 +1492,43 @@ def test_compression_stats(ray_session):
     assert out.loc[1, "n_compressed"] == len(
         zlib.compress(docs.loc[1, "text"].encode(), 6)
     )
+
+
+def test_dq_audit_planted_violations(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dq import Check, dq_audit
+
+    child = pd.DataFrame(
+        {
+            "fk": [1, 1, 2, 3, 99, 98],        # 99, 98 are orphans
+            "qty": [5.0, -1.0, None, 200.0, 5.0, 5.0],  # -1, null, 200 violate
+            "cat": ["a", "b", "zz", "a", "b", "a"],     # zz violates
+        }
+    )
+    parent = pd.DataFrame({"pk": [1, 2, 3, 3]})  # dup pk
+    tables = {
+        "child": rd.from_pandas(child).repartition(3),
+        "parent": rd.from_pandas(parent).repartition(2),
+    }
+    out = dq_audit(
+        tables,
+        [
+            Check("child_qty_range", "child", "in_range", col="qty", lo=0, hi=100),
+            Check("child_qty_not_null", "child", "not_null", col="qty"),
+            Check("child_cat_accepted", "child", "accepted_values",
+                  col="cat", values=["a", "b"]),
+            Check("child_fk", "child", "foreign_key",
+                  col="fk", parent_table="parent", parent_col="pk"),
+            Check("parent_pk_unique", "parent", "unique", col="pk"),
+        ],
+    ).set_index("check")
+    assert out.loc["child_qty_range", "n_violations"] == 3
+    assert out.loc["child_qty_not_null", "n_violations"] == 1
+    assert out.loc["child_cat_accepted", "n_violations"] == 1
+    assert out.loc["child_fk", "n_violations"] == 2
+    assert out.loc["parent_pk_unique", "n_violations"] == 1
+    assert not out["passed"].any()
+    assert (out["n_rows"] == [6, 6, 6, 6, 4]).all()
