@@ -1443,6 +1443,36 @@ def _q_bpe_token_counts(sf_dir: str):
     )
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Corpus tokenization to id sequences under the trained BPE
+    tokenizer (stages/bpe.py::bpe_encode — bounded merge+vocab
+    broadcast, per-worker distinct-word memo, flat-buffer ListArray
+    assembly): the pretraining step between tokenizer training and
+    packing.  Rows-only; pytest pins per-word agreement with
+    encode_word and count-consistency with bpe_token_counts.  The id
+    list is surfaced as a stable comma-joined string (the driver's
+    hash compare needs scalar columns)."""
+    from table_annotation_ray.stages.bpe import (
+        bpe_encode,
+        bpe_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=60)
+    vocab = bpe_vocab(merges, corpus_alphabet(docs))
+    out = bpe_encode(docs, merges, vocab).to_pandas()
+    out["token_ids"] = out["token_ids"].map(
+        lambda xs: ",".join(str(int(x)) for x in xs)
+    )
+    return (
+        out.astype({"doc_id": "int64", "n_tokens": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_quality_classifier(sf_dir: str):
     """Distributed fastText-shape quality classifier
     (stages/classifier.py): weak labels from the heuristic quality gate
@@ -3616,6 +3646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events": _q_debounce_events,
         "compression_ratio": _q_compression_ratio,
         "dq_audit": _q_dq_audit,
+        "bpe_encode": _q_bpe_encode,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,

@@ -275,3 +275,96 @@ def bpe_token_counts(
         )
 
     return docs.map_batches(count, batch_format="pandas")
+
+
+def corpus_alphabet(docs: rd.Dataset, text_col: str = "text") -> list[str]:
+    """Sorted distinct characters of the lowercased corpus words — one
+    map-only pass (per-batch set union, driver unions ≤ blocks sets of
+    ≤ alphabet size; bounded by Unicode, not corpus)."""
+    def chars(b: pd.DataFrame) -> pa.Table:
+        s = set()
+        for t in b[text_col].fillna(""):
+            for w in t.lower().split():
+                s.update(w)
+        return pa.table({"ch": pa.array(sorted(s), pa.string())})
+
+    out = docs.map_batches(chars, batch_format="pandas").to_pandas()
+    return sorted(set(out["ch"]))
+
+
+def bpe_vocab(merges: list[tuple[str, str]], alphabet: list[str]) -> dict[str, int]:
+    """Deterministic symbol→id table: the sorted base alphabet, then
+    ``EOW``, then one new symbol per merge in rank order (duplicate
+    merge outputs keep their FIRST id).  Mirrors how GPT-2/SentencePiece
+    derive ids from the merge list."""
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(alphabet)):
+        vocab.setdefault(ch, len(vocab))
+    vocab.setdefault(EOW, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode(
+    docs: rd.Dataset,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> rd.Dataset:
+    """Tokenize the corpus to id sequences — the pretraining step
+    between tokenizer training and packing: ``(id, token_ids:
+    list<int32>, n_tokens)`` per document.
+
+    One bounded broadcast (merge ranks + vocab), one streaming pass;
+    each DISTINCT word per worker encodes once through the per-worker
+    memo cache (Zipf makes the cache hit rate ≈ 1), and the id lists
+    assemble into one flat buffer + offsets (``ListArray.from_arrays``
+    — never a Python list-of-lists column).  Symbols outside ``vocab``
+    (characters unseen at train time) emit ``unk_id``."""
+    from ..state.worker_state import get_worker_state, ref_key
+
+    mref = ray.put(({p: i for i, p in enumerate(merges)}, dict(vocab)))
+
+    def encode(b: pd.DataFrame) -> pa.Table:
+        ranks, voc = get_worker_state(
+            ("bpe-enc-model", ref_key(mref)), lambda: ray.get(mref)
+        )
+        cache: dict = get_worker_state(("bpe-enc-cache", ref_key(mref)), dict)
+
+        per_doc: list[np.ndarray] = []
+        for t in b[text_col].fillna(""):
+            ids: list[int] = []
+            for w in t.lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = np.array(
+                        [voc.get(s, unk_id) for s in encode_word(w, ranks)],
+                        dtype=np.int32,
+                    )
+                    cache[w] = got
+                ids.append(got)
+            per_doc.append(
+                np.concatenate(ids) if ids else np.empty(0, np.int32)
+            )
+
+        lens = np.fromiter((len(x) for x in per_doc), np.int64, len(per_doc))
+        offsets = np.zeros(len(per_doc) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        flat = (
+            np.concatenate(per_doc) if per_doc else np.empty(0, np.int32)
+        )
+        col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+        )
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "token_ids": col,
+                "n_tokens": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pandas")

@@ -442,3 +442,62 @@ def test_bpe_merges_match_reference_and_engines_agree(ray_session):
     for d in docs[:8]:
         want = sum(len(encode_word(w, ranks)) for w in d["text"].lower().split())
         assert int(counts.loc[counts.doc_id == d["doc_id"], "n_tokens"].iloc[0]) == want
+
+
+def test_bpe_encode_agrees_with_encode_word_and_counts(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.bpe import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_vocab,
+        corpus_alphabet,
+        encode_word,
+        train_bpe,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the cat sat on the mat",
+                "the cat ate the rat",
+                "low lower lowest newer newest",
+                "",          # empty doc -> empty id list
+                None,        # null doc
+                "zzüq unseen-ish",  # chars that may be rare
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    merges = train_bpe(ds, num_merges=30)
+    alpha = corpus_alphabet(ds)
+    vocab = bpe_vocab(merges, alpha)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    out = (
+        bpe_encode(ds, merges, vocab)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # count consistency with the counting stage
+    cnt = (
+        bpe_token_counts(ds, merges)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert (out["n_tokens"] == cnt["n_tokens"]).all()
+    # per-word agreement with the single-word encoder
+    inv = {i: s for s, i in vocab.items()}
+    for r in docs.itertuples():
+        txt = r.text or ""
+        want = []
+        for w in txt.lower().split():
+            want += [vocab[s] for s in encode_word(w, ranks)]
+        got = list(out.loc[r.doc_id, "token_ids"])
+        assert got == want, r.doc_id
+        # round-trip: symbols re-join to the original words
+        if want:
+            joined = "".join(inv[i] for i in got).replace("</w>", " ").strip()
+            assert joined == " ".join(txt.lower().split())
+    assert out.loc[3, "n_tokens"] == 0 and len(out.loc[3, "token_ids"]) == 0
