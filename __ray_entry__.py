@@ -1473,6 +1473,37 @@ def _q_bpe_encode(sf_dir: str):
     )
 
 
+def _q_pack_token_blocks(sf_dir: str):
+    """End-to-end pretraining sequence assembly: train BPE → encode the
+    corpus to ids → pack into fixed 256-token blocks with EOS joints
+    (stages/datapipe.py::pack_token_ids — skinny prefix-sum exchange,
+    one payload exchange by chunk, one assembly exchange by block).
+    Rows-only; pytest pins block content against a single-process
+    reference including straddling docs and the partial-block flavor."""
+    from table_annotation_ray.stages.bpe import (
+        bpe_encode,
+        bpe_vocab,
+        corpus_alphabet,
+        train_bpe,
+    )
+    from table_annotation_ray.stages.datapipe import pack_token_ids
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=60)
+    vocab = bpe_vocab(merges, corpus_alphabet(docs))
+    enc = bpe_encode(docs, merges, vocab)
+    eos = len(vocab)  # one past the largest symbol id: never collides
+    out = pack_token_ids(enc, block_len=256, eos_id=eos).to_pandas()
+    out["token_ids"] = out["token_ids"].map(
+        lambda xs: ",".join(str(int(x)) for x in xs)
+    )
+    return (
+        out.astype({"block_id": "int64", "n_docs": "int64"})
+        .sort_values("block_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_quality_classifier(sf_dir: str):
     """Distributed fastText-shape quality classifier
     (stages/classifier.py): weak labels from the heuristic quality gate
@@ -3647,6 +3678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "dq_audit": _q_dq_audit,
         "bpe_encode": _q_bpe_encode,
+        "pack_token_blocks": _q_pack_token_blocks,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,

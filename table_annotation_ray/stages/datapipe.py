@@ -206,10 +206,6 @@ def _token_offsets(
     4096 ≈ 2.4×10^8 chunks — raise ``chunk`` at that scale) and
     broadcasts them; (4) a second pass computes in-chunk cumulative sums
     and adds the chunk prefix.  Every heavy step streams."""
-    import ray
-
-    from ..state.worker_state import get_worker_state, ref_key
-
     def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
         from .textstats import _ws_tokens
 
@@ -222,7 +218,21 @@ def _token_offsets(
             }
         )
 
-    toks = docs.map_batches(count_tokens, batch_format="pandas").materialize()
+    toks = docs.map_batches(count_tokens, batch_format="pandas")
+    return _offsets_from_lengths(toks, id_col=id_col)
+
+
+def _offsets_from_lengths(toks: rd.Dataset, id_col: str = "doc_id"):
+    """Distributed prefix sum over precomputed per-row lengths:
+    ``toks`` carries (id_col, n_tokens, chunk_id) rows; returns the
+    (id, n_tokens, token_offset) Dataset + total (the
+    :func:`_token_offsets` contract, reusable for any length source —
+    whitespace counts, BPE id-list lengths, byte sizes)."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    toks = toks.materialize()
 
     from .agg import grouped_reduce
 
@@ -886,4 +896,179 @@ def temperature_sample(
         docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
         .groupby("__ts_bkt")
         .map_groups(final, batch_format="pandas")
+    )
+
+
+def pack_token_ids(
+    encoded: rd.Dataset,
+    block_len: int = 128,
+    eos_id: int = 0,
+    chunk: int = 4096,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    drop_partial: bool = True,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """GPT-style sequence packing at the TOKEN-ID level: documents in
+    ``id_col`` order (integer ids) are laid end-to-end, ``eos_id``
+    appended after each document, and the stream chopped into fixed
+    ``block_len`` blocks — the step after :func:`~.bpe.bpe_encode` that
+    produces actual training sequences (``pack_documents`` assigns
+    pack ids from token COUNTS; this materializes the id blocks).
+
+    Three exchanges, none carrying more than it must:
+
+    1. skinny (id, length) rows → per-chunk sums (``grouped_reduce``),
+       driver scans ≤ #chunks rows into prefix offsets, broadcast;
+    2. the PAYLOAD exchange — ids bucketed by hash(chunk_id); each
+       chunk group computes its docs' global offsets (in-chunk cumsum +
+       broadcast chunk prefix) and splits every doc's ids at block
+       boundaries, emitting (block_id, start_in_block, part) rows;
+    3. parts bucketed by hash(block_id); each block reassembles by
+       ``start_in_block`` into one flat buffer.
+
+    Returns ``(block_id, token_ids list<int32>, n_docs)`` where
+    ``n_docs`` counts documents ENDING in the block.  The trailing
+    short block is dropped when ``drop_partial`` (the usual pretraining
+    choice) else emitted as-is."""
+    import pyarrow as pa
+
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import grouped_reduce
+
+    nb = np.uint64(num_buckets)
+    L = int(block_len)
+
+    def lengths(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        ids = t[id_col].to_numpy()
+        n = pc.list_value_length(t[ids_col]).to_numpy().astype(np.int64) + 1
+        return pd.DataFrame(
+            {id_col: ids, "n_tokens": n, "chunk_id": ids // chunk}
+        )
+
+    encoded = encoded.materialize()  # lengths pass AND payload pass
+    skinny = encoded.map_batches(lengths, batch_format="pyarrow")
+    chunk_sums = grouped_reduce(
+        skinny, ["chunk_id"], {"total": ("n_tokens", "sum")}
+    ).to_pandas().sort_values("chunk_id")
+    prefix, running = {}, 0
+    for cid, total in zip(chunk_sums["chunk_id"], chunk_sums["total"]):
+        prefix[int(cid)] = running
+        running += int(total)
+    pref_ref = ray.put(prefix)
+    n_blocks_total = running // L if drop_partial else -(-running // L)
+
+    def tag_chunk(t):
+        ids = t[id_col].to_numpy()
+        bkt = ((ids // chunk).astype(np.uint64) % nb).astype(np.int64)
+        return t.append_column("__pt_bkt", pa.array(bkt, pa.int64()))
+
+    def split_parts(t: pa.Table) -> pa.Table:
+        pre = get_worker_state(
+            ("packid-prefix", ref_key(pref_ref)), lambda: ray.get(pref_ref)
+        )
+        order = np.argsort(t[id_col].to_numpy(), kind="mergesort")
+        t = t.take(order)
+        dids = t[id_col].to_numpy()
+        lists = t[ids_col].to_pylist()
+        cids = dids // chunk
+        lens = np.fromiter((len(x) + 1 for x in lists), np.int64, len(lists))
+        # in-chunk cumsum + broadcast chunk prefix = global offsets
+        s = pd.Series(lens)
+        within = s.groupby(pd.Series(cids)).cumsum().to_numpy() - lens
+        starts = np.fromiter(
+            (pre[int(c)] for c in cids), np.int64, len(cids)
+        ) + within
+
+        out_block, out_start, out_final = [], [], []
+        flat_parts: list[np.ndarray] = []
+        for ids_, o in zip(lists, starts):
+            arr = np.empty(len(ids_) + 1, np.int32)
+            arr[:-1] = ids_
+            arr[-1] = eos_id
+            pos = o
+            while len(arr):
+                take = min(L - (pos % L), len(arr))
+                out_block.append(pos // L)
+                out_start.append(pos % L)
+                out_final.append(take == len(arr))
+                flat_parts.append(arr[:take])
+                arr = arr[take:]
+                pos += take
+        flat = (
+            np.concatenate(flat_parts) if flat_parts else np.empty(0, np.int32)
+        )
+        offs = np.zeros(len(flat_parts) + 1, np.int32)
+        np.cumsum(
+            np.fromiter((len(p) for p in flat_parts), np.int64,
+                        len(flat_parts)),
+            out=offs[1:],
+        )
+        blk = np.asarray(out_block, np.int64)
+        return pa.table(
+            {
+                "block_id": pa.array(blk, pa.int64()),
+                "start": pa.array(np.asarray(out_start, np.int64), pa.int64()),
+                "doc_final": pa.array(np.asarray(out_final, bool), pa.bool_()),
+                "part": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(flat, pa.int32())
+                ),
+                "__pt_bbkt": pa.array(
+                    (blk.astype(np.uint64) % nb).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        encoded.map_batches(tag_chunk, batch_format="pyarrow")
+        .groupby("__pt_bkt")
+        .map_groups(split_parts, batch_format="pyarrow")
+    )
+
+    def assemble(t: pa.Table) -> pa.Table:
+        df_order = np.lexsort(
+            (t["start"].to_numpy(), t["block_id"].to_numpy())
+        )
+        t = t.take(df_order)
+        blk = t["block_id"].to_numpy()
+        fin = t["doc_final"].to_numpy(zero_copy_only=False)
+        plists = t["part"].to_pylist()
+        ub, starts_i, counts = np.unique(blk, return_index=True,
+                                         return_counts=True)
+        out_blk, out_ids, out_nd = [], [], []
+        for b, si, c in zip(ub, starts_i, counts):
+            if int(b) >= n_blocks_total:
+                continue
+            seq = np.concatenate(
+                [np.asarray(p, np.int32) for p in plists[si:si + c]]
+            )
+            if drop_partial and len(seq) < L:
+                continue
+            out_blk.append(int(b))
+            out_ids.append(seq)
+            out_nd.append(int(fin[si:si + c].sum()))
+        flat = (
+            np.concatenate(out_ids) if out_ids else np.empty(0, np.int32)
+        )
+        offs = np.zeros(len(out_ids) + 1, np.int32)
+        np.cumsum(
+            np.fromiter((len(x) for x in out_ids), np.int64, len(out_ids)),
+            out=offs[1:],
+        )
+        return pa.table(
+            {
+                "block_id": pa.array(np.asarray(out_blk, np.int64), pa.int64()),
+                "token_ids": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(flat, pa.int32())
+                ),
+                "n_docs": pa.array(np.asarray(out_nd, np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        parts.groupby("__pt_bbkt").map_groups(assemble, batch_format="pyarrow")
     )

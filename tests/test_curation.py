@@ -501,3 +501,55 @@ def test_bpe_encode_agrees_with_encode_word_and_counts(ray_session):
             joined = "".join(inv[i] for i in got).replace("</w>", " ").strip()
             assert joined == " ".join(txt.lower().split())
     assert out.loc[3, "n_tokens"] == 0 and len(out.loc[3, "token_ids"]) == 0
+
+
+def test_pack_token_ids_matches_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import pack_token_ids
+
+    rng = np.random.default_rng(9)
+    n_docs, L, EOS = 40, 32, 0
+    lists = [
+        rng.integers(1, 500, rng.integers(0, 90)).astype("int32").tolist()
+        for _ in range(n_docs)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "token_ids": pa.array(lists, pa.list_(pa.int32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+
+    # single-process reference: concatenate in doc order with EOS
+    stream, finals = [], []
+    for ids in lists:
+        stream.extend(ids + [EOS])
+        finals.append(len(stream) - 1)  # index of each doc's last token
+    n_blocks = len(stream) // L
+    ref_blocks = [stream[i * L:(i + 1) * L] for i in range(n_blocks)]
+    ref_ndocs = [
+        sum(1 for f in finals if i * L <= f < (i + 1) * L)
+        for i in range(n_blocks)
+    ]
+
+    # chunk=8 forces multi-chunk prefix sums; small L forces straddling
+    out = (
+        pack_token_ids(ds, block_len=L, eos_id=EOS, chunk=8)
+        .to_pandas().sort_values("block_id").reset_index(drop=True)
+    )
+    assert list(out["block_id"]) == list(range(n_blocks))
+    for i in range(n_blocks):
+        assert list(out.loc[i, "token_ids"]) == ref_blocks[i], i
+        assert out.loc[i, "n_docs"] == ref_ndocs[i], i
+
+    # keep_partial flavor: one extra (short) trailing block iff remainder
+    rem = len(stream) % L
+    out2 = pack_token_ids(
+        ds, block_len=L, eos_id=EOS, chunk=8, drop_partial=False
+    ).to_pandas()
+    assert len(out2) == n_blocks + (1 if rem else 0)
