@@ -1233,6 +1233,35 @@ def _q_kg_triples(sf_dir: str):
     ).to_pandas()
 
 
+def _q_join_size_cms(sf_dir: str):
+    """Query-planner join-cardinality estimation without running the
+    join (stages/sketches.py::join_size_estimate — CMS inner product,
+    Cormode & Muthukrishnan §4.2): the lineitem self-join size on
+    l_partkey (Σ per-part count², the skew statistic that decides
+    broadcast vs shuffle vs salting).  Rows-only: the row carries the
+    estimate, the exact size, and the relative error, so the check is
+    self-evident; the never-underestimates guarantee is pytest-pinned."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.sketches import join_size_estimate
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    approx = join_size_estimate(li, "l_partkey", li, "l_partkey", width=16384)
+    counts = grouped_reduce(li, ["l_partkey"], {"n": (None, "count")})
+    exact = int(
+        counts.map_batches(
+            lambda b: pd.DataFrame({"s": [int((b["n"].to_numpy() ** 2).sum())]}),
+            batch_format="pandas",
+        ).to_pandas()["s"].sum()
+    )
+    return pd.DataFrame(
+        {
+            "approx": [int(approx)],
+            "exact": [exact],
+            "rel_error": [round((approx - exact) / max(1, exact), 6)],
+        }
+    )
+
+
 def _q_kg_entity_pagerank(sf_dir: str):
     """Entity salience over the flagship KG output: PageRank on the
     subj→obj entity-entity triples (stages/graph.py::pagerank_labels —
@@ -3679,6 +3708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_audit": _q_dq_audit,
         "bpe_encode": _q_bpe_encode,
         "pack_token_blocks": _q_pack_token_blocks,
+        "join_size_cms": _q_join_size_cms,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,

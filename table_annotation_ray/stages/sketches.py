@@ -504,18 +504,25 @@ def cms_point_counts(
     shape for counting over 10^9-key spaces where even the bucketed
     exact reduce is a corpus-wide exchange."""
 
+    acc = _cms_build(ds, col, depth, width, batch_size)
+    q = pd.Series(queries)
+    return pd.DataFrame(
+        {col: q, "approx_count": acc.query_hashes(_hash64(q)).astype("int64")}
+    )
+
+
+def _cms_build(
+    ds: rd.Dataset, col: str, depth: int, width: int, batch_size: int
+) -> CountMin:
+    """One streaming CountMin build (per-batch partials, tree-reduced)."""
     def sketch_batch(b: pd.DataFrame) -> pd.DataFrame:
         vc = b[col].value_counts()
         cm = CountMin(depth, width)
-        cm.add_hashes(
-            _hash64(vc.index.to_series()), vc.to_numpy(dtype=np.int64)
-        )
+        cm.add_hashes(_hash64(vc.index.to_series()), vc.to_numpy(dtype=np.int64))
         return pd.DataFrame({"sk": [cm.to_bytes()]})
 
     def merge_batch(b: pd.DataFrame) -> pd.DataFrame:
-        t = np.stack(
-            [np.frombuffer(x, dtype=np.int64) for x in b["sk"]]
-        ).sum(axis=0)
+        t = np.stack([np.frombuffer(x, dtype=np.int64) for x in b["sk"]]).sum(axis=0)
         return pd.DataFrame({"sk": [t.tobytes()]})
 
     parts = tree_reduce(
@@ -525,7 +532,31 @@ def cms_point_counts(
     acc = CountMin(depth, width)
     for sk in parts["sk"]:
         acc = acc.merge(CountMin.from_bytes(sk, depth, width))
-    q = pd.Series(queries)
-    return pd.DataFrame(
-        {col: q, "approx_count": acc.query_hashes(_hash64(q)).astype("int64")}
-    )
+    return acc
+
+
+def join_size_estimate(
+    left: rd.Dataset,
+    left_col: str,
+    right: rd.Dataset,
+    right_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    batch_size: int = 65536,
+) -> int:
+    """Equi-join cardinality estimate from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005 §4.2): |L ⋈ R| ≈ min over sketch
+    rows of the inner product  Σ_w  T_L[i,w]·T_R[i,w].  NEVER
+    underestimates the true size (every true (key_L, key_R) pair lands
+    in the same counter of every row); overestimates by collision noise
+    ≤ (e/width)·|L|·|R| per row w.h.p. — the query-planner primitive
+    for choosing broadcast vs shuffle WITHOUT running the join.
+
+    Cost: one streaming scan per side, sketches tree-reduced; the
+    estimate itself is a (depth × width) dot product on the driver.
+    Both sketches must share (depth, width) — same hash family by
+    construction."""
+    cl = _cms_build(left, left_col, depth, width, batch_size)
+    cr = _cms_build(right, right_col, depth, width, batch_size)
+    prods = (cl.table.astype(np.float64) * cr.table.astype(np.float64)).sum(axis=1)
+    return int(prods.min())

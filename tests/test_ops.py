@@ -1532,3 +1532,30 @@ def test_dq_audit_planted_violations(ray_session):
     assert out.loc["parent_pk_unique", "n_violations"] == 1
     assert not out["passed"].any()
     assert (out["n_rows"] == [6, 6, 6, 6, 4]).all()
+
+
+def test_join_size_estimate_never_underestimates(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.sketches import join_size_estimate
+
+    rng = np.random.default_rng(21)
+    # zipf-ish skewed keys on the left, uniform right
+    lk = rng.zipf(1.5, 5000) % 200
+    rk = rng.integers(0, 200, 3000)
+    left = rd.from_pandas(pd.DataFrame({"k": lk})).repartition(4)
+    right = rd.from_pandas(pd.DataFrame({"j": rk})).repartition(3)
+
+    lc = pd.Series(lk).value_counts()
+    rc = pd.Series(rk).value_counts()
+    exact = int(sum(int(lc[k]) * int(rc.get(k, 0)) for k in lc.index))
+
+    est = join_size_estimate(left, "k", right, "j", width=8192)
+    assert est >= exact
+    assert est <= exact * 1.05  # 200 keys in 8192 counters: tiny noise
+
+    # narrow sketch still never underestimates, error grows
+    est2 = join_size_estimate(left, "k", right, "j", width=64)
+    assert est2 >= exact
