@@ -1830,6 +1830,33 @@ def _q_compression_ratio(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_psi_drift(sf_dir: str):
+    """Population Stability Index of event values, first half vs second
+    half of the month (stages/stats.py::psi_drift — baseline decile
+    edges via the exact-quantile histogram refinement, one map-only
+    counting pass per side against the broadcast cuts).  SQL hash-exact
+    vs the ranked-window quantile + count(c < value) binning."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.stats import psi_drift
+
+    CUT = pd.Timestamp("2024-01-16")
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    base = ev.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], pa.scalar(CUT))).select(["value"]),
+        batch_format="pyarrow",
+    )
+    cur = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(CUT))).select(["value"]),
+        batch_format="pyarrow",
+    )
+    out = psi_drift(base, cur, "value", n_bins=10)
+    for c in ("bin", "n_base", "n_cur"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def _q_debounce_events(sf_dir: str):
     """Windowed stream dedup (debounce): drop an event when the
     previous event of the same (user, type) — by (ts, event_id) order —
@@ -3709,6 +3736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _q_bpe_encode,
         "pack_token_blocks": _q_pack_token_blocks,
         "join_size_cms": _q_join_size_cms,
+        "psi_drift": _q_psi_drift,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -5085,6 +5113,46 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "psi_drift": """
+            WITH b AS (SELECT value FROM events
+                       WHERE ts < TIMESTAMP '2024-01-16'
+                         AND value IS NOT NULL),
+            c AS (SELECT value FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-16'
+                    AND value IS NOT NULL),
+            ranked AS (SELECT value AS v,
+                              row_number() OVER (ORDER BY value) AS rn,
+                              count(*) OVER () AS n
+                       FROM b),
+            qs AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q),
+            cuts AS (SELECT v FROM qs
+                     JOIN ranked ON rn = CAST(ceil(q * n) AS BIGINT)),
+            bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            bb AS (SELECT (SELECT count(*) FROM cuts WHERE cuts.v < b.value)
+                       AS bin FROM b),
+            cc AS (SELECT (SELECT count(*) FROM cuts WHERE cuts.v < c.value)
+                       AS bin FROM c),
+            nb AS (SELECT bin, count(*) AS n FROM bb GROUP BY bin),
+            nc AS (SELECT bin, count(*) AS n FROM cc GROUP BY bin),
+            tot AS (SELECT (SELECT count(*) FROM b) AS tb,
+                           (SELECT count(*) FROM c) AS tc)
+            SELECT bins.bin,
+                   COALESCE(nb.n, 0) AS n_base,
+                   COALESCE(nc.n, 0) AS n_cur,
+                   CASE WHEN COALESCE(nb.n, 0) = 0 OR COALESCE(nc.n, 0) = 0
+                        THEN NULL
+                        ELSE round(
+                            (nb.n / CAST(tb AS DOUBLE)
+                             - nc.n / CAST(tc AS DOUBLE))
+                            * ln((nb.n / CAST(tb AS DOUBLE))
+                                 / (nc.n / CAST(tc AS DOUBLE))), 6)
+                   END AS psi_term
+            FROM bins
+            LEFT JOIN nb ON nb.bin = bins.bin
+            LEFT JOIN nc ON nc.bin = bins.bin
+            CROSS JOIN tot
+            ORDER BY bins.bin
         """,
         "dq_audit": """
             WITH r AS (

@@ -329,3 +329,72 @@ def spearman_corr(
 
     m = numeric_moments(t.map_batches(ranks, batch_format="pandas"), "rx", "ry")
     return {"n": m["n"], "rho": m["corr"]}
+
+
+def psi_drift(
+    baseline: rd.Dataset,
+    current: rd.Dataset,
+    col: str,
+    n_bins: int = 10,
+    eps: float = 0.0,
+) -> pd.DataFrame:
+    """Population Stability Index over a NUMERIC column — the standard
+    model-monitoring drift score for continuous features (categorical
+    drift is :func:`distribution_drift`): bin edges are the BASELINE's
+    exact ``n_bins``-quantiles (order statistics, SQL-mirrorable), both
+    sides are counted into those bins, and each bin contributes
+    ``(p - q)·ln(p/q)``.  PSI < 0.1 is conventionally "no shift",
+    > 0.25 "major shift".
+
+    Distributed shape: one exact-quantile pass over the baseline
+    (quantiles.exact_quantiles — histogram refinement, never a global
+    sort), then ONE map-only counting pass per side against the
+    broadcast cut array (``np.searchsorted`` with ``side='left'`` —
+    a value equal to a cut falls in the LOWER bin, mirroring SQL
+    ``count(*) WHERE c < value``); per-batch partial counts sum on the
+    driver (n_bins rows).  ``eps`` guards empty current-side bins
+    (ln(0)) when the corpus is small; 0 keeps the SQL mirror exact.
+
+    Returns one row per bin: ``(bin, n_base, n_cur, psi_term)`` —
+    total PSI is the column sum."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .quantiles import exact_quantiles
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = exact_quantiles(baseline, col, qs)["value"].to_numpy(np.float64)
+    cref = ray.put(cuts)
+
+    def counts(ds: rd.Dataset) -> np.ndarray:
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            cs = get_worker_state(
+                ("psi-cuts", ref_key(cref)), lambda: ray.get(cref)
+            )
+            v = b[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            binned = np.searchsorted(cs, v, side="left")
+            h = np.bincount(binned, minlength=n_bins)
+            return pd.DataFrame(
+                {"bin": np.arange(n_bins, dtype=np.int64), "n": h.astype(np.int64)}
+            )
+
+        p = ds.map_batches(part, batch_format="pandas").to_pandas()
+        return p.groupby("bin")["n"].sum().reindex(
+            range(n_bins), fill_value=0
+        ).to_numpy(np.float64)
+
+    nb_ = counts(baseline)
+    nc = counts(current)
+    p = (nb_ + eps) / (nb_ + eps).sum()
+    q = (nc + eps) / (nc + eps).sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = np.where((p > 0) & (q > 0), (p - q) * np.log(p / q), np.nan)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(n_bins, dtype=np.int64),
+            "n_base": nb_.astype(np.int64),
+            "n_cur": nc.astype(np.int64),
+            "psi_term": np.round(term, 6),
+        }
+    )

@@ -1559,3 +1559,31 @@ def test_join_size_estimate_never_underestimates(ray_session):
     # narrow sketch still never underestimates, error grows
     est2 = join_size_estimate(left, "k", right, "j", width=64)
     assert est2 >= exact
+
+
+def test_psi_drift_detects_planted_shift(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.stats import psi_drift
+
+    rng = np.random.default_rng(4)
+    base = pd.DataFrame({"v": rng.normal(0, 1, 8000)})
+    same = pd.DataFrame({"v": rng.normal(0, 1, 8000)})
+    shifted = pd.DataFrame({"v": rng.normal(1.0, 1, 8000)})
+
+    def psi(cur):
+        out = psi_drift(
+            rd.from_pandas(base).repartition(4),
+            rd.from_pandas(cur).repartition(3), "v",
+        )
+        assert (out["n_base"] > 0).all() and len(out) == 10
+        return out["psi_term"].sum()
+
+    assert psi(same) < 0.05          # same distribution: no shift
+    assert psi(shifted) > 0.25       # 1-sigma mean shift: major
+
+    # baseline decile binning puts ~1/10 of the baseline in each bin
+    out = psi_drift(rd.from_pandas(base), rd.from_pandas(same), "v")
+    assert (np.abs(out["n_base"] - 800) <= 1).all()
