@@ -1594,6 +1594,33 @@ def _q_image_near_dup(sf_dir: str):
     )
 
 
+def _q_audio_near_dup(sf_dir: str):
+    """Acoustic near-duplicate detection: 64-bit band-energy
+    fingerprints over REAL decoded WAV PCM
+    (functions/codecs.py::afp64) + the banded-Hamming pair machinery —
+    the audio twin of image_near_dup.  Planted noise-perturbed copies
+    give the deterministic ground truth; rows-only (no SQL audio
+    decoder), recall pinned by
+    tests/test_codecs.py::test_audio_near_dup_planted_recall."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        audio_near_dup_pairs,
+        plant_perturbed_audio,
+        synth_media_table,
+    )
+
+    planted = plant_perturbed_audio(
+        synth_media_table(n=120, seed=5), n_planted=16, noise=0.01
+    )
+    out = audio_near_dup_pairs(rd.from_arrow(planted)).to_pandas()
+    return (
+        out.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """Audio branch of the multimodal family via the REAL stdlib
     WAV/PCM codec: per-window RMS energy over actual samples for WAV
@@ -3737,6 +3764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_token_blocks": _q_pack_token_blocks,
         "join_size_cms": _q_join_size_cms,
         "psi_drift": _q_psi_drift,
+        "audio_near_dup": _q_audio_near_dup,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,

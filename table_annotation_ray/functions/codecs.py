@@ -337,3 +337,48 @@ def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     out = top * (1 - wy) + bot * wy
     out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
     return out[:, :, 0] if squeeze else out
+
+
+_AFP_WINDOWS = 16
+_AFP_BANDS = 4
+
+
+def afp64(pcm: np.ndarray) -> int:
+    """64-bit audio fingerprint (Haitsma–Kalker-style band-energy
+    signs): the clip is cut into 16 equal windows, each window's FFT
+    magnitude is pooled into 4 log-spaced frequency bands, and bit
+    (w, b) = band energy > that band's median across the windows —
+    the same median-threshold trick as :func:`phash64`, so additive
+    noise / re-encode flips few bits while different content flips
+    ~half.  Signed int64 (bit-pattern offset) to ride the banded-Hamming
+    pair machinery.  Not robust to time shifts/stretches — the
+    documented contract of fixed-grid fingerprints."""
+    a = np.asarray(pcm, dtype=np.float64).ravel()
+    if len(a) == 0:
+        raise ValueError("empty audio")
+    W, B = _AFP_WINDOWS, _AFP_BANDS
+    if len(a) < W * 2 * B:
+        a = np.tile(a, int(np.ceil(W * 2 * B / len(a))))
+    n = (len(a) // W) * W
+    frames = a[:n].reshape(W, -1)
+    mag = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    nf = mag.shape[1]
+    # log-spaced band edges over the positive spectrum
+    edges = np.unique(
+        np.round(np.geomspace(1, nf, B + 1)).astype(np.int64)
+    )
+    while len(edges) < B + 1:  # tiny spectra: pad with the top edge
+        edges = np.append(edges, edges[-1] + 1)
+    energy = np.stack(
+        [
+            (mag[:, edges[i] - 1:edges[i + 1] - 1] ** 2).sum(axis=1)
+            for i in range(B)
+        ],
+        axis=1,
+    )  # (W, B)
+    med = np.median(energy, axis=0, keepdims=True)
+    bits = (energy > med).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 63) if v >= (1 << 63) else v

@@ -402,3 +402,88 @@ def plant_perturbed_images(
     return pa.concat_tables(
         [table, pa.Table.from_pylist(out, schema=table.schema)]
     )
+
+
+def audio_near_dup_pairs(
+    media,
+    max_hamming: int = 7,
+    bands: int = 8,
+    max_bucket: int = 256,
+    decoder=None,
+):
+    """Acoustic near-duplicate pairs — the audio twin of
+    :func:`image_near_dup_pairs`: decode → 64-bit band-energy
+    fingerprint (functions/codecs.py::afp64) → the dedup family's
+    banded-Hamming machinery with 8×8-bit bands (every pair within
+    Hamming ≤ 7 found by pigeonhole).  Returns (a, b, hamming) over
+    ``media_id``; undecodable rows (no PCM → no fingerprint) are
+    excluded, like unshingleable text rows.
+
+    Scale shape: fingerprinting is map-only over payload rows; the pair
+    search exchanges (media_id, band key) rows — never PCM."""
+    from .dedup import simhash_near_pairs
+
+    dec = decoder if decoder is not None else codecs.decode_audio
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, sigs = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                pcm = np.asarray(dec(payload or b""), dtype=np.float64)
+                sigs.append(codecs.afp64(pcm))
+                ids.append(mid)
+            except (ValueError, NotImplementedError):
+                continue
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "afp": pa.array(sigs, pa.int64()),
+            }
+        )
+
+    sigs = media.map_batches(
+        fp, batch_format="pyarrow", batch_size=RECOMMENDED_BATCH_SIZE
+    )
+    return simhash_near_pairs(
+        sigs,
+        id_col="media_id",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        bands=bands,
+        sig_col="afp",
+    )
+
+
+def plant_perturbed_audio(
+    table: pa.Table, n_planted: int = 16, noise: float = 0.01,
+    id_offset: int = 2_000_000,
+) -> pa.Table:
+    """Append re-encoded copies of the first ``n_planted`` AUDIO rows
+    with additive Gaussian PCM noise (seeded by media id) — planted
+    ground truth for acoustic near-dup recall, the audio twin of
+    :func:`plant_perturbed_images`."""
+    import numpy as np
+
+    rows = table.to_pylist()
+    out = []
+    planted = 0
+    for r in rows:
+        if planted >= n_planted:
+            break
+        if r["kind"] != "audio":
+            continue
+        pcm = codecs.decode_audio(r["payload"])
+        rng = np.random.RandomState(900_101 + int(r["media_id"]))
+        noisy = pcm + noise * rng.randn(len(pcm))
+        out.append(
+            {**r, "media_id": r["media_id"] + id_offset,
+             "payload": codecs.encode_wav(noisy), "mime": "audio/wav"}
+        )
+        planted += 1
+    return pa.concat_tables(
+        [table, pa.Table.from_pylist(out, schema=table.schema)]
+    )

@@ -305,3 +305,68 @@ def test_resize_image_stage(ray_session):
     src = synth_media_table(n=48, seed=5).to_pandas().set_index("media_id")
     for _, row in bad.head(4).iterrows():
         assert row["payload"] == src.loc[row["media_id"], "payload"]
+
+
+def test_afp64_noise_robust_and_discriminative():
+    import numpy as np
+
+    from table_annotation_ray.functions.codecs import afp64
+
+    rng = np.random.RandomState(1)
+    t = np.arange(4000) / 16000.0
+
+    def ham(a, b):
+        return bin(((a + 2**64) % 2**64) ^ ((b + 2**64) % 2**64)).count("1")
+
+    a = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.randn(4000)
+    b = a + 0.01 * rng.randn(4000)
+    c = 0.5 * np.sin(2 * np.pi * 1320 * t) + 0.05 * rng.randn(4000)
+    assert ham(afp64(a), afp64(b)) <= 7          # noisy copy: near
+    assert ham(afp64(a), afp64(c)) > 15          # different tone: far
+    # deterministic + short-clip padding path
+    assert afp64(a) == afp64(a)
+    assert isinstance(afp64(np.ones(5)), int)
+    import pytest
+
+    with pytest.raises(ValueError):
+        afp64(np.empty(0))
+
+
+def test_audio_near_dup_planted_recall(ray_session):
+    """Every planted noise-perturbed audio pair within the 8-band
+    pigeonhole radius (Hamming ≤ 7) MUST be recovered; distinct synth
+    tones must not cross-match."""
+    import numpy as np
+    import ray.data as rd
+
+    from table_annotation_ray.functions import codecs
+    from table_annotation_ray.stages.multimodal import (
+        audio_near_dup_pairs,
+        plant_perturbed_audio,
+        synth_media_table,
+    )
+
+    planted = plant_perturbed_audio(
+        synth_media_table(n=90, seed=5), n_planted=12, noise=0.01
+    )
+    pairs = audio_near_dup_pairs(rd.from_arrow(planted)).to_pandas()
+
+    def ham(a, b):
+        return bin(((a + 2**64) % 2**64) ^ ((b + 2**64) % 2**64)).count("1")
+
+    rows = {r["media_id"]: r for r in planted.to_pylist()}
+    fps = {
+        mid: codecs.afp64(codecs.decode_audio(r["payload"]))
+        for mid, r in rows.items()
+        if r["kind"] == "audio" or mid >= 2_000_000
+    }
+    expected = {
+        (mid - 2_000_000, mid)
+        for mid in fps
+        if mid >= 2_000_000 and ham(fps[mid], fps[mid - 2_000_000]) <= 7
+    }
+    got = {(int(r.a), int(r.b)) for r in pairs.itertuples()}
+    assert expected, "planting produced no in-radius pairs"
+    assert expected <= got                      # pigeonhole recall
+    for a, b in got - expected:                 # extras must be real
+        assert ham(fps[a], fps[b]) <= 7, (a, b)
