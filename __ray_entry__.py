@@ -464,6 +464,32 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ composed approximate top-k (the FAISS-standard index):
+    coarse quantizer routes to inverted lists, members stored only as
+    residual PQ codes, per-(query, bucket) ADC lookup tables — the
+    co-located state is m codes per vector, never raw vectors (64×
+    smaller than ivf_topk's exchange at 64-dim/m=8).  Rows-only
+    (approximate by design; recall measured by ann_ivfpq_recall and
+    pytest-pinned)."""
+    from table_annotation_ray.stages.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3], k=5
+    )
+
+
+def _q_ann_ivfpq_recall(sf_dir: str):
+    """Recall of the IVF-PQ index vs exact brute force (every
+    approximate index ships with its measurement)."""
+    from table_annotation_ray.stages.similarity import ivfpq_recall
+
+    return ivfpq_recall(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        [0, 1, 2, 3], k=5, nprobe=8,
+    )
+
+
 def _q_ann_pq(sf_dir: str):
     """Product-quantization ADC top-k (Jégou et al. 2011): sample-trained
     per-subspace codebooks, per-query inner-product LUT broadcast, corpus
@@ -3765,6 +3791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_cms": _q_join_size_cms,
         "psi_drift": _q_psi_drift,
         "audio_near_dup": _q_audio_near_dup,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,

@@ -807,3 +807,230 @@ def pq_recall(
     for c in ("query_id", "n_exact", "n_hit"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def ivfpq_topk(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 29,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-PQ approximate top-k — the FAISS-standard composed index:
+    the IVF coarse quantizer routes vectors to ``num_centroids``
+    inverted lists, and inside each list vectors are stored ONLY as
+    ``m``-byte PQ codes of their RESIDUAL (x − centroid).  Scores are
+    asymmetric-distance (ADC): per (query, bucket), one (m × ks)
+    lookup table q_sub·book_jᵀ built once, then score ≈ q·c_bucket +
+    Σ_j table[j, code_j] — the bucket's corpus vectors are never
+    touched again after encoding.
+
+    This is what a 100-TB ANN index actually ships: the exchange and
+    the stored lists carry (id, bucket, m int8-scale codes), never raw
+    vectors — at 64-dim float64 / m=8 that is a 64× compression of the
+    co-located state vs :func:`ivf_topk`.
+
+    ``rerank`` > 0 adds the FAISS "refine" step: the per-query ADC
+    shortlist of ``k + rerank`` candidates (driver-bounded:
+    queries × (k+rerank) rows) is re-scored EXACTLY with one
+    membership-filtered pass over the source embeddings — pure ADC
+    cannot rank within a code word (the pq_topk lesson).  ``rerank=0``
+    is the pure compressed path; measure with :func:`ivfpq_recall`.
+
+    Training (coarse centroids + residual codebooks) happens on one
+    driver-side sample — the IVF/PQ pattern, sample-sized compute only.
+    """
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    sample_df = embeddings.limit(train_sample).to_pandas()
+    if sample_df.empty:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "rank": [], "adc_score": []}
+        )
+    X = _normalize(_stack(sample_df[vec_col]))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    num_centroids = min(num_centroids, len(X))
+    nprobe = min(nprobe, num_centroids)
+    cents = _kmeans(X, num_centroids, kmeans_iters, seed)
+    # residual codebooks: plain L2 k-means per subspace over sample
+    # residuals (x − nearest centroid), the FAISS IVFPQ training recipe
+    resid = X - cents[(X @ cents.T).argmax(axis=1)]
+    ks_eff = min(ks, len(resid))
+    books = np.empty((m, ks_eff, sub), dtype=np.float64)
+    for j in range(m):
+        block = resid[:, j * sub:(j + 1) * sub]
+        rng = np.random.RandomState(seed + 100 + j)
+        cj = block[rng.choice(len(block), size=ks_eff, replace=False)]
+        for _ in range(kmeans_iters):
+            d2 = ((block[:, None, :] - cj[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ks_eff):
+                mem = block[a == c]
+                if len(mem):
+                    cj[c] = mem.mean(axis=0)
+        books[j] = cj
+    model_ref = ray.put((cents, books))
+    qset = set(query_ids)
+
+    def assign(batch: pd.DataFrame) -> pa.Table:
+        cents_, books_ = get_worker_state(
+            ("ivfpq-m", ref_key(model_ref)), lambda: ray.get(model_ref)
+        )
+        V = _normalize(_stack(batch[vec_col]).astype(np.float64))
+        sims = V @ cents_.T
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        bkt = sims.argmax(axis=1)
+        # PQ-encode residuals (corpus rows)
+        R = V - cents_[bkt]
+        mm, ks_, sub_ = books_.shape
+        codes = np.empty((len(V), mm), dtype=np.int64)
+        for j in range(mm):
+            blk = R[:, j * sub_:(j + 1) * sub_]
+            cc = (books_[j] ** 2).sum(axis=1)
+            codes[:, j] = (cc[None, :] - 2.0 * (blk @ books_[j].T)).argmin(axis=1)
+        n = len(V)
+        offs = pa.array(np.arange(0, (n + 1) * mm, mm, dtype=np.int64), pa.int32())
+        out = {
+            id_col: [pa.array(ids, pa.int64())],
+            "bucket": [pa.array(bkt.astype(np.int64), pa.int64())],
+            "is_query": [pa.array(np.zeros(n, bool), pa.bool_())],
+            "payload": [pa.ListArray.from_arrays(
+                offs, pa.array(codes.ravel().astype(np.float64), pa.float64())
+            )],
+        }
+        q_idx = np.nonzero(batch[id_col].isin(qset).to_numpy())[0]
+        if len(q_idx):
+            probes = np.argsort(-sims[q_idx], axis=1)[:, :nprobe]
+            rep = np.repeat(q_idx, probes.shape[1])
+            nq = len(rep)
+            qoffs = pa.array(
+                np.arange(0, (nq + 1) * V.shape[1], V.shape[1], dtype=np.int64),
+                pa.int32(),
+            )
+            out[id_col].append(pa.array(ids[rep], pa.int64()))
+            out["bucket"].append(pa.array(probes.ravel().astype(np.int64), pa.int64()))
+            out["is_query"].append(pa.array(np.ones(nq, bool), pa.bool_()))
+            out["payload"].append(pa.ListArray.from_arrays(
+                qoffs, pa.array(V[rep].ravel(), pa.float64())
+            ))
+        return pa.table({c: pa.concat_arrays(v) for c, v in out.items()})
+
+    def search_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cents_, books_ = get_worker_state(
+            ("ivfpq-m", ref_key(model_ref)), lambda: ray.get(model_ref)
+        )
+        queries = group[group["is_query"]]
+        corpus = group[~group["is_query"]]
+        if queries.empty or corpus.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc_score": []})
+        b = int(group["bucket"].iloc[0])
+        codes = _stack(corpus["payload"]).astype(np.int64)  # (N, m)
+        cids = corpus[id_col].to_numpy()
+        mm, ks_, sub_ = books_.shape
+        rows = {"query_id": [], "neighbor_id": [], "adc_score": []}
+        for qid, qv in zip(queries[id_col].to_numpy(), _stack(queries["payload"])):
+            base = float(qv @ cents_[b])
+            # (m, ks) lookup table: q_sub · book_jᵀ
+            tab = np.stack([
+                qv[j * sub_:(j + 1) * sub_] @ books_[j].T for j in range(mm)
+            ])
+            score = base + tab[np.arange(mm)[None, :], codes].sum(axis=1)
+            kk = min(k + rerank + 1 if rerank else k + 1, len(cids))
+            part = np.argpartition(-score, kk - 1)[:kk]
+            for i in part:
+                if cids[i] == qid:
+                    continue
+                rows["query_id"].append(qid)
+                rows["neighbor_id"].append(cids[i])
+                rows["adc_score"].append(round(float(score[i]), 6))
+        return pd.DataFrame(rows)
+
+    parts = (
+        embeddings.map_batches(assign, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(search_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "rank": [], "score": []}
+        )
+    parts = parts.drop_duplicates(subset=["query_id", "neighbor_id"])
+    parts = parts.sort_values(
+        ["query_id", "adc_score", "neighbor_id"], ascending=[True, False, True]
+    )
+    if rerank:
+        # FAISS refine: exact cosine over the driver-bounded shortlist,
+        # fetched with one membership-filtered pass over the source
+        short = parts.groupby("query_id", sort=True).head(k + rerank)
+        need = set(short["neighbor_id"]) | set(short["query_id"])
+        nref = ray.put(need)
+
+        def fetch(b: pd.DataFrame) -> pd.DataFrame:
+            ns = get_worker_state(
+                ("ivfpq-need", ref_key(nref)), lambda: ray.get(nref)
+            )
+            return b.loc[b[id_col].isin(ns), [id_col, vec_col]]
+
+        vecs = embeddings.map_batches(fetch, batch_format="pandas").to_pandas()
+        vmat = _normalize(_stack(vecs[vec_col]))
+        pos = {int(i): j for j, i in enumerate(vecs[id_col].to_numpy())}
+        qi = short["query_id"].map(pos).to_numpy()
+        ni = short["neighbor_id"].map(pos).to_numpy()
+        short = short.assign(
+            score=np.round((vmat[qi] * vmat[ni]).sum(axis=1), 6)
+        )
+        parts = short.sort_values(
+            ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+        )
+    else:
+        parts = parts.rename(columns={"adc_score": "score"})
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    for c in ("query_id", "neighbor_id", "rank"):
+        top[c] = top[c].astype("int64")
+    return top[["query_id", "neighbor_id", "rank", "score"]]
+
+
+def ivfpq_recall(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Per-query recall of :func:`ivfpq_topk` vs exact brute force —
+    every approximate index ships with its measurement."""
+    exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
+    approx = ivfpq_topk(embeddings, query_ids, k, num_centroids, nprobe,
+                        m, ks, id_col=id_col, vec_col=vec_col)
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    rows = []
+    for qid in sorted(set(query_ids)):
+        e, a = ex.get(qid, set()), ap.get(qid, set())
+        hit = len(e & a)
+        rows.append({"query_id": qid,
+                     "recall": round(hit / len(e), 6) if e else 0.0,
+                     "n_exact": len(e), "n_hit": hit})
+    out = pd.DataFrame(rows)
+    for c in ("query_id", "n_exact", "n_hit"):
+        out[c] = out[c].astype("int64")
+    return out

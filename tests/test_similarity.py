@@ -24,3 +24,48 @@ def test_embedding_near_dup_max_bucket_cap_warns(ray_session):
     assert any("RECALL" in str(x.message) for x in w)
     # kept prefix = ids 0..9 -> pairs only among them
     assert len(out) > 0 and out["b"].max() <= 9
+
+
+def test_ivfpq_recall_reasonable(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import ivfpq_recall, ivfpq_topk
+
+    rng = np.random.default_rng(8)
+    # clustered corpus (IVF lists align with real structure) + 5 planted
+    # TRUE near-neighbors per query: within a tight cluster ALL pairwise
+    # cosines are nearly equal and no coded index can rank them — the
+    # fair recall test gives each query identifiable nearest neighbors
+    centers = rng.normal(0, 1, (6, 32))
+    vecs = np.concatenate(
+        [c + 0.5 * rng.normal(0, 1, (80, 32)) for c in centers]
+    )
+    qids = [0, 100, 200, 300]
+    planted = np.concatenate(
+        [vecs[q] + 0.03 * rng.normal(0, 1, (5, 32)) for q in qids]
+    )
+    vecs = np.concatenate([vecs, planted])
+    df = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+
+    # refine path (default): exact rerank over the ADC shortlist
+    rec = ivfpq_recall(ds, qids, k=5, num_centroids=8, nprobe=4, m=8, ks=32)
+    assert len(rec) == len(qids)
+    assert rec["recall"].mean() >= 0.9
+
+    # self never returned; ranks contiguous from 1; k rows per query
+    top = ivfpq_topk(ds, qids, k=5, num_centroids=8, nprobe=4, m=8, ks=32)
+    for qid, g in top.groupby("query_id"):
+        assert qid not in set(g["neighbor_id"])
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) == 5
+
+    # pure-ADC path still runs and beats random (no within-code order)
+    top0 = ivfpq_topk(
+        ds, qids, k=5, num_centroids=8, nprobe=4, m=8, ks=32, rerank=0
+    )
+    assert len(top0) == len(qids) * 5 and "score" in top0.columns
