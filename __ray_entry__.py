@@ -490,6 +490,20 @@ def _q_ann_ivfpq_recall(sf_dir: str):
     )
 
 
+def _q_mmr_rerank(sf_dir: str):
+    """Maximal Marginal Relevance diverse top-k (stages/similarity.py::
+    mmr_topk): exact top-pool candidates from the distributed brute
+    force, greedy relevance-vs-redundancy selection on the
+    driver-bounded pool.  Rows-only (greedy selection has no SQL
+    equivalent); diversity property pytest-pinned."""
+    from table_annotation_ray.stages.similarity import mmr_topk
+
+    return mmr_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        [0, 1, 2, 3], k=5, pool=25, lam=0.7,
+    )
+
+
 def _q_ann_pq(sf_dir: str):
     """Product-quantization ADC top-k (Jégou et al. 2011): sample-trained
     per-subspace codebooks, per-query inner-product LUT broadcast, corpus
@@ -3793,6 +3807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_near_dup": _q_audio_near_dup,
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
+        "mmr_rerank": _q_mmr_rerank,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,

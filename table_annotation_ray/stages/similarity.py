@@ -1034,3 +1034,74 @@ def ivfpq_recall(
     for c in ("query_id", "n_exact", "n_hit"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def mmr_topk(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 25,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily select k results maximizing
+    ``λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`` from the exact
+    top-``pool`` candidate set — the standard redundancy-removal
+    post-processing for retrieval/RAG (plain top-k returns near-dup
+    results; MMR trades relevance for coverage).
+
+    Distributed shape: the candidate pool comes from
+    :func:`brute_force_topk` (per-batch partial top-pool, driver merge);
+    the greedy selection runs on the driver over queries × pool rows —
+    driver-bounded by construction, like every reranker here.  One
+    membership-filtered pass fetches only the pool's vectors.
+    Deterministic: ties break on neighbor_id."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    cand = brute_force_topk(embeddings, query_ids, pool, id_col, vec_col)
+    if cand.empty:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "rank": [], "mmr_score": []}
+        )
+    need = set(cand["neighbor_id"]) | set(query_ids)
+    nref = ray.put(need)
+
+    def fetch(b: pd.DataFrame) -> pd.DataFrame:
+        ns = get_worker_state(("mmr-need", ref_key(nref)), lambda: ray.get(nref))
+        return b.loc[b[id_col].isin(ns), [id_col, vec_col]]
+
+    vecs = embeddings.map_batches(fetch, batch_format="pandas").to_pandas()
+    vmat = _normalize(_stack(vecs[vec_col]))
+    pos = {int(i): j for j, i in enumerate(vecs[id_col].to_numpy())}
+
+    rows = {"query_id": [], "neighbor_id": [], "rank": [], "mmr_score": []}
+    for qid, g in cand.groupby("query_id", sort=True):
+        ids = g["neighbor_id"].to_numpy()
+        M = vmat[[pos[int(i)] for i in ids]]
+        rel = M @ vmat[pos[int(qid)]]
+        sim = M @ M.T
+        chosen: list[int] = []
+        remaining = list(range(len(ids)))
+        for r in range(min(k, len(ids))):
+            if chosen:
+                red = sim[np.ix_(remaining, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            sc = lam * rel[remaining] - (1.0 - lam) * red
+            # deterministic: best score, then smallest neighbor id
+            order = np.lexsort((ids[remaining], -np.round(sc, 12)))
+            pick = remaining[order[0]]
+            rows["query_id"].append(int(qid))
+            rows["neighbor_id"].append(int(ids[pick]))
+            rows["rank"].append(r + 1)
+            rows["mmr_score"].append(round(float(sc[order[0]]), 6))
+            chosen.append(pick)
+            remaining.remove(pick)
+    out = pd.DataFrame(rows)
+    for c in ("query_id", "neighbor_id", "rank"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -69,3 +69,41 @@ def test_ivfpq_recall_reasonable(ray_session):
         ds, qids, k=5, num_centroids=8, nprobe=4, m=8, ks=32, rerank=0
     )
     assert len(top0) == len(qids) * 5 and "score" in top0.columns
+
+
+def test_mmr_diversifies(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.similarity import brute_force_topk, mmr_topk
+
+    rng = np.random.default_rng(14)
+    # query at the origin direction; two tight candidate clusters A
+    # (very relevant, mutually near-identical) and B (slightly less
+    # relevant, different direction). Plain top-3 = all A; MMR with
+    # lam=0.5 must mix in B.
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    a_dir = np.array([0.98, 0.2, 0.0, 0.0])
+    b_dir = np.array([0.9, -0.43, 0.0, 0.0])
+    A = [a_dir + 0.001 * rng.normal(size=4) for _ in range(5)]     # ids 1..5
+    B = [b_dir + 0.001 * rng.normal(size=4) for _ in range(5)]     # ids 6..10
+    noise = [rng.normal(size=4) for _ in range(20)]                # ids 11..30
+    vecs = [q] + A + B + noise
+    df = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = rd.from_pandas(df).repartition(3)
+
+    top = brute_force_topk(ds, [0], k=3)
+    assert set(top["neighbor_id"]) <= set(range(1, 6))  # pure relevance: all A
+
+    out = mmr_topk(ds, [0], k=3, pool=10, lam=0.5)
+    got = list(out.sort_values("rank")["neighbor_id"])
+    assert got[0] in range(1, 6)                 # first pick = most relevant
+    assert any(i in range(6, 11) for i in got)   # diversity: B represented
+    assert len(out) == 3 and list(out["rank"]) == [1, 2, 3]
+
+    # deterministic across runs
+    out2 = mmr_topk(ds, [0], k=3, pool=10, lam=0.5)
+    assert got == list(out2.sort_values("rank")["neighbor_id"])
