@@ -1882,6 +1882,37 @@ def _q_dq_audit(sf_dir: str):
     return out
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Snapshot reconciliation (stages/dq.py::snapshot_diff): per-key
+    added/removed/changed/unchanged between two table versions — the
+    second version derived deterministically from orders (drop %13
+    keys, bump price on %7 keys, add %11 keys under new ids).  One
+    hash(key) exchange of (key, compare col) rows; counts aggregated
+    with grouped_reduce.  SQL hash-exact vs the FULL OUTER JOIN."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.dq import snapshot_diff
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def make_new(b: pd.DataFrame) -> pa.Table:
+        kept = b[b["o_orderkey"] % 13 != 0].copy()
+        bump = kept["o_orderkey"] % 7 == 0
+        kept.loc[bump, "o_totalprice"] += 10
+        added = b[b["o_orderkey"] % 11 == 0].copy()
+        added["o_orderkey"] += 10_000_000
+        return pa.Table.from_pandas(
+            pd.concat([kept, added]), preserve_index=False
+        )
+
+    new = orders.map_batches(make_new, batch_format="pandas")
+    d = snapshot_diff(orders, new, "o_orderkey", ["o_totalprice"])
+    out = grouped_reduce(d, ["status"], {"n": (None, "count")}).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("status").reset_index(drop=True)
+
+
 def _q_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio (stages/textstats.py::
     compression_stats — map-only, one C zlib call per doc): the
@@ -3808,6 +3839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "mmr_rerank": _q_mmr_rerank,
+        "snapshot_diff": _q_snapshot_diff,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -5184,6 +5216,26 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "snapshot_diff": """
+            WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+            new1 AS (
+                SELECT o_orderkey AS k,
+                       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                            ELSE o_totalprice END AS v
+                FROM orders WHERE o_orderkey % 13 <> 0),
+            new2 AS (
+                SELECT o_orderkey + 10000000 AS k, o_totalprice AS v
+                FROM orders WHERE o_orderkey % 11 = 0),
+            nw AS (SELECT * FROM new1 UNION ALL SELECT * FROM new2),
+            d AS (
+                SELECT CASE WHEN old.k IS NULL THEN 'added'
+                            WHEN nw.k IS NULL THEN 'removed'
+                            WHEN old.v <> nw.v THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM old FULL OUTER JOIN nw ON old.k = nw.k)
+            SELECT status, count(*) AS n FROM d
+            GROUP BY status ORDER BY status
         """,
         "psi_drift": """
             WITH b AS (SELECT value FROM events

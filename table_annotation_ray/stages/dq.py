@@ -136,3 +136,66 @@ def dq_audit(tables: dict[str, rd.Dataset], checks: list[Check]) -> pd.DataFrame
     out = pd.DataFrame(rows).sort_values("check").reset_index(drop=True)
     out["passed"] = out["n_violations"] == 0
     return out
+
+
+def snapshot_diff(
+    old: rd.Dataset,
+    new: rd.Dataset,
+    key: str,
+    compare_cols: list[str],
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Table-snapshot reconciliation — per-key diff status between two
+    versions of a table (the data-reconciliation twin of
+    :func:`dq_audit`): ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both sides, any ``compare_cols`` value differs, NaN ==
+    NaN), ``unchanged``.  Keys must be unique per side (snapshot
+    contract; duplicates raise).
+
+    One hash(key) co-location exchange of (key, compare cols) rows —
+    payload columns outside ``compare_cols`` never move.  Returns a
+    Dataset ``(key, status)``; aggregate downstream for the summary."""
+    nb = np.uint64(num_buckets)
+    cols = [key] + list(compare_cols)
+
+    def tagger(side: int):
+        def tag(b: pd.DataFrame) -> pa.Table:
+            out = b[cols].copy()
+            out["__sd_side"] = np.int64(side)
+            h = pd.util.hash_pandas_object(out[key], index=False).to_numpy()
+            out["__sd_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return tag
+
+    both = old.map_batches(tagger(0), batch_format="pandas").union(
+        new.map_batches(tagger(1), batch_format="pandas")
+    )
+
+    def diff(g: pd.DataFrame) -> pa.Table:
+        o = g[g["__sd_side"] == 0]
+        n = g[g["__sd_side"] == 1]
+        for side, name in ((o, "old"), (n, "new")):
+            if side[key].duplicated().any():
+                raise ValueError(f"snapshot_diff: duplicate keys on {name} side")
+        m = o.merge(n, on=key, how="outer", suffixes=("_o", "_n"),
+                    indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added", "unchanged"),
+        ).astype(object)
+        bothmask = (m["_merge"] == "both").to_numpy()
+        if bothmask.any():
+            changed = np.zeros(len(m), dtype=bool)
+            for c in compare_cols:
+                a, b = m[c + "_o"], m[c + "_n"]
+                neq = ~((a == b) | (a.isna() & b.isna()))
+                changed |= neq.to_numpy()
+            status[bothmask & changed] = "changed"
+        return pa.table(
+            {
+                key: pa.Array.from_pandas(m[key]),
+                "status": pa.array(status.astype(str), pa.string()),
+            }
+        )
+
+    return both.groupby("__sd_bkt").map_groups(diff, batch_format="pandas")

@@ -1587,3 +1587,36 @@ def test_psi_drift_detects_planted_shift(ray_session):
     # baseline decile binning puts ~1/10 of the baseline in each bin
     out = psi_drift(rd.from_pandas(base), rd.from_pandas(same), "v")
     assert (np.abs(out["n_base"] - 800) <= 1).all()
+
+
+def test_snapshot_diff_statuses_and_dup_guard(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dq import snapshot_diff
+
+    old = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": [10.0, 20.0, np.nan, 40.0], "x": list("abcd")}
+    )
+    new = pd.DataFrame(
+        {"k": [2, 3, 4, 5], "v": [25.0, np.nan, 40.0, 50.0], "x": list("bcde")}
+    )
+    out = (
+        snapshot_diff(
+            rd.from_pandas(old).repartition(2),
+            rd.from_pandas(new).repartition(3),
+            "k", ["v"],
+        )
+        .to_pandas().set_index("k")["status"].to_dict()
+    )
+    # 1 removed; 2 changed; 3 unchanged (NaN == NaN); 4 unchanged; 5 added
+    assert out == {1: "removed", 2: "changed", 3: "unchanged",
+                   4: "unchanged", 5: "added"}
+
+    dup = pd.DataFrame({"k": [1, 1], "v": [1.0, 2.0], "x": ["a", "b"]})
+    with pytest.raises(Exception, match="duplicate keys"):
+        snapshot_diff(
+            rd.from_pandas(dup), rd.from_pandas(new), "k", ["v"]
+        ).materialize()
