@@ -310,6 +310,16 @@ def test_bfs_distances_matches_reference(ray_session):
             .sort_values("node")
         )
         assert dict(zip(out.node, out.dist)) == ref, cap
+        # dataset engine (forced spill after the source round): identical
+        out2 = (
+            bfs_distances(
+                rd.from_pandas(df).repartition(5), 0, max_depth=cap,
+                broadcast_below=0,
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out2.node, out2.dist)) == ref, ("spill", cap)
     assert not any(n >= 1000 for n in _ref_bfs(pairs, 0, 16))
 
 
