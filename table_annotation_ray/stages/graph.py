@@ -229,6 +229,40 @@ def pagerank(
     return ranks.select_columns(["node", "rank"])
 
 
+def _pagerank_driver(
+    df: pd.DataFrame, src: str, dst: str, damping: float, iters: int
+) -> rd.Dataset:
+    """Plain numpy power iteration — the driver tier of pagerank_auto
+    (gate-bounded input).  Same update rule as the Dataset engine:
+    rank = (1-d)/N + d·(dangling/N) + d·Σ rank[src]/out_deg[src]."""
+    s = df[src].to_numpy(dtype=np.int64)
+    t = df[dst].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([s, t]))
+    n = len(nodes)
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame({"node": [], "rank": []}))
+    pos = {int(v): i for i, v in enumerate(nodes)}
+    si = np.fromiter((pos[int(x)] for x in s), np.int64, len(s))
+    ti = np.fromiter((pos[int(x)] for x in t), np.int64, len(t))
+    out_deg = np.bincount(si, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    dang = out_deg == 0
+    for _ in range(iters):
+        teleport = (1.0 - damping) / n + damping * float(rank[dang].sum()) / n
+        contrib = rank[si] / out_deg[si]
+        in_sum = np.zeros(n)
+        np.add.at(in_sum, ti, contrib)
+        rank = teleport + damping * in_sum
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "rank": pa.array(rank, pa.float64()),
+            }
+        )
+    )
+
+
 # measured crossover (this sandbox, 32 CPUs): the shard tier wins from
 # ~200k edge-iterations up — 60k edges × 5 iters: 4.1 s vs 6.9 s;
 # 600k × 5: 6.8 s vs 13.4 s — because it never re-ships the static
@@ -248,6 +282,7 @@ def pagerank_auto(
     num_cpus_per_shard: float = 0.5,
     threshold: int = AUTO_EDGE_ITERS,
     out_dir: str | None = None,
+    driver_below: int = 0,
 ) -> tuple[rd.Dataset, str]:
     """Engine-dispatching PageRank: the shard-actor tier
     (state/graph_shards.py::pagerank_sharded — edges loaded once per
@@ -255,9 +290,21 @@ def pagerank_auto(
     crosses ``threshold``, else the Dataset engine.  Returns
     ``(ranks_dataset, engine_name)``; rank rows never route through
     the driver on either path (the sharded tier writes per-shard
-    Parquet parts that are read back as a Dataset)."""
+    Parquet parts that are read back as a Dataset).
+
+    ``driver_below`` (opt-in, 0 = off) adds a third tier below both:
+    when ``edges × iters`` is under it, the edge list is collected and
+    power iteration runs as plain numpy on the driver — a toy KG/
+    co-mention graph pays ~10 fixed exchanges for ranks a single matmul
+    loop computes in milliseconds (kg_entity_pagerank: 14.3 → 9.6 s,
+    all remaining wall in the upstream KG pipeline).  Same fixed point
+    as the Dataset engine (pytest-pinned to rtol 1e-9); summation order
+    differs, so last-ulp bits may."""
     edges = edges.materialize()  # both engines take multiple passes
     n_edges = edges.count()
+    if driver_below and n_edges * iters <= driver_below:
+        df = edges.to_pandas()
+        return _pagerank_driver(df, src, dst, damping, iters), "driver"
     if n_edges * iters >= threshold:
         import glob
         import os
@@ -345,7 +392,7 @@ def pagerank_labels(
     ranks, _engine = pagerank_auto(
         edges.map_batches(hashed, batch_format="pandas"),
         src="hsrc", dst="hdst", damping=damping, iters=iters,
-        num_buckets=num_buckets,
+        num_buckets=num_buckets, driver_below=50_000,
     )
     joined = equi_join(
         ranks.map_batches(

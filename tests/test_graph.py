@@ -78,6 +78,14 @@ def test_pagerank_auto_dispatch_and_equivalence(ray_session):
     b = sh_ranks.to_pandas().sort_values("node").reset_index(drop=True)
     assert a["node"].tolist() == b["node"].tolist()
     np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-9, atol=1e-12)
+    # opt-in driver tier: same fixed point as the Dataset engine
+    dr_ranks, engine3 = pagerank_auto(
+        rd.from_pandas(edges), iters=6, driver_below=10**9
+    )
+    assert engine3 == "driver"
+    c = dr_ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    assert a["node"].tolist() == c["node"].tolist()
+    np.testing.assert_allclose(a["rank"], c["rank"], rtol=1e-9, atol=1e-12)
 
 
 def test_pagerank_star_graph_closed_form(ray_session):
