@@ -98,7 +98,9 @@ def run_curation_pipeline(
     import json
     import os
 
-    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    from ..sources.jsonl import read_documents
+
+    docs = read_documents(docs_path, columns=["doc_id", "text"])
     n_input = docs.count()
 
     # keep_text: survivors carry their payload, consumed twice below

@@ -382,3 +382,55 @@ def test_annotate_bucket_rejects_single_tier_without_kb():
         AnnotateBucket(None, kb_tier=FakeTier(), lookup_tier=None)
     with _pytest.raises(ValueError, match="kb_tier is None"):
         AnnotateBucket(None, kb_tier=None, lookup_tier=object())
+
+
+def test_read_documents_jsonl_matches_parquet(ray_session, tmp_path):
+    import gzip
+    import json
+
+    import duckdb
+
+    from table_annotation_ray.sources.jsonl import read_documents, write_jsonl
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+        " ORDER BY doc_id LIMIT 40"
+    ).df()
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for r in docs.itertuples():
+            f.write(json.dumps({"doc_id": int(r.doc_id), "text": r.text,
+                                "extra": "x"}) + "\n")
+    gz = tmp_path / "docs.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        for r in docs.itertuples():
+            f.write(json.dumps({"doc_id": int(r.doc_id), "text": r.text}) + "\n")
+
+    for path in (str(p), str(gz)):
+        got = (
+            read_documents(path, columns=["doc_id", "text"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(got.columns) == ["doc_id", "text"]
+        assert (got["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+        assert (got["text"] == docs["text"]).all(), path
+
+    # parquet dispatch unchanged
+    pq = read_documents(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    assert pq.schema().names == ["doc_id", "text"]
+
+    # schema error surfaces at the read
+    import pytest
+
+    with pytest.raises(ValueError, match="lacks columns"):
+        read_documents(str(p), columns=["doc_id", "nope"])
+
+    # jsonl sink round-trip
+    outd = write_jsonl(read_documents(str(p), columns=["doc_id", "text"]),
+                       str(tmp_path / "out"))
+    import ray.data as rd
+
+    back = rd.read_json(outd).to_pandas().sort_values("doc_id")
+    assert len(back) == len(docs)
