@@ -1302,6 +1302,29 @@ def _q_join_size_cms(sf_dir: str):
     )
 
 
+def _q_conv_windows(sf_dir: str):
+    """Chat-format training-example generation over the flagship's own
+    transcripts (stages/datapipe.py::conversation_windows): sliding
+    4-turn windows, stride 2, role-prefixed rendering — one hash(conv)
+    exchange, per-conv vectorized slicing.  Rows-only (the transcript
+    table is synth-root, not a DuckDB view); window semantics
+    pytest-pinned against a single-process reference."""
+    from table_annotation_ray.pipelines.kg_pipeline import read_transcripts
+    from table_annotation_ray.stages.datapipe import conversation_windows
+
+    root = _synth_root_for(sf_dir)
+    turns = read_transcripts(
+        os.path.join(root, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "text"],
+    )
+    out = conversation_windows(
+        turns, window=4, stride=2, role_col="role"
+    ).to_pandas()
+    for c in ("window_idx", "first_turn", "last_turn", "n_turns"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["conv_id", "window_idx"]).reset_index(drop=True)
+
+
 def _q_kg_entity_pagerank(sf_dir: str):
     """Entity salience over the flagship KG output: PageRank on the
     subj→obj entity-entity triples (stages/graph.py::pagerank_labels —
@@ -3840,6 +3863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "mmr_rerank": _q_mmr_rerank,
         "snapshot_diff": _q_snapshot_diff,
+        "conv_windows": _q_conv_windows,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,

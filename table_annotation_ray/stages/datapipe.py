@@ -1072,3 +1072,92 @@ def pack_token_ids(
     return (
         parts.groupby("__pt_bbkt").map_groups(assemble, batch_format="pyarrow")
     )
+
+
+def conversation_windows(
+    turns: rd.Dataset,
+    window: int = 4,
+    stride: int = 2,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str | None = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Sliding windows of consecutive turns per conversation — the
+    chat-format training-example generator (a dialogue LM trains on
+    bounded context windows, not whole conversations): for each
+    conversation, windows of ``window`` turns starting every ``stride``
+    turns, in ``idx_col`` order; a conversation shorter than ``window``
+    yields one window with all its turns, and a final tail window
+    (start = n − window) is added whenever the stride grid would leave
+    trailing turns uncovered — every turn appears in ≥ 1 window.  With
+    ``role_col``, each turn renders as ``role: text`` (the standard
+    chat template shape).
+
+    One hash(conv) exchange co-locates each conversation's turns; the
+    per-bucket UDF sorts once and slices windows vectorized per conv.
+    Emits ``(conv_id, window_idx, first_turn, last_turn, n_turns,
+    text)`` — window_idx = start // stride."""
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+    cols = [conv_col, idx_col, text_col] + ([role_col] if role_col else [])
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[cols].copy()
+        h = pd.util.hash_pandas_object(out[conv_col], index=False).to_numpy()
+        out["__cw_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def windows(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([conv_col, idx_col], kind="mergesort")
+        if role_col:
+            rendered = g[role_col].fillna("") + ": " + g[text_col].fillna("")
+        else:
+            rendered = g[text_col].fillna("")
+        out = {
+            conv_col: [], "window_idx": [], "first_turn": [],
+            "last_turn": [], "n_turns": [], "text": [],
+        }
+        # plain loop over conversations inside the bucket (the group
+        # count per bucket is corpus/num_buckets conversations; the
+        # inner slicing is vectorized)
+        frame = pd.DataFrame(
+            {"conv": g[conv_col].to_numpy(), "r": rendered.to_numpy(),
+             "i": g[idx_col].to_numpy()}
+        )
+        for conv, grp in frame.groupby("conv", sort=False):
+            texts = grp["r"].to_numpy()
+            idxs = grp["i"].to_numpy()
+            n = len(texts)
+            if n >= window:
+                starts = list(range(0, n - window + 1, stride))
+                if starts[-1] != n - window:  # cover the tail
+                    starts.append(n - window)
+            else:
+                starts = [0]
+            for wi, s in enumerate(starts):
+                e = min(s + window, n)
+                out[conv_col].append(conv)
+                out["window_idx"].append(wi)
+                out["first_turn"].append(int(idxs[s]))
+                out["last_turn"].append(int(idxs[e - 1]))
+                out["n_turns"].append(e - s)
+                out["text"].append("\n".join(texts[s:e]))
+        return pa.table(
+            {
+                conv_col: pa.array(out[conv_col], pa.string()),
+                "window_idx": pa.array(out["window_idx"], pa.int64()),
+                "first_turn": pa.array(out["first_turn"], pa.int64()),
+                "last_turn": pa.array(out["last_turn"], pa.int64()),
+                "n_turns": pa.array(out["n_turns"], pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+            }
+        )
+
+    return (
+        turns.map_batches(tag, batch_format="pandas")
+        .groupby("__cw_bkt")
+        .map_groups(windows, batch_format="pandas")
+    )

@@ -553,3 +553,56 @@ def test_pack_token_ids_matches_reference(ray_session):
         ds, block_len=L, eos_id=EOS, chunk=8, drop_partial=False
     ).to_pandas()
     assert len(out2) == n_blocks + (1 if rem else 0)
+
+
+def test_conversation_windows_matches_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import conversation_windows
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for c in range(12):
+        n = int(rng.integers(1, 11))  # 1..10 turns: shorter and longer than window
+        for i in range(n):
+            rows.append(
+                {"conv_id": f"c{c}", "turn_idx": i,
+                 "role": "user" if i % 2 == 0 else "assistant",
+                 "text": f"t{c}-{i}"}
+            )
+    df = pd.DataFrame(rows).sample(frac=1, random_state=0)  # shuffled input
+    out = (
+        conversation_windows(
+            rd.from_pandas(df).repartition(5), window=4, stride=2,
+            role_col="role",
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "window_idx"])
+        .reset_index(drop=True)
+    )
+
+    # single-process reference
+    ref = []
+    for c, g in df.sort_values("turn_idx").groupby("conv_id"):
+        rend = [f"{r.role}: {r.text}" for r in g.itertuples()]
+        n = len(rend)
+        if n >= 4:
+            starts = list(range(0, n - 4 + 1, 2))
+            if starts[-1] != n - 4:
+                starts.append(n - 4)
+        else:
+            starts = [0]
+        for wi, s in enumerate(starts):
+            e = min(s + 4, n)
+            ref.append((c, wi, "\n".join(rend[s:e]), e - s))
+    ref = sorted(ref)
+    got = sorted(
+        (r.conv_id, int(r.window_idx), r.text, int(r.n_turns))
+        for r in out.itertuples()
+    )
+    assert got == ref
+    # full coverage: every turn appears in at least one window
+    assert (out.groupby("conv_id")["last_turn"].max()
+            == df.groupby("conv_id")["turn_idx"].max()).all()
