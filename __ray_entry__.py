@@ -1302,6 +1302,38 @@ def _q_join_size_cms(sf_dir: str):
     )
 
 
+def _q_embedding_audit(sf_dir: str):
+    """Embedding-column health gate (stages/dq.py::embedding_audit):
+    dimension/finiteness violations + L2-norm stats, one partial row
+    per batch.  The corpus embeddings are unit-norm, so the query
+    perturbs deterministically (scale by 1 + vec_id % 5) to give the
+    audit real spread; the identical list_transform runs in the SQL
+    mirror.  SQL hash-exact."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.dq import embedding_audit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def perturb(b: pd.DataFrame) -> pa.Table:
+        scale = (1 + (b["vec_id"].to_numpy() % 5)).astype(np.float64)
+        vecs = [
+            (np.asarray(v, dtype=np.float64) * s).tolist()
+            for v, s in zip(b["embedding"], scale)
+        ]
+        return pa.table(
+            {
+                "vec_id": pa.array(b["vec_id"].to_numpy(), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    out = embedding_audit(emb.map_batches(perturb, batch_format="pandas"))
+    for c in ("n_rows", "n_bad_dim", "n_nonfinite"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _q_conv_windows(sf_dir: str):
     """Chat-format training-example generation over the flagship's own
     transcripts (stages/datapipe.py::conversation_windows): sliding
@@ -3864,6 +3896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": _q_mmr_rerank,
         "snapshot_diff": _q_snapshot_diff,
         "conv_windows": _q_conv_windows,
+        "embedding_audit": _q_embedding_audit,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -5240,6 +5273,26 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "embedding_audit": """
+            WITH p AS (
+                SELECT vec_id,
+                       list_transform(
+                           embedding,
+                           x -> CAST(x AS DOUBLE) * (1 + vec_id % 5)
+                       ) AS v
+                FROM embeddings),
+            norms AS (
+                SELECT vec_id, len(v) AS d,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM p)
+            SELECT count(*) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_bad_dim,
+                   CAST(0 AS BIGINT) AS n_nonfinite,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm,
+                   round(sum(nrm) / count(*), 6) AS mean_norm
+            FROM norms
         """,
         "snapshot_diff": """
             WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),

@@ -199,3 +199,63 @@ def snapshot_diff(
         )
 
     return both.groupby("__sd_bkt").map_groups(diff, batch_format="pandas")
+
+
+def embedding_audit(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> pd.DataFrame:
+    """Embedding-column health gate — the vector twin of
+    :func:`dq_audit`: row count, wrong-dimension rows, rows containing
+    non-finite values, and the L2-norm min/max/mean.  A corrupt
+    embedding export (truncated rows, NaNs from a failed encoder, norm
+    collapse) should fail HERE, not inside an ANN index three stages
+    later.
+
+    Map-only: each batch emits one partial row (counts + norm
+    sum/min/max over its rows); the driver folds ≤ blocks rows.
+    ``expected_dim`` defaults to the first row's length."""
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame(
+            {"n_rows": [0], "n_bad_dim": [0], "n_nonfinite": [0],
+             "min_norm": [np.nan], "max_norm": [np.nan], "mean_norm": [np.nan]}
+        )
+    dim = expected_dim if expected_dim is not None else len(first[0][vec_col])
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        lens = b[vec_col].map(len).to_numpy()
+        good = lens == dim
+        n_bad = int((~good).sum())
+        rows = {
+            "n": len(b), "bad": n_bad, "nonfin": 0,
+            "s": 0.0, "mn": np.inf, "mx": -np.inf, "k": 0,
+        }
+        if good.any():
+            m = np.vstack(
+                [np.asarray(v, dtype=np.float64)
+                 for v, g in zip(b[vec_col], good) if g]
+            )
+            finite = np.isfinite(m).all(axis=1)
+            rows["nonfin"] = int((~finite).sum())
+            if finite.any():
+                norms = np.sqrt((m[finite] ** 2).sum(axis=1))
+                rows["s"] = float(norms.sum())
+                rows["mn"] = float(norms.min())
+                rows["mx"] = float(norms.max())
+                rows["k"] = int(len(norms))
+        return pd.DataFrame({kk: [vv] for kk, vv in rows.items()})
+
+    p = ds.map_batches(part, batch_format="pandas").to_pandas()
+    k = int(p["k"].sum())
+    return pd.DataFrame(
+        {
+            "n_rows": [int(p["n"].sum())],
+            "n_bad_dim": [int(p["bad"].sum())],
+            "n_nonfinite": [int(p["nonfin"].sum())],
+            "min_norm": [round(float(p["mn"].min()), 6) if k else np.nan],
+            "max_norm": [round(float(p["mx"].max()), 6) if k else np.nan],
+            "mean_norm": [round(float(p["s"].sum()) / k, 6) if k else np.nan],
+        }
+    )

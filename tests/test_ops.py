@@ -1620,3 +1620,33 @@ def test_snapshot_diff_statuses_and_dup_guard(ray_session):
         snapshot_diff(
             rd.from_pandas(dup), rd.from_pandas(new), "k", ["v"]
         ).materialize()
+
+
+def test_embedding_audit_planted_corruption(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dq import embedding_audit
+
+    rng = np.random.default_rng(2)
+    vecs = [rng.normal(0, 1, 8).tolist() for _ in range(50)]
+    vecs[3] = vecs[3][:5]                       # wrong dim
+    vecs[7] = [float("nan")] * 8                # non-finite
+    vecs[9] = [float("inf")] + [0.0] * 7        # non-finite
+    df = pd.DataFrame({"vec_id": range(50), "embedding": vecs})
+    out = embedding_audit(rd.from_pandas(df).repartition(4))
+    assert out.loc[0, "n_rows"] == 50
+    assert out.loc[0, "n_bad_dim"] == 1
+    assert out.loc[0, "n_nonfinite"] == 2
+    good = np.array([
+        np.linalg.norm(v) for i, v in enumerate(vecs)
+        if i not in (3, 7, 9)
+    ])
+    assert abs(out.loc[0, "min_norm"] - round(good.min(), 6)) < 1e-9
+    assert abs(out.loc[0, "max_norm"] - round(good.max(), 6)) < 1e-9
+    assert abs(out.loc[0, "mean_norm"] - round(good.mean(), 6)) < 1e-6
+
+    # empty corpus path
+    empty = embedding_audit(rd.from_pandas(df.iloc[:0]))
+    assert empty.loc[0, "n_rows"] == 0
