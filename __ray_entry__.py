@@ -1302,6 +1302,27 @@ def _q_join_size_cms(sf_dir: str):
     )
 
 
+def _q_signup_to_purchase(sf_dir: str):
+    """Funnel timing / survival-lite (stages/windows.py::
+    conversion_lag): per user, the first signup and the first purchase
+    at-or-after it — unconverted users stay with a null purchase ts
+    (right-censored).  One hash(user) exchange; boundary lookups
+    vectorized per bucket.  SQL hash-exact, including the censored
+    rows and the floor-hours delta."""
+    from table_annotation_ray.stages.windows import conversion_lag
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = conversion_lag(
+        ev, "user_id", "ts", "event_type", "signup", "purchase"
+    ).to_pandas()
+    delta = (out["to_ts"] - out["from_ts"]).dt.total_seconds()
+    out["hours_to_convert"] = np.floor(delta / 3600)
+    out["from_ts"] = out["from_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    out["to_ts"] = out["to_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_embedding_audit(sf_dir: str):
     """Embedding-column health gate (stages/dq.py::embedding_audit):
     dimension/finiteness violations + L2-norm stats, one partial row
@@ -3897,6 +3918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "conv_windows": _q_conv_windows,
         "embedding_audit": _q_embedding_audit,
+        "signup_to_purchase": _q_signup_to_purchase,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -5273,6 +5295,25 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "signup_to_purchase": """
+            WITH s AS (
+                SELECT user_id, min(ts) AS from_ts FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+            p AS (
+                SELECT s.user_id, min(e.ts) AS to_ts
+                FROM s JOIN events e
+                  ON e.user_id = s.user_id
+                 AND e.event_type = 'purchase'
+                 AND e.ts >= s.from_ts
+                GROUP BY s.user_id)
+            SELECT s.user_id,
+                   strftime(s.from_ts, '%Y-%m-%d %H:%M:%S.%f') AS from_ts,
+                   strftime(p.to_ts, '%Y-%m-%d %H:%M:%S.%f') AS to_ts,
+                   floor(epoch(p.to_ts - s.from_ts) / 3600)
+                       AS hours_to_convert
+            FROM s LEFT JOIN p ON p.user_id = s.user_id
+            ORDER BY s.user_id
         """,
         "embedding_audit": """
             WITH p AS (

@@ -555,3 +555,60 @@ def ohlc_by_key(
         .groupby("__oh_bkt")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def conversion_lag(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Time-to-convert per key (the funnel-timing / survival-lite
+    primitive): for each key, the FIRST ``from_type`` event and the
+    first ``to_type`` event at-or-after it — unconverted keys come back
+    with a null ``to_ts`` (right-censored, the survival-analysis
+    contract).  ``funnel_by_key`` counts ordered steps; this measures
+    the latency between two of them.
+
+    One hash(key) exchange; inside each bucket both boundary lookups
+    are vectorized pandas groupby-mins.  Returns ``(key, from_ts,
+    to_ts)``."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b.loc[
+            b[type_col].isin([from_type, to_type]),
+            [key_col, ts_col, type_col],
+        ].copy()
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+        out["__cl_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def lag(g: pd.DataFrame) -> pa.Table:
+        f = (
+            g[g[type_col] == from_type]
+            .groupby(key_col, sort=False)[ts_col].min()
+        )
+        t = g[g[type_col] == to_type][[key_col, ts_col]].copy()
+        t = t.merge(f.rename("from_ts"), left_on=key_col, right_index=True)
+        t = t[t[ts_col] >= t["from_ts"]]
+        to = t.groupby(key_col, sort=False)[ts_col].min()
+        out = f.rename("from_ts").reset_index()
+        # dtype-preserving even when EVERY key is unconverted (a plain
+        # .map would yield float NaN / object, breaking block
+        # unification — the r2 empty-frame rule)
+        out["to_ts"] = pd.to_datetime(out[key_col].map(to))
+        out["from_ts"] = pd.to_datetime(out["from_ts"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__cl_bkt")
+        .map_groups(lag, batch_format="pandas")
+    )

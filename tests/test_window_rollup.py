@@ -1042,3 +1042,42 @@ def test_ohlc_by_key_matches_reference(ray_session):
         assert out.loc[k, "high"] == g["v"].max(), k
         assert out.loc[k, "low"] == g["v"].min(), k
         assert out.loc[k, "n_events"] == len(g), k
+
+
+def test_conversion_lag_censoring_and_order(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import conversion_lag
+
+    T = pd.Timestamp
+    ev = pd.DataFrame(
+        [
+            # u1: purchase BEFORE signup must not count; next one does
+            (1, T("2024-01-01"), "purchase"),
+            (1, T("2024-01-02"), "signup"),
+            (1, T("2024-01-05"), "purchase"),
+            # u2: censored (no purchase after signup)
+            (2, T("2024-01-03"), "signup"),
+            (2, T("2024-01-01"), "purchase"),
+            # u3: two signups — FIRST one anchors; same-ts purchase counts
+            (3, T("2024-01-04"), "signup"),
+            (3, T("2024-01-06"), "signup"),
+            (3, T("2024-01-04"), "purchase"),
+            # u4: no signup at all -> no row
+            (4, T("2024-01-01"), "purchase"),
+        ],
+        columns=["user_id", "ts", "event_type"],
+    )
+    out = (
+        conversion_lag(
+            rd.from_pandas(ev).repartition(3),
+            "user_id", "ts", "event_type", "signup", "purchase",
+        )
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "to_ts"] == T("2024-01-05")
+    assert pd.isna(out.loc[2, "to_ts"])
+    assert out.loc[3, "from_ts"] == T("2024-01-04")
+    assert out.loc[3, "to_ts"] == T("2024-01-04")
