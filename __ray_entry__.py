@@ -1302,6 +1302,26 @@ def _q_join_size_cms(sf_dir: str):
     )
 
 
+def _q_value_mad_outliers(sf_dir: str):
+    """Robust per-type outliers (stages/stats.py::mad_outliers): flag
+    events with |value − median| > 2.5·1.4826·MAD within their event
+    type — two exact grouped-median passes (histogram refinement, no
+    per-group sort) + one map-only flag pass.  SQL hash-exact vs the
+    ranked-window order-statistic medians."""
+    from table_annotation_ray.stages.stats import mad_outliers
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = mad_outliers(ev, "event_type", "value", k=2.5)
+    out["med"] = out["med"].map(lambda v: _round_ha(v, 6))
+    out["mad"] = out["mad"].map(lambda v: _round_ha(v, 6))
+    out["event_id"] = out["event_id"].astype("int64")
+    return (
+        out[["event_id", "event_type", "value", "med", "mad"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_signup_to_purchase(sf_dir: str):
     """Funnel timing / survival-lite (stages/windows.py::
     conversion_lag): per user, the first signup and the first purchase
@@ -3919,6 +3939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_windows": _q_conv_windows,
         "embedding_audit": _q_embedding_audit,
         "signup_to_purchase": _q_signup_to_purchase,
+        "value_mad_outliers": _q_value_mad_outliers,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -5295,6 +5316,31 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "value_mad_outliers": """
+            WITH r AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL),
+            med AS (SELECT event_type, value AS med FROM r
+                    WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+            d AS (SELECT r.event_id, r.event_type, r.value, med.med,
+                         abs(r.value - med.med) AS dev
+                  FROM r JOIN med USING (event_type)),
+            r2 AS (SELECT *,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev) AS rn2,
+                       count(*) OVER (PARTITION BY event_type) AS n2
+                   FROM d),
+            mad AS (SELECT event_type, dev AS mad FROM r2
+                    WHERE rn2 = CAST(ceil(0.5 * n2) AS BIGINT))
+            SELECT d.event_id, d.event_type, d.value,
+                   round(d.med, 6) AS med, round(mad.mad, 6) AS mad
+            FROM d JOIN mad USING (event_type)
+            WHERE abs(d.value - d.med) > 2.5 * 1.4826 * mad.mad
+            ORDER BY d.event_id
         """,
         "signup_to_purchase": """
             WITH s AS (

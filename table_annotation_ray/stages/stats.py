@@ -398,3 +398,57 @@ def psi_drift(
             "psi_term": np.round(term, 6),
         }
     )
+
+
+def mad_outliers(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    k: float = 3.5,
+) -> pd.DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation: flag rows with ``|v − median_g| > k · 1.4826 · MAD_g``
+    (1.4826 scales MAD to σ under normality — the standard robust
+    z-score; unlike :func:`zscore_by_key`, a single wild value cannot
+    inflate the threshold that should catch it).
+
+    Distributed shape: two :func:`~.quantiles.grouped_quantiles` passes
+    (exact per-group medians — histogram refinement, no per-group
+    sort), each followed by a broadcast of the group→statistic dict
+    (group-cardinality-sized, same contract as grouped_quantiles), and
+    one final map-only flag pass.  Returns the OUTLIER rows with their
+    group's median and MAD attached."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .quantiles import grouped_quantiles
+
+    med_df = grouped_quantiles(ds, group_col, col, [0.5])
+    med = dict(zip(med_df[group_col], med_df["value"]))
+    mref = ray.put(med)
+
+    def devs(b: pd.DataFrame) -> pd.DataFrame:
+        m = get_worker_state(("mad-med", ref_key(mref)), lambda: ray.get(mref))
+        return pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "dev": (b[col] - b[group_col].map(m)).abs(),
+            }
+        )
+
+    dev_ds = ds.map_batches(devs, batch_format="pandas")
+    mad_df = grouped_quantiles(dev_ds, group_col, "dev", [0.5])
+    mad = dict(zip(mad_df[group_col], mad_df["value"]))
+    bref = ray.put((med, mad))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        m, s = get_worker_state(("mad-both", ref_key(bref)), lambda: ray.get(bref))
+        gm = b[group_col].map(m)
+        gs = b[group_col].map(s)
+        keep = (b[col] - gm).abs() > k * 1.4826 * gs
+        out = b[keep].copy()
+        out["med"] = gm[keep]
+        out["mad"] = gs[keep]
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas").to_pandas()

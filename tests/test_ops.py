@@ -1650,3 +1650,28 @@ def test_embedding_audit_planted_corruption(ray_session):
     # empty corpus path
     empty = embedding_audit(rd.from_pandas(df.iloc[:0]))
     assert empty.loc[0, "n_rows"] == 0
+
+
+def test_mad_outliers_robust_to_wild_values(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.stats import mad_outliers
+
+    rng = np.random.default_rng(19)
+    base = pd.DataFrame(
+        {"id": range(500), "g": ["a"] * 250 + ["b"] * 250,
+         "v": np.r_[rng.normal(0, 1, 250), rng.normal(10, 2, 250)]}
+    )
+    # plant wild values: classic z-score would inflate sigma; MAD won't
+    base.loc[0, "v"] = 1000.0
+    base.loc[1, "v"] = -1000.0
+    base.loc[250, "v"] = 500.0
+    out = mad_outliers(rd.from_pandas(base).repartition(4), "g", "v", k=3.5)
+    flagged = set(out["id"])
+    assert {0, 1, 250} <= flagged
+    # the planted wilds dominate: few normal rows co-flagged
+    assert len(flagged) <= 12
+    # per-group stats attached and sane
+    assert (out["mad"] > 0).all()
