@@ -1302,6 +1302,17 @@ def _q_join_size_cms(sf_dir: str):
     )
 
 
+def _q_audience_overlap(sf_dir: str):
+    """Segment co-audience analysis (stages/relational.py::
+    audience_overlap): distinct users per event-type pair + Jaccard —
+    one bucketed_distinct exchange, map-side pair explosion bounded by
+    the category domain, grouped_reduce counts.  SQL hash-exact."""
+    from table_annotation_ray.stages.relational import audience_overlap
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return audience_overlap(ev, "user_id", "event_type")
+
+
 def _q_value_mad_outliers(sf_dir: str):
     """Robust per-type outliers (stages/stats.py::mad_outliers): flag
     events with |value − median| > 2.5·1.4826·MAD within their event
@@ -3940,6 +3951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_audit": _q_embedding_audit,
         "signup_to_purchase": _q_signup_to_purchase,
         "value_mad_outliers": _q_value_mad_outliers,
+        "audience_overlap": _q_audience_overlap,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -5316,6 +5328,23 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "audience_overlap": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            s AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+            p AS (
+                SELECT a.event_type AS cat_a, b.event_type AS cat_b,
+                       count(*) AS n_both
+                FROM d a JOIN d b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+            SELECT p.cat_a, p.cat_b,
+                   sa.n AS n_a, sb.n AS n_b, p.n_both,
+                   round(p.n_both / CAST(sa.n + sb.n - p.n_both AS DOUBLE), 6)
+                       AS jaccard
+            FROM p JOIN s sa ON sa.event_type = p.cat_a
+                 JOIN s sb ON sb.event_type = p.cat_b
+            ORDER BY p.cat_a, p.cat_b
         """,
         "value_mad_outliers": """
             WITH r AS (

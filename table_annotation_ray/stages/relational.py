@@ -1071,3 +1071,84 @@ def merge_upsert(
         .groupby("__mu_bkt")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def audience_overlap(
+    ds: rd.Dataset,
+    key_col: str,
+    cat_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Pairwise audience overlap between categories — for every
+    category pair (a < b), how many distinct keys appear in BOTH, and
+    the Jaccard |A∩B| / |A∪B| (the segment-similarity / co-audience
+    primitive behind "viewers who also purchase").
+
+    Shape: one ``bucketed_distinct`` exchange dedups (key, category);
+    per-key category pairs explode map-side (bounded by the category
+    domain, like ``cooccurrence_pairs``) into a ``grouped_reduce``
+    count; per-category distinct counts ride the same distinct rows.
+    The closing Jaccard arithmetic is category-pair-sized on the
+    driver."""
+    from .agg import bucketed_distinct, grouped_reduce
+
+    pairs_src = bucketed_distinct(
+        ds.map_batches(
+            lambda t, _c=[key_col, cat_col]: t.select(_c),
+            batch_format="pyarrow",
+        ),
+        [key_col, cat_col],
+        num_buckets=num_buckets,
+    ).materialize()  # pair explode AND per-category counts
+
+    sizes = grouped_reduce(
+        pairs_src, [cat_col], {"n": (None, "count")}, num_buckets=num_buckets
+    ).to_pandas().set_index(cat_col)["n"]
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        for _, grp in b.groupby(key_col, sort=False):
+            cats = sorted(grp[cat_col].unique())
+            for i in range(len(cats)):
+                for j in range(i + 1, len(cats)):
+                    out_a.append(cats[i])
+                    out_b.append(cats[j])
+        return pa.table(
+            {
+                "cat_a": pa.array(out_a, pa.string()),
+                "cat_b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    # a key's rows may straddle blocks after the distinct exchange? No:
+    # bucketed_distinct groups by hash of the FULL key (key, cat), so
+    # one key's categories can land in different buckets — re-exchange
+    # on hash(key) to co-locate each key's category set
+    nb = np.uint64(num_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[key_col].to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__ao_bkt", pa.array((h.astype(np.uint64) % nb).astype(np.int64))
+        )
+
+    inter = grouped_reduce(
+        pairs_src.map_batches(tag, batch_format="pyarrow")
+        .groupby("__ao_bkt")
+        .map_groups(explode, batch_format="pandas"),
+        ["cat_a", "cat_b"], {"n_both": (None, "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    inter["n_a"] = inter["cat_a"].map(sizes).astype("int64")
+    inter["n_b"] = inter["cat_b"].map(sizes).astype("int64")
+    union = inter["n_a"] + inter["n_b"] - inter["n_both"]
+    inter["jaccard"] = (inter["n_both"] / union).round(6)
+    inter["n_both"] = inter["n_both"].astype("int64")
+    return (
+        inter[["cat_a", "cat_b", "n_a", "n_b", "n_both", "jaccard"]]
+        .sort_values(["cat_a", "cat_b"])
+        .reset_index(drop=True)
+    )

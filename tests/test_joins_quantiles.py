@@ -861,3 +861,31 @@ def test_merge_upsert_semantics(ray_session):
             rd.from_pandas(base[["k", "ts", "seq", "val"]]),
             rd.from_pandas(changes[cols]), "k", "ts", "seq",
         )
+
+
+def test_audience_overlap_reference(ray_session):
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.relational import audience_overlap
+
+    rows = []
+    sets = {"x": {1, 2, 3, 4}, "y": {3, 4, 5}, "z": {9}}
+    for cat, users in sets.items():
+        for u in users:
+            rows.append({"u": u, "c": cat})
+            rows.append({"u": u, "c": cat})  # duplicates must not count
+    out = audience_overlap(
+        rd.from_pandas(pd.DataFrame(rows)).repartition(3), "u", "c"
+    ).set_index(["cat_a", "cat_b"])
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            assert (a, b) not in out.index
+            continue
+        r = out.loc[(a, b)]
+        assert r["n_both"] == inter
+        assert r["n_a"] == len(sets[a]) and r["n_b"] == len(sets[b])
+        assert abs(r["jaccard"] - round(inter / len(sets[a] | sets[b]), 6)) < 1e-9
