@@ -1313,6 +1313,70 @@ def _q_audience_overlap(sf_dir: str):
     return audience_overlap(ev, "user_id", "event_type")
 
 
+def _q_basket_rules(sf_dir: str):
+    """Market-basket association rules (stages/relational.py::
+    association_rules): directed part→part rules over order baskets
+    with support/confidence/lift — pair counts via hash(basket)
+    co-location + grouped_reduce, dictionary-bounded item supports
+    broadcast (ray.put) into one map-only rule pass, no join exchange.
+    SQL hash-exact."""
+    from table_annotation_ray.stages.relational import association_rules
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    ).to_pandas()
+    for c in ("support", "confidence", "lift"):
+        out[c] = _round_ha(out[c], 6)
+    return out.sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+
+
+def _q_user_state_intervals(sf_dir: str):
+    """SCD-type-2 dimension build (stages/windows.py::scd2_intervals):
+    collapse each user's time-ordered event-type sequence into validity
+    intervals [valid_from, valid_to) with a null valid_to on the
+    current run — one hash(user) exchange, vectorized shift-compare +
+    cumsum run detection per bucket.  SQL hash-exact vs a LAG/LEAD
+    window walk."""
+    from table_annotation_ray.stages.windows import scd2_intervals
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    out = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id").to_pandas()
+    return out.sort_values(
+        ["user_id", "valid_from", "event_type"]
+    ).reset_index(drop=True)
+
+
+def _q_rolling_active_users(sf_dir: str):
+    """Rolling 3-hour distinct active users per window-end hour
+    (stages/windows.py::rolling_active): bounded ×3 event→window
+    explode + one exact distinct_count_by_key — SQL COUNT(DISTINCT)
+    OVER has no engine support; the explode IS the scale shape.
+    SQL hash-exact vs an unnest-offset mirror."""
+    from table_annotation_ray.stages.windows import rolling_active
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    out = rolling_active(ev, "ts", "user_id", window_hours=3).to_pandas()
+    out["n_active"] = out["n_active"].astype("int64")
+    return out.sort_values("win_end").reset_index(drop=True)
+
+
+def _q_value_ks_test(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov drift test (stages/stats.py::
+    ks_test): D = max |F_view − F_purchase| over event values — distinct-
+    value counts through one grouped_reduce, quantile-cut chunked prefix
+    sums (no global sort), per-chunk CDF maxima.  SQL hash-exact vs a
+    window-cumulative mirror."""
+    from table_annotation_ray.stages.stats import ks_test
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    out = ks_test(ev, "event_type", "value", "view", "purchase")
+    out["ks_d"] = _round_ha(out["ks_d"], 6)
+    out["n1"] = out["n1"].astype("int64")
+    out["n2"] = out["n2"].astype("int64")
+    return out
+
+
 def _q_value_mad_outliers(sf_dir: str):
     """Robust per-type outliers (stages/stats.py::mad_outliers): flag
     events with |value − median| > 2.5·1.4826·MAD within their event
@@ -3952,6 +4016,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_to_purchase": _q_signup_to_purchase,
         "value_mad_outliers": _q_value_mad_outliers,
         "audience_overlap": _q_audience_overlap,
+        "basket_rules": _q_basket_rules,
+        "user_state_intervals": _q_user_state_intervals,
+        "value_ks_test": _q_value_ks_test,
+        "rolling_active_users": _q_rolling_active_users,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
         "embedding_pca": _q_embedding_pca,
@@ -5328,6 +5396,86 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
                 FROM s)
             SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+        """,
+        "basket_rules": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                       FROM lineitem),
+            n AS (SELECT count(DISTINCT b) AS nb FROM d),
+            s AS (SELECT i, count(*) AS n_item FROM d GROUP BY i),
+            p AS (
+                SELECT a.i AS ia, c.i AS ib, count(*) AS n_both
+                FROM d a JOIN d c ON a.b = c.b AND a.i < c.i
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+            r AS (
+                SELECT ia AS antecedent, ib AS consequent, n_both FROM p
+                UNION ALL
+                SELECT ib, ia, n_both FROM p)
+            SELECT r.antecedent, r.consequent, r.n_both,
+                   sa.n_item AS n_ant, sc.n_item AS n_cons,
+                   round(r.n_both / CAST(n.nb AS DOUBLE), 6) AS support,
+                   round(r.n_both / CAST(sa.n_item AS DOUBLE), 6)
+                       AS confidence,
+                   round(r.n_both * CAST(n.nb AS DOUBLE)
+                         / (sa.n_item * sc.n_item), 6) AS lift
+            FROM r
+            JOIN s sa ON sa.i = r.antecedent
+            JOIN s sc ON sc.i = r.consequent, n
+            ORDER BY r.antecedent, r.consequent
+        """,
+        "value_ks_test": """
+            WITH x AS (
+                SELECT value, event_type FROM events
+                WHERE event_type IN ('view', 'purchase')
+                  AND value IS NOT NULL),
+            n AS (SELECT
+                      count(*) FILTER (WHERE event_type = 'view') AS n1,
+                      count(*) FILTER (WHERE event_type = 'purchase') AS n2
+                  FROM x),
+            d AS (SELECT value,
+                      count(*) FILTER (WHERE event_type = 'view') AS c1,
+                      count(*) FILTER (WHERE event_type = 'purchase') AS c2
+                  FROM x GROUP BY value),
+            c AS (SELECT sum(c1) OVER (ORDER BY value) AS s1,
+                         sum(c2) OVER (ORDER BY value) AS s2
+                  FROM d)
+            SELECT round(max(abs(s1 / CAST(n.n1 AS DOUBLE)
+                               - s2 / CAST(n.n2 AS DOUBLE))), 6) AS ks_d,
+                   n.n1 AS n1, n.n2 AS n2
+            FROM c, n GROUP BY n.n1, n.n2
+        """,
+        "user_state_intervals": """
+            WITH e AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (
+                SELECT *, sum(chg) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS run
+                FROM e),
+            g AS (
+                SELECT user_id, event_type, run, min(ts) AS valid_from,
+                       count(*) AS n_rows
+                FROM r GROUP BY 1, 2, 3)
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY run) AS valid_to,
+                   n_rows
+            FROM g ORDER BY user_id, valid_from, event_type
+        """,
+        "rolling_active_users": """
+            WITH offs AS (SELECT unnest([0, 1, 2]) AS off),
+            d AS (
+                SELECT DISTINCT
+                       date_trunc('hour', ts) + off * INTERVAL 1 HOUR
+                           AS win_end,
+                       user_id
+                FROM events, offs)
+            SELECT win_end, count(*) AS n_active
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         "audience_overlap": """
             WITH d AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -1152,3 +1152,95 @@ def audience_overlap(
         .sort_values(["cat_a", "cat_b"])
         .reset_index(drop=True)
     )
+
+
+def association_rules(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Directed association rules ``antecedent -> consequent`` over
+    market baskets, with the classic rule-mining triple: ``support``
+    |A∩B|/N, ``confidence`` |A∩B|/|A|, ``lift`` |A∩B|·N/(|A|·|B|)
+    (Agrawal et al., frequent-itemset mining at pair length).
+
+    Shape: unordered pair-in-basket counts ride
+    :func:`cooccurrence_pairs` (hash(basket) co-location + one
+    ``grouped_reduce``); per-item distinct-basket supports ride
+    :func:`~.agg.distinct_count_by_key`.  The item-support table is
+    dictionary-bounded by contract (items are a categorical domain,
+    like ``pivot_table``'s column values), so it broadcasts via
+    ``ray.put`` into ONE map-only pass over the surviving pairs that
+    emits both rule directions — no join exchange.  N (distinct
+    baskets) is a scalar count over a ``bucketed_distinct``.  Floats
+    are raw float64 — round at compare time.
+    """
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import bucketed_distinct, distinct_count_by_key
+
+    pairs = cooccurrence_pairs(
+        ds,
+        basket_col,
+        item_col,
+        min_count=min_pair_count,
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+    )
+    item_counts = distinct_count_by_key(
+        ds.map_batches(
+            lambda t, _c=[basket_col, item_col]: t.select(_c),
+            batch_format="pyarrow",
+        ),
+        [item_col],
+        basket_col,
+        out_col="n_item",
+        num_buckets=num_buckets,
+    ).to_pandas()
+    supp = dict(
+        zip(item_counts[item_col], item_counts["n_item"].astype("int64"))
+    )
+    n_baskets = int(
+        bucketed_distinct(
+            ds.map_batches(
+                lambda t, _c=[basket_col]: t.select(_c), batch_format="pyarrow"
+            ),
+            [basket_col],
+            num_buckets=num_buckets,
+        ).count()
+    )
+    sref = ray.put(supp)
+    nf = float(n_baskets)
+
+    def rules(t: pa.Table) -> pa.Table:
+        s = get_worker_state(
+            ("assoc-supp", ref_key(sref)), lambda: ray.get(sref)
+        )
+        item_t = t.schema.field("item_a").type  # empty-batch type anchor
+        b = t.to_pandas()
+        n_both = np.tile(b["n_baskets"].to_numpy(np.int64), 2)
+        ant = pd.concat([b["item_a"], b["item_b"]], ignore_index=True)
+        con = pd.concat([b["item_b"], b["item_a"]], ignore_index=True)
+        n_ant = ant.map(s).to_numpy(np.int64) if len(b) else np.empty(0, np.int64)
+        n_con = con.map(s).to_numpy(np.int64) if len(b) else np.empty(0, np.int64)
+        nbf = n_both.astype(np.float64)
+        return pa.table(
+            {
+                "antecedent": pa.array(ant.to_numpy(), item_t),
+                "consequent": pa.array(con.to_numpy(), item_t),
+                "n_both": pa.array(n_both),
+                "n_ant": pa.array(n_ant),
+                "n_cons": pa.array(n_con),
+                "support": pa.array(nbf / nf),
+                "confidence": pa.array(nbf / n_ant.astype(np.float64)),
+                "lift": pa.array(
+                    n_both * nf / (n_ant * n_con).astype(np.float64)
+                ),
+            }
+        )
+
+    return pairs.map_batches(rules, batch_format="pyarrow")

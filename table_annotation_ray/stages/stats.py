@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -452,3 +453,147 @@ def mad_outliers(
         return out
 
     return ds.map_batches(flag, batch_format="pandas").to_pandas()
+
+
+def ks_test(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_chunks: int = 64,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of two groups — the distribution-drift
+    test that needs NO binning choice (complements ``psi_drift`` /
+    ``distribution_drift``, which compare binned histograms).
+
+    D = max over distinct values v of |F_a(v) − F_b(v)| with the
+    right-continuous empirical CDFs.  Scale shape (no global sort, no
+    driver-sized collections):
+
+    1. per-distinct-value group counts — ONE :func:`~.agg.grouped_reduce`
+       exchange (the shuffle carries distinct values, not rows);
+    2. order-respecting ``chunk_id`` from exact value quantiles
+       (broadcast cuts, map-only tag) — the
+       :func:`~.datapipe._offsets_from_lengths` chunked-prefix-sum
+       shape transposed onto VALUE order;
+    3. per-chunk count sums → driver prefix offsets (n_chunks rows);
+    4. one bucketed in-chunk pass: vectorized cumsum + chunk prefix
+       gives every distinct value its global CDF pair; per-chunk max
+       |F_a − F_b| rows come back (n_chunks of them) and the driver
+       takes the max.
+
+    Returns a one-row DataFrame ``(ks_d, n1, n2)`` with raw float64
+    ``ks_d`` — round at compare time."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import grouped_reduce
+    from .quantiles import exact_quantiles
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b[group_col].isin([group_a, group_b])]
+        v = m[value_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        d = pd.DataFrame(
+            {
+                "value": v[ok],
+                "ca": (m[group_col].to_numpy()[ok] == group_a).astype(
+                    "int64"
+                ),
+            }
+        )
+        d["cb"] = np.int64(1) - d["ca"]
+        return d.groupby("value", as_index=False)[["ca", "cb"]].sum()
+
+    counts = grouped_reduce(
+        ds.map_batches(part, batch_format="pandas"),
+        ["value"],
+        {"c1": ("ca", "sum"), "c2": ("cb", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = np.unique(
+        exact_quantiles(counts, "value", qs)["value"].to_numpy(np.float64)
+    )
+    cref = ray.put(cuts)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        cs = get_worker_state(
+            ("ks-cuts", ref_key(cref)), lambda: ray.get(cref)
+        )
+        out = b.copy()
+        out["chunk_id"] = np.searchsorted(
+            cs, b["value"].to_numpy(np.float64), side="left"
+        ).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = counts.map_batches(tag, batch_format="pandas").materialize()
+
+    chunk_sums = (
+        grouped_reduce(
+            tagged,
+            ["chunk_id"],
+            {"s1": ("c1", "sum"), "s2": ("c2", "sum")},
+            num_buckets=num_buckets,
+        )
+        .to_pandas()
+        .sort_values("chunk_id")
+    )
+    n1 = int(chunk_sums["s1"].sum())
+    n2 = int(chunk_sums["s2"].sum())
+    if n1 == 0 or n2 == 0:
+        raise ValueError(
+            f"ks_test needs both groups non-empty (n1={n1}, n2={n2})"
+        )
+    pre1: dict[int, int] = {}
+    pre2: dict[int, int] = {}
+    r1 = r2 = 0
+    for cid, a, b_ in zip(
+        chunk_sums["chunk_id"], chunk_sums["s1"], chunk_sums["s2"]
+    ):
+        pre1[int(cid)] = r1
+        pre2[int(cid)] = r2
+        r1 += int(a)
+        r2 += int(b_)
+    pref = ray.put((pre1, pre2))
+    nb = np.uint64(num_buckets)
+
+    def bucketed(b: pd.DataFrame) -> pa.Table:
+        out = b.copy()
+        out["__ks_bkt"] = (
+            pd.util.hash_pandas_object(b["chunk_id"], index=False).to_numpy()
+            % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    n1f, n2f = float(n1), float(n2)
+
+    def chunk_max(g: pd.DataFrame) -> pa.Table:
+        p1, p2 = get_worker_state(
+            ("ks-prefix", ref_key(pref)), lambda: ray.get(pref)
+        )
+        g = g.sort_values(["chunk_id", "value"], kind="mergesort")
+        base1 = g["chunk_id"].map(p1).to_numpy(np.int64)
+        base2 = g["chunk_id"].map(p2).to_numpy(np.int64)
+        cum1 = g.groupby("chunk_id", sort=False)["c1"].cumsum().to_numpy() + base1
+        cum2 = g.groupby("chunk_id", sort=False)["c2"].cumsum().to_numpy() + base2
+        d = np.abs(cum1 / n1f - cum2 / n2f)
+        per = (
+            pd.DataFrame({"chunk_id": g["chunk_id"].to_numpy(), "d": d})
+            .groupby("chunk_id", as_index=False)["d"]
+            .max()
+        )
+        return pa.table({"d": per["d"].to_numpy().astype(np.float64)})
+
+    per_chunk = (
+        tagged.map_batches(bucketed, batch_format="pandas")
+        .groupby("__ks_bkt")
+        .map_groups(chunk_max, batch_format="pandas")
+        .to_pandas()
+    )
+    ks_d = float(per_chunk["d"].max())
+    return pd.DataFrame({"ks_d": [ks_d], "n1": [n1], "n2": [n2]})

@@ -21,7 +21,9 @@ Both paths return a Dataset with identical rows (asserted in pytest).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -611,4 +613,101 @@ def conversion_lag(
         ds.map_batches(tag, batch_format="pandas")
         .groupby("__cl_bkt")
         .map_groups(lag, batch_format="pandas")
+    )
+
+
+def scd2_intervals(
+    ds: rd.Dataset,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 build (the lakehouse dimension
+    primitive): collapse each key's time-ordered attribute sequence
+    into validity intervals — one row per RUN of consecutive equal
+    attribute values, with ``valid_from`` (run's first timestamp),
+    ``valid_to`` (next run's ``valid_from``; null on the key's current
+    run — right-open intervals), and ``n_rows``.
+
+    Ordering is ``(ts, tiebreak)`` so timestamp ties are deterministic;
+    attribute equality follows SQL ``IS NOT DISTINCT FROM`` (null runs
+    merge).  ONE hash(key) exchange; the run detection / collapse is a
+    vectorized shift-compare + cumsum + pandas groupby per bucket."""
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[[key_col, attr_col, ts_col, tiebreak_col]].copy()
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+        out["__s2_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def collapse(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        key_np = g[key_col].to_numpy()
+        new_key = np.r_[True, key_np[1:] != key_np[:-1]]
+        a = g[attr_col]
+        ap = a.shift()
+        distinct = (a.ne(ap) & ~(a.isna() & ap.isna())).to_numpy()
+        run = np.cumsum(new_key | distinct)
+        agg = g.assign(__run=run).groupby("__run", sort=True).agg(
+            **{
+                key_col: (key_col, "first"),
+                attr_col: (attr_col, "first"),
+                "valid_from": (ts_col, "first"),
+                "n_rows": (ts_col, "size"),
+            }
+        )
+        same_key = agg[key_col].eq(agg[key_col].shift(-1))
+        agg["valid_to"] = pd.to_datetime(
+            agg["valid_from"].shift(-1).where(same_key)
+        )
+        agg["valid_from"] = pd.to_datetime(agg["valid_from"])
+        agg["n_rows"] = agg["n_rows"].astype("int64")
+        return pa.Table.from_pandas(
+            agg[
+                [key_col, attr_col, "valid_from", "valid_to", "n_rows"]
+            ].reset_index(drop=True),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__s2_bkt")
+        .map_groups(collapse, batch_format="pandas")
+    )
+
+
+def rolling_active(
+    ds: rd.Dataset,
+    ts_col: str,
+    key_col: str,
+    window_hours: int = 3,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Rolling distinct-key count per hourly window — for every hour
+    ``h`` touched by a window, the number of DISTINCT keys with an
+    event in ``(h - window_hours, h]``-style trailing windows (window
+    END hours are emitted for every event hour + the following
+    ``window_hours − 1`` hours).  SQL ``COUNT(DISTINCT ...) OVER`` is
+    unsupported by engines; the scale shape is the event→window
+    EXPLODE (bounded ×window_hours) followed by one exact
+    ``distinct_count_by_key`` — distinct pairs shrink map-side, the
+    exchange carries (window, key) pairs only."""
+    from .agg import distinct_count_by_key
+
+    k = int(window_hours)
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        hrs = b[ts_col].dt.floor("h").to_numpy()
+        win = np.repeat(hrs, k) + np.tile(
+            np.arange(k, dtype=np.int64), len(b)
+        ) * np.timedelta64(1, "h")
+        keys = np.repeat(b[key_col].to_numpy(), k)
+        return pa.table({"win_end": pa.array(win), key_col: pa.array(keys)})
+
+    ex = ds.map_batches(explode, batch_format="pandas")
+    return distinct_count_by_key(
+        ex, ["win_end"], key_col, out_col="n_active", num_buckets=num_buckets
     )

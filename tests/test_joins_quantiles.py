@@ -889,3 +889,61 @@ def test_audience_overlap_reference(ray_session):
         assert r["n_both"] == inter
         assert r["n_a"] == len(sets[a]) and r["n_b"] == len(sets[b])
         assert abs(r["jaccard"] - round(inter / len(sets[a] | sets[b]), 6)) < 1e-9
+
+
+def test_association_rules_brute_force(ray_session):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.relational import association_rules
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for b in range(60):
+        items = rng.choice(12, size=rng.integers(1, 6), replace=True)
+        rows += [(b, int(i)) for i in items]  # dup items within basket
+    df = pd.DataFrame(rows, columns=["basket", "item"])
+
+    out = (
+        association_rules(
+            rd.from_pandas(df).repartition(4), "basket", "item",
+            min_pair_count=2,
+        )
+        .to_pandas()
+        .sort_values(["antecedent", "consequent"])
+        .reset_index(drop=True)
+    )
+
+    # brute-force reference
+    baskets = df.drop_duplicates().groupby("basket")["item"].agg(set)
+    n = len(baskets)
+    supp = {}
+    pair = {}
+    for items in baskets:
+        for i in items:
+            supp[i] = supp.get(i, 0) + 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    exp = []
+    for (a, b), nab in sorted(pair.items()):
+        if nab < 2:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            exp.append(
+                (ant, con, nab, supp[ant], supp[con],
+                 nab / n, nab / supp[ant], nab * n / (supp[ant] * supp[con]))
+            )
+    ref = pd.DataFrame(
+        exp,
+        columns=["antecedent", "consequent", "n_both", "n_ant", "n_cons",
+                 "support", "confidence", "lift"],
+    ).sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+    assert len(out) == len(ref)
+    for c in ("n_both", "n_ant", "n_cons"):
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all()
+    for c in ("support", "confidence", "lift"):
+        np.testing.assert_allclose(out[c].to_numpy(), ref[c].to_numpy(),
+                                   rtol=1e-12)

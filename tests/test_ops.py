@@ -1675,3 +1675,41 @@ def test_mad_outliers_robust_to_wild_values(ray_session):
     assert len(flagged) <= 12
     # per-group stats attached and sane
     assert (out["mad"] > 0).all()
+
+
+def test_ks_test_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.stats import ks_test
+
+    rng = np.random.default_rng(17)
+    # quantized values force TIES within and across groups — the case
+    # where naive rank formulas break and per-value CDF evaluation wins
+    va = np.round(rng.normal(0.0, 1.0, 500), 1)
+    vb = np.round(rng.normal(0.4, 1.3, 300), 1)
+    df = pd.DataFrame(
+        {
+            "grp": ["a"] * len(va) + ["b"] * len(vb) + ["other", "other"],
+            "value": np.r_[va, vb, [99.0, -99.0]],  # other-group noise rows
+        }
+    )
+    out = ks_test(
+        rd.from_pandas(df.sample(frac=1, random_state=3)).repartition(5),
+        "grp", "value", "a", "b", n_chunks=7,
+    )
+    assert int(out.loc[0, "n1"]) == 500 and int(out.loc[0, "n2"]) == 300
+
+    # brute force: evaluate |F_a - F_b| at every distinct pooled value
+    pooled = np.unique(np.r_[va, vb])
+    fa = np.searchsorted(np.sort(va), pooled, side="right") / len(va)
+    fb = np.searchsorted(np.sort(vb), pooled, side="right") / len(vb)
+    expected = np.abs(fa - fb).max()
+    assert abs(float(out.loc[0, "ks_d"]) - expected) < 1e-12
+
+    # degenerate group -> explicit error, not a silent nan
+    import pytest
+
+    with pytest.raises(ValueError):
+        ks_test(rd.from_pandas(df), "grp", "value", "a", "missing")

@@ -1081,3 +1081,93 @@ def test_conversion_lag_censoring_and_order(ray_session):
     assert pd.isna(out.loc[2, "to_ts"])
     assert out.loc[3, "from_ts"] == T("2024-01-04")
     assert out.loc[3, "to_ts"] == T("2024-01-04")
+
+
+def test_scd2_intervals_runs_merge_and_censor(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import scd2_intervals
+
+    T = pd.Timestamp
+    ev = pd.DataFrame(
+        [
+            # u1: A A B A -> three runs; middle run 1 row
+            (1, "A", T("2024-01-01"), 10),
+            (1, "A", T("2024-01-02"), 11),
+            (1, "B", T("2024-01-03"), 12),
+            (1, "A", T("2024-01-04"), 13),
+            # u2: single run, ts tie broken by id (same attr anyway)
+            (2, "X", T("2024-01-01"), 21),
+            (2, "X", T("2024-01-01"), 20),
+            # u3: ts tie STRADDLING a run boundary — id order decides
+            (3, "P", T("2024-01-05"), 31),
+            (3, "Q", T("2024-01-05"), 32),
+        ],
+        columns=["user_id", "attr", "ts", "event_id"],
+    )
+    out = (
+        scd2_intervals(
+            rd.from_pandas(ev.sample(frac=1, random_state=7)).repartition(3),
+            "user_id", "attr", "ts", "event_id",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "valid_from", "attr"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out["user_id"] == 1].reset_index(drop=True)
+    assert list(u1["attr"]) == ["A", "B", "A"]
+    assert list(u1["n_rows"]) == [2, 1, 1]
+    assert u1.loc[0, "valid_to"] == T("2024-01-03")
+    assert u1.loc[1, "valid_to"] == T("2024-01-04")
+    assert pd.isna(u1.loc[2, "valid_to"])  # current run is right-open
+    u2 = out[out["user_id"] == 2].reset_index(drop=True)
+    assert len(u2) == 1 and u2.loc[0, "n_rows"] == 2
+    u3 = out[out["user_id"] == 3].sort_values("attr").reset_index(drop=True)
+    assert list(u3["attr"]) == ["P", "Q"]
+    # run boundary at identical ts: valid_to of P == valid_from of Q
+    assert u3.loc[0, "valid_to"] == u3.loc[1, "valid_from"]
+    assert int(out["n_rows"].sum()) == len(ev)
+    assert out["n_rows"].dtype == np.int64
+
+
+def test_rolling_active_matches_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import rolling_active
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ev = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 48 * 3600, n), unit="s"),
+            "user_id": rng.integers(0, 25, n),
+        }
+    )
+    out = (
+        rolling_active(rd.from_pandas(ev).repartition(4), "ts", "user_id",
+                       window_hours=3)
+        .to_pandas()
+        .sort_values("win_end")
+        .reset_index(drop=True)
+    )
+    # reference: explode each event hour into the 3 windows it feeds
+    h = ev["ts"].dt.floor("h")
+    ref = pd.concat(
+        [
+            pd.DataFrame({"win_end": h + pd.Timedelta(hours=k),
+                          "user_id": ev["user_id"]})
+            for k in range(3)
+        ]
+    ).drop_duplicates()
+    ref = (
+        ref.groupby("win_end").size().rename("n_active").reset_index()
+        .sort_values("win_end").reset_index(drop=True)
+    )
+    assert len(out) == len(ref)
+    assert (out["win_end"].to_numpy() == ref["win_end"].to_numpy()).all()
+    assert (out["n_active"].to_numpy() == ref["n_active"].to_numpy()).all()
