@@ -1361,6 +1361,44 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_html_extract(sf_dir: str):
+    """Web-document text extraction (stages/extract.py::extract_html):
+    documents wrapped in deterministic HTML (title/style/script chrome,
+    escaped body paragraph, doc_id-dependent link footer), then the
+    stdlib extractor recovers text/link/paragraph/block counts in one
+    streaming map — per-row error degradation, no exchange.  SQL
+    hash-exact because the oracle reconstructs the expected extraction
+    directly from the raw documents table."""
+    import html as _html
+
+    from table_annotation_ray.stages.extract import extract_html
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for i, t in zip(b["doc_id"], b["text"]):
+            k = 1 + int(i) % 3
+            links = " ".join(
+                f'<a href="https://ex.invalid/{i}/{j}">ref {j}</a>'
+                for j in range(k)
+            )
+            out.append(
+                f"<html><head><title>t{i}</title>"
+                f"<style>p{{color:red}}</style></head>"
+                f"<body><h1>Doc {i}</h1><p>{_html.escape(str(t))}</p>"
+                f"<p>{links}</p><script>var x = 1 < 2;</script>"
+                f"</body></html>"
+            )
+        return pd.DataFrame({"doc_id": b["doc_id"], "html": out})
+
+    wrapped = docs.map_batches(wrap, batch_format="pandas")
+    out = extract_html(wrapped).to_pandas()
+    assert bool(out["ok"].all())
+    out = out[["doc_id", "text", "n_links", "n_paragraphs", "n_blocks"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_value_ks_test(sf_dir: str):
     """Exact two-sample Kolmogorov–Smirnov drift test (stages/stats.py::
     ks_test): D = max |F_view − F_purchase| over event values — distinct-
@@ -4019,6 +4057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_rules": _q_basket_rules,
         "user_state_intervals": _q_user_state_intervals,
         "value_ks_test": _q_value_ks_test,
+        "html_extract": _q_html_extract,
         "rolling_active_users": _q_rolling_active_users,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -5421,6 +5460,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "html_extract": """
+            SELECT doc_id,
+                   'Doc ' || doc_id || chr(10) || text || chr(10)
+                     || 'ref 0'
+                     || CASE WHEN doc_id % 3 >= 1 THEN ' ref 1'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 >= 2 THEN ' ref 2'
+                             ELSE '' END AS text,
+                   1 + doc_id % 3 AS n_links,
+                   CAST(2 AS BIGINT) AS n_paragraphs,
+                   CAST(3 AS BIGINT) AS n_blocks
+            FROM documents ORDER BY doc_id
         """,
         "value_ks_test": """
             WITH x AS (

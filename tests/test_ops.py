@@ -1713,3 +1713,46 @@ def test_ks_test_matches_brute_force(ray_session):
 
     with pytest.raises(ValueError):
         ks_test(rd.from_pandas(df), "grp", "value", "a", "missing")
+
+
+def test_extract_html_entities_skip_and_boilerplate(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.extract import extract_html, extract_text
+
+    # unit-level: entities decode, script/style/title are dropped,
+    # anchors keep their TEXT, blocks join with \n
+    html = (
+        "<html><head><title>nope</title><style>x{}</style></head><body>"
+        "<h2>A &amp; B</h2><p>caf&eacute; &lt;tag&gt;</p>"
+        '<p><a href="/x">one</a> <a href="/y">two</a> glue</p>'
+        "<script>var nope = 1;</script></body></html>"
+    )
+    text, n_links, n_paras, n_blocks = extract_text(html)
+    assert text == "A & B\ncafé <tag>\none two glue"
+    assert (n_links, n_paras, n_blocks) == (2, 2, 3)
+
+    # link-density drop kills the nav block, keeps the prose block
+    nav = '<p><a href="/a">home</a> <a href="/b">about</a></p>'
+    prose = "<p>real content with a <a href='/c'>link</a> inside it</p>"
+    kept, _, _, nb = extract_text(
+        f"<body>{nav}{prose}</body>", drop_link_blocks=True
+    )
+    assert "real content" in kept and "home" not in kept and nb == 1
+
+    # dataset stage: malformed row degrades per-row, others survive
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "html": ["<p>fine</p>", None, "<p>also fine</p>"],
+        }
+    )
+    out = (
+        extract_html(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text"]) == ["fine", "", "also fine"]
+    assert list(out["n_blocks"]) == [1, 0, 1]
