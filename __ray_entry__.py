@@ -1361,6 +1361,34 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition signals (stages/textstats.py::
+    repetition_stats): top-bigram char mass + duplicated-5-gram span
+    coverage per document, map-only (zero exchanges).  Integer char
+    counts keep the oracle compare exact (no float rounding boundary).
+    SQL oracle rebuilds both via list-slice n-grams + window counts."""
+    from table_annotation_ray.stages.textstats import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = repetition_stats(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dup_ngram_audit(sf_dir: str):
+    """Cross-corpus exact-substring duplication audit (stages/dedup.py::
+    duplicate_ngram_coverage — Lee et al. 2021 ExactSubstr at token-
+    5-gram granularity): per doc, occurrences of corpus-duplicated
+    5-grams and the char mass their span union covers.  Grams travel as
+    strings bucketed by hash(gram)%64 (exact, collision-free); span
+    reassembly co-locates skinny hits with token-LENGTH lists by
+    hash(doc)%64 — two exchanges, no document text crosses either."""
+    from table_annotation_ray.stages.dedup import duplicate_ngram_coverage
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_ngram_coverage(docs, n=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_html_extract(sf_dir: str):
     """Web-document text extraction (stages/extract.py::extract_html):
     documents wrapped in deterministic HTML (title/style/script chrome,
@@ -4058,6 +4086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_state_intervals": _q_user_state_intervals,
         "value_ks_test": _q_value_ks_test,
         "html_extract": _q_html_extract,
+        "doc_repetition": _q_doc_repetition,
+        "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
         "semantic_dedup": _q_semantic_dedup,
         "doc_perplexity": _q_doc_perplexity,
@@ -5460,6 +5490,102 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS arr,
+                       length(replace(text, ' ', '')) AS total_chars
+                FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(arr)-1, 0)+1)) AS i, arr
+                FROM toks
+            ),
+            grams2 AS (
+                SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS gr FROM g2
+            ),
+            cnt2 AS (
+                SELECT doc_id, gr, count(*) AS c FROM grams2 GROUP BY 1, 2
+            ),
+            top2 AS (
+                SELECT doc_id, gr, c FROM (
+                    SELECT doc_id, gr, c, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, gr) AS rn
+                    FROM cnt2) WHERE rn = 1
+            ),
+            g5 AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(arr)-4, 0)+1)) AS i, arr
+                FROM toks
+            ),
+            grams5 AS (
+                SELECT doc_id, i, array_to_string(arr[i:i+4], ' ') AS gr
+                FROM g5
+            ),
+            dup AS (
+                SELECT doc_id, i FROM (
+                    SELECT doc_id, i, count(*) OVER (
+                        PARTITION BY doc_id, gr) AS c
+                    FROM grams5) WHERE c >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, unnest(range(i, i+5)) AS p FROM dup
+            ),
+            covc AS (
+                SELECT c.doc_id, cast(sum(length(t.arr[c.p])) AS bigint) AS dc
+                FROM cov c JOIN toks t USING (doc_id) GROUP BY 1
+            )
+            SELECT t.doc_id, len(t.arr) AS n_tokens,
+                   coalesce(p.gr, '') AS top_gram,
+                   coalesce(p.c, 0) AS top_count,
+                   coalesce(p.c * length(replace(p.gr, ' ', '')), 0)
+                     AS top_chars,
+                   coalesce(cc.dc, 0) AS dup_chars, t.total_chars
+            FROM toks t
+            LEFT JOIN top2 p USING (doc_id)
+            LEFT JOIN covc cc USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "dup_ngram_audit": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS arr,
+                       length(replace(text, ' ', '')) AS total_chars
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(arr)-4, 0)+1)) AS i, arr
+                FROM toks
+            ),
+            grams AS (
+                SELECT doc_id, i, array_to_string(arr[i:i+4], ' ') AS gr
+                FROM g
+            ),
+            dup AS (
+                SELECT doc_id, i FROM (
+                    SELECT doc_id, i, count(*) OVER (PARTITION BY gr) AS c
+                    FROM grams) WHERE c >= 2
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS dup_hits FROM dup GROUP BY 1
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, unnest(range(i, i+5)) AS p FROM dup
+            ),
+            covagg AS (
+                SELECT c.doc_id, count(*) AS covered_tokens,
+                       cast(sum(length(t.arr[c.p])) AS bigint) AS dup_chars
+                FROM cov c JOIN toks t USING (doc_id) GROUP BY 1
+            )
+            SELECT t.doc_id, len(t.arr) AS n_tokens, t.total_chars,
+                   coalesce(h.dup_hits, 0) AS dup_hits,
+                   coalesce(ca.covered_tokens, 0) AS covered_tokens,
+                   coalesce(ca.dup_chars, 0) AS dup_chars
+            FROM toks t
+            LEFT JOIN hits h USING (doc_id)
+            LEFT JOIN covagg ca USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "html_extract": """
             SELECT doc_id,

@@ -1766,3 +1766,178 @@ def line_dedup(
     return kept_rows.groupby("__db").map_groups(
         lambda g: reassemble(g), batch_format="pandas"
     )
+
+
+def duplicate_ngram_coverage(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Cross-corpus exact-substring duplication audit — the ExactSubstr
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") at token-n-gram granularity: for every
+    document, how many of its token ``n``-gram occurrences also occur
+    elsewhere in the corpus (>= ``min_count`` occurrences corpus-wide,
+    any document including itself), and how many token-characters those
+    duplicated spans cover (union of overlapping occurrences).
+
+    Returns one row per input doc: ``(id, n_tokens, total_chars,
+    dup_hits, covered_tokens, dup_chars)`` — all int64, SQL hash-exact.
+
+    Shapes (two skinny exchanges, no document text crosses either):
+
+    1. **Gram explode** (map-only, vectorized): Arrow whitespace
+       tokenization, gram strings built with
+       ``pc.binary_join_element_wise`` over shifted takes of the flat
+       token array — no per-row Python.  Grams travel as STRINGS
+       co-located by ``hash(gram) % num_buckets`` (exact semantics, the
+       decontam/line_dedup trade; a hash-only variant would admit
+       collision false-positives).
+    2. **Duplicate filter**: in-bucket pandas value_counts keeps
+       occurrences of grams with corpus-wide count >= min_count,
+       emitting skinny ``(doc, pos)`` hits.
+    3. **Span reassembly**: hits union one row per doc carrying its
+       token-length list (list<int64> — lengths only, never text),
+       co-located by ``hash(doc) % num_buckets``; per doc the covered
+       position set is the union of ``[pos, pos+n)`` intervals.
+
+    Beyond-reference operator (training-data curation; no counterpart
+    in Orange-OpenSource/Table-Annotation).
+    """
+    import pyarrow.compute as pc
+
+    from .textstats import _ws_tokens
+
+    nb = np.uint64(num_buckets)
+
+    def _hits_table(ids, pos, db) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "__pos": pa.array(pos, pa.int64()),
+                "__db": pa.array(db, pa.int64()),
+                "__side": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "__lens": pa.nulls(len(ids), pa.list_(pa.int64())),
+            }
+        )
+
+    def explode_grams(b: pd.DataFrame) -> pa.Table:
+        toks, nt = _ws_tokens(b[text_col])
+        flat = toks.flatten().combine_chunks() if isinstance(
+            toks, pa.ChunkedArray
+        ) else toks.flatten()
+        off = (
+            toks.offsets.to_numpy()
+            if not isinstance(toks, pa.ChunkedArray)
+            else toks.combine_chunks().offsets.to_numpy()
+        )
+        # per-doc gram counts and global start indices into `flat`
+        g_per_doc = np.maximum(nt - n + 1, 0)
+        total = int(g_per_doc.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "__pos": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "__gb": pa.array([], pa.int64()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(b)), g_per_doc)
+        # position within doc: global arange minus each doc's first slot
+        first = np.r_[0, np.cumsum(g_per_doc)][:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(first, g_per_doc)
+        starts = off[:-1][doc_idx] + pos
+        parts = [flat.take(pa.array(starts + k)) for k in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        gb = (
+            pd.util.hash_pandas_object(
+                pd.Series(grams.to_numpy(zero_copy_only=False)), index=False
+            ).to_numpy()
+            % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    b[id_col].to_numpy(dtype=np.int64)[doc_idx], pa.int64()
+                ),
+                "__pos": pa.array(pos, pa.int64()),
+                "gram": grams,
+                "__gb": pa.array(gb, pa.int64()),
+            }
+        )
+
+    def keep_duplicated(g: pd.DataFrame) -> pa.Table:
+        cnt = g["gram"].value_counts()
+        dup = g[g["gram"].isin(cnt.index[cnt >= min_count])]
+        ids = dup[id_col].to_numpy(dtype=np.int64)
+        db = (
+            pd.util.hash_pandas_object(dup[id_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return _hits_table(ids, dup["__pos"].to_numpy(dtype=np.int64), db)
+
+    def doc_lens(b: pd.DataFrame) -> pa.Table:
+        toks, _ = _ws_tokens(b[text_col])
+        t = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = pc.utf8_length(t.flatten()).cast(pa.int64())
+        lens_list = pa.ListArray.from_arrays(t.offsets, lens)
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        db = (
+            pd.util.hash_pandas_object(b[id_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "__pos": pa.array(np.full(len(b), -1, np.int64), pa.int64()),
+                "__db": pa.array(db, pa.int64()),
+                "__side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                "__lens": lens_list,
+            }
+        )
+
+    def per_doc(g: pd.DataFrame) -> pa.Table:
+        base = g[g["__side"] == 1]
+        hits = g[g["__side"] == 0]
+        hit_pos = {
+            did: grp["__pos"].to_numpy(dtype=np.int64)
+            for did, grp in hits.groupby(id_col, sort=False)
+        }
+        ids, ntok, tchars, nhits, ctok, dchars = [], [], [], [], [], []
+        for did, lens in zip(base[id_col], base["__lens"]):
+            lens = np.asarray(lens, dtype=np.int64)
+            t = len(lens)
+            ids.append(int(did))
+            ntok.append(t)
+            tchars.append(int(lens.sum()))
+            ps = hit_pos.get(did)
+            if ps is None or t == 0:
+                nhits.append(0)
+                ctok.append(0)
+                dchars.append(0)
+                continue
+            covered = np.zeros(t, dtype=bool)
+            for p in ps:
+                covered[p : p + n] = True
+            nhits.append(int(len(ps)))
+            ctok.append(int(covered.sum()))
+            dchars.append(int(lens[covered].sum()))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "total_chars": pa.array(tchars, pa.int64()),
+                "dup_hits": pa.array(nhits, pa.int64()),
+                "covered_tokens": pa.array(ctok, pa.int64()),
+                "dup_chars": pa.array(dchars, pa.int64()),
+            }
+        )
+
+    grams = docs.map_batches(explode_grams, batch_format="pandas")
+    hits = grams.groupby("__gb").map_groups(
+        keep_duplicated, batch_format="pandas"
+    )
+    tagged = hits.union(docs.map_batches(doc_lens, batch_format="pandas"))
+    return tagged.groupby("__db").map_groups(per_doc, batch_format="pandas")

@@ -600,3 +600,84 @@ def compression_stats(
             "ratio": np.round(ratio, 6),
         }
     )
+
+
+def repetition_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+):
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    appendix A1.1): the character mass of the single most frequent
+    ``top_n``-gram, and the character mass covered by ``dup_n``-grams
+    that occur >= 2 times inside the SAME document.  These are the
+    repetition quality rules the length/punctuation heuristics in
+    :func:`quality_scores` can't see (templated spam repeats n-grams at
+    normal length/punct ratios).
+
+    Emits INTEGER char counts, not fractions — ratios of ints can land
+    on a rounding boundary at the oracle's 6-dp compare, counts can't;
+    callers divide by ``total_chars`` themselves.  Tokens are the
+    whitespace split; char mass counts token characters only (joining
+    spaces excluded).  The top gram tie-breaks to the lexicographically
+    smallest; docs shorter than the gram order emit ''/zeros.
+
+    Map-only — zero exchanges; the per-document scan is sequential by
+    nature (like HTML parse / image decode), the batch dimension is the
+    parallelism.  Beyond-reference operator (training-data curation;
+    no counterpart in Orange-OpenSource/Table-Annotation).
+    """
+    from collections import Counter
+
+    def run(b: pd.DataFrame) -> pa.Table:
+        n_rows = len(b)
+        n_tokens = np.zeros(n_rows, np.int64)
+        total_chars = np.zeros(n_rows, np.int64)
+        top_gram = np.full(n_rows, "", dtype=object)
+        top_count = np.zeros(n_rows, np.int64)
+        top_chars = np.zeros(n_rows, np.int64)
+        dup_chars = np.zeros(n_rows, np.int64)
+        for r, text in enumerate(b[text_col].fillna("")):
+            toks = text.split()
+            t = len(toks)
+            n_tokens[r] = t
+            lens = np.fromiter((len(x) for x in toks), np.int64, t)
+            total_chars[r] = lens.sum()
+            if t >= top_n:
+                cnt = Counter(
+                    " ".join(toks[i : i + top_n]) for i in range(t - top_n + 1)
+                )
+                g, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                top_gram[r] = g
+                top_count[r] = c
+                # tokens carry no spaces, so gram char mass = len - joins
+                top_chars[r] = c * (len(g) - (top_n - 1))
+            if t >= dup_n:
+                grams = [
+                    " ".join(toks[i : i + dup_n]) for i in range(t - dup_n + 1)
+                ]
+                cnt5 = Counter(grams)
+                covered = np.zeros(t, dtype=bool)
+                for i, g5 in enumerate(grams):
+                    if cnt5[g5] >= 2:
+                        covered[i : i + dup_n] = True
+                dup_chars[r] = lens[covered].sum()
+        try:  # empty-batch type anchor (r4 rule)
+            id_t = pa.from_numpy_dtype(b[id_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            id_t = pa.string()
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(), id_t),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "top_gram": pa.array(top_gram, pa.string()),
+                "top_count": pa.array(top_count, pa.int64()),
+                "top_chars": pa.array(top_chars, pa.int64()),
+                "dup_chars": pa.array(dup_chars, pa.int64()),
+                "total_chars": pa.array(total_chars, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(run, batch_format="pandas")

@@ -1756,3 +1756,76 @@ def test_extract_html_entities_skip_and_boilerplate(ray_session):
     )
     assert list(out["text"]) == ["fine", "", "also fine"]
     assert list(out["n_blocks"]) == [1, 0, 1]
+
+
+def test_repetition_stats_gopher_signals(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.textstats import repetition_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                # top bigram "b c" x2 (ties "a b" broken lexicographically
+                # -> "a b" also x2, smallest wins); no dup 5-gram
+                "a b c a b c d",
+                # dup 5-gram "x y z w v" occurs twice, overlapping tail
+                "x y z w v x y z w v",
+                "one two",  # shorter than dup_n
+                "",  # empty
+            ],
+        }
+    )
+    out = (
+        repetition_stats(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    r1 = out.iloc[0]
+    assert r1["top_gram"] == "a b" and r1["top_count"] == 2
+    assert r1["top_chars"] == 2 * 2 and r1["dup_chars"] == 0
+    assert r1["n_tokens"] == 7 and r1["total_chars"] == 7
+    r2 = out.iloc[1]
+    # both occurrences of the repeated 5-gram cover all 10 tokens
+    assert r2["dup_chars"] == 10 and r2["top_count"] == 2
+    r3, r4 = out.iloc[2], out.iloc[3]
+    assert r3["dup_chars"] == 0 and r3["top_gram"] == "one two"
+    assert r4["n_tokens"] == 0 and r4["top_gram"] == "" and r4["total_chars"] == 0
+
+
+def test_duplicate_ngram_coverage_cross_doc_spans(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import duplicate_ngram_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens -> 3 5-grams
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"u1 u2 {shared} u3 u4",  # shared span mid-doc
+                f"{shared} v1 v2 v3 v4 v5",  # shared span at head
+                "w1 w2 w3 w4 w5 w6 w7 w8",  # unique -> zeros
+                "r r r r r r",  # within-doc repeat counts too (corpus-wide >= 2)
+            ],
+        }
+    )
+    out = (
+        duplicate_ngram_coverage(rd.from_pandas(df).repartition(3), n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    # docs 1+2: the 3 shared 5-grams hit, covering exactly the 7 shared tokens
+    shared_chars = len(shared.replace(" ", ""))
+    for r in (out.iloc[0], out.iloc[1]):
+        assert r["dup_hits"] == 3 and r["covered_tokens"] == 7
+        assert r["dup_chars"] == shared_chars
+    assert out.iloc[2]["dup_hits"] == 0 and out.iloc[2]["dup_chars"] == 0
+    r4 = out.iloc[3]  # "r"x6 -> 2 identical 5-grams, all 6 tokens covered
+    assert r4["dup_hits"] == 2 and r4["covered_tokens"] == 6 and r4["dup_chars"] == 6
