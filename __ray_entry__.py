@@ -1363,14 +1363,14 @@ def _q_rolling_active_users(sf_dir: str):
 
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style within-doc repetition signals (stages/textstats.py::
-    repetition_stats): top-bigram char mass + duplicated-5-gram span
+    ngram_repetition_stats): top-bigram char mass + duplicated-5-gram span
     coverage per document, map-only (zero exchanges).  Integer char
     counts keep the oracle compare exact (no float rounding boundary).
     SQL oracle rebuilds both via list-slice n-grams + window counts."""
-    from table_annotation_ray.stages.textstats import repetition_stats
+    from table_annotation_ray.stages.textstats import ngram_repetition_stats
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = repetition_stats(docs).to_pandas()
+    out = ngram_repetition_stats(docs).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -602,7 +602,7 @@ def compression_stats(
     )
 
 
-def repetition_stats(
+def ngram_repetition_stats(
     docs,
     id_col: str = "doc_id",
     text_col: str = "text",

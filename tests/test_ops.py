@@ -1762,7 +1762,7 @@ def test_repetition_stats_gopher_signals(ray_session):
     import pandas as pd
     import ray.data as rd
 
-    from table_annotation_ray.stages.textstats import repetition_stats
+    from table_annotation_ray.stages.textstats import ngram_repetition_stats
 
     df = pd.DataFrame(
         {
@@ -1779,7 +1779,7 @@ def test_repetition_stats_gopher_signals(ray_session):
         }
     )
     out = (
-        repetition_stats(rd.from_pandas(df).repartition(2))
+        ngram_repetition_stats(rd.from_pandas(df).repartition(2))
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
