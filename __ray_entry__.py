@@ -1361,6 +1361,20 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_value_acf(sf_dir: str):
+    """Per-user autocorrelation of event values at lags 1–3
+    (stages/windows.py::acf_by_key): Pearson corr between each user's
+    ts-ordered value series and its lag-L shift — SQL corr(v, LAG(v, L))
+    per user.  One hash(user)%64 exchange; in-bucket stable sort + a
+    single vectorized groupby-sum of pair moments per lag.  (user, ts)
+    is unique in events, so the lag order is total."""
+    from table_annotation_ray.stages.windows import acf_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = acf_by_key(ev, "user_id", ["ts"], "value", lags=(1, 2, 3)).to_pandas()
+    return out.sort_values(["user_id", "lag"]).reset_index(drop=True)
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style within-doc repetition signals (stages/textstats.py::
     ngram_repetition_stats): top-bigram char mass + duplicated-5-gram span
@@ -4087,6 +4101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ks_test": _q_value_ks_test,
         "html_extract": _q_html_extract,
         "doc_repetition": _q_doc_repetition,
+        "value_acf": _q_value_acf,
         "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
         "semantic_dedup": _q_semantic_dedup,
@@ -5490,6 +5505,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "value_acf": """
+            SELECT user_id, 1 AS lag, count(*) AS n_pairs,
+                   round(corr(v, pv), 6) AS acf
+            FROM (SELECT user_id, value AS v, lag(value, 1) OVER (
+                      PARTITION BY user_id ORDER BY ts) AS pv FROM events)
+            WHERE pv IS NOT NULL GROUP BY user_id
+            UNION ALL
+            SELECT user_id, 2 AS lag, count(*) AS n_pairs,
+                   round(corr(v, pv), 6) AS acf
+            FROM (SELECT user_id, value AS v, lag(value, 2) OVER (
+                      PARTITION BY user_id ORDER BY ts) AS pv FROM events)
+            WHERE pv IS NOT NULL GROUP BY user_id
+            UNION ALL
+            SELECT user_id, 3 AS lag, count(*) AS n_pairs,
+                   round(corr(v, pv), 6) AS acf
+            FROM (SELECT user_id, value AS v, lag(value, 3) OVER (
+                      PARTITION BY user_id ORDER BY ts) AS pv FROM events)
+            WHERE pv IS NOT NULL GROUP BY user_id
+            ORDER BY user_id, lag
         """,
         "doc_repetition": """
             WITH toks AS (

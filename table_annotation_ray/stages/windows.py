@@ -711,3 +711,100 @@ def rolling_active(
     return distinct_count_by_key(
         ex, ["win_end"], key_col, out_col="n_active", num_buckets=num_buckets
     )
+
+
+def acf_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key autocorrelation function at the given ``lags`` — the
+    time-series seasonality/momentum signal: Pearson correlation between
+    each key's ordered value series and its lag-L shift, exactly
+    ``corr(value, LAG(value, L) OVER (PARTITION BY key ORDER BY ...))``
+    per key in SQL.
+
+    Output one row per (key, lag) with at least one pair: ``(key, lag,
+    n_pairs, acf)``; ``acf`` is NULL when either side of the pair series
+    is constant (SQL corr semantics — 0/0), rounded half-away to 6 dp so
+    the DuckDB oracle hash-compares.
+
+    Same exchange shape as :func:`lag_by_key`: ONE ``hash(key) %
+    num_buckets`` co-location, then an in-bucket stable sort and a
+    vectorized pandas groupby-shift per lag — no per-row Python, no
+    per-key Ray groups.  ``order_cols`` must totally order each key.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+    lags = tuple(int(x) for x in lags)
+    if not lags or min(lags) < 1:
+        raise ValueError("lags must be positive integers")
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        keep = [key_col, *order_cols, val_col]
+        b = b[keep].copy()
+        b["__acf_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def corr_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__acf_bkt")
+            .sort_values([key_col] + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        gb = g.groupby(key_col, sort=False)
+        keys_out, lag_out, n_out, acf_out = [], [], [], []
+        v = g[val_col].to_numpy(dtype=np.float64)
+        for lag in lags:
+            pv = gb[val_col].shift(lag).to_numpy(dtype=np.float64)
+            ok = ~np.isnan(pv)
+            x, y = v[ok], pv[ok]
+            kf = pd.DataFrame(
+                {"k": g[key_col].to_numpy()[ok], "n": 1, "sx": x, "sy": y,
+                 "sxx": x * x, "syy": y * y, "sxy": x * y}
+            )
+            agg = kf.groupby("k", sort=True).sum()  # one vectorized C pass
+            n = agg["n"].to_numpy(dtype=np.float64)
+            cov = agg["sxy"].to_numpy() - agg["sx"].to_numpy() * agg["sy"].to_numpy() / n
+            vx = agg["sxx"].to_numpy() - agg["sx"].to_numpy() ** 2 / n
+            vy = agg["syy"].to_numpy() - agg["sy"].to_numpy() ** 2 / n
+            denom = np.sqrt(vx * vy)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0), np.nan)
+            # round half-away (oracle convention — never pandas half-even)
+            r = np.where(
+                np.isnan(r), np.nan, np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6
+            )
+            keys_out.append(agg.index.to_numpy())
+            lag_out.append(np.full(len(agg), lag, np.int64))
+            n_out.append(agg["n"].to_numpy(dtype=np.int64))
+            acf_out.append(r)
+        keys_np = np.concatenate(keys_out) if keys_out else np.empty(0, object)
+        try:
+            kt = pa.from_numpy_dtype(g[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(keys_np, kt),
+                "lag": pa.array(np.concatenate(lag_out) if lag_out else
+                                np.empty(0, np.int64), pa.int64()),
+                "n_pairs": pa.array(np.concatenate(n_out) if n_out else
+                                    np.empty(0, np.int64), pa.int64()),
+                "acf": pa.array(np.concatenate(acf_out) if acf_out else
+                                np.empty(0, np.float64), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__acf_bkt")
+        .map_groups(corr_bucket, batch_format="pandas")
+    )

@@ -1829,3 +1829,49 @@ def test_duplicate_ngram_coverage_cross_doc_spans(ray_session):
     assert out.iloc[2]["dup_hits"] == 0 and out.iloc[2]["dup_chars"] == 0
     r4 = out.iloc[3]  # "r"x6 -> 2 identical 5-grams, all 6 tokens covered
     assert r4["dup_hits"] == 2 and r4["covered_tokens"] == 6 and r4["dup_chars"] == 6
+
+
+def test_acf_by_key_matches_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import acf_by_key
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for k in range(6):
+        n = int(rng.integers(5, 30))
+        v = rng.normal(size=n).cumsum()  # random walk -> strong lag-1 ACF
+        for i in range(n):
+            rows.append((k, i, float(v[i])))
+    rows.append((99, 0, 5.0))  # single-point key: no pairs at any lag
+    rows.append((98, 0, 2.0))  # constant pair series -> NULL acf
+    rows.append((98, 1, 2.0))
+    rows.append((98, 2, 2.0))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+
+    out = (
+        acf_by_key(rd.from_pandas(df).repartition(4), "k", ["t"], "v", lags=(1, 2))
+        .to_pandas()
+        .sort_values(["k", "lag"])
+        .reset_index(drop=True)
+    )
+
+    # single-point key emits nothing; constant key emits NaN acf
+    assert 99 not in set(out["k"])
+    const = out[out["k"] == 98]
+    assert list(const["n_pairs"]) == [2, 1] and const["acf"].isna().all()
+
+    # reference: plain per-key numpy corrcoef
+    for k in range(6):
+        g = df[df["k"] == k].sort_values("t")["v"].to_numpy()
+        for lag in (1, 2):
+            got = out[(out["k"] == k) & (out["lag"] == lag)]
+            x, y = g[lag:], g[:-lag]
+            assert int(got["n_pairs"].iloc[0]) == len(x)
+            ref = float(np.corrcoef(x, y)[0, 1])
+            assert abs(float(got["acf"].iloc[0]) - ref) < 2e-6
+
+    with pytest.raises(ValueError):
+        acf_by_key(rd.from_pandas(df), "k", ["t"], "v", lags=(0,))
