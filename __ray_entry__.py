@@ -1361,6 +1361,60 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) clustering layout audit (stages/datapipe.py::
+    zorder_key + global_rank): events quantized to (user_id mod 1024,
+    epoch-hour mod 1024), bit-interleaved into a Morton key, range-
+    partitioned into 500-row files by global rank, then each file's
+    2-D bounding box reported — the Delta/Iceberg OPTIMIZE ZORDER
+    shape whose per-file min/max stats prune two-dimensional range
+    scans at 100 TB.  One range-partition exchange (TeraSort shape);
+    the final 20-key box aggregate is a trivial groupby."""
+    from table_annotation_ray.stages.datapipe import global_rank, zorder_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        hr = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "uid": b["user_id"].to_numpy() % 1024,
+                "hr": hr % 1024,
+            }
+        )
+
+    z = zorder_key(ev.map_batches(quantize, batch_format="pandas"), "uid", "hr")
+    r = global_rank(z, ["zkey"], "event_id", out_col="position")
+
+    def to_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "part": b["position"].to_numpy() // 500,
+                "uid": b["uid"],
+                "hr": b["hr"],
+            }
+        )
+
+    import ray.data.aggregate as agg_mod
+
+    boxes = (
+        r.map_batches(to_part, batch_format="pandas")
+        .groupby("part")
+        .aggregate(
+            agg_mod.Count(alias_name="n_rows"),
+            agg_mod.Min("uid", alias_name="min_uid"),
+            agg_mod.Max("uid", alias_name="max_uid"),
+            agg_mod.Min("hr", alias_name="min_hr"),
+            agg_mod.Max("hr", alias_name="max_hr"),
+        )
+        .to_pandas()
+    )
+    for c in boxes.columns:
+        boxes[c] = boxes[c].astype("int64")
+    return boxes.sort_values("part").reset_index(drop=True)
+
+
 def _q_value_acf(sf_dir: str):
     """Per-user autocorrelation of event values at lags 1–3
     (stages/windows.py::acf_by_key): Pearson corr between each user's
@@ -4101,6 +4155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ks_test": _q_value_ks_test,
         "html_extract": _q_html_extract,
         "doc_repetition": _q_doc_repetition,
+        "zorder_layout": _q_zorder_layout,
         "value_acf": _q_value_acf,
         "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
@@ -5505,6 +5560,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "zorder_layout": """
+            WITH q AS (
+                SELECT event_id, user_id % 1024 AS uid,
+                       (CAST(epoch(ts) AS BIGINT) // 3600) % 1024 AS hr
+                FROM events
+            ),
+            z AS (SELECT event_id, uid, hr,
+                         (((uid >> 0) & 1) << 0) + (((hr >> 0) & 1) << 1) + (((uid >> 1) & 1) << 2) + (((hr >> 1) & 1) << 3) + (((uid >> 2) & 1) << 4) + (((hr >> 2) & 1) << 5) + (((uid >> 3) & 1) << 6) + (((hr >> 3) & 1) << 7) + (((uid >> 4) & 1) << 8) + (((hr >> 4) & 1) << 9) + (((uid >> 5) & 1) << 10) + (((hr >> 5) & 1) << 11) + (((uid >> 6) & 1) << 12) + (((hr >> 6) & 1) << 13) + (((uid >> 7) & 1) << 14) + (((hr >> 7) & 1) << 15) + (((uid >> 8) & 1) << 16) + (((hr >> 8) & 1) << 17) + (((uid >> 9) & 1) << 18) + (((hr >> 9) & 1) << 19) AS zkey
+                  FROM q),
+            r AS (SELECT uid, hr, row_number() OVER (
+                      ORDER BY zkey, event_id) - 1 AS rn FROM z)
+            SELECT rn // 500 AS part, count(*) AS n_rows,
+                   min(uid) AS min_uid, max(uid) AS max_uid,
+                   min(hr) AS min_hr, max(hr) AS max_hr
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         "value_acf": """
             SELECT user_id, 1 AS lag, count(*) AS n_pairs,

@@ -1161,3 +1161,45 @@ def conversation_windows(
         .groupby("__cw_bkt")
         .map_groups(windows, batch_format="pandas")
     )
+
+
+def zorder_key(
+    ds,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    out_col: str = "zkey",
+):
+    """Morton / z-order interleave of two quantized dimensions — the
+    multi-dimensional clustering key behind Delta/Iceberg ``OPTIMIZE
+    ZORDER``: range-partitioning 100 TB by ``zkey`` (via
+    :func:`global_rank` or ``ds.sort``) gives every output partition a
+    tight bounding BOX in both dimensions at once, so per-file min/max
+    column stats prune 2-D range scans that a single-column sort order
+    can't (a one-dim sort makes the other dimension's min/max span the
+    whole domain in every file).
+
+    Inputs must already be integers quantized to ``[0, 2**bits)``; they
+    are mask-wrapped defensively (``% 2**bits``).  Map-only, vectorized
+    (one numpy pass per bit plane, ``bits`` iterations over the whole
+    batch — never per row); the exchange, if any, belongs to the sort
+    that consumes the key.  Bit layout: x occupies even bits, y odd —
+    reproducible in ANSI SQL as a sum of shift/mask terms, so the
+    layout query is oracle hash-exact.
+    """
+    import pyarrow as pa
+
+    mask = (1 << bits) - 1
+
+    def add(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        x = b[x_col].to_numpy(dtype=np.int64) & mask
+        y = b[y_col].to_numpy(dtype=np.int64) & mask
+        z = np.zeros(len(b), dtype=np.int64)
+        for k in range(bits):
+            z |= ((x >> k) & 1) << (2 * k)
+            z |= ((y >> k) & 1) << (2 * k + 1)
+        b[out_col] = z
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    return ds.map_batches(add, batch_format="pandas")

@@ -1875,3 +1875,46 @@ def test_acf_by_key_matches_reference(ray_session):
 
     with pytest.raises(ValueError):
         acf_by_key(rd.from_pandas(df), "k", ["t"], "v", lags=(0,))
+
+
+def test_zorder_key_interleave_and_locality(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.datapipe import zorder_key
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "x": rng.integers(0, 1024, 4000),
+            "y": rng.integers(0, 1024, 4000),
+        }
+    )
+    out = zorder_key(rd.from_pandas(df).repartition(3), "x", "y").to_pandas()
+
+    def ref(x, y):
+        z = 0
+        for k in range(10):
+            z |= ((int(x) >> k) & 1) << (2 * k)
+            z |= ((int(y) >> k) & 1) << (2 * k + 1)
+        return z
+
+    want = np.fromiter((ref(a, b) for a, b in zip(out["x"], out["y"])), np.int64)
+    assert (out["zkey"].to_numpy() == want).all()
+
+    # locality: consecutive zkey-sorted chunks have bounding boxes far
+    # smaller than the domain in BOTH dims (the point of z-order; an
+    # x-sort would leave y spanning ~the whole domain in every chunk)
+    s = out.sort_values("zkey").reset_index(drop=True)
+    spans_x, spans_y = [], []
+    for i in range(0, len(s) - 200, 200):
+        c = s.iloc[i : i + 200]
+        spans_x.append(int(c["x"].max() - c["x"].min()))
+        spans_y.append(int(c["y"].max() - c["y"].min()))
+    assert np.mean(spans_x) < 600 and np.mean(spans_y) < 600
+
+    # mask wrap: out-of-range inputs don't crash or exceed 2*bits bits
+    big = pd.DataFrame({"x": [5000], "y": [-3]})
+    z = zorder_key(rd.from_pandas(big), "x", "y").to_pandas()["zkey"].iloc[0]
+    assert 0 <= z < (1 << 20)
