@@ -1361,6 +1361,25 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_negative_samples(sf_dir: str):
+    """Deterministic contrastive negative sampling (stages/datapipe.py::
+    ring_negative_samples): each doc gets its first 2 different-lang
+    neighbours among the next 8 positions on the md5 ring.  Scale shape
+    is a HALO exchange (each row ships at most twice) resolving anchors
+    locally with searchsorted ring probes — the SQL oracle instead pays
+    the O(N*lookahead) range self-join, which is exactly why the
+    distributed shape exists."""
+    from table_annotation_ray.stages.datapipe import ring_negative_samples
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = ring_negative_samples(docs, "doc_id", "lang", k=2, lookahead=8)
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "neg_rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_zorder_layout(sf_dir: str):
     """Z-order (Morton) clustering layout audit (stages/datapipe.py::
     zorder_key + global_rank): events quantized to (user_id mod 1024,
@@ -4156,6 +4175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": _q_html_extract,
         "doc_repetition": _q_doc_repetition,
         "zorder_layout": _q_zorder_layout,
+        "negative_samples": _q_negative_samples,
         "value_acf": _q_value_acf,
         "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
@@ -5560,6 +5580,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "negative_samples": """
+            WITH r AS (
+                SELECT doc_id, lang, row_number() OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) - 1 AS p,
+                       count(*) OVER () AS n
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id, b.doc_id AS neg_id,
+                       ((b.p - a.p + a.n) % a.n) AS d
+                FROM r a JOIN r b
+                  ON ((b.p - a.p + a.n) % a.n) BETWEEN 1 AND 8
+                 AND b.lang <> a.lang
+            ),
+            ranked AS (
+                SELECT doc_id, neg_id, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY d) AS neg_rank
+                FROM pairs
+            )
+            SELECT doc_id, neg_rank, neg_id FROM ranked
+            WHERE neg_rank <= 2 ORDER BY doc_id, neg_rank
         """,
         "zorder_layout": """
             WITH q AS (

@@ -1203,3 +1203,145 @@ def zorder_key(
         return pa.Table.from_pandas(b, preserve_index=False)
 
     return ds.map_batches(add, batch_format="pandas")
+
+
+def ring_negative_samples(
+    ds,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    k: int = 2,
+    lookahead: int = 8,
+    num_buckets: int = 64,
+):
+    """Deterministic negative sampling for contrastive training: every
+    row gets up to ``k`` negatives (rows from a DIFFERENT ``group_col``
+    value), picked as the first k different-group rows among the next
+    ``lookahead`` positions on a pseudo-random RING.
+
+    The ring order is ``md5(str(id))`` (tie-break id) — reproducible in
+    ANSI SQL (``ORDER BY md5(CAST(id AS VARCHAR)), id``), so the oracle
+    hash-compares exactly; md5 scatters groups uniformly, so a
+    different-group row is almost always within a few hops.  Rows whose
+    next ``lookahead`` hops are all same-group get fewer than k
+    negatives (deterministically, on both sides).
+
+    Scale shape — a HALO exchange, not a self-join: after one
+    :func:`global_rank` range partition assigns ring positions, each
+    row is shipped to its own position-bucket plus (if it sits within
+    ``lookahead`` of a bucket start) to the PREVIOUS bucket as a
+    read-only halo candidate; buckets then resolve every anchor locally
+    with vectorized searchsorted probes over the ``lookahead`` ring
+    offsets.  Each row crosses the wire at most twice, vs the O(N*L)
+    pair blow-up of the naive range self-join the SQL oracle runs.
+
+    Returns ``(id, neg_rank 1..k, neg_id)``.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    if k < 1 or lookahead < k:
+        raise ValueError("need k >= 1 and lookahead >= k")
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, group_col]].copy()
+        b["__h"] = [
+            hashlib.md5(str(v).encode()).hexdigest() for v in b[id_col]
+        ]
+        return b
+
+    ranked = global_rank(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        ["__h"],
+        id_col,
+        out_col="__p",
+    ).materialize()
+    n = ranked.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "neg_rank": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    # bucket width must exceed the halo so a lookahead spans <= 2 buckets
+    bw = max(-(-n // num_buckets), lookahead + 1)
+    nb_eff = -(-n // bw)
+
+    def emit(b: pd.DataFrame) -> pa.Table:
+        p = b["__p"].to_numpy(dtype=np.int64)
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        grp = b[group_col].to_numpy(dtype=object)
+        own = p // bw
+        halo_mask = (p % bw) < lookahead
+        rb = np.concatenate([own, (own[halo_mask] - 1) % nb_eff])
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([ids, ids[halo_mask]]), pa.int64()),
+                "__g": pa.array(np.concatenate([grp, grp[halo_mask]]), pa.string()),
+                "__p": pa.array(np.concatenate([p, p[halo_mask]]), pa.int64()),
+                "__anchor": pa.array(
+                    np.concatenate(
+                        [np.ones(len(p), np.int64),
+                         np.zeros(int(halo_mask.sum()), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "__rb": pa.array(rb, pa.int64()),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        cand = g.drop_duplicates("__p").sort_values("__p")
+        cpos = cand["__p"].to_numpy(dtype=np.int64)
+        cid = cand[id_col].to_numpy(dtype=np.int64)
+        cgrp = cand["__g"].to_numpy(dtype=object)
+        a = g[g["__anchor"] == 1]
+        ap = a["__p"].to_numpy(dtype=np.int64)
+        aid = a[id_col].to_numpy(dtype=np.int64)
+        agrp = a["__g"].to_numpy(dtype=object)
+        out_id, out_rank, out_neg = [], [], []
+        taken = np.zeros(len(ap), dtype=np.int64)
+        for d in range(1, lookahead + 1):
+            want = (ap + d) % n
+            j = np.searchsorted(cpos, want)
+            ok = (j < len(cpos)) & (cpos[np.minimum(j, len(cpos) - 1)] == want)
+            hit = ok & (taken < k)
+            if not hit.any():
+                continue
+            jj = j[hit]
+            diff = cgrp[jj] != agrp[hit]
+            sel = np.zeros(len(ap), dtype=bool)
+            sel[np.flatnonzero(hit)[diff]] = True
+            if sel.any():
+                taken[sel] += 1
+                out_id.append(aid[sel])
+                out_rank.append(taken[sel].copy())
+                out_neg.append(cid[j[sel]])
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate(out_id) if out_id else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "neg_rank": pa.array(
+                    np.concatenate(out_rank) if out_rank else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "neg_id": pa.array(
+                    np.concatenate(out_neg) if out_neg else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ranked.map_batches(emit, batch_format="pandas")
+        .groupby("__rb")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -1918,3 +1918,53 @@ def test_zorder_key_interleave_and_locality(ray_session):
     big = pd.DataFrame({"x": [5000], "y": [-3]})
     z = zorder_key(rd.from_pandas(big), "x", "y").to_pandas()["zkey"].iloc[0]
     assert 0 <= z < (1 << 20)
+
+
+def test_ring_negative_samples_contract(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.dedup import exact_dedup  # noqa: F401 (family import guard)
+    from table_annotation_ray.stages.datapipe import ring_negative_samples
+
+    # 40 ids, two groups interleaved on the md5 ring; single-process ref
+    df = pd.DataFrame({"doc_id": range(40), "lang": ["a", "a", "b", "c"] * 10})
+    out = (
+        ring_negative_samples(
+            rd.from_pandas(df).repartition(4), "doc_id", "lang",
+            k=3, lookahead=6, num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "neg_rank"])
+        .reset_index(drop=True)
+    )
+
+    ring = sorted(
+        df.itertuples(index=False),
+        key=lambda t: (hashlib.md5(str(t.doc_id).encode()).hexdigest(), t.doc_id),
+    )
+    n = len(ring)
+    want = []
+    for i, a in enumerate(ring):
+        rank = 0
+        for d in range(1, 7):
+            b = ring[(i + d) % n]
+            if b.lang != a.lang:
+                rank += 1
+                want.append((a.doc_id, rank, b.doc_id))
+                if rank == 3:
+                    break
+    want = pd.DataFrame(want, columns=["doc_id", "neg_rank", "neg_id"])
+    want = want.sort_values(["doc_id", "neg_rank"]).reset_index(drop=True)
+    assert len(out) == len(want)
+    assert (out.to_numpy() == want.to_numpy()).all()
+    # every negative really is a different group
+    m = out.merge(df, on="doc_id").merge(
+        df.rename(columns={"doc_id": "neg_id", "lang": "neg_lang"}), on="neg_id"
+    )
+    assert (m["lang"] != m["neg_lang"]).all()
+
+    with pytest.raises(ValueError):
+        ring_negative_samples(rd.from_pandas(df), k=0)
