@@ -1361,6 +1361,19 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_events_hourly_filled(sf_dir: str):
+    """Gap-FILLED hourly resample (stages/windows.py::resample_counts):
+    counts per (hour, event_type) over the corpus-global hour range
+    with explicit zero rows for empty periods.  One skinny
+    grouped_reduce exchange; the zero-fill happens on the driver over
+    the collected aggregate (bounded by types x hours — a dimension
+    grid, not data)."""
+    from table_annotation_ray.stages.windows import resample_counts
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return resample_counts(ev, "ts", "event_type", freq="h")
+
+
 def _q_negative_samples(sf_dir: str):
     """Deterministic contrastive negative sampling (stages/datapipe.py::
     ring_negative_samples): each doc gets its first 2 different-lang
@@ -4176,6 +4189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "zorder_layout": _q_zorder_layout,
         "negative_samples": _q_negative_samples,
+        "events_hourly_filled": _q_events_hourly_filled,
         "value_acf": _q_value_acf,
         "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
@@ -5580,6 +5594,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "events_hourly_filled": """
+            WITH b AS (
+                SELECT min(date_trunc('hour', ts)) AS mn,
+                       max(date_trunc('hour', ts)) AS mx
+                FROM events
+            ),
+            hours AS (
+                SELECT unnest(generate_series(
+                    (SELECT mn FROM b), (SELECT mx FROM b),
+                    INTERVAL 1 HOUR)) AS h
+            ),
+            types AS (SELECT DISTINCT event_type FROM events),
+            cnt AS (
+                SELECT date_trunc('hour', ts) AS h, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT strftime(hours.h, '%Y-%m-%d %H:00:00') AS period,
+                   types.event_type,
+                   coalesce(cnt.n, 0) AS n
+            FROM hours CROSS JOIN types
+            LEFT JOIN cnt ON cnt.h = hours.h
+                         AND cnt.event_type = types.event_type
+            ORDER BY period, types.event_type
         """,
         "negative_samples": """
             WITH r AS (

@@ -808,3 +808,67 @@ def acf_by_key(
         .groupby("__acf_bkt")
         .map_groups(corr_bucket, batch_format="pandas")
     )
+
+
+def resample_counts(
+    ds: rd.Dataset,
+    ts_col: str,
+    key_col: str,
+    freq: str = "h",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Gap-FILLED time resample: event counts per (key, period) over the
+    corpus-global ``[min period, max period]`` range, with explicit
+    zero rows for empty periods — the time-series shape downstream
+    models need (a missing hour is a 0, not an absent row; plain
+    groupby can't say so).
+
+    One skinny grouped_reduce exchange does the counting; the fill
+    happens on the DRIVER over the collected aggregate, which is
+    inherently bounded by n_keys x n_periods (a dimension grid, not
+    data — the heavy_hitters/quantiles driver-bounded contract), so no
+    second exchange is spent on zero rows.  Returns a pandas frame
+    ``(period, key, n)`` sorted by (period, key); ``freq`` is "h" or
+    "D" (period label format follows the events_hourly convention).
+    """
+    from .agg import grouped_reduce
+
+    fmt = {"h": "%Y-%m-%d %H:00:00", "D": "%Y-%m-%d"}[freq]
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__per": b[ts_col].dt.floor(freq),
+                key_col: b[key_col],
+            }
+        )
+
+    counts = (
+        grouped_reduce(
+            ds.map_batches(tag, batch_format="pandas"),
+            ["__per", key_col],
+            {"n": (None, "count")},
+            num_buckets=num_buckets,
+        )
+        .to_pandas()
+    )
+    if counts.empty:
+        return pd.DataFrame(columns=["period", key_col, "n"])
+    pers = pd.date_range(
+        counts["__per"].min(), counts["__per"].max(), freq=freq
+    )
+    keys = np.sort(counts[key_col].unique())
+    grid = pd.MultiIndex.from_product([pers, keys], names=["__per", key_col])
+    full = (
+        counts.set_index(["__per", key_col])
+        .reindex(grid, fill_value=0)
+        .reset_index()
+    )
+    out = pd.DataFrame(
+        {
+            "period": full["__per"].dt.strftime(fmt),
+            key_col: full[key_col],
+            "n": full["n"].astype("int64"),
+        }
+    )
+    return out.sort_values(["period", key_col]).reset_index(drop=True)

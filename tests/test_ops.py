@@ -1968,3 +1968,32 @@ def test_ring_negative_samples_contract(ray_session):
 
     with pytest.raises(ValueError):
         ring_negative_samples(rd.from_pandas(df), k=0)
+
+
+def test_resample_counts_fills_gaps(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import resample_counts
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:40",
+                 "2024-01-01 03:05", "2024-01-01 03:20"]
+            ),
+            "kind": ["a", "b", "a", "a"],
+        }
+    )
+    out = resample_counts(rd.from_pandas(df).repartition(2), "ts", "kind", freq="h")
+    # 4 hours x 2 kinds, gaps (01:00, 02:00) present with n=0
+    assert len(out) == 8
+    z = out[(out["period"] == "2024-01-01 01:00:00")]
+    assert list(z["n"]) == [0, 0]
+    a3 = out[(out["period"] == "2024-01-01 03:00:00") & (out["kind"] == "a")]
+    assert int(a3["n"].iloc[0]) == 2
+    b0 = out[(out["period"] == "2024-01-01 00:00:00") & (out["kind"] == "b")]
+    assert int(b0["n"].iloc[0]) == 1
+
+    daily = resample_counts(rd.from_pandas(df), "ts", "kind", freq="D")
+    assert len(daily) == 2 and set(daily["period"]) == {"2024-01-01"}
