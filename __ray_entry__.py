@@ -1361,6 +1361,33 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_user_active_periods(sf_dir: str):
+    """Per-user merged activity intervals (stages/windows.py::
+    merge_intervals — the gaps-and-islands union): each event opens a
+    30-minute activity window; overlapping/touching windows merge into
+    islands.  One hash(user)%64 exchange, in-bucket grouped
+    cummax-shift island detection, all vectorized."""
+    from table_annotation_ray.stages.windows import merge_intervals
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "st": b["ts"],
+                "en": b["ts"] + pd.Timedelta(minutes=30),
+            }
+        )
+
+    out = merge_intervals(
+        ev.map_batches(widen, batch_format="pandas"), "user_id", "st", "en"
+    ).to_pandas()
+    for c in ("start", "end"):  # duckdb timestamps come back as [us]
+        out[c] = out[c].astype("datetime64[us]")
+    return out.sort_values(["user_id", "start"]).reset_index(drop=True)
+
+
 def _q_events_hourly_filled(sf_dir: str):
     """Gap-FILLED hourly resample (stages/windows.py::resample_counts):
     counts per (hour, event_type) over the corpus-global hour range
@@ -4190,6 +4217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": _q_zorder_layout,
         "negative_samples": _q_negative_samples,
         "events_hourly_filled": _q_events_hourly_filled,
+        "user_active_periods": _q_user_active_periods,
         "value_acf": _q_value_acf,
         "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
@@ -5594,6 +5622,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "user_active_periods": """
+            WITH s AS (
+                SELECT user_id, ts AS st,
+                       ts + INTERVAL 30 MINUTE AS en
+                FROM events
+            ),
+            o AS (
+                SELECT *, max(en) OVER (
+                    PARTITION BY user_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS prev_max FROM s
+            ),
+            g AS (
+                SELECT *, sum(CASE WHEN prev_max IS NULL OR st > prev_max
+                                   THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY st, en) AS grp
+                FROM o
+            )
+            SELECT user_id, min(st) AS start, max(en) AS "end",
+                   count(*) AS n_merged
+            FROM g GROUP BY user_id, grp
+            ORDER BY user_id, start
         """,
         "events_hourly_filled": """
             WITH b AS (

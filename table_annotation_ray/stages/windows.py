@@ -872,3 +872,63 @@ def resample_counts(
         }
     )
     return out.sort_values(["period", key_col]).reset_index(drop=True)
+
+
+def merge_intervals(
+    ds: rd.Dataset,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Union of overlapping-or-touching intervals per key — the
+    gaps-and-islands merge (SQL: running ``max(end)`` window + island
+    cumsum): consecutive intervals merge whenever the next start is <=
+    the running max end.  Output one row per merged island: ``(key,
+    start, end, n_merged)``, the canonical "active periods" /
+    "coverage" shape.
+
+    One ``hash(key) % num_buckets`` exchange (the lag_by_key shape);
+    in-bucket: a stable (key, start, end) sort, a grouped cummax-shift
+    to find island breaks, and a vectorized groupby min/max/count — no
+    per-row or per-key Python.  Intervals must satisfy start <= end
+    per row (raises otherwise)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        if (b[start_col] > b[end_col]).any():
+            raise ValueError("merge_intervals: found start > end row")
+        b = b[[key_col, start_col, end_col]].copy()
+        b["__mi_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__mi_bkt")
+            .sort_values([key_col, start_col, end_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        gb = g.groupby(key_col, sort=False)
+        prev_max = gb[end_col].cummax().groupby(g[key_col], sort=False).shift(1)
+        new_island = prev_max.isna() | (g[start_col] > prev_max)
+        g["__isl"] = np.cumsum(new_island.to_numpy())
+        out = g.groupby([key_col, "__isl"], sort=True, as_index=False).agg(
+            start=(start_col, "min"),
+            end=(end_col, "max"),
+            n_merged=(start_col, "size"),
+        )
+        out["n_merged"] = out["n_merged"].astype("int64")
+        return pa.Table.from_pandas(
+            out.drop(columns="__isl"), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__mi_bkt")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )

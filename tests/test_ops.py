@@ -1997,3 +1997,42 @@ def test_resample_counts_fills_gaps(ray_session):
 
     daily = resample_counts(rd.from_pandas(df), "ts", "kind", freq="D")
     assert len(daily) == 2 and set(daily["period"]) == {"2024-01-01"}
+
+
+def test_merge_intervals_islands(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import merge_intervals
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b"],
+            "st": [0, 5, 12, 20, 3],
+            "en": [10, 8, 15, 25, 4],  # a: [0,10]+[5,8] merge; [12,15] touches? no; [20,25]
+        }
+    )
+    out = (
+        merge_intervals(rd.from_pandas(df).repartition(3), "k", "st", "en")
+        .to_pandas()
+        .sort_values(["k", "start"])
+        .reset_index(drop=True)
+    )
+    want = [
+        ("a", 0, 10, 2),
+        ("a", 12, 15, 1),
+        ("a", 20, 25, 1),
+        ("b", 3, 4, 1),
+    ]
+    assert [tuple(r) for r in out.to_numpy()] == want
+
+    # touching intervals (start == running max end) merge
+    df2 = pd.DataFrame({"k": ["x", "x"], "st": [0, 10], "en": [10, 20]})
+    out2 = merge_intervals(rd.from_pandas(df2), "k", "st", "en").to_pandas()
+    assert len(out2) == 1 and int(out2["n_merged"].iloc[0]) == 2
+
+    with pytest.raises(Exception):
+        merge_intervals(
+            rd.from_pandas(pd.DataFrame({"k": ["y"], "st": [5], "en": [1]})),
+            "k", "st", "en",
+        ).materialize()
