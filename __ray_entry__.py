@@ -1361,6 +1361,56 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_retrieval_eval(sf_dir: str):
+    """Retrieval quality evaluation (stages/retrieval.py::
+    ranking_metrics): NDCG@10 / MRR / recall@10 of the deterministic
+    term-frequency ranker (term_tf_topk) against a narrower ground
+    truth (relevant = ENGLISH docs containing the term — the ranker is
+    lang-agnostic, so the metrics are non-trivial).  One streaming
+    pass builds the relevance set flags + per-term relevant counts (no
+    exchange); metric arithmetic runs on the driver over terms x k
+    rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from table_annotation_ray.stages.retrieval import (
+        ranking_metrics,
+        term_tf_topk,
+    )
+    from table_annotation_ray.stages.textstats import _ws_tokens
+
+    terms = ["hash", "join", "vector"]
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ranked = term_tf_topk(docs, terms, k=10)
+
+    def relv(b: pd.DataFrame) -> pa.Table:
+        toks, _ = _ws_tokens(b["text"])
+        flat = toks.flatten()
+        off = toks.offsets.to_numpy()
+        en = (b["lang"] == "en").to_numpy()
+        ids_np = b["doc_id"].to_numpy()
+        qs, ds_ = [], []
+        for t in terms:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            c = np.r_[0, np.cumsum(hit.astype(np.int64))]
+            nz = ((c[off[1:]] - c[off[:-1]]) > 0) & en
+            qs.append(np.full(int(nz.sum()), t, object))
+            ds_.append(ids_np[nz])
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate(qs), pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(ds_).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rel = docs.map_batches(relv, batch_format="pandas")
+    out = ranking_metrics(rel, ranked, k=10)
+    out["n_rel"] = out["n_rel"].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
 def _q_user_active_periods(sf_dir: str):
     """Per-user merged activity intervals (stages/windows.py::
     merge_intervals — the gaps-and-islands union): each event opens a
@@ -4218,6 +4268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": _q_negative_samples,
         "events_hourly_filled": _q_events_hourly_filled,
         "user_active_periods": _q_user_active_periods,
+        "retrieval_eval": _q_retrieval_eval,
         "value_acf": _q_value_acf,
         "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
@@ -5622,6 +5673,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "retrieval_eval": """
+            WITH t(term) AS (VALUES ('hash'), ('join'), ('vector')),
+            tf AS (
+                SELECT t.term, d.doc_id, d.lang,
+                       len(list_filter(string_split(d.text, ' '),
+                                       x -> x = t.term)) AS tf
+                FROM documents d CROSS JOIN t
+            ),
+            ranked AS (
+                SELECT term, doc_id, row_number() OVER (
+                    PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+                FROM tf WHERE tf > 0
+            ),
+            top AS (SELECT * FROM ranked WHERE rnk <= 10),
+            rel AS (
+                SELECT term, doc_id FROM tf
+                WHERE tf > 0 AND lang = 'en'
+            ),
+            nrel AS (SELECT term, count(*) AS n_rel FROM rel GROUP BY 1),
+            hits AS (
+                SELECT top.term, top.rnk
+                FROM top JOIN rel USING (term, doc_id)
+            ),
+            ten AS (SELECT unnest(range(1, 11)) AS i),
+            cum AS (
+                SELECT a.i, sum(1.0 / log2(b.i + 1)) AS idcg
+                FROM ten a JOIN ten b ON b.i <= a.i GROUP BY a.i
+            ),
+            agg AS (
+                SELECT term, sum(1.0 / log2(rnk + 1)) AS dcg,
+                       min(rnk) AS first_rel, count(*) AS n_hit
+                FROM hits GROUP BY 1
+            )
+            SELECT t.term, coalesce(n.n_rel, 0) AS n_rel,
+                   CASE WHEN coalesce(n.n_rel, 0) = 0 THEN NULL
+                        ELSE coalesce(round(a.dcg / c.idcg, 6), 0.0)
+                   END AS ndcg,
+                   CASE WHEN coalesce(n.n_rel, 0) = 0 THEN NULL
+                        ELSE coalesce(round(1.0 / a.first_rel, 6), 0.0)
+                   END AS mrr,
+                   CASE WHEN coalesce(n.n_rel, 0) = 0 THEN NULL
+                        ELSE coalesce(round(
+                            CAST(a.n_hit AS DOUBLE) / n.n_rel, 6), 0.0)
+                   END AS recall
+            FROM t
+            LEFT JOIN nrel n USING (term)
+            LEFT JOIN agg a USING (term)
+            LEFT JOIN cum c ON c.i = least(n.n_rel, 10)
+            ORDER BY t.term
         """,
         "user_active_periods": """
             WITH s AS (

@@ -328,3 +328,162 @@ def bm25_topk_indexed(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def term_tf_topk(
+    docs: rd.Dataset,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Per-term term-frequency top-k ranking — the trivial deterministic
+    ranker used as the system-under-test for :func:`ranking_metrics`:
+    rank = tf DESC, doc_id ASC, docs with tf 0 excluded.  One
+    vectorized token-equality pass per term (flattened Arrow tokens +
+    cumsum segment sums — the textstats _member_counts shape), then
+    :func:`~..stages.relational.grouped_topk`.  Returns a pandas frame
+    ``(term, doc_id, tf, rank)`` — driver-bounded by terms x k."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import grouped_topk
+    from .textstats import _ws_tokens
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        toks, _ = _ws_tokens(b[text_col])
+        flat = toks.flatten()
+        off = toks.offsets.to_numpy()
+        ids_np = b[id_col].to_numpy()
+        parts = []
+        for t in terms:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            c = np.r_[0, np.cumsum(hit.astype(np.int64))]
+            tf = c[off[1:]] - c[off[:-1]]
+            nz = tf > 0
+            parts.append(
+                pa.table(
+                    {
+                        "term": pa.array(
+                            np.full(int(nz.sum()), t, object), pa.string()
+                        ),
+                        id_col: pa.array(ids_np[nz], pa.int64()),
+                        "tf": pa.array(tf[nz], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    top = grouped_topk(
+        docs.map_batches(score, batch_format="pandas"),
+        ["term"], "tf", k, descending=True, tiebreak=id_col,
+    ).to_pandas()
+    top = top.sort_values(
+        ["term", "tf", id_col], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    top["rank"] = top.groupby("term").cumcount() + 1
+    return top
+
+
+def ranking_metrics(
+    rel: rd.Dataset,
+    ranked: pd.DataFrame,
+    query_col: str = "term",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Retrieval quality metrics — NDCG@k / MRR / recall@k per query,
+    binary relevance.
+
+    ``rel`` is the (possibly corpus-sized) Dataset of RELEVANT
+    ``(query, doc)`` pairs; ``ranked`` is the system-under-test's
+    result list (driver-bounded by queries x k).  ONE streaming pass
+    over ``rel`` — no exchange: each batch emits per-query partial
+    relevant counts plus the (query, doc) pairs that appear in the
+    broadcast ranked set; both are bounded (queries x batches and
+    queries x k rows).  The metric arithmetic runs on the driver over
+    queries x k rows.
+
+    NDCG uses binary gains: DCG = Σ 1/log2(rank+1) over relevant ranked
+    docs, IDCG = Σ_{i=1..min(n_rel,k)} 1/log2(i+1).  Queries with no
+    relevant docs get NULL metrics.  Floats rounded half-away at
+    ``round_dp`` (oracle convention)."""
+    import pyarrow as pa
+
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+
+    ranked = ranked[ranked[rank_col] <= k]
+    rref = ray.put(
+        np.asarray(
+            [f"{a}|{b}" for a, b in zip(ranked[query_col], ranked[id_col])],
+            dtype=object,
+        )
+    )
+
+    def scan(b: pd.DataFrame) -> pa.Table:
+        rs = get_worker_state(("rankm", ref_key(rref)), lambda: ray.get(rref))
+        q = b[query_col].to_numpy(dtype=object)
+        d = b[id_col].to_numpy()
+        cnt = pd.Series(q).value_counts()
+        combined = pd.Series(q).str.cat(pd.Series(d).astype(str), sep="|")
+        hit = combined.isin(rs).to_numpy()
+        return pa.table(
+            {
+                query_col: pa.array(
+                    np.concatenate([cnt.index.to_numpy(dtype=object), q[hit]]),
+                    pa.string(),
+                ),
+                id_col: pa.array(
+                    np.concatenate(
+                        [np.full(len(cnt), -1, np.int64),
+                         d[hit].astype(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [cnt.to_numpy(dtype=np.int64),
+                         np.zeros(int(hit.sum()), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = rel.map_batches(scan, batch_format="pandas").to_pandas()
+    n_rel = (
+        parts[parts[id_col] == -1].groupby(query_col)["n"].sum().astype("int64")
+    )
+    rel_pairs = set(
+        zip(parts.loc[parts[id_col] >= 0, query_col],
+            parts.loc[parts[id_col] >= 0, id_col])
+    )
+
+    def _r(v: float) -> float:
+        f = 10.0**round_dp
+        return float(np.sign(v) * np.floor(abs(v) * f + 0.5) / f)
+
+    rows = []
+    for q in sorted(set(ranked[query_col])):
+        nr = int(n_rel.get(q, 0))
+        sub = ranked[ranked[query_col] == q].sort_values(rank_col)
+        hits = [
+            int(r) for r, d in zip(sub[rank_col], sub[id_col])
+            if (q, d) in rel_pairs
+        ]
+        if nr == 0:
+            rows.append((q, 0, None, None, None))
+            continue
+        dcg = sum(1.0 / np.log2(r + 1) for r in hits)
+        idcg = sum(1.0 / np.log2(i + 1) for i in range(1, min(nr, k) + 1))
+        mrr = 1.0 / hits[0] if hits else 0.0
+        rows.append(
+            (q, nr, _r(dcg / idcg), _r(mrr), _r(len(hits) / nr))
+        )
+    return pd.DataFrame(
+        rows, columns=[query_col, "n_rel", "ndcg", "mrr", "recall"]
+    )

@@ -2036,3 +2036,36 @@ def test_merge_intervals_islands(ray_session):
             rd.from_pandas(pd.DataFrame({"k": ["y"], "st": [5], "en": [1]})),
             "k", "st", "en",
         ).materialize()
+
+
+def test_ranking_metrics_hand_computed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.retrieval import ranking_metrics
+
+    ranked = pd.DataFrame(
+        {
+            "term": ["q1"] * 3 + ["q2"] * 3 + ["q3"] * 2,
+            "doc_id": [10, 11, 12, 20, 21, 22, 30, 31],
+            "rank": [1, 2, 3, 1, 2, 3, 1, 2],
+        }
+    )
+    # q1: rel = {11, 12, 99} -> hits at ranks 2,3; q2: rel = {20} -> hit at 1
+    # q3: no relevant docs at all -> NULL metrics
+    rel = pd.DataFrame(
+        {"term": ["q1", "q1", "q1", "q2"], "doc_id": [11, 12, 99, 20]}
+    )
+    out = ranking_metrics(
+        rd.from_pandas(rel).repartition(2), ranked, k=3
+    ).sort_values("term").reset_index(drop=True)
+
+    dcg1 = 1 / np.log2(3) + 1 / np.log2(4)
+    idcg1 = 1 + 1 / np.log2(3) + 1 / np.log2(4)
+    assert abs(out.loc[0, "ndcg"] - dcg1 / idcg1) < 2e-6
+    assert abs(out.loc[0, "mrr"] - 0.5) < 1e-9
+    assert abs(out.loc[0, "recall"] - 2 / 3) < 2e-6
+    assert out.loc[1, "ndcg"] == 1.0 and out.loc[1, "mrr"] == 1.0
+    assert out.loc[1, "recall"] == 1.0 and out.loc[1, "n_rel"] == 1
+    assert out.loc[2, "n_rel"] == 0 and pd.isna(out.loc[2, "ndcg"])
