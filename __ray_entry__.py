@@ -1361,6 +1361,33 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_value_ffill(sf_dir: str):
+    """Per-user forward-fill imputation (stages/windows.py::
+    ffill_by_key — LOCF): every 7th event's value nulled, then filled
+    from the user's most recent prior value in ts order; leading nulls
+    stay null.  One hash(user)%64 exchange + vectorized in-bucket
+    groupby ffill; SQL oracle is last_value(... IGNORE NULLS)."""
+    from table_annotation_ray.stages.windows import ffill_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def poke(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b.loc[b["event_id"] % 7 == 0, "value"] = np.nan
+        return b
+
+    out = ffill_by_key(
+        ev.map_batches(poke, batch_format="pandas"),
+        "user_id",
+        ["ts"],
+        ["value"],
+    ).to_pandas()
+    out = out[["event_id", "user_id", "value"]].rename(
+        columns={"value": "value_filled"}
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_retrieval_eval(sf_dir: str):
     """Retrieval quality evaluation (stages/retrieval.py::
     ranking_metrics): NDCG@10 / MRR / recall@10 of the deterministic
@@ -4269,6 +4296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_filled": _q_events_hourly_filled,
         "user_active_periods": _q_user_active_periods,
         "retrieval_eval": _q_retrieval_eval,
+        "value_ffill": _q_value_ffill,
         "value_acf": _q_value_acf,
         "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
@@ -5673,6 +5701,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "value_ffill": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_id % 7 = 0 THEN NULL
+                                   ELSE value END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS value_filled
+            FROM events ORDER BY event_id
         """,
         "retrieval_eval": """
             WITH t(term) AS (VALUES ('hash'), ('join'), ('vector')),

@@ -932,3 +932,48 @@ def merge_intervals(
         .groupby("__mi_bkt")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+
+def ffill_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    cols: list[str],
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key forward fill (LOCF imputation): each NULL in ``cols``
+    takes the key's most recent non-null value in ``order_cols`` order —
+    SQL ``last_value(col IGNORE NULLS) OVER (PARTITION BY key ORDER BY
+    ... ROWS UNBOUNDED PRECEDING)``.  Leading nulls (no prior value)
+    stay null.
+
+    The lag_by_key exchange shape: one ``hash(key) % num_buckets``
+    co-location, in-bucket stable sort + vectorized pandas
+    ``groupby(key).ffill()`` — no per-row or per-key Python.
+    ``order_cols`` must totally order each key."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["__ff_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def fill_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__ff_bkt")
+            .sort_values([key_col] + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        g[cols] = g.groupby(key_col, sort=False)[cols].ffill()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__ff_bkt")
+        .map_groups(fill_bucket, batch_format="pandas")
+    )

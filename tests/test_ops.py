@@ -2069,3 +2069,29 @@ def test_ranking_metrics_hand_computed(ray_session):
     assert out.loc[1, "ndcg"] == 1.0 and out.loc[1, "mrr"] == 1.0
     assert out.loc[1, "recall"] == 1.0 and out.loc[1, "n_rel"] == 1
     assert out.loc[2, "n_rel"] == 0 and pd.isna(out.loc[2, "ndcg"])
+
+
+def test_ffill_by_key_locf(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import ffill_by_key
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b", "b"],
+            "t": [1, 2, 3, 4, 1, 2],
+            "v": [np.nan, 5.0, np.nan, np.nan, np.nan, 7.0],
+        }
+    )
+    out = (
+        ffill_by_key(rd.from_pandas(df).repartition(3), "k", ["t"], ["v"])
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # leading null stays; later nulls take the last non-null; keys isolated
+    assert np.isnan(out["v"].iloc[0])
+    assert list(out["v"].iloc[1:4]) == [5.0, 5.0, 5.0]
+    assert np.isnan(out["v"].iloc[4]) and out["v"].iloc[5] == 7.0
