@@ -1361,6 +1361,20 @@ def _q_rolling_active_users(sf_dir: str):
     return out.sort_values("win_end").reset_index(drop=True)
 
 
+def _q_value_twa(sf_dir: str):
+    """Per-user time-weighted average of event values (stages/windows.py
+    ::time_weighted_avg): each value holds until the user's next event,
+    integrated over the user's active span — the telemetry aggregate a
+    plain mean gets wrong on bursty streams.  One hash(user)%64
+    exchange + vectorized grouped shift/sum."""
+    from table_annotation_ray.stages.windows import time_weighted_avg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = time_weighted_avg(ev, "user_id", "ts", "value").to_pandas()
+    out["span_seconds"] = _round_ha(out["span_seconds"], 6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_value_ffill(sf_dir: str):
     """Per-user forward-fill imputation (stages/windows.py::
     ffill_by_key — LOCF): every 7th event's value nulled, then filled
@@ -4297,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_periods": _q_user_active_periods,
         "retrieval_eval": _q_retrieval_eval,
         "value_ffill": _q_value_ffill,
+        "value_twa": _q_value_twa,
         "value_acf": _q_value_acf,
         "dup_ngram_audit": _q_dup_ngram_audit,
         "rolling_active_users": _q_rolling_active_users,
@@ -5701,6 +5716,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = r.antecedent
             JOIN s sc ON sc.i = r.consequent, n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "value_twa": """
+            WITH o AS (
+                SELECT user_id, value, ts, lead(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts) AS nts
+                FROM events
+            )
+            SELECT user_id,
+                   round(sum(value * epoch(nts - ts))
+                         / sum(epoch(nts - ts)), 6) AS twa,
+                   count(*) AS n_segments,
+                   round(sum(epoch(nts - ts)), 6) AS span_seconds
+            FROM o WHERE nts IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "value_ffill": """
             SELECT event_id, user_id,

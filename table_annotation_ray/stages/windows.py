@@ -977,3 +977,79 @@ def ffill_by_key(
         .groupby("__ff_bkt")
         .map_groups(fill_bucket, batch_format="pandas")
     )
+
+
+def time_weighted_avg(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key time-weighted average — the telemetry/IoT aggregate where
+    a reading holds until the next one (step function): ``twa = Σ v_i ·
+    (t_{i+1} − t_i) / (t_n − t_0)`` over ts-ordered readings.  A plain
+    mean overweights bursty periods; TWA integrates over TIME.
+
+    Output: one row per key with >= 2 readings — ``(key, twa,
+    n_segments, span_seconds)``; single-reading keys have no duration
+    and are omitted (SQL: the lead() row drops out).
+
+    The lag_by_key exchange shape: one ``hash(key) % num_buckets``
+    co-location, in-bucket stable sort, vectorized grouped shift(-1) +
+    groupby sum.  TWA rounded half-away at 6 dp (oracle convention)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[[key_col, ts_col, val_col]].copy()
+        b["__twa_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def avg_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__twa_bkt")
+            .sort_values([key_col, ts_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        nts = g.groupby(key_col, sort=False)[ts_col].shift(-1)
+        dur = (nts - g[ts_col]).dt.total_seconds()
+        ok = dur.notna()
+        kf = pd.DataFrame(
+            {
+                "k": g.loc[ok, key_col].to_numpy(),
+                "wv": g.loc[ok, val_col].to_numpy() * dur[ok].to_numpy(),
+                "d": dur[ok].to_numpy(),
+                "n": 1,
+            }
+        )
+        agg = kf.groupby("k", sort=True).sum()
+        twa = agg["wv"].to_numpy() / agg["d"].to_numpy()
+        twa = np.sign(twa) * np.floor(np.abs(twa) * 1e6 + 0.5) / 1e6
+        kt = (
+            pa.string()
+            if agg.index.dtype == object
+            else pa.from_numpy_dtype(agg.index.dtype)
+        )
+        return pa.table(
+            {
+                key_col: pa.array(agg.index.to_numpy(), kt),
+                "twa": pa.array(twa, pa.float64()),
+                "n_segments": pa.array(
+                    agg["n"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "span_seconds": pa.array(
+                    agg["d"].to_numpy(dtype=np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__twa_bkt")
+        .map_groups(avg_bucket, batch_format="pandas")
+    )

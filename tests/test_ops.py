@@ -2095,3 +2095,29 @@ def test_ffill_by_key_locf(ray_session):
     assert np.isnan(out["v"].iloc[0])
     assert list(out["v"].iloc[1:4]) == [5.0, 5.0, 5.0]
     assert np.isnan(out["v"].iloc[4]) and out["v"].iloc[5] == 7.0
+
+
+def test_time_weighted_avg_step_function(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from table_annotation_ray.stages.windows import time_weighted_avg
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10",
+                 "2024-01-01 00:40", "2024-01-01 09:00"]
+            ),
+            "v": [6.0, 0.0, 99.0, 5.0],  # last reading carries no weight
+        }
+    )
+    out = time_weighted_avg(
+        rd.from_pandas(df).repartition(2), "k", "ts", "v"
+    ).to_pandas()
+    # a: 6.0 for 600s then 0.0 for 1800s -> twa = 3600/2400 = 1.5
+    assert len(out) == 1  # single-reading key b omitted
+    r = out.iloc[0]
+    assert r["k"] == "a" and r["twa"] == 1.5
+    assert r["n_segments"] == 2 and r["span_seconds"] == 2400.0
