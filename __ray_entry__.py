@@ -4087,12 +4087,14 @@ def _q_waiting_suppliers(sf_dir: str):
 
 def _q_qty_price_spearman(sf_dir: str):
     """Spearman ρ with tie-average ranks (stages/stats.py::
-    spearman_corr): four chained range-partitioned global_rank passes
-    (the asc/desc-tiebreak trick replaces the per-value rank join) +
-    one moments scan — join-free, fully distributed ranking.  Oracle =
-    Pearson corr over SQL's rank()+(count OVER partition−1)/2 average
-    ranks (offset by the constant 1, irrelevant under corr's affine
-    invariance)."""
+    spearman_corr): the counts engine — tie-average rank is a pure
+    function of the value histogram, so one skinny distinct-value
+    exchange + a broadcast value→rank map + ONE moments scan replace
+    the general engine's four range-partitioned global_rank passes
+    (auto fallback above 2M distinct; engines pytest-pinned equal).
+    Oracle = Pearson corr over SQL's rank()+(count OVER partition−1)/2
+    average ranks (offset by the constant 1, irrelevant under corr's
+    affine invariance)."""
     from table_annotation_ray.stages.stats import spearman_corr
 
     li = _read(

@@ -291,23 +291,109 @@ def spearman_corr(
     x_col: str,
     y_col: str,
     id_col: str,
+    method: str = "auto",
+    max_distinct: int = 2_000_000,
+    num_buckets: int = 64,
 ) -> dict:
     """Spearman rank correlation with tie-average ranks, fully
-    distributed and JOIN-FREE.  The trick: with any unique tiebreak,
-    the 0-based positions of a tie group are consecutive, so the
-    group's AVERAGE rank equals the mean of each row's position under
-    an id-ASCENDING and an id-DESCENDING tiebreak — two chained
-    :func:`~.datapipe.global_rank` passes per column (all input
-    columns survive each pass) replace the per-value rank join a
-    naive formulation needs (whose join key would be the float value
-    itself — unusable for the bucketed join path).  Pearson over the
-    per-row average ranks (one :func:`numeric_moments` streaming
-    pass) is then exactly Spearman's tie-corrected ρ; Pearson's
-    affine invariance makes the 0- vs 1-based offset irrelevant.
+    distributed and JOIN-FREE.  Returns ``{"n", "rho"}``.  Values must
+    be non-null (no-NaN contract, like the rank machinery below).
 
-    Four range-partitioned rank exchanges + one moments scan; returns
-    ``{"n", "rho"}``.  ``id_col`` must be unique integers."""
+    Two engines behind a distinct-cardinality gate:
+
+    - ``counts`` (fast path): the tie-average rank of value ``v`` is a
+      pure function of the column's VALUE HISTOGRAM —
+      ``rank(v) = (#values < v) + (count(v) - 1)/2`` — so one skinny
+      ``grouped_reduce`` exchange over the stacked ``(column, value)``
+      pairs (distinct-value rows, never data rows), a driver-side
+      cumsum over each column's sorted distinct values (gate-bounded
+      by ``max_distinct`` per column), one broadcast of the two
+      value→rank arrays, and ONE map-only moments scan replace four
+      range-partitioned sort exchanges.  The right shape whenever the
+      value domain is bounded (prices, quantities, scores) — at corpus
+      scale the exchange carries |distinct|, not |rows|.
+    - ``ranks`` (general path): with any unique tiebreak, the 0-based
+      positions of a tie group are consecutive, so the group's AVERAGE
+      rank equals the mean of each row's position under an
+      id-ASCENDING and an id-DESCENDING tiebreak — two chained
+      :func:`~.datapipe.global_rank` passes per column + one moments
+      scan.  No driver-side state, works at unbounded cardinality;
+      ``id_col`` must be unique integers.
+
+    ``method="auto"`` (default) takes the counts path and falls back to
+    ranks when the combined distinct count exceeds ``2 * max_distinct``.
+    Pearson over per-row average ranks is exactly Spearman's
+    tie-corrected ρ; Pearson's affine invariance makes the 0- vs
+    1-based rank offset irrelevant, so the two engines agree to fp
+    precision."""
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import grouped_reduce
     from .datapipe import global_rank
+
+    if method not in ("auto", "counts", "ranks"):
+        raise ValueError(f"spearman_corr: unknown method {method!r}")
+
+    if method != "ranks":
+        base = ds.materialize()
+
+        def stack(b: pd.DataFrame) -> pa.Table:
+            x = b[x_col].to_numpy(dtype=np.float64)
+            y = b[y_col].to_numpy(dtype=np.float64)
+            return pa.table(
+                {
+                    "__c": pa.array(
+                        np.concatenate(
+                            [np.zeros(len(x), np.int8), np.ones(len(y), np.int8)]
+                        ),
+                        pa.int8(),
+                    ),
+                    "__v": pa.array(np.concatenate([x, y]), pa.float64()),
+                }
+            )
+
+        counts = grouped_reduce(
+            base.map_batches(stack, batch_format="pandas"),
+            ["__c", "__v"],
+            {"__n": (None, "count")},
+            num_buckets=num_buckets,
+        ).materialize()
+        if method == "counts" or counts.count() <= 2 * max_distinct:
+            cp = counts.to_pandas()
+            maps = {}
+            for c in (0, 1):
+                sub = cp[cp["__c"] == c].sort_values("__v")
+                n = sub["__n"].to_numpy(dtype=np.float64)
+                below = np.concatenate([[0.0], np.cumsum(n)[:-1]])
+                maps[c] = (
+                    sub["__v"].to_numpy(dtype=np.float64),
+                    below + (n - 1.0) / 2.0,
+                )
+            mref = ray.put(maps)
+
+            def to_ranks(b: pd.DataFrame) -> pd.DataFrame:
+                m = get_worker_state(
+                    ("spearman-maps", ref_key(mref)), lambda: ray.get(mref)
+                )
+                vx, rx = m[0]
+                vy, ry = m[1]
+                return pd.DataFrame(
+                    {
+                        "rx": rx[
+                            np.searchsorted(vx, b[x_col].to_numpy(np.float64))
+                        ],
+                        "ry": ry[
+                            np.searchsorted(vy, b[y_col].to_numpy(np.float64))
+                        ],
+                    }
+                )
+
+            m = numeric_moments(
+                base.map_batches(to_ranks, batch_format="pandas"), "rx", "ry"
+            )
+            return {"n": m["n"], "rho": m["corr"]}
+        ds = base  # fall through to the ranks engine on the materialized input
 
     def add_nid(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

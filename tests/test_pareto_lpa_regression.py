@@ -243,3 +243,13 @@ def test_spearman_matches_pandas(ray_session):
     )
     r2 = spearman_corr(rd.from_pandas(df2), "x", "y", "rid")
     assert abs(r2["rho"] + 1.0) < 1e-12
+
+    # the two engines (counts fast path vs general ranks path) agree
+    # exactly, including the auto fallback when distinct > gate
+    ds = rd.from_pandas(df).repartition(6)
+    rc = spearman_corr(ds, "x", "y", "rid", method="counts")
+    rr = spearman_corr(ds, "x", "y", "rid", method="ranks")
+    ra = spearman_corr(ds, "x", "y", "rid", method="auto", max_distinct=3)
+    assert rc["n"] == rr["n"] == ra["n"] == n
+    assert abs(rc["rho"] - rr["rho"]) < 1e-12
+    assert abs(ra["rho"] - rr["rho"]) < 1e-12
