@@ -69,7 +69,15 @@ def _tag_union(
     may RETURN a longer frame (replication)."""
     all_cols = list(dict.fromkeys(left_cols + right_cols))
 
-    # resolve sentinel values/dtypes from both schemas once, driver-side;
+    # resolve sentinel values/dtypes from both schemas once, driver-side.
+    # Fetching an UNKNOWN schema executes the upstream and DISCARDS it
+    # (the union below then re-executes — measured 2x upstream cost on
+    # chained joins); materialize-once first so the schema read is
+    # metadata-only and the union reuses the same blocks.
+    if left.schema(fetch_if_missing=False) is None:
+        left = left.materialize()
+    if right.schema(fetch_if_missing=False) is None:
+        right = right.materialize()
     # the dicts are closed over by value so workers never touch module
     # globals
     fill_val: dict[str, object] = {}

@@ -289,7 +289,14 @@ def filter_rows_by_keys(
             lambda b, kc=keys_col, c=col: b.rename(columns={kc: c}),
             batch_format="pandas",
         )
-    left_cols = list(left.schema().names)
+    # fetching an UNKNOWN left schema would execute the left upstream
+    # and discard it (then the exchange re-executes) — materialize once
+    # instead, same rule as equi_join's bucketed path
+    l_schema = left.schema(fetch_if_missing=False)
+    if l_schema is None:
+        left = left.materialize()
+        l_schema = left.schema()
+    left_cols = list(l_schema.names)
     tagged = _tag_union(left, keys, left_cols, [col], add_bucket, add_bucket)
 
     def filter_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -410,31 +417,50 @@ def equi_join(
             batch_format="pandas",
         )
 
-    # overlap check BEFORE the size-gated branch: the broadcast path's
-    # pandas merge would otherwise silently suffix shared columns to
-    # _x/_y — same inputs, size-dependent behavior (review r4)
-    l_cols = list(left.schema().names)
-    r_cols = list(right.schema().names)
-    overlap = (set(l_cols) & set(r_cols)) - {col}
-    if overlap:
-        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
-    all_cols = list(dict.fromkeys(l_cols + r_cols))
-
     # materialize the right side ONCE: the size gate (count) plus the
     # chosen path (to_pandas or the bucket exchange) would otherwise
     # re-execute the whole right pipeline 2-3x (measured on
     # triangle_count's degree joins — a grouped_reduce replayed per use)
     right = right.materialize()
+    r_cols = list(right.schema().names)
+
+    # overlap check (the broadcast path's pandas merge would otherwise
+    # silently suffix shared columns to _x/_y — review r4) — but
+    # fetching an UNKNOWN left schema executes the whole left upstream
+    # and DISCARDS it, so a chain of N lazy joins re-ran shared
+    # exchanges N times (min_cost_supplier: 19.6 s vs 7.9 s measured).
+    # Validate eagerly only when the schema is already known (free);
+    # otherwise the broadcast path re-checks per batch and the bucketed
+    # path materializes the left once (strictly cheaper than
+    # schema-fetch + re-execution).
+    l_schema = left.schema(fetch_if_missing=False)
+    if l_schema is not None:
+        overlap = (set(l_schema.names) & set(r_cols)) - {col}
+        if overlap:
+            raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
 
     if how != "full" and broadcast_below and right.count() <= broadcast_below:
         rdf = right.to_pandas()
         rref = ray.put(rdf)
 
         def bjoin(b: pd.DataFrame) -> pd.DataFrame:
+            ov = (set(b.columns) & set(rdf_cols)) - {col}
+            if ov:
+                raise ValueError(f"overlapping payload columns: {sorted(ov)}")
             r = get_worker_state(("equijoin", ref_key(rref)), lambda: ray.get(rref))
             return b.merge(r, on=col, how=how)
 
+        rdf_cols = list(rdf.columns)
         return left.map_batches(bjoin, batch_format="pandas", batch_size=JOIN_BATCH)
+
+    if l_schema is None:
+        left = left.materialize()
+        l_schema = left.schema()
+    l_cols = list(l_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {col}
+    if overlap:
+        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
+    all_cols = list(dict.fromkeys(l_cols + r_cols))
 
     from .joins import _tag_union
 
