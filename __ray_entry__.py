@@ -4201,6 +4201,86 @@ def _q_lineitem_unpivot(sf_dir: str):
     return out.sort_values("measure").reset_index(drop=True)
 
 
+def _q_event_attribution(sf_dir: str):
+    """Last-touch conversion attribution (stages/windows.py::
+    last_touch_attribution): every purchase credits the user's most
+    recent preceding non-purchase event type — one hash(user)
+    co-location with vectorized masked shift/ffill, then a
+    channel-cardinality reduce.  Oracle = last_value(... IGNORE NULLS)
+    window over (ts, event_id) order."""
+    from table_annotation_ray.stages.windows import last_touch_attribution
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "value", "event_id"])
+    out = last_touch_attribution(
+        ev, "user_id", "ts", "event_type", "value", "purchase", "event_id"
+    ).to_pandas()
+    out["n_conversions"] = out["n_conversions"].astype("int64")
+    out["attributed_value"] = _round_ha(out["attributed_value"], 2)
+    return out.sort_values("touch").reset_index(drop=True)
+
+
+def _q_session_paths(sf_dir: str):
+    """Top-20 user journeys (stages/windows.py::session_paths):
+    30-minute-gap sessionization per user, ordered event-type path per
+    session, corpus-wide path counts, deterministic (count desc, path)
+    top-k.  The final sort runs over DISTINCT aggregated paths, never
+    events.  Oracle = window gap-break cumsum + string_agg ORDER BY."""
+    from table_annotation_ray.stages.windows import session_paths
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    out = session_paths(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap_seconds=1800.0, k=20,
+    ).to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_benford_prices(sf_dir: str):
+    """Benford first-digit audit of order totals (stages/dq.py::
+    benford_audit): leading-digit shares vs log10(1+1/d), exact
+    integer-division digit extraction (no float log edge), one map-only
+    pass + a 9-key reduce.  Oracle = substr over the floored integer."""
+    from table_annotation_ray.stages.dq import benford_audit
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return benford_audit(orders, "o_totalprice")
+
+
+def _q_revenue_gini(sf_dir: str):
+    """Per-priority revenue concentration (stages/stats.py::
+    gini_by_key): Gini of o_totalprice per o_orderpriority from the
+    value HISTOGRAM — one skinny distinct-(key,value) exchange + an
+    in-bucket grouped cumsum; tie-invariant, so it hash-matches SQL's
+    row_number formulation exactly at 6 dp."""
+    from table_annotation_ray.stages.stats import gini_by_key
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = gini_by_key(orders, ["o_orderpriority"], "o_totalprice").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _q_signup_survival(sf_dir: str):
+    """Kaplan–Meier signup→purchase curve (stages/stats.py::
+    km_survival over stages/windows.py::conversion_lag): per-user entry
+    = first signup, event = first purchase at-or-after it, censoring at
+    the corpus max ts; day-bucketed by exact int64 µs division.  One
+    co-location for the lags, one skinny distinct-duration reduce,
+    driver cumsum.  Oracle = exp(sum(ln(1-d/n))) running window over
+    the same histogram (agrees far below the 6-dp rounding)."""
+    from table_annotation_ray.stages.stats import km_survival
+    from table_annotation_ray.stages.windows import conversion_lag
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    lags = conversion_lag(ev, "user_id", "ts", "event_type",
+                          "signup", "purchase")
+    cens = _read(sf_dir, "events", ["ts"]).max("ts")
+    out = km_survival(lags, cens)
+    return out.sort_values("t").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4377,6 +4457,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_drift": _q_event_type_drift,
         "order_pivot": _q_order_pivot,
         "lineitem_unpivot": _q_lineitem_unpivot,
+        "event_attribution": _q_event_attribution,
+        "session_paths": _q_session_paths,
+        "benford_prices": _q_benford_prices,
+        "revenue_gini": _q_revenue_gini,
+        "signup_survival": _q_signup_survival,
     }
 
 
@@ -6396,6 +6481,113 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
             SELECT measure, count(*) AS n, round(SUM(value), 2) AS total
             FROM long GROUP BY measure
+        """,
+        "event_attribution": """
+            WITH w AS (
+                SELECT event_type, value,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS touch
+                FROM events)
+            SELECT coalesce(touch, '(none)')       AS touch,
+                   CAST(count(*) AS BIGINT)        AS n_conversions,
+                   round(sum(value), 2)            AS attributed_value
+            FROM w WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "session_paths": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts - lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS sess
+                FROM o),
+            p AS (
+                SELECT user_id, sess,
+                       string_agg(event_type, '>' ORDER BY ts, event_id)
+                         AS path
+                FROM s GROUP BY user_id, sess)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        "benford_prices": """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                        AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                FROM orders)
+            SELECT digit, CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) * 1.0 / (SELECT count(*) FROM d), 6)
+                     AS share,
+                   round(log10(1.0 + 1.0 / digit), 6) AS expected_share
+            FROM d GROUP BY digit ORDER BY digit
+        """,
+        "revenue_gini": """
+            WITH r AS (
+                SELECT o_orderpriority,
+                       o_totalprice AS x,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice) AS i,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n,
+                       sum(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                         AS s
+                FROM orders)
+            SELECT o_orderpriority,
+                   CAST(n AS BIGINT) AS n,
+                   round(2.0 * sum(i * x) / (n * s) - (n + 1.0) / n, 6)
+                     AS gini
+            FROM r GROUP BY o_orderpriority, n, s
+            ORDER BY o_orderpriority
+        """,
+        "signup_survival": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS from_ts FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+            t AS (
+                SELECT e.user_id, min(e.ts) AS to_ts
+                FROM events e JOIN f ON e.user_id = f.user_id
+                                    AND e.ts >= f.from_ts
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            base AS (
+                SELECT f.user_id, f.from_ts, t.to_ts
+                FROM f LEFT JOIN t USING (user_id)),
+            dur AS (
+                SELECT date_diff('microsecond', from_ts,
+                           coalesce(to_ts, (SELECT max(ts) FROM events)))
+                           // 86400000000 AS t,
+                       CASE WHEN to_ts IS NULL THEN 0 ELSE 1 END AS ev
+                FROM base),
+            agg AS (
+                SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM dur GROUP BY t),
+            rk AS (
+                SELECT t, d,
+                       (SELECT count(*) FROM dur)
+                         - coalesce(sum(c) OVER (ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS n_risk
+                FROM agg),
+            w AS (
+                SELECT t, d, n_risk,
+                       exp(sum(ln(CASE WHEN d = n_risk THEN 1.0
+                                       ELSE 1.0 - d * 1.0 / n_risk END))
+                           OVER (ORDER BY t)) AS surv,
+                       sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                           OVER (ORDER BY t) AS nz
+                FROM rk)
+            SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   round(CASE WHEN nz > 0 THEN 0.0 ELSE surv END, 6)
+                     AS survival
+            FROM w WHERE d > 0 ORDER BY t
         """,
         # ann_lsh / minhash_components / simhash_pairs /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

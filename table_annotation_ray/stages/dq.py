@@ -259,3 +259,56 @@ def embedding_audit(
             "mean_norm": [round(float(p["s"].sum()) / k, 6) if k else np.nan],
         }
     )
+
+
+def benford_audit(ds: rd.Dataset, col: str) -> pd.DataFrame:
+    """Benford's-law first-digit audit — the classic fraud /
+    synthetic-data screen: the distribution of leading significant
+    digits of ``col`` against the Benford expectation ``log10(1+1/d)``.
+    Contract: values must be >= 1 (the integer part carries the leading
+    digit); audit a shifted/scaled column upstream otherwise.
+
+    Output: 9 rows ``(digit, n, share, expected_share)`` — shares
+    rounded half-away at 6 dp (oracle convention).
+
+    Shape: one map-only pass (vectorized repeated integer division —
+    exact, no log10 float edge on powers of ten) emitting <= 9 rows per
+    batch, one 9-key reduce, driver finalize.  Nothing scales with rows
+    but the scan."""
+    from .agg import grouped_reduce
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        d = np.floor(b[col].to_numpy(dtype=np.float64)).astype(np.int64)
+        if (d < 1).any():
+            raise ValueError(f"benford_audit: {col} has values < 1")
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        vc = pd.Series(d).value_counts(sort=False)
+        return pa.table(
+            {
+                "digit": pa.array(vc.index.to_numpy(dtype=np.int64), pa.int64()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = grouped_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["digit"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    counts = counts.sort_values("digit").reset_index(drop=True)
+    total = float(counts["n"].sum())
+    share = counts["n"].to_numpy(dtype=np.float64) / total
+    expected = np.log10(1.0 + 1.0 / counts["digit"].to_numpy(dtype=np.float64))
+
+    def _r6(a: np.ndarray) -> np.ndarray:
+        return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+    return pd.DataFrame(
+        {
+            "digit": counts["digit"].astype("int64"),
+            "n": counts["n"].astype("int64"),
+            "share": _r6(share),
+            "expected_share": _r6(expected),
+        }
+    )

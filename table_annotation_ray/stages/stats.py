@@ -683,3 +683,142 @@ def ks_test(
     )
     ks_d = float(per_chunk["d"].max())
     return pd.DataFrame({"ks_d": [ks_d], "n1": [n1], "n2": [n2]})
+
+
+def gini_by_key(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    val_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-group Gini coefficient of ``val_col`` — the inequality /
+    concentration audit (revenue concentration per segment, token-mass
+    concentration per domain).  Values must be non-negative.
+
+    Definition (sorted values x_(1..n) within a group):
+    ``G = 2*Σ i·x_i / (n·Σx) − (n+1)/n`` — invariant to how ties are
+    ordered (equal values make equal contributions over any permutation
+    of a tie run), so the histogram computes it exactly: a run of m
+    copies of v after c smaller values contributes
+    ``v·(m·c + m(m+1)/2)`` to ``Σ i·x_i``.
+
+    Shape: the spearman counts-engine story grouped — one skinny
+    ``grouped_reduce`` exchange over DISTINCT (key, value) rows, then a
+    hash(key) co-location of the histograms with an in-bucket
+    vectorized grouped cumsum; no exchange ever carries data rows.
+    Output: ``(key..., n, gini)`` with gini rounded half-away 6 dp."""
+    from .agg import grouped_reduce
+
+    hist = grouped_reduce(
+        ds.select_columns(key_cols + [val_col]),
+        key_cols + [val_col],
+        {"__m": (None, "count")},
+        num_buckets=num_buckets,
+    )
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        h = pd.util.hash_pandas_object(b[key_cols], index=False).to_numpy()
+        b["__gini_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def gini_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__gini_bkt").sort_values(
+            key_cols + [val_col], kind="mergesort"
+        ).reset_index(drop=True)
+        m = g["__m"].to_numpy(dtype=np.float64)
+        v = g[val_col].to_numpy(dtype=np.float64)
+        grp = g.groupby(key_cols, sort=False)
+        c = grp["__m"].cumsum().to_numpy(dtype=np.float64) - m
+        term = v * (m * c + m * (m + 1.0) / 2.0)
+        kf = g[key_cols].copy()
+        kf["__six"] = term
+        kf["__n"] = m
+        kf["__s"] = v * m
+        agg = kf.groupby(key_cols, sort=True).sum()
+        n = agg["__n"].to_numpy()
+        s = agg["__s"].to_numpy()
+        gini = 2.0 * agg["__six"].to_numpy() / (n * s) - (n + 1.0) / n
+        gini = np.sign(gini) * np.floor(np.abs(gini) * 1e6 + 0.5) / 1e6
+        out = agg.reset_index()[key_cols]
+        out["n"] = n.astype(np.int64)
+        out["gini"] = gini
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        hist.map_batches(tag, batch_format="pandas")
+        .groupby("__gini_bkt")
+        .map_groups(gini_bucket, batch_format="pandas")
+    )
+
+
+def km_survival(
+    lags: rd.Dataset,
+    censor_ts,
+    from_col: str = "from_ts",
+    to_col: str = "to_ts",
+    unit_us: int = 86_400_000_000,
+) -> pd.DataFrame:
+    """Kaplan–Meier survival estimator over right-censored durations —
+    the time-to-convert / retention curve.  Input is
+    :func:`~.windows.conversion_lag` output: one row per subject with
+    ``from_col`` (cohort entry) and nullable ``to_col`` (event;  null =
+    censored at ``censor_ts``, the observation cutoff).
+
+    Durations bucket to integer units via EXACT int64 microsecond
+    arithmetic (``us // unit_us`` — no float boundary on whole-unit
+    gaps).  At each distinct event time t:
+    ``S(t) = Π_{u<=t} (1 − d_u / n_u)`` with ``d_u`` events at u and
+    ``n_u`` subjects still at risk.  Returns event-time rows
+    ``(t, n_risk, n_events, survival)`` — survival rounded half-away
+    6 dp (matches the SQL ``exp(sum(ln ...))`` window formulation to
+    well under the rounding precision).
+
+    Shape: one map-only pass to (duration, event) pairs, one skinny
+    reduce over DISTINCT durations × 2, driver cumsum over that
+    gate-bounded histogram."""
+    from .agg import grouped_reduce
+
+    cns = pd.Timestamp(censor_ts).value  # ns since epoch, closed by value
+
+    def durations(b: pd.DataFrame) -> pa.Table:
+        f = b[from_col].astype("datetime64[ns]").astype(np.int64)
+        t = b[to_col].astype("datetime64[ns]")
+        ev = t.notna().to_numpy()
+        end = np.where(ev, t.astype(np.int64).to_numpy(), cns)
+        us = (end - f.to_numpy()) // 1000
+        dur = us // unit_us
+        return pa.table(
+            {
+                "t": pa.array(dur, pa.int64()),
+                "ev": pa.array(ev.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        grouped_reduce(
+            lags.map_batches(durations, batch_format="pandas"),
+            ["t"],
+            {"d": ("ev", "sum"), "c": (None, "count")},
+        )
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    total = int(hist["c"].sum())
+    before = hist["c"].cumsum().to_numpy() - hist["c"].to_numpy()
+    n_risk = total - before
+    d = hist["d"].to_numpy(dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        surv = np.exp(np.cumsum(np.log(1.0 - d / n_risk)))
+    out = pd.DataFrame(
+        {
+            "t": hist["t"].astype("int64"),
+            "n_risk": n_risk.astype("int64"),
+            "n_events": hist["d"].astype("int64"),
+            "survival": np.sign(surv) * np.floor(np.abs(surv) * 1e6 + 0.5) / 1e6,
+        }
+    )
+    return out[out["n_events"] > 0].reset_index(drop=True)

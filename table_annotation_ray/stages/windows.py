@@ -1053,3 +1053,145 @@ def time_weighted_avg(
         .groupby("__twa_bkt")
         .map_groups(avg_bucket, batch_format="pandas")
     )
+
+
+def last_touch_attribution(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    val_col: str,
+    convert_type: str,
+    tiebreak_col: str,
+    none_label: str = "(none)",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Last-touch marketing attribution: every ``convert_type`` event is
+    credited to the key's most recent PRECEDING event of any other type
+    — SQL ``last_value(CASE WHEN type <> convert THEN type END IGNORE
+    NULLS) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``.  Conversions with no prior touch
+    credit ``none_label``.
+
+    Output: one row per touch channel — ``(touch, n_conversions,
+    attributed_value)`` with the value sum over credited conversions.
+
+    Shape: one hash(key) co-location; in-bucket stable sort + masked
+    grouped shift/ffill (all vectorized); per-bucket partials over the
+    CHANNEL-cardinality touch key reduce through
+    :func:`~.agg.grouped_reduce` — the exchange after the co-location
+    carries #channels rows per bucket, never events."""
+    from .agg import grouped_reduce
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[[key_col, ts_col, type_col, val_col, tiebreak_col]].copy()
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+        out["__lt_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def attribute(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            [key_col, ts_col, tiebreak_col], kind="mergesort"
+        ).reset_index(drop=True)
+        touch = g[type_col].where(g[type_col] != convert_type)
+        # previous row's touch candidate, carried forward within the key
+        prev = touch.groupby(g[key_col], sort=False).shift(1)
+        prev = prev.groupby(g[key_col], sort=False).ffill()
+        conv = g[type_col] == convert_type
+        part = pd.DataFrame(
+            {
+                "touch": prev[conv].fillna(none_label).to_numpy(),
+                "v": g.loc[conv, val_col].to_numpy(),
+            }
+        )
+        agg = part.groupby("touch", sort=False).agg(
+            n=("v", "size"), s=("v", "sum")
+        )
+        return pa.table(
+            {
+                "touch": pa.array(agg.index.to_numpy().astype(str), pa.string()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "s": pa.array(agg["s"].to_numpy(dtype=np.float64), pa.float64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__lt_bkt")
+        .map_groups(attribute, batch_format="pandas")
+    )
+    return grouped_reduce(
+        parts,
+        ["touch"],
+        {"n_conversions": ("n", "sum"), "attributed_value": ("s", "sum")},
+        num_buckets=num_buckets,
+    )
+
+
+def session_paths(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_seconds: float = 1800.0,
+    k: int = 20,
+    sep: str = ">",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Top-``k`` most common user journeys: events sessionize per key on
+    a ``gap_seconds`` inactivity gap, each session becomes the ordered
+    ``sep``-joined string of its event types, and paths are counted
+    corpus-wide (ties broken by path text — deterministic at any
+    parallelism).
+
+    Shape: one hash(key) co-location (sessions never span keys);
+    in-bucket stable sort, vectorized gap-break cumsum, one pandas
+    groupby-join per session; per-bucket path counts reduce through
+    :func:`~.agg.grouped_reduce` (distinct-PATH cardinality — already
+    aggregated, far below event cardinality) and the final sort+limit
+    runs over that aggregated set, the ``vocab_topk`` story."""
+    from .agg import grouped_reduce
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[[key_col, ts_col, type_col, tiebreak_col]].copy()
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+        out["__sp_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def paths(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            [key_col, ts_col, tiebreak_col], kind="mergesort"
+        ).reset_index(drop=True)
+        prev_ts = g.groupby(key_col, sort=False)[ts_col].shift(1)
+        gap = (g[ts_col] - prev_ts).dt.total_seconds()
+        brk = gap.isna() | (gap > gap_seconds)
+        # keys are contiguous post-sort, so a bucket-global cumsum gives
+        # session ids unique within (key, sess)
+        sess = brk.cumsum()
+        joined = g.groupby([g[key_col], sess], sort=False)[type_col].agg(
+            sep.join
+        )
+        vc = joined.value_counts(sort=False)
+        return pa.table(
+            {
+                "path": pa.array(vc.index.to_numpy().astype(str), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__sp_bkt")
+        .map_groups(paths, batch_format="pandas"),
+        ["path"],
+        {"n_sessions": ("n", "sum")},
+        num_buckets=num_buckets,
+    )
+    return counts.sort(
+        key=["n_sessions", "path"], descending=[True, False]
+    ).limit(k)
