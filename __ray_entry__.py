@@ -4281,6 +4281,101 @@ def _q_signup_survival(sf_dir: str):
     return out.sort_values("t").reset_index(drop=True)
 
 
+def _q_value_cusum(sf_dir: str):
+    """Per-user one-sided CUSUM shift detection (stages/windows.py::
+    cusum_by_key): the ``max(0, S+dev)`` recursion vectorized via the
+    cumsum-minus-running-min reset identity, one hash(user)
+    co-location; per-user alert counts (S > 100) and peak statistic
+    aggregate through grouped_reduce.  Oracle = the same identity as
+    SQL windows (sum OVER − least(0, min OVER))."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.windows import cusum_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    cs = cusum_by_key(ev, "user_id", ["ts", "event_id"], "value")
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "alert": (b["cusum"].to_numpy() > 100.0).astype("int64"),
+                "cusum": b["cusum"],
+            }
+        )
+
+    out = grouped_reduce(
+        cs.map_batches(flag, batch_format="pandas"),
+        ["user_id"],
+        {"n_alerts": ("alert", "sum"), "max_cusum": ("cusum", "max")},
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_alerts"] = out["n_alerts"].astype("int64")
+    out["max_cusum"] = _round_ha(out["max_cusum"], 4)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_dau_mau(sf_dir: str):
+    """DAU/MAU stickiness (stages/windows.py::rolling_active at day
+    granularity, windows 1 and 30): distinct active users per day and
+    per trailing 30 days, ratio per event day.  Both sides are the
+    event→window explode + one exact distinct-pair exchange; the final
+    join runs over DAY cardinality.  Oracle = distinct counts over a
+    30-day range self-join."""
+    from table_annotation_ray.stages.windows import rolling_active
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    dau = rolling_active(ev, "ts", "user_id", window_hours=1,
+                         freq="D").to_pandas()
+    mau = rolling_active(ev, "ts", "user_id", window_hours=30,
+                         freq="D").to_pandas()
+    out = dau.rename(columns={"n_active": "dau"}).merge(
+        mau.rename(columns={"n_active": "mau"}), on="win_end"
+    )
+    out = out.rename(columns={"win_end": "day"})
+    out["dau"] = out["dau"].astype("int64")
+    out["mau"] = out["mau"].astype("int64")
+    out["stickiness"] = _round_ha(out["dau"] / out["mau"], 6)
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def _q_supplier_hits(sf_dir: str):
+    """Kleinberg HITS (stages/graph.py::hits) over the
+    customer→supplier purchase graph — customers are pure hubs,
+    suppliers pure authorities (bipartite).  Engine dispatch mirrors
+    pagerank_auto: numpy driver tier under the edges×iters gate, the
+    two-half-step scatter/gather Dataset engine above it (engines
+    pytest-pinned to rtol 1e-9).  Rows-only: iterative float fixpoint.
+    Returns the top 50 authorities (rounded 6 dp, node tiebreak)."""
+    from table_annotation_ray.stages.graph import hits
+    from table_annotation_ray.stages.relational import equi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = equi_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["o_custkey"].to_numpy() * 2,
+                "dst": b["l_suppkey"].to_numpy() * 2 + 1,
+            }
+        )
+
+    scores, _engine = hits(
+        joined.map_batches(to_edges, batch_format="pandas"),
+        iters=8, driver_below=20_000_000,
+    )
+    out = scores.to_pandas()
+    out["hub"] = _round_ha(out["hub"], 6)
+    out["authority"] = _round_ha(out["authority"], 6)
+    out = out.sort_values(
+        ["authority", "node"], ascending=[False, True]
+    ).head(50)
+    out["node"] = out["node"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4462,6 +4557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_prices": _q_benford_prices,
         "revenue_gini": _q_revenue_gini,
         "signup_survival": _q_signup_survival,
+        "supplier_hits": _q_supplier_hits,
+        "value_cusum": _q_value_cusum,
+        "dau_mau": _q_dau_mau,
     }
 
 
@@ -6588,6 +6686,48 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN nz > 0 THEN 0.0 ELSE surv END, 6)
                      AS survival
             FROM w WHERE d > 0 ORDER BY t
+        """,
+        "value_cusum": """
+            WITH b AS (
+                SELECT user_id, ts, event_id, value,
+                       avg(value) OVER (PARTITION BY user_id) AS mu
+                FROM events),
+            c AS (
+                SELECT user_id, ts, event_id,
+                       sum(value - mu) OVER w AS cum
+                FROM b
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)),
+            s AS (
+                SELECT user_id,
+                       cum - least(0, min(cum) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)) AS cusum
+                FROM c)
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE cusum > 100.0) AS BIGINT)
+                     AS n_alerts,
+                   round(max(cusum), 4) AS max_cusum
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "dau_mau": """
+            WITH d AS (
+                SELECT date_trunc('day', ts) AS day, user_id FROM events),
+            dau AS (
+                SELECT day, count(DISTINCT user_id) AS dau
+                FROM d GROUP BY day),
+            mau AS (
+                SELECT a.day,
+                       count(DISTINCT b.user_id) AS mau
+                FROM (SELECT DISTINCT day FROM d) a
+                JOIN d b ON b.day > a.day - INTERVAL 30 DAY
+                        AND b.day <= a.day
+                GROUP BY a.day)
+            SELECT CAST(dau.day AS TIMESTAMP) AS day,
+                   CAST(dau AS BIGINT) AS dau,
+                   CAST(mau AS BIGINT) AS mau,
+                   round(dau * 1.0 / mau, 6) AS stickiness
+            FROM dau JOIN mau USING (day) ORDER BY day
         """,
         # ann_lsh / minhash_components / simhash_pairs /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -1092,3 +1092,226 @@ def label_propagation(
         labels = new_labels
 
     return pd.DataFrame({"node": node_arr, "label": labels})
+
+
+def _hits_driver(
+    df: pd.DataFrame, src: str, dst: str, iters: int
+) -> rd.Dataset:
+    """Plain numpy HITS power iteration — the driver tier of
+    :func:`hits` (gate-bounded input).  Same update rule as the Dataset
+    engine: auth = A^T·hub, hub = A·auth, each L2-normalized."""
+    s = df[src].to_numpy(dtype=np.int64)
+    t = df[dst].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([s, t]))
+    n = len(nodes)
+    if n == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"node": [], "hub": [], "authority": []})
+        )
+    pos = {int(v): i for i, v in enumerate(nodes)}
+    si = np.fromiter((pos[int(x)] for x in s), np.int64, len(s))
+    ti = np.fromiter((pos[int(x)] for x in t), np.int64, len(t))
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iters):
+        auth = np.zeros(n)
+        np.add.at(auth, ti, hub[si])
+        auth /= np.sqrt(float((auth * auth).sum())) or 1.0
+        hub = np.zeros(n)
+        np.add.at(hub, si, auth[ti])
+        hub /= np.sqrt(float((hub * hub).sum())) or 1.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "hub": pa.array(hub, pa.float64()),
+                "authority": pa.array(auth, pa.float64()),
+            }
+        )
+    )
+
+
+def hits(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    num_buckets: int = 64,
+    repartition_to: int = 16,
+    driver_below: int = 0,
+) -> tuple[rd.Dataset, str]:
+    """Kleinberg HITS over directed ``(src, dst)`` int64 edges: hub and
+    authority scores by alternating power iteration (``auth = A^T·hub``
+    then ``hub = A·auth``, each L2-normalized).  Returns
+    ``((node, hub, authority) Dataset, engine_name)``.
+
+    Dataset engine, per iteration: two scatter/gather half-steps, each
+    the pagerank shape — scores co-locate with the STATIC tagged edge
+    set on ``hash(endpoint) % num_buckets`` (edges tagged once per
+    direction, materialized, never re-shipped through the driver),
+    in-bucket vectorized merge + partial sums, a
+    :func:`~.agg.grouped_reduce` over the receiving endpoint, and an
+    L2-norm scan folded into a map-only divide.  Score tables
+    ``repartition(repartition_to)`` each half-step so iterative block
+    counts stay flat (CLAUDE.md r2 rule).
+
+    ``driver_below`` (opt-in, 0 = off): when ``edges × iters`` is under
+    the gate, collect the edge list and run the numpy loop —
+    same fixed point (pytest-pinned rtol 1e-9), the pagerank_auto
+    driver-tier story."""
+    from .agg import grouped_reduce
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return (
+            rd.from_pandas(
+                pd.DataFrame({"node": [], "hub": [], "authority": []})
+            ),
+            "driver",
+        )
+    if driver_below and n_edges * iters <= driver_below:
+        return _hits_driver(edges.to_pandas(), src, dst, iters), "driver"
+
+    nb = num_buckets
+
+    def tag_edges_by(key: str, other: str):
+        def f(b: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b[key].to_numpy(dtype=np.int64),
+                    "other": b[other].to_numpy(dtype=np.int64),
+                    "score": np.full(len(b), np.nan),
+                    "__h_bkt": _bkt(b[key], nb),
+                }
+            )
+
+        return f
+
+    # static tagged edge sets, one per direction, shipped once
+    by_src = edges.map_batches(
+        tag_edges_by(src, dst), batch_format="pandas"
+    ).materialize()
+    by_dst = edges.map_batches(
+        tag_edges_by(dst, src), batch_format="pandas"
+    ).materialize()
+
+    def nodes_partial(b: pd.DataFrame) -> pa.Table:
+        u = pd.unique(
+            pd.concat([b[src], b[dst]], ignore_index=True).to_numpy()
+        )
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes = grouped_reduce(
+        edges.map_batches(nodes_partial, batch_format="pandas"),
+        ["node"],
+        {"__one": (None, "count")},
+        num_buckets=nb,
+    ).select_columns(["node"]).materialize()
+
+    def init_scores(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"].to_numpy(dtype=np.int64),
+                "score": np.ones(len(b)),
+            }
+        )
+
+    def tag_scores(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["node"].to_numpy(dtype=np.int64),
+                "other": np.full(len(b), -1, dtype=np.int64),
+                "score": b["score"].to_numpy(dtype=np.float64),
+                "__h_bkt": _bkt(b["node"], nb),
+            }
+        )
+
+    def scatter(group: pd.DataFrame) -> pa.Table:
+        is_score = group["other"].to_numpy() == -1
+        sc = group[is_score][["key", "score"]]
+        e = group[~is_score][["key", "other"]]
+        m = e.merge(sc, on="key", how="inner")
+        part = m.groupby("other", as_index=False)["score"].sum()
+        return pa.table(
+            {
+                "node": part["other"].to_numpy(dtype=np.int64),
+                "partial": part["score"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    def half_step(static_edges: rd.Dataset, scores: rd.Dataset) -> rd.Dataset:
+        tagged = static_edges.union(
+            scores.map_batches(tag_scores, batch_format="pandas")
+        )
+        raw = grouped_reduce(
+            tagged.groupby("__h_bkt").map_groups(
+                scatter, batch_format="pandas"
+            ),
+            ["node"],
+            {"score": ("partial", "sum")},
+            num_buckets=nb,
+        )
+        raw = raw.repartition(repartition_to).materialize()
+        ss = raw.map_batches(
+            lambda b: pd.DataFrame(
+                {"ss": [float(np.square(b["score"].to_numpy()).sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("ss")
+        norm = float(np.sqrt(ss)) or 1.0
+        return raw.map_batches(
+            lambda b, _n=norm: pd.DataFrame(
+                {"node": b["node"], "score": b["score"].to_numpy() / _n}
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    hub = nodes.map_batches(init_scores, batch_format="pandas").materialize()
+    auth = hub
+    for _ in range(iters):
+        auth = half_step(by_src, hub)   # auth[d] = Σ hub[s] over (s,d)
+        hub = half_step(by_dst, auth)   # hub[s]  = Σ auth[d] over (s,d)
+
+    # receivers only get scored by the half-steps; nodes with no
+    # in-edges (resp. out-edges) carry 0 — re-attach over the node set
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        base = g[g["__which"] == 0][["node"]]
+        h = g[g["__which"] == 1].set_index("node")["score"]
+        a = g[g["__which"] == 2].set_index("node")["score"]
+        out = base.copy()
+        nodes_np = base["node"].to_numpy()
+        out["hub"] = (
+            h.reindex(nodes_np).fillna(0.0).to_numpy()
+        )
+        out["authority"] = (
+            a.reindex(nodes_np).fillna(0.0).to_numpy()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def which(w: int):
+        def f(b: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"].to_numpy(dtype=np.int64),
+                    "score": (
+                        b["score"].to_numpy(dtype=np.float64)
+                        if "score" in b.columns
+                        else np.zeros(len(b))
+                    ),
+                    "__which": np.full(len(b), w, dtype=np.int64),
+                    "__h_bkt": _bkt(b["node"], nb),
+                }
+            )
+
+        return f
+
+    stacked = (
+        nodes.map_batches(which(0), batch_format="pandas")
+        .union(hub.map_batches(which(1), batch_format="pandas"))
+        .union(auth.map_batches(which(2), batch_format="pandas"))
+    )
+    out = stacked.groupby("__h_bkt").map_groups(
+        lambda g: finalize(g), batch_format="pandas"
+    )
+    return out, "dataset"

@@ -685,25 +685,27 @@ def rolling_active(
     key_col: str,
     window_hours: int = 3,
     num_buckets: int = 64,
+    freq: str = "h",
 ) -> rd.Dataset:
-    """Rolling distinct-key count per hourly window — for every hour
-    ``h`` touched by a window, the number of DISTINCT keys with an
-    event in ``(h - window_hours, h]``-style trailing windows (window
-    END hours are emitted for every event hour + the following
-    ``window_hours − 1`` hours).  SQL ``COUNT(DISTINCT ...) OVER`` is
-    unsupported by engines; the scale shape is the event→window
-    EXPLODE (bounded ×window_hours) followed by one exact
-    ``distinct_count_by_key`` — distinct pairs shrink map-side, the
-    exchange carries (window, key) pairs only."""
+    """Rolling distinct-key count per ``freq`` window (hourly by
+    default; pass ``freq="D"`` with ``window_hours`` meaning DAYS for
+    the DAU/MAU family) — for every period ``p`` touched by a window,
+    the number of DISTINCT keys with an event in the trailing
+    ``window_hours`` periods ending at ``p`` inclusive.  SQL
+    ``COUNT(DISTINCT ...) OVER`` is unsupported by engines; the scale
+    shape is the event→window EXPLODE (bounded ×window) followed by
+    one exact ``distinct_count_by_key`` — distinct pairs shrink
+    map-side, the exchange carries (window, key) pairs only."""
     from .agg import distinct_count_by_key
 
     k = int(window_hours)
+    unit = {"h": "h", "D": "D"}[freq]
 
     def explode(b: pd.DataFrame) -> pa.Table:
-        hrs = b[ts_col].dt.floor("h").to_numpy()
+        hrs = b[ts_col].dt.floor(freq).to_numpy()
         win = np.repeat(hrs, k) + np.tile(
             np.arange(k, dtype=np.int64), len(b)
-        ) * np.timedelta64(1, "h")
+        ) * np.timedelta64(1, unit)
         keys = np.repeat(b[key_col].to_numpy(), k)
         return pa.table({"win_end": pa.array(win), key_col: pa.array(keys)})
 
@@ -1195,3 +1197,52 @@ def session_paths(
     return counts.sort(
         key=["n_sessions", "path"], descending=[True, False]
     ).limit(k)
+
+
+def cusum_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    drift: float = 0.0,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """One-sided CUSUM changepoint statistic per key — the telemetry
+    drift/shift detector: ``S_i = max(0, S_{i-1} + (x_i − μ_key −
+    drift))`` over each key's ``order_cols``-ordered values, with
+    ``μ_key`` the key's own mean (self-calibrating).
+
+    The recursion vectorizes exactly via the reset identity
+    ``S_i = C_i − min(0, min_{j<=i} C_j)`` with ``C`` the running sum
+    of deviations — per-key cumsum + cummin, no sequential loop and a
+    direct SQL window mirror (``sum OVER`` − ``least(0, min OVER)``).
+
+    One hash(key) co-location; returns every input row plus ``cusum``
+    (unrounded — aggregate or threshold downstream)."""
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[[key_col, *order_cols, val_col]].copy()
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+        out["__cs_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def cusum_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__cs_bkt")
+            .sort_values([key_col, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        keys = g[key_col]
+        grp = g.groupby(key_col, sort=False)[val_col]
+        y = g[val_col] - grp.transform("mean") - drift
+        c = y.groupby(keys, sort=False).cumsum()
+        m = c.groupby(keys, sort=False).cummin()
+        g["cusum"] = (c - np.minimum(0.0, m)).to_numpy()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__cs_bkt")
+        .map_groups(cusum_bucket, batch_format="pandas")
+    )

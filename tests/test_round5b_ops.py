@@ -135,3 +135,96 @@ def test_km_survival_hand_reference(ray_session):
     assert out["n_risk"].tolist() == [5, 3, 1]
     assert out["n_events"].tolist() == [2, 1, 1]
     assert out["survival"].tolist() == [0.6, 0.4, 0.0]
+
+
+def test_hits_engines_agree(ray_session):
+    from table_annotation_ray.stages.graph import hits
+
+    rng = np.random.default_rng(11)
+    e = pd.DataFrame(
+        {
+            "src": rng.integers(0, 40, 300),
+            "dst": rng.integers(40, 80, 300),
+        }
+    )
+    ds = rd.from_pandas(e).repartition(4)
+    d_out, d_eng = hits(ds, iters=3, driver_below=10**9)
+    assert d_eng == "driver"
+    ds_out, ds_eng = hits(ds, iters=3, num_buckets=8, repartition_to=4)
+    assert ds_eng == "dataset"
+    a = d_out.to_pandas().sort_values("node").reset_index(drop=True)
+    b = ds_out.to_pandas().sort_values("node").reset_index(drop=True)
+    assert a["node"].tolist() == b["node"].tolist()
+    np.testing.assert_allclose(a["hub"], b["hub"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        a["authority"], b["authority"], rtol=1e-9, atol=1e-12
+    )
+    # hubs have no in-edges in this bipartite graph -> authority 0
+    assert (a.loc[a["node"] < 40, "authority"] == 0).all()
+    assert (a.loc[a["node"] >= 40, "hub"] == 0).all()
+    # L2 norms are 1 after the final normalization of each half-step
+    assert abs(np.square(a["authority"]).sum() - 1.0) < 1e-9
+    assert abs(np.square(a["hub"]).sum() - 1.0) < 1e-9
+
+
+def test_cusum_matches_literal_recursion(ray_session):
+    from table_annotation_ray.stages.windows import cusum_by_key
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 8, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.permutation(n), unit="min"),
+            "id": np.arange(n),
+            "x": rng.exponential(50.0, n),
+        }
+    )
+    out = (
+        cusum_by_key(
+            rd.from_pandas(df).repartition(5), "u", ["ts", "id"], "x"
+        )
+        .to_pandas()
+        .sort_values(["u", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    for u, sub in df.sort_values(["ts", "id"]).groupby("u"):
+        mu = sub["x"].mean()
+        s, ref = 0.0, []
+        for x in sub["x"]:
+            s = max(0.0, s + (x - mu))
+            ref.append(s)
+        got = out.loc[out["u"] == u, "cusum"].to_numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_rolling_active_daily(ray_session):
+    from table_annotation_ray.stages.windows import rolling_active
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 05:00", "2024-01-01 09:00",
+                 "2024-01-02 01:00", "2024-01-05 12:00"]
+            ),
+            "u": [1, 2, 1, 3],
+        }
+    )
+    dau = (
+        rolling_active(rd.from_pandas(df), "ts", "u",
+                       window_hours=1, freq="D")
+        .to_pandas()
+        .sort_values("win_end")
+        .reset_index(drop=True)
+    )
+    assert dau["n_active"].tolist() == [2, 1, 1]
+    # trailing 3-day window: day 3 (Jan 3) covers Jan 1-3 -> users {1,2}
+    w3 = (
+        rolling_active(rd.from_pandas(df), "ts", "u",
+                       window_hours=3, freq="D")
+        .to_pandas()
+        .set_index("win_end")
+    )
+    assert w3.loc[pd.Timestamp("2024-01-03"), "n_active"] == 2
+    assert w3.loc[pd.Timestamp("2024-01-05"), "n_active"] == 1
