@@ -4281,6 +4281,125 @@ def _q_signup_survival(sf_dir: str):
     return out.sort_values("t").reset_index(drop=True)
 
 
+def _q_value_mannwhitney(sf_dir: str):
+    """Mann–Whitney U rank-sum test, click vs view event values
+    (stages/stats.py::mann_whitney_u): tie-average ranks from the
+    pooled VALUE HISTOGRAM — one skinny distinct-(group,value)
+    exchange, the spearman counts-engine story.  Rank sums are exact
+    ½-multiples so U matches SQL's window rank formulation
+    bit-for-bit; z follows from the same exact inputs."""
+    from table_annotation_ray.stages.stats import mann_whitney_u
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    r = mann_whitney_u(ev, "event_type", "value", "click", "view")
+    return pd.DataFrame(
+        {
+            "n_a": [int(r["n_a"])],
+            "n_b": [int(r["n_b"])],
+            "u": _round_ha(pd.Series([r["u"]]), 4),
+            "z": _round_ha(pd.Series([r["z"]]), 6),
+        }
+    )
+
+
+def _q_revenue_wow(sf_dir: str):
+    """Week-over-week revenue growth: ISO-week resample of orders (one
+    week-cardinality grouped_reduce) + driver lag over the tiny week
+    table.  Oracle = date_trunc('week') + lag() window; first week
+    drops (no prior)."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def to_week(b: pd.DataFrame) -> pd.DataFrame:
+        wk = pd.to_datetime(b["o_orderdate"]).dt.to_period("W-SUN").dt.start_time
+        return pd.DataFrame({"week": wk, "price": b["o_totalprice"]})
+
+    wk = grouped_reduce(
+        orders.map_batches(to_week, batch_format="pandas"),
+        ["week"],
+        {"revenue": ("price", "sum")},
+    ).to_pandas().sort_values("week").reset_index(drop=True)
+    prev = wk["revenue"].shift(1)
+    out = wk[prev.notna()].copy()
+    out["growth"] = _round_ha(
+        (out["revenue"] - prev[prev.notna()]) / prev[prev.notna()], 6
+    )
+    out["revenue"] = _round_ha(out["revenue"], 2)
+    out["week"] = out["week"].astype("datetime64[us]")
+    return out[["week", "revenue", "growth"]].reset_index(drop=True)
+
+
+def _q_new_vs_returning(sf_dir: str):
+    """New-vs-returning users per day: distinct (day, user) pairs
+    (grouped_reduce), per-user first day (second grouped_reduce), a
+    size-gated equi_join to classify each active pair, and a
+    day-cardinality final reduce.  Oracle = min(day) OVER user against
+    the distinct-pair table."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import equi_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": b["ts"].dt.floor("D"), "user_id": b["user_id"]}
+        )
+
+    du = grouped_reduce(
+        ev.map_batches(to_day, batch_format="pandas"),
+        ["day", "user_id"],
+        {"__c": (None, "count")},
+    ).select_columns(["day", "user_id"])
+    first = grouped_reduce(
+        du, ["user_id"], {"fday": ("day", "min")}
+    )
+    j = equi_join(du, first, "user_id")
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        new = (b["day"] == b["fday"]).to_numpy()
+        return pd.DataFrame(
+            {
+                "day": b["day"],
+                "new": new.astype("int64"),
+                "ret": (~new).astype("int64"),
+            }
+        )
+
+    out = grouped_reduce(
+        j.map_batches(classify, batch_format="pandas"),
+        ["day"],
+        {"n_new": ("new", "sum"), "n_returning": ("ret", "sum")},
+    ).to_pandas()
+    out["n_new"] = out["n_new"].astype("int64")
+    out["n_returning"] = out["n_returning"].astype("int64")
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Zipf power-law fit of the top-100 token frequencies: vocab_topk
+    (distinct-token exchange + vocabulary-cardinality sort) then an OLS
+    of ln(freq) on ln(rank) over the 100-row driver table — the corpus
+    health check that token frequencies follow rank^-s.  Oracle =
+    regr_slope(ln(n), ln(r)) over the same deterministic (n desc,
+    token) ranking."""
+    from table_annotation_ray.stages.textstats import vocab_topk
+
+    docs = _read(sf_dir, "documents", ["text"])
+    vt = vocab_topk(docs, k=100).to_pandas()
+    x = np.log(np.arange(1.0, len(vt) + 1.0))
+    y = np.log(vt["n"].to_numpy(dtype=np.float64))
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    return pd.DataFrame(
+        {
+            "k": pd.Series([len(vt)], dtype="int64"),
+            "slope": _round_ha(pd.Series([slope]), 6),
+        }
+    )
+
+
 def _q_value_cusum(sf_dir: str):
     """Per-user one-sided CUSUM shift detection (stages/windows.py::
     cusum_by_key): the ``max(0, S+dev)`` recursion vectorized via the
@@ -4560,6 +4679,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hits": _q_supplier_hits,
         "value_cusum": _q_value_cusum,
         "dau_mau": _q_dau_mau,
+        "value_mannwhitney": _q_value_mannwhitney,
+        "revenue_wow": _q_revenue_wow,
+        "new_vs_returning": _q_new_vs_returning,
+        "zipf_slope": _q_zipf_slope,
     }
 
 
@@ -6728,6 +6851,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mau AS BIGINT) AS mau,
                    round(dau * 1.0 / mau, 6) AS stickiness
             FROM dau JOIN mau USING (day) ORDER BY day
+        """,
+        "value_mannwhitney": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+                FROM events WHERE event_type IN ('click', 'view')),
+            r AS (
+                SELECT v, g,
+                       rank() OVER (ORDER BY v)
+                         + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar
+                FROM s),
+            agg AS (
+                SELECT count(*) FILTER (WHERE g = 1) AS n1,
+                       count(*) FILTER (WHERE g = 0) AS n2,
+                       sum(ar) FILTER (WHERE g = 1)  AS r1
+                FROM r),
+            ties AS (
+                SELECT sum(t * t * t - t) AS corr
+                FROM (SELECT count(*) * 1.0 AS t FROM s GROUP BY v))
+            SELECT CAST(n1 AS BIGINT) AS n_a,
+                   CAST(n2 AS BIGINT) AS n_b,
+                   round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u,
+                   round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                         / sqrt(n1 * n2 / 12.0
+                                * ((n1 + n2 + 1)
+                                   - corr / ((n1 + n2) * (n1 + n2 - 1.0)))),
+                         6) AS z
+            FROM agg, ties
+        """,
+        "revenue_wow": """
+            WITH w AS (
+                SELECT date_trunc('week', o_orderdate) AS week,
+                       sum(o_totalprice) AS revenue
+                FROM orders GROUP BY 1),
+            g AS (
+                SELECT week, revenue,
+                       lag(revenue) OVER (ORDER BY week) AS prev
+                FROM w)
+            SELECT CAST(week AS TIMESTAMP) AS week,
+                   round(revenue, 2) AS revenue,
+                   round((revenue - prev) / prev, 6) AS growth
+            FROM g WHERE prev IS NOT NULL ORDER BY week
+        """,
+        "new_vs_returning": """
+            WITH du AS (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events),
+            f AS (
+                SELECT user_id, min(day) AS fday FROM du GROUP BY user_id)
+            SELECT CAST(day AS TIMESTAMP) AS day,
+                   CAST(count(*) FILTER (WHERE day = fday) AS BIGINT)
+                     AS n_new,
+                   CAST(count(*) FILTER (WHERE day > fday) AS BIGINT)
+                     AS n_returning
+            FROM du JOIN f USING (user_id)
+            GROUP BY day ORDER BY day
+        """,
+        "zipf_slope": """
+            WITH topk AS (
+                SELECT token, count(*) AS n
+                FROM (SELECT unnest(regexp_split_to_array(
+                                 lower(COALESCE(text, '')), '\\s+')) AS token
+                      FROM documents)
+                WHERE token <> ''
+                GROUP BY token
+                ORDER BY n DESC, token
+                LIMIT 100),
+            ranked AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+                FROM topk)
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   round(regr_slope(ln(n), ln(r * 1.0)), 6) AS slope
+            FROM ranked
         """,
         # ann_lsh / minhash_components / simhash_pairs /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -822,3 +822,69 @@ def km_survival(
         }
     )
     return out[out["n_events"] > 0].reset_index(drop=True)
+
+
+def mann_whitney_u(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    group_a: str,
+    group_b: str,
+    num_buckets: int = 64,
+) -> dict:
+    """Mann–Whitney U rank-sum test (two-sided z with tie correction) —
+    the nonparametric A/B companion to the t-test / KS entries.  Like
+    :func:`spearman_corr`'s counts engine, tie-average ranks are a pure
+    function of the pooled VALUE HISTOGRAM, so one skinny
+    ``grouped_reduce`` exchange over distinct (group, value) pairs
+    replaces any row-level ranking: per distinct value v,
+    ``avg_rank(v) = (#pooled < v) + (t_v + 1)/2`` (1-based), R_a =
+    Σ avg_rank·n_a(v), ``U = R_a − n_a(n_a+1)/2``, and
+    ``z = (U − n_a n_b/2) / sqrt(n_a n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))))``.
+
+    Rank sums are exact multiples of ½ (exact in float64 to 2^52), so U
+    matches SQL's window formulation bit-for-bit; z follows from the
+    same exact inputs.  Returns ``{"n_a","n_b","u","z"}``."""
+    from .agg import grouped_reduce
+
+    def stack(b: pd.DataFrame) -> pa.Table:
+        m = b[group_col].isin([group_a, group_b])
+        sub = b.loc[m, [group_col, val_col]]
+        return pa.table(
+            {
+                "__g": pa.array(
+                    (sub[group_col] == group_a).to_numpy().astype(np.int8),
+                    pa.int8(),
+                ),
+                "__v": pa.array(
+                    sub[val_col].to_numpy(dtype=np.float64), pa.float64()
+                ),
+            }
+        )
+
+    hist = (
+        grouped_reduce(
+            ds.map_batches(stack, batch_format="pandas"),
+            ["__g", "__v"],
+            {"__n": (None, "count")},
+            num_buckets=num_buckets,
+        )
+        .to_pandas()
+        .pivot_table(index="__v", columns="__g", values="__n", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    na_v = hist[1].to_numpy(dtype=np.float64)
+    nb_v = hist[0].to_numpy(dtype=np.float64)
+    t = na_v + nb_v
+    below = np.concatenate([[0.0], np.cumsum(t)[:-1]])
+    avg_rank = below + (t + 1.0) / 2.0
+    n1 = float(na_v.sum())
+    n2 = float(nb_v.sum())
+    big_n = n1 + n2
+    r1 = float((avg_rank * na_v).sum())
+    u = r1 - n1 * (n1 + 1.0) / 2.0
+    tie_corr = float((t * t * t - t).sum())
+    var = n1 * n2 / 12.0 * ((big_n + 1.0) - tie_corr / (big_n * (big_n - 1.0)))
+    z = (u - n1 * n2 / 2.0) / np.sqrt(var)
+    return {"n_a": int(n1), "n_b": int(n2), "u": u, "z": float(z)}

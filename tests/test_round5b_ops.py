@@ -228,3 +228,29 @@ def test_rolling_active_daily(ray_session):
     )
     assert w3.loc[pd.Timestamp("2024-01-03"), "n_active"] == 2
     assert w3.loc[pd.Timestamp("2024-01-05"), "n_active"] == 1
+
+
+def test_mann_whitney_hand_reference(ray_session):
+    from table_annotation_ray.stages.stats import mann_whitney_u
+
+    # a: [1, 2, 2, 5]  b: [2, 3, 4]; pooled sorted: 1,2,2,2,3,4,5
+    # avg ranks: 1; 3,3,3; 5; 6; 7  -> R_a = 1+3+3+7 = 14, U = 14-10 = 4
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 3,
+            "v": [1.0, 2.0, 2.0, 5.0, 2.0, 3.0, 4.0],
+        }
+    )
+    r = mann_whitney_u(
+        rd.from_pandas(df).repartition(3), "g", "v", "a", "b"
+    )
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert r["u"] == 4.0
+    # z from the tie-corrected variance: mu=6, tie term t=3 at v=2
+    n1, n2, N = 4.0, 3.0, 7.0
+    var = n1 * n2 / 12.0 * ((N + 1) - (27.0 - 3.0) / (N * (N - 1)))
+    assert abs(r["z"] - (4.0 - 6.0) / np.sqrt(var)) < 1e-12
+    # identical samples -> U = n1*n2/2, z = 0 (var > 0 needs some tie split)
+    df2 = pd.DataFrame({"g": ["a", "b", "a", "b"], "v": [1.0, 1.0, 2.0, 2.0]})
+    r2 = mann_whitney_u(rd.from_pandas(df2), "g", "v", "a", "b")
+    assert r2["u"] == 2.0 and abs(r2["z"]) < 1e-12
