@@ -4281,6 +4281,63 @@ def _q_signup_survival(sf_dir: str):
     return out.sort_values("t").reset_index(drop=True)
 
 
+def _q_quality_gate_by_lang(sf_dir: str):
+    """Per-language quality-quantile gate — the language-balanced
+    curation composition: each language keeps only docs at-or-above its
+    OWN median stopword_ratio (a global threshold would starve
+    non-English languages).  Threshold = exact per-lang order statistic
+    from stages/quantiles.py::group_quantile_threshold (counts-engine:
+    one skinny distinct-(lang, rounded-score) exchange, driver cumsum);
+    gating compares ROUNDED scores so both engines binarize
+    identically.  SQL hash-exact."""
+    import ray
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.quantiles import group_quantile_threshold
+    from table_annotation_ray.stages.textstats import quality_scores
+    from table_annotation_ray.state.worker_state import (
+        get_worker_state,
+        ref_key,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        return pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy(),
+                "score": _round_ha(qs["stopword_ratio"], 6).to_numpy(),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas").materialize()
+    thr = group_quantile_threshold(scored, "lang", "score", 0.5)
+    tref = ray.put(dict(zip(thr["lang"], thr["threshold"])))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        tm = get_worker_state(
+            ("qgate-thr", ref_key(tref)), lambda: ray.get(tref)
+        )
+        t = b["lang"].map(tm).to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "lang": b["lang"],
+                "kept": (b["score"].to_numpy() >= t).astype("int64"),
+            }
+        )
+
+    out = grouped_reduce(
+        scored.map_batches(flag, batch_format="pandas"),
+        ["lang"],
+        {"n_docs": (None, "count"), "n_kept": ("kept", "sum")},
+    ).to_pandas()
+    out = out.merge(thr[["lang", "threshold"]], on="lang")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _q_value_mannwhitney(sf_dir: str):
     """Mann–Whitney U rank-sum test, click vs view event values
     (stages/stats.py::mann_whitney_u): tie-average ranks from the
@@ -4683,6 +4740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_wow": _q_revenue_wow,
         "new_vs_returning": _q_new_vs_returning,
         "zipf_slope": _q_zipf_slope,
+        "quality_gate_by_lang": _q_quality_gate_by_lang,
     }
 
 
@@ -6907,6 +6965,37 @@ def oracle_sql() -> dict[str, str]:
                      AS n_returning
             FROM du JOIN f USING (user_id)
             GROUP BY day ORDER BY day
+        """,
+        "quality_gate_by_lang": """
+            WITH s AS (
+                SELECT lang,
+                       round(len(list_filter(regexp_split_to_array(
+                                 lower(trim(text)), '\\s+'),
+                                 x -> x IN """ + _ENGLISH_STOPS + """))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(
+                                                 regexp_split_to_array(
+                                                     trim(text), '\\s+'))
+                                        END, 1), 6) AS score
+                FROM documents),
+            r AS (
+                SELECT lang, score,
+                       row_number() OVER (PARTITION BY lang ORDER BY score)
+                         AS i,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM s),
+            thr AS (
+                SELECT lang,
+                       max(CASE WHEN i = CAST(ceil(0.5 * n) AS BIGINT)
+                                THEN score END) AS threshold
+                FROM r GROUP BY lang)
+            SELECT s.lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE s.score >= thr.threshold)
+                        AS BIGINT) AS n_kept,
+                   thr.threshold AS threshold
+            FROM s JOIN thr USING (lang)
+            GROUP BY s.lang, thr.threshold ORDER BY s.lang
         """,
         "zipf_slope": """
             WITH topk AS (

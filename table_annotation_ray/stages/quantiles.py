@@ -606,3 +606,50 @@ def grouped_kll_quantiles(
         .groupby("__gk_bkt")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+
+def group_quantile_threshold(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    q: float,
+    num_buckets: int = 64,
+    max_distinct: int = 5_000_000,
+) -> pd.DataFrame:
+    """Exact per-group q-th ORDER STATISTIC (value at rank
+    ``ceil(q·n_g)``, SQL rank semantics — no interpolation) from the
+    per-group VALUE HISTOGRAM: one skinny ``grouped_reduce`` exchange
+    over distinct (group, value) pairs, then a driver cumsum per group.
+    The counts-engine companion to :func:`grouped_quantiles` — exact
+    with no binning whenever the value domain is bounded (scores,
+    quantized ratios, prices); ``max_distinct`` hard-fails unbounded
+    domains (use grouped_quantiles there).
+
+    Returns a DataFrame ``(group, n, threshold)`` — the per-group gate
+    value for quantile-filter compositions."""
+    from .agg import grouped_reduce
+
+    hist = grouped_reduce(
+        ds.select_columns([group_col, val_col]),
+        [group_col, val_col],
+        {"__m": (None, "count")},
+        num_buckets=num_buckets,
+    ).materialize()
+    n_distinct = hist.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"{n_distinct} distinct (group, value) pairs exceed "
+            f"max_distinct={max_distinct}; use grouped_quantiles"
+        )
+    hp = hist.to_pandas().sort_values([group_col, val_col])
+    out_g, out_n, out_t = [], [], []
+    for g, sub in hp.groupby(group_col, sort=True):
+        m = sub["__m"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(m)
+        n = int(cum[-1])
+        k = min(max(int(math.ceil(q * n)), 1), n)
+        idx = int(np.searchsorted(cum, k, side="left"))
+        out_g.append(g)
+        out_n.append(n)
+        out_t.append(sub[val_col].to_numpy()[idx])
+    return pd.DataFrame({group_col: out_g, "n": out_n, "threshold": out_t})

@@ -254,3 +254,27 @@ def test_mann_whitney_hand_reference(ray_session):
     df2 = pd.DataFrame({"g": ["a", "b", "a", "b"], "v": [1.0, 1.0, 2.0, 2.0]})
     r2 = mann_whitney_u(rd.from_pandas(df2), "g", "v", "a", "b")
     assert r2["u"] == 2.0 and abs(r2["z"]) < 1e-12
+
+
+def test_group_quantile_threshold_rank_semantics(ray_session):
+    from table_annotation_ray.stages.quantiles import group_quantile_threshold
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 4,
+            "x": [10.0, 20.0, 20.0, 30.0, 40.0, 1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    thr = group_quantile_threshold(
+        rd.from_pandas(df).repartition(3), "g", "x", 0.5
+    ).set_index("g")
+    # a: ranks 1..5, k = ceil(2.5) = 3 -> sorted[3rd] = 20 (tie run)
+    # b: k = ceil(2) = 2 -> 2.0
+    assert thr.loc["a", "threshold"] == 20.0 and thr.loc["a", "n"] == 5
+    assert thr.loc["b", "threshold"] == 2.0 and thr.loc["b", "n"] == 4
+    top = group_quantile_threshold(rd.from_pandas(df), "g", "x", 1.0)
+    assert top.set_index("g").loc["a", "threshold"] == 40.0
+    with pytest.raises(ValueError, match="max_distinct"):
+        group_quantile_threshold(
+            rd.from_pandas(df), "g", "x", 0.5, max_distinct=2
+        )
