@@ -4281,6 +4281,57 @@ def _q_signup_survival(sf_dir: str):
     return out.sort_values("t").reset_index(drop=True)
 
 
+def _q_user_diversity(sf_dir: str):
+    """Per-user behavioral diversity (stages/stats.py::diversity_by_key):
+    Shannon entropy of each user's event-type mix and the effective
+    category count exp(H) — one distinct-(user,type) exchange + a
+    hash(user) co-location over COUNT rows.  SQL hash-exact vs the
+    -Σ(k/n)·ln(k/n) window formulation."""
+    from table_annotation_ray.stages.stats import diversity_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = diversity_by_key(ev, "user_id", "event_type").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_revenue_concentration(sf_dir: str):
+    """CR-10 revenue concentration per market segment (the antitrust /
+    key-account metric, Gini's discrete cousin): share of each
+    segment's revenue held by its top-10 customers.  Composition:
+    broadcast equi_join orders→customer, per-(segment, customer)
+    grouped_reduce, grouped_topk(k=10, custkey tiebreak) for the
+    numerator, segment totals for the denominator — every exchange
+    carries aggregated rows.  SQL hash-exact (row_number window)."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import equi_join, grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = equi_join(orders, cust, "o_custkey", "c_custkey")
+    per_cust = grouped_reduce(
+        j, ["c_mktsegment", "o_custkey"], {"rev": ("o_totalprice", "sum")}
+    ).materialize()
+    totals = grouped_reduce(
+        per_cust, ["c_mktsegment"],
+        {"total_revenue": ("rev", "sum"), "n_customers": (None, "count")},
+    ).to_pandas()
+    top = grouped_topk(
+        per_cust, ["c_mktsegment"], "rev", k=10,
+        descending=True, tiebreak="o_custkey",
+    )
+    topsum = grouped_reduce(
+        top, ["c_mktsegment"], {"top_rev": ("rev", "sum")}
+    ).to_pandas()
+    out = totals.merge(topsum, on="c_mktsegment")
+    out["cr10"] = _round_ha(out["top_rev"] / out["total_revenue"], 6)
+    out["total_revenue"] = _round_ha(out["total_revenue"], 2)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out = out[["c_mktsegment", "n_customers", "total_revenue", "cr10"]]
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def _q_quality_gate_by_lang(sf_dir: str):
     """Per-language quality-quantile gate — the language-balanced
     curation composition: each language keeps only docs at-or-above its
@@ -4741,6 +4792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning": _q_new_vs_returning,
         "zipf_slope": _q_zipf_slope,
         "quality_gate_by_lang": _q_quality_gate_by_lang,
+        "user_diversity": _q_user_diversity,
+        "revenue_concentration": _q_revenue_concentration,
     }
 
 
@@ -6965,6 +7018,39 @@ def oracle_sql() -> dict[str, str]:
                      AS n_returning
             FROM du JOIN f USING (user_id)
             GROUP BY day ORDER BY day
+        """,
+        "user_diversity": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS k
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, sum(k) AS n FROM c GROUP BY 1)
+            SELECT c.user_id,
+                   CAST(n AS BIGINT) AS n_events,
+                   round(-sum((k * 1.0 / n) * ln(k * 1.0 / n)), 6)
+                     AS entropy,
+                   round(exp(-sum((k * 1.0 / n) * ln(k * 1.0 / n))), 6)
+                     AS eff_cats
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, n ORDER BY c.user_id
+        """,
+        "revenue_concentration": """
+            WITH cr AS (
+                SELECT c_mktsegment, o_custkey, sum(o_totalprice) AS rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+            r AS (
+                SELECT c_mktsegment, rev,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY rev DESC, o_custkey)
+                         AS i,
+                       sum(rev) OVER (PARTITION BY c_mktsegment) AS tot
+                FROM cr)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(max(tot), 2) AS total_revenue,
+                   round(sum(rev) FILTER (WHERE i <= 10) / max(tot), 6)
+                     AS cr10
+            FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "quality_gate_by_lang": """
             WITH s AS (

@@ -888,3 +888,65 @@ def mann_whitney_u(
     var = n1 * n2 / 12.0 * ((big_n + 1.0) - tie_corr / (big_n * (big_n - 1.0)))
     z = (u - n1 * n2 / 2.0) / np.sqrt(var)
     return {"n_a": int(n1), "n_b": int(n2), "u": u, "z": float(z)}
+
+
+def diversity_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    cat_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key Shannon diversity of a categorical column — entropy (in
+    nats) and the effective category count ``exp(H)`` (Hill number of
+    order 1): the behavioral-diversity / corpus-mix audit (does a user
+    do one thing or many; does a domain emit one doc type or a
+    spread).
+
+    Shape: one ``grouped_reduce`` over (key, category) pairs (the
+    exchange carries distinct pairs, never events), then a hash(key)
+    co-location of the count rows with vectorized grouped entropy —
+    per-key work is |categories|, bounded.  Returns ``(key, n_events,
+    entropy, eff_cats)``, entropy/eff rounded half-away 6 dp (the
+    SQL-portable -Σ(k/n)ln(k/n) shape)."""
+    from .agg import grouped_reduce
+
+    pairs = grouped_reduce(
+        ds.select_columns([key_col, cat_col]),
+        [key_col, cat_col],
+        {"k": (None, "count")},
+        num_buckets=num_buckets,
+    )
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        h = pd.util.hash_pandas_object(b[key_col], index=False).to_numpy()
+        b["__dv_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def ent_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__dv_bkt")
+        k = g["k"].to_numpy(dtype=np.float64)
+        n = g.groupby(key_col, sort=False)["k"].transform("sum").to_numpy(
+            dtype=np.float64
+        )
+        p = k / n
+        term = -p * np.log(p)
+        kf = g[[key_col]].copy()
+        kf["__h"] = term
+        kf["__n"] = k
+        agg = kf.groupby(key_col, sort=True).sum()
+        ent = agg["__h"].to_numpy()
+        r6 = lambda a: np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+        out = agg.reset_index()[[key_col]]
+        out["n_events"] = agg["__n"].to_numpy().astype(np.int64)
+        out["entropy"] = r6(ent)
+        out["eff_cats"] = r6(np.exp(ent))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        pairs.map_batches(tag, batch_format="pandas")
+        .groupby("__dv_bkt")
+        .map_groups(ent_bucket, batch_format="pandas")
+    )

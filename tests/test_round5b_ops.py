@@ -278,3 +278,24 @@ def test_group_quantile_threshold_rank_semantics(ray_session):
         group_quantile_threshold(
             rd.from_pandas(df), "g", "x", 0.5, max_distinct=2
         )
+
+
+def test_diversity_by_key(ray_session):
+    from table_annotation_ray.stages.stats import diversity_by_key
+
+    df = pd.DataFrame(
+        {
+            "u": [1] * 4 + [2] * 3,
+            "t": ["a", "b", "a", "b", "x", "x", "x"],
+        }
+    )
+    out = (
+        diversity_by_key(rd.from_pandas(df).repartition(3), "u", "t")
+        .to_pandas()
+        .set_index("u")
+    )
+    # u1: uniform over 2 types -> H = ln 2, eff = 2 ; u2: single type -> 0, 1
+    assert abs(out.loc[1, "entropy"] - round(np.log(2), 6)) < 1e-9
+    assert out.loc[1, "eff_cats"] == 2.0
+    assert out.loc[2, "entropy"] == 0.0 and out.loc[2, "eff_cats"] == 1.0
+    assert out.loc[1, "n_events"] == 4 and out.loc[2, "n_events"] == 3
