@@ -4281,6 +4281,73 @@ def _q_signup_survival(sf_dir: str):
     return out.sort_values("t").reset_index(drop=True)
 
 
+def _q_nearest_view(sf_dir: str):
+    """Nearest-neighbor temporal join (stages/joins.py::nearest_join):
+    each purchase attaches the same user's closest view within ±2 h —
+    |diff| minimized, ties to the earlier then min-event_id view (the
+    sensor-alignment join asof can't express).  One hash(user)
+    co-location, two-candidate searchsorted pick; gaps are exact int64
+    µs.  Oracle = LATERAL ORDER BY abs(diff) LIMIT 1."""
+    from table_annotation_ray.stages.joins import nearest_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def side(tp: str, ts_name: str, id_name: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            sub = b[b["event_type"] == tp]
+            return pd.DataFrame(
+                {
+                    "user_id": sub["user_id"],
+                    ts_name: sub["ts"],
+                    id_name: sub["event_id"],
+                }
+            )
+
+        return f
+
+    purchases = ev.map_batches(side("purchase", "purchase_ts", "purchase_id"),
+                               batch_format="pandas")
+    views = ev.map_batches(side("view", "view_ts", "view_id"),
+                           batch_format="pandas")
+    out = nearest_join(
+        purchases, views, "user_id", "purchase_ts", "view_ts",
+        ["user_id", "purchase_ts", "purchase_id"],
+        ["user_id", "view_ts", "view_id"],
+        "view_id", tolerance=pd.Timedelta(hours=2),
+    ).to_pandas()
+    gap = (
+        out["view_ts"].astype("datetime64[ns]").astype("int64")
+        - out["purchase_ts"].astype("datetime64[ns]").astype("int64")
+    ).abs() // 1000
+    out["gap_us"] = gap.astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["purchase_id"] = out["purchase_id"].astype("int64")
+    out["view_id"] = out["view_id"].astype("int64")
+    out = out[["user_id", "purchase_id", "view_id", "gap_us"]]
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+def _q_value_anova(sf_dir: str):
+    """One-way ANOVA F across event types (stages/stats.py::
+    anova_oneway): between/within sum-of-squares from one
+    group-cardinality exchange of (n, Σv, Σv²) sufficient statistics —
+    the k-sample member of the t-test / KS / Mann-Whitney family.
+    Oracle mirrors the identical Σv²−n·x̄² arithmetic."""
+    from table_annotation_ray.stages.stats import anova_oneway
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    r = anova_oneway(ev, "event_type", "value")
+    return pd.DataFrame(
+        {
+            "n": pd.Series([r["n"]], dtype="int64"),
+            "k": pd.Series([r["k"]], dtype="int64"),
+            "ssb": _round_ha(pd.Series([r["ssb"]]), 2),
+            "ssw": _round_ha(pd.Series([r["ssw"]]), 2),
+            "f": _round_ha(pd.Series([r["f"]]), 6),
+        }
+    )
+
+
 def _q_user_diversity(sf_dir: str):
     """Per-user behavioral diversity (stages/stats.py::diversity_by_key):
     Shannon entropy of each user's event-type mix and the effective
@@ -4792,6 +4859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning": _q_new_vs_returning,
         "zipf_slope": _q_zipf_slope,
         "quality_gate_by_lang": _q_quality_gate_by_lang,
+        "nearest_view": _q_nearest_view,
+        "value_anova": _q_value_anova,
         "user_diversity": _q_user_diversity,
         "revenue_concentration": _q_revenue_concentration,
     }
@@ -7018,6 +7087,43 @@ def oracle_sql() -> dict[str, str]:
                      AS n_returning
             FROM du JOIN f USING (user_id)
             GROUP BY day ORDER BY day
+        """,
+        "nearest_view": """
+            SELECT p.user_id,
+                   p.event_id AS purchase_id,
+                   v.event_id AS view_id,
+                   CAST(abs(date_diff('microsecond', v.ts, p.ts))
+                        AS BIGINT) AS gap_us
+            FROM events p,
+                 LATERAL (
+                     SELECT e.ts, e.event_id FROM events e
+                     WHERE e.user_id = p.user_id
+                       AND e.event_type = 'view'
+                       AND abs(date_diff('microsecond', e.ts, p.ts))
+                             <= 7200000000
+                     ORDER BY abs(date_diff('microsecond', e.ts, p.ts)),
+                              e.ts, e.event_id
+                     LIMIT 1) v
+            WHERE p.event_type = 'purchase'
+            ORDER BY purchase_id
+        """,
+        "value_anova": """
+            WITH g AS (
+                SELECT event_type, count(*) * 1.0 AS n,
+                       sum(value) AS s, sum(value * value) AS ss
+                FROM events GROUP BY 1),
+            t AS (SELECT sum(n) AS big_n, sum(s) AS tot_s,
+                         count(*) AS k FROM g)
+            SELECT CAST(big_n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS k,
+                   round(sum(n * power(s / n - tot_s / big_n, 2)), 2)
+                     AS ssb,
+                   round(sum(ss - n * (s / n) * (s / n)), 2) AS ssw,
+                   round((sum(n * power(s / n - tot_s / big_n, 2))
+                          / (k - 1))
+                         / (sum(ss - n * (s / n) * (s / n))
+                            / (big_n - k)), 6) AS f
+            FROM g, t GROUP BY big_n, k
         """,
         "user_diversity": """
             WITH c AS (

@@ -339,3 +339,116 @@ def interval_join(
         return out[out_cols]
 
     return tagged.groupby("__j_gb").map_groups(probe, batch_format="pandas")
+
+
+def nearest_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_tiebreak: str,
+    tolerance: pd.Timedelta | None = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Nearest-neighbor temporal join: for every left row, the same-key
+    right row minimizing ``|right_ts − left_ts|`` (optionally within
+    ``tolerance``) — the sensor-alignment / context-attachment variant
+    of :func:`asof_join` (which looks backward only).  Distance ties
+    break toward the EARLIER right row, then min ``right_tiebreak`` —
+    the SQL ``ORDER BY abs(diff), r.ts, r.tiebreak LIMIT 1`` contract.
+    Inner semantics: left rows with no same-key right row (or none
+    within tolerance) drop.
+
+    Same shape as asof_join: one hash(key) % num_buckets co-location
+    under the sentinel-unified schema, in-bucket sort + two-candidate
+    searchsorted pick (backward + forward neighbor), all vectorized."""
+    if key not in left_cols or key not in right_cols:
+        raise ValueError("key must be listed in both column sets")
+    overlap = (set(left_cols) & set(right_cols)) - {key}
+    if overlap:
+        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
+    out_right = [c for c in right_cols if c != key]
+    out_left = list(left_cols)
+    tol = (
+        np.int64(tolerance // pd.Timedelta(microseconds=1))
+        if tolerance is not None
+        else None
+    )
+
+    def add_kb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__j_kb"] = (
+            pd.util.hash_pandas_object(b[key], index=False).to_numpy()
+            % np.uint64(64)
+        ).astype(np.int64)
+        return b
+
+    tagged = _tag_union(left, right, left_cols, right_cols, add_kb, add_kb)
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
+        is_r = g["__j_side"].to_numpy() == 1
+        lt = np.where(
+            ~is_r, g[left_ts].to_numpy().astype(_TS_I8).astype(np.int64), 0
+        )
+        rt = np.where(
+            is_r, g[right_ts].to_numpy().astype(_TS_I8).astype(np.int64), 0
+        )
+        tb = np.where(is_r, g[right_tiebreak].to_numpy(), 0)
+        l_take: list[np.ndarray] = []
+        r_take: list[np.ndarray] = []
+        for _, idx in g.groupby(key, sort=False).indices.items():
+            seg_l = idx[~is_r[idx]]
+            seg_r = idx[is_r[idx]]
+            if len(seg_l) == 0 or len(seg_r) == 0:
+                continue
+            # sort right by (ts, tiebreak): within an equal-ts run the
+            # FIRST element is the min-tiebreak one, and searchsorted
+            # boundaries land on run edges
+            order = np.lexsort((tb[seg_r], rt[seg_r]))
+            seg_r = seg_r[order]
+            rts = rt[seg_r]
+            lts = lt[seg_l]
+            # back = last right <= lt ; fwd = first right > lt
+            fwd = np.searchsorted(rts, lts, side="right")
+            back = fwd - 1
+            has_b = back >= 0
+            has_f = fwd < len(rts)
+            d_b = np.where(has_b, lts - rts[np.clip(back, 0, None)],
+                           np.iinfo(np.int64).max)
+            d_f = np.where(
+                has_f, rts[np.clip(fwd, None, len(rts) - 1)] - lts,
+                np.iinfo(np.int64).max,
+            )
+            # prefer backward on distance ties (earlier right row);
+            # equal-ts runs: `side=right` puts back on the run's LAST
+            # element — step to the run's first for the min tiebreak
+            use_b = d_b <= d_f
+            pick = np.where(use_b, back, fwd)
+            dist = np.where(use_b, d_b, d_f)
+            ok = dist < np.iinfo(np.int64).max
+            if tol is not None:
+                ok &= dist <= tol
+            if not ok.any():
+                continue
+            pick = pick[ok]
+            # min-tiebreak within the picked ts run
+            pick = np.searchsorted(rts, rts[pick], side="left")
+            l_take.append(seg_l[ok])
+            r_take.append(seg_r[pick])
+        sampleL = g[out_left].iloc[:0]
+        sampleR = g[out_right].iloc[:0]
+        if not l_take:
+            return pd.concat([sampleL, sampleR], axis=1)
+        li = np.concatenate(l_take)
+        ri = np.concatenate(r_take)
+        out = g.iloc[li][out_left].reset_index(drop=True)
+        take = g.iloc[ri][out_right].reset_index(drop=True)
+        for c in out_right:
+            out[c] = take[c]
+        return out
+
+    return tagged.groupby("__j_kb").map_groups(match, batch_format="pandas")

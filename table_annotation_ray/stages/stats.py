@@ -950,3 +950,49 @@ def diversity_by_key(
         .groupby("__dv_bkt")
         .map_groups(ent_bucket, batch_format="pandas")
     )
+
+
+def anova_oneway(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    num_buckets: int = 64,
+) -> dict:
+    """One-way ANOVA F statistic across the groups of ``group_col`` —
+    the k-sample companion to :func:`welch_ttest` (k=2) /
+    :func:`mann_whitney_u` (rank-based).  From per-group sufficient
+    statistics only (one ``grouped_reduce`` exchange of (n, Σv, Σv²)
+    per group — group-cardinality rows, never data):
+    ``SSB = Σ_g n_g(x̄_g − x̄)², SSW = Σ_g (Σv² − n_g x̄_g²)``,
+    ``F = (SSB/(k−1)) / (SSW/(N−k))``.  Returns
+    ``{"n", "k", "ssb", "ssw", "f"}`` (unrounded — round at compare
+    time; the Σv²−n x̄² shape mirrors SQL exactly)."""
+    from .agg import grouped_reduce
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[val_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "v": v,
+                "vv": v * v,
+            }
+        )
+
+    g = grouped_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col],
+        {"n": (None, "count"), "s": ("v", "sum"), "ss": ("vv", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    n_g = g["n"].to_numpy(dtype=np.float64)
+    s_g = g["s"].to_numpy(dtype=np.float64)
+    ss_g = g["ss"].to_numpy(dtype=np.float64)
+    big_n = float(n_g.sum())
+    k = len(g)
+    mean_g = s_g / n_g
+    grand = float(s_g.sum()) / big_n
+    ssb = float((n_g * (mean_g - grand) ** 2).sum())
+    ssw = float((ss_g - n_g * mean_g * mean_g).sum())
+    f = (ssb / (k - 1)) / (ssw / (big_n - k)) if k > 1 and big_n > k else 0.0
+    return {"n": int(big_n), "k": int(k), "ssb": ssb, "ssw": ssw, "f": f}

@@ -299,3 +299,54 @@ def test_diversity_by_key(ray_session):
     assert out.loc[1, "eff_cats"] == 2.0
     assert out.loc[2, "entropy"] == 0.0 and out.loc[2, "eff_cats"] == 1.0
     assert out.loc[1, "n_events"] == 4 and out.loc[2, "n_events"] == 3
+
+
+def test_nearest_join_brute_force(ray_session):
+    from table_annotation_ray.stages.joins import nearest_join
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 60),
+            "lts": base + pd.to_timedelta(rng.integers(0, 10000, 60), unit="s"),
+            "lid": np.arange(60),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 80),
+            "rts": base + pd.to_timedelta(rng.integers(0, 10000, 80), unit="s"),
+            "rid": np.arange(80),
+        }
+    )
+    tol = pd.Timedelta(minutes=20)
+    got = (
+        nearest_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            "k", "lts", "rts",
+            ["k", "lts", "lid"], ["k", "rts", "rid"],
+            "rid", tolerance=tol,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # brute force: min (|diff|, rts, rid)
+    exp = []
+    for _, lr in left.iterrows():
+        cand = right[right["k"] == lr["k"]].copy()
+        if len(cand) == 0:
+            continue
+        cand["d"] = (cand["rts"] - lr["lts"]).abs()
+        cand = cand[cand["d"] <= tol]
+        if len(cand) == 0:
+            continue
+        best = cand.sort_values(["d", "rts", "rid"]).iloc[0]
+        exp.append((lr["lid"], best["rid"]))
+    exp = pd.DataFrame(exp, columns=["lid", "rid"]).sort_values(
+        "lid"
+    ).reset_index(drop=True)
+    assert got["lid"].tolist() == exp["lid"].tolist()
+    assert got["rid"].tolist() == exp["rid"].tolist()
