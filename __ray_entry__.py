@@ -4281,6 +4281,30 @@ def _q_signup_survival(sf_dir: str):
     return out.sort_values("t").reset_index(drop=True)
 
 
+def _q_audio_quality(sf_dir: str):
+    """Audio QA gate (stages/multimodal.py::AudioQualityAudit): per-clip
+    clipping/silence ratios, RMS, peak over REAL stdlib-decoded WAV
+    PCM; non-WAV/corrupt rows degrade per-row to decoded=False.
+    Rows-only (binary decode has no SQL equivalent); pytest pins the
+    metrics on synthesized clipped/silent clips."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        RECOMMENDED_BATCH_SIZE,
+        AudioQualityAudit,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=96, seed=11))
+    out = ds.map_batches(
+        AudioQualityAudit,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=(1, 2),
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_nearest_view(sf_dir: str):
     """Nearest-neighbor temporal join (stages/joins.py::nearest_join):
     each purchase attaches the same user's closest view within ±2 h —
@@ -4859,6 +4883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning": _q_new_vs_returning,
         "zipf_slope": _q_zipf_slope,
         "quality_gate_by_lang": _q_quality_gate_by_lang,
+        "audio_quality": _q_audio_quality,
         "nearest_view": _q_nearest_view,
         "value_anova": _q_value_anova,
         "user_diversity": _q_user_diversity,

@@ -487,3 +487,62 @@ def plant_perturbed_audio(
     return pa.concat_tables(
         [table, pa.Table.from_pylist(out, schema=table.schema)]
     )
+
+
+class AudioQualityAudit:
+    """Actor-pool stage: (audio rows) → per-clip QA signals over REAL
+    decoded PCM — clipping ratio (samples at full scale), silence ratio
+    (|s| < ``silence_thresh``), RMS and peak — the corpus gate that
+    drops mangled/empty recordings before feature extraction.  Same
+    per-row degradation contract as the other stages: undecodable or
+    corrupt payloads come back ``decoded=False`` with null metrics
+    (never a poisoned batch)."""
+
+    def __init__(
+        self,
+        silence_thresh: float = 0.01,
+        clip_thresh: float = 32767.0 / 32768.0,
+        decoder=None,
+    ):
+        self.silence = float(silence_thresh)
+        self.clip = float(clip_thresh)
+        self.decoder = decoder if decoder is not None else codecs.decode_audio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, decoded = [], []
+        clip_r, sil_r, rms, peak, n_samples = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            ids.append(mid)
+            try:
+                pcm = np.asarray(self.decoder(payload or b""), dtype=np.float64)
+                if len(pcm) == 0:
+                    raise ValueError("empty PCM")
+                a = np.abs(pcm)
+                decoded.append(True)
+                clip_r.append(round(float((a >= self.clip).mean()), 6))
+                sil_r.append(round(float((a < self.silence).mean()), 6))
+                rms.append(round(float(np.sqrt((pcm * pcm).mean())), 6))
+                peak.append(round(float(a.max()), 6))
+                n_samples.append(len(pcm))
+            except (NotImplementedError, ValueError):
+                decoded.append(False)
+                clip_r.append(None)
+                sil_r.append(None)
+                rms.append(None)
+                peak.append(None)
+                n_samples.append(0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "decoded": pa.array(decoded, pa.bool_()),
+                "clip_ratio": pa.array(clip_r, pa.float64()),
+                "silence_ratio": pa.array(sil_r, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "peak": pa.array(peak, pa.float64()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+            }
+        )

@@ -350,3 +350,51 @@ def test_nearest_join_brute_force(ray_session):
     ).reset_index(drop=True)
     assert got["lid"].tolist() == exp["lid"].tolist()
     assert got["rid"].tolist() == exp["rid"].tolist()
+
+
+def test_audio_quality_audit(ray_session):
+    import io
+    import wave
+
+    import pyarrow as pa
+    import ray.data as rdm
+
+    from table_annotation_ray.stages.multimodal import AudioQualityAudit
+
+    def wav_bytes(samples: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(
+                (np.clip(samples, -1.0, 0.999969) * 32768)
+                .astype("<i2")
+                .tobytes()
+            )
+        return buf.getvalue()
+
+    t = np.linspace(0, 1, 16000)
+    clipped = np.sin(2 * np.pi * 440 * t) * 3.0  # hard-clips at full scale
+    quiet = np.zeros(16000)
+    quiet[:1600] = 0.5  # 90% silence
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [wav_bytes(clipped), wav_bytes(quiet), b"not-audio"],
+                pa.binary(),
+            ),
+        }
+    )
+    out = (
+        rdm.from_arrow(tbl)
+        .map_batches(AudioQualityAudit, batch_format="pyarrow",
+                     concurrency=(1, 1))
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert out.loc[1, "decoded"] and out.loc[1, "clip_ratio"] > 0.3
+    assert out.loc[2, "silence_ratio"] == 0.9
+    assert abs(out.loc[2, "peak"] - 0.5) < 0.01
+    assert not out.loc[3, "decoded"] and pd.isna(out.loc[3, "rms"])
