@@ -658,6 +658,8 @@ def pivot_table(
         # batches missing a pivot value — pa.Table.from_pandas infers
         # Arrow NULL for those partials and breaks block unification at
         # the grouped_reduce exchange (the empty-object-dtype class)
+        if ds.schema(fetch_if_missing=False) is None:
+            ds = ds.materialize()  # materialize-before-schema rule
         sch = ds.schema()
         vt = dict(zip(sch.names, sch.types))[value_col]
         numeric = (
@@ -1030,6 +1032,13 @@ def merge_upsert(
     Winner rows are selected as Arrow ``take`` indices, so arbitrary
     payload schemas survive untouched (no pandas round-trip of the
     payload columns)."""
+    # materialize-before-schema rule (CLAUDE.md r5): an unknown-schema
+    # fetch executes the upstream and discards it; both sides are
+    # consumed below anyway
+    if base.schema(fetch_if_missing=False) is None:
+        base = base.materialize()
+    if changes.schema(fetch_if_missing=False) is None:
+        changes = changes.materialize()
     if base.schema().names != changes.schema().names:
         raise ValueError(
             "merge_upsert: base and changes must share one schema "

@@ -212,6 +212,10 @@ def rolling_sum_by_key(
     import numpy as np
     import pyarrow as pa
 
+    # materialize-before-schema rule (CLAUDE.md r5): fetching an
+    # unknown schema executes the upstream and discards it
+    if ds.schema(fetch_if_missing=False) is None:
+        ds = ds.materialize()
     out_cols = list(ds.schema().names) + ["roll_sum"]
     nb = np.uint64(num_buckets)
     w = np.int64(window // pd.Timedelta(microseconds=1))
