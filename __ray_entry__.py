@@ -3623,9 +3623,15 @@ def _q_winsorized_price(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         v = b["l_extendedprice"].to_numpy(dtype=np.float64)
         v = v[~np.isnan(v)]
+        # EXACT integer-cent arithmetic: at sf0.1 the float clip-sum's
+        # random-walk noise (~3e-3 at 3e10 magnitude) crossed the 2-dp
+        # rounding boundary against DuckDB's differently-associated sum
+        # — cents are exact in int64 on both engines, so the final
+        # /100.0 is the identical double everywhere
+        cents = np.round(np.clip(v, lo, hi) * 100.0).astype(np.int64)
         return pd.DataFrame(
             {
-                "s": [float(np.clip(v, lo, hi).sum())],
+                "s": [int(cents.sum())],
                 "n_lo": [int((v < lo).sum())],
                 "n_hi": [int((v > hi).sum())],
             }
@@ -3635,7 +3641,7 @@ def _q_winsorized_price(sf_dir: str):
     out = pd.DataFrame(
         {
             "lo": [lo], "hi": [hi],
-            "sum_winsorized": [p["s"].sum()],
+            "sum_winsorized": [float(p["s"].sum()) / 100.0],
             "n_clipped_lo": [int(p["n_lo"].sum())],
             "n_clipped_hi": [int(p["n_hi"].sum())],
         }
@@ -4603,20 +4609,26 @@ def _q_value_cusum(sf_dir: str):
     """Per-user one-sided CUSUM shift detection (stages/windows.py::
     cusum_by_key): the ``max(0, S+dev)`` recursion vectorized via the
     cumsum-minus-running-min reset identity, one hash(user)
-    co-location; per-user alert counts (S > 100) and peak statistic
-    aggregate through grouped_reduce.  Oracle = the same identity as
-    SQL windows (sum OVER − least(0, min OVER))."""
+    co-location; per-user alert counts and peak statistic aggregate
+    through grouped_reduce.  KNOWN-target form (μ0=50): deviations stay
+    on the 2-decimal input lattice, so the 4-dp rounding and the
+    OFF-lattice alert threshold (100.001) are boundary-safe — the
+    per-user-MEAN variant produces denominator-n rationals that sit
+    exactly on boundaries and flips engines (measured at sf0.1).
+    Oracle = the same identity as SQL windows (sum OVER − least(0,
+    min OVER))."""
     from table_annotation_ray.stages.agg import grouped_reduce
     from table_annotation_ray.stages.windows import cusum_by_key
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-    cs = cusum_by_key(ev, "user_id", ["ts", "event_id"], "value")
+    cs = cusum_by_key(ev, "user_id", ["ts", "event_id"], "value",
+                      target=50.0)
 
     def flag(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "user_id": b["user_id"],
-                "alert": (b["cusum"].to_numpy() > 100.0).astype("int64"),
+                "alert": (b["cusum"].to_numpy() > 100.001).astype("int64"),
                 "cusum": b["cusum"],
             }
         )
@@ -6103,8 +6115,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT (SELECT v FROM ranked WHERE rn = CAST(ceil(0.05 * n) AS BIGINT)) AS lo,
                        (SELECT v FROM ranked WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)) AS hi)
             SELECT round(lo, 2) AS lo, round(hi, 2) AS hi,
-                   round(SUM(CASE WHEN v < lo THEN lo
-                                  WHEN v > hi THEN hi ELSE v END), 2) AS sum_winsorized,
+                   round(CAST(SUM(CAST(round((CASE WHEN v < lo THEN lo
+                                  WHEN v > hi THEN hi ELSE v END) * 100.0)
+                              AS BIGINT)) AS DOUBLE) / 100.0, 2)
+                     AS sum_winsorized,
                    COUNT(CASE WHEN v < lo THEN 1 END) AS n_clipped_lo,
                    COUNT(CASE WHEN v > hi THEN 1 END) AS n_clipped_hi
             FROM ranked, b GROUP BY lo, hi
@@ -7016,14 +7030,10 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE d > 0 ORDER BY t
         """,
         "value_cusum": """
-            WITH b AS (
-                SELECT user_id, ts, event_id, value,
-                       avg(value) OVER (PARTITION BY user_id) AS mu
-                FROM events),
-            c AS (
+            WITH c AS (
                 SELECT user_id, ts, event_id,
-                       sum(value - mu) OVER w AS cum
-                FROM b
+                       sum(value - 50.0) OVER w AS cum
+                FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING)),
             s AS (
@@ -7033,7 +7043,7 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING)) AS cusum
                 FROM c)
             SELECT user_id,
-                   CAST(count(*) FILTER (WHERE cusum > 100.0) AS BIGINT)
+                   CAST(count(*) FILTER (WHERE cusum > 100.001) AS BIGINT)
                      AS n_alerts,
                    round(max(cusum), 4) AS max_cusum
             FROM s GROUP BY user_id ORDER BY user_id

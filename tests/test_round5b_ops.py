@@ -398,3 +398,23 @@ def test_audio_quality_audit(ray_session):
     assert out.loc[2, "silence_ratio"] == 0.9
     assert abs(out.loc[2, "peak"] - 0.5) < 0.01
     assert not out.loc[3, "decoded"] and pd.isna(out.loc[3, "rms"])
+
+
+def test_cusum_fixed_target(ray_session):
+    from table_annotation_ray.stages.windows import cusum_by_key
+
+    df = pd.DataFrame(
+        {
+            "u": [1] * 5,
+            "ts": pd.date_range("2024-01-01", periods=5, freq="min"),
+            "id": range(5),
+            "x": [12.0, 8.0, 13.0, 9.0, 15.0],
+        }
+    )
+    out = (
+        cusum_by_key(rd.from_pandas(df), "u", ["ts", "id"], "x", target=10.0)
+        .to_pandas()
+        .sort_values("id")
+    )
+    # S: max-reset recursion vs 10: 2, 0, 3, 2, 7
+    assert out["cusum"].tolist() == [2.0, 0.0, 3.0, 2.0, 7.0]
