@@ -4357,6 +4357,50 @@ def _q_nearest_view(sf_dir: str):
     return out.sort_values("purchase_id").reset_index(drop=True)
 
 
+def _q_event_stationary(sf_dir: str):
+    """Long-run event-type mix (stages/stats.py::markov_stationary over
+    windows.py::transition_counts): MLE transition matrix from the
+    per-user LEAD exchange, driver power iteration on the
+    |types|²-bounded table (dangling states get the PageRank uniform
+    row).  Rows-only (eigenvector fixpoint has no SQL equivalent);
+    pytest pins π against numpy's left eigenvector on a hand matrix."""
+    from table_annotation_ray.stages.stats import markov_stationary
+    from table_annotation_ray.stages.windows import transition_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    tc = transition_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+    return markov_stationary(tc)
+
+
+def _q_hourly_profile(sf_dir: str):
+    """Hour-of-day seasonality profile per event type: share of each
+    type's events in each of its 24 hours — one (type, hour)
+    grouped_reduce (≤ |types|×24 rows cross the wire), shares closed on
+    the tiny table.  SQL hash-exact."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": b["ts"].dt.hour.astype("int64"),
+            }
+        )
+
+    out = grouped_reduce(
+        ev.map_batches(to_hour, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    tot = out.groupby("event_type")["n"].transform("sum")
+    out["share"] = _round_ha(out["n"] / tot, 6)
+    out["n"] = out["n"].astype("int64")
+    out["hour"] = out["hour"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 def _q_value_anova(sf_dir: str):
     """One-way ANOVA F across event types (stages/stats.py::
     anova_oneway): between/within sum-of-squares from one
@@ -4897,6 +4941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_by_lang": _q_quality_gate_by_lang,
         "audio_quality": _q_audio_quality,
         "nearest_view": _q_nearest_view,
+        "event_stationary": _q_event_stationary,
+        "hourly_profile": _q_hourly_profile,
         "value_anova": _q_value_anova,
         "user_diversity": _q_user_diversity,
         "revenue_concentration": _q_revenue_concentration,
@@ -7141,6 +7187,15 @@ def oracle_sql() -> dict[str, str]:
                      LIMIT 1) v
             WHERE p.event_type = 'purchase'
             ORDER BY purchase_id
+        """,
+        "hourly_profile": """
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) * 1.0 /
+                         sum(count(*)) OVER (PARTITION BY event_type), 6)
+                     AS share
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "value_anova": """
             WITH g AS (

@@ -996,3 +996,43 @@ def anova_oneway(
     ssw = float((ss_g - n_g * mean_g * mean_g).sum())
     f = (ssb / (k - 1)) / (ssw / (big_n - k)) if k > 1 and big_n > k else 0.0
     return {"n": int(big_n), "k": int(k), "ssb": ssb, "ssw": ssw, "f": f}
+
+
+def markov_stationary(
+    transitions: rd.Dataset,
+    iters: int = 200,
+    max_states: int = 10_000,
+) -> pd.DataFrame:
+    """Stationary distribution of the Markov chain MLE'd from a
+    transition-count table (``windows.transition_counts`` output:
+    ``from_type, to_type, n``) — where a user journey settles in the
+    long run.  The heavy work (the per-key LEAD exchange + pair
+    reduction) happens upstream; this closes the |states|² table
+    (gate: ``max_states``) driver-side: row-normalize to P, then power
+    iteration ``π ← πP`` from uniform, renormalized each step.
+    Absorbing/dangling states (no out-transitions) get a uniform
+    outgoing row (the PageRank dangling convention), so π always
+    exists and sums to 1.  Returns ``(state, stationary)`` sorted by
+    state, stationary rounded half-away 6 dp."""
+    t = transitions.to_pandas()
+    states = sorted(set(t["from_type"]) | set(t["to_type"]))
+    k = len(states)
+    if k == 0:
+        return pd.DataFrame({"state": [], "stationary": []})
+    if k > max_states:
+        raise ValueError(f"{k} states exceed max_states={max_states}")
+    pos = {s: i for i, s in enumerate(states)}
+    p = np.zeros((k, k))
+    for f, to, n in zip(t["from_type"], t["to_type"], t["n"]):
+        p[pos[f], pos[to]] += float(n)
+    rs = p.sum(axis=1)
+    dangling = rs == 0
+    p[dangling] = 1.0 / k
+    rs = p.sum(axis=1)
+    p /= rs[:, None]
+    pi = np.full(k, 1.0 / k)
+    for _ in range(iters):
+        pi = pi @ p
+        pi /= pi.sum()
+    r6 = np.sign(pi) * np.floor(np.abs(pi) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"state": states, "stationary": r6})

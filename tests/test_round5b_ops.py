@@ -418,3 +418,30 @@ def test_cusum_fixed_target(ray_session):
     )
     # S: max-reset recursion vs 10: 2, 0, 3, 2, 7
     assert out["cusum"].tolist() == [2.0, 0.0, 3.0, 2.0, 7.0]
+
+
+def test_markov_stationary_vs_eigenvector(ray_session):
+    from table_annotation_ray.stages.stats import markov_stationary
+
+    # hand chain: a->b 3, b->a 1, b->b 1, plus dangling state c (b->c 0
+    # never appears; c appears only as a destination: a->c 1)
+    t = pd.DataFrame(
+        {
+            "from_type": ["a", "b", "b", "a"],
+            "to_type": ["b", "a", "b", "c"],
+            "n": [3, 1, 1, 1],
+        }
+    )
+    out = markov_stationary(rd.from_pandas(t)).set_index("state")
+    # numpy reference: P with dangling c -> uniform row
+    states = ["a", "b", "c"]
+    p = np.zeros((3, 3))
+    p[0, 1] = 3; p[0, 2] = 1; p[1, 0] = 1; p[1, 1] = 1
+    p[2] = 1.0 / 3
+    p /= p.sum(axis=1)[:, None]
+    vals, vecs = np.linalg.eig(p.T)
+    pi = np.real(vecs[:, np.argmax(np.real(vals))])
+    pi = pi / pi.sum()
+    for s, ref in zip(states, pi):
+        assert abs(out.loc[s, "stationary"] - ref) < 1e-5
+    assert abs(out["stationary"].sum() - 1.0) < 1e-5
