@@ -4357,6 +4357,78 @@ def _q_nearest_view(sf_dir: str):
     return out.sort_values("purchase_id").reset_index(drop=True)
 
 
+def _q_langid_agreement(sf_dir: str):
+    """Cohen's kappa between the documents table's true ``lang`` and
+    the stopword-voting lang_id prediction (stages/stats.py::
+    cohen_kappa over one bounded cell-count exchange) — the
+    labeler-agreement eval; zh has no stopword list so it predicts
+    'und' and depresses κ below raw accuracy.  Every number derives
+    from exact integer counts, so the SQL mirror is bit-identical."""
+    from table_annotation_ray.stages.stats import cohen_kappa
+    from table_annotation_ray.stages.textstats import lang_id
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pair(b: pd.DataFrame) -> pd.DataFrame:
+        pred = lang_id(b[["doc_id", "text"]])
+        return pd.DataFrame(
+            {"lang": b["lang"].to_numpy(), "pred": pred["pred_lang"].to_numpy()}
+        )
+
+    r = cohen_kappa(
+        docs.map_batches(pair, batch_format="pandas"), "lang", "pred"
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([r["n"]], dtype="int64"),
+            "accuracy": _round_ha(pd.Series([r["accuracy"]]), 6),
+            "kappa": _round_ha(pd.Series([r["kappa"]]), 6),
+        }
+    )
+
+
+def _q_conversion_ab_ztest(sf_dir: str):
+    """Two-proportion z-test on conversion (any purchase) between the
+    even/odd user-id cohorts — the A/B launch-gate metric completing
+    the t-test/KS/U/ANOVA family.  Per-user conversion flags reduce
+    through one grouped_reduce; the pooled-variance z derives entirely
+    from exact integer counts (bit-identical SQL mirror)."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "conv": (b["event_type"] == "purchase").astype("int64"),
+            }
+        )
+
+    conv = grouped_reduce(
+        ev.map_batches(flags, batch_format="pandas"),
+        ["user_id"],
+        {"conv": ("conv", "max")},
+    ).to_pandas()
+    conv["grp"] = conv["user_id"] % 2
+    g = conv.groupby("grp")["conv"].agg(["count", "sum"])
+    na, xa = float(g.loc[0, "count"]), float(g.loc[0, "sum"])
+    nb, xb = float(g.loc[1, "count"]), float(g.loc[1, "sum"])
+    pool = (xa + xb) / (na + nb)
+    z = (xa / na - xb / nb) / np.sqrt(
+        pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    )
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([int(na)], dtype="int64"),
+            "n_b": pd.Series([int(nb)], dtype="int64"),
+            "rate_a": _round_ha(pd.Series([xa / na]), 6),
+            "rate_b": _round_ha(pd.Series([xb / nb]), 6),
+            "z": _round_ha(pd.Series([z]), 6),
+        }
+    )
+
+
 def _q_event_stationary(sf_dir: str):
     """Long-run event-type mix (stages/stats.py::markov_stationary over
     windows.py::transition_counts): MLE transition matrix from the
@@ -4941,6 +5013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_by_lang": _q_quality_gate_by_lang,
         "audio_quality": _q_audio_quality,
         "nearest_view": _q_nearest_view,
+        "langid_agreement": _q_langid_agreement,
+        "conversion_ab_ztest": _q_conversion_ab_ztest,
         "event_stationary": _q_event_stationary,
         "hourly_profile": _q_hourly_profile,
         "value_anova": _q_value_anova,
@@ -7187,6 +7261,63 @@ def oracle_sql() -> dict[str, str]:
                      LIMIT 1) v
             WHERE p.event_type = 'purchase'
             ORDER BY purchase_id
+        """,
+        "langid_agreement": """
+            WITH c AS (
+                SELECT doc_id, lang,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('the','and','of','to','a','in','is','it','you','that','was','for'))) AS n_en,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('le','la','les','de','des','et','un','une','est','que','pour','dans'))) AS n_fr,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('der','die','das','und','ist','ein','eine','zu','den','von','mit','für'))) AS n_de,
+                       len(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                           x -> x IN ('el','la','los','las','de','y','un','una','es','que','por','para'))) AS n_es
+                FROM documents),
+            j AS (
+                SELECT lang AS a,
+                       CASE WHEN greatest(n_en, n_fr, n_de, n_es) = 0 THEN 'und'
+                            WHEN n_en = greatest(n_en, n_fr, n_de, n_es) THEN 'en'
+                            WHEN n_fr = greatest(n_en, n_fr, n_de, n_es) THEN 'fr'
+                            WHEN n_de = greatest(n_en, n_fr, n_de, n_es) THEN 'de'
+                            ELSE 'es' END AS b
+                FROM c),
+            cells AS (SELECT a, b, count(*) * 1.0 AS c FROM j GROUP BY 1, 2),
+            tot AS (SELECT sum(c) AS n FROM cells),
+            rows_ AS (SELECT a AS k, sum(c) AS r FROM cells GROUP BY a),
+            cols_ AS (SELECT b AS k, sum(c) AS s FROM cells GROUP BY b),
+            agg AS (
+                SELECT (SELECT coalesce(sum(c), 0) FROM cells WHERE a = b)
+                         / n AS po,
+                       (SELECT sum(r * s)
+                        FROM rows_ JOIN cols_ USING (k)) / (n * n) AS pe,
+                       n
+                FROM tot)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(po, 6) AS accuracy,
+                   round((po - pe) / (1 - pe), 6) AS kappa
+            FROM agg
+        """,
+        "conversion_ab_ztest": """
+            WITH u AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1),
+            g AS (
+                SELECT user_id % 2 AS grp, count(*) * 1.0 AS n,
+                       sum(conv) * 1.0 AS x
+                FROM u GROUP BY 1)
+            SELECT CAST(a.n AS BIGINT) AS n_a,
+                   CAST(b.n AS BIGINT) AS n_b,
+                   round(a.x / a.n, 6) AS rate_a,
+                   round(b.x / b.n, 6) AS rate_b,
+                   round((a.x / a.n - b.x / b.n)
+                         / sqrt(((a.x + b.x) / (a.n + b.n))
+                                * (1 - (a.x + b.x) / (a.n + b.n))
+                                * (1 / a.n + 1 / b.n)), 6) AS z
+            FROM (SELECT * FROM g WHERE grp = 0) a,
+                 (SELECT * FROM g WHERE grp = 1) b
         """,
         "hourly_profile": """
             SELECT event_type,

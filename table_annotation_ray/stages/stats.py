@@ -1036,3 +1036,44 @@ def markov_stationary(
         pi /= pi.sum()
     r6 = np.sign(pi) * np.floor(np.abs(pi) * 1e6 + 0.5) / 1e6
     return pd.DataFrame({"state": states, "stationary": r6})
+
+
+def cohen_kappa(
+    ds: rd.Dataset,
+    col_a: str,
+    col_b: str,
+    num_buckets: int = 64,
+) -> dict:
+    """Cohen's kappa agreement between two categorical columns — the
+    labeler/classifier agreement metric (accuracy corrected for the
+    agreement expected from the marginals alone):
+    ``κ = (p_o − p_e)/(1 − p_e)`` with ``p_o`` the diagonal mass and
+    ``p_e = Σ_k (row_k · col_k)/n²``.
+
+    One distributed cell-count exchange (``grouped_reduce`` over the
+    bounded category pairs — the :func:`categorical_dependence` shape);
+    every downstream number derives from exact integer counts, so both
+    engines compute IDENTICAL doubles.  Returns
+    ``{"n", "accuracy", "kappa"}`` (unrounded)."""
+    from .agg import grouped_reduce
+
+    cells = grouped_reduce(
+        ds.select_columns([col_a, col_b]),
+        [col_a, col_b],
+        {"c": (None, "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    c = cells["c"].to_numpy(dtype=np.float64)
+    n = float(c.sum())
+    if n == 0:
+        return {"n": 0, "accuracy": 0.0, "kappa": 0.0}
+    po = float(c[(cells[col_a] == cells[col_b]).to_numpy()].sum()) / n
+    rows = cells.groupby(col_a)["c"].sum()
+    cols = cells.groupby(col_b)["c"].sum()
+    cats = rows.index.union(cols.index)
+    pe = float(
+        (rows.reindex(cats, fill_value=0).to_numpy()
+         * cols.reindex(cats, fill_value=0).to_numpy()).sum()
+    ) / (n * n)
+    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 1.0
+    return {"n": int(n), "accuracy": po, "kappa": kappa}

@@ -445,3 +445,29 @@ def test_markov_stationary_vs_eigenvector(ray_session):
     for s, ref in zip(states, pi):
         assert abs(out.loc[s, "stationary"] - ref) < 1e-5
     assert abs(out["stationary"].sum() - 1.0) < 1e-5
+
+
+def test_cohen_kappa_bounds(ray_session):
+    from table_annotation_ray.stages.stats import cohen_kappa
+
+    # perfect agreement -> kappa 1
+    df = pd.DataFrame({"a": ["x", "y", "z"] * 10, "b": ["x", "y", "z"] * 10})
+    r = cohen_kappa(rd.from_pandas(df).repartition(3), "a", "b")
+    assert r["accuracy"] == 1.0 and abs(r["kappa"] - 1.0) < 1e-12
+    # marginal-independent agreement -> kappa ~= 0 (exactly 0 for this
+    # balanced construction: po = 0.5 = pe)
+    df2 = pd.DataFrame(
+        {"a": ["x", "x", "y", "y"] * 5, "b": ["x", "y", "x", "y"] * 5}
+    )
+    r2 = cohen_kappa(rd.from_pandas(df2), "a", "b")
+    assert abs(r2["kappa"]) < 1e-12 and r2["accuracy"] == 0.5
+    # hand case: po=0.6, pe=0.5 -> kappa=0.2
+    df3 = pd.DataFrame(
+        {
+            "a": ["x"] * 5 + ["y"] * 5,
+            "b": ["x", "x", "x", "y", "y", "y", "y", "y", "x", "x"],
+        }
+    )
+    r3 = cohen_kappa(rd.from_pandas(df3), "a", "b")
+    assert abs(r3["accuracy"] - 0.6) < 1e-12
+    assert abs(r3["kappa"] - 0.2) < 1e-12
