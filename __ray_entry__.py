@@ -4357,6 +4357,108 @@ def _q_nearest_view(sf_dir: str):
     return out.sort_values("purchase_id").reset_index(drop=True)
 
 
+def _q_value_wasserstein(sf_dir: str):
+    """1-D Wasserstein distance, click vs view values (stages/stats.py::
+    wasserstein_1d): area between the two ECDFs over the pooled
+    distinct-value histogram — one skinny counts-engine exchange;
+    ECDF steps from exact integer counts.  SQL hash-exact vs the
+    window-cumsum formulation."""
+    from table_annotation_ray.stages.stats import wasserstein_1d
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    r = wasserstein_1d(ev, "event_type", "value", "click", "view")
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([r["n_a"]], dtype="int64"),
+            "n_b": pd.Series([r["n_b"]], dtype="int64"),
+            "w1": _round_ha(pd.Series([r["w1"]]), 6),
+        }
+    )
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Per-source OOV rate against the corpus top-1000 vocabulary — the
+    tokenizer-coverage audit (which domains a vocab under-serves):
+    vocab_topk's distinct-token exchange once, the winners broadcast as
+    a set, then a map-only vectorized isin over exploded tokens with
+    per-source partial sums through grouped_reduce.  SQL hash-exact."""
+    import ray
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.textstats import vocab_topk
+    from table_annotation_ray.state.worker_state import (
+        get_worker_state,
+        ref_key,
+    )
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    vt = vocab_topk(docs, k=1000).to_pandas()
+    vref = ray.put(set(vt["token"]))
+
+    def count_oov(b: pd.DataFrame) -> pd.DataFrame:
+        vs = get_worker_state(
+            ("vocab-cov", ref_key(vref)), lambda: ray.get(vref)
+        )
+        toks = b["text"].fillna("").str.lower().str.split().explode()
+        src = b["source"].reindex(toks.index)
+        keep = toks.str.len() > 0
+        toks, src = toks[keep], src[keep]
+        oov = ~toks.isin(vs)
+        out = pd.DataFrame({"source": src.to_numpy(), "oov": oov.to_numpy()})
+        g = out.groupby("source", sort=False)["oov"].agg(["count", "sum"])
+        return pd.DataFrame(
+            {
+                "source": g.index.to_numpy(),
+                "n": g["count"].to_numpy().astype("int64"),
+                "n_oov": g["sum"].to_numpy().astype("int64"),
+            }
+        )
+
+    out = grouped_reduce(
+        docs.map_batches(count_oov, batch_format="pandas"),
+        ["source"],
+        {"n_tokens": ("n", "sum"), "n_oov": ("n_oov", "sum")},
+    ).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_oov"] = out["n_oov"].astype("int64")
+    out["oov_rate"] = _round_ha(out["n_oov"] / out["n_tokens"], 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _q_quality_lift(sf_dir: str):
+    """Decile lift table for the stopword-ratio quality score against
+    the funnel's weak label — the classifier-eval gain curve: NTILE(10)
+    over the (rounded score, doc_id) global order (stages/datapipe.py::
+    ntile — closed-form tile from range-partitioned global_rank, no
+    single-node sort), per-decile positive rate.  Gating and ranking
+    use ROUNDED scores so both engines order identically."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.datapipe import ntile
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        s = _round_ha(qs["stopword_ratio"], 6)
+        mtl = _round_ha(qs["mean_token_len"], 6)
+        lab = ((s >= 0.05) & (mtl < 8.0)).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "score": s.to_numpy(), "label": lab}
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas")
+    tiled = ntile(scored, ["score"], "doc_id", k=10)
+    out = grouped_reduce(
+        tiled, ["tile"], {"n": (None, "count"), "pos": ("label", "sum")}
+    ).to_pandas()
+    out["tile"] = out["tile"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["pos"] = out["pos"].astype("int64")
+    out["pos_rate"] = _round_ha(out["pos"] / out["n"], 6)
+    return out.sort_values("tile").reset_index(drop=True)
+
+
 def _q_langid_agreement(sf_dir: str):
     """Cohen's kappa between the documents table's true ``lang`` and
     the stopword-voting lang_id prediction (stages/stats.py::
@@ -5013,6 +5115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_by_lang": _q_quality_gate_by_lang,
         "audio_quality": _q_audio_quality,
         "nearest_view": _q_nearest_view,
+        "value_wasserstein": _q_value_wasserstein,
+        "vocab_coverage": _q_vocab_coverage,
+        "quality_lift": _q_quality_lift,
         "langid_agreement": _q_langid_agreement,
         "conversion_ab_ztest": _q_conversion_ab_ztest,
         "event_stationary": _q_event_stationary,
@@ -7261,6 +7366,75 @@ def oracle_sql() -> dict[str, str]:
                      LIMIT 1) v
             WHERE p.event_type = 'purchase'
             ORDER BY purchase_id
+        """,
+        "value_wasserstein": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+                FROM events WHERE event_type IN ('click', 'view')),
+            h AS (
+                SELECT v,
+                       count(*) FILTER (WHERE g = 1) * 1.0 AS ca,
+                       count(*) FILTER (WHERE g = 0) * 1.0 AS cb
+                FROM s GROUP BY v),
+            w AS (
+                SELECT v,
+                       sum(ca) OVER (ORDER BY v)
+                         / (SELECT sum(ca) FROM h) AS fa,
+                       sum(cb) OVER (ORDER BY v)
+                         / (SELECT sum(cb) FROM h) AS fb,
+                       lead(v) OVER (ORDER BY v) AS nv
+                FROM h)
+            SELECT CAST((SELECT sum(ca) FROM h) AS BIGINT) AS n_a,
+                   CAST((SELECT sum(cb) FROM h) AS BIGINT) AS n_b,
+                   round(sum(abs(fa - fb) * (nv - v)), 6) AS w1
+            FROM w WHERE nv IS NOT NULL
+        """,
+        "vocab_coverage": """
+            WITH topk AS (
+                SELECT token, count(*) AS n
+                FROM (SELECT unnest(regexp_split_to_array(
+                          lower(COALESCE(text, '')), '\\s+')) AS token
+                      FROM documents)
+                WHERE token <> ''
+                GROUP BY token ORDER BY n DESC, token LIMIT 1000),
+            tok AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(
+                           lower(COALESCE(text, '')), '\\s+')) AS token
+                FROM documents),
+            t2 AS (SELECT source, token FROM tok WHERE token <> '')
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE token NOT IN
+                        (SELECT token FROM topk)) AS BIGINT) AS n_oov,
+                   round(count(*) FILTER (WHERE token NOT IN
+                        (SELECT token FROM topk)) * 1.0 / count(*), 6)
+                     AS oov_rate
+            FROM t2 GROUP BY source ORDER BY source
+        """,
+        "quality_lift": """
+            WITH scored AS (
+                SELECT doc_id,
+                       round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                             x -> x IN """ + _ENGLISH_STOPS + """))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS score,
+                       round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS mtl
+                FROM documents),
+            t AS (
+                SELECT NTILE(10) OVER (ORDER BY score, doc_id) AS tile,
+                       CASE WHEN score >= 0.05 AND mtl < 8.0
+                            THEN 1 ELSE 0 END AS label
+                FROM scored)
+            SELECT tile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS pos,
+                   round(sum(label) * 1.0 / count(*), 6) AS pos_rate
+            FROM t GROUP BY tile ORDER BY tile
         """,
         "langid_agreement": """
             WITH c AS (

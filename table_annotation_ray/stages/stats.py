@@ -1077,3 +1077,62 @@ def cohen_kappa(
     ) / (n * n)
     kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 1.0
     return {"n": int(n), "accuracy": po, "kappa": kappa}
+
+
+def wasserstein_1d(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    group_a: str,
+    group_b: str,
+    num_buckets: int = 64,
+) -> dict:
+    """1-D Wasserstein (earth-mover) distance between two groups'
+    value distributions — the optimal-transport member of the drift
+    family (PSI/KL bin-dependently saturate; W1 is the area between
+    ECDFs, in VALUE units):
+    ``W1 = Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)`` over the
+    pooled sorted distinct values.
+
+    The counts-engine shape again: one skinny ``grouped_reduce``
+    exchange over distinct (group, value) pairs, driver cumsum over the
+    pooled histogram.  ECDF steps derive from exact integer counts, so
+    both engines compute identical doubles (round only the final sum).
+    Returns ``{"n_a", "n_b", "w1"}``."""
+    from .agg import grouped_reduce
+
+    def stack(b: pd.DataFrame) -> pa.Table:
+        m = b[group_col].isin([group_a, group_b])
+        sub = b.loc[m, [group_col, val_col]]
+        return pa.table(
+            {
+                "__g": pa.array(
+                    (sub[group_col] == group_a).to_numpy().astype(np.int8),
+                    pa.int8(),
+                ),
+                "__v": pa.array(
+                    sub[val_col].to_numpy(dtype=np.float64), pa.float64()
+                ),
+            }
+        )
+
+    hist = (
+        grouped_reduce(
+            ds.map_batches(stack, batch_format="pandas"),
+            ["__g", "__v"],
+            {"__n": (None, "count")},
+            num_buckets=num_buckets,
+        )
+        .to_pandas()
+        .pivot_table(index="__v", columns="__g", values="__n", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    v = hist.index.to_numpy(dtype=np.float64)
+    ca = hist[1].to_numpy(dtype=np.float64)
+    cb = hist[0].to_numpy(dtype=np.float64)
+    na, nb = float(ca.sum()), float(cb.sum())
+    fa = np.cumsum(ca) / na
+    fb = np.cumsum(cb) / nb
+    w1 = float((np.abs(fa[:-1] - fb[:-1]) * np.diff(v)).sum())
+    return {"n_a": int(na), "n_b": int(nb), "w1": w1}
