@@ -4357,6 +4357,18 @@ def _q_nearest_view(sf_dir: str):
     return out.sort_values("purchase_id").reset_index(drop=True)
 
 
+def _q_session_stats(sf_dir: str):
+    """Engagement scorecard (stages/windows.py::session_stats): total
+    sessions, bounce (single-event) share and mean session length over
+    the same 30-min-gap sessionization as session_paths; per-bucket
+    partials are three ints.  SQL hash-exact (exact integer inputs)."""
+    from table_annotation_ray.stages.windows import session_stats
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return session_stats(ev, "user_id", "ts", "event_id",
+                         gap_seconds=1800.0)
+
+
 def _q_value_wasserstein(sf_dir: str):
     """1-D Wasserstein distance, click vs view values (stages/stats.py::
     wasserstein_1d): area between the two ECDFs over the pooled
@@ -5115,6 +5127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_by_lang": _q_quality_gate_by_lang,
         "audio_quality": _q_audio_quality,
         "nearest_view": _q_nearest_view,
+        "session_stats": _q_session_stats,
         "value_wasserstein": _q_value_wasserstein,
         "vocab_coverage": _q_vocab_coverage,
         "quality_lift": _q_quality_lift,
@@ -7366,6 +7379,28 @@ def oracle_sql() -> dict[str, str]:
                      LIMIT 1) v
             WHERE p.event_type = 'purchase'
             ORDER BY purchase_id
+        """,
+        "session_stats": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts - lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess
+                FROM o),
+            z AS (SELECT count(*) AS len FROM s GROUP BY user_id, sess)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(count(*) FILTER (WHERE len = 1) AS BIGINT)
+                     AS n_bounces,
+                   round(count(*) FILTER (WHERE len = 1) * 1.0 / count(*),
+                         6) AS bounce_rate,
+                   round(sum(len) * 1.0 / count(*), 6) AS avg_len
+            FROM z
         """,
         "value_wasserstein": """
             WITH s AS (

@@ -1263,3 +1263,64 @@ def cusum_by_key(
         .groupby("__cs_bkt")
         .map_groups(cusum_bucket, batch_format="pandas")
     )
+
+
+def session_stats(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_seconds: float = 1800.0,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Corpus session summary over the same gap sessionization as
+    :func:`session_paths`: total sessions, bounces (single-event
+    sessions), bounce rate and mean session length — the engagement
+    scorecard.  One hash(key) co-location; per-bucket partials are
+    three integers, so nothing after the exchange scales with
+    anything.  Returns a one-row DataFrame ``(n_sessions, n_bounces,
+    bounce_rate, avg_len)`` with rates rounded half-away 6 dp (exact
+    integer inputs — both engines divide identical ints)."""
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[[key_col, ts_col, tiebreak_col]].copy()
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+        out["__ss_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def stats(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            [key_col, ts_col, tiebreak_col], kind="mergesort"
+        ).reset_index(drop=True)
+        prev_ts = g.groupby(key_col, sort=False)[ts_col].shift(1)
+        gap = (g[ts_col] - prev_ts).dt.total_seconds()
+        brk = gap.isna() | (gap > gap_seconds)
+        sizes = brk.cumsum().value_counts(sort=False).to_numpy()
+        return pa.table(
+            {
+                "ns": pa.array([len(sizes)], pa.int64()),
+                "nb": pa.array([int((sizes == 1).sum())], pa.int64()),
+                "ne": pa.array([int(sizes.sum())], pa.int64()),
+            }
+        )
+
+    p = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__ss_bkt")
+        .map_groups(stats, batch_format="pandas")
+        .to_pandas()
+    )
+    ns, nbn, ne = int(p["ns"].sum()), int(p["nb"].sum()), int(p["ne"].sum())
+
+    def _r6(x: float) -> float:
+        return float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6)
+
+    return pd.DataFrame(
+        {
+            "n_sessions": pd.Series([ns], dtype="int64"),
+            "n_bounces": pd.Series([nbn], dtype="int64"),
+            "bounce_rate": [_r6(nbn / ns) if ns else 0.0],
+            "avg_len": [_r6(ne / ns) if ns else 0.0],
+        }
+    )
