@@ -471,3 +471,58 @@ def test_cohen_kappa_bounds(ray_session):
     r3 = cohen_kappa(rd.from_pandas(df3), "a", "b")
     assert abs(r3["accuracy"] - 0.6) < 1e-12
     assert abs(r3["kappa"] - 0.2) < 1e-12
+
+
+def test_nearest_join_no_tolerance_and_empty_sides(ray_session):
+    from table_annotation_ray.stages.joins import nearest_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {"k": [1, 2], "lts": [base, base], "lid": [0, 1]}
+    )
+    # k=2 has no right rows -> inner semantics drop it
+    right = pd.DataFrame(
+        {"k": [1], "rts": [base + pd.Timedelta(days=30)], "rid": [7]}
+    )
+    got = nearest_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        "k", "lts", "rts", ["k", "lts", "lid"], ["k", "rts", "rid"], "rid",
+    ).to_pandas()
+    # no tolerance: the 30-day-away row still matches
+    assert got["lid"].tolist() == [0] and got["rid"].tolist() == [7]
+
+
+def test_session_stats_matches_hand_count(ray_session):
+    from table_annotation_ray.stages.windows import session_stats
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2],
+            "ts": [base, base + pd.Timedelta(minutes=10),
+                   base + pd.Timedelta(hours=3), base,
+                   base + pd.Timedelta(hours=5)],
+            "id": range(5),
+        }
+    )
+    out = session_stats(rd.from_pandas(df).repartition(2), "u", "ts", "id")
+    # u1: [2-event session, 1-event session]; u2: two 1-event sessions
+    assert out["n_sessions"].iloc[0] == 4
+    assert out["n_bounces"].iloc[0] == 3
+    assert out["bounce_rate"].iloc[0] == 0.75
+    assert out["avg_len"].iloc[0] == 1.25
+
+
+def test_wasserstein_hand_case(ray_session):
+    from table_annotation_ray.stages.stats import wasserstein_1d
+
+    # a: point mass at 0; b: point mass at 1 -> W1 = 1
+    df = pd.DataFrame(
+        {"g": ["a"] * 4 + ["b"] * 4, "v": [0.0] * 4 + [1.0] * 4}
+    )
+    r = wasserstein_1d(rd.from_pandas(df).repartition(2), "g", "v", "a", "b")
+    assert r["w1"] == 1.0 and r["n_a"] == 4 and r["n_b"] == 4
+    # identical distributions -> 0
+    df2 = pd.DataFrame({"g": ["a", "b"] * 6, "v": [1.0, 1.0, 5.0, 5.0] * 3})
+    r2 = wasserstein_1d(rd.from_pandas(df2), "g", "v", "a", "b")
+    assert r2["w1"] == 0.0
