@@ -4936,6 +4936,138 @@ def _q_supplier_hits(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_value_trend_by_user(sf_dir: str):
+    """Per-user OLS value trend (stages/windows.py::trend_by_key):
+    slope of value vs time in units/day, per-key-centered timestamps
+    (exact-zero denominator for degenerate keys), one hash(key)
+    co-location exchange.  SQL hash-exact vs the same raw-sum algebra."""
+    from table_annotation_ray.stages.windows import trend_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = trend_by_key(ev, "user_id", "ts", "value").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_value_rolling_median(sf_dir: str):
+    """Per-user trailing-5 rolling median (stages/windows.py::
+    rolling_median_by_key) — robust smoothing, SQL ROWS-frame median
+    window; one co-location exchange, C rolling kernel in-bucket."""
+    from table_annotation_ray.stages.windows import rolling_median_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = rolling_median_by_key(
+        ev, "user_id", ["ts", "event_id"], "value", window=5
+    ).to_pandas()
+    out = out[["user_id", "event_id", "rolling_median"]]
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_value_skew_by_type(sf_dir: str):
+    """Grouped skewness/excess-kurtosis (stages/stats.py::
+    moments_by_key): five partial power sums per (key, batch) through
+    grouped_reduce; driver finishes the central-moment algebra on one
+    row per type.  SQL mirrors the identical raw-sum algebra."""
+    from table_annotation_ray.stages.stats import moments_by_key
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return moments_by_key(ev, "event_type", "value")
+
+
+def _q_event_entropy_rate(sf_dir: str):
+    """Next-event conditional entropy per current type (stages/
+    stats.py::entropy_rate): transition_counts' single exchange, then
+    driver entropy over the |types|² table.  SQL hash-exact (exact
+    integer-count probability ratios into log2)."""
+    from table_annotation_ray.stages.stats import entropy_rate
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return entropy_rate(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def _q_event_type_xcorr(sf_dir: str):
+    """Click-vs-view hourly co-movement (stages/stats.py::series_corr):
+    gap-filled hourly count series over the shared global range, Pearson
+    r from pure INTEGER sufficient statistics — hash-exact with no float
+    slack."""
+    from table_annotation_ray.stages.stats import series_corr
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return series_corr(ev, "ts", "event_type", "click", "view", freq="h")
+
+
+def _q_lexical_diversity(sf_dir: str):
+    """Per-document type-token ratio (stages/textstats.py::
+    lexical_stats): distinct lowercased whitespace tokens / tokens,
+    fully vectorized (flatten + drop_duplicates), map-only.  SQL
+    hash-exact via list_distinct over the same split."""
+    from table_annotation_ray.stages.textstats import lexical_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lexical_stats, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_customer_rfm(sf_dir: str):
+    """RFM segmentation (stages/datapipe.py::rfm_segments): one
+    grouped_reduce collapse to per-customer (recency, frequency,
+    int64-cent monetary), then three range-partitioned NTILE(5) passes.
+    All-integer output — SQL hash-exact vs window NTILEs."""
+    from table_annotation_ray.stages.datapipe import rfm_segments
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    out = rfm_segments(orders, "o_custkey", "o_orderdate",
+                       "o_totalprice", k=5).to_pandas()
+    out = out[["o_custkey", "recency_days", "frequency", "monetary_cents",
+               "r_tile", "f_tile", "m_tile", "rfm_code"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def _q_part_abc_class(sf_dir: str):
+    """Pareto/ABC revenue classification (stages/datapipe.py::
+    abc_classify over a grouped_reduce per-part revenue collapse):
+    global_rank + running_sums prefix revenue, integer
+    cross-multiplication class test (A ≤ 80%, B ≤ 95%).  Revenue on the
+    exact 1e-4 lattice as int64 ("rev4"), so the oracle hash-compares
+    with no float share anywhere."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.datapipe import abc_classify
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev4(b: pd.DataFrame) -> pa.Table:
+        v = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": pa.array(b["l_partkey"].to_numpy(), pa.int64()),
+                "rev4": pa.array(v, pa.int64()),
+            }
+        )
+
+    per_part = grouped_reduce(
+        li.map_batches(rev4, batch_format="pandas"),
+        ["l_partkey"], {"rev4": ("rev4", "sum")},
+    )
+    out = abc_classify(per_part, "l_partkey", "rev4",
+                       cum_col="cum_rev4").to_pandas()
+    out = out[["l_partkey", "rev4", "cum_rev4", "position", "abc_class"]]
+    for c in ["l_partkey", "rev4", "cum_rev4", "position"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5138,6 +5270,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_anova": _q_value_anova,
         "user_diversity": _q_user_diversity,
         "revenue_concentration": _q_revenue_concentration,
+        "value_trend_by_user": _q_value_trend_by_user,
+        "value_rolling_median": _q_value_rolling_median,
+        "value_skew_by_type": _q_value_skew_by_type,
+        "event_entropy_rate": _q_event_entropy_rate,
+        "event_type_xcorr": _q_event_type_xcorr,
+        "lexical_diversity": _q_lexical_diversity,
+        "customer_rfm": _q_customer_rfm,
+        "part_abc_class": _q_part_abc_class,
     }
 
 
@@ -7635,6 +7775,151 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS k,
                    round(regr_slope(ln(n), ln(r * 1.0)), 6) AS slope
             FROM ranked
+        """,
+        "value_trend_by_user": """
+            WITH b AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 min(ts) OVER (PARTITION BY user_id), ts)
+                         / 86400000000.0 AS x,
+                       value AS y
+                FROM events),
+            s AS (SELECT user_id, count(*) n, sum(x) sx, sum(y) sy,
+                         sum(x*y) sxy, sum(x*x) sxx
+                  FROM b GROUP BY user_id)
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n*sxx - sx*sx > 0
+                        THEN round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6)
+                   END AS slope_per_day
+            FROM s ORDER BY user_id
+        """,
+        "value_rolling_median": """
+            SELECT user_id, event_id,
+                   round(median(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_median
+            FROM events ORDER BY event_id
+        """,
+        "value_skew_by_type": """
+            WITH s AS (
+                SELECT event_type, count(*) n, sum(value) s1,
+                       sum(value*value) s2, sum(value*value*value) s3,
+                       sum(value*value*value*value) s4
+                FROM events GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) n,
+                   CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+                     round((s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n,3))
+                           / pow(s2/n - pow(s1/n,2), 1.5), 6)
+                   END AS skewness,
+                   CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+                     round((s4/n - 4*(s1/n)*(s3/n)
+                            + 6*pow(s1/n,2)*(s2/n) - 3*pow(s1/n,4))
+                           / pow(s2/n - pow(s1/n,2), 2) - 3, 6)
+                   END AS ex_kurtosis
+            FROM s ORDER BY event_type
+        """,
+        "event_entropy_rate": """
+            WITH t AS (
+                SELECT user_id, event_type ft,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) tt
+                FROM events),
+            c AS (SELECT ft, tt, count(*) n FROM t
+                  WHERE tt IS NOT NULL GROUP BY 1, 2),
+            m AS (SELECT ft, sum(n) tot FROM c GROUP BY 1)
+            SELECT c.ft AS from_type, CAST(m.tot AS BIGINT) n_transitions,
+                   round(-sum((n*1.0/tot) * log2(n*1.0/tot)), 6) h_bits
+            FROM c JOIN m USING (ft)
+            GROUP BY c.ft, m.tot ORDER BY from_type
+        """,
+        "event_type_xcorr": """
+            WITH f AS (SELECT ts, event_type FROM events
+                       WHERE event_type IN ('click', 'view')),
+            b AS (SELECT min(date_trunc('hour', ts)) mn,
+                         max(date_trunc('hour', ts)) mx FROM f),
+            hours AS (SELECT unnest(generate_series(
+                (SELECT mn FROM b), (SELECT mx FROM b),
+                INTERVAL 1 HOUR)) h),
+            cnt AS (SELECT date_trunc('hour', ts) h, event_type,
+                           count(*) n FROM f GROUP BY 1, 2),
+            g AS (SELECT hours.h,
+                    coalesce(max(n) FILTER (WHERE event_type='click'), 0) a,
+                    coalesce(max(n) FILTER (WHERE event_type='view'), 0) b
+                  FROM hours LEFT JOIN cnt ON cnt.h = hours.h
+                  GROUP BY hours.h),
+            s AS (SELECT count(*) n, sum(a) sa, sum(b) sb, sum(a*a) saa,
+                         sum(b*b) sbb, sum(a*b) sab FROM g)
+            SELECT CAST(n AS BIGINT) n_periods, CAST(sa AS BIGINT) sum_a,
+                   CAST(sb AS BIGINT) sum_b,
+                   CASE WHEN n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0 THEN
+                     round((n*sab - sa*sb)
+                           / sqrt((n*saa - sa*sa)*1.0 * (n*sbb - sb*sb)), 6)
+                   END AS r
+            FROM s
+        """,
+        "lexical_diversity": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text),
+                                                                '\\s+'))
+                   END AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct(regexp_split_to_array(
+                                 lower(trim(text)), '\\s+')))
+                   END AS n_types,
+                   CASE WHEN trim(text) = '' THEN NULL ELSE
+                     round(len(list_distinct(regexp_split_to_array(
+                               lower(trim(text)), '\\s+'))) * 1.0
+                           / array_length(regexp_split_to_array(trim(text),
+                                                                '\\s+')), 6)
+                   END AS ttr
+            FROM documents ORDER BY doc_id
+        """,
+        "customer_rfm": """
+            WITH a AS (
+                SELECT o_custkey, count(*) freq,
+                       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                            AS BIGINT) money_c,
+                       max(o_orderdate) last_d
+                FROM orders GROUP BY 1),
+            g AS (SELECT max(last_d) mx FROM a),
+            b AS (SELECT o_custkey,
+                    CAST(date_diff('microsecond', last_d,
+                                   (SELECT mx FROM g)) // 86400000000
+                         AS BIGINT) recency_days,
+                    freq, money_c FROM a),
+            t AS (SELECT *,
+                    NTILE(5) OVER (ORDER BY recency_days, o_custkey) r_tile,
+                    NTILE(5) OVER (ORDER BY freq DESC, o_custkey) f_tile,
+                    NTILE(5) OVER (ORDER BY money_c DESC, o_custkey) m_tile
+                  FROM b)
+            SELECT o_custkey, recency_days, CAST(freq AS BIGINT) frequency,
+                   money_c AS monetary_cents,
+                   CAST(r_tile AS BIGINT) r_tile,
+                   CAST(f_tile AS BIGINT) f_tile,
+                   CAST(m_tile AS BIGINT) m_tile,
+                   CAST(r_tile*100 + f_tile*10 + m_tile AS BIGINT) rfm_code
+            FROM t ORDER BY o_custkey
+        """,
+        "part_abc_class": """
+            WITH r AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)
+                                           *10000) AS BIGINT)) AS BIGINT)
+                         rev4
+                FROM lineitem GROUP BY 1),
+            c AS (SELECT l_partkey, rev4,
+                    CAST(sum(rev4) OVER (ORDER BY rev4 DESC, l_partkey)
+                         AS BIGINT) cum,
+                    CAST(row_number() OVER (ORDER BY rev4 DESC, l_partkey)
+                         - 1 AS BIGINT) pos,
+                    (SELECT CAST(sum(rev4) AS BIGINT) FROM r) tot FROM r)
+            SELECT l_partkey, rev4, cum AS cum_rev4, pos AS position,
+                   CASE WHEN cum*5 <= tot*4 THEN 'A'
+                        WHEN cum*20 <= tot*19 THEN 'B'
+                        ELSE 'C' END abc_class
+            FROM c ORDER BY l_partkey
         """,
         # ann_lsh / minhash_components / simhash_pairs /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -462,6 +462,7 @@ def global_rank(
     num_buckets: int = 256,
     sample_size: int = 10_000,
     out_col: str = "position",
+    running_sums: dict[str, str] | None = None,
 ):
     """Distributed ``row_number() OVER (ORDER BY order_cols, tiebreak)
     - 1`` over ARBITRARY sort keys — the range-partitioned rank
@@ -480,7 +481,14 @@ def global_rank(
     counts give exact prefixes and the in-bucket sort is total (the
     unique ``tiebreak`` column makes the order deterministic).  All
     input columns survive.  Skew guard: a degenerate sample (few
-    distinct keys) just yields fewer, larger buckets."""
+    distinct keys) just yields fewer, larger buckets.
+
+    ``running_sums`` (out_col -> in_col) additionally emits the
+    INCLUSIVE prefix sum of each in_col over the same global order
+    (SQL ``sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``) —
+    same two passes, the per-bucket count pass just also carries one
+    sum per bucket and the driver prefix-scans it.  Exact for integer
+    columns (Python-int driver scan + int64 in-bucket cumsum)."""
     import ray
     import pyarrow as pa
 
@@ -531,29 +539,42 @@ def global_rank(
 
     tagged = ds.map_batches(tag, batch_format="pandas").materialize()
 
-    counts = (
-        tagged.map_batches(
-            lambda b: pd.DataFrame(
-                b["__gr_bucket"].value_counts().rename("n")
-            ).reset_index(names="__gr_bucket"),
-            batch_format="pandas",
-        )
+    rs = dict(running_sums or {})  # out_col -> in_col, exact (int-safe)
+
+    def bucket_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("__gr_bucket")
+        out = pd.DataFrame({"n": g.size()})
+        for oc, ic in rs.items():
+            out[oc] = g[ic].sum()
+        return out.reset_index(names="__gr_bucket")
+
+    per_bucket = (
+        tagged.map_batches(bucket_partials, batch_format="pandas")
         .to_pandas()
-        .groupby("__gr_bucket")["n"]
+        .groupby("__gr_bucket")
         .sum()
         .sort_index()
     )
     prefix, running = {}, 0
-    for bkt, n in counts.items():
+    sum_prefix: dict[int, dict[str, int]] = {}
+    run_sums = {oc: 0 for oc in rs}
+    for bkt, row in per_bucket.iterrows():
         prefix[int(bkt)] = running
-        running += int(n)
-    pref = ray.put(prefix)
+        running += int(row["n"])
+        sum_prefix[int(bkt)] = dict(run_sums)
+        for oc in rs:
+            run_sums[oc] += row[oc].item()
+    pref = ray.put((prefix, sum_prefix))
 
     def rank_bucket(g: pd.DataFrame) -> pa.Table:
-        pre = get_worker_state(("grank_p", ref_key(pref)), lambda: ray.get(pref))
+        pre, spre = get_worker_state(
+            ("grank_p", ref_key(pref)), lambda: ray.get(pref)
+        )
         g = g.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
-        base = pre[int(g["__gr_bucket"].iloc[0])]
-        g[out_col] = base + np.arange(len(g), dtype=np.int64)
+        bkt = int(g["__gr_bucket"].iloc[0])
+        g[out_col] = pre[bkt] + np.arange(len(g), dtype=np.int64)
+        for oc, ic in rs.items():
+            g[oc] = spre[bkt][oc] + np.cumsum(g[ic].to_numpy())
         return pa.Table.from_pandas(
             g.drop(columns="__gr_bucket"), preserve_index=False
         )
@@ -1345,3 +1366,142 @@ def ring_negative_samples(
         .groupby("__rb")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def abc_classify(
+    ds,
+    key_col: str,
+    val_col: str,
+    out_col: str = "abc_class",
+    cum_col: str = "cum_value",
+    a_frac: tuple[int, int] = (4, 5),
+    b_frac: tuple[int, int] = (19, 20),
+    num_buckets: int = 256,
+):
+    """Pareto / ABC classification: rank keys by ``val_col`` DESCENDING
+    and label the head that covers the first ``a_frac`` of the total
+    'A', through ``b_frac`` 'B', the tail 'C' — the inventory /
+    revenue-concentration working-set split (which 20% of parts carry
+    80% of revenue).  Beyond-reference operator.
+
+    ``val_col`` must be an exact integer measure (cents, counts): the
+    class test is a pure INTEGER cross-multiplication
+    (``cum * a_den <= total * a_num``), so both engines classify
+    boundary rows identically — no float share ever exists.  int64
+    bound: ``total * max(denominator)`` must fit (document per caller).
+
+    Rides :func:`global_rank` with ``running_sums`` — two passes over
+    the (already aggregated, one-row-per-key) input, no single-node
+    sort.  Output adds ``position`` (0-based rank), the inclusive
+    ``cum_col`` and the class label.
+    """
+    import pyarrow as pa
+
+    ds = ds.materialize()  # count/sample/tag: one input execution
+    total = int(
+        ds.map_batches(
+            lambda b: pd.DataFrame({"s": [b[val_col].sum()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["s"]
+        .sum()
+    )
+    with_neg = ds.map_batches(
+        lambda b: b.assign(__abc_neg=-b[val_col]), batch_format="pandas"
+    )
+    ranked = global_rank(
+        with_neg, ["__abc_neg"], key_col, num_buckets=num_buckets,
+        out_col="position", running_sums={cum_col: val_col},
+    )
+    a_num, a_den = a_frac
+    b_num, b_den = b_frac
+
+    def classify(b: pd.DataFrame) -> pa.Table:
+        cum = b[cum_col].to_numpy()
+        cls = np.where(
+            cum * a_den <= total * a_num, "A",
+            np.where(cum * b_den <= total * b_num, "B", "C"),
+        )
+        b = b.drop(columns="__abc_neg")
+        b[out_col] = cls
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    return ranked.map_batches(classify, batch_format="pandas")
+
+
+def rfm_segments(
+    orders,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    k: int = 5,
+    num_buckets: int = 64,
+):
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM quantile scoring: per key, days since last order
+    (relative to the corpus-max order date), order count, and exact
+    int64-cent revenue, each cut into ``k`` NTILE quantile tiles over a
+    deterministic total order (recency ASC / frequency DESC / monetary
+    DESC, key as tiebreak — tile 1 is always the "best" band).
+    Beyond-reference operator.
+
+    One ``agg.grouped_reduce`` exchange collapses the fact table to one
+    row per key; the three NTILE passes ride :func:`ntile` (range-
+    partitioned global_rank) over that key-sized frame.  Every output
+    column is integer (recency_days by exact int64 µs floor-division,
+    cents by half-up lattice snap), so the SQL oracle hash-compares
+    with no float slack.
+
+    Output: ``(key, recency_days, frequency, monetary_cents, r_tile,
+    f_tile, m_tile, rfm_code)`` with ``rfm_code = r*100 + f*10 + m``.
+    """
+    import pyarrow as pa
+
+    from .agg import grouped_reduce
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        p = b[amount_col].to_numpy(dtype=np.float64)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        t = b[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        return pa.table(
+            {
+                key_col: pa.array(b[key_col]),
+                "__cents": pa.array(cents, pa.int64()),
+                "__t_us": pa.array(t.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    agg = grouped_reduce(
+        orders.map_batches(prep, batch_format="pandas"),
+        [key_col],
+        {
+            "frequency": (None, "count"),
+            "monetary_cents": ("__cents", "sum"),
+            "__last_us": ("__t_us", "max"),
+        },
+        num_buckets=num_buckets,
+    ).materialize()
+    max_us = int(agg.max("__last_us"))
+
+    def recency(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["recency_days"] = (max_us - b["__last_us"].to_numpy()) // 86_400_000_000
+        b["__neg_f"] = -b["frequency"]
+        b["__neg_m"] = -b["monetary_cents"]
+        return pa.Table.from_pandas(
+            b.drop(columns="__last_us"), preserve_index=False
+        )
+
+    base = agg.map_batches(recency, batch_format="pandas")
+    t1 = ntile(base, ["recency_days"], key_col, k, out_col="r_tile")
+    t2 = ntile(t1, ["__neg_f"], key_col, k, out_col="f_tile")
+    t3 = ntile(t2, ["__neg_m"], key_col, k, out_col="m_tile")
+
+    def code(b: pd.DataFrame) -> pa.Table:
+        b = b.drop(columns=["__neg_f", "__neg_m"])
+        b["rfm_code"] = (
+            b["r_tile"] * 100 + b["f_tile"] * 10 + b["m_tile"]
+        ).astype("int64")
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    return t3.map_batches(code, batch_format="pandas")

@@ -1136,3 +1136,191 @@ def wasserstein_1d(
     fb = np.cumsum(cb) / nb
     w1 = float((np.abs(fa[:-1] - fb[:-1]) * np.diff(v)).sum())
     return {"n_a": int(na), "n_b": int(nb), "w1": w1}
+
+
+def moments_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Per-group skewness and excess kurtosis from raw power sums — the
+    distribution-shape profile (is this segment's value distribution
+    long-tailed / peaked?).  Beyond-reference operator.
+
+    One ``agg.grouped_reduce`` exchange carries five partial sums per
+    (key, batch): ``n, Σy, Σy², Σy³, Σy⁴``; the closing central-moment
+    algebra runs driver-side on one row per key (the
+    categorical_dependence driver-bounded contract — key cardinality
+    must be dimension-like).  The SQL oracle mirrors the SAME raw-sum
+    algebra (``m3 = s3/n - 3μ(s2/n) + 2μ³`` etc.), so both engines agree
+    to ~1e-12 relative and the 6-dp round is boundary-safe (skew/kurt
+    are irrational-dense ratios, never on the rounding lattice).
+
+    Returns ``(key, n, skewness, ex_kurtosis)`` sorted by key;
+    skew/kurt are NULL when the group variance is 0.
+    """
+    from .agg import grouped_reduce
+
+    def powers(b: pd.DataFrame) -> pa.Table:
+        y = b[val_col].to_numpy(dtype=np.float64)
+        return pa.table(
+            {
+                key_col: pa.array(b[key_col]),
+                "y1": pa.array(y, pa.float64()),
+                "y2": pa.array(y * y, pa.float64()),
+                "y3": pa.array(y * y * y, pa.float64()),
+                "y4": pa.array(y * y * y * y, pa.float64()),
+            }
+        )
+
+    agg = grouped_reduce(
+        ds.map_batches(powers, batch_format="pandas"),
+        [key_col],
+        {
+            "n": (None, "count"),
+            "s1": ("y1", "sum"),
+            "s2": ("y2", "sum"),
+            "s3": ("y3", "sum"),
+            "s4": ("y4", "sum"),
+        },
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    n = agg["n"].to_numpy(dtype=np.float64)
+    mu = agg["s1"].to_numpy() / n
+    m2 = agg["s2"].to_numpy() / n - mu**2
+    m3 = agg["s3"].to_numpy() / n - 3 * mu * (agg["s2"].to_numpy() / n) + 2 * mu**3
+    m4 = (
+        agg["s4"].to_numpy() / n
+        - 4 * mu * (agg["s3"].to_numpy() / n)
+        + 6 * mu**2 * (agg["s2"].to_numpy() / n)
+        - 3 * mu**4
+    )
+    ok = m2 > 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        skew = np.where(ok, m3 / np.power(np.where(ok, m2, 1.0), 1.5), np.nan)
+        kurt = np.where(ok, m4 / np.where(ok, m2, 1.0) ** 2 - 3.0, np.nan)
+
+    def _r6(a: np.ndarray) -> np.ndarray:
+        return np.where(np.isnan(a), np.nan,
+                        np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6)
+
+    out = pd.DataFrame(
+        {
+            key_col: agg[key_col],
+            "n": agg["n"].astype("int64"),
+            "skewness": _r6(skew),
+            "ex_kurtosis": _r6(kurt),
+        }
+    )
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def entropy_rate(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    type_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Conditional next-event entropy per current event type — how
+    predictable each state's successor is in the per-key Markov chain
+    (``H(next | cur=t)`` in bits): the sequence-predictability /
+    behavioral-entropy profile.  Beyond-reference operator.
+
+    Rides :func:`windows.transition_counts`'s single co-location
+    exchange; the closing entropy sum runs driver-side on the |types|²
+    transition table (dimension-bounded, the markov_stationary
+    contract).  Probabilities are exact-integer-count ratios, so both
+    engines feed identical doubles into log2 and the 6-dp round is safe.
+
+    Returns ``(from_type, n_transitions, h_bits)`` sorted by from_type.
+    """
+    from .windows import transition_counts
+
+    tc = transition_counts(
+        ds, key_col, order_cols, type_col, num_buckets=num_buckets
+    ).to_pandas()
+    if tc.empty:
+        return pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype="object"),
+                "n_transitions": pd.Series([], dtype="int64"),
+                "h_bits": pd.Series([], dtype="float64"),
+            }
+        )
+    tot = tc.groupby("from_type")["n"].transform("sum")
+    p = tc["n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+    term = pd.Series(-p * np.log2(p), index=tc.index)
+    h = term.groupby(tc["from_type"]).sum()
+    nt = tc.groupby("from_type")["n"].sum()
+    hv = h.to_numpy()
+    hv = np.sign(hv) * np.floor(np.abs(hv) * 1e6 + 0.5) / 1e6
+    out = pd.DataFrame(
+        {
+            "from_type": h.index.to_numpy(),
+            "n_transitions": nt.to_numpy(dtype=np.int64),
+            "h_bits": hv,
+        }
+    )
+    return out.sort_values("from_type").reset_index(drop=True)
+
+
+def series_corr(
+    ds: rd.Dataset,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    freq: str = "h",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Pearson cross-correlation between two event types' gap-FILLED
+    period count series — "do clicks and views move together hour by
+    hour?" (the co-movement / leading-indicator check).  Zero periods
+    count: both series are materialized over the global [min, max]
+    period range of the two types (a missing hour is a 0 on both).
+
+    Rides :func:`windows.resample_counts` (one skinny grouped_reduce
+    exchange; the fill grid is time-range-bounded, not data-bounded).
+    All sufficient statistics are INTEGER sums of counts, so the closing
+    ``r`` is computed from bit-identical exact inputs on both engines —
+    hash-exact without rounding slack.
+
+    Returns one row: ``(n_periods, sum_a, sum_b, r)``; r is NULL when
+    either series is constant.
+    """
+    from .windows import resample_counts
+
+    pair = ds.map_batches(
+        lambda b: b[b[type_col].isin([type_a, type_b])],
+        batch_format="pandas",
+    )
+    grid = resample_counts(pair, ts_col, type_col, freq=freq,
+                           num_buckets=num_buckets)
+    wide = grid.pivot(index="period", columns=type_col, values="n")
+    for t in (type_a, type_b):
+        if t not in wide.columns:
+            wide[t] = 0
+    a = wide[type_a].fillna(0).to_numpy(dtype=np.int64)
+    b = wide[type_b].fillna(0).to_numpy(dtype=np.int64)
+    n = int(len(wide))
+    sa, sb = int(a.sum()), int(b.sum())
+    saa = int((a * a).sum())
+    sbb = int((b * b).sum())
+    sab = int((a * b).sum())
+    num = n * sab - sa * sb
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    r = float(num) / float(np.sqrt(float(va) * float(vb))) if va > 0 and vb > 0 else np.nan
+    if not np.isnan(r):
+        r = float(np.sign(r) * np.floor(abs(r) * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {
+            "n_periods": pd.Series([n], dtype="int64"),
+            "sum_a": pd.Series([sa], dtype="int64"),
+            "sum_b": pd.Series([sb], dtype="int64"),
+            "r": pd.Series([r], dtype="float64"),
+        }
+    )

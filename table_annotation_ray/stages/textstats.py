@@ -681,3 +681,49 @@ def ngram_repetition_stats(
         )
 
     return docs.map_batches(run, batch_format="pandas")
+
+
+def lexical_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → n_tokens, n_types (distinct lowercased
+    whitespace tokens) and the type-token ratio — the per-document
+    lexical-diversity signal (template/spam pages repeat a tiny
+    vocabulary; TTR exposes them where length alone can't).
+    Beyond-reference operator; map-only, embarrassingly parallel.
+
+    SQL mirror: ``len(list_distinct(regexp_split_to_array(lower(
+    trim(text)), '\\s+')))`` with the token_stats empty-text CASE.
+    ``ttr = n_types / n_tokens`` is ONE int/int division — both engines
+    divide bit-identical exact doubles, so the 6-dp round never sits on
+    a boundary disagreement (even power-of-two denominators land ON the
+    lattice, not between points).
+
+    The distinct count is vectorized: flatten + row-index repeat +
+    pandas drop_duplicates + groupby-size — no per-row Python sets.
+    """
+    text = batch["text"].fillna("")
+    toks, n_tokens = _ws_tokens(text, lower=True)
+    off = toks.offsets.to_numpy()
+    lens = np.diff(off)
+    rows = np.repeat(np.arange(len(n_tokens), dtype=np.int64), lens)
+    valid = np.repeat(n_tokens > 0, lens)
+    df = pd.DataFrame(
+        {"r": rows[valid],
+         "t": toks.flatten().to_pandas().to_numpy()[valid]}
+    )
+    per_row = df.drop_duplicates().groupby("r").size()
+    n_types = np.zeros(len(n_tokens), dtype=np.int64)
+    n_types[per_row.index.to_numpy()] = per_row.to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ttr = np.where(
+            n_tokens > 0, n_types / np.maximum(n_tokens, 1), np.nan
+        )
+    ttr = np.where(np.isnan(ttr), np.nan,
+                   np.sign(ttr) * np.floor(np.abs(ttr) * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_types": n_types,
+            "ttr": ttr,
+        }
+    )

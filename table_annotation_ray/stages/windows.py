@@ -1324,3 +1324,136 @@ def session_stats(
             "avg_len": [_r6(ne / ns) if ns else 0.0],
         }
     )
+
+
+def trend_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key OLS trend: the least-squares slope of ``val_col`` against
+    time, in value-units per DAY — the per-entity drift/trend signal
+    (is this user's value going up or down over their history?).
+
+    Time is centered per key (``x = ts - min(ts) OVER (PARTITION BY
+    key)`` in microseconds, divided to days): translation leaves the
+    slope unchanged but keeps the sufficient statistics small and
+    cancellation-free, and makes the all-timestamps-equal case an EXACT
+    float zero denominator on both engines (raw epoch sums would leave
+    order-of-summation noise deciding NULL-vs-huge-slope).
+
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)``, NULL when the
+    denominator is not > 0 (single distinct timestamp).  Rounded
+    half-away to 6 dp for the DuckDB oracle hash-compare.
+
+    Same single ``hash(key) % num_buckets`` co-location as
+    :func:`acf_by_key`; in-bucket the per-key sums are one vectorized
+    pandas groupby pass (no per-key Python).
+    """
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[[key_col, ts_col, val_col]].copy()
+        b["__tr_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def slope_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__tr_bkt")
+        t = g[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        tmin = t.groupby(g[key_col]).transform("min")
+        x = (t - tmin).to_numpy(dtype=np.float64) / 86400e6
+        y = g[val_col].to_numpy(dtype=np.float64)
+        kf = pd.DataFrame(
+            {"k": g[key_col].to_numpy(), "n": 1, "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x}
+        )
+        agg = kf.groupby("k", sort=True).sum()
+        n = agg["n"].to_numpy(dtype=np.float64)
+        num = n * agg["sxy"].to_numpy() - agg["sx"].to_numpy() * agg["sy"].to_numpy()
+        den = n * agg["sxx"].to_numpy() - agg["sx"].to_numpy() ** 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
+        s = np.where(np.isnan(s), np.nan,
+                     np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6)
+        try:
+            kt = pa.from_numpy_dtype(g[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(agg.index.to_numpy(), kt),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "slope_per_day": pa.array(s, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__tr_bkt")
+        .map_groups(slope_bucket, batch_format="pandas")
+    )
+
+
+def rolling_median_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    window: int = 5,
+    out_col: str = "rolling_median",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key rolling median over the trailing ``window`` rows — the
+    robust-smoothing counterpart of rolling mean (spikes don't drag it):
+    SQL ``median(val) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Partial leading windows use however many rows exist (min_periods=1,
+    the SQL ROWS-frame semantics).  Even-sized frames average the two
+    middle values — both engines compute ``lo + (hi-lo)/2``-style
+    interpolation on identical doubles, and 2-dp inputs put the true
+    median on the 0.005 lattice (inside the 6-dp rounding lattice,
+    never on a boundary), so the 6-dp round is oracle-safe.
+
+    One ``hash(key) % num_buckets`` co-location, then pandas
+    ``groupby(...).rolling(window).median()`` per bucket (C kernel,
+    no per-row Python).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    nb = np.uint64(num_buckets)
+    keep = [key_col, *order_cols, val_col]
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[keep].copy()
+        b["__rm_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def med_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__rm_bkt")
+            .sort_values([key_col] + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        med = (
+            g.groupby(key_col, sort=False)[val_col]
+            .rolling(window, min_periods=1)
+            .median()
+            .reset_index(drop=True)
+            .to_numpy(dtype=np.float64)
+        )
+        med = np.sign(med) * np.floor(np.abs(med) * 1e6 + 0.5) / 1e6
+        g[out_col] = med
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__rm_bkt")
+        .map_groups(med_bucket, batch_format="pandas")
+    )
