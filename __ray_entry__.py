@@ -5068,6 +5068,106 @@ def _q_part_abc_class(sf_dir: str):
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def _q_dataset_checksum(sf_dir: str):
+    """Order-independent table fingerprint (stages/dq.py::
+    table_checksum): sum of 60-bit md5 row digests mod 2^63-1 — the
+    cross-system reconciliation primitive; map-only, one partial row
+    per batch.  SQL hash-exact (DuckDB md5 + HUGEINT sum)."""
+    from table_annotation_ray.stages.dq import table_checksum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return table_checksum(docs, ["doc_id", "text"])
+
+
+def _q_customer_reorder_gap(sf_dir: str):
+    """Per-customer order-cadence profile (stages/windows.py::
+    gap_stats_by_key): count/min/max/median of consecutive order gaps
+    in exact integer microseconds (median of ints is an exact
+    half-integer — no rounding slack).  SQL hash-exact vs lag windows."""
+    from table_annotation_ray.stages.windows import gap_stats_by_key
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"])
+    out = gap_stats_by_key(
+        orders, "o_custkey", "o_orderdate", "o_orderkey"
+    ).to_pandas()
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def _q_lineitem_corr_matrix(sf_dir: str):
+    """Pearson correlation matrix over the four lineitem measures in
+    ONE map-only pass (stages/stats.py::pairwise_corr — flat moment
+    partials, nothing shuffles).  SQL hash-exact vs the identical
+    raw-sum algebra per pair."""
+    from table_annotation_ray.stages.stats import pairwise_corr
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", cols)
+    out = pairwise_corr(li, cols)
+    return out.sort_values(["col_a", "col_b"]).reset_index(drop=True)
+
+
+def _q_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility per language — BPE tokens per whitespace
+    word, the multilingual-tokenizer equity audit (which languages pay
+    more tokens per word under a shared vocabulary).  Composes
+    stages/bpe.py train + bpe_token_counts with a textstats word count
+    and one grouped_reduce per-language collapse.  Rows-only (the
+    trained tokenizer is not SQL-expressible)."""
+    import pyarrow as pa
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.bpe import bpe_token_counts, train_bpe
+    from table_annotation_ray.stages.textstats import _ws_tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    merges = train_bpe(docs, num_merges=60)
+    bpe = bpe_token_counts(docs, merges)  # (doc_id, n_tokens)
+
+    def words(b: pd.DataFrame) -> pa.Table:
+        _, n = _ws_tokens(b["text"])
+        return pa.table(
+            {
+                "lang": pa.array(b["lang"].astype(str), pa.string()),
+                "n_words": pa.array(n, pa.int64()),
+                "n_docs": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    wsum = grouped_reduce(
+        docs.map_batches(words, batch_format="pandas"),
+        ["lang"],
+        {"n_docs": (None, "count"), "n_words": ("n_words", "sum")},
+    ).to_pandas()
+
+    # per-doc BPE counts need the doc's lang — broadcast the doc->lang
+    # map is corpus-sized, so instead co-reduce on doc_id? bpe counts
+    # already carry doc_id only; re-attach lang via one grouped join on
+    # the documents read (small per-batch pandas merge inside the map).
+    lang_map = docs.map_batches(
+        lambda b: b[["doc_id", "lang"]], batch_format="pandas"
+    )
+    from table_annotation_ray.stages.relational import equi_join
+
+    joined = equi_join(bpe, lang_map, "doc_id")
+    bsum = grouped_reduce(
+        joined,
+        ["lang"],
+        {"n_bpe": ("n_tokens", "sum")},
+    ).to_pandas()
+
+    out = wsum.merge(bsum, on="lang")
+    fert = out["n_bpe"].to_numpy(np.float64) / np.maximum(
+        out["n_words"].to_numpy(np.float64), 1.0
+    )
+    out["fertility"] = _round_ha(pd.Series(fert), 6)
+    out = out[["lang", "n_docs", "n_words", "n_bpe", "fertility"]]
+    for c in ["n_docs", "n_words", "n_bpe"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5278,6 +5378,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": _q_lexical_diversity,
         "customer_rfm": _q_customer_rfm,
         "part_abc_class": _q_part_abc_class,
+        "dataset_checksum": _q_dataset_checksum,
+        "customer_reorder_gap": _q_customer_reorder_gap,
+        "lineitem_corr_matrix": _q_lineitem_corr_matrix,
+        "bpe_fertility": _q_bpe_fertility,
     }
 
 
@@ -7921,7 +8025,82 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'C' END abc_class
             FROM c ORDER BY l_partkey
         """,
-        # ann_lsh / minhash_components / simhash_pairs /
+        "dataset_checksum": """
+            SELECT CAST(count(*) AS BIGINT) n_rows,
+                   CAST(sum(CAST(concat('0x',
+                            substr(md5(concat(CAST(doc_id AS VARCHAR), '|',
+                                              COALESCE(text, ''))), 1, 15))
+                            AS BIGINT)) % 9223372036854775807 AS BIGINT)
+                     AS checksum
+            FROM documents
+        """,
+        "customer_reorder_gap": """
+            WITH g AS (
+                SELECT o_custkey,
+                       date_diff('microsecond',
+                           lag(o_orderdate) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey),
+                           o_orderdate) AS gap
+                FROM orders)
+            SELECT o_custkey, CAST(count(gap) AS BIGINT) n_gaps,
+                   CAST(min(gap) AS BIGINT) min_gap_us,
+                   CAST(max(gap) AS BIGINT) max_gap_us,
+                   median(gap) * 1.0 AS median_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "lineitem_corr_matrix": """
+            WITH s AS (
+                SELECT count(*)*1.0 n,
+                       sum(l_quantity) s0, sum(l_extendedprice) s1,
+                       sum(l_discount) s2, sum(l_tax) s3,
+                       sum(l_quantity*l_quantity) p00,
+                       sum(l_quantity*l_extendedprice) p01,
+                       sum(l_quantity*l_discount) p02,
+                       sum(l_quantity*l_tax) p03,
+                       sum(l_extendedprice*l_extendedprice) p11,
+                       sum(l_extendedprice*l_discount) p12,
+                       sum(l_extendedprice*l_tax) p13,
+                       sum(l_discount*l_discount) p22,
+                       sum(l_discount*l_tax) p23,
+                       sum(l_tax*l_tax) p33
+                FROM lineitem)
+            SELECT 'l_quantity' col_a, 'l_extendedprice' col_b,
+                   CAST(n AS BIGINT) n,
+                   CASE WHEN n*p00-s0*s0 > 0 AND n*p11-s1*s1 > 0 THEN
+                     round((n*p01-s0*s1)
+                           / sqrt((n*p00-s0*s0)*(n*p11-s1*s1)), 6) END r
+            FROM s
+            UNION ALL SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+                   CASE WHEN n*p00-s0*s0 > 0 AND n*p22-s2*s2 > 0 THEN
+                     round((n*p02-s0*s2)
+                           / sqrt((n*p00-s0*s0)*(n*p22-s2*s2)), 6) END
+            FROM s
+            UNION ALL SELECT 'l_quantity', 'l_tax', CAST(n AS BIGINT),
+                   CASE WHEN n*p00-s0*s0 > 0 AND n*p33-s3*s3 > 0 THEN
+                     round((n*p03-s0*s3)
+                           / sqrt((n*p00-s0*s0)*(n*p33-s3*s3)), 6) END
+            FROM s
+            UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                   CAST(n AS BIGINT),
+                   CASE WHEN n*p11-s1*s1 > 0 AND n*p22-s2*s2 > 0 THEN
+                     round((n*p12-s1*s2)
+                           / sqrt((n*p11-s1*s1)*(n*p22-s2*s2)), 6) END
+            FROM s
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', CAST(n AS BIGINT),
+                   CASE WHEN n*p11-s1*s1 > 0 AND n*p33-s3*s3 > 0 THEN
+                     round((n*p13-s1*s3)
+                           / sqrt((n*p11-s1*s1)*(n*p33-s3*s3)), 6) END
+            FROM s
+            UNION ALL SELECT 'l_discount', 'l_tax', CAST(n AS BIGINT),
+                   CASE WHEN n*p22-s2*s2 > 0 AND n*p33-s3*s3 > 0 THEN
+                     round((n*p23-s2*s3)
+                           / sqrt((n*p22-s2*s2)*(n*p33-s3*s3)), 6) END
+            FROM s
+            ORDER BY col_a, col_b
+        """,
+        # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,
         # approximate or model-driven — no SQL equivalent; the driver
         # records rows-only checks.

@@ -27,9 +27,13 @@ _JSONL_EXTS = (".jsonl", ".json", ".ndjson", ".jsonl.gz", ".json.gz", ".ndjson.g
 
 
 def read_documents(path: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Read a document corpus from Parquet (file or directory) or JSONL,
-    dispatching on extension; ``columns`` prunes either way."""
+    """Read a document corpus from Parquet (file or directory), JSONL or
+    ORC, dispatching on extension; ``columns`` prunes every way."""
     lower = path.lower()
+    if lower.endswith(".orc"):
+        from .orc import read_orc
+
+        return read_orc(path, columns=columns)
     if lower.endswith(_JSONL_EXTS):
         ds = rd.read_json(path)
         if columns:

@@ -312,3 +312,61 @@ def benford_audit(ds: rd.Dataset, col: str) -> pd.DataFrame:
             "expected_share": _r6(expected),
         }
     )
+
+
+def table_checksum(
+    ds: rd.Dataset,
+    cols: list[str],
+    sep: str = "|",
+) -> pd.DataFrame:
+    """Order-independent content fingerprint of a table — the
+    cross-system reconciliation primitive (same checksum ⇔ same
+    multiset of rows, regardless of partitioning, file layout or row
+    order): ``sum(md5_60bit(canonical_row)) mod (2^63-1)``.
+
+    Canonical row = the ``sep``-joined string forms of ``cols`` (ints
+    render as decimal, NULL as empty — document the contract per use;
+    callers with floats must quantize first).  md5 keeps the digest
+    engine-portable (DuckDB/Spark/Python all agree), 60 bits per row
+    keeps the sum in HUGEINT/Python-int range at any row count, and the
+    SUM makes the reduce fully associative: every batch emits one
+    (count, partial-mod) row, map-only — nothing shuffles.
+
+    The per-row md5 is inherent to content checksumming (no vectorized
+    kernel exists); it's one C call per row over an already-built
+    string column.  Returns one row: ``(n_rows, checksum)``.
+    """
+    import hashlib
+
+    M = 9223372036854775807  # 2^63 - 1
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        parts = []
+        for c in cols:
+            s = b[c]
+            if s.dtype.kind in "iu":
+                parts.append(s.astype("int64").astype(str))
+            else:
+                parts.append(s.fillna("").astype(str))
+        key = parts[0]
+        for p in parts[1:]:
+            key = key + sep + p
+        tot = 0
+        for s in key.to_numpy():
+            tot += int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        return pa.table(
+            {
+                "n": pa.array([len(b)], pa.int64()),
+                "c": pa.array([tot % M], pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([int(p["n"].sum())], dtype="int64"),
+            "checksum": pd.Series(
+                [int(sum(int(x) for x in p["c"])) % M], dtype="int64"
+            ),
+        }
+    )

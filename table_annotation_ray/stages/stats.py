@@ -1324,3 +1324,55 @@ def series_corr(
             "r": pd.Series([r], dtype="float64"),
         }
     )
+
+
+def pairwise_corr(
+    ds: rd.Dataset,
+    cols: list[str],
+) -> pd.DataFrame:
+    """Pearson correlation MATRIX over ``d`` numeric columns in ONE
+    map-only pass — the multi-column profiling sweep (one scan answers
+    every pairwise "are these related", instead of d²/2 separate corr
+    queries): each batch emits a single flat moment row (n, Σxᵢ, Σxᵢxⱼ
+    for i ≤ j); the driver sums blocks×(1+d+d(d+1)/2) partial rows and
+    finishes the raw-sum algebra per pair.  Nothing shuffles.
+
+    ``r = (nΣxy − ΣxΣy) / sqrt((nΣxx − Σx²)(nΣyy − Σy²))``, NULL when
+    either side is constant; rounded half-away 6 dp (the SQL oracle
+    mirrors the identical algebra, so both engines agree to ~1e-10).
+
+    Returns one row per unordered pair (i < j in ``cols`` order):
+    ``(col_a, col_b, n, r)``.
+    """
+    d = len(cols)
+    if d < 2:
+        raise ValueError("need at least two columns")
+    pairs = [(i, j) for i in range(d) for j in range(i, d)]
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        x = b[cols].to_numpy(dtype=np.float64)
+        out = {"n": pa.array([float(len(b))], pa.float64())}
+        s = x.sum(axis=0)
+        for i, c in enumerate(cols):
+            out[f"s_{i}"] = pa.array([s[i]], pa.float64())
+        for i, j in pairs:
+            out[f"p_{i}_{j}"] = pa.array(
+                [float((x[:, i] * x[:, j]).sum())], pa.float64()
+            )
+        return pa.table(out)
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    n = float(p["n"])
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            num = n * p[f"p_{i}_{j}"] - p[f"s_{i}"] * p[f"s_{j}"]
+            vx = n * p[f"p_{i}_{i}"] - p[f"s_{i}"] ** 2
+            vy = n * p[f"p_{j}_{j}"] - p[f"s_{j}"] ** 2
+            if vx > 0 and vy > 0:
+                r = num / np.sqrt(vx * vy)
+                r = float(np.sign(r) * np.floor(abs(r) * 1e6 + 0.5) / 1e6)
+            else:
+                r = np.nan
+            rows.append((cols[i], cols[j], int(n), r))
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "n", "r"])

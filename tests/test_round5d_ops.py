@@ -1,0 +1,133 @@
+"""Round-5 fourth wave: ORC source/sink, table checksum, per-key gap
+stats, one-pass correlation matrix — pinned against hand computations
+and single-process references."""
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from table_annotation_ray.sources.jsonl import read_documents
+from table_annotation_ray.sources.orc import read_orc, write_orc
+from table_annotation_ray.stages.dq import table_checksum
+from table_annotation_ray.stages.stats import pairwise_corr
+from table_annotation_ray.stages.windows import gap_stats_by_key
+
+
+def test_orc_roundtrip_and_pruning(ray_session, tmp_path):
+    import pyarrow.orc as orc
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200),
+            "text": [f"doc number {i}" for i in range(200)],
+            "n": np.arange(200) * 3,
+        }
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    orc.write_table(pa.Table.from_pandas(df), str(src / "a.orc"))
+
+    # full read through the dispatcher (extension-based)
+    back = (
+        read_documents(str(src / "a.orc"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, df)
+
+    # pruned read only carries the asked columns
+    pruned = read_orc(str(src), columns=["doc_id", "n"]).to_pandas()
+    assert sorted(pruned.columns) == ["doc_id", "n"]
+
+    # missing column fails at the read, not downstream
+    with pytest.raises(Exception, match="lacks columns"):
+        read_orc(str(src), columns=["nope"]).materialize()
+
+    # distributed write -> one file per block, reads back identically
+    out = tmp_path / "out"
+    write_orc(rd.from_pandas(df).repartition(4), str(out))
+    files = [f for f in os.listdir(out) if f.endswith(".orc")]
+    assert len(files) == 4
+    back2 = (
+        read_orc(str(out))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back2, df)
+
+
+def test_table_checksum_order_independent(ray_session):
+    df = pd.DataFrame({"id": [1, 2, 3], "t": ["a", "b", None]})
+    a = table_checksum(rd.from_pandas(df).repartition(3), ["id", "t"])
+    b = table_checksum(
+        rd.from_pandas(df.iloc[::-1].reset_index(drop=True)), ["id", "t"]
+    )
+    assert a["checksum"].iloc[0] == b["checksum"].iloc[0]
+    assert a["n_rows"].iloc[0] == 3
+    # exact value pinned against hashlib (NULL renders as empty string)
+    M = 9223372036854775807
+    exp = sum(
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        for s in ["1|a", "2|b", "3|"]
+    ) % M
+    assert int(a["checksum"].iloc[0]) == exp
+    # any single-row change moves the checksum
+    df2 = df.assign(t=["a", "b", "c"])
+    c = table_checksum(rd.from_pandas(df2), ["id", "t"])
+    assert c["checksum"].iloc[0] != a["checksum"].iloc[0]
+
+
+def test_gap_stats_hand_case(ray_session):
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 3, 3],
+            "ts": [base, base + pd.Timedelta(seconds=10),
+                   base + pd.Timedelta(seconds=11),
+                   base + pd.Timedelta(seconds=25),
+                   base,
+                   base, base + pd.Timedelta(microseconds=7)],
+            "id": [1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    out = (
+        gap_stats_by_key(rd.from_pandas(df).repartition(3), "k", "ts", "id")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # key 2 has a single event -> no gap row
+    assert out["k"].tolist() == [1, 3]
+    assert out["n_gaps"].tolist() == [3, 1]
+    assert out["min_gap_us"].tolist() == [1_000_000, 7]
+    assert out["max_gap_us"].tolist() == [14_000_000, 7]
+    # gaps for k=1: 10s, 1s, 14s -> median 10s
+    assert out["median_gap_us"].tolist() == [10_000_000.0, 7.0]
+
+
+def test_pairwise_corr_vs_numpy(ray_session):
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=400)
+    df = pd.DataFrame(
+        {"a": x, "b": 2 * x + rng.normal(size=400), "c": rng.normal(size=400)}
+    )
+    out = pairwise_corr(
+        rd.from_pandas(df).repartition(4), ["a", "b", "c"]
+    ).set_index(["col_a", "col_b"])
+    ref = np.corrcoef(df.to_numpy().T)
+    assert out.loc[("a", "b"), "r"] == pytest.approx(ref[0, 1], abs=2e-6)
+    assert out.loc[("a", "c"), "r"] == pytest.approx(ref[0, 2], abs=2e-6)
+    assert out.loc[("b", "c"), "r"] == pytest.approx(ref[1, 2], abs=2e-6)
+    # constant column -> NULL r
+    df2 = pd.DataFrame({"a": [1.0, 1.0, 1.0], "b": [1.0, 2.0, 3.0]})
+    out2 = pairwise_corr(rd.from_pandas(df2), ["a", "b"])
+    assert np.isnan(out2["r"].iloc[0])
+    with pytest.raises(ValueError):
+        pairwise_corr(rd.from_pandas(df2), ["a"])
