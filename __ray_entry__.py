@@ -5168,6 +5168,55 @@ def _q_bpe_fertility(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _q_key_skew_profile(sf_dir: str):
+    """Frequency-of-frequencies skew profile of the event stream's user
+    key (stages/agg.py::frequency_histogram): two chained skinny
+    grouped_reduce exchanges — the shuffle-planning diagnosis (hot keys
+    and distinct cardinality in one table).  SQL hash-exact."""
+    from table_annotation_ray.stages.agg import frequency_histogram
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    out = frequency_histogram(ev, ["user_id"]).to_pandas()
+    out = out.astype({"n_per_key": "int64", "n_keys": "int64"})
+    return out.sort_values("n_per_key").reset_index(drop=True)
+
+
+def _q_event_linear_attribution(sf_dir: str):
+    """Multi-touch linear attribution over a 24 h lookback (stages/
+    windows.py::linear_attribution): each purchase splits one credit
+    unit equally across its window's prior non-purchase touches —
+    range-add vectorized per key, one co-location exchange.  SQL
+    hash-exact vs the LEFT-JOIN + per-conversion count formulation."""
+    from table_annotation_ray.stages.windows import linear_attribution
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return linear_attribution(
+        ev, "user_id", "ts", "event_type", "purchase", 86400.0
+    )
+
+
+def _q_part_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient on the part co-occurrence
+    graph (stages/graph.py::local_clustering — center-attributed
+    degree-ordered wedges, per-node triangle explode, cc from one
+    exact-int division).  Same 1/3 basket subsample as triangle_count;
+    SQL hash-exact vs the three-way self-join + corner explode."""
+    from table_annotation_ray.stages.graph import local_clustering
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
+    out = local_clustering(
+        edges, "item_a", "item_b", assume_simple=True
+    ).to_pandas()
+    for c in ["node", "deg", "triangles"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5382,6 +5431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_reorder_gap": _q_customer_reorder_gap,
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "bpe_fertility": _q_bpe_fertility,
+        "key_skew_profile": _q_key_skew_profile,
+        "event_linear_attribution": _q_event_linear_attribution,
+        "part_clustering_coeff": _q_part_clustering_coeff,
     }
 
 
@@ -8099,6 +8151,52 @@ def oracle_sql() -> dict[str, str]:
                            / sqrt((n*p22-s2*s2)*(n*p33-s3*s3)), 6) END
             FROM s
             ORDER BY col_a, col_b
+        """,
+        "key_skew_profile": """
+            WITH k AS (SELECT user_id, count(*) n_per_key
+                       FROM events GROUP BY 1)
+            SELECT CAST(n_per_key AS BIGINT) n_per_key,
+                   CAST(count(*) AS BIGINT) n_keys
+            FROM k GROUP BY 1 ORDER BY 1
+        """,
+        "event_linear_attribution": """
+            WITH conv AS (SELECT event_id, user_id, ts FROM events
+                          WHERE event_type = 'purchase'),
+            tou AS (SELECT user_id, ts, event_type FROM events
+                    WHERE event_type <> 'purchase'),
+            j AS (
+                SELECT c.event_id, t.ts tts, t.event_type
+                FROM conv c LEFT JOIN tou t
+                  ON t.user_id = c.user_id AND t.ts < c.ts
+                 AND t.ts >= c.ts - INTERVAL 86400 SECOND),
+            k AS (SELECT event_id, count(tts) k FROM j GROUP BY 1),
+            cr AS (SELECT j.event_type t, 1.0/k.k credit
+                   FROM j JOIN k USING (event_id) WHERE j.tts IS NOT NULL
+                   UNION ALL SELECT '(none)', 1.0 FROM k WHERE k = 0)
+            SELECT t AS touch_type, round(sum(credit), 6) credit
+            FROM cr GROUP BY 1 ORDER BY 1
+        """,
+        "part_clustering_coeff": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey % 3 = 0),
+            e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                      AND a.l_partkey < b.l_partkey),
+            tri AS (SELECT ab.a x, ab.b y, bc.b z
+                    FROM e ab JOIN e bc ON ab.b = bc.a
+                    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+            tn AS (SELECT node, CAST(count(*) AS BIGINT) t FROM
+                   (SELECT x node FROM tri UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri) GROUP BY 1),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) deg FROM
+                    (SELECT a node FROM e UNION ALL SELECT b FROM e)
+                    GROUP BY 1)
+            SELECT deg.node, deg.deg, COALESCE(tn.t, 0) AS triangles,
+                   CASE WHEN deg.deg >= 2 THEN
+                     round(2.0 * COALESCE(tn.t, 0)
+                           / (deg.deg * (deg.deg - 1.0)), 6)
+                   END AS cc
+            FROM deg LEFT JOIN tn USING (node) ORDER BY node
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -382,3 +382,32 @@ def linreg_by_key(
     out["intercept"] = intercept
     out["corr"] = corr
     return out.sort_values(key_cols).reset_index(drop=True)
+
+
+def frequency_histogram(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Frequency-of-frequencies profile: how many keys occur exactly n
+    times — the skew diagnosis a 100-TB shuffle plan starts from (a fat
+    head row here is the hot key that will gate any per-key exchange;
+    the tail length is the distinct-key cardinality).  Beyond-reference
+    operator.
+
+    Two chained :func:`grouped_reduce` exchanges, both skinny: per-key
+    counts (one row per distinct key), then counts-of-counts (one row
+    per distinct frequency — dimension-sized).  Output
+    ``(n_per_key, n_keys)``, all int64 — hash-exact by construction.
+    """
+    per_key = grouped_reduce(
+        ds, key_cols, {"n_per_key": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    return grouped_reduce(
+        per_key.map_batches(
+            lambda b: b[["n_per_key"]], batch_format="pandas"
+        ),
+        ["n_per_key"], {"n_keys": (None, "count")},
+        num_buckets=num_buckets,
+    )

@@ -1536,3 +1536,124 @@ def gap_stats_by_key(
         .groupby("__gs_bkt")
         .map_groups(stats, batch_format="pandas")
     )
+
+
+def linear_attribution(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    lookback_s: float,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Multi-touch LINEAR attribution: every conversion splits one unit
+    of credit EQUALLY across all non-conversion touches of the same key
+    in the ``lookback_s`` window strictly before it (the marketing
+    counterpart of :func:`last_touch_attribution`, which gives the
+    whole unit to the most recent touch).  Touchless conversions credit
+    the ``(none)`` bucket.
+
+    Per-key vectorization (no per-conversion loop): within each
+    co-located, time-sorted key partition, each conversion's touch
+    window is a [searchsorted(t−W), searchsorted(t)) index range over
+    the key's touch array; per-touch credits accumulate via the
+    range-add trick (±1/k at the range ends, prefix-sum once).  One
+    hash(key) exchange total; per-type partial sums cross back
+    (|types| rows per bucket).
+
+    Credits are sums of 1/k rationals; at any k below ~5^6 the true
+    value cannot sit on a 6-dp half-boundary (the denominator lacks the
+    5-powers), so the 6-dp round is oracle-safe — documented bound.
+    Returns ``(touch_type, credit)`` sorted by type.  The in-bucket
+    per-key loop only issues vectorized kernels (two searchsorteds +
+    one range-add prefix sum per key), so per-key cost is
+    O(k·log touches), not per-event Python.
+    """
+    nb = np.uint64(num_buckets)
+    gap_us = int(lookback_s * 1e6)
+    keep = [key_col, ts_col, type_col]
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[keep].copy()
+        b["__la_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def credit_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__la_bkt")
+            .sort_values([key_col, ts_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        t_us = g[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        types = g[type_col].to_numpy()
+        is_conv = types == conversion_type
+        out_type: list[np.ndarray] = []
+        out_credit: list[np.ndarray] = []
+        none_conv = 0
+        none_credit = 0.0
+        for _, idx in g.groupby(key_col, sort=False).indices.items():
+            t = t_us.to_numpy()[idx]
+            ty = types[idx]
+            conv = is_conv[idx]
+            touch_t = t[~conv]
+            touch_ty = ty[~conv]
+            conv_t = t[conv]
+            if len(conv_t) == 0:
+                continue
+            if len(touch_t) == 0:
+                none_conv += len(conv_t)
+                none_credit += float(len(conv_t))
+                continue
+            lo = np.searchsorted(touch_t, conv_t - gap_us, side="left")
+            hi = np.searchsorted(touch_t, conv_t, side="left")
+            k = (hi - lo).astype(np.int64)
+            empty = k == 0
+            none_conv += int(empty.sum())
+            none_credit += float(empty.sum())
+            w = np.zeros(len(conv_t), dtype=np.float64)
+            w[~empty] = 1.0 / k[~empty]
+            # range-add: +w at lo, -w past hi-1; prefix-sum -> per-touch
+            diff = np.zeros(len(touch_t) + 1, dtype=np.float64)
+            np.add.at(diff, lo[~empty], w[~empty])
+            np.add.at(diff, hi[~empty], -w[~empty])
+            per_touch = np.cumsum(diff[:-1])
+            out_type.append(touch_ty)
+            out_credit.append(per_touch)
+        if out_type:
+            f = pd.DataFrame(
+                {"t": np.concatenate(out_type),
+                 "c": np.concatenate(out_credit)}
+            )
+            agg = f.groupby("t", sort=False)["c"].sum().reset_index()
+        else:
+            agg = pd.DataFrame({"t": pd.Series([], dtype=object),
+                                "c": pd.Series([], dtype="float64")})
+        if none_conv:
+            agg = pd.concat(
+                [agg, pd.DataFrame({"t": ["(none)"], "c": [none_credit]})],
+                ignore_index=True,
+            )
+        return pa.table(
+            {"touch_type": pa.array(agg["t"].astype(str), pa.string()),
+             "credit_p": pa.array(agg["c"].to_numpy(np.float64),
+                                  pa.float64())}
+        )
+
+    p = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__la_bkt")
+        .map_groups(credit_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if p.empty:
+        return pd.DataFrame(
+            {"touch_type": pd.Series([], dtype=object),
+             "credit": pd.Series([], dtype="float64")}
+        )
+    agg = p.groupby("touch_type", sort=True)["credit_p"].sum().reset_index()
+    c = agg["credit_p"].to_numpy(np.float64)
+    agg["credit"] = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+    return agg[["touch_type", "credit"]]

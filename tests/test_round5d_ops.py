@@ -131,3 +131,62 @@ def test_pairwise_corr_vs_numpy(ray_session):
     assert np.isnan(out2["r"].iloc[0])
     with pytest.raises(ValueError):
         pairwise_corr(rd.from_pandas(df2), ["a"])
+
+
+def test_frequency_histogram_hand_case(ray_session):
+    from table_annotation_ray.stages.agg import frequency_histogram
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2, 3, 4, 5]})
+    out = (
+        frequency_histogram(rd.from_pandas(df).repartition(3), ["k"])
+        .to_pandas()
+        .sort_values("n_per_key")
+        .reset_index(drop=True)
+    )
+    # three singletons, one pair, one triple
+    assert out["n_per_key"].tolist() == [1, 2, 3]
+    assert out["n_keys"].tolist() == [3, 1, 1]
+
+
+def test_linear_attribution_hand_case(ray_session):
+    from table_annotation_ray.stages.windows import linear_attribution
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # u1: view, click, purchase  -> 0.5 each
+        (1, base, "view"), (1, base + s, "click"), (1, base + 2 * s, "purchase"),
+        # u1 second purchase 10s later, window 5s: only sees nothing -> (none)
+        (1, base + 20 * s, "purchase"),
+        # u2: touchless purchase -> (none)
+        (2, base, "purchase"),
+        # u3: click exactly AT purchase ts is excluded (strict <)
+        (3, base, "click"), (3, base, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "ts", "t"])
+    out = linear_attribution(
+        rd.from_pandas(df).repartition(3), "u", "ts", "t", "purchase", 5.0
+    ).set_index("touch_type")
+    assert out.loc["view", "credit"] == 0.5
+    assert out.loc["click", "credit"] == 0.5
+    assert out.loc["(none)", "credit"] == 3.0  # u1 2nd + u2 + u3
+
+
+def test_local_clustering_hand_graph(ray_session):
+    from table_annotation_ray.stages.graph import local_clustering
+
+    # triangle 1-2-3 plus pendant 4 attached to 1
+    e = pd.DataFrame({"s": [1, 2, 1, 1], "d": [2, 3, 3, 4]})
+    out = (
+        local_clustering(rd.from_pandas(e), "s", "d")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out["node"].tolist() == [1, 2, 3, 4]
+    assert out["deg"].tolist() == [3, 2, 2, 1]
+    assert out["triangles"].tolist() == [1, 1, 1, 0]
+    # cc(1) = 2*1/(3*2) = 1/3; cc(2)=cc(3)=1; cc(4) NULL (deg<2)
+    assert out.loc[0, "cc"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out.loc[1, "cc"] == 1.0 and out.loc[2, "cc"] == 1.0
+    assert np.isnan(out.loc[3, "cc"])
