@@ -5217,6 +5217,76 @@ def _q_part_clustering_coeff(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_events_incremental_agg(sf_dir: str):
+    """Incremental materialized-view maintenance (stages/agg.py::
+    merge_aggregates): per-user count/sum/min/max over event values is
+    first built from the even-event_id HALF of the table
+    (grouped_reduce), then the odd half is folded in as a DELTA — only
+    the delta maps and only partial rows cross the one bucket exchange;
+    the base facts are never re-scanned.  SQL hash-exact vs the full
+    one-shot aggregate (the merge identity).  Values ride as exact
+    int64 cents so no float-sum boundary exists."""
+    from table_annotation_ray.stages.agg import grouped_reduce, merge_aggregates
+
+    reducers = {
+        "n": (None, "count"),
+        "sum_cents": ("cents", "sum"),
+        "lo_cents": ("cents", "min"),
+        "hi_cents": ("cents", "max"),
+    }
+
+    def prep(parity: int):
+        def f(b: pd.DataFrame) -> pa.Table:
+            b = b[b["event_id"] % 2 == parity]
+            return pa.table(
+                {
+                    "user_id": pa.array(b["user_id"].to_numpy(), pa.int64()),
+                    "cents": pa.array(
+                        np.round(b["value"].to_numpy() * 100.0).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return f
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    base = grouped_reduce(
+        ev.map_batches(prep(0), batch_format="pandas"), ["user_id"], reducers
+    )
+    merged = merge_aggregates(
+        base,
+        ev.map_batches(prep(1), batch_format="pandas"),
+        ["user_id"],
+        reducers,
+    ).to_pandas()
+    for c in ["user_id", "n", "sum_cents", "lo_cents", "hi_cents"]:
+        merged[c] = merged[c].astype("int64")
+    return (
+        merged[["user_id", "n", "sum_cents", "lo_cents", "hi_cents"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_value_holt_forecast(sf_dir: str):
+    """Per-user Holt double-exponential smoothing over ts-ordered event
+    values (stages/windows.py::holt_by_key): one hash(user) co-location,
+    then the bucket iterates over time STEPS updating all keys' (level,
+    trend) vectors with fused numpy ops — never per-key Python.  The
+    recurrence has no SQL window equivalent (rows-only; pinned against
+    a single-process reference in pytest)."""
+    from table_annotation_ray.stages.windows import holt_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = holt_by_key(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, beta=0.3
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5434,11 +5504,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_profile": _q_key_skew_profile,
         "event_linear_attribution": _q_event_linear_attribution,
         "part_clustering_coeff": _q_part_clustering_coeff,
+        "events_incremental_agg": _q_events_incremental_agg,
+        "value_holt_forecast": _q_value_holt_forecast,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_incremental_agg": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT)                                    AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)     AS sum_cents,
+                   CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)     AS lo_cents,
+                   CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)     AS hi_cents
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                               AS sum_qty,

@@ -411,3 +411,73 @@ def frequency_histogram(
         ["n_per_key"], {"n_keys": (None, "count")},
         num_buckets=num_buckets,
     )
+
+
+def merge_aggregates(
+    base: rd.Dataset,
+    delta: rd.Dataset,
+    key_cols: list[str],
+    reducers: dict[str, tuple[str | None, str]],
+    num_buckets: int = 64,
+    batch_size: int | None = 65536,
+) -> rd.Dataset:
+    """Incremental aggregate maintenance — the streaming-materialized-
+    view primitive: fold a RAW ``delta`` batch into an EXISTING
+    aggregate table (``base``, in :func:`grouped_reduce` output shape:
+    key columns + the out columns) without re-scanning the base facts.
+    ``merge_aggregates(agg(old), new) == agg(old ∪ new)`` for every
+    composable reducer (sum/min/max/count partials are associative;
+    count partials SUM in the finalize, so a base count is just a
+    bigger partial — pytest pins the identity).
+
+    Scale shape: only the DELTA maps (per-batch vectorized partials) and
+    only partial rows + the base's one-row-per-key table cross the ONE
+    bucket exchange — at 100 TB the historical facts never move again.
+    Deletions/updates need retractable reducers (sum/count only) —
+    fold negated delta rows for those; min/max are insert-only.
+    """
+    for out_col, (_, op) in reducers.items():
+        if op not in _PARTIAL_OPS:
+            raise ValueError(f"unsupported op {op!r} for {out_col!r}")
+
+    in_cols = list(
+        dict.fromkeys(c for c, _ in reducers.values() if c is not None)
+    )
+    nb = np.uint64(num_buckets)
+    out_cols = list(reducers)
+
+    def _bkt(frame: pd.DataFrame) -> np.ndarray:
+        keyframe = frame[key_cols[0]] if len(key_cols) == 1 else frame[key_cols]
+        return (
+            pd.util.hash_pandas_object(keyframe, index=False).to_numpy() % nb
+        ).astype(np.int64)
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = b[key_cols + in_cols].groupby(key_cols, sort=False)
+        pieces = {}
+        for out_col, (in_col, op) in reducers.items():
+            kind = _PARTIAL_OPS[op]
+            pieces[out_col] = g.size() if kind == "size" else g[in_col].agg(kind)
+        out = pd.DataFrame(pieces).reset_index()
+        out["__gr_bkt"] = _bkt(out)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def tag_base(b: pd.DataFrame) -> pa.Table:
+        b = b[key_cols + out_cols].copy()
+        b["__gr_bkt"] = _bkt(b)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        gb = g.groupby(key_cols, sort=False)
+        pieces = {
+            out_col: gb[out_col].agg(_FINAL_OPS[op])
+            for out_col, (_, op) in reducers.items()
+        }
+        out = pd.DataFrame(pieces).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    kw = {} if batch_size is None else {"batch_size": batch_size}
+    both = base.map_batches(tag_base, batch_format="pandas").union(
+        delta.map_batches(partial, batch_format="pandas", **kw)
+    )
+    return both.groupby("__gr_bkt").map_groups(finalize, batch_format="pandas")

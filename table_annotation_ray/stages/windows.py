@@ -1657,3 +1657,93 @@ def linear_attribution(
     c = agg["credit_p"].to_numpy(np.float64)
     agg["credit"] = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
     return agg[["touch_type", "credit"]]
+
+
+def holt_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key Holt double exponential smoothing (level + trend), the
+    classic short-horizon forecaster for per-entity time series:
+
+    ``l_t = α·y_t + (1-α)(l_{t-1} + b_{t-1})``,
+    ``b_t = β(l_t - l_{t-1}) + (1-β)·b_{t-1}``, initialized ``l_0 =
+    y_0, b_0 = 0``.  Returns the final state and one-step forecast per
+    key: ``(key, n, level, trend, forecast)`` with ``forecast = level +
+    trend`` (6-dp half-away rounding; the recurrence has no SQL
+    equivalent — pin with the single-process reference pytest).
+
+    The recurrence is sequential in TIME but embarrassingly parallel in
+    KEYS, so after the one ``hash(key)`` co-location the bucket loops
+    over time STEPS (bounded by the longest series), updating ALL keys'
+    (level, trend) state vectors with one fused numpy op per step —
+    never a per-row or per-key Python loop.
+    """
+    if not (0 < alpha <= 1) or not (0 <= beta <= 1):
+        raise ValueError("need 0 < alpha <= 1 and 0 <= beta <= 1")
+    nb = np.uint64(num_buckets)
+    keep = [key_col, *order_cols, val_col]
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[keep].copy()
+        b["__h_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def smooth(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__h_bkt")
+            .sort_values([key_col] + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        keys, key_ord = np.unique(g[key_col].to_numpy(), return_inverse=True)
+        y = g[val_col].to_numpy(dtype=np.float64)
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        nk = len(keys)
+        level = np.zeros(nk, np.float64)
+        trend = np.zeros(nk, np.float64)
+        count = np.bincount(key_ord, minlength=nk).astype(np.int64)
+        order = np.argsort(pos, kind="mergesort")
+        bounds = np.searchsorted(pos[order], np.arange(int(pos.max()) + 2))
+        for p in range(int(pos.max()) + 1):
+            rows = order[bounds[p]:bounds[p + 1]]
+            k = key_ord[rows]
+            yv = y[rows]
+            if p == 0:
+                level[k] = yv
+                trend[k] = 0.0
+                continue
+            prev_l = level[k]
+            l_new = alpha * yv + (1.0 - alpha) * (prev_l + trend[k])
+            trend[k] = beta * (l_new - prev_l) + (1.0 - beta) * trend[k]
+            level[k] = l_new
+        fc = level + trend
+
+        def _r6(a: np.ndarray) -> np.ndarray:
+            return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+        try:
+            kt = pa.from_numpy_dtype(keys.dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(keys, kt),
+                "n": pa.array(count, pa.int64()),
+                "level": pa.array(_r6(level), pa.float64()),
+                "trend": pa.array(_r6(trend), pa.float64()),
+                "forecast": pa.array(_r6(fc), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__h_bkt")
+        .map_groups(smooth, batch_format="pandas")
+    )

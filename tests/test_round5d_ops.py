@@ -190,3 +190,111 @@ def test_local_clustering_hand_graph(ray_session):
     assert out.loc[0, "cc"] == pytest.approx(1 / 3, abs=1e-6)
     assert out.loc[1, "cc"] == 1.0 and out.loc[2, "cc"] == 1.0
     assert np.isnan(out.loc[3, "cc"])
+
+
+def test_merge_aggregates_identity(ray_session):
+    """merge_aggregates(agg(old), new) == agg(old ∪ new) for every
+    composable reducer — the incremental-materialized-view contract."""
+    from table_annotation_ray.stages.agg import grouped_reduce, merge_aggregates
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, 500),
+            "v": rng.integers(-50, 50, 500).astype("int64"),
+        }
+    )
+    old, new = df.iloc[:350], df.iloc[350:]
+    reducers = {
+        "n": (None, "count"),
+        "s": ("v", "sum"),
+        "lo": ("v", "min"),
+        "hi": ("v", "max"),
+    }
+    base = grouped_reduce(rd.from_pandas(old).repartition(3), ["k"], reducers)
+    merged = (
+        merge_aggregates(base, rd.from_pandas(new).repartition(3), ["k"], reducers)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    full = (
+        grouped_reduce(rd.from_pandas(df).repartition(4), ["k"], reducers)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged[["k", "n", "s", "lo", "hi"]], full[["k", "n", "s", "lo", "hi"]]
+    )
+    # delta-only keys and base-only keys both survive the fold
+    assert set(merged["k"]) == set(df["k"].unique())
+
+
+def test_merge_aggregates_retraction(ray_session):
+    """Negated delta rows retract sum/count partials (deletes in CDC)."""
+    from table_annotation_ray.stages.agg import grouped_reduce, merge_aggregates
+
+    df = pd.DataFrame({"k": [1, 1, 2], "v": [10, 5, 7]})
+    reducers = {"n": (None, "count"), "s": ("v", "sum")}
+    base = grouped_reduce(rd.from_pandas(df), ["k"], reducers)
+    # retract the (1, 5) row: ship a pre-negated PARTIAL via base-side union
+    retract = rd.from_pandas(pd.DataFrame({"k": [1], "n": [-1], "s": [-5]}))
+    merged = (
+        merge_aggregates(base.union(retract), rd.from_pandas(df.iloc[:0]), ["k"],
+                         reducers)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert merged.loc[merged["k"] == 1, "n"].item() == 1
+    assert merged.loc[merged["k"] == 1, "s"].item() == 10
+
+
+def _holt_reference(df, key, order, val, alpha, beta):
+    out = []
+    for k, g in df.sort_values([key] + order).groupby(key, sort=False):
+        y = g[val].to_numpy(np.float64)
+        level, trend = y[0], 0.0
+        for t in range(1, len(y)):
+            prev = level
+            level = alpha * y[t] + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        out.append((k, len(y), level, trend, level + trend))
+    r = pd.DataFrame(out, columns=[key, "n", "level", "trend", "forecast"])
+    for c in ("level", "trend", "forecast"):
+        v = r[c].to_numpy(np.float64)
+        r[c] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    return r.sort_values(key).reset_index(drop=True)
+
+
+def test_holt_by_key_vs_reference(ray_session):
+    from table_annotation_ray.stages.windows import holt_by_key
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 25, n),
+            "ts": rng.permutation(n),
+            "v": np.round(rng.normal(100, 15, n), 2),
+        }
+    )
+    got = (
+        holt_by_key(rd.from_pandas(df).repartition(5), "u", ["ts"], "v",
+                    alpha=0.4, beta=0.2)
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    want = _holt_reference(df, "u", ["ts"], "v", 0.4, 0.2)
+    got["u"] = got["u"].astype(want["u"].dtype)
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
+
+
+def test_holt_by_key_validates_params(ray_session):
+    from table_annotation_ray.stages.windows import holt_by_key
+
+    with pytest.raises(ValueError):
+        holt_by_key(rd.from_pandas(pd.DataFrame({"u": [1], "ts": [1], "v": [1.0]})),
+                    "u", ["ts"], "v", alpha=0.0)
