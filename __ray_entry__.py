@@ -5217,6 +5217,67 @@ def _q_part_clustering_coeff(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_graph_sssp(sf_dir: str):
+    """Weighted single-source shortest paths (stages/graph.py::
+    sssp_distances — frontier-limited Bellman-Ford, driver-broadcast
+    engine under a distance-table gate spilling into the equi_join +
+    grouped_reduce + tag-union-merge exchange engine) over the part
+    co-occurrence graph, edge cost = basket co-count (exact int64 path
+    sums).  Source = smallest part id in the graph.  Rows-only (DuckDB
+    1.0 recursive CTEs enumerate paths — exponential on cycles); both
+    engines and a single-process Bellman-Ford are pinned in pytest."""
+    from table_annotation_ray.stages.graph import sssp_distances
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
+    edges = edges.materialize()
+    source = int(edges.min("item_a"))
+    out = sssp_distances(
+        edges, source, "item_a", "item_b", "n_baskets"
+    ).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_weekly_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix (stages/windows.py::
+    cohort_retention): users bucketed by first-activity week, counted
+    per return-week offset.  Two skinny exchanges — per-batch-distinct
+    (user, week) pairs co-locate by hash(user), then (cohort, offset)
+    partial counts sum through grouped_reduce; raw events cross
+    neither.  SQL hash-exact (exact epoch-µs integer week math)."""
+    from table_annotation_ray.stages.windows import cohort_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = cohort_retention(ev, "user_id", "ts", period_days=7).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort_period", "period_offset"]).reset_index(
+        drop=True
+    )
+
+
+def _q_gopher_gate(sf_dir: str):
+    """Gopher quality-rule bundle (stages/textstats.py::gopher_rules,
+    Rae et al. 2021 §A1.1): word-count / mean-word-length / symbol /
+    bullet / ellipsis / alpha-word / required-word rules in one map-only
+    pass, every rule in INTEGER arithmetic (no float boundary).  SQL
+    hash-exact — DuckDB regexp/list kernels are RE2, same as Arrow."""
+    from table_annotation_ray.stages.textstats import gopher_rules
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(gopher_rules, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        if out[c].dtype == np.int64 or c == "doc_id":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_events_incremental_agg(sf_dir: str):
     """Incremental materialized-view maintenance (stages/agg.py::
     merge_aggregates): per-user count/sum/min/max over event values is
@@ -5506,11 +5567,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_clustering_coeff": _q_part_clustering_coeff,
         "events_incremental_agg": _q_events_incremental_agg,
         "value_holt_forecast": _q_value_holt_forecast,
+        "gopher_quality_gate": _q_gopher_gate,
+        "weekly_cohort_retention": _q_weekly_cohort_retention,
+        "graph_sssp": _q_graph_sssp,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "weekly_cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // (7 * 86400000000) AS week
+                FROM events
+            ), fw AS (
+                SELECT user_id, min(week) AS cohort_period
+                FROM uw GROUP BY user_id
+            )
+            SELECT CAST(cohort_period AS BIGINT)         AS cohort_period,
+                   CAST(week - cohort_period AS BIGINT)  AS period_offset,
+                   CAST(count(*) AS BIGINT)              AS n_users
+            FROM uw JOIN fw USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "gopher_quality_gate": """
+            WITH g AS (
+                SELECT doc_id,
+                       regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') AS t,
+                       coalesce(text, '') AS raw
+                FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(t, '\\s+')) END AS n_words,
+                       CASE WHEN length(t) = 0 THEN 0
+                            ELSE length(regexp_replace(t, '\\s+', '', 'g')) END AS word_chars,
+                       (length(raw) - length(replace(raw, '#', '')))
+                         + (length(raw) - length(replace(raw, '...', ''))) // 3
+                         + (length(raw) - length(replace(raw, '…', ''))) AS n_symbols,
+                       len(string_split(raw, chr(10))) AS n_lines,
+                       len(list_filter(string_split(raw, chr(10)),
+                                       x -> regexp_matches(x, '^\\s*[•‣▪*-]'))) AS n_bullet,
+                       len(list_filter(string_split(raw, chr(10)),
+                                       x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS n_ellipsis,
+                       CASE WHEN length(t) = 0 THEN 0
+                            ELSE len(list_filter(regexp_split_to_array(t, '\\s+'),
+                                                 x -> regexp_matches(x, '\\p{L}'))) END AS alpha_words,
+                       CASE WHEN length(t) = 0 THEN 0 ELSE
+                         (CASE WHEN list_contains(regexp_split_to_array(lower(t), '\\s+'), 'the')  THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(regexp_split_to_array(lower(t), '\\s+'), 'be')   THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(regexp_split_to_array(lower(t), '\\s+'), 'to')   THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(regexp_split_to_array(lower(t), '\\s+'), 'of')   THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(regexp_split_to_array(lower(t), '\\s+'), 'and')  THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(regexp_split_to_array(lower(t), '\\s+'), 'that') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(regexp_split_to_array(lower(t), '\\s+'), 'have') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(regexp_split_to_array(lower(t), '\\s+'), 'with') THEN 1 ELSE 0 END)
+                       END AS n_required
+                FROM g
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT)     AS n_words,
+                   CAST(word_chars AS BIGINT)  AS word_chars,
+                   CAST(n_symbols AS BIGINT)   AS n_symbols,
+                   CAST(n_lines AS BIGINT)     AS n_lines,
+                   CAST(n_bullet AS BIGINT)    AS n_bullet,
+                   CAST(n_ellipsis AS BIGINT)  AS n_ellipsis,
+                   CAST(alpha_words AS BIGINT) AS alpha_words,
+                   CAST(n_required AS BIGINT)  AS n_required,
+                   (n_words BETWEEN 50 AND 100000)                                  AS r_words,
+                   (3 * n_words <= word_chars AND word_chars <= 10 * n_words
+                    AND n_words > 0)                                                AS r_wordlen,
+                   (10 * n_symbols <= n_words)                                      AS r_symbol,
+                   (10 * n_bullet <= n_lines)                                       AS r_bullet,
+                   (10 * n_ellipsis <= 3 * n_lines)                                 AS r_ellipsis,
+                   (5 * alpha_words >= 4 * n_words AND n_words > 0)                 AS r_alpha,
+                   (n_required >= 2)                                                AS r_required,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words AND n_words > 0)
+                    AND (10 * n_symbols <= n_words)
+                    AND (10 * n_bullet <= n_lines)
+                    AND (10 * n_ellipsis <= 3 * n_lines)
+                    AND (5 * alpha_words >= 4 * n_words AND n_words > 0)
+                    AND (n_required >= 2))                                          AS keep
+            FROM sig
+            ORDER BY doc_id
+        """,
         "events_incremental_agg": """
             SELECT user_id,
                    CAST(count(*) AS BIGINT)                                    AS n,

@@ -48,6 +48,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -1490,3 +1491,292 @@ def local_clustering(
         )
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def _weighted_simple_edges(
+    edges: rd.Dataset,
+    src: str,
+    dst: str,
+    weight: str,
+    num_buckets: int = 64,
+    partitions: int = 16,
+) -> rd.Dataset:
+    """Materialized distinct ``a < b`` pairs with the MIN weight per
+    pair (parallel/reverse edges collapse to the cheapest; self-loops
+    never shorten a path, dropped).  Same two-stage shape as
+    :func:`_simple_edges` with a min-weight combine at both stages.
+    Weights travel as int64 — integer costs keep every path sum exact
+    (the round-5 float-boundary rule)."""
+    nb = np.uint64(num_buckets)
+
+    def canon(b: pd.DataFrame) -> pa.Table:
+        u = b[src].to_numpy(dtype=np.int64)
+        v = b[dst].to_numpy(dtype=np.int64)
+        w = b[weight].to_numpy(dtype=np.int64)
+        keep = u != v
+        lo, hi = np.minimum(u, v)[keep], np.maximum(u, v)[keep]
+        out = (
+            pd.DataFrame({"a": lo, "b": hi, "w": w[keep]})
+            .groupby(["a", "b"], sort=False)["w"]
+            .min()
+            .reset_index()
+        )
+        h = (
+            out["a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + out["b"].to_numpy().astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(), pa.int64()),
+                "b": pa.array(out["b"].to_numpy(), pa.int64()),
+                "w": pa.array(out["w"].to_numpy(), pa.int64()),
+                "__pb": pa.array((h % nb).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pair_min(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.groupby(["a", "b"], sort=False)["w"].min().reset_index()
+        )
+        return pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(dtype=np.int64), pa.int64()),
+                "b": pa.array(out["b"].to_numpy(dtype=np.int64), pa.int64()),
+                "w": pa.array(out["w"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(canon, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(pair_min, batch_format="pandas")
+        .repartition(partitions)
+        .materialize()
+    )
+
+
+def sssp_distances(
+    edges: rd.Dataset,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iters: int = 64,
+    num_buckets: int = 64,
+    partitions: int = 16,
+    broadcast_below: int = 2_000_000,
+) -> rd.Dataset:
+    """Single-source shortest paths over the simple undirected graph
+    with non-negative INTEGER edge weights (exact int64 path sums — no
+    float-boundary ambiguity anywhere).  Returns ``(node, dist)`` for
+    every node reachable within ``max_iters`` relaxation rounds
+    (Bellman-Ford converges in ≤ |V|-1 rounds; each round only relaxes
+    from nodes whose distance IMPROVED last round, so the work per
+    round tracks the true frontier like delta-stepping's light bucket).
+
+    Engine gate mirrors :func:`bfs_distances` on the distance-table
+    size:
+
+    * **driver-frontier** (``len(dist) ≤ broadcast_below``): the
+      changed-node distance dict is ``ray.put``-broadcast; each round
+      is one map-only pass over the once-materialized weighted edges
+      emitting per-block min-combined candidate (node, dist) pairs —
+      zero exchanges per round.
+    * **dataset** (spills mid-run, continuing from the driver state):
+      scatter via the size-gated :func:`~.relational.equi_join` of the
+      changed table onto the both-direction edge view, per-node min via
+      grouped_reduce, then a tag-union hash(node) co-location merges
+      candidates into the distance table and flags improvements — the
+      per-round payload is edges + frontier rows, never all-pairs.
+
+    No SQL oracle (DuckDB 1.0 recursive CTEs enumerate paths —
+    exponential on cyclic graphs; ``USING KEY`` arrives in 1.3) — both
+    engines are pinned equal and against a single-process Bellman-Ford
+    in pytest.
+    """
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import grouped_reduce
+    from .relational import equi_join
+
+    wedges = _weighted_simple_edges(
+        edges, src, dst, weight, num_buckets, partitions
+    )
+
+    dist_d: dict[int, int] = {int(source): 0}
+    changed_d: dict[int, int] = dict(dist_d)
+    it = 0
+    spilled = False
+    while it < max_iters and changed_d:
+        if len(dist_d) > broadcast_below:
+            spilled = True
+            break
+        cref = ray.put(changed_d)
+
+        def relax_map(b: pd.DataFrame, _c=cref) -> pa.Table:
+            ch = get_worker_state(("sssp-c", ref_key(_c)), lambda: ray.get(_c))
+            a = b["a"].to_numpy(dtype=np.int64)
+            bb = b["b"].to_numpy(dtype=np.int64)
+            w = b["w"].to_numpy(dtype=np.int64)
+            sa = pd.Series(a)
+            sb = pd.Series(bb)
+            da = sa.map(ch)
+            db = sb.map(ch)
+            m_a = da.notna().to_numpy()
+            m_b = db.notna().to_numpy()
+            cand = pd.DataFrame(
+                {
+                    "node": np.concatenate([bb[m_a], a[m_b]]),
+                    "nd": np.concatenate(
+                        [
+                            da.to_numpy(dtype=np.float64)[m_a].astype(np.int64) + w[m_a],
+                            db.to_numpy(dtype=np.float64)[m_b].astype(np.int64) + w[m_b],
+                        ]
+                    ),
+                }
+            )
+            out = cand.groupby("node", sort=False)["nd"].min().reset_index()
+            return pa.table(
+                {
+                    "node": pa.array(out["node"].to_numpy(dtype=np.int64), pa.int64()),
+                    "nd": pa.array(out["nd"].to_numpy(dtype=np.int64), pa.int64()),
+                }
+            )
+
+        part = wedges.map_batches(relax_map, batch_format="pandas").to_pandas()
+        changed_d = {}
+        if "node" in part.columns and len(part):
+            best = part.groupby("node")["nd"].min()
+            for n_, d_ in best.items():
+                n_, d_ = int(n_), int(d_)
+                if n_ not in dist_d or d_ < dist_d[n_]:
+                    dist_d[n_] = d_
+                    changed_d[n_] = d_
+        it += 1
+    if not spilled:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(sorted(dist_d), pa.int64()),
+                    "dist": pa.array(
+                        [dist_d[k] for k in sorted(dist_d)], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    # ---- dataset engine (distance table outgrew the driver gate) ----
+    nb = np.uint64(num_buckets)
+    both = wedges.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()]),
+                "other": pa.concat_arrays([t["b"].combine_chunks(), t["a"].combine_chunks()]),
+                "ew": pa.concat_arrays([t["w"].combine_chunks(), t["w"].combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _tbl(d: dict[int, int], cols=("node", "dist")) -> pa.Table:
+        ks = sorted(d)
+        return pa.table(
+            {
+                cols[0]: pa.array(ks, pa.int64()),
+                cols[1]: pa.array([d[k] for k in ks], pa.int64()),
+            }
+        )
+
+    dist = rd.from_arrow(_tbl(dist_d)).repartition(partitions).materialize()
+    changed = rd.from_arrow(_tbl(changed_d)).materialize()
+    n_changed = changed.count()
+
+    while it < max_iters and n_changed:
+        cand = equi_join(
+            both,
+            changed.map_batches(
+                lambda t: t.rename_columns(["k", "d0"]), batch_format="pyarrow"
+            ),
+            "k",
+            broadcast_below=broadcast_below,
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["other"].combine_chunks(),
+                    "nd": pc.add(t["ew"], t["d0"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cand_min = grouped_reduce(
+            cand, ["node"], {"nd": ("nd", "min")}, num_buckets=num_buckets
+        )
+
+        def tag_dist(t: pa.Table) -> pa.Table:
+            h = t["node"].to_numpy().astype(np.uint64) % nb
+            return pa.table(
+                {
+                    "node": t["node"].combine_chunks(),
+                    "d": t["dist"].combine_chunks(),
+                    "is_new": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+                    "__sb": pa.array(h.astype(np.int64), pa.int64()),
+                }
+            )
+
+        def tag_cand(t: pa.Table) -> pa.Table:
+            h = t["node"].to_numpy().astype(np.uint64) % nb
+            return pa.table(
+                {
+                    "node": t["node"].combine_chunks(),
+                    "d": t["nd"].combine_chunks(),
+                    "is_new": pa.array(np.ones(len(t), np.int8), pa.int8()),
+                    "__sb": pa.array(h.astype(np.int64), pa.int64()),
+                }
+            )
+
+        def merge(g: pd.DataFrame) -> pa.Table:
+            old = g[g["is_new"] == 0]
+            new = g[g["is_new"] == 1]
+            cur = dict(zip(old["node"].to_numpy(), old["d"].to_numpy()))
+            nbest = new.groupby("node", sort=False)["d"].min()
+            rows_n, rows_d, rows_i = [], [], []
+            improved = {}
+            for n_, d_ in nbest.items():
+                if n_ not in cur or d_ < cur[n_]:
+                    improved[int(n_)] = int(d_)
+            merged = dict(cur)
+            merged.update(improved)
+            for n_ in sorted(merged):
+                rows_n.append(int(n_))
+                rows_d.append(int(merged[n_]))
+                rows_i.append(1 if n_ in improved else 0)
+            return pa.table(
+                {
+                    "node": pa.array(rows_n, pa.int64()),
+                    "dist": pa.array(rows_d, pa.int64()),
+                    "improved": pa.array(rows_i, pa.int8()),
+                }
+            )
+
+        merged = (
+            dist.map_batches(tag_dist, batch_format="pyarrow")
+            .union(cand_min.map_batches(tag_cand, batch_format="pyarrow"))
+            .groupby("__sb")
+            .map_groups(merge, batch_format="pandas")
+            .repartition(partitions)
+            .materialize()
+        )
+        dist = merged.map_batches(
+            lambda t: t.select(["node", "dist"]), batch_format="pyarrow"
+        ).materialize()
+        changed = merged.map_batches(
+            lambda t: t.filter(pc.equal(t["improved"], 1)).select(
+                ["node", "dist"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_changed = changed.count()
+        it += 1
+    return dist

@@ -727,3 +727,125 @@ def lexical_stats(batch: pd.DataFrame) -> pd.DataFrame:
             "ttr": ttr,
         }
     )
+
+
+# the 8 Gopher "required words" (Rae et al. 2021, §A1.1 quality rules)
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher document-quality rule bundle (Rae et al. 2021 §A1.1) as
+    one map-only pass — every rule evaluated in INTEGER arithmetic so
+    the gate has no float-rounding boundary anywhere (the round-5
+    oracle lesson):
+
+    - ``r_words``:       50 ≤ n_words ≤ 100000
+    - ``r_wordlen``:     3 ≤ mean word length ≤ 10, as
+                         ``3·n_words ≤ Σlen(word) ≤ 10·n_words``
+    - ``r_symbol``:      (# '#' + # '...' + # '…') / n_words ≤ 0.1, as
+                         ``10·n_symbols ≤ n_words``
+    - ``r_bullet``:      ≤ 10% of lines start with a bullet
+                         (•, ‣, ▪, -, *), as ``10·n_bullet ≤ n_lines``
+    - ``r_ellipsis``:    ≤ 30% of lines end with '...' or '…', as
+                         ``10·n_ellipsis ≤ 3·n_lines``
+    - ``r_alpha``:       ≥ 80% of words contain a letter, as
+                         ``5·n_alpha_words ≥ 4·n_words``
+    - ``r_required``:    ≥ 2 distinct of the 8 required words
+                         (lowercased whole tokens)
+    - ``keep``:          AND of all rules
+
+    Emits the integer signals alongside the booleans, so the output is
+    SQL hash-exact (DuckDB regexp/list kernels are RE2, same as Arrow).
+    Zero exchanges; composes with any downstream filter.
+    """
+    text = batch["text"].fillna("")
+    arr = pc.utf8_trim_whitespace(pa.Array.from_pandas(text))
+    toks = pc.split_pattern_regex(arr, pattern=r"\s+")
+    n_words = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pc.equal(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False)
+    n_words[empty] = 0
+
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy()
+
+    def _seg_sum(per_tok: np.ndarray) -> np.ndarray:
+        c = np.r_[0, np.cumsum(per_tok.astype(np.int64))]
+        s = c[off[1:]] - c[off[:-1]]
+        s[empty] = 0
+        return s
+
+    word_chars = _seg_sum(
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    )
+    alpha_words = _seg_sum(
+        pc.greater(
+            pc.count_substring_regex(flat, pattern=r"\p{L}"), 0
+        ).to_numpy(zero_copy_only=False)
+    )
+
+    n_symbols = sum(
+        pc.count_substring(pa.Array.from_pandas(text), pattern=p)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        for p in ("#", "...", "…")
+    )
+
+    lines = pc.split_pattern(pa.Array.from_pandas(text), pattern="\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    lflat = lines.flatten()
+    loff = lines.offsets.to_numpy()
+
+    def _lseg(per_line: np.ndarray) -> np.ndarray:
+        c = np.r_[0, np.cumsum(per_line.astype(np.int64))]
+        return c[loff[1:]] - c[loff[:-1]]
+
+    n_bullet = _lseg(
+        pc.match_substring_regex(
+            lflat, pattern=r"^\s*[•‣▪*-]"
+        ).to_numpy(zero_copy_only=False)
+    )
+    n_ellipsis = _lseg(
+        pc.match_substring_regex(
+            lflat, pattern=r"(\.\.\.|…)\s*$"
+        ).to_numpy(zero_copy_only=False)
+    )
+
+    lower_toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=r"\s+")
+    n_required = sum(
+        (_member_counts(lower_toks, {w}) > 0).astype(np.int64)
+        for w in _GOPHER_REQUIRED
+    )
+    n_required[empty] = 0
+
+    r_words = (n_words >= 50) & (n_words <= 100_000)
+    r_wordlen = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words) & (n_words > 0)
+    r_symbol = 10 * n_symbols <= n_words
+    r_bullet = 10 * n_bullet <= n_lines
+    r_ellipsis = 10 * n_ellipsis <= 3 * n_lines
+    r_alpha = (5 * alpha_words >= 4 * n_words) & (n_words > 0)
+    r_required = n_required >= 2
+    keep = (
+        r_words & r_wordlen & r_symbol & r_bullet & r_ellipsis
+        & r_alpha & r_required
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "word_chars": word_chars,
+            "n_symbols": n_symbols,
+            "n_lines": n_lines,
+            "n_bullet": n_bullet,
+            "n_ellipsis": n_ellipsis,
+            "alpha_words": alpha_words,
+            "n_required": n_required,
+            "r_words": r_words,
+            "r_wordlen": r_wordlen,
+            "r_symbol": r_symbol,
+            "r_bullet": r_bullet,
+            "r_ellipsis": r_ellipsis,
+            "r_alpha": r_alpha,
+            "r_required": r_required,
+            "keep": keep,
+        }
+    )

@@ -1747,3 +1747,74 @@ def holt_by_key(
         .groupby("__h_bkt")
         .map_groups(smooth, batch_format="pandas")
     )
+
+
+def cohort_retention(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    period_days: int = 7,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Cohort retention matrix: users grouped by their FIRST activity
+    period (the cohort), counted in every later period they return —
+    ``(cohort_period, period_offset, n_users)``.  Periods are exact
+    integer math on epoch microseconds (``ts_µs // (days·86400e6)``),
+    so the SQL mirror (`epoch_us(ts) // ...`) is bit-identical.
+
+    Two skinny exchanges at any scale: (1) per-batch-distinct
+    (key, period) pairs co-locate by ``hash(key)`` — each key's whole
+    history lands in one bucket, where first-period and offsets are one
+    vectorized groupby-transform; (2) per-bucket partial counts sum via
+    :func:`~table_annotation_ray.stages.agg.grouped_reduce` over the
+    (cohort, offset) key — bounded by #periods², never #users.  Raw
+    events never cross either exchange.
+    """
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    if period_days <= 0:
+        raise ValueError("period_days must be positive")
+    div = np.int64(period_days) * np.int64(86_400_000_000)
+    nb = np.uint64(num_buckets)
+
+    def pairs(b: pd.DataFrame) -> pa.Table:
+        period = (
+            b[ts_col].astype("datetime64[us]").astype("int64").to_numpy() // div
+        )
+        out = pd.DataFrame({key_col: b[key_col].to_numpy(), "period": period})
+        out = out.drop_duplicates()
+        out["__c_bkt"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__c_bkt").drop_duplicates([key_col, "period"])
+        fw = g.groupby(key_col, sort=False)["period"].transform("min")
+        counts = (
+            pd.DataFrame(
+                {"cohort_period": fw.to_numpy(), "period_offset": (g["period"] - fw).to_numpy()}
+            )
+            .groupby(["cohort_period", "period_offset"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "cohort_period": pa.array(counts["cohort_period"].to_numpy(), pa.int64()),
+                "period_offset": pa.array(counts["period_offset"].to_numpy(), pa.int64()),
+                "c": pa.array(counts["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("__c_bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return grouped_reduce(
+        partials,
+        ["cohort_period", "period_offset"],
+        {"n_users": ("c", "sum")},
+        num_buckets=num_buckets,
+    )

@@ -298,3 +298,78 @@ def test_holt_by_key_validates_params(ray_session):
     with pytest.raises(ValueError):
         holt_by_key(rd.from_pandas(pd.DataFrame({"u": [1], "ts": [1], "v": [1.0]})),
                     "u", ["ts"], "v", alpha=0.0)
+
+
+def _bellman_ford(edges_df, source):
+    """Single-process reference: undirected, min weight per pair."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    seen = {}
+    for u, v, w in edges_df.itertuples(index=False):
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        key = (a, b)
+        if key not in seen or w < seen[key]:
+            seen[key] = w
+    for (a, b), w in seen.items():
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    dist = {source: 0}
+    frontier = {source}
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            for v, w in adj[u]:
+                nd = dist[u] + w
+                if v not in dist or nd < dist[v]:
+                    dist[v] = nd
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_sssp_both_engines_vs_reference(ray_session):
+    from table_annotation_ray.stages.graph import sssp_distances
+
+    rng = np.random.default_rng(5)
+    n_edges = 300
+    df = pd.DataFrame(
+        {
+            "s": rng.integers(0, 60, n_edges),
+            "d": rng.integers(0, 60, n_edges),
+            "w": rng.integers(1, 100, n_edges).astype("int64"),
+        }
+    )
+    want = _bellman_ford(df, 0)
+    ds = rd.from_pandas(df).repartition(4)
+    for bb in (2_000_000, 0):  # driver engine, then forced dataset engine
+        got = (
+            sssp_distances(ds, 0, "s", "d", "w", broadcast_below=bb)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert dict(zip(got["node"], got["dist"])) == want, f"engine bb={bb}"
+
+
+def test_sssp_disconnected_and_parallel_edges(ray_session):
+    from table_annotation_ray.stages.graph import sssp_distances
+
+    df = pd.DataFrame(
+        {
+            "s": [1, 1, 2, 2, 5, 1],
+            "d": [2, 2, 3, 1, 6, 1],
+            "w": [10, 4, 1, 3, 2, 9],
+        }
+    )
+    got = (
+        sssp_distances(rd.from_pandas(df), 1, "s", "d", "w")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # parallel 1-2 edges collapse to min(10,4,3)=3; self-loop dropped;
+    # 5-6 component unreachable
+    assert dict(zip(got["node"], got["dist"])) == {1: 0, 2: 3, 3: 4}
