@@ -5217,6 +5217,89 @@ def _q_part_clustering_coeff(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_events_out_of_order(sf_dir: str):
+    """Streaming watermark audit (stages/windows.py::out_of_order_stats):
+    per user, events consumed in event_id (arrival) order are late when
+    their event time sits below the prior running max — n_late and the
+    max watermark delay in exact µs.  One hash(user) co-location,
+    in-bucket grouped cummax.  SQL hash-exact vs the windowed running
+    max."""
+    from table_annotation_ray.stages.windows import out_of_order_stats
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = out_of_order_stats(ev, "user_id", "event_id", "ts").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_rare_term_doc_pairs(sf_dir: str):
+    """Rare-term blocking (stages/retrieval.py::rare_term_pairs):
+    document pairs sharing ≥2 token-4-grams with df ≤ 20 — candidate
+    generation for near-dup verification where the df cap bounds pair
+    volume at Σ_rare df² (no stopword blowup, by construction; the
+    synthetic corpus' 31-word vocabulary makes every UNIGRAM common,
+    so the gram unit carries the signal).  One hash(gram) co-location
+    (df filter + a<b pair explode per gram) + one pair-count
+    grouped_reduce.  SQL hash-exact vs the distinct-gram self-join."""
+    from table_annotation_ray.stages.retrieval import rare_term_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = rare_term_pairs(docs, ngram=4, max_df=20, min_shared=2).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_fused_part_ranking(sf_dir: str):
+    """Borda rank fusion (stages/retrieval.py::fuse_rankings) of two
+    part rankings — top-100 by revenue (exact int64 cents) and top-100
+    by order count — items missing from a list charged len+1; the
+    fused order is pure integer arithmetic.  One union + one
+    grouped_reduce regardless of list count.  SQL hash-exact vs
+    row_number CTEs + full outer join."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.retrieval import fuse_rankings
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_orderkey"])
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "p": pa.array(b["l_partkey"].to_numpy(), pa.int64()),
+                "cents": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy() * 100.0).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "o": pa.array(b["l_orderkey"].to_numpy(), pa.int64()),
+            }
+        )
+
+    base = li.map_batches(prep, batch_format="pandas")
+    rev = grouped_reduce(
+        base, ["p"], {"rev_cents": ("cents", "sum"), "n_lines": ("o", "count")}
+    ).to_pandas()
+    r1 = rev.sort_values(["rev_cents", "p"], ascending=[False, True]).head(100)
+    r1 = pd.DataFrame({"id": r1["p"].to_numpy(), "rank": np.arange(1, len(r1) + 1)})
+    r2 = rev.sort_values(["n_lines", "p"], ascending=[False, True]).head(100)
+    r2 = pd.DataFrame({"id": r2["p"].to_numpy(), "rank": np.arange(1, len(r2) + 1)})
+    out = fuse_rankings(
+        [rd.from_pandas(r1), rd.from_pandas(r2)], "id", "rank", method="borda"
+    ).to_pandas()
+    out = out.rename(columns={"id": "p_partkey"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (
+        out[["p_partkey", "fused_rank_sum", "n_lists"]]
+        .sort_values(["fused_rank_sum", "p_partkey"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_graph_sssp(sf_dir: str):
     """Weighted single-source shortest paths (stages/graph.py::
     sssp_distances — frontier-limited Bellman-Ford, driver-broadcast
@@ -5570,11 +5653,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_gate": _q_gopher_gate,
         "weekly_cohort_retention": _q_weekly_cohort_retention,
         "graph_sssp": _q_graph_sssp,
+        "events_out_of_order": _q_events_out_of_order,
+        "rare_term_doc_pairs": _q_rare_term_doc_pairs,
+        "fused_part_ranking": _q_fused_part_ranking,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_out_of_order": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       max(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS pm
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT)                                   AS n_events,
+                   CAST(sum(CASE WHEN t < pm THEN 1 ELSE 0 END) AS BIGINT)    AS n_late,
+                   CAST(coalesce(max(CASE WHEN t < pm THEN pm - t END), 0)
+                        AS BIGINT)                                            AS max_delay_us
+            FROM o
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "rare_term_doc_pairs": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+                FROM documents
+                WHERE trim(COALESCE(text, '')) <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_aggregate(a[u.i:u.i + 3], 'string_agg', ' ') AS gram
+                FROM t, unnest(range(1, len(a) - 2)) u(i)
+            ),
+            p AS (SELECT DISTINCT doc_id, gram FROM g),
+            d AS (
+                SELECT gram FROM p GROUP BY gram HAVING count(*) <= 20
+            ),
+            rp AS (SELECT p.gram, p.doc_id FROM p JOIN d USING (gram))
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM rp x JOIN rp y
+              ON x.gram = y.gram AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+            ORDER BY 1, 2
+        """,
+        "fused_part_ranking": """
+            WITH agg AS (
+                SELECT l_partkey AS p,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_cents,
+                       CAST(count(*) AS BIGINT) AS n_lines
+                FROM lineitem GROUP BY l_partkey
+            ),
+            r1 AS (
+                SELECT p, row_number() OVER (ORDER BY rev_cents DESC, p) AS rank
+                FROM agg QUALIFY rank <= 100
+            ),
+            r2 AS (
+                SELECT p, row_number() OVER (ORDER BY n_lines DESC, p) AS rank
+                FROM agg QUALIFY rank <= 100
+            ),
+            n1 AS (SELECT count(*) AS n FROM r1),
+            n2 AS (SELECT count(*) AS n FROM r2)
+            SELECT coalesce(r1.p, r2.p) AS p_partkey,
+                   CAST(coalesce(r1.rank, (SELECT n FROM n1) + 1)
+                        + coalesce(r2.rank, (SELECT n FROM n2) + 1)
+                        AS BIGINT)                                       AS fused_rank_sum,
+                   CAST((CASE WHEN r1.p IS NULL THEN 0 ELSE 1 END)
+                        + (CASE WHEN r2.p IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT)                                       AS n_lists
+            FROM r1 FULL OUTER JOIN r2 ON r1.p = r2.p
+            ORDER BY fused_rank_sum, p_partkey
+        """,
         "weekly_cohort_retention": """
             WITH uw AS (
                 SELECT DISTINCT user_id,

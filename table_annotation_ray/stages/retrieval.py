@@ -30,6 +30,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -487,3 +488,195 @@ def ranking_metrics(
     return pd.DataFrame(
         rows, columns=[query_col, "n_rel", "ndcg", "mrr", "recall"]
     )
+
+
+def rare_term_pairs(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    max_df: int = 20,
+    min_shared: int = 2,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Candidate document pairs sharing ≥ ``min_shared`` RARE terms
+    (document frequency ≤ ``max_df``) — the classic blocking /
+    candidate-generation step for near-dup and plagiarism checks:
+    rare-term co-occurrence is a far stronger signal than common-term
+    overlap, and capping df bounds the pair explosion at Σ_rare df²
+    (stopword-grade terms never generate pairs, by construction, not
+    by stopword list).  ``ngram`` generalizes the unit to token
+    n-grams — small closed vocabularies (where every unigram is
+    common) still block well on 3-4-grams.
+
+    Shapes: vectorized gram explode distinct per (doc, gram) map-side
+    (a doc never splits across batches, so batch-distinct is globally
+    distinct) → ONE hash(gram) co-location where df filtering AND the
+    a<b pair explosion happen per gram (all of a gram's docs are in
+    one bucket) with local pre-count → pair-count sum through
+    grouped_reduce → ``n_shared ≥ min_shared`` filter.  Emits
+    ``(doc_a, doc_b, n_shared)``, exact integers; empty result keeps
+    its schema (explicitly typed Arrow columns)."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import grouped_reduce
+    from .textstats import _ws_tokens
+
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    nb = np.uint64(num_buckets)
+    n = ngram
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks, nt = _ws_tokens(b[text_col], lower=True)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        off = (
+            toks.combine_chunks().offsets.to_numpy()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.offsets.to_numpy()
+        )
+        g_per_doc = np.maximum(nt - n + 1, 0)
+        total = int(g_per_doc.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "__rt_bkt": pa.array([], pa.int64()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(b)), g_per_doc)
+        first = np.r_[0, np.cumsum(g_per_doc)][:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(first, g_per_doc)
+        starts = off[:-1][doc_idx] + pos
+        if n == 1:
+            grams = flat.take(pa.array(starts))
+        else:
+            parts = [flat.take(pa.array(starts + k)) for k in range(n)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype=np.int64)[doc_idx],
+                "gram": grams.to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        bkt = (
+            pd.util.hash_pandas_object(out["gram"], index=False).to_numpy()
+            % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+                "gram": pa.array(out["gram"].to_numpy(), pa.string()),
+                "__rt_bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        df_ok = g.groupby("gram", sort=False)[id_col].transform("size") <= max_df
+        g = g[df_ok][["gram", id_col]]
+        m = g.merge(g, on="gram", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        c = (
+            m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(c[f"{id_col}_a"].to_numpy(dtype=np.int64), pa.int64()),
+                "doc_b": pa.array(c[f"{id_col}_b"].to_numpy(dtype=np.int64), pa.int64()),
+                "c": pa.array(c["c"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    counts = grouped_reduce(
+        docs.map_batches(explode, batch_format="pandas")
+        .groupby("__rt_bkt")
+        .map_groups(pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        {"n_shared": ("c", "sum")},
+        num_buckets=num_buckets,
+    )
+    return counts.map_batches(
+        lambda t, _k=min_shared: t.filter(
+            pc.greater_equal(t["n_shared"], _k)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def fuse_rankings(
+    rankings: "list[rd.Dataset]",
+    id_col: str,
+    rank_col: str,
+    method: str = "borda",
+    rrf_k: int = 60,
+) -> rd.Dataset:
+    """Rank fusion across retrieval systems (BM25 ⊕ dense ⊕ ...).
+
+    * ``borda`` (default): fused score = Σ over lists of the item's
+      rank, items MISSING from a list charged that list's
+      ``len + 1`` — pure integer arithmetic, so the fused order is
+      SQL hash-exact (lower = better).  Emits
+      ``(id, fused_rank_sum, n_lists)``.
+    * ``rrf``: reciprocal-rank fusion Σ 1/(k + rank) (higher = better),
+      the TREC standard — emits ``fused_score`` rounded half-away at
+      6 dp (float; pairs with the borda column set for oracle use).
+
+    Each input list is materialized once for its length (single-
+    execution rule), then all lists union into ONE grouped_reduce over
+    the id — no pairwise joins, #lists-independent exchange count.
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    from ..stages.agg import grouped_reduce
+
+    if method not in ("borda", "rrf"):
+        raise ValueError(f"unknown fusion method {method!r}")
+    mats = [r.materialize() for r in rankings]
+    lens = [m.count() for m in mats]
+    penalty_total = sum(n + 1 for n in lens)
+
+    tagged = None
+    for m, n in zip(mats, lens):
+        def prep(t: pa.Table, _n=n) -> pa.Table:
+            rank = t[rank_col].to_numpy().astype(np.int64)
+            cols = {
+                "id": pa.array(t[id_col].to_numpy().astype(np.int64), pa.int64()),
+                # rank minus this list's penalty; the constant total of
+                # penalties is added back in the finalize
+                "adj": pa.array(rank - (_n + 1), pa.int64()),
+                "rr": pa.array(1.0 / (rrf_k + rank), pa.float64()),
+                "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            }
+            return pa.table(cols)
+
+        piece = m.map_batches(prep, batch_format="pyarrow")
+        tagged = piece if tagged is None else tagged.union(piece)
+
+    fused = grouped_reduce(
+        tagged,
+        ["id"],
+        {"adj": ("adj", "sum"), "rr_sum": ("rr", "sum"), "n_lists": ("one", "sum")},
+    )
+
+    def finalize(t: pa.Table, _p=penalty_total, _m=method) -> pa.Table:
+        out = {
+            id_col: t["id"].combine_chunks(),
+            "n_lists": t["n_lists"].combine_chunks(),
+        }
+        adj = t["adj"].to_numpy().astype(np.int64)
+        out["fused_rank_sum"] = pa.array(adj + _p, pa.int64())
+        if _m == "rrf":
+            s = t["rr_sum"].to_numpy(zero_copy_only=False)
+            out["fused_score"] = pa.array(
+                np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6, pa.float64()
+            )
+        return pa.table(out)
+
+    return fused.map_batches(finalize, batch_format="pyarrow")

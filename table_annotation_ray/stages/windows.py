@@ -1818,3 +1818,80 @@ def cohort_retention(
         {"n_users": ("c", "sum")},
         num_buckets=num_buckets,
     )
+
+
+def out_of_order_stats(
+    ds: rd.Dataset,
+    key_col: str,
+    seq_col: str,
+    ts_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Streaming watermark audit: per key, how disordered is the stream
+    when consumed in ARRIVAL order (``seq_col``)?  An event is *late*
+    when its event-time ``ts_col`` is strictly below the running max of
+    every prior arrival's event time — exactly the rows a watermarking
+    consumer would drop or send to a late-data path.  Returns
+    ``(key, n_events, n_late, max_delay_us)`` with the delay measured
+    against the prior watermark, all exact int64 (epoch-µs fits float64
+    mantissa, so the grouped cummax stays exact).
+
+    One hash(key) co-location; in-bucket one stable sort + grouped
+    cummax/shift — no per-row Python.  SQL mirror: ``max(ts) OVER
+    (PARTITION BY key ORDER BY seq ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)``.
+    """
+    nb = np.uint64(num_buckets)
+    keep = [key_col, seq_col, ts_col]
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[keep].copy()
+        b["__o_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def audit(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__o_bkt")
+            .sort_values([key_col, seq_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ts = g[ts_col].astype("datetime64[us]").astype("int64")
+        gb = g.groupby(key_col, sort=False)
+        prior = ts.groupby(g[key_col], sort=False).shift(1)
+        prior_max = prior.groupby(g[key_col], sort=False).cummax()
+        late = ts < prior_max  # NaN compares False for first rows
+        delay = (prior_max - ts).where(late, 0.0).fillna(0.0)
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col],
+                "__late": late.astype(np.int64),
+                "__delay": delay.astype(np.int64),
+            }
+        )
+        agg = out.groupby(key_col, sort=False).agg(
+            n_events=("__late", "size"),
+            n_late=("__late", "sum"),
+            max_delay_us=("__delay", "max"),
+        ).reset_index()
+        try:
+            kt = pa.from_numpy_dtype(agg[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(agg[key_col].to_numpy(), kt),
+                "n_events": pa.array(agg["n_events"].to_numpy(), pa.int64()),
+                "n_late": pa.array(agg["n_late"].to_numpy(), pa.int64()),
+                "max_delay_us": pa.array(
+                    agg["max_delay_us"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__o_bkt")
+        .map_groups(audit, batch_format="pandas")
+    )

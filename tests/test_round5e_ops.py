@@ -1,0 +1,191 @@
+"""Round-5 fifth wave: Arrow IPC source/sink, streaming out-of-order
+audit, rare-term pair blocking, rank fusion, gopher rules, cohort
+retention — pinned against hand computations and references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def test_feather_roundtrip_and_pruning(ray_session, tmp_path):
+    from table_annotation_ray.sources.feather import read_feather, write_feather
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(300),
+            "text": [f"doc {i}" for i in range(300)],
+            "emb": [[float(i), float(i + 1)] for i in range(300)],
+        }
+    )
+    out_dir = str(tmp_path / "ipc")
+    write_feather(rd.from_pandas(df).repartition(4), out_dir)
+    back = read_feather(out_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == list(range(300))
+    assert back["text"].tolist() == df["text"].tolist()
+    # list column survives byte-exactly (the reason IPC exists here)
+    assert back["emb"].map(list).tolist() == df["emb"].tolist()
+
+    pruned = read_feather(out_dir, columns=["doc_id"]).to_pandas()
+    assert list(pruned.columns) == ["doc_id"]
+    with pytest.raises(Exception, match="lacks columns"):
+        read_feather(out_dir, columns=["nope"]).materialize()
+
+
+def test_out_of_order_stats_hand_case(ray_session):
+    from table_annotation_ray.stages.windows import out_of_order_stats
+
+    base = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # u1 arrival order: ts 0, 5, 3 (late by 2s), 4 (late by 1s), 9
+        (1, 1, base), (1, 2, base + 5 * s), (1, 3, base + 3 * s),
+        (1, 4, base + 4 * s), (1, 5, base + 9 * s),
+        # u2: strictly ordered
+        (2, 1, base), (2, 2, base + s),
+        # u3: single event
+        (3, 1, base),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "seq", "ts"])
+    out = (
+        out_of_order_stats(rd.from_pandas(df).repartition(3), "u", "seq", "ts")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert out["n_events"].tolist() == [5, 2, 1]
+    assert out["n_late"].tolist() == [2, 0, 0]
+    assert out["max_delay_us"].tolist() == [2_000_000, 0, 0]
+
+
+def test_rare_term_pairs_hand_case(ray_session):
+    from table_annotation_ray.stages.retrieval import rare_term_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "common zebra quark",
+                "common zebra quark extra",
+                "common other words",
+                "common zebra",
+            ],
+        }
+    )
+    # df: common=4 (dropped at max_df=3), zebra=3, quark=2
+    out = (
+        rare_term_pairs(
+            rd.from_pandas(docs).repartition(2), max_df=3, min_shared=2
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # only (1,2) shares two rare terms (zebra+quark)
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out["n_shared"].tolist() == [2]
+    # with min_shared=1, (1,4) and (2,4) join via zebra
+    out1 = (
+        rare_term_pairs(rd.from_pandas(docs), max_df=3, min_shared=1)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert out1[["doc_a", "doc_b"]].values.tolist() == [[1, 2], [1, 4], [2, 4]]
+
+
+def test_fuse_rankings_borda_and_rrf(ray_session):
+    from table_annotation_ray.stages.retrieval import fuse_rankings
+
+    r1 = pd.DataFrame({"id": [10, 20, 30], "rank": [1, 2, 3]})
+    r2 = pd.DataFrame({"id": [20, 40], "rank": [1, 2]})
+    out = (
+        fuse_rankings(
+            [rd.from_pandas(r1), rd.from_pandas(r2)], "id", "rank",
+            method="rrf",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # borda: missing charged len+1 (r1: 4, r2: 3)
+    want = {10: 1 + 3, 20: 2 + 1, 30: 3 + 3, 40: 4 + 2}
+    assert dict(zip(out["id"], out["fused_rank_sum"])) == want
+    assert dict(zip(out["id"], out["n_lists"])) == {10: 1, 20: 2, 30: 1, 40: 1}
+    rrf = dict(zip(out["id"], out["fused_score"]))
+    expect_20 = round(1 / 62 + 1 / 61, 6)
+    assert rrf[20] == pytest.approx(expect_20, abs=1e-9)
+    with pytest.raises(ValueError):
+        fuse_rankings([rd.from_pandas(r1)], "id", "rank", method="nope")
+
+
+def test_gopher_rules_hand_case(ray_session):
+    from table_annotation_ray.stages.textstats import gopher_rules
+
+    good = "the be to of and that have with " + "word " * 60
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                good,
+                "- a\n- b\nplain",          # bullet-heavy, too short
+                "### symbols " + good,      # symbols but diluted: passes
+            ],
+        }
+    )
+    out = gopher_rules(df).set_index("doc_id")
+    assert bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "keep"]) and not bool(out.loc[2, "r_bullet"])
+    assert out.loc[3, "n_symbols"] == 3
+    assert bool(out.loc[3, "r_symbol"])  # 30 <= 70 words
+
+
+def test_cohort_retention_hand_case(ray_session):
+    from table_annotation_ray.stages.windows import cohort_retention
+
+    base = pd.Timestamp("2024-01-01")  # epoch day 19723, week 2817 (int math)
+    d = pd.Timedelta(days=1)
+    rows = [
+        (1, base), (1, base + 8 * d),          # cohort w, returns w+1
+        (2, base), (2, base + 8 * d), (2, base + 8 * d),  # dup same week
+        (3, base + 8 * d),                     # later cohort
+    ]
+    df = pd.DataFrame(rows, columns=["u", "ts"])
+    out = (
+        cohort_retention(rd.from_pandas(df).repartition(2), "u", "ts")
+        .to_pandas()
+        .sort_values(["cohort_period", "period_offset"])
+        .reset_index(drop=True)
+    )
+    w0 = int(base.value // 1000 // 86_400_000_000 // 7)
+    assert out.values.tolist() == [
+        [w0, 0, 2], [w0, 1, 2], [w0 + 1, 0, 1],
+    ]
+
+
+def test_rare_term_pairs_ngram(ray_session):
+    from table_annotation_ray.stages.retrieval import rare_term_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta",
+                "zz alpha beta gamma yy",
+                "alpha beta other gamma",
+            ],
+        }
+    )
+    # 3-gram "alpha beta gamma" shared by docs 1 and 2 only
+    out = (
+        rare_term_pairs(
+            rd.from_pandas(docs).repartition(2), ngram=3, max_df=5, min_shared=1
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    with pytest.raises(ValueError):
+        rare_term_pairs(rd.from_pandas(docs), ngram=0)
