@@ -5217,6 +5217,20 @@ def _q_part_clustering_coeff(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_user_streaks(sf_dir: str):
+    """Per-user consecutive-day activity streaks (stages/windows.py::
+    activity_streaks — gaps-and-islands on distinct epoch-days, one
+    hash(user) co-location, in-bucket sort + two vectorized groupbys).
+    SQL hash-exact vs the day - row_number islands query."""
+    from table_annotation_ray.stages.windows import activity_streaks
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = activity_streaks(ev, "user_id", "ts").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_events_out_of_order(sf_dir: str):
     """Streaming watermark audit (stages/windows.py::out_of_order_stats):
     per user, events consumed in event_id (arrival) order are late when
@@ -5654,6 +5668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_cohort_retention": _q_weekly_cohort_retention,
         "graph_sssp": _q_graph_sssp,
         "events_out_of_order": _q_events_out_of_order,
+        "user_streaks": _q_user_streaks,
         "rare_term_doc_pairs": _q_rare_term_doc_pairs,
         "fused_part_ranking": _q_fused_part_ranking,
     }
@@ -5661,6 +5676,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "user_streaks": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, day,
+                       day - (row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) - 1) AS island
+                FROM ud
+            ),
+            runs AS (
+                SELECT user_id, island, count(*) AS length,
+                       max(day) AS last_day
+                FROM r GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT user_id,
+                       CAST(sum(length) AS BIGINT) AS n_active_days,
+                       CAST(count(*) AS BIGINT)    AS n_streaks,
+                       CAST(max(length) AS BIGINT) AS max_streak,
+                       max(last_day)               AS ld
+                FROM runs GROUP BY user_id
+            )
+            SELECT a.user_id, a.n_active_days, a.n_streaks, a.max_streak,
+                   CAST(r2.length AS BIGINT) AS last_streak
+            FROM agg a
+            JOIN runs r2 ON r2.user_id = a.user_id AND r2.last_day = a.ld
+            ORDER BY a.user_id
+        """,
         "events_out_of_order": """
             WITH o AS (
                 SELECT user_id, epoch_us(ts) AS t,

@@ -1895,3 +1895,85 @@ def out_of_order_stats(
         .groupby("__o_bkt")
         .map_groups(audit, batch_format="pandas")
     )
+
+
+def activity_streaks(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key longest consecutive-day activity streak (the engagement
+    "streak" metric): collapse events to distinct active epoch-days,
+    find maximal runs of consecutive days via gaps-and-islands
+    (``day - dense_rank`` is constant within a run), and report
+    ``(key, n_active_days, n_streaks, max_streak, last_streak)`` —
+    ``last_streak`` is the length of the streak containing the key's
+    most recent active day.  All exact int64 (epoch-day integer math).
+
+    One hash(key) co-location; in-bucket everything is one sort + two
+    vectorized groupbys over (key, island) — no per-key Python.  SQL
+    mirror: the classic ``date_diff - row_number`` islands query.
+    """
+    nb = np.uint64(num_buckets)
+    day_us = np.int64(86_400_000_000)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        day = (
+            b[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            // day_us
+        )
+        out = pd.DataFrame({key_col: b[key_col].to_numpy(), "day": day})
+        out = out.drop_duplicates()
+        out["__s_bkt"] = (
+            pd.util.hash_pandas_object(out[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def streaks(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__s_bkt")
+            .drop_duplicates([key_col, "day"])
+            .sort_values([key_col, "day"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        island = g["day"].to_numpy() - pos  # constant within a run
+        runs = (
+            pd.DataFrame(
+                {key_col: g[key_col], "island": island, "day": g["day"]}
+            )
+            .groupby([key_col, "island"], sort=False)
+            .agg(length=("day", "size"), last_day=("day", "max"))
+            .reset_index()
+        )
+        per_key = runs.groupby(key_col, sort=False)
+        agg = per_key.agg(
+            n_active_days=("length", "sum"),
+            n_streaks=("length", "size"),
+            max_streak=("length", "max"),
+            last_day=("last_day", "max"),
+        ).reset_index()
+        last_len = runs.loc[
+            per_key["last_day"].idxmax().to_numpy(), [key_col, "length"]
+        ].rename(columns={"length": "last_streak"})
+        agg = agg.merge(last_len, on=key_col).drop(columns="last_day")
+        try:
+            kt = pa.from_numpy_dtype(agg[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(agg[key_col].to_numpy(), kt),
+                "n_active_days": pa.array(agg["n_active_days"].to_numpy(), pa.int64()),
+                "n_streaks": pa.array(agg["n_streaks"].to_numpy(), pa.int64()),
+                "max_streak": pa.array(agg["max_streak"].to_numpy(), pa.int64()),
+                "last_streak": pa.array(agg["last_streak"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__s_bkt")
+        .map_groups(streaks, batch_format="pandas")
+    )

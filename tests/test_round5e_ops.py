@@ -2,6 +2,8 @@
 audit, rare-term pair blocking, rank fusion, gopher rules, cohort
 retention — pinned against hand computations and references."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -189,3 +191,56 @@ def test_rare_term_pairs_ngram(ray_session):
     assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
     with pytest.raises(ValueError):
         rare_term_pairs(rd.from_pandas(docs), ngram=0)
+
+
+def test_activity_streaks_hand_case(ray_session):
+    from table_annotation_ray.stages.windows import activity_streaks
+
+    base = pd.Timestamp("2024-01-01")
+    d = pd.Timedelta(days=1)
+    rows = [
+        (1, base), (1, base + d), (1, base + d), (1, base + 3 * d),
+        (1, base + 4 * d), (1, base + 5 * d),
+        (2, base),
+        (3, base + 2 * d), (3, base + 9 * d),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "ts"])
+    out = (
+        activity_streaks(rd.from_pandas(df).repartition(3), "u", "ts")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    # u1: runs [0,1] and [3,4,5] -> 5 active days, max 3, last 3
+    assert out.values.tolist() == [
+        [1, 5, 2, 3, 3], [2, 1, 1, 1, 1], [3, 2, 2, 1, 1],
+    ]
+
+
+def test_run_stream_cli_resume_and_verify(ray_session, tmp_path):
+    """Micro-batch ingest CLI: fold-vs-oneshot identity end-to-end,
+    then checkpoint resume (delete the last two markers, rerun)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "stream_state")
+    cmd = [
+        sys.executable, os.path.join(repo, "jobs", "run_stream.py"),
+        "--events", "/root/testdata/sf0.001/events.parquet",
+        "--out", out, "--batches", "4", "--verify",
+    ]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    j1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert j1["verified"] is True and j1["resumed_at"] == 0
+
+    shutil.rmtree(os.path.join(out, "batch=3"))
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    j2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert j2["resumed_at"] == 3 and j2["ran"] == [3]
+    assert j2["verified"] is True and j2["n_keys"] == j1["n_keys"]
