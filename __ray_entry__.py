@@ -5445,6 +5445,58 @@ def _q_value_holt_forecast(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_order_target_encode(sf_dir: str):
+    """Leave-one-out target encoding (stages/datapipe.py::target_encode)
+    — the leak-free high-cardinality categorical feature: each order's
+    encoding of its priority class uses the class's total-price stats
+    EXCLUDING the order itself.  Prices ride as exact int64 cents (the
+    round-5 exactness rule), so the compared (loo_sum, loo_n) pair is
+    bit-exact vs the SQL window form; the float loo_mean quotient is a
+    convenience column dropped from the compare."""
+    from table_annotation_ray.stages.datapipe import target_encode
+
+    def cents(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pa.array(b["o_orderkey"].to_numpy(), pa.int64()),
+                "o_orderpriority": pa.Array.from_pandas(b["o_orderpriority"]),
+                "cents": pa.array(
+                    np.round(b["o_totalprice"].to_numpy() * 100.0).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(cents, batch_format="pandas")
+    out = target_encode(orders, "o_orderkey", "o_orderpriority", "cents").to_pandas()
+    out = out[["o_orderkey", "o_orderpriority", "loo_sum", "loo_n"]]
+    for c in ["o_orderkey", "loo_sum", "loo_n"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _q_cluster_silhouette(sf_dir: str):
+    """Centroid-based silhouette per k-means cluster
+    (stages/clustering.py::kmeans_silhouette) — the clustering-quality
+    diagnostic at corpus scale (the classic all-pairs silhouette is
+    O(n²); the standard substitute scores each point against broadcast
+    CENTROIDS — one GEMM per batch + one bounded k-row exchange).
+    Rows-only (scores depend on the iterative k-means fit); pinned
+    against a single-process numpy reference in pytest."""
+    from table_annotation_ray.stages.clustering import kmeans_fit, kmeans_silhouette
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cents, _ = kmeans_fit(emb, k=8, iters=8)
+    out = kmeans_silhouette(emb, cents).to_pandas()
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5671,11 +5723,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": _q_user_streaks,
         "rare_term_doc_pairs": _q_rare_term_doc_pairs,
         "fused_part_ranking": _q_fused_part_ranking,
+        "order_target_encode": _q_order_target_encode,
+        "cluster_silhouette": _q_cluster_silhouette,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_target_encode": """
+            WITH c AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(sum(cents) OVER (PARTITION BY o_orderpriority)
+                        - cents AS BIGINT) AS loo_sum,
+                   CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                        - 1 AS BIGINT) AS loo_n
+            FROM c
+            ORDER BY o_orderkey
+        """,
         "user_streaks": """
             WITH ud AS (
                 SELECT DISTINCT user_id,

@@ -1505,3 +1505,144 @@ def rfm_segments(
         return pa.Table.from_pandas(b, preserve_index=False)
 
     return t3.map_batches(code, batch_format="pandas")
+
+
+def target_encode(
+    ds: rd.Dataset,
+    id_col: str,
+    cat_col: str,
+    target_col: str,
+    broadcast_below: int = 2_000_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical feature for tabular ML, leak-free by construction: each
+    row's encoding uses its category's target statistics EXCLUDING the
+    row itself (``loo_sum = Σ_cat - t_row``, ``loo_n = n_cat - 1``).
+    Emits ``(id, cat, loo_sum, loo_n, loo_mean)``; the sum/count pair
+    is exact int64 (callers needing oracle-grade determinism consume
+    those; ``loo_mean`` is their float quotient rounded half-away 6 dp,
+    NULL for singleton categories).  ``target_col`` must be integer
+    (convert money to cents upstream — the round-5 exactness rule).
+
+    One grouped_reduce over the category builds (Σ, n); attaching it
+    back is size-gated like every small-side join in this repo:
+    ≤ ``broadcast_below`` categories ride a ``ray.put`` dict into a
+    map-only pass, above that the category table co-locates through
+    :func:`~.relational.equi_join` — never a driver bottleneck."""
+    import pyarrow as pa
+
+    import ray
+
+    from ..state.worker_state import get_worker_state, ref_key
+    from .agg import grouped_reduce
+
+    stats = grouped_reduce(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "__te_cat": pa.Array.from_pandas(b[cat_col]),
+                    "__te_t": pa.array(
+                        b[target_col].to_numpy(dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["__te_cat"],
+        {"cat_sum": ("__te_t", "sum"), "cat_n": (None, "count")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _emit(b: pd.DataFrame, cs: np.ndarray, cn: np.ndarray) -> pa.Table:
+        t = b[target_col].to_numpy(dtype=np.int64)
+        loo_sum = cs - t
+        loo_n = cn - 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(loo_n > 0, loo_sum / np.maximum(loo_n, 1), np.nan)
+        mean = np.where(
+            np.isnan(mean), np.nan,
+            np.sign(mean) * np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                cat_col: pa.Array.from_pandas(b[cat_col]),
+                "loo_sum": pa.array(loo_sum, pa.int64()),
+                "loo_n": pa.array(loo_n, pa.int64()),
+                "loo_mean": pa.array(mean, pa.float64()),
+            }
+        )
+
+    if stats.count() <= broadcast_below:
+        ref = ray.put(stats.to_pandas().set_index("__te_cat"))
+
+        def encode(b: pd.DataFrame, _r=ref) -> pa.Table:
+            lut = get_worker_state(("te", ref_key(_r)), lambda: ray.get(_r))
+            cs = b[cat_col].map(lut["cat_sum"]).to_numpy(dtype=np.int64)
+            cn = b[cat_col].map(lut["cat_n"]).to_numpy(dtype=np.int64)
+            return _emit(b, cs, cn)
+
+        return ds.map_batches(encode, batch_format="pandas")
+
+    # corpus-cardinality categories: tag-union co-location by hash(cat)
+    # (string-keyed; equi_join's bucketed path is int64-keyed), in-bucket
+    # pandas merge on the TRUE category — exact under hash collisions
+    nb = np.uint64(num_buckets)
+
+    def _bkt(s: pd.Series) -> np.ndarray:
+        return (
+            pd.util.hash_pandas_object(s, index=False).to_numpy() % nb
+        ).astype(np.int64)
+
+    def tag_rows(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                "__te_cat": b[cat_col].to_numpy(),
+                "__te_t": b[target_col].to_numpy(dtype=np.int64),
+                "cat_sum": np.int64(0),
+                "cat_n": np.int64(0),
+                "__side": np.int8(0),
+            }
+        )
+        out["__te_bkt"] = _bkt(out["__te_cat"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def tag_stats(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                id_col: np.int64(0),
+                "__te_cat": b["__te_cat"].to_numpy(),
+                "__te_t": np.int64(0),
+                "cat_sum": b["cat_sum"].to_numpy(dtype=np.int64),
+                "cat_n": b["cat_n"].to_numpy(dtype=np.int64),
+                "__side": np.int8(1),
+            }
+        )
+        out["__te_bkt"] = _bkt(out["__te_cat"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        rows = g[g["__side"] == 0]
+        st = g[g["__side"] == 1][["__te_cat", "cat_sum", "cat_n"]]
+        m = rows[[id_col, "__te_cat", "__te_t"]].merge(st, on="__te_cat")
+        b = pd.DataFrame(
+            {
+                id_col: m[id_col],
+                cat_col: m["__te_cat"],
+                target_col: m["__te_t"],
+            }
+        )
+        return _emit(
+            b,
+            m["cat_sum"].to_numpy(dtype=np.int64),
+            m["cat_n"].to_numpy(dtype=np.int64),
+        )
+
+    return (
+        ds.map_batches(tag_rows, batch_format="pandas")
+        .union(stats.map_batches(tag_stats, batch_format="pandas"))
+        .groupby("__te_bkt")
+        .map_groups(join_bucket, batch_format="pandas")
+    )

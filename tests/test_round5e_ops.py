@@ -244,3 +244,66 @@ def test_run_stream_cli_resume_and_verify(ray_session, tmp_path):
     j2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert j2["resumed_at"] == 3 and j2["ran"] == [3]
     assert j2["verified"] is True and j2["n_keys"] == j1["n_keys"]
+
+
+def test_target_encode_loo(ray_session):
+    from table_annotation_ray.stages.datapipe import target_encode
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "cat": ["a", "a", "a", "b", "c"],
+            "t": [10, 20, 30, 7, 5],
+        }
+    )
+    for bb in (2_000_000, 0):  # broadcast, then forced equi_join path
+        out = (
+            target_encode(
+                rd.from_pandas(df).repartition(2), "id", "cat", "t",
+                broadcast_below=bb,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert out["loo_sum"].tolist() == [50, 40, 30, 0, 0]
+        assert out["loo_n"].tolist() == [2, 2, 2, 0, 0]
+        assert out["loo_mean"].tolist()[:3] == [25.0, 20.0, 15.0]
+        assert np.isnan(out["loo_mean"].tolist()[3])  # singleton -> NULL
+
+
+def test_kmeans_silhouette_vs_numpy(ray_session):
+    from table_annotation_ray.stages.clustering import kmeans_silhouette
+
+    rng = np.random.default_rng(9)
+    k, d = 3, 4
+    cents = np.array([[0.0] * d, [10.0] * d, [20.0] * d])
+    pts = np.vstack(
+        [c + rng.normal(0, 0.5, (40, d)) for c in cents]
+    )
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(pts)), "emb": [list(p) for p in pts]}
+    )
+    out = (
+        kmeans_silhouette(rd.from_pandas(df).repartition(4), cents, emb_col="emb")
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    # numpy reference
+    d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1) ** 0.5
+    own = d2.argmin(1)
+    a = d2[np.arange(len(pts)), own]
+    d2[np.arange(len(pts)), own] = np.inf
+    b = d2.min(1)
+    s = (b - a) / np.maximum(a, b)
+    for c in range(k):
+        row = out[out["cluster"] == c]
+        assert int(row["n"].item()) == int((own == c).sum())
+        assert row["mean_sil"].item() == pytest.approx(
+            s[own == c].mean(), abs=1e-5
+        )
+    # tight well-separated clusters -> high silhouette
+    assert (out["mean_sil"] > 0.8).all()
+    with pytest.raises(ValueError):
+        kmeans_silhouette(rd.from_pandas(df), cents[:1], emb_col="emb")
