@@ -5497,6 +5497,116 @@ def _q_cluster_silhouette(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def _q_quality_auc(sf_dir: str):
+    """Exact ROC-AUC of the stopword-ratio quality score against the
+    funnel's weak label (stages/stats.py::roc_auc) — the classifier-eval
+    scalar beside the quality_lift gain curve: one skinny distinct
+    (label, score) histogram exchange, zero row-level ranking.  The
+    compared (n_pos, n_neg, u2=2U) triple is exact integer rank-sum
+    arithmetic — bit-identical to the SQL window mirror."""
+    from table_annotation_ray.stages.stats import roc_auc
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        s = _round_ha(qs["stopword_ratio"], 6)
+        mtl = _round_ha(qs["mean_token_len"], 6)
+        lab = ((s >= 0.05) & (mtl < 8.0)).astype("int64")
+        return pd.DataFrame({"score": s.to_numpy(), "label": lab})
+
+    r = roc_auc(docs.map_batches(score, batch_format="pandas"), "label", "score")
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([r["n_pos"]], dtype="int64"),
+            "n_neg": pd.Series([r["n_neg"]], dtype="int64"),
+            "u2": pd.Series([r["u2"]], dtype="int64"),
+        }
+    )
+
+
+def _q_part_neighbor_price(sf_dir: str):
+    """GNN-style one-hop feature aggregation over the co-purchase graph
+    (stages/graph.py::neighbor_agg — GraphSAGE message passing): per
+    part, the count and summed retail price of parts co-ordered with it
+    in ≥2 baskets.  Edges explode to 2|E| message rows, the price
+    attaches through the size-gated equi_join, one grouped_reduce by
+    node — all exchanges skinny int64.  Prices ride as exact cents."""
+    from table_annotation_ray.stages.graph import neighbor_agg
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+
+    def cents(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pa.array(b["p_partkey"].to_numpy(), pa.int64()),
+                "cents": pa.array(
+                    np.round(b["p_retailprice"].to_numpy() * 100.0).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    feats = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+        cents, batch_format="pandas"
+    )
+    out = neighbor_agg(
+        edges,
+        feats,
+        src_col="item_a",
+        dst_col="item_b",
+        node_col="p_partkey",
+        feat_col="cents",
+    ).to_pandas()
+    out = out.rename(columns={"feat_sum": "nbr_price_cents"})
+    for c in ["p_partkey", "n_neighbors", "nbr_price_cents"]:
+        out[c] = out[c].astype("int64")
+    return (
+        out[["p_partkey", "n_neighbors", "nbr_price_cents"]]
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def _q_value_changepoint(sf_dir: str):
+    """Most-likely mean-shift changepoint per user over ts-ordered event
+    values (stages/windows.py::changepoint_by_key): argmax_k of the
+    exact-integer CUSUM objective |n·S_k − k·S_n| on cents, earliest-k
+    ties — one hash(user) co-location, vectorized in-bucket cumsums.
+    Bit-identical to the SQL window mirror (pure int64 arithmetic)."""
+    from table_annotation_ray.stages.windows import changepoint_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def cents(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pa.array(b["user_id"].to_numpy(), pa.int64()),
+                "ts": pa.Array.from_pandas(b["ts"]),
+                "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+                "cents": pa.array(
+                    np.round(b["value"].to_numpy() * 100.0).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = changepoint_by_key(
+        ev.map_batches(cents, batch_format="pandas"),
+        "user_id",
+        ["ts", "event_id"],
+        "cents",
+    ).to_pandas()
+    for c in ["user_id", "n", "cp_pos", "stat"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5725,11 +5835,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fused_part_ranking": _q_fused_part_ranking,
         "order_target_encode": _q_order_target_encode,
         "cluster_silhouette": _q_cluster_silhouette,
+        "quality_auc": _q_quality_auc,
+        "part_neighbor_price": _q_part_neighbor_price,
+        "value_changepoint": _q_value_changepoint,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_auc": """
+            WITH scored AS (
+                SELECT round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                             x -> x IN """ + _ENGLISH_STOPS + """))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS score,
+                       round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS mtl
+                FROM documents),
+            lab AS (
+                SELECT score,
+                       CASE WHEN score >= 0.05 AND mtl < 8.0
+                            THEN 1 ELSE 0 END AS label
+                FROM scored),
+            r AS (
+                SELECT label,
+                       CAST(rank() OVER (ORDER BY score) AS BIGINT) AS rk,
+                       CAST(count(*) OVER (PARTITION BY score) AS BIGINT) AS t
+                FROM lab)
+            SELECT CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+                   CAST(sum(CASE WHEN label = 1
+                                 THEN 2 * rk + t - 1 ELSE 0 END)
+                        - sum(label) * (sum(label) + 1) AS BIGINT) AS u2
+            FROM r
+        """,
+        "part_neighbor_price": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p2 AS (
+                SELECT a.l_partkey AS ia, b.l_partkey AS ib
+                FROM d a JOIN d b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+            e AS (SELECT ia AS node, ib AS nbr FROM p2
+                  UNION ALL SELECT ib, ia FROM p2),
+            f AS (SELECT p_partkey,
+                         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+                  FROM part)
+            SELECT e.node AS p_partkey,
+                   CAST(count(*) AS BIGINT) AS n_neighbors,
+                   CAST(sum(f.cents) AS BIGINT) AS nbr_price_cents
+            FROM e JOIN f ON f.p_partkey = e.nbr
+            GROUP BY e.node ORDER BY p_partkey
+        """,
+        "value_changepoint": """
+            WITH v AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            c AS (
+                SELECT user_id,
+                       CAST(row_number() OVER w AS BIGINT) AS k,
+                       CAST(sum(cents) OVER w AS BIGINT) AS s,
+                       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+                       CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS sn
+                FROM v
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            st AS (
+                SELECT user_id, n, k, abs(n * s - k * sn) AS stat
+                FROM c WHERE k < n),
+            best AS (
+                SELECT user_id, n, k, stat,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY stat DESC, k) AS rn
+                FROM st)
+            SELECT user_id, n, k AS cp_pos, CAST(stat AS BIGINT) AS stat
+            FROM best WHERE rn = 1 ORDER BY user_id
+        """,
         "order_target_encode": """
             WITH c AS (
                 SELECT o_orderkey, o_orderpriority,

@@ -1376,3 +1376,66 @@ def pairwise_corr(
                 r = np.nan
             rows.append((cols[i], cols[j], int(n), r))
     return pd.DataFrame(rows, columns=["col_a", "col_b", "n", "r"])
+
+
+def roc_auc(
+    ds: rd.Dataset,
+    label_col: str,
+    score_col: str,
+    num_buckets: int = 64,
+) -> dict:
+    """Exact ROC-AUC via the rank-sum identity — the classifier-eval
+    scalar completing the lift-curve (:mod:`datapipe` ntile) and
+    Mann–Whitney entries: ``AUC = U / (n_pos·n_neg)`` where U counts
+    positive-over-negative score pairs with ties at ½ (Hanley & McNeil
+    1982).  Like :func:`mann_whitney_u`, tie-average ranks are a pure
+    function of the pooled SCORE HISTOGRAM, so one skinny
+    ``grouped_reduce`` exchange over distinct (label, score) pairs
+    replaces any row-level ranking or O(n_pos·n_neg) pair scan.
+
+    ``label_col`` must be 0/1 integers.  Rank sums are exact multiples
+    of ½, so ``u2 = 2·U`` is an exact int64 that matches SQL's window
+    formulation bit-for-bit — oracle on (n_pos, n_neg, u2); the float
+    ``auc`` quotient is a convenience output."""
+    from .agg import grouped_reduce
+
+    def stack(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "__y": pa.array(
+                    b[label_col].to_numpy(dtype=np.int64).clip(0, 1), pa.int8()
+                ),
+                "__s": pa.array(
+                    b[score_col].to_numpy(dtype=np.float64), pa.float64()
+                ),
+            }
+        )
+
+    hist = (
+        grouped_reduce(
+            ds.map_batches(stack, batch_format="pandas"),
+            ["__y", "__s"],
+            {"__n": (None, "count")},
+            num_buckets=num_buckets,
+        )
+        .to_pandas()
+        .pivot_table(index="__s", columns="__y", values="__n", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    npos_v = hist[1].to_numpy(dtype=np.float64)
+    nneg_v = hist[0].to_numpy(dtype=np.float64)
+    t = npos_v + nneg_v
+    below = np.concatenate([[0.0], np.cumsum(t)[:-1]])
+    avg_rank = below + (t + 1.0) / 2.0  # exact multiples of 1/2 to 2^52
+    n_pos = float(npos_v.sum())
+    n_neg = float(nneg_v.sum())
+    r_pos = float((avg_rank * npos_v).sum())
+    u = r_pos - n_pos * (n_pos + 1.0) / 2.0
+    auc = u / (n_pos * n_neg) if n_pos > 0 and n_neg > 0 else float("nan")
+    return {
+        "n_pos": int(n_pos),
+        "n_neg": int(n_neg),
+        "u2": int(round(2.0 * u)),
+        "auc": auc,
+    }

@@ -1977,3 +1977,79 @@ def activity_streaks(
         .groupby("__s_bkt")
         .map_groups(streaks, batch_format="pandas")
     )
+
+
+def changepoint_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Single most-likely changepoint per key — the offline companion
+    to :func:`cusum_by_key`'s online detector: over each key's
+    ``order_cols``-ordered values the split position maximizing the
+    scaled mean-shift statistic ``stat_k = |n·S_k − k·S_n|``
+    (k = 1..n−1, S = prefix sum) — the CUSUM/Pettitt-style objective,
+    equivalent to ranking splits by ``k(n−k)·|mean_left − mean_right|``.
+    Earliest k wins ties (deterministic).
+
+    ``key_col`` and ``val_col`` must be int64 (money as cents
+    upstream), so the statistic is exact integer arithmetic with a
+    bit-identical SQL window mirror (int64-safe while n²·Σ|x| < 2^63).
+
+    One hash(key) co-location; in-bucket work is pure vectorized
+    cumsum/transform (no per-key Python).  Keys with a single row have
+    no split and emit nothing.  Returns ``(key, n, cp_pos, stat)``
+    with cp_pos the 1-based last index of the left segment."""
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        out = b[[key_col, *order_cols, val_col]].copy()
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+        out["__cp_bkt"] = (h.astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def cp_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__cp_bkt")
+            .sort_values([key_col, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        keys = g[key_col]
+        x = g[val_col].to_numpy(dtype=np.int64)
+        grp = pd.Series(x).groupby(keys.to_numpy(), sort=False)
+        s = grp.cumsum().to_numpy()
+        gb = g.groupby(key_col, sort=False)[val_col]
+        n = gb.transform("size").to_numpy(dtype=np.int64)
+        sn = gb.transform("sum").to_numpy(dtype=np.int64)
+        k = gb.cumcount().to_numpy(dtype=np.int64) + 1
+        stat = np.abs(n * s - k * sn)
+        cand = pd.DataFrame(
+            {key_col: keys, "n": n, "cp_pos": k, "stat": stat}
+        )[k < n]
+        if len(cand) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cp_pos": pa.array([], pa.int64()),
+                    "stat": pa.array([], pa.int64()),
+                }
+            )
+        # idxmax returns the FIRST max per key; rows are (key, k)-sorted
+        best = cand.loc[cand.groupby(key_col, sort=False)["stat"].idxmax()]
+        return pa.table(
+            {
+                key_col: pa.array(best[key_col].to_numpy(), pa.int64()),
+                "n": pa.array(best["n"].to_numpy(), pa.int64()),
+                "cp_pos": pa.array(best["cp_pos"].to_numpy(), pa.int64()),
+                "stat": pa.array(best["stat"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__cp_bkt")
+        .map_groups(cp_bucket, batch_format="pandas")
+    )
