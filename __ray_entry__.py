@@ -5607,6 +5607,50 @@ def _q_value_changepoint(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_part_als_factors(sf_dir: str):
+    """Distributed ALS factorization of the customer×part quantity
+    matrix (stages/factorize.py::als_factorize — alternating ridge
+    solves, factor matrices NEVER broadcast or driver-held: ratings
+    tag-materialized once per side, each half-step is one factor
+    co-location + one normal-equation grouped_reduce + a batched
+    np.linalg.solve map).  Returns the part-side factors; rows-only
+    (iterative float fit; planted low-rank recovery is pytest-pinned)."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.factorize import als_factorize
+    from table_annotation_ray.stages.relational import equi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ratings = grouped_reduce(
+        equi_join(li, orders, "l_orderkey", "o_orderkey"),
+        ["o_custkey", "l_partkey"],
+        {"qty": ("l_quantity", "sum")},
+    )
+    _, vfac = als_factorize(
+        ratings, "o_custkey", "l_partkey", "qty", k=4, iters=2, reg=0.1
+    )
+    out = vfac.to_pandas().rename(columns={"id": "p_partkey"})
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def _q_embedding_rp(sf_dir: str):
+    """Johnson–Lindenstrauss random projection of the embedding table
+    (stages/decomp.py::random_project): zero-pass map-only reduction to
+    8 dims, projection matrix rebuilt per worker from the seed (nothing
+    shipped).  Deterministic per row; exact numpy equivalence and the
+    JL distance band are pytest-pinned (rows-only — a d×8 Gaussian
+    literal has no sane SQL mirror)."""
+    from table_annotation_ray.stages.decomp import random_project
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = random_project(emb, out_dim=8, keep_cols=["vec_id"], seed=42).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    for i in range(8):
+        out[f"rp{i}"] = _round_ha(out[f"rp{i}"], 6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5838,6 +5882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_auc": _q_quality_auc,
         "part_neighbor_price": _q_part_neighbor_price,
         "value_changepoint": _q_value_changepoint,
+        "part_als_factors": _q_part_als_factors,
+        "embedding_rp": _q_embedding_rp,
     }
 
 

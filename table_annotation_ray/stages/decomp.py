@@ -133,3 +133,45 @@ def pca_transform(
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pandas", batch_size=batch_size)
+
+
+def random_project(
+    ds: rd.Dataset,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+    seed: int = 42,
+    batch_size: int = 8192,
+) -> rd.Dataset:
+    """Johnson–Lindenstrauss random projection — the zero-pass
+    dimensionality reducer beside :func:`pca_fit` (Achlioptas 2003;
+    sklearn GaussianRandomProjection semantics): ``x → x Rᵀ / √m`` with
+    R an m×d standard-Gaussian matrix drawn ONCE from ``seed``.
+    Pairwise distances are preserved to (1±ε) with m = O(log n / ε²) —
+    no data pass, no model state, fully map-only (the 100-TB path when
+    PCA's Gram pass is too expensive or d is huge).
+
+    The projection matrix is built lazily per worker from (seed, d, m)
+    — deterministic everywhere, nothing is shipped.  Emits double
+    columns ``rp0..rp{m-1}`` plus ``keep_cols``."""
+    import pyarrow as pa
+
+    from ..state.worker_state import get_worker_state
+
+    keep = keep_cols or []
+
+    def project(b: pd.DataFrame) -> pa.Table:
+        X = _batch_matrix(b[vec_col])
+        d = X.shape[1]
+        R = get_worker_state(
+            ("jl", seed, d, out_dim),
+            lambda: np.random.default_rng(seed).standard_normal((out_dim, d))
+            / np.sqrt(out_dim),
+        )
+        P = X @ R.T
+        cols = {c: b[c].to_numpy() for c in keep}
+        for i in range(out_dim):
+            cols[f"rp{i}"] = P[:, i]
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pandas", batch_size=batch_size)

@@ -131,3 +131,69 @@ def test_changepoint_by_key_vs_numpy(ray_session):
         "value",
     ).to_pandas()
     assert len(one) == 0
+
+
+def test_als_recovers_planted_low_rank(ray_session):
+    from table_annotation_ray.stages.factorize import als_factorize, als_rmse
+
+    rng = np.random.default_rng(5)
+    n_u, n_i, r = 30, 20, 2
+    u0 = rng.uniform(0.5, 1.5, (n_u, r))
+    v0 = rng.uniform(0.5, 1.5, (n_i, r))
+    m = u0 @ v0.T  # values ~ [0.5, 4.5]
+    users, items = np.meshgrid(np.arange(n_u), np.arange(n_i), indexing="ij")
+    df = pd.DataFrame(
+        {
+            "user": users.ravel().astype(np.int64),
+            "item": items.ravel().astype(np.int64),
+            "r": m.ravel(),
+        }
+    ).sample(frac=0.8, random_state=1)  # sparse observation of the matrix
+    ds = rd.from_pandas(df).repartition(4)
+    ufac, vfac = als_factorize(
+        ds, "user", "item", "r", k=4, iters=6, reg=0.01, num_buckets=8
+    )
+    assert ufac.count() == n_u and vfac.count() == n_i
+    rmse = als_rmse(ds, ufac, vfac, "user", "item", "r", num_buckets=8)
+    assert rmse < 0.05  # rank-4 fit of an exact rank-2 matrix
+    # driver-side sanity: reconstruct and compare to the true matrix
+    up = ufac.to_pandas().set_index("id").sort_index()
+    vp = vfac.to_pandas().set_index("id").sort_index()
+    pred = up.to_numpy() @ vp.to_numpy().T
+    mask = np.zeros((n_u, n_i), bool)
+    mask[df["user"], df["item"]] = True
+    assert np.abs((pred - m)[mask]).mean() < 0.05
+
+
+def test_random_project_jl(ray_session):
+    from table_annotation_ray.stages.decomp import random_project
+
+    rng = np.random.default_rng(2)
+    n, d, m = 200, 64, 24
+    X = rng.normal(0, 1, (n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": [list(r) for r in X]})
+    out = (
+        random_project(
+            rd.from_pandas(df).repartition(4),
+            out_dim=m,
+            keep_cols=["vec_id"],
+            seed=7,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # exact numpy equivalence: same seed -> same R -> same product
+    R = np.random.default_rng(7).standard_normal((m, d)) / np.sqrt(m)
+    np.testing.assert_allclose(
+        out[[f"rp{i}" for i in range(m)]].to_numpy(), X @ R.T, rtol=1e-12
+    )
+    # JL property: pairwise distances preserved within a loose band
+    P = out[[f"rp{i}" for i in range(m)]].to_numpy()
+    idx = rng.integers(0, n, (100, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d_orig = np.linalg.norm(X[idx[:, 0]] - X[idx[:, 1]], axis=1)
+    d_proj = np.linalg.norm(P[idx[:, 0]] - P[idx[:, 1]], axis=1)
+    ratio = d_proj / d_orig
+    assert 0.6 < ratio.min() and ratio.max() < 1.5
+    assert abs(ratio.mean() - 1.0) < 0.1
