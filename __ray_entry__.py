@@ -5651,6 +5651,91 @@ def _q_embedding_rp(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+
+def _q_value_theilsen(sf_dir: str):
+    """Per-user Theil-Sen robust trend (stages/windows.py::
+    theilsen_by_key): LOWER median of all pairwise slopes of the
+    ts-ordered value series vs its 0-based row index.  The median is an
+    ELEMENT of the slope multiset (rank (n-1)//2), so the double is
+    bit-identical to the SQL mirror selecting the same ranked row — no
+    rounding.  One hash(user)%64 exchange; in-bucket vectorized
+    repeat/offset pair expansion + one lexsort."""
+    from table_annotation_ray.stages.windows import theilsen_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = theilsen_by_key(ev, "user_id", ["ts", "event_id"], "value").to_pandas()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted LOWER median price per return flag
+    (stages/quantiles.py::weighted_median_by_key): counts-engine shape —
+    one grouped_reduce collapses lineitem to a distinct-(flag, price)
+    weight histogram, the in-bucket pass picks min(v) with 2*cum >=
+    total.  l_quantity is integral, so the float weight sums are exact
+    under any summation order; the median is an input-lattice element."""
+    from table_annotation_ray.stages.quantiles import weighted_median_by_key
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    out = weighted_median_by_key(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    ).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_part_jaccard_links(sf_dir: str):
+    """Neighborhood-Jaccard link prediction (stages/graph.py::
+    jaccard_links) over the part co-occurrence graph (same 1/3 basket
+    subsample as link_prediction): common_neighbors counts through
+    degree-capped wedge centers, FULL degrees attached via size-gated
+    broadcast equi_joins, jaccard = common/union as the single double
+    division of exact ints (bit-identical to SQL, no rounding)."""
+    from table_annotation_ray.stages.graph import jaccard_links
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=1)
+    out = jaccard_links(
+        edges, "item_a", "item_b", max_center_degree=30, min_common=2
+    ).to_pandas()
+    for c in ("u", "v", "common", "deg_u", "deg_v", "union_size"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _q_hourly_mase(sf_dir: str):
+    """Seasonal-naive forecast quality per event type
+    (stages/windows.py::seasonal_mase): MASE of the 24-hour
+    seasonal-naive forecast against the 1-hour naive scale, over the
+    gap-filled hourly count grid (resample_counts).  Absolute-error
+    sums are INTEGER counts, mase is one double division of exact int
+    products — bit-identical to the SQL window mirror."""
+    from table_annotation_ray.stages.windows import seasonal_mase
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    out = seasonal_mase(ev, "ts", "event_type", period=24, freq="h")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """SymSpell deletion-neighborhood fuzzy self-join (stages/joins.py::
+    fuzzy_pairs_1del): all pairs of distinct customer names (1-in-7
+    custkey subsample) at Levenshtein distance exactly 1, found via a
+    shared-deletion-variant co-location (never |vocab|^2) with an exact
+    vectorized distance verify, against DuckDB's levenshtein cross
+    join."""
+    from table_annotation_ray.stages.joins import fuzzy_pairs_1del
+
+    cu = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: b[b["c_custkey"] % 7 == 0][["c_name"]], batch_format="pandas"
+    )
+    out = fuzzy_pairs_1del(cu, "c_name").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5884,6 +5969,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_changepoint": _q_value_changepoint,
         "part_als_factors": _q_part_als_factors,
         "embedding_rp": _q_embedding_rp,
+        "value_theilsen": _q_value_theilsen,
+        "weighted_median_price": _q_weighted_median_price,
+        "part_jaccard_links": _q_part_jaccard_links,
+        "hourly_mase": _q_hourly_mase,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
     }
 
 
@@ -8923,6 +9013,129 @@ def oracle_sql() -> dict[str, str]:
                            / (deg.deg * (deg.deg - 1.0)), 6)
                    END AS cc
             FROM deg LEFT JOIN tn USING (node) ORDER BY node
+        """,
+        "value_theilsen": """
+            WITH s AS (
+                SELECT user_id, value AS v,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+                FROM events),
+            p AS (
+                SELECT a.user_id AS user_id,
+                       (b.v - a.v) / CAST(b.rn - a.rn AS DOUBLE) AS slope
+                FROM s a JOIN s b
+                  ON a.user_id = b.user_id AND a.rn < b.rn),
+            r AS (
+                SELECT user_id, slope,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY slope) AS rnk,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM p)
+            SELECT user_id, CAST(n AS BIGINT) AS n_pairs, slope AS ts_slope
+            FROM r WHERE rnk = (n + 1) // 2
+            ORDER BY user_id
+        """,
+        "weighted_median_price": """
+            WITH h AS (
+                SELECT l_returnflag, l_extendedprice AS v,
+                       sum(l_quantity) AS w
+                FROM lineitem GROUP BY 1, 2),
+            c AS (
+                SELECT l_returnflag, v,
+                       sum(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY v) AS cw,
+                       sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM h)
+            SELECT l_returnflag, max(tw) AS total_weight, min(v) AS wmedian
+            FROM c WHERE 2 * cw >= tw
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "part_jaccard_links": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey % 3 = 0),
+            e0 AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0) GROUP BY node),
+            adj AS (SELECT a AS c, b AS n FROM e0
+                    UNION ALL SELECT b AS c, a AS n FROM e0),
+            af AS (SELECT adj.c, adj.n FROM adj
+                   JOIN deg ON deg.node = adj.c WHERE deg.deg <= 30),
+            w AS (SELECT x.n AS u, y.n AS v
+                  FROM af x JOIN af y ON x.c = y.c AND x.n < y.n),
+            cnt AS (SELECT u, v, COUNT(*) AS common FROM w GROUP BY u, v),
+            nonadj AS (
+                SELECT cnt.u, cnt.v, cnt.common
+                FROM cnt LEFT JOIN e0 ON e0.a = cnt.u AND e0.b = cnt.v
+                WHERE e0.a IS NULL AND cnt.common >= 2)
+            SELECT CAST(n.u AS BIGINT) AS u, CAST(n.v AS BIGINT) AS v,
+                   CAST(n.common AS BIGINT) AS common,
+                   CAST(du.deg AS BIGINT) AS deg_u,
+                   CAST(dv.deg AS BIGINT) AS deg_v,
+                   CAST(du.deg + dv.deg - n.common AS BIGINT) AS union_size,
+                   CAST(n.common AS DOUBLE)
+                     / CAST(du.deg + dv.deg - n.common AS DOUBLE) AS jaccard
+            FROM nonadj n
+            JOIN deg du ON du.node = n.u
+            JOIN deg dv ON dv.node = n.v
+            ORDER BY u, v
+        """,
+        "hourly_mase": """
+            WITH b AS (
+                SELECT min(date_trunc('hour', ts)) AS mn,
+                       max(date_trunc('hour', ts)) AS mx FROM events),
+            hours AS (
+                SELECT unnest(generate_series(
+                    (SELECT mn FROM b), (SELECT mx FROM b),
+                    INTERVAL 1 HOUR)) AS h),
+            types AS (SELECT DISTINCT event_type FROM events),
+            cnt AS (
+                SELECT date_trunc('hour', ts) AS h, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            grid AS (
+                SELECT types.event_type, hours.h,
+                       coalesce(cnt.n, 0) AS n
+                FROM hours CROSS JOIN types
+                LEFT JOIN cnt ON cnt.h = hours.h
+                             AND cnt.event_type = types.event_type),
+            lagged AS (
+                SELECT event_type, n,
+                       lag(n, 24) OVER (PARTITION BY event_type
+                                        ORDER BY h) AS sn,
+                       lag(n, 1) OVER (PARTITION BY event_type
+                                       ORDER BY h) AS pn
+                FROM grid),
+            agg AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_periods,
+                       CAST(sum(abs(n - sn))
+                            FILTER (WHERE sn IS NOT NULL) AS BIGINT)
+                           AS sae_seasonal,
+                       CAST(sum(abs(n - pn))
+                            FILTER (WHERE pn IS NOT NULL) AS BIGINT)
+                           AS sae_naive,
+                       count(*) FILTER (WHERE sn IS NOT NULL) AS n_s,
+                       count(*) FILTER (WHERE pn IS NOT NULL) AS n_n
+                FROM lagged GROUP BY 1)
+            SELECT event_type, n_periods, sae_seasonal, sae_naive,
+                   CASE WHEN sae_naive > 0 THEN
+                       CAST(sae_seasonal * n_n AS DOUBLE)
+                         / CAST(sae_naive * n_s AS DOUBLE)
+                   END AS mase
+            FROM agg WHERE n_periods > 24 ORDER BY event_type
+        """,
+        "fuzzy_name_pairs": """
+            WITH v AS (SELECT c_name FROM customer WHERE c_custkey % 7 = 0)
+            SELECT a.c_name AS a, b.c_name AS b
+            FROM v a JOIN v b
+              ON a.c_name < b.c_name
+             AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY a, b
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

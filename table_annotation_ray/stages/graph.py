@@ -592,10 +592,21 @@ def common_neighbors(
     map-side pair combine, then one hash(pair) exchange that both sums
     pair counts and anti-matches existing edges.  Returns
     ``(u, v, common)`` with ``u < v``."""
+    simple = _simple_edges(edges, src, dst, num_buckets, partitions)
+    return _cn_from_simple(simple, max_center_degree, min_common, num_buckets)
+
+
+def _cn_from_simple(
+    simple: rd.Dataset,
+    max_center_degree: int,
+    min_common: int,
+    num_buckets: int,
+) -> rd.Dataset:
+    """common_neighbors body over pre-materialized ``(a, b)`` simple
+    edges — shared with :func:`jaccard_links` so the simple-edge
+    exchange runs once per caller."""
     from .agg import grouped_reduce
     from .relational import filter_rows_by_keys
-
-    simple = _simple_edges(edges, src, dst, num_buckets, partitions)
 
     def stack(b: pd.DataFrame) -> pa.Table:
         nodes = np.concatenate(
@@ -700,6 +711,85 @@ def common_neighbors(
         )
 
     return both.groupby("__cn_pbkt").map_groups(score, batch_format="pandas")
+
+
+def jaccard_links(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 64,
+    min_common: int = 2,
+    broadcast_below: int = 2_000_000,
+    num_buckets: int = 64,
+    partitions: int = 16,
+) -> rd.Dataset:
+    """Neighborhood-Jaccard link prediction: for every non-adjacent
+    pair scored by :func:`common_neighbors` (shared neighbors counted
+    through degree-capped wedge centers, the documented hub-filter
+    semantics), attach both endpoints' FULL degrees and the Jaccard
+    coefficient over the neighborhoods::
+
+        union_size = deg_u + deg_v - common
+        jaccard    = common / union_size
+
+    ``common`` and ``union_size`` are exact int64; ``jaccard`` is the
+    single double division of those ints, so a SQL mirror computing
+    the same division is bit-identical (no rounding step needed).
+
+    Shape: ONE simple-edge materialization shared by the wedge count
+    and the degree table (single-execution rule); degrees ride one
+    grouped_reduce; the two degree attachments are size-gated
+    broadcast equi_joins (degree table is node-count-sized).  Output
+    ``(u, v, common, deg_u, deg_v, union_size, jaccard)``.
+    """
+    from .agg import grouped_reduce
+    from .relational import equi_join
+
+    simple = _simple_edges(edges, src, dst, num_buckets, partitions)
+    cn = _cn_from_simple(simple, max_center_degree, min_common, num_buckets)
+
+    def stack(b: pd.DataFrame) -> pa.Table:
+        nodes = np.concatenate(
+            [b["a"].to_numpy(dtype=np.int64), b["b"].to_numpy(dtype=np.int64)]
+        )
+        return pa.table({"node": pa.array(nodes, pa.int64())})
+
+    degs = grouped_reduce(
+        simple.map_batches(stack, batch_format="pandas"),
+        ["node"], {"deg": (None, "count")}, num_buckets=num_buckets,
+    )
+
+    def as_u(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["u", "deg_u"])
+
+    def as_v(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["v", "deg_v"])
+
+    joined = equi_join(
+        equi_join(cn, degs.map_batches(as_u, batch_format="pyarrow"), "u",
+                  broadcast_below=broadcast_below, num_buckets=num_buckets),
+        degs.map_batches(as_v, batch_format="pyarrow"), "v",
+        broadcast_below=broadcast_below, num_buckets=num_buckets,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["common"].to_numpy().astype(np.int64)
+        du = t["deg_u"].to_numpy().astype(np.int64)
+        dv = t["deg_v"].to_numpy().astype(np.int64)
+        un = du + dv - c
+        return pa.table(
+            {
+                "u": pa.array(t["u"].to_numpy().astype(np.int64), pa.int64()),
+                "v": pa.array(t["v"].to_numpy().astype(np.int64), pa.int64()),
+                "common": pa.array(c, pa.int64()),
+                "deg_u": pa.array(du, pa.int64()),
+                "deg_v": pa.array(dv, pa.int64()),
+                "union_size": pa.array(un, pa.int64()),
+                "jaccard": pa.array(c / un, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 def k_core(

@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data as rd
 
 _TS_I8 = "datetime64[us]"
@@ -452,3 +453,190 @@ def nearest_join(
         return out
 
     return tagged.groupby("__j_kb").map_groups(match, batch_format="pandas")
+
+
+def _lev1_equal_len(xs: np.ndarray, ys: np.ndarray, L: int) -> np.ndarray:
+    """Vectorized 'exactly one substitution' check for same-length
+    string pairs: unicode codepoint matrices, count mismatching
+    positions == 1."""
+    A = np.array(xs, dtype=f"<U{L}").view(np.uint32).reshape(len(xs), L)
+    B = np.array(ys, dtype=f"<U{L}").view(np.uint32).reshape(len(ys), L)
+    return (A != B).sum(axis=1) == 1
+
+
+def _lev1_del(xs: np.ndarray, ys: np.ndarray, L: int) -> np.ndarray:
+    """Vectorized 'one deletion' check: ``xs`` of length L, ``ys`` of
+    length L-1; valid iff longest-common-prefix + longest-common-suffix
+    >= L-1 (the classic two-pointer identity, batched)."""
+    A = np.array(xs, dtype=f"<U{L}").view(np.uint32).reshape(len(xs), L)
+    B = np.array(ys, dtype=f"<U{L-1}").view(np.uint32).reshape(len(ys), L - 1)
+    eqp = A[:, : L - 1] == B
+    p = np.where(eqp.all(axis=1), L - 1, eqp.argmin(axis=1))
+    eqs = (A[:, 1:] == B)[:, ::-1]
+    s = np.where(eqs.all(axis=1), L - 1, eqs.argmin(axis=1))
+    return p + s >= L - 1
+
+
+def _lev1_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact edit-distance<=1 verdict per (a, b) string pair, grouped by
+    length class so each class runs one vectorized matrix compare."""
+    la = np.fromiter((len(x) for x in a), np.int64, len(a))
+    lb = np.fromiter((len(x) for x in b), np.int64, len(b))
+    out = np.zeros(len(a), dtype=bool)
+    eq = la == lb
+    for L in np.unique(la[eq]):
+        m = eq & (la == L)
+        if L == 0:
+            out[m] = False  # equal empty strings are distinct() upstream
+        else:
+            out[m] = _lev1_equal_len(a[m], b[m], int(L))
+    d1 = la == lb + 1
+    for L in np.unique(la[d1]):
+        if L < 2:
+            m = d1 & (la == L)
+            out[m] = True  # 1-char vs empty: one deletion
+            continue
+        m = d1 & (la == L)
+        out[m] = _lev1_del(a[m], b[m], int(L))
+    d2 = lb == la + 1
+    for L in np.unique(lb[d2]):
+        m = d2 & (lb == L)
+        if L < 2:
+            out[m] = True
+        else:
+            out[m] = _lev1_del(b[m], a[m], int(L))
+    return out
+
+
+def fuzzy_pairs_1del(
+    ds: rd.Dataset,
+    col: str,
+    max_group: int = 1000,
+    num_buckets: int = 64,
+    trunc_counter=None,
+) -> rd.Dataset:
+    """Edit-distance-<=1 fuzzy self-join over the DISTINCT strings of
+    ``col`` — the SymSpell deletion-neighborhood join: every pair of
+    distinct strings at Levenshtein distance 1 (equality is excluded by
+    distinctness), found WITHOUT an all-pairs compare.
+
+    Completeness: two strings at distance <=1 always share an element
+    of ``{s} ∪ {s minus one char}`` (substitution → both delete the
+    differing position; insert/delete → one deletes into the other), so
+    co-locating by deletion variant sees every true pair.  Shared
+    variants can also arise at distance 2 (``abc``/``bca`` share
+    ``bc``), so candidates are verified with an exact vectorized
+    distance-<=1 check (one codepoint-matrix compare per length class,
+    no per-pair Python DP).
+
+    Shape: distinct strings (one bucketed_distinct exchange) → variant
+    explode (×(len+1) skinny rows) → ONE hash(variant) co-location with
+    per-variant pairwise expansion — Σ|variant-group|², never |vocab|²
+    — → exact verify → ONE pair-hash distinct exchange (a pair can be
+    found under several shared variants).  Variant groups larger than
+    ``max_group`` are truncated to the lexicographically-first members
+    and COUNTED on ``trunc_counter`` (never silent; a hot variant is a
+    mass near-collision, e.g. a serial-number prefix).  Output
+    ``(a, b)`` with ``a < b``.
+    """
+    import pyarrow as pa
+
+    from ..stages.agg import bucketed_distinct
+
+    uniq = bucketed_distinct(ds.select_columns([col]), [col])
+    nb = np.uint64(num_buckets)
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        outs_v, outs_o = [], []
+        for s in b[col].dropna().to_numpy():
+            outs_v.append(s)
+            outs_o.append(s)
+            for i in range(len(s)):
+                outs_v.append(s[:i] + s[i + 1:])
+                outs_o.append(s)
+        var = pd.Series(outs_v, dtype=object)
+        bkt = (
+            pd.util.hash_pandas_object(var, index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "__fz_var": pa.array(outs_v, pa.string()),
+                "orig": pa.array(outs_o, pa.string()),
+                "__fz_bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    def candidate_pairs(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop_duplicates(["__fz_var", "orig"])
+            .sort_values(["__fz_var", "orig"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        codes, _ = pd.factorize(g["__fz_var"], sort=False)
+        _, starts, counts = np.unique(codes, return_index=True, return_counts=True)
+        n_trunc = int((counts > max_group).sum())
+        if n_trunc:
+            kept = np.minimum(counts, max_group)
+            dropped = int((counts * (counts - 1) // 2
+                           - kept * (kept - 1) // 2).sum())
+            if trunc_counter is not None:
+                ray.get(trunc_counter.add.remote(n_trunc, dropped))
+            keep_mask = (np.arange(len(codes))
+                         - np.repeat(starts, counts)) < max_group
+            g = g[keep_mask].reset_index(drop=True)
+            codes = codes[keep_mask]
+            _, starts, counts = np.unique(
+                codes, return_index=True, return_counts=True)
+        origs = g["orig"].to_numpy()
+        pos = np.arange(len(codes), dtype=np.int64)
+        rank = pos - np.repeat(starts, counts)
+        rem = np.repeat(counts, counts) - rank - 1
+        ii = np.repeat(pos, rem)
+        if len(ii) == 0:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "__fz_pb": pa.array([], pa.int64())}
+            )
+        off = (
+            np.arange(int(rem.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(rem) - rem, rem) + 1
+        )
+        x, y = origs[ii], origs[ii + off]
+        swap = x > y
+        a = np.where(swap, y, x)
+        b = np.where(swap, x, y)
+        pairs = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        ok = _lev1_mask(pairs["a"].to_numpy(), pairs["b"].to_numpy())
+        pairs = pairs[ok]
+        h = (
+            pd.util.hash_pandas_object(pairs["a"], index=False).to_numpy()
+            .astype(np.uint64) * MULT
+            ^ pd.util.hash_pandas_object(pairs["b"], index=False).to_numpy()
+            .astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "a": pa.array(pairs["a"].to_numpy(), pa.string()),
+                "b": pa.array(pairs["b"].to_numpy(), pa.string()),
+                "__fz_pb": pa.array((h % nb).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pair_dedup(g: pd.DataFrame) -> pa.Table:
+        out = g[["a", "b"]].drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(), pa.string()),
+                "b": pa.array(out["b"].to_numpy(), pa.string()),
+            }
+        )
+
+    return (
+        uniq.map_batches(explode, batch_format="pandas")
+        .groupby("__fz_bkt")
+        .map_groups(candidate_pairs, batch_format="pandas")
+        .groupby("__fz_pb")
+        .map_groups(pair_dedup, batch_format="pandas")
+    )

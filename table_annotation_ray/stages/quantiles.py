@@ -653,3 +653,77 @@ def group_quantile_threshold(
         out_n.append(n)
         out_t.append(sub[val_col].to_numpy()[idx])
     return pd.DataFrame({group_col: out_g, "n": out_n, "threshold": out_t})
+
+
+def weighted_median_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    weight_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact LOWER weighted median per key: the smallest value ``v``
+    whose cumulative weight (values ascending) reaches half the key's
+    total weight — ``min(v) WHERE 2*cum_w >= total_w`` in SQL window
+    terms.  The workhorse for weight-aware robust centers (price
+    weighted by quantity, latency weighted by traffic).
+
+    Shape: the value space is first collapsed to a distinct-value
+    histogram with ONE grouped_reduce exchange (``(key, v) →
+    sum(w)``) — the counts-engine idiom (spearman/KM/Mann-Whitney):
+    the second, in-bucket pass runs over distinct (key, value) rows
+    only, never raw data.  The output value is an ELEMENT of the input
+    lattice (no interpolation), so float compares are exact.  Output
+    ``(key, total_weight, wmedian)``.
+
+    Weights must be non-negative; integral weights (counts, integral
+    doubles) keep ``total_weight`` exact under reordered summation.
+    """
+    from .agg import grouped_reduce
+
+    hist = grouped_reduce(
+        ds.select_columns([key_col, val_col, weight_col]),
+        [key_col, val_col],
+        {"w": (weight_col, "sum")},
+        num_buckets=num_buckets,
+    )
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["__wm_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__wm_bkt")
+            .sort_values([key_col, val_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        gb = g.groupby(key_col, sort=False)
+        cum = gb["w"].cumsum().to_numpy(dtype=np.float64)
+        tot = gb["w"].transform("sum").to_numpy(dtype=np.float64)
+        hit = 2.0 * cum >= tot
+        first = g[hit].groupby(key_col, sort=False, as_index=False).head(1)
+        pos = first.index.to_numpy()  # positional: g was reset_index above
+        try:
+            kt = pa.from_numpy_dtype(first[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(first[key_col].to_numpy(), kt),
+                "total_weight": pa.array(tot[pos], pa.float64()),
+                "wmedian": pa.array(
+                    first[val_col].to_numpy(dtype=np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        hist.map_batches(tag, batch_format="pandas")
+        .groupby("__wm_bkt")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -2053,3 +2053,143 @@ def changepoint_by_key(
         .groupby("__cp_bkt")
         .map_groups(cp_bucket, batch_format="pandas")
     )
+
+
+def theilsen_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key Theil–Sen robust trend: the LOWER median of all pairwise
+    slopes ``(v_j - v_i) / (j - i)`` over each key's ordered value
+    series (index = 0-based position in ``order_cols`` order).  The
+    classic outlier-robust alternative to OLS (breakdown point ~29%),
+    per entity.
+
+    The median is an ELEMENT of the slope multiset (sorted rank
+    ``(n_pairs - 1) // 2``), never an average of two — so the output
+    double is bit-identical to a SQL mirror that selects the same
+    ranked row (no interpolation arithmetic to diverge on).
+
+    Shape: one ``hash(key) % num_buckets`` co-location; in-bucket the
+    pairwise expansion is the vectorized repeat/offset trick (no Python
+    pair loops) and the per-key median is one ``lexsort``.  Pair volume
+    is Σ n_k² — per-entity histories only (same contract as
+    :func:`acf_by_key`); cap or sample pathological keys upstream.
+    Keys with fewer than 2 rows are dropped.  Output
+    ``(key, n_pairs, ts_slope)``.
+    """
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[[key_col, *order_cols, val_col]].copy()
+        b["__ts_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def slope_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__ts_bkt")
+            .sort_values([key_col] + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        codes, _ = pd.factorize(g[key_col], sort=False)  # contiguous by sort
+        v = g[val_col].to_numpy(dtype=np.float64)
+        _, starts, counts = np.unique(codes, return_index=True, return_counts=True)
+        pos = np.arange(len(codes), dtype=np.int64)
+        rank = pos - np.repeat(starts, counts)
+        rem = np.repeat(counts, counts) - rank - 1  # pairs each row opens
+        ii = np.repeat(pos, rem)
+        off = (
+            np.arange(int(rem.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(rem) - rem, rem)
+            + 1
+        )
+        jj = ii + off
+        if len(ii) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.from_numpy_dtype(g[key_col].dtype)
+                                      if g[key_col].dtype != object else pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "ts_slope": pa.array([], pa.float64()),
+                }
+            )
+        slopes = (v[jj] - v[ii]) / (rank[jj] - rank[ii]).astype(np.float64)
+        pk = codes[ii]  # pair's key code, nondecreasing
+        order = np.lexsort((slopes, pk))
+        pk_s, sl_s = pk[order], slopes[order]
+        ks, pstarts, pcounts = np.unique(pk_s, return_index=True, return_counts=True)
+        med = sl_s[pstarts + (pcounts - 1) // 2]  # lower median element
+        keys_np = g[key_col].to_numpy()[starts[ks]]
+        try:
+            kt = pa.from_numpy_dtype(g[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(keys_np, kt),
+                "n_pairs": pa.array(pcounts.astype(np.int64), pa.int64()),
+                "ts_slope": pa.array(med, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__ts_bkt")
+        .map_groups(slope_bucket, batch_format="pandas")
+    )
+
+
+def seasonal_mase(
+    ds: rd.Dataset,
+    ts_col: str,
+    key_col: str,
+    period: int = 24,
+    freq: str = "h",
+) -> pd.DataFrame:
+    """Seasonal-naive forecast quality per key (MASE, Hyndman &
+    Koehler): over the gap-filled per-(key, period) count series from
+    :func:`resample_counts`, score the seasonal-naive forecast
+    ``f_t = y_{t-period}`` against the one-step naive ``y_{t-1}``
+    scale:
+
+        mase = (sae_seasonal * n_naive) / (sae_naive * n_seasonal)
+
+    Both absolute-error sums are INTEGER (counts), so the single
+    double division is bit-identical to the SQL mirror; ``mase`` is
+    NULL when the naive scale is zero (constant series).  Driver math
+    is bounded by the n_keys × n_periods grid (resample_counts
+    contract); the one exchange is the grouped_reduce count inside
+    resample_counts.  Output ``(key, n_periods, sae_seasonal,
+    sae_naive, mase)`` sorted by key.
+    """
+    grid = resample_counts(ds, ts_col, key_col, freq=freq)
+    rows = []
+    for key, sub in grid.groupby(key_col, sort=True):
+        y = sub.sort_values("period")["n"].to_numpy(dtype=np.int64)
+        if len(y) <= period:
+            continue
+        sae_s = int(np.abs(y[period:] - y[:-period]).sum())
+        sae_n = int(np.abs(y[1:] - y[:-1]).sum())
+        n_s, n_n = len(y) - period, len(y) - 1
+        mase = float(sae_s * n_n) / float(sae_n * n_s) if sae_n > 0 else None
+        rows.append(
+            {
+                key_col: key,
+                "n_periods": len(y),
+                "sae_seasonal": sae_s,
+                "sae_naive": sae_n,
+                "mase": mase,
+            }
+        )
+    out = pd.DataFrame(
+        rows, columns=[key_col, "n_periods", "sae_seasonal", "sae_naive", "mase"]
+    )
+    for c in ("n_periods", "sae_seasonal", "sae_naive"):
+        out[c] = out[c].astype("int64")
+    out["mase"] = out["mase"].astype("float64")
+    return out.reset_index(drop=True)
