@@ -5736,6 +5736,69 @@ def _q_fuzzy_name_pairs(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+
+def _q_bigram_kn(sf_dir: str):
+    """Interpolated Kneser-Ney bigram probabilities (stages/lm.py::
+    kn_bigram_probs): the classic continuation-count smoothing, fully
+    distributed — one hash(context) exchange yields bigram totals +
+    context margins + forward continuation counts, one hash(next)
+    exchange yields backward continuation counts, D is the materialized
+    type count.  The float formula is evaluated in the exact SQL
+    association order, so top-200 rows hash-compare with no rounding."""
+    from table_annotation_ray.stages.lm import kn_bigram_probs
+
+    docs = _read(sf_dir, "documents", ["text"])
+    out = kn_bigram_probs(docs).to_pandas()
+    for c in ("cab", "ctot", "n1f", "n1b"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values(
+        ["cab", "a", "b"], ascending=[False, True, True]
+    ).head(200)
+    return out.reset_index(drop=True)
+
+
+def _q_quality_calibration(sf_dir: str):
+    """Reliability-diagram bins (stages/stats.py::calibration_bins) of
+    the stopword-ratio quality score vs the weak label (quality_lift's
+    scorer): NTILE(10) on the rounded-score global order; per-bin mean
+    predicted score is summed in integer micro-units so the compare is
+    exact; both output rates are single double divisions of ints."""
+    from table_annotation_ray.stages.stats import calibration_bins
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        s = _round_ha(qs["stopword_ratio"], 6)
+        mtl = _round_ha(qs["mean_token_len"], 6)
+        lab = ((s >= 0.05) & (mtl < 8.0)).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "score": s.to_numpy(), "label": lab}
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas")
+    return calibration_bins(scored, "score", "label", "doc_id", k=10)
+
+
+
+def _q_unigram_vocab(sf_dir: str):
+    """SentencePiece-style unigram-LM tokenizer training
+    (stages/unigram.py::train_unigram_lm): substring-seeded hard-EM
+    with Viterbi integer counts (order-independent, byte-identical to
+    the single-process reference pinned in pytest); per round one
+    bounded-model broadcast + one piece-count exchange over the
+    distinct-word table.  Iterative/heuristic — rows-only check."""
+    from table_annotation_ray.stages.unigram import train_unigram_lm
+
+    docs = _read(sf_dir, "documents", ["text"])
+    out = train_unigram_lm(
+        docs, vocab_size=48, seed_size=256, max_piece_len=6, n_iters=3
+    )
+    out["count"] = out["count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -5974,6 +6037,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_jaccard_links": _q_part_jaccard_links,
         "hourly_mase": _q_hourly_mase,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "bigram_kn": _q_bigram_kn,
+        "quality_calibration": _q_quality_calibration,
+        "unigram_vocab": _q_unigram_vocab,
     }
 
 
@@ -9136,6 +9202,63 @@ def oracle_sql() -> dict[str, str]:
               ON a.c_name < b.c_name
              AND levenshtein(a.c_name, b.c_name) <= 1
             ORDER BY a, b
+        """,
+        "bigram_kn": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                         '\\s+'),
+                                   x -> x <> '') AS arr
+                FROM documents),
+            pos AS (
+                SELECT doc_id, unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) AS i
+                FROM toks),
+            pairs AS (
+                SELECT x.tok AS a, y.tok AS b
+                FROM pos x JOIN pos y
+                  ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+            bg AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2),
+            ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ctot,
+                           CAST(count(*) AS BIGINT) AS n1f
+                    FROM bg GROUP BY a),
+            nbt AS (SELECT b, CAST(count(*) AS BIGINT) AS n1b
+                    FROM bg GROUP BY b),
+            dd AS (SELECT count(*) AS d FROM bg)
+            SELECT bg.a, bg.b, CAST(bg.cab AS BIGINT) AS cab,
+                   ctx.ctot, ctx.n1f, nbt.n1b,
+                   (greatest(bg.cab - 0.75, 0)
+                    + 0.75 * ctx.n1f * (CAST(nbt.n1b AS DOUBLE) / dd.d))
+                   / ctx.ctot AS kn_prob
+            FROM bg JOIN ctx USING (a) JOIN nbt USING (b) CROSS JOIN dd
+            ORDER BY cab DESC, a, b LIMIT 200
+        """,
+        "quality_calibration": """
+            WITH scored AS (
+                SELECT doc_id,
+                       round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                             x -> x IN """ + _ENGLISH_STOPS + """))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS score,
+                       round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS mtl
+                FROM documents),
+            t AS (
+                SELECT NTILE(10) OVER (ORDER BY score, doc_id) AS tile, score,
+                       CASE WHEN score >= 0.05 AND mtl < 8.0
+                            THEN 1 ELSE 0 END AS label
+                FROM scored)
+            SELECT tile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS pos,
+                   CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_score_u,
+                   CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
+                       / (1000000.0 * count(*)) AS mean_score,
+                   CAST(sum(label) AS DOUBLE) / count(*) AS pos_rate
+            FROM t GROUP BY tile ORDER BY tile
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -219,3 +219,112 @@ def score_perplexity(
         )
 
     return docs.map_batches(score, batch_format="pandas", batch_size=batch_size)
+
+
+def kn_bigram_probs(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    discount: float = 0.75,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Interpolated Kneser–Ney smoothed bigram probabilities — the
+    classic LM-smoothing upgrade over the add-k model in
+    :func:`train_bigram_lm`::
+
+        P_KN(b|a) = (max(c(a,b) - d, 0) + d * N1+(a,·) * (N1+(·,b)/D))
+                    / c(a·)
+
+    where ``c(a·) = Σ_b c(a,b)`` is the context total over REAL pairs,
+    ``N1+(a,·)`` / ``N1+(·,b)`` are distinct continuation counts and
+    ``D`` is the number of distinct bigram types (so ``N1+(·,b)/D`` is
+    the continuation probability).  All inputs are integers and the
+    float expression is evaluated in EXACTLY the SQL association order
+    ``(greatest(cab-d,0) + d*n1f*(n1b/D)) / ctot`` — bit-identical to a
+    DuckDB mirror, no rounding step.
+
+    Shape: one corpus pass exploding consecutive token pairs with
+    map-side partial counts, ONE hash(context) exchange (bigram totals
+    + context margin + forward continuation counts all fall out of the
+    same in-bucket groupby), ONE hash(next-token) exchange for backward
+    continuation counts (rows are distinct types by then, so n1b is the
+    group size — no separate join), then a map-only scoring pass with
+    the scalar ``D`` captured from the materialized type table.
+    Returns a Dataset ``(a, b, cab, ctot, n1f, n1b, kn_prob)`` — one
+    row per distinct bigram type, streamable at corpus scale.
+    """
+    nb = np.uint64(num_buckets)
+    d = float(discount)
+
+    def explode_partial(b: pd.DataFrame) -> pa.Table:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for t in b[text_col].fillna(""):
+            ts = _tokenize(t)
+            a_out.extend(ts[:-1])
+            b_out.extend(ts[1:])
+        df = pd.DataFrame(
+            {"a": pd.Series(a_out, dtype="object"),
+             "b": pd.Series(b_out, dtype="object")}
+        )
+        p = df.groupby(["a", "b"], sort=False).size().rename("n").reset_index()
+        bkt = (
+            pd.util.hash_pandas_object(p["a"], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(p["a"].tolist(), pa.string()),
+                "b": pa.array(p["b"].tolist(), pa.string()),
+                "n": pa.array(p["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "__kn_bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    def ctx_margin(g: pd.DataFrame) -> pa.Table:
+        bi = g.groupby(["a", "b"], sort=False)["n"].sum().reset_index(name="cab")
+        gb = bi.groupby("a", sort=False)
+        ctot = gb["cab"].transform("sum").to_numpy(dtype=np.int64)
+        n1f = gb["cab"].transform("size").to_numpy(dtype=np.int64)
+        bkt2 = (
+            pd.util.hash_pandas_object(bi["b"], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(bi["a"].tolist(), pa.string()),
+                "b": pa.array(bi["b"].tolist(), pa.string()),
+                "cab": pa.array(bi["cab"].to_numpy(dtype=np.int64), pa.int64()),
+                "ctot": pa.array(ctot, pa.int64()),
+                "n1f": pa.array(n1f, pa.int64()),
+                "__kn_bkt2": pa.array(bkt2, pa.int64()),
+            }
+        )
+
+    def back_margin(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__kn_bkt2")
+        n1b = g.groupby("b", sort=False)["a"].transform("size").to_numpy(
+            dtype=np.int64
+        )
+        return pa.Table.from_pandas(
+            g.assign(n1b=n1b), preserve_index=False
+        )
+
+    typed = (
+        docs.map_batches(explode_partial, batch_format="pandas",
+                         batch_size=65536)
+        .groupby("__kn_bkt")
+        .map_groups(ctx_margin, batch_format="pandas")
+        .groupby("__kn_bkt2")
+        .map_groups(back_margin, batch_format="pandas")
+        .materialize()
+    )
+    D = typed.count()
+
+    def score(t: pa.Table) -> pa.Table:
+        cab = t["cab"].to_numpy().astype(np.float64)
+        ctot = t["ctot"].to_numpy().astype(np.float64)
+        n1f = t["n1f"].to_numpy().astype(np.float64)
+        n1b = t["n1b"].to_numpy().astype(np.float64)
+        # EXACT SQL association order (docstring) — do not refactor
+        p = (np.maximum(cab - d, 0.0) + d * n1f * (n1b / float(D))) / ctot
+        return t.append_column("kn_prob", pa.array(p, pa.float64()))
+
+    return typed.map_batches(score, batch_format="pyarrow")

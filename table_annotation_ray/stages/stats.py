@@ -1439,3 +1439,56 @@ def roc_auc(
         "u2": int(round(2.0 * u)),
         "auc": auc,
     }
+
+
+def calibration_bins(
+    scored: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer: NTILE(k)
+    over the (score, id) global order, then per-bin count, positive
+    count, mean predicted score and observed positive rate — the
+    calibration table ECE/Brier diagnostics read off.
+
+    Exactness contract: scores must sit on a 1e-6 lattice (round
+    upstream); they are summed as INTEGER micro-units so per-bin sums
+    are order-independent, and the two output rates are each ONE double
+    division of exact integers — bit-identical to a SQL NTILE mirror.
+    Shape: the ntile tile is closed-form from range-partitioned
+    global_rank (no single-node sort); one grouped_reduce collapses to
+    k rows.  Output ``(tile, n, pos, sum_score_u, mean_score,
+    pos_rate)`` sorted by tile.
+    """
+    from .agg import grouped_reduce
+    from .datapipe import ntile
+
+    def to_units(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        s = b[score_col].to_numpy(dtype=np.float64)
+        b["__cal_u"] = np.round(s * 1e6).astype(np.int64)
+        return b
+
+    tiled = ntile(scored, [score_col], id_col, k=k).map_batches(
+        to_units, batch_format="pandas"
+    )
+    out = grouped_reduce(
+        tiled,
+        ["tile"],
+        {
+            "n": (None, "count"),
+            "pos": (label_col, "sum"),
+            "sum_score_u": ("__cal_u", "sum"),
+        },
+    ).to_pandas()
+    for c in ("tile", "n", "pos", "sum_score_u"):
+        out[c] = out[c].astype("int64")
+    out["mean_score"] = out["sum_score_u"].to_numpy(np.float64) / (
+        1e6 * out["n"].to_numpy(np.float64)
+    )
+    out["pos_rate"] = out["pos"].to_numpy(np.float64) / out["n"].to_numpy(
+        np.float64
+    )
+    return out.sort_values("tile").reset_index(drop=True)

@@ -166,3 +166,99 @@ def test_fuzzy_pairs_1del_vs_brute(ray_session):
     out = fuzzy_pairs_1del(rd.from_pandas(df).repartition(3), "s").to_pandas()
     got = set(zip(out["a"], out["b"]))
     assert got == expect
+
+
+def _unigram_reference(texts, vocab_size, seed_size, max_piece_len, n_iters, shrink):
+    """Pure single-process mirror of train_unigram_lm (same seed rule,
+    same hard-EM, same prune order) — distributed run must match
+    byte-identically."""
+    import math
+    import re
+
+    ws = re.compile(r"\s+")
+    wc = {}
+    for t in texts:
+        for w in ws.split(t.lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    sub = {}
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                sub[w[i:j]] = sub.get(w[i:j], 0) + n
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[: max(0, seed_size - len(chars))]
+    cur = dict(chars)
+    cur.update(dict(multi))
+
+    from table_annotation_ray.stages.unigram import _viterbi
+
+    for it in range(n_iters):
+        total = float(sum(cur.values()))
+        logp = {p: math.log(c / total) for p, c in cur.items() if c > 0}
+        floor = math.log(0.5 / total)
+        for p in cur:
+            if len(p) == 1 and p not in logp:
+                logp[p] = floor
+        cnt = {}
+        for w, n in wc.items():
+            for piece in _viterbi(w, logp, max_piece_len):
+                cnt[piece] = cnt.get(piece, 0) + n
+        cur = {p: cnt.get(p, 0) for p in cur}
+        msort = sorted(
+            ((c, p) for p, c in cur.items() if len(p) > 1),
+            key=lambda t: (t[0], t[1]),
+        )
+        n_chars = sum(1 for p in cur if len(p) == 1)
+        target_multi = max(0, vocab_size - n_chars)
+        if it < n_iters - 1:
+            keep = max(target_multi, int(len(msort) * (1.0 - shrink)))
+        else:
+            keep = target_multi
+        drop = {p for _, p in msort[: max(0, len(msort) - keep)]}
+        cur = {p: c for p, c in cur.items() if p not in drop}
+    return cur
+
+
+def test_train_unigram_lm_matches_reference(ray_session):
+    from table_annotation_ray.stages.unigram import train_unigram_lm
+
+    texts = (
+        ["low lower lowest", "new newer newest", "wide wider widest"] * 4
+        + ["slow slower slowest", "deep deeper deepest"] * 3
+    )
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = train_unigram_lm(
+        rd.from_pandas(df).repartition(5),
+        vocab_size=24, seed_size=64, max_piece_len=5, n_iters=3, shrink=0.3,
+    )
+    ref = _unigram_reference(texts, 24, 64, 5, 3, 0.3)
+    got_d = dict(zip(got["piece"], got["count"].astype(int)))
+    assert got_d == ref
+    # morpheme discovery: a comparative/superlative suffix must survive
+    assert any(p in got_d and got_d[p] > 0 for p in ("er", "est", "st"))
+    # every single char of the corpus is retained (coverage floor)
+    corpus_chars = set("".join(texts).lower().replace(" ", ""))
+    assert corpus_chars <= set(got["piece"])
+
+
+def test_unigram_encode_coverage(ray_session):
+    from table_annotation_ray.stages.unigram import (
+        train_unigram_lm, unigram_encode,
+    )
+
+    texts = ["hello hello world", "world of hello"]
+    df = pd.DataFrame({"doc_id": [1, 2], "text": texts})
+    ds = rd.from_pandas(df)
+    model = train_unigram_lm(ds, vocab_size=16, seed_size=32,
+                             max_piece_len=5, n_iters=2)
+    out = unigram_encode(ds, model).to_pandas().set_index("doc_id")
+    # full coverage: n_pieces >= 1 per word, n_chars exact
+    assert out.loc[1, "n_chars"] == len("hellohelloworld")
+    assert out.loc[2, "n_chars"] == len("worldofhello")
+    assert (out["n_pieces"] > 0).all()
+    # "hello" should be a single piece (dominant word)
+    assert out.loc[1, "n_pieces"] <= 4
