@@ -5799,6 +5799,86 @@ def _q_unigram_vocab(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+
+def _q_coreset_select(sf_dir: str):
+    """Greedy k-center coreset (stages/clustering.py::kcenter_coreset —
+    Gonzalez 2-approx): 32 maximally-diverse embedding rows; the
+    min-distance state is a dataset COLUMN updated one map pass per
+    round, the driver reduces only per-block argmax partials.
+    Deterministic (squared-L2 float64, min-id ties) but iterative —
+    rows-only check; the single-process equivalence is pinned in
+    pytest."""
+    from table_annotation_ray.stages.clustering import kcenter_coreset
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_coreset(embs, "vec_id", "embedding", k=32)
+
+
+def _q_trimmed_mean_price(sf_dir: str):
+    """Exact 10%-count-trimmed mean price per return flag
+    (stages/quantiles.py::trimmed_mean_by_key): counts-engine — one
+    grouped_reduce to the distinct-value histogram, interior
+    multiplicities from cumulative counts, EXACT int64 cent sums, one
+    double division.  SQL mirror is the row_number window."""
+    from table_annotation_ray.stages.quantiles import trimmed_mean_by_key
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = trimmed_mean_by_key(li, "l_returnflag", "l_extendedprice",
+                              trim=0.1).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_source_ablation(sf_dir: str):
+    """Leave-one-source-out corpus valuation (stages/stats.py::
+    group_ablation): how the global mean quality score moves when each
+    source is removed — integer micro-unit sums, single-division rates,
+    bit-identical to the SQL mirror."""
+    from table_annotation_ray.stages.stats import group_ablation
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "score": _round_ha(qs["stopword_ratio"], 6).to_numpy(),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas")
+    return group_ablation(scored, "source", "score")
+
+
+def _q_kanon_audit(sf_dir: str):
+    """k-anonymity audit (stages/dq.py::k_anonymity) over the customer
+    (nation, segment) quasi-identifier: every equivalence class with
+    its count and risky flag (< k=10 rows).  One grouped_reduce."""
+    from table_annotation_ray.stages.dq import k_anonymity
+
+    cu = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    out = k_anonymity(cu, ["c_nationkey", "c_mktsegment"], k=10).to_pandas()
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    return out.sort_values(["c_nationkey", "c_mktsegment"]).reset_index(drop=True)
+
+
+def _q_part_name_extract(sf_dir: str):
+    """Vectorized regex group extraction (stages/relational.py::
+    regex_extract, Arrow pc.extract_regex kernel): split p_name into
+    its adjective/noun fields; rows not matching the two-word shape get
+    NULLs.  Map-only, hash-exact vs DuckDB regexp_extract."""
+    from table_annotation_ray.stages.relational import regex_extract
+
+    pt = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    out = regex_extract(
+        pt, "p_name", r"^(?P<adj>[a-z]+) (?P<noun>[a-z]+)$",
+        keep_cols=["p_partkey"],
+    ).to_pandas()
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6040,6 +6120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_kn": _q_bigram_kn,
         "quality_calibration": _q_quality_calibration,
         "unigram_vocab": _q_unigram_vocab,
+        "coreset_select": _q_coreset_select,
+        "trimmed_mean_price": _q_trimmed_mean_price,
+        "source_ablation": _q_source_ablation,
+        "kanon_audit": _q_kanon_audit,
+        "part_name_extract": _q_part_name_extract,
     }
 
 
@@ -9259,6 +9344,71 @@ def oracle_sql() -> dict[str, str]:
                        / (1000000.0 * count(*)) AS mean_score,
                    CAST(sum(label) AS DOUBLE) / count(*) AS pos_rate
             FROM t GROUP BY tile ORDER BY tile
+        """,
+        "trimmed_mean_price": """
+            WITH r AS (
+                SELECT l_returnflag, l_extendedprice AS v,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem),
+            b AS (SELECT l_returnflag, v, n,
+                         CAST(floor(0.1 * n) AS BIGINT) AS lo
+                  FROM r WHERE rn > floor(0.1 * n)
+                           AND rn <= n - floor(0.1 * n))
+            SELECT l_returnflag,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(n - 2 * lo) AS BIGINT) AS n_used,
+                   CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE)
+                       / (100.0 * max(n - 2 * lo)) AS trimmed_mean
+            FROM b GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "source_ablation": """
+            WITH scored AS (
+                SELECT source,
+                       CAST(round(round(len(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x IN """ + _ENGLISH_STOPS + """))
+                           / greatest(CASE WHEN trim(text) = '' THEN 0
+                                           ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                      END, 1), 6) * 1000000) AS BIGINT) AS u
+                FROM documents),
+            g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(u) AS BIGINT) AS sum_u
+                  FROM scored GROUP BY source),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(sum(sum_u) AS BIGINT) AS ss FROM g)
+            SELECT g.source, g.n, g.sum_u,
+                   CAST(g.sum_u AS DOUBLE) / (1000000.0 * g.n) AS mean_score,
+                   CASE WHEN g.n < t.nn THEN
+                       CAST(t.ss - g.sum_u AS DOUBLE)
+                           / (1000000.0 * (t.nn - g.n)) END AS loo_mean,
+                   CASE WHEN g.n < t.nn THEN
+                       CAST(t.ss - g.sum_u AS DOUBLE)
+                           / (1000000.0 * (t.nn - g.n))
+                       - CAST(t.ss AS DOUBLE) / (1000000.0 * t.nn)
+                   END AS delta
+            FROM g CROSS JOIN t ORDER BY g.source
+        """,
+        "kanon_audit": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT)
+                       AS risky
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+            ORDER BY c_nationkey, c_mktsegment
+        """,
+        "part_name_extract": """
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                   CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+                        THEN regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1)
+                   END AS adj,
+                   CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+                        THEN regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2)
+                   END AS noun
+            FROM part ORDER BY p_partkey
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -220,3 +220,86 @@ def kmeans_silhouette(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def kcenter_coreset(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    k: int = 16,
+) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 2-approximation) —
+    the diversity-maximizing subset picker used for training-data
+    coresets and prototype selection: start from the smallest id, then
+    repeatedly take the point FARTHEST from the chosen set.
+
+    Fully distributed state: the running min-distance-to-centers lives
+    as a COLUMN on the embedding dataset (updated by one map pass per
+    round against the newly chosen center, broadcast in the closure);
+    the driver only ever reduces per-block (max, argmax) partials —
+    k rounds × one map pass, no driver-side matrix.  Distances are
+    squared L2 in float64 (identical per-row ops regardless of block
+    layout, so results are partitioning-independent); argmax ties break
+    to the smaller id.  Returns ``(order, id, radius)`` where
+    ``radius`` is the max-min squared distance at selection time (the
+    coverage radius sequence; radius of order 0 is NULL).
+    """
+    import pyarrow as pa
+
+    base = ds.select_columns([id_col, col]).materialize()
+
+    # seed: smallest id (per-block min partials -> driver reduce)
+    def min_id(b: pd.DataFrame) -> pd.DataFrame:
+        i = b[id_col].idxmin()
+        return b.loc[[i], [id_col, col]]
+
+    seeds = base.map_batches(min_id, batch_format="pandas").to_pandas()
+    srow = seeds.loc[seeds[id_col].idxmin()]
+    centers = [(int(srow[id_col]), np.asarray(srow[col], dtype=np.float64))]
+    radii: list[float] = [float("nan")]
+
+    st = base
+    for _ in range(1, k):
+        cvec = centers[-1][1]
+
+        def upd(b: pd.DataFrame, _c=cvec) -> pa.Table:
+            X = _emb_matrix(b[col])
+            d = ((X - _c[None, :]) ** 2).sum(axis=1)
+            if "__kc_mind" in b.columns:
+                d = np.minimum(b["__kc_mind"].to_numpy(dtype=np.float64), d)
+            from table_annotation_ray.stages.similarity import _list_col
+
+            return pa.table(
+                {
+                    id_col: pa.array(
+                        b[id_col].to_numpy(dtype=np.int64), pa.int64()
+                    ),
+                    col: _list_col(X),
+                    "__kc_mind": pa.array(d, pa.float64()),
+                }
+            )
+
+        st = st.map_batches(upd, batch_format="pandas").materialize()
+
+        def far(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["__kc_mind"].to_numpy(dtype=np.float64)
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            best = np.lexsort((ids, -d))[0]  # max dist, then min id
+            return b.iloc[[best]]
+
+        cand = st.map_batches(far, batch_format="pandas").to_pandas()
+        d = cand["__kc_mind"].to_numpy(dtype=np.float64)
+        ids = cand[id_col].to_numpy(dtype=np.int64)
+        best = np.lexsort((ids, -d))[0]
+        centers.append(
+            (int(ids[best]), np.asarray(cand[col].iloc[best], dtype=np.float64))
+        )
+        radii.append(float(d[best]))
+
+    return pd.DataFrame(
+        {
+            "order": np.arange(len(centers), dtype=np.int64),
+            "id": np.array([c[0] for c in centers], dtype=np.int64),
+            "radius": np.array(radii, dtype=np.float64),
+        }
+    )

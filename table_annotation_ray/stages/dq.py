@@ -370,3 +370,39 @@ def table_checksum(
             ),
         }
     )
+
+
+def k_anonymity(
+    ds: rd.Dataset,
+    qi_cols: list[str],
+    k: int = 10,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification risk check a PII-bearing corpus runs before
+    release: every QI equivalence class with its row count and a
+    ``risky`` flag (count < k means an individual hides among fewer
+    than k records).  ONE grouped_reduce exchange (map-side partial
+    counts); output ``(qi..., n, risky)``.
+    """
+    import pyarrow as pa
+
+    from .agg import grouped_reduce
+
+    counts = grouped_reduce(
+        ds.select_columns(list(qi_cols)),
+        list(qi_cols),
+        {"n": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    kk = int(k)
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        t = t.set_column(t.schema.get_field_index("n"), "n",
+                         pa.array(n, pa.int64()))
+        return t.append_column(
+            "risky", pa.array((n < kk).astype(np.int64), pa.int64())
+        )
+
+    return counts.map_batches(flag, batch_format="pyarrow")

@@ -727,3 +727,98 @@ def weighted_median_by_key(
         .groupby("__wm_bkt")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def trimmed_mean_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    trim: float = 0.1,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact count-trimmed mean per key: drop the ``floor(trim*n)``
+    lowest- and highest-ranked values (rank over value; ties are
+    interchangeable for a sum) and average the interior — the robust
+    center between median and mean (winsorize clamps, trim drops).
+
+    Counts-engine shape: ONE grouped_reduce collapses to the distinct
+    (key, value, count) histogram; the in-bucket pass computes each
+    distinct value's interior multiplicity from cumulative counts
+    (``clip(min(cum, hi) - max(cum_prev, lo), 0)``) — never touching
+    raw rows.  Values must sit on a 2-decimal lattice: the interior
+    sum is EXACT int64 cents, the mean is one double division —
+    bit-identical to a SQL row_number mirror.  Output ``(key, n,
+    n_used, sum_cents, trimmed_mean)``; keys whose interior is empty
+    are dropped.
+    """
+    from .agg import grouped_reduce
+
+    hist = grouped_reduce(
+        ds.select_columns([key_col, val_col]),
+        [key_col, val_col],
+        {"cnt": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    nb = np.uint64(num_buckets)
+    t = float(trim)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["__tm_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__tm_bkt")
+            .sort_values([key_col, val_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        gb = g.groupby(key_col, sort=False)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        cum = gb["cnt"].cumsum().to_numpy(dtype=np.int64)
+        n = gb["cnt"].transform("sum").to_numpy(dtype=np.int64)
+        lo = np.floor(t * n).astype(np.int64)  # same double expr as SQL
+        hi = n - lo
+        prev = cum - cnt
+        qty = np.clip(np.minimum(cum, hi) - np.maximum(prev, lo), 0, None)
+        cents = np.round(g[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        part = pd.DataFrame(
+            {
+                key_col: g[key_col],
+                "n": n,
+                "n_used": hi - lo,
+                "c": cents * qty,
+            }
+        )
+        agg = part.groupby(key_col, sort=True).agg(
+            n=("n", "first"), n_used=("n_used", "first"), sum_cents=("c", "sum")
+        ).reset_index()
+        agg = agg[agg["n_used"] > 0]
+        try:
+            kt = pa.from_numpy_dtype(agg[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        sc = agg["sum_cents"].to_numpy(dtype=np.int64)
+        nu = agg["n_used"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(agg[key_col].to_numpy(), kt),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_used": pa.array(nu, pa.int64()),
+                "sum_cents": pa.array(sc, pa.int64()),
+                "trimmed_mean": pa.array(
+                    sc.astype(np.float64) / (100.0 * nu.astype(np.float64)),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        hist.map_batches(tag, batch_format="pandas")
+        .groupby("__tm_bkt")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

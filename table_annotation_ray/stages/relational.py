@@ -1279,3 +1279,33 @@ def association_rules(
         )
 
     return pairs.map_batches(rules, batch_format="pyarrow")
+
+
+def regex_extract(
+    ds: rd.Dataset,
+    col: str,
+    pattern: str,
+    keep_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Vectorized regex group extraction — structured fields from a
+    string column via the Arrow C++ kernel ``pc.extract_regex`` (one
+    call per batch, zero per-row Python): the pattern's NAMED groups
+    (``(?P<name>...)``) become output columns; non-matching rows get
+    NULLs.  ``keep_cols`` pass through unchanged.  Map-only."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    names = list(_re.compile(pattern).groupindex)
+    if not names:
+        raise ValueError("pattern needs at least one named group")
+
+    def ext(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[col], pa.string())
+        m = pc.extract_regex(s, pattern)
+        cols = {c: t[c] for c in (keep_cols or [])}
+        for nm in names:
+            cols[nm] = pc.struct_field(m, nm)
+        return pa.table(cols)
+
+    return ds.map_batches(ext, batch_format="pyarrow")

@@ -1492,3 +1492,59 @@ def calibration_bins(
         np.float64
     )
     return out.sort_values("tile").reset_index(drop=True)
+
+
+def group_ablation(
+    scored: rd.Dataset,
+    group_col: str,
+    score_col: str,
+    scale: float = 1e6,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Leave-one-group-out contribution analysis — the data-valuation
+    primitive for corpus mixing: for every group (source, domain,
+    shard), how would the global mean score move if the group were
+    removed?
+
+        loo_mean = (S - s_g) / (scale * (N - n_g))
+        delta    = loo_mean - global_mean
+
+    Scores must sit on a ``1/scale`` lattice (round upstream); they are
+    summed as integer units so every sum is order-independent, and each
+    output rate is a single double division — bit-identical to a SQL
+    mirror evaluating the same expressions.  ONE grouped_reduce
+    exchange; driver math is group-count-bounded.  Output ``(group, n,
+    sum_u, mean_score, loo_mean, delta)`` sorted by group (groups
+    covering the whole corpus get NULL loo/delta).
+    """
+    from .agg import grouped_reduce
+
+    def to_units(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[score_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "__ab_u": np.round(s * scale).astype(np.int64),
+            }
+        )
+
+    agg = grouped_reduce(
+        scored.map_batches(to_units, batch_format="pandas"),
+        [group_col],
+        {"n": (None, "count"), "sum_u": ("__ab_u", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_u"] = agg["sum_u"].astype("int64")
+    N = int(agg["n"].sum())
+    S = int(agg["sum_u"].sum())
+    gmean = S / (scale * N)
+    n = agg["n"].to_numpy(dtype=np.float64)
+    su = agg["sum_u"].to_numpy(dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        loo = (S - su) / (scale * (N - n))
+    loo = np.where(n < N, loo, np.nan)
+    agg["mean_score"] = su / (scale * n)
+    agg["loo_mean"] = loo
+    agg["delta"] = loo - gmean
+    return agg.sort_values(group_col).reset_index(drop=True)

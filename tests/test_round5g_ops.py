@@ -262,3 +262,121 @@ def test_unigram_encode_coverage(ray_session):
     assert (out["n_pieces"] > 0).all()
     # "hello" should be a single piece (dominant word)
     assert out.loc[1, "n_pieces"] <= 4
+
+
+def test_kcenter_coreset_matches_numpy_greedy(ray_session):
+    from table_annotation_ray.stages.clustering import kcenter_coreset
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(0, 1, (120, 6))
+    ids = np.arange(1000, 1000 + len(X))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    k = 8
+    got = kcenter_coreset(rd.from_pandas(df).repartition(5),
+                          "vec_id", "embedding", k=k)
+
+    # pure-numpy greedy reference with the same tie rules
+    chosen = [0]  # position of min id (ids ascending -> index 0)
+    mind = ((X - X[0]) ** 2).sum(axis=1)
+    ref_radii = [float("nan")]
+    for _ in range(1, k):
+        best = np.lexsort((ids, -mind))[0]
+        ref_radii.append(float(mind[best]))
+        chosen.append(best)
+        mind = np.minimum(mind, ((X - X[best]) ** 2).sum(axis=1))
+    assert list(got["id"]) == [int(ids[c]) for c in chosen]
+    assert got["radius"].iloc[1:].to_numpy() == pytest.approx(
+        np.array(ref_radii[1:]), abs=0
+    )
+    # radii are non-increasing (greedy k-center invariant)
+    r = got["radius"].iloc[1:].to_numpy()
+    assert (np.diff(r) <= 1e-12).all()
+
+
+def test_trimmed_mean_by_key_vs_pandas(ray_session):
+    from table_annotation_ray.stages.quantiles import trimmed_mean_by_key
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 500),
+            "v": np.round(rng.normal(100, 30, 500), 2),
+        }
+    )
+    out = (
+        trimmed_mean_by_key(rd.from_pandas(df).repartition(4), "k", "v",
+                            trim=0.1)
+        .to_pandas()
+        .set_index("k")
+    )
+    for k, sub in df.groupby("k"):
+        v = np.sort(sub["v"].to_numpy())
+        lo = int(np.floor(0.1 * len(v)))
+        inner = v[lo: len(v) - lo]
+        cents = np.round(inner * 100).astype(np.int64).sum()
+        assert out.loc[k, "n"] == len(v)
+        assert out.loc[k, "n_used"] == len(inner)
+        assert out.loc[k, "sum_cents"] == cents
+        assert out.loc[k, "trimmed_mean"] == cents / (100.0 * len(inner))
+
+
+def test_group_ablation_hand(ray_session):
+    from table_annotation_ray.stages.stats import group_ablation
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 3 + ["b"] * 2,
+            "s": [0.1, 0.2, 0.3, 0.5, 0.7],
+        }
+    )
+    out = group_ablation(rd.from_pandas(df), "g", "s").set_index("g")
+    assert out.loc["a", "n"] == 3 and out.loc["b", "n"] == 2
+    # removing b leaves mean(a) = 0.2
+    assert out.loc["b", "loo_mean"] == pytest.approx(0.2, abs=1e-12)
+    gmean = (0.1 + 0.2 + 0.3 + 0.5 + 0.7) / 5
+    assert out.loc["b", "delta"] == pytest.approx(0.2 - gmean, abs=1e-12)
+    # a single group covering everything -> NULL loo
+    out2 = group_ablation(
+        rd.from_pandas(pd.DataFrame({"g": ["x", "x"], "s": [0.5, 0.5]})),
+        "g", "s",
+    )
+    assert np.isnan(out2["loo_mean"].iloc[0])
+
+
+def test_k_anonymity_flags(ray_session):
+    from table_annotation_ray.stages.dq import k_anonymity
+
+    df = pd.DataFrame(
+        {
+            "zip": ["111"] * 12 + ["222"] * 3 + ["333"] * 1,
+            "age": ["30s"] * 12 + ["40s"] * 3 + ["50s"] * 1,
+        }
+    )
+    out = (
+        k_anonymity(rd.from_pandas(df).repartition(3), ["zip", "age"], k=5)
+        .to_pandas()
+        .set_index("zip")
+    )
+    assert out.loc["111", "n"] == 12 and out.loc["111", "risky"] == 0
+    assert out.loc["222", "n"] == 3 and out.loc["222", "risky"] == 1
+    assert out.loc["333", "risky"] == 1
+
+
+def test_regex_extract_nulls(ray_session):
+    from table_annotation_ray.stages.relational import regex_extract
+
+    df = pd.DataFrame(
+        {"id": [1, 2, 3], "s": ["red widget", "odd", "hot gear"]}
+    )
+    out = (
+        regex_extract(
+            rd.from_pandas(df), "s", r"^(?P<adj>[a-z]+) (?P<noun>[a-z]+)$",
+            keep_cols=["id"],
+        )
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert out.loc[1, "adj"] == "red" and out.loc[1, "noun"] == "widget"
+    assert out.loc[3, "adj"] == "hot" and out.loc[3, "noun"] == "gear"
+    assert pd.isna(out.loc[2, "adj"]) and pd.isna(out.loc[2, "noun"])
