@@ -5811,7 +5811,7 @@ def _q_coreset_select(sf_dir: str):
     from table_annotation_ray.stages.clustering import kcenter_coreset
 
     embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return kcenter_coreset(embs, "vec_id", "embedding", k=32)
+    return kcenter_coreset(embs, "vec_id", "embedding", k=16)
 
 
 def _q_trimmed_mean_price(sf_dir: str):
@@ -5877,6 +5877,98 @@ def _q_part_name_extract(sf_dir: str):
     ).to_pandas()
     out["p_partkey"] = out["p_partkey"].astype("int64")
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+
+def _q_incremental_join_view(sf_dir: str):
+    """Incremental join-view maintenance (stages/relational.py::
+    incremental_join): orders/lineitem each split into base and delta
+    (orderkey%4, linenumber==1); the operator emits exactly the join
+    rows the deltas add — dL x (Rb u dR)  union  Lb x dR — the
+    base x base bulk never executes.  SQL mirror: full join filtered
+    to rows touching a delta."""
+    from table_annotation_ray.stages.relational import incremental_join
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    base_l = o.map_batches(lambda b: b[b["o_orderkey"] % 4 != 0],
+                           batch_format="pandas")
+    delta_l = o.map_batches(lambda b: b[b["o_orderkey"] % 4 == 0],
+                            batch_format="pandas")
+    base_r = li.map_batches(lambda b: b[b["l_linenumber"] != 1],
+                            batch_format="pandas")
+    delta_r = li.map_batches(lambda b: b[b["l_linenumber"] == 1],
+                             batch_format="pandas")
+    out = incremental_join(
+        base_l, delta_l, base_r, delta_r, "o_orderkey", "l_orderkey"
+    ).to_pandas()
+    for c in ("o_orderkey", "l_linenumber"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["o_orderkey", "l_linenumber", "l_quantity"]
+    ).reset_index(drop=True)
+
+
+def _q_copurchase_cosine(sf_dir: str):
+    """Cosine-normalized co-purchase graph (stages/relational.py::
+    cooccurrence_cosine): pair basket counts over the 1/3 order
+    subsample, normalized by each part's distinct-basket count —
+    cosine = n_ab / sqrt(n_a*n_b), single IEEE sqrt+divide, SQL
+    bit-identical."""
+    from table_annotation_ray.stages.relational import cooccurrence_cosine
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: b[b["l_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    out = cooccurrence_cosine(li, "l_orderkey", "l_partkey",
+                              min_count=2).to_pandas()
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def _q_embedding_outliers(sf_dir: str):
+    """Per-label centroid outliers (stages/clustering.py::
+    centroid_outliers): the 5 vectors farthest from their own label
+    centroid — mislabel/contamination triage.  Skinny label-bounded
+    centroid exchange + map-only distances + grouped_topk; float
+    centroid sums make this a rows-only diagnostic (numpy equivalence
+    pinned in pytest)."""
+    from table_annotation_ray.stages.clustering import centroid_outliers
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = centroid_outliers(embs, "label", "vec_id", "embedding",
+                            top_k=5).to_pandas()
+    out["label"] = out["label"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values(["label", "dist2", "vec_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+def _q_unigram_fertility(sf_dir: str):
+    """Tokenizer fertility by source (stages/unigram.py): pieces/word
+    of the trained unigram-LM tokenizer per document source — the
+    bpe_fertility counterpart for the second tokenizer family.
+    Encode keyed directly by source; one grouped_reduce; fertility is
+    one double division of exact int sums.  Model-driven, rows-only."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.unigram import (
+        train_unigram_lm, unigram_encode,
+    )
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    model = train_unigram_lm(
+        docs, vocab_size=48, seed_size=256, max_piece_len=6, n_iters=3
+    )
+    enc = unigram_encode(docs, model, text_col="text", id_col="source")
+    agg = grouped_reduce(
+        enc, ["source"],
+        {"n_pieces": ("n_pieces", "sum"), "n_words": ("n_words", "sum")},
+    ).to_pandas()
+    agg["n_pieces"] = agg["n_pieces"].astype("int64")
+    agg["n_words"] = agg["n_words"].astype("int64")
+    agg["fertility"] = agg["n_pieces"].to_numpy(np.float64) / agg[
+        "n_words"
+    ].to_numpy(np.float64)
+    return agg.sort_values("source").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -6125,6 +6217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ablation": _q_source_ablation,
         "kanon_audit": _q_kanon_audit,
         "part_name_extract": _q_part_name_extract,
+        "incremental_join_view": _q_incremental_join_view,
+        "copurchase_cosine": _q_copurchase_cosine,
+        "embedding_outliers": _q_embedding_outliers,
+        "unigram_fertility": _q_unigram_fertility,
     }
 
 
@@ -9409,6 +9505,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2)
                    END AS noun
             FROM part ORDER BY p_partkey
+        """,
+        "incremental_join_view": """
+            SELECT o.o_orderkey, o.o_orderstatus,
+                   CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+                   l.l_quantity
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey % 4 = 0 OR l.l_linenumber = 1
+            ORDER BY o.o_orderkey, l_linenumber, l.l_quantity
+        """,
+        "copurchase_cosine": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey % 3 = 0),
+            pairs AS (
+                SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                       count(*) AS n_ab
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+            cnt AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1)
+            SELECT CAST(p.item_a AS BIGINT) AS item_a,
+                   CAST(p.item_b AS BIGINT) AS item_b,
+                   CAST(p.n_ab AS BIGINT) AS n_ab,
+                   CAST(ca.n AS BIGINT) AS n_a,
+                   CAST(cb.n AS BIGINT) AS n_b,
+                   p.n_ab / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+            FROM pairs p
+            JOIN cnt ca ON ca.l_partkey = p.item_a
+            JOIN cnt cb ON cb.l_partkey = p.item_b
+            ORDER BY item_a, item_b
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

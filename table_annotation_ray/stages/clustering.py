@@ -303,3 +303,74 @@ def kcenter_coreset(
             "radius": np.array(radii, dtype=np.float64),
         }
     )
+
+
+def centroid_outliers(
+    ds: rd.Dataset,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    top_k: int = 5,
+) -> rd.Dataset:
+    """Per-label embedding outliers: the ``top_k`` vectors FARTHEST
+    (squared L2) from their own label's centroid — the mislabeled-
+    example / contamination triage view of an embedded, labeled corpus.
+
+    Shape: per-(batch, label) vector-sum partials (one skinny
+    label-count-bounded exchange) → driver centroids → broadcast →
+    map-only distance pass → ``grouped_topk`` per label (map-side
+    combiner keeps ≤k per batch).  Centroid sums are float (order-
+    dependent in the last ulp), so distances are reported rounded to
+    6 dp — a diagnostic ranking, not an oracle quantity (rows-only;
+    the numpy equivalence is pinned at rtol in pytest).  Output
+    ``(label, id, dist2)``.
+    """
+    import pyarrow as pa
+
+    from .relational import grouped_topk
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        rows_l, rows_n, rows_s = [], [], []
+        for lab, sub in b.groupby(label_col, sort=False):
+            X = _emb_matrix(sub[col])
+            rows_l.append(lab)
+            rows_n.append(len(sub))
+            rows_s.append(X.sum(axis=0).tobytes())
+        return pa.table(
+            {
+                label_col: pa.array(rows_l),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array(rows_s, pa.binary()),
+            }
+        )
+
+    parts = (
+        ds.select_columns([label_col, col])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    cents = {}
+    for lab, sub in parts.groupby(label_col, sort=True):
+        s = np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in sub["s"]]
+        ).sum(axis=0)
+        cents[lab] = s / float(sub["n"].sum())
+
+    def dist(b: pd.DataFrame) -> pa.Table:
+        X = _emb_matrix(b[col])
+        labs = b[label_col].to_numpy()
+        C = np.stack([cents[l] for l in labs])
+        d = ((X - C) ** 2).sum(axis=1)
+        d = np.floor(d * 1e6 + 0.5) / 1e6  # round half-away, 6 dp
+        return pa.table(
+            {
+                label_col: pa.array(labs),
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+                "dist2": pa.array(d, pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(dist, batch_format="pandas")
+    return grouped_topk(scored, [label_col], "dist2", top_k,
+                        descending=True, tiebreak=id_col)

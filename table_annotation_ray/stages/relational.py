@@ -1309,3 +1309,121 @@ def regex_extract(
         return pa.table(cols)
 
     return ds.map_batches(ext, batch_format="pyarrow")
+
+
+def incremental_join(
+    base_l: rd.Dataset,
+    delta_l: rd.Dataset,
+    base_r: rd.Dataset,
+    delta_r: rd.Dataset,
+    col: str,
+    right_col: str | None = None,
+    broadcast_below: int = 2_000_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Incremental maintenance of an inner-join view — the lakehouse
+    delta pattern: given each side split into an already-joined BASE
+    and a new DELTA, emit exactly the join rows the update adds::
+
+        Δ(L ⋈ R) = (ΔL ⋈ (R_base ∪ ΔR)) ∪ (L_base ⋈ ΔR)
+
+    The base×base term — the quadratic bulk a full re-join would
+    redo — never executes; each term is a size-gated
+    :func:`equi_join`.  ΔR is materialized once (it feeds both the
+    union and the second join — single-execution rule), and both legs
+    are normalized to Arrow blocks with one canonical column order
+    before the union (mixed pandas/arrow unions break downstream
+    batchers, CLAUDE.md r3).  Output: the delta join rows, same schema
+    as the full join.
+    """
+    delta_r = delta_r.materialize()
+    leg1 = equi_join(
+        delta_l, base_r.union(delta_r), col, right_col,
+        broadcast_below=broadcast_below, num_buckets=num_buckets,
+    )
+    leg2 = equi_join(
+        base_l, delta_r, col, right_col,
+        broadcast_below=broadcast_below, num_buckets=num_buckets,
+    )
+
+    cols_holder: dict = {}
+
+    def norm(t: pa.Table) -> pa.Table:
+        order = cols_holder.setdefault("c", sorted(t.schema.names))
+        return t.select(order)
+
+    a = leg1.map_batches(norm, batch_format="pyarrow")
+    b = leg2.map_batches(norm, batch_format="pyarrow")
+    return a.union(b)
+
+
+def cooccurrence_cosine(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+    broadcast_below: int = 2_000_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Cosine-normalized co-occurrence graph — the weighted bipartite
+    projection recommender engines rank with: for every item pair,
+    ``cosine = n_ab / sqrt(n_a * n_b)`` where ``n_ab`` counts shared
+    baskets and ``n_a`` counts the item's distinct baskets (so a pair
+    of niche items co-occurring often outranks two bestsellers that
+    merely both appear everywhere).
+
+    Shape: :func:`cooccurrence_pairs` (one basket co-location) +
+    :func:`distinct_count_by_key` basket counts (one exchange) + two
+    size-gated equi_joins (item-count table is item-cardinality) + a
+    map-only score.  ``cosine`` is ``int / sqrt(int*int)`` — sqrt and
+    divide are single IEEE ops, so a SQL mirror is bit-identical.
+    Output ``(item_a, item_b, n_ab, n_a, n_b, cosine)``.
+    """
+    from .agg import distinct_count_by_key
+
+    pairs = cooccurrence_pairs(
+        ds, basket_col, item_col, min_count=min_count,
+        num_buckets=num_buckets,
+    )
+    counts = distinct_count_by_key(
+        ds.select_columns([item_col, basket_col]), [item_col], basket_col,
+        num_buckets=num_buckets,
+    )
+
+    def as_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"item_a": b[item_col], "n_a": b["n_distinct"].astype("int64")}
+        )
+
+    def as_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"item_b": b[item_col], "n_b": b["n_distinct"].astype("int64")}
+        )
+
+    joined = equi_join(
+        equi_join(pairs, counts.map_batches(as_a, batch_format="pandas"),
+                  "item_a", broadcast_below=broadcast_below,
+                  num_buckets=num_buckets),
+        counts.map_batches(as_b, batch_format="pandas"), "item_b",
+        broadcast_below=broadcast_below, num_buckets=num_buckets,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        nab = t["n_baskets"].to_numpy().astype(np.int64)
+        na = t["n_a"].to_numpy().astype(np.int64)
+        nbv = t["n_b"].to_numpy().astype(np.int64)
+        cos = nab / np.sqrt((na * nbv).astype(np.float64))
+        return pa.table(
+            {
+                "item_a": pa.array(t["item_a"].to_numpy().astype(np.int64),
+                                   pa.int64()),
+                "item_b": pa.array(t["item_b"].to_numpy().astype(np.int64),
+                                   pa.int64()),
+                "n_ab": pa.array(nab, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nbv, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

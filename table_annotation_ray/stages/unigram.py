@@ -271,23 +271,27 @@ def unigram_encode(
             logp[p] = floor
 
     def seg(b: pd.DataFrame) -> pa.Table:
-        ids, n_pieces, n_chars = [], [], []
+        ids, n_pieces, n_chars, n_words = [], [], [], []
         for did, t in zip(b[id_col], b[text_col].fillna("")):
             c = 0
             ch = 0
+            nw = 0
             for w in _WS.split(t.lower()):
                 if not w:
                     continue
                 c += len(_viterbi(w, logp, max_piece_len))
                 ch += len(w)
+                nw += 1
             ids.append(did)
             n_pieces.append(c)
             n_chars.append(ch)
+            n_words.append(nw)
         return pa.table(
             {
                 id_col: pa.array(ids),
                 "n_pieces": pa.array(n_pieces, pa.int64()),
                 "n_chars": pa.array(n_chars, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
             }
         )
 

@@ -380,3 +380,78 @@ def test_regex_extract_nulls(ray_session):
     assert out.loc[1, "adj"] == "red" and out.loc[1, "noun"] == "widget"
     assert out.loc[3, "adj"] == "hot" and out.loc[3, "noun"] == "gear"
     assert pd.isna(out.loc[2, "adj"]) and pd.isna(out.loc[2, "noun"])
+
+
+def test_incremental_join_equals_filtered_full_join(ray_session):
+    from table_annotation_ray.stages.relational import incremental_join
+
+    rng = np.random.default_rng(21)
+    L = pd.DataFrame({"k": rng.integers(0, 30, 80),
+                      "lv": rng.integers(0, 100, 80)})
+    R = pd.DataFrame({"rk": rng.integers(0, 30, 90),
+                      "rv": rng.integers(0, 100, 90)})
+    lmask = L["lv"] % 3 == 0
+    rmask = R["rv"] % 4 == 0
+    out = incremental_join(
+        rd.from_pandas(L[~lmask]).repartition(3),
+        rd.from_pandas(L[lmask]).repartition(2),
+        rd.from_pandas(R[~rmask]).repartition(3),
+        rd.from_pandas(R[rmask]).repartition(2),
+        "k", "rk", broadcast_below=10,  # force the bucketed path on leg1
+    ).to_pandas()
+    full = L.merge(R.rename(columns={"rk": "k"}), on="k")
+    want = full[(full["lv"] % 3 == 0) | (full["rv"] % 4 == 0)]
+    key = ["k", "lv", "rv"]
+    got_s = out[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s, want_s, check_dtype=False
+    )
+
+
+def test_cooccurrence_cosine_hand(ray_session):
+    from table_annotation_ray.stages.relational import cooccurrence_cosine
+
+    # baskets: b1={1,2}, b2={1,2}, b3={1,3}
+    df = pd.DataFrame(
+        {"b": [1, 1, 2, 2, 3, 3], "i": [1, 2, 1, 2, 1, 3]}
+    )
+    out = (
+        cooccurrence_cosine(rd.from_pandas(df).repartition(2), "b", "i",
+                            min_count=1)
+        .to_pandas()
+        .set_index(["item_a", "item_b"])
+        .sort_index()
+    )
+    # (1,2): n_ab=2, n_1=3, n_2=2 -> 2/sqrt(6); (1,3): 1/sqrt(3)
+    assert out.loc[(1, 2), "cosine"] == 2 / np.sqrt(6.0)
+    assert out.loc[(1, 3), "cosine"] == 1 / np.sqrt(3.0)
+    assert out.loc[(1, 2), "n_a"] == 3 and out.loc[(1, 2), "n_b"] == 2
+
+
+def test_centroid_outliers_vs_numpy(ray_session):
+    from table_annotation_ray.stages.clustering import centroid_outliers
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(0, 1, (90, 4))
+    lab = np.repeat([0, 1, 2], 30)
+    X[5] += 40.0  # planted outlier in label 0
+    X[40] += 25.0  # planted outlier in label 1
+    df = pd.DataFrame(
+        {"vec_id": np.arange(90), "label": lab, "embedding": list(X)}
+    )
+    out = (
+        centroid_outliers(rd.from_pandas(df).repartition(4),
+                          "label", "vec_id", "embedding", top_k=3)
+        .to_pandas()
+    )
+    assert len(out) == 9
+    top0 = out[out["label"] == 0].sort_values("dist2", ascending=False)
+    top1 = out[out["label"] == 1].sort_values("dist2", ascending=False)
+    assert top0["vec_id"].iloc[0] == 5
+    assert top1["vec_id"].iloc[0] == 40
+    # distances match numpy at rtol (float centroid sums)
+    c0 = X[lab == 0].mean(axis=0)
+    assert out.set_index("vec_id").loc[5, "dist2"] == pytest.approx(
+        ((X[5] - c0) ** 2).sum(), rel=1e-9
+    )
