@@ -5971,6 +5971,77 @@ def _q_unigram_fertility(sf_dir: str):
     return agg.sort_values("source").reset_index(drop=True)
 
 
+
+def _q_value_rolling_slope(sf_dir: str):
+    """Windowed OLS trend per user (stages/windows.py::
+    rolling_slope_by_key): slope of value-cents against the absolute
+    in-key rank over an 8-row trailing frame — numerator and
+    denominator are EXACT int64 window sums (value on the cent
+    lattice, x the integer rank), one double division, bit-identical
+    to the SQL window mirror.  One hash(user) exchange, cumsum-diff
+    frame sums."""
+    from table_annotation_ray.stages.windows import rolling_slope_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = rolling_slope_by_key(
+        ev, "user_id", ["ts", "event_id"], "value", window=8
+    ).to_pandas()
+    out = out[["user_id", "rn", "slope_cents"]]
+    out["rn"] = out["rn"].astype("int64")
+    return out.sort_values(["user_id", "rn"]).reset_index(drop=True)
+
+
+def _q_doc_containment(sf_dir: str):
+    """Exact containment/Jaccard verification (stages/retrieval.py::
+    containment_pairs) of the rare-4-gram candidate pairs — the
+    asymmetric subset-duplicate signal (a quote scores containment ~1
+    in the shorter doc while Jaccard stays low).  One gram co-location
+    with the bounded candidate set broadcast + skinny size joins;
+    ratios are single double divisions of exact ints."""
+    from table_annotation_ray.stages.retrieval import (
+        containment_pairs, rare_term_pairs,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = rare_term_pairs(docs, ngram=4, max_df=20, min_shared=2)
+    out = containment_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), cand, ngram=4
+    ).to_pandas()
+    for c in ("doc_a", "doc_b", "n_shared", "size_a", "size_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_fuzzy_name_clusters(sf_dir: str):
+    """Entity canonicalization: connected components over the
+    edit-distance-1 name graph (stages/joins.py::fuzzy_pairs_1del +
+    stages/dedup.py::min_label_components distributed min-label
+    propagation) — every clustered customer name labeled with the
+    smallest reachable custkey.  SQL mirror: recursive min-reach over
+    the levenshtein<=1 edge set."""
+    from table_annotation_ray.stages.dedup import min_label_components
+    from table_annotation_ray.stages.joins import fuzzy_pairs_1del
+
+    cu = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: b[b["c_custkey"] % 7 == 0][["c_name"]], batch_format="pandas"
+    )
+    pairs = fuzzy_pairs_1del(cu, "c_name")
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": b["a"].str.slice(9).astype("int64"),
+                "b": b["b"].str.slice(9).astype("int64"),
+            }
+        )
+
+    edges = pairs.map_batches(parse, batch_format="pandas")
+    out = min_label_components(edges, max_iters=30).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6221,6 +6292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_cosine": _q_copurchase_cosine,
         "embedding_outliers": _q_embedding_outliers,
         "unigram_fertility": _q_unigram_fertility,
+        "value_rolling_slope": _q_value_rolling_slope,
+        "doc_containment": _q_doc_containment,
+        "fuzzy_name_clusters": _q_fuzzy_name_clusters,
     }
 
 
@@ -9535,6 +9609,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.l_partkey = p.item_a
             JOIN cnt cb ON cb.l_partkey = p.item_b
             ORDER BY item_a, item_b
+        """,
+        "value_rolling_slope": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(round(value * 100) AS BIGINT) AS y,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS rn
+                FROM events),
+            f AS (
+                SELECT user_id, rn,
+                       CAST(sum(y) OVER w AS BIGINT) AS fy,
+                       CAST(sum(rn) OVER w AS BIGINT) AS fx,
+                       CAST(sum(rn * y) OVER w AS BIGINT) AS fxy,
+                       CAST(sum(rn * rn) OVER w AS BIGINT) AS fxx
+                FROM s
+                WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+            SELECT user_id, rn,
+                   CAST(8 * fxy - fx * fy AS DOUBLE)
+                       / (8 * fxx - fx * fx) AS slope_cents
+            FROM f WHERE rn >= 7 ORDER BY user_id, rn
+        """,
+        "doc_containment": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+                FROM documents
+                WHERE trim(COALESCE(text, '')) <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_aggregate(a[u.i:u.i + 3], 'string_agg', ' ') AS gram
+                FROM t, unnest(range(1, len(a) - 2)) u(i)
+            ),
+            p AS (SELECT DISTINCT doc_id, gram FROM g),
+            d AS (SELECT gram FROM p GROUP BY gram HAVING count(*) <= 20),
+            rp AS (SELECT p.gram, p.doc_id FROM p JOIN d USING (gram)),
+            cand AS (
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM rp x JOIN rp y
+                  ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+            inter AS (
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       count(*) AS ns
+                FROM p x JOIN p y ON x.gram = y.gram
+                                 AND x.doc_id < y.doc_id
+                JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+                GROUP BY 1, 2),
+            sz AS (SELECT doc_id, count(*) AS s FROM p GROUP BY 1)
+            SELECT CAST(i.doc_a AS BIGINT) AS doc_a,
+                   CAST(i.doc_b AS BIGINT) AS doc_b,
+                   CAST(i.ns AS BIGINT) AS n_shared,
+                   CAST(sa.s AS BIGINT) AS size_a,
+                   CAST(sb.s AS BIGINT) AS size_b,
+                   CAST(i.ns AS DOUBLE) / sa.s AS containment_a,
+                   CAST(i.ns AS DOUBLE) / sb.s AS containment_b,
+                   CAST(i.ns AS DOUBLE) / (sa.s + sb.s - i.ns) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.doc_a
+            JOIN sz sb ON sb.doc_id = i.doc_b
+            ORDER BY doc_a, doc_b
+        """,
+        "fuzzy_name_clusters": """
+            WITH RECURSIVE v AS (
+                SELECT c_name FROM customer WHERE c_custkey % 7 = 0),
+            e0 AS (
+                SELECT CAST(substr(a.c_name, 10) AS BIGINT) AS a,
+                       CAST(substr(b.c_name, 10) AS BIGINT) AS b
+                FROM v a JOIN v b
+                  ON a.c_name < b.c_name
+                 AND levenshtein(a.c_name, b.c_name) <= 1),
+            e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+            walk(node, reach) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach)
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(reach) AS BIGINT) AS component
+            FROM walk GROUP BY node ORDER BY doc_id
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -490,6 +490,47 @@ def ranking_metrics(
     )
 
 
+def _doc_grams(b: pd.DataFrame, id_col: str, text_col: str, n: int) -> pd.DataFrame:
+    """Distinct (doc, token-n-gram) rows for a batch — vectorized Arrow
+    tokenize + take/join, shared by rare_term_pairs (blocking) and
+    containment_pairs (verification) so both use ONE gram definition."""
+    import pyarrow.compute as pc
+
+    from .textstats import _ws_tokens
+
+    toks, nt = _ws_tokens(b[text_col], lower=True)
+    flat = (
+        toks.combine_chunks().flatten()
+        if isinstance(toks, pa.ChunkedArray)
+        else toks.flatten()
+    )
+    off = (
+        toks.combine_chunks().offsets.to_numpy()
+        if isinstance(toks, pa.ChunkedArray)
+        else toks.offsets.to_numpy()
+    )
+    g_per_doc = np.maximum(nt - n + 1, 0)
+    total = int(g_per_doc.sum())
+    if total == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "gram": pd.Series([], dtype="object")})
+    doc_idx = np.repeat(np.arange(len(b)), g_per_doc)
+    first = np.r_[0, np.cumsum(g_per_doc)][:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(first, g_per_doc)
+    starts = off[:-1][doc_idx] + pos
+    if n == 1:
+        grams = flat.take(pa.array(starts))
+    else:
+        parts = [flat.take(pa.array(starts + k)) for k in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+    return pd.DataFrame(
+        {
+            id_col: b[id_col].to_numpy(dtype=np.int64)[doc_idx],
+            "gram": grams.to_numpy(zero_copy_only=False),
+        }
+    ).drop_duplicates()
+
+
 def rare_term_pairs(
     docs: rd.Dataset,
     id_col: str = "doc_id",
@@ -528,42 +569,7 @@ def rare_term_pairs(
     n = ngram
 
     def explode(b: pd.DataFrame) -> pa.Table:
-        toks, nt = _ws_tokens(b[text_col], lower=True)
-        flat = (
-            toks.combine_chunks().flatten()
-            if isinstance(toks, pa.ChunkedArray)
-            else toks.flatten()
-        )
-        off = (
-            toks.combine_chunks().offsets.to_numpy()
-            if isinstance(toks, pa.ChunkedArray)
-            else toks.offsets.to_numpy()
-        )
-        g_per_doc = np.maximum(nt - n + 1, 0)
-        total = int(g_per_doc.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "gram": pa.array([], pa.string()),
-                    "__rt_bkt": pa.array([], pa.int64()),
-                }
-            )
-        doc_idx = np.repeat(np.arange(len(b)), g_per_doc)
-        first = np.r_[0, np.cumsum(g_per_doc)][:-1]
-        pos = np.arange(total, dtype=np.int64) - np.repeat(first, g_per_doc)
-        starts = off[:-1][doc_idx] + pos
-        if n == 1:
-            grams = flat.take(pa.array(starts))
-        else:
-            parts = [flat.take(pa.array(starts + k)) for k in range(n)]
-            grams = pc.binary_join_element_wise(*parts, " ")
-        out = pd.DataFrame(
-            {
-                id_col: b[id_col].to_numpy(dtype=np.int64)[doc_idx],
-                "gram": grams.to_numpy(zero_copy_only=False),
-            }
-        ).drop_duplicates()
+        out = _doc_grams(b, id_col, text_col, n)
         bkt = (
             pd.util.hash_pandas_object(out["gram"], index=False).to_numpy()
             % nb
@@ -680,3 +686,129 @@ def fuse_rankings(
         return pa.table(out)
 
     return fused.map_batches(finalize, batch_format="pyarrow")
+
+
+def containment_pairs(
+    docs: rd.Dataset,
+    candidates: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 4,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact set-similarity for CANDIDATE document pairs: over each
+    pair's distinct token-``ngram`` sets, the shared-gram count plus
+    both directed containments (``|A∩B|/|A|``, the quote/subset-dup
+    signal Jaccard misses) and Jaccard itself.
+
+    Shape: the candidate pair list (typically the output of
+    :func:`rare_term_pairs` — bounded by the blocking contract) is
+    collected once and broadcast; one hash(gram) co-location emits a
+    count per (pair, shared gram) via a per-gram partner lookup against
+    the broadcast adjacency; one grouped_reduce sums to ``|A∩B|``;
+    per-doc distinct-gram sizes ride a second skinny exchange and two
+    size-gated joins.  All ratios are single double divisions of exact
+    ints — SQL bit-identical.  Output ``(doc_a, doc_b, n_shared,
+    size_a, size_b, containment_a, containment_b, jaccard)``.
+    """
+    import ray
+
+    from ..stages.agg import grouped_reduce
+    from ..stages.relational import equi_join
+
+    cand = candidates.to_pandas()
+    adj: dict = {}
+    for a, b in zip(cand["doc_a"].astype(int), cand["doc_b"].astype(int)):
+        adj.setdefault(a, set()).add(b)
+    aref = ray.put(adj)
+    nb = np.uint64(num_buckets)
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        out = _doc_grams(b, id_col, text_col, ngram)
+        bkt = (
+            pd.util.hash_pandas_object(out["gram"], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(out[id_col].to_numpy(), pa.int64()),
+                "gram": pa.array(out["gram"].to_numpy(), pa.string()),
+                "__ct_bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    exploded = docs.map_batches(
+        explode, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    def shared(g: pd.DataFrame) -> pa.Table:
+        from ..state.worker_state import get_worker_state, ref_key
+
+        am = get_worker_state(("ctadj", ref_key(aref)), lambda: ray.get(aref))
+        out_a, out_b = [], []
+        for _, sub in g.groupby("gram", sort=False):
+            ds_ = np.unique(sub["doc"].to_numpy(dtype=np.int64))
+            present = set(int(x) for x in ds_)
+            for a in ds_:
+                ps = am.get(int(a))
+                if not ps:
+                    continue
+                for b in ps:
+                    if b in present:
+                        out_a.append(int(a))
+                        out_b.append(b)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(out_a, np.int64), pa.int64()),
+                "doc_b": pa.array(np.asarray(out_b, np.int64), pa.int64()),
+            }
+        )
+
+    inter = grouped_reduce(
+        exploded.groupby("__ct_bkt").map_groups(shared, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        {"n_shared": (None, "count")},
+        num_buckets=num_buckets,
+    )
+
+    sizes = grouped_reduce(
+        exploded.select_columns(["doc"]),
+        ["doc"],
+        {"sz": (None, "count")},
+        num_buckets=num_buckets,
+    )
+
+    def as_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_a": b["doc"], "size_a": b["sz"].astype("int64")})
+
+    def as_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_b": b["doc"], "size_b": b["sz"].astype("int64")})
+
+    joined = equi_join(
+        equi_join(inter, sizes.map_batches(as_a, batch_format="pandas"),
+                  "doc_a"),
+        sizes.map_batches(as_b, batch_format="pandas"), "doc_b",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ns = t["n_shared"].to_numpy().astype(np.int64)
+        sa = t["size_a"].to_numpy().astype(np.int64)
+        sb = t["size_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(t["doc_a"].to_numpy().astype(np.int64),
+                                  pa.int64()),
+                "doc_b": pa.array(t["doc_b"].to_numpy().astype(np.int64),
+                                  pa.int64()),
+                "n_shared": pa.array(ns, pa.int64()),
+                "size_a": pa.array(sa, pa.int64()),
+                "size_b": pa.array(sb, pa.int64()),
+                "containment_a": pa.array(
+                    ns / sa.astype(np.float64), pa.float64()),
+                "containment_b": pa.array(
+                    ns / sb.astype(np.float64), pa.float64()),
+                "jaccard": pa.array(
+                    ns / (sa + sb - ns).astype(np.float64), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

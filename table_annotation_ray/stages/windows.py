@@ -2193,3 +2193,91 @@ def seasonal_mase(
         out[c] = out[c].astype("int64")
     out["mase"] = out["mase"].astype("float64")
     return out.reset_index(drop=True)
+
+
+def rolling_slope_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    window: int = 8,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Windowed OLS trend per key: for every row with a FULL trailing
+    window of ``window`` values, the least-squares slope of value (in
+    cents) against the row's absolute 0-based position ``rn`` within
+    its key::
+
+        slope_cents = (w*Σxy - Σx*Σy) / (w*Σxx - (Σx)²)   over the frame
+
+    Values must sit on a 2-decimal lattice: y is exact int64 cents and
+    x is the integer rank, so BOTH the numerator and denominator are
+    exact int64 window sums (shift-invariance of OLS lets the SQL
+    mirror use the same absolute-rank x with plain window SUMs) — the
+    slope is one double division, bit-identical to SQL.  One
+    ``hash(key)`` co-location; in-bucket the frame sums are cumsum
+    differences (vectorized, no per-window loops).  Output ``(key,
+    *order_cols, rn, slope_cents)`` for rows with ``rn >= window-1``.
+    """
+    nb = np.uint64(num_buckets)
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2")
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[[key_col, *order_cols, val_col]].copy()
+        b["__rs_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def slope_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__rs_bkt")
+            .sort_values([key_col] + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        codes, _ = pd.factorize(g[key_col], sort=False)
+        _, starts, counts = np.unique(codes, return_index=True,
+                                      return_counts=True)
+        pos = np.arange(len(codes), dtype=np.int64)
+        rn = pos - np.repeat(starts, counts)
+        y = np.round(g[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        x = rn
+        # per-key cumsums with a zero prepended -> frame sums by diff
+        def _csum(a: np.ndarray) -> np.ndarray:
+            c = np.cumsum(a)
+            # subtract each key's prefix so cumsums restart per key
+            base = np.repeat(c[starts] - a[starts], counts)
+            return c - base
+
+        cy, cx = _csum(y), _csum(x)
+        cxy, cxx = _csum(x * y), _csum(x * x)
+
+        def frame(c: np.ndarray) -> np.ndarray:
+            prev = np.zeros_like(c)
+            prev[w:] = c[:-w]
+            # a frame starting exactly at the key's first row must not
+            # subtract the PREVIOUS key's cumsum tail
+            prev[rn == w - 1] = 0
+            return c - prev
+
+        fy, fx, fxy, fxx = frame(cy), frame(cx), frame(cxy), frame(cxx)
+        ok = rn >= w - 1
+        num = w * fxy - fx * fy
+        den = w * fxx - fx * fx
+        slope = num[ok].astype(np.float64) / den[ok].astype(np.float64)
+        out = {key_col: pa.array(g[key_col].to_numpy()[ok])}
+        for c in order_cols:
+            out[c] = pa.array(g[c].to_numpy()[ok])
+        out["rn"] = pa.array(rn[ok], pa.int64())
+        out["slope_cents"] = pa.array(slope, pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__rs_bkt")
+        .map_groups(slope_bucket, batch_format="pandas")
+    )

@@ -455,3 +455,74 @@ def test_centroid_outliers_vs_numpy(ray_session):
     assert out.set_index("vec_id").loc[5, "dist2"] == pytest.approx(
         ((X[5] - c0) ** 2).sum(), rel=1e-9
     )
+
+
+def test_rolling_slope_by_key_vs_polyfit(ray_session):
+    from table_annotation_ray.stages.windows import rolling_slope_by_key
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for k in ("u1", "u2"):
+        n = 20
+        frames.append(
+            pd.DataFrame(
+                {
+                    "k": k,
+                    "t": np.arange(n),
+                    "v": np.round(rng.normal(50, 10, n), 2),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
+    w = 5
+    out = (
+        rolling_slope_by_key(rd.from_pandas(df).repartition(3),
+                             "k", ["t"], "v", window=w)
+        .to_pandas()
+        .set_index(["k", "rn"])
+        .sort_index()
+    )
+    for k, sub in df.groupby("k"):
+        y = np.round(sub["v"].to_numpy() * 100).astype(np.int64)
+        for end in range(w - 1, len(y)):
+            ys = y[end - w + 1: end + 1].astype(np.float64)
+            xs = np.arange(end - w + 1, end + 1, dtype=np.float64)
+            ref = np.polyfit(xs, ys, 1)[0]
+            assert out.loc[(k, end), "slope_cents"] == pytest.approx(
+                ref, rel=1e-9
+            )
+    # first full frame is rn = w-1 (no cross-key leakage)
+    assert out.reset_index()["rn"].min() == w - 1
+
+
+def test_containment_pairs_hand(ray_session):
+    from table_annotation_ray.stages.retrieval import containment_pairs
+
+    # doc 1 tokens a..f (3 distinct 2-grams per pair below); doc 2 is a
+    # strict prefix of doc 1 (quote): containment_b == 1.0
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e f",
+                "a b c d",
+                "x y z w",
+            ],
+        }
+    )
+    cand = pd.DataFrame({"doc_a": [1], "doc_b": [2]})
+    out = (
+        containment_pairs(
+            rd.from_pandas(docs).repartition(2),
+            rd.from_pandas(cand),
+            ngram=2,
+        )
+        .to_pandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    r = out.loc[(1, 2)]
+    # doc1 2-grams: ab bc cd de ef (5); doc2: ab bc cd (3); shared 3
+    assert r["n_shared"] == 3 and r["size_a"] == 5 and r["size_b"] == 3
+    assert r["containment_b"] == 1.0
+    assert r["containment_a"] == 3 / 5
+    assert r["jaccard"] == 3 / 5
