@@ -6042,6 +6042,67 @@ def _q_fuzzy_name_clusters(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def _q_ab_value_cuped(sf_dir: str):
+    """CUPED variance-reduced A/B readout (stages/stats.py::
+    cuped_adjusted): cohort = user%2, pre-period covariate = value sum
+    before Jan 16; theta from EXACT integer sufficient statistics
+    (Python-int driver sums; HUGEINT in the SQL mirror — n*Sxy
+    overflows int64), adjusted means evaluated in the exact SQL
+    association order."""
+    from table_annotation_ray.stages.stats import cuped_adjusted
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return cuped_adjusted(ev, "user_id", "ts", "value", "2024-01-16")
+
+
+def _q_quality_roc_points(sf_dir: str):
+    """Full ROC curve of the stopword-ratio quality score vs the weak
+    label (stages/stats.py::roc_points): one point per distinct
+    rounded score, counts-engine (distinct-score histogram exchange +
+    driver cumulation); rates are single divisions of exact ints."""
+    from table_annotation_ray.stages.stats import roc_points
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        s = _round_ha(qs["stopword_ratio"], 6)
+        mtl = _round_ha(qs["mean_token_len"], 6)
+        lab = ((s >= 0.05) & (mtl < 8.0)).astype("int64")
+        return pd.DataFrame({"score": s.to_numpy(), "label": lab})
+
+    scored = docs.map_batches(score, batch_format="pandas")
+    return roc_points(scored, "label", "score")
+
+
+def _q_dup_weighting(sf_dir: str):
+    """Duplicate-aware loss weights (stages/dedup.py::
+    duplicate_weights): keep every copy, weight each by 1/cluster-size
+    over exact normalized-text clusters — a repeated text contributes
+    total mass 1.  One text co-location; SQL mirror is a window
+    count."""
+    from table_annotation_ray.stages.dedup import duplicate_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_weights(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_value_bootstrap_ci(sf_dir: str):
+    """Poisson-bootstrap CI for the mean event value (stages/stats.py::
+    bootstrap_mean_ci, Chamandy et al.): 200 replicates accumulated in
+    ONE map pass, multiplicities from splitmix64(id*B+b) through the
+    Poisson(1) CDF — partitioning-independent (pinned in pytest).
+    Hash-based resampling has no SQL equivalent — rows-only."""
+    from table_annotation_ray.stages.stats import bootstrap_mean_ci
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    r = bootstrap_mean_ci(ev, "value", "event_id", n_boot=200)
+    return pd.DataFrame([r])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6295,6 +6356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_rolling_slope": _q_value_rolling_slope,
         "doc_containment": _q_doc_containment,
         "fuzzy_name_clusters": _q_fuzzy_name_clusters,
+        "ab_value_cuped": _q_ab_value_cuped,
+        "quality_roc_points": _q_quality_roc_points,
+        "dup_weighting": _q_dup_weighting,
+        "value_bootstrap_ci": _q_value_bootstrap_ci,
     }
 
 
@@ -9689,6 +9754,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS doc_id,
                    CAST(min(reach) AS BIGINT) AS component
             FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        "ab_value_cuped": """
+            WITH u AS (
+                SELECT user_id,
+                       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS x,
+                       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY user_id),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                       CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+                FROM u),
+            t AS (
+                SELECT n, sx,
+                       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                         / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           AS theta,
+                       sx / (100.0 * n) AS gxbar
+                FROM m),
+            c AS (
+                SELECT user_id % 2 AS cohort,
+                       CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(sum(x) AS BIGINT) AS sum_x_cents,
+                       CAST(sum(y) AS BIGINT) AS sum_y_cents
+                FROM u GROUP BY 1)
+            SELECT CAST(c.cohort AS BIGINT) AS cohort, c.n_users,
+                   c.sum_x_cents, c.sum_y_cents,
+                   c.sum_y_cents / (100.0 * c.n_users) AS mean_y,
+                   c.sum_y_cents / (100.0 * c.n_users)
+                     - t.theta * (c.sum_x_cents / (100.0 * c.n_users)
+                                  - t.gxbar) AS mean_adj
+            FROM c CROSS JOIN t ORDER BY cohort
+        """,
+        "quality_roc_points": """
+            WITH scored AS (
+                SELECT round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                             x -> x IN """ + _ENGLISH_STOPS + """))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS score,
+                       round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS mtl
+                FROM documents),
+            lab AS (
+                SELECT score,
+                       CASE WHEN score >= 0.05 AND mtl < 8.0
+                            THEN 1 ELSE 0 END AS label
+                FROM scored),
+            h AS (SELECT score AS thr, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(label) AS BIGINT) AS pos
+                  FROM lab GROUP BY 1),
+            t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                         CAST(sum(n - pos) AS BIGINT) AS nn FROM h),
+            c AS (SELECT thr,
+                         CAST(sum(pos) OVER (ORDER BY thr DESC) AS BIGINT)
+                             AS tp,
+                         CAST(sum(n - pos) OVER (ORDER BY thr DESC) AS BIGINT)
+                             AS fp
+                  FROM h)
+            SELECT c.thr, c.tp, c.fp,
+                   CAST(c.tp AS DOUBLE) / t.p AS tpr,
+                   CAST(c.fp AS DOUBLE) / t.nn AS fpr
+            FROM c CROSS JOIN t ORDER BY thr DESC
+        """,
+        "dup_weighting": """
+            SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS BIGINT) AS n_copies,
+                   1.0 / count(*) OVER (PARTITION BY
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS weight
+            FROM documents ORDER BY doc_id
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -1941,3 +1941,61 @@ def duplicate_ngram_coverage(
     )
     tagged = hits.union(docs.map_batches(doc_lens, batch_format="pandas"))
     return tagged.groupby("__db").map_groups(per_doc, batch_format="pandas")
+
+
+def duplicate_weights(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Duplicate-aware loss weights — the keep-but-downweight
+    alternative to dropping duplicates: every document gets
+    ``weight = 1 / |its exact-duplicate cluster|`` (normalized text:
+    lower, trim, collapse whitespace — the exact_dedup rule), so a
+    text repeated k times contributes total mass 1 to training.
+
+    ONE hash(normalized text) co-location; cluster size is a
+    groupby-transform inside the bucket (grouping on the TEXT itself,
+    so 64-bit digest collisions cannot merge clusters); the weight is
+    one double division of the exact count.  Output ``(id, n_copies,
+    weight)``.
+    """
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        norm = (
+            b[text_col].fillna("").str.lower().str.strip()
+            .str.replace(r"\s+", " ", regex=True)
+        )
+        bkt = (
+            pd.util.hash_pandas_object(norm, index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+                "__dw_norm": pa.array(norm.tolist(), pa.string()),
+                "__dw_bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    def weigh(g: pd.DataFrame) -> pa.Table:
+        n = g.groupby("__dw_norm", sort=False)[id_col].transform("size").to_numpy(
+            dtype=np.int64
+        )
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+                "n_copies": pa.array(n, pa.int64()),
+                "weight": pa.array(1.0 / n.astype(np.float64), pa.float64()),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__dw_bkt")
+        .map_groups(weigh, batch_format="pandas")
+    )

@@ -1548,3 +1548,222 @@ def group_ablation(
     agg["loo_mean"] = loo
     agg["delta"] = loo - gmean
     return agg.sort_values(group_col).reset_index(drop=True)
+
+
+def cuped_adjusted(
+    ds: rd.Dataset,
+    user_col: str,
+    ts_col: str,
+    val_col: str,
+    split_ts: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    per user, the pre-period metric ``x`` (value sum before
+    ``split_ts``) and the experiment metric ``y`` (sum at/after);
+    cohort = ``user % 2``; the adjusted cohort mean is::
+
+        theta      = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)      (pooled)
+        mean_adj_c = Sy_c/(100*n_c) - theta*(Sx_c/(100*n_c) - Sx/(100*n))
+
+    Exactness: values ride the cent lattice, so every sufficient
+    statistic is an exact integer — summed as int64 per batch and as
+    PYTHON ints on the driver (n*Sxy overflows int64 at sf0.1; the SQL
+    mirror uses HUGEINT) — and the float expressions above are
+    evaluated in exactly the SQL association order.  Shape: one
+    grouped_reduce to the per-user (x, y) table, one map pass of
+    per-batch moment partials, driver math.  Output one row per
+    cohort: ``(cohort, n_users, sum_x_cents, sum_y_cents, mean_y,
+    mean_adj)``.
+    """
+    from .agg import grouped_reduce
+
+    cut = pd.Timestamp(split_ts)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        pre = (b[ts_col] < cut).to_numpy()
+        return pd.DataFrame(
+            {
+                user_col: b[user_col],
+                "x": np.where(pre, cents, 0),
+                "y": np.where(pre, 0, cents),
+            }
+        )
+
+    users = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas"),
+        [user_col],
+        {"x": ("x", "sum"), "y": ("y", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(dtype=np.int64)
+        y = b["y"].to_numpy(dtype=np.int64)
+        c = (b[user_col].to_numpy(dtype=np.int64) % 2).astype(np.int64)
+        rows = [
+            {
+                "cohort": -1, "n": len(b), "sx": int(x.sum()),
+                "sy": int(y.sum()), "sxx": int((x * x).sum()),
+                "sxy": int((x * y).sum()),
+            }
+        ]
+        for co in (0, 1):
+            m = c == co
+            rows.append(
+                {
+                    "cohort": co, "n": int(m.sum()), "sx": int(x[m].sum()),
+                    "sy": int(y[m].sum()), "sxx": 0, "sxy": 0,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = users.map_batches(moments, batch_format="pandas").to_pandas()
+    g = parts[parts["cohort"] == -1]
+    n = int(g["n"].sum())
+    Sx = int(g["sx"].sum())
+    Sy = int(g["sy"].sum())
+    Sxx = int(g["sxx"].sum())
+    Sxy = int(g["sxy"].sum())
+    num = n * Sxy - Sx * Sy  # Python ints: no overflow
+    den = n * Sxx - Sx * Sx
+    theta = float(num) / float(den) if den != 0 else 0.0
+    gxbar = Sx / (100.0 * n)
+
+    out = []
+    for co in (0, 1):
+        p = parts[parts["cohort"] == co]
+        n_c = int(p["n"].sum())
+        sx_c = int(p["sx"].sum())
+        sy_c = int(p["sy"].sum())
+        mean_y = sy_c / (100.0 * n_c)
+        mean_adj = mean_y - theta * (sx_c / (100.0 * n_c) - gxbar)
+        out.append(
+            {
+                "cohort": co, "n_users": n_c, "sum_x_cents": sx_c,
+                "sum_y_cents": sy_c, "mean_y": mean_y, "mean_adj": mean_adj,
+            }
+        )
+    df = pd.DataFrame(out)
+    for c in ("cohort", "n_users", "sum_x_cents", "sum_y_cents"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def roc_points(
+    scored: rd.Dataset,
+    label_col: str,
+    score_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """The full ROC curve (one point per distinct score threshold,
+    descending): cumulative TP/FP counts and the two rates — the
+    curve behind :func:`roc_auc` when the shape, not just the area,
+    matters (operating-point selection).
+
+    Counts-engine: ONE grouped_reduce collapses to the distinct-score
+    histogram ``(score, n, n_pos)`` (driver-bounded by distinct
+    scores — round upstream); the cumulation is driver-side.  Rates
+    are single double divisions of exact ints.  Output ``(thr, tp,
+    fp, tpr, fpr)`` for thresholds "predict positive when score >=
+    thr", sorted by thr descending.
+    """
+    from .agg import grouped_reduce
+
+    hist = grouped_reduce(
+        scored.select_columns([score_col, label_col]),
+        [score_col],
+        {"n": (None, "count"), "pos": (label_col, "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    hist = hist.sort_values(score_col, ascending=False).reset_index(drop=True)
+    hist["n"] = hist["n"].astype("int64")
+    hist["pos"] = hist["pos"].astype("int64")
+    P = int(hist["pos"].sum())
+    N = int(hist["n"].sum()) - P
+    tp = hist["pos"].cumsum().to_numpy(dtype=np.int64)
+    fp = (hist["n"] - hist["pos"]).cumsum().to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "thr": hist[score_col].to_numpy(dtype=np.float64),
+            "tp": tp,
+            "fp": fp,
+            "tpr": tp.astype(np.float64) / float(P) if P else np.nan,
+            "fpr": fp.astype(np.float64) / float(N) if N else np.nan,
+        }
+    )
+
+
+def bootstrap_mean_ci(
+    ds: rd.Dataset,
+    val_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+) -> dict:
+    """Poisson-bootstrap confidence interval for the mean — the
+    one-pass, at-scale bootstrap (each replicate resamples every row
+    with multiplicity ~ Poisson(1), approximating multinomial
+    resampling; Chamandy et al.): ALL ``n_boot`` replicate sums
+    accumulate in a single map pass, so the data is read once
+    regardless of replicate count.
+
+    Determinism: multiplicities come from splitmix64(id * n_boot + b)
+    inverted through the Poisson(1) CDF — independent of block layout,
+    so the interval is reproducible across partitionings (pinned in
+    pytest).  Values ride the cent lattice (exact int64 replicate
+    sums).  Returns ``{n, mean, lo, hi, n_boot}`` with the interval as
+    the alpha/2 element quantiles of the replicate means.
+    """
+    B = int(n_boot)
+    # Poisson(1) CDF, enough mass through k=12 (1 - 6e-13)
+    pmf = np.ones(13, dtype=np.float64)
+    for k in range(1, 13):
+        pmf[k] = pmf[k - 1] / k
+    pmf /= np.e
+    cdf = np.cumsum(pmf)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        cents = np.round(b[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        reps = np.zeros(B, dtype=np.int64)
+        cnts = np.zeros(B, dtype=np.int64)
+        z = (ids[:, None] * np.uint64(B)) + np.arange(B, dtype=np.uint64)[None, :]
+        # splitmix64 finalizer, vectorized over the (rows x B) grid
+        z = (z + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        u = z.astype(np.float64) / float(2**64)
+        mult = np.searchsorted(cdf, u, side="right").astype(np.int64)
+        reps = (mult * cents[:, None]).sum(axis=0)
+        cnts = mult.sum(axis=0)
+        return pd.DataFrame(
+            {"b": np.arange(B, dtype=np.int64), "s": reps, "c": cnts,
+             "n": len(b), "tot": int(cents.sum())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("b", sort=True).agg(
+        s=("s", "sum"), c=("c", "sum")
+    )
+    n = int(parts.groupby("b")["n"].sum().iloc[0]) if len(parts) else 0
+    tot = int(parts.groupby("b")["tot"].sum().iloc[0]) if len(parts) else 0
+    means = agg["s"].to_numpy(dtype=np.float64) / (
+        100.0 * np.maximum(agg["c"].to_numpy(dtype=np.float64), 1.0)
+    )
+    means.sort()
+    lo_i = int(np.floor(alpha / 2 * (B - 1)))
+    hi_i = int(np.ceil((1 - alpha / 2) * (B - 1)))
+    return {
+        "n": n,
+        "mean": tot / (100.0 * n) if n else float("nan"),
+        "lo": float(means[lo_i]),
+        "hi": float(means[hi_i]),
+        "n_boot": B,
+    }

@@ -526,3 +526,104 @@ def test_containment_pairs_hand(ray_session):
     assert r["containment_b"] == 1.0
     assert r["containment_a"] == 3 / 5
     assert r["jaccard"] == 3 / 5
+
+
+def test_cuped_adjusted_vs_numpy(ray_session):
+    from table_annotation_ray.stages.stats import cuped_adjusted
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for uid in range(40):
+        base = rng.integers(10, 100)
+        for _ in range(rng.integers(3, 9)):
+            pre = rng.random() < 0.5
+            ts = pd.Timestamp("2024-01-0" + str(rng.integers(1, 6))) if pre \
+                else pd.Timestamp("2024-01-2" + str(rng.integers(0, 6)))
+            rows.append(
+                {"user_id": uid, "ts": ts,
+                 "value": round(float(base + rng.normal(0, 5)), 2)}
+            )
+    df = pd.DataFrame(rows)
+    out = cuped_adjusted(
+        rd.from_pandas(df).repartition(4), "user_id", "ts", "value",
+        "2024-01-16",
+    ).set_index("cohort")
+
+    cut = pd.Timestamp("2024-01-16")
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    pre = (df["ts"] < cut).to_numpy()
+    ud = pd.DataFrame(
+        {"u": df["user_id"], "x": np.where(pre, cents, 0),
+         "y": np.where(pre, 0, cents)}
+    ).groupby("u").sum()
+    x = ud["x"].to_numpy(np.int64)
+    y = ud["y"].to_numpy(np.int64)
+    n = len(ud)
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    den = n * int((x * x).sum()) - int(x.sum()) ** 2
+    theta = num / den
+    gxbar = int(x.sum()) / (100.0 * n)
+    for co in (0, 1):
+        m = (ud.index.to_numpy() % 2) == co
+        mean_y = int(y[m].sum()) / (100.0 * m.sum())
+        mean_adj = mean_y - theta * (int(x[m].sum()) / (100.0 * m.sum()) - gxbar)
+        assert out.loc[co, "n_users"] == int(m.sum())
+        assert out.loc[co, "mean_y"] == pytest.approx(mean_y, abs=1e-12)
+        assert out.loc[co, "mean_adj"] == pytest.approx(mean_adj, abs=1e-10)
+    # CUPED shrinks cross-cohort variance of a no-effect metric toward 0
+    # (not asserted numerically here; covered by construction)
+
+
+def test_roc_points_hand(ray_session):
+    from table_annotation_ray.stages.stats import roc_points
+
+    df = pd.DataFrame(
+        {"score": [0.9, 0.8, 0.8, 0.4, 0.2], "label": [1, 1, 0, 1, 0]}
+    )
+    out = roc_points(rd.from_pandas(df).repartition(2), "label", "score")
+    assert list(out["thr"]) == [0.9, 0.8, 0.4, 0.2]
+    assert list(out["tp"]) == [1, 2, 3, 3]
+    assert list(out["fp"]) == [0, 1, 1, 2]
+    assert out["tpr"].iloc[1] == 2 / 3 and out["fpr"].iloc[1] == 1 / 2
+    assert out["tpr"].iloc[-1] == 1.0 and out["fpr"].iloc[-1] == 1.0
+
+
+def test_duplicate_weights_hand(ray_session):
+    from table_annotation_ray.stages.dedup import duplicate_weights
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["Hello  World", "hello world", "unique", "HELLO WORLD "],
+        }
+    )
+    out = (
+        duplicate_weights(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out["n_copies"]) == [3, 3, 1, 3]
+    assert out.loc[1, "weight"] == 1 / 3 and out.loc[3, "weight"] == 1.0
+    # total mass = number of distinct texts
+    assert out["weight"].sum() == pytest.approx(2.0, abs=1e-12)
+
+
+def test_bootstrap_ci_partition_invariant(ray_session):
+    from table_annotation_ray.stages.stats import bootstrap_mean_ci
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"event_id": np.arange(2000),
+         "value": np.round(rng.normal(50, 10, 2000), 2)}
+    )
+    r1 = bootstrap_mean_ci(rd.from_pandas(df).repartition(2), "value",
+                           "event_id", n_boot=100)
+    r2 = bootstrap_mean_ci(rd.from_pandas(df).repartition(7), "value",
+                           "event_id", n_boot=100)
+    assert r1 == r2  # deterministic across block layouts
+    assert r1["lo"] <= r1["mean"] <= r1["hi"]
+    # the CI half-width should be near sigma/sqrt(n) (loose sanity band)
+    hw = (r1["hi"] - r1["lo"]) / 2
+    se = 10 / np.sqrt(2000)
+    assert 0.4 * 1.96 * se < hw < 2.5 * 1.96 * se
