@@ -6103,6 +6103,64 @@ def _q_value_bootstrap_ci(sf_dir: str):
     return pd.DataFrame([r])
 
 
+
+def _q_customer_fd_audit(sf_dir: str):
+    """Functional-dependency discovery (stages/dq.py::
+    functional_dependencies) over customer candidate pairs: custkey ->
+    nationkey must hold (key), nationkey <-> mktsegment must not.
+    Distinct-pair-bounded exchanges only."""
+    from table_annotation_ray.stages.dq import functional_dependencies
+
+    cu = _read(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_mktsegment"])
+    out = functional_dependencies(
+        cu,
+        [("c_custkey", "c_nationkey"),
+         ("c_nationkey", "c_mktsegment"),
+         ("c_mktsegment", "c_nationkey")],
+    )
+    return out.sort_values(["det", "dep"]).reset_index(drop=True)
+
+
+def _q_vocab_drift(sf_dir: str):
+    """Top-50 vocabulary drift between corpus halves (stages/
+    textstats.py::vocab_drift, doc_id parity split): both sides' top
+    lists aligned into one token table with counts and ranks — the
+    scrape/template-change monitor.  Exact counts; bounded top-K
+    collect (train_bigram_lm prune pattern)."""
+    from table_annotation_ray.stages.textstats import vocab_drift
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"side": (b["doc_id"] % 2).astype("int64"), "text": b["text"]}
+        ),
+        batch_format="pandas",
+    )
+    return vocab_drift(docs, "side", top_k=50)
+
+
+def _q_event_mix_shift(sf_dir: str):
+    """Mix-shift decomposition (stages/stats.py::mix_shift) of the
+    period-over-period mean event value (split Jan 16): per event type
+    the RATE effect (behavior change) vs the MIX effect (traffic
+    composition change); the two columns sum exactly to the total mean
+    change.  Cent-lattice integers; every float mirrors the SQL
+    association order."""
+    from table_annotation_ray.stages.stats import mix_shift
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "p": (b["ts"] >= pd.Timestamp("2024-01-16")).astype("int64"),
+                "value": b["value"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    return mix_shift(ev, "event_type", "p", "value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6360,6 +6418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_roc_points": _q_quality_roc_points,
         "dup_weighting": _q_dup_weighting,
         "value_bootstrap_ci": _q_value_bootstrap_ci,
+        "customer_fd_audit": _q_customer_fd_audit,
+        "vocab_drift": _q_vocab_drift,
+        "event_mix_shift": _q_event_mix_shift,
     }
 
 
@@ -9835,6 +9896,94 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                        AS weight
             FROM documents ORDER BY doc_id
+        """,
+        "customer_fd_audit": """
+            WITH f1 AS (SELECT c_custkey AS d,
+                               count(DISTINCT c_nationkey) AS m
+                        FROM customer GROUP BY 1),
+            f2 AS (SELECT c_nationkey AS d,
+                          count(DISTINCT c_mktsegment) AS m
+                   FROM customer GROUP BY 1),
+            f3 AS (SELECT c_mktsegment AS d,
+                          count(DISTINCT c_nationkey) AS m
+                   FROM customer GROUP BY 1)
+            SELECT 'c_custkey' AS det, 'c_nationkey' AS dep,
+                   CAST(count(*) AS BIGINT) AS n_det,
+                   CAST(sum(m) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating,
+                   CAST(CASE WHEN max(m) <= 1 THEN 1 ELSE 0 END AS BIGINT)
+                       AS holds
+            FROM f1
+            UNION ALL
+            SELECT 'c_nationkey', 'c_mktsegment',
+                   CAST(count(*) AS BIGINT), CAST(sum(m) AS BIGINT),
+                   CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(CASE WHEN max(m) <= 1 THEN 1 ELSE 0 END AS BIGINT)
+            FROM f2
+            UNION ALL
+            SELECT 'c_mktsegment', 'c_nationkey',
+                   CAST(count(*) AS BIGINT), CAST(sum(m) AS BIGINT),
+                   CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(CASE WHEN max(m) <= 1 THEN 1 ELSE 0 END AS BIGINT)
+            FROM f3
+            ORDER BY det, dep
+        """,
+        "vocab_drift": """
+            WITH toks AS (
+                SELECT doc_id % 2 AS side,
+                       unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                    '\\s+')) AS token
+                FROM documents),
+            c AS (SELECT side, token, CAST(count(*) AS BIGINT) AS n
+                  FROM toks WHERE token <> '' GROUP BY 1, 2),
+            ra AS (SELECT token, n,
+                          row_number() OVER (ORDER BY n DESC, token) AS rnk
+                   FROM c WHERE side = 0 ORDER BY n DESC, token LIMIT 50),
+            rb AS (SELECT token, n,
+                          row_number() OVER (ORDER BY n DESC, token) AS rnk
+                   FROM c WHERE side = 1 ORDER BY n DESC, token LIMIT 50)
+            SELECT COALESCE(ra.token, rb.token) AS token,
+                   CAST(COALESCE(ra.n, 0) AS BIGINT) AS n_a,
+                   CAST(COALESCE(rb.n, 0) AS BIGINT) AS n_b,
+                   CAST(ra.rnk AS DOUBLE) AS rank_a,
+                   CAST(rb.rnk AS DOUBLE) AS rank_b
+            FROM ra FULL JOIN rb ON ra.token = rb.token
+            ORDER BY token
+        """,
+        "event_mix_shift": """
+            WITH e AS (
+                SELECT event_type,
+                       CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END AS p,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            g AS (SELECT event_type, p, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS cents
+                  FROM e GROUP BY 1, 2),
+            t0 AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM g WHERE p = 0),
+            t1 AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM g WHERE p = 1),
+            w AS (SELECT o.event_type, o.n AS n_old, nn.n AS n_new,
+                         o.cents AS cents_old, nn.cents AS cents_new
+                  FROM (SELECT * FROM g WHERE p = 0) o
+                  JOIN (SELECT * FROM g WHERE p = 1) nn USING (event_type))
+            SELECT w.event_type, w.n_old, w.n_new, w.cents_old, w.cents_new,
+                   CAST(w.n_old AS DOUBLE) / t0.tn AS share_old,
+                   CAST(w.n_new AS DOUBLE) / t1.tn AS share_new,
+                   CAST(w.cents_old AS DOUBLE) / (100.0 * w.n_old)
+                       AS rate_old,
+                   CAST(w.cents_new AS DOUBLE) / (100.0 * w.n_new)
+                       AS rate_new,
+                   (CAST(w.n_new AS DOUBLE) / t1.tn
+                    - CAST(w.n_old AS DOUBLE) / t0.tn)
+                     * (CAST(w.cents_old AS DOUBLE) / (100.0 * w.n_old))
+                       AS mix_effect,
+                   CAST(w.n_new AS DOUBLE) / t1.tn
+                     * (CAST(w.cents_new AS DOUBLE) / (100.0 * w.n_new)
+                        - CAST(w.cents_old AS DOUBLE) / (100.0 * w.n_old))
+                       AS rate_effect
+            FROM w CROSS JOIN t0 CROSS JOIN t1
+            ORDER BY event_type
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -406,3 +406,46 @@ def k_anonymity(
         )
 
     return counts.map_batches(flag, batch_format="pyarrow")
+
+
+def functional_dependencies(
+    ds: rd.Dataset,
+    pairs: list[tuple[str, str]],
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Functional-dependency discovery over candidate column pairs —
+    the schema-profiling primitive behind key inference and
+    normalization advice: ``det -> dep`` holds iff every determinant
+    value maps to exactly one dependent value.
+
+    Per candidate pair: ONE bucketed-distinct exchange over (det, dep)
+    followed by a skinny per-det distinct count (both rows are
+    distinct-pair-bounded, never raw data).  Output one row per pair:
+    ``(det, dep, n_det, n_pairs, n_violating, holds)`` where
+    ``n_violating`` counts determinant values with >1 dependent.
+    """
+    from .agg import bucketed_distinct, grouped_reduce
+
+    rows = []
+    for det, dep in pairs:
+        dp = bucketed_distinct(
+            ds.select_columns([det, dep]), [det, dep],
+            num_buckets=num_buckets,
+        )
+        per_det = grouped_reduce(
+            dp, [det], {"n_dep": (None, "count")}, num_buckets=num_buckets
+        ).to_pandas()
+        n_det = int(len(per_det))
+        n_pairs = int(per_det["n_dep"].sum())
+        n_viol = int((per_det["n_dep"] > 1).sum())
+        rows.append(
+            {
+                "det": det, "dep": dep, "n_det": n_det,
+                "n_pairs": n_pairs, "n_violating": n_viol,
+                "holds": int(n_viol == 0),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_det", "n_pairs", "n_violating", "holds"):
+        out[c] = out[c].astype("int64")
+    return out

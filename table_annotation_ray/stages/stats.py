@@ -1767,3 +1767,78 @@ def bootstrap_mean_ci(
         "hi": float(means[hi_i]),
         "n_boot": B,
     }
+
+
+def mix_shift(
+    ds: rd.Dataset,
+    segment_col: str,
+    period_col: str,
+    val_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Mix-shift decomposition of a period-over-period mean change —
+    the analytics answer to "did the average move because segments
+    changed behavior (RATE) or because the traffic mix moved
+    (MIX)?"::
+
+        mean_p     = Σ_s share_p(s) * rate_p(s)
+        mix_effect(s)  = (share_new - share_old) * rate_old
+        rate_effect(s) = share_new * (rate_new - rate_old)
+
+    (sums of the two effect columns reproduce the total mean change
+    exactly).  ``period_col`` must be 0 (old) / 1 (new).  Values ride
+    the cent lattice: every count/sum is an exact integer and every
+    output float is evaluated in exactly the SQL association order.
+    ONE grouped_reduce exchange; driver math is segment-bounded.
+    Output one row per segment present in both periods, sorted.
+    """
+    from .agg import grouped_reduce
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                segment_col: b[segment_col],
+                period_col: b[period_col].astype("int64"),
+                "__ms_c": np.round(
+                    b[val_col].to_numpy(dtype=np.float64) * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    agg = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas"),
+        [segment_col, period_col],
+        {"n": (None, "count"), "cents": ("__ms_c", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    agg["cents"] = agg["cents"].astype("int64")
+    tot = agg.groupby(period_col)["n"].sum()
+    if 0 not in tot.index or 1 not in tot.index:
+        return pd.DataFrame(
+            columns=[segment_col, "n_old", "n_new", "cents_old", "cents_new",
+                     "share_old", "share_new", "rate_old", "rate_new",
+                     "mix_effect", "rate_effect"]
+        )
+    n0, n1 = float(tot.loc[0]), float(tot.loc[1])
+    wide = agg.pivot_table(index=segment_col, columns=period_col,
+                           values=["n", "cents"], aggfunc="first")
+    wide = wide.dropna()  # segments present in both periods only
+    out = pd.DataFrame(index=wide.index)
+    out["n_old"] = wide[("n", 0)].astype("int64")
+    out["n_new"] = wide[("n", 1)].astype("int64")
+    out["cents_old"] = wide[("cents", 0)].astype("int64")
+    out["cents_new"] = wide[("cents", 1)].astype("int64")
+    so = out["n_old"].to_numpy(np.float64) / n0
+    sn = out["n_new"].to_numpy(np.float64) / n1
+    ro = out["cents_old"].to_numpy(np.float64) / (
+        100.0 * out["n_old"].to_numpy(np.float64))
+    rn_ = out["cents_new"].to_numpy(np.float64) / (
+        100.0 * out["n_new"].to_numpy(np.float64))
+    out["share_old"] = so
+    out["share_new"] = sn
+    out["rate_old"] = ro
+    out["rate_new"] = rn_
+    out["mix_effect"] = (sn - so) * ro
+    out["rate_effect"] = sn * (rn_ - ro)
+    return out.reset_index().sort_values(segment_col).reset_index(drop=True)

@@ -849,3 +849,94 @@ def gopher_rules(batch: pd.DataFrame) -> pd.DataFrame:
             "keep": keep,
         }
     )
+
+
+def vocab_drift(
+    docs: rd.Dataset,
+    split_col: str,
+    text_col: str = "text",
+    top_k: int = 50,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Vocabulary drift between two corpus slices: the top-``top_k``
+    tokens of each side (``split_col`` == 0 vs 1, count-desc /
+    lexicographic order) aligned into one table — the monitoring view
+    that catches a scrape-source or template change before it poisons
+    training.  Output one row per token in EITHER top list:
+    ``(token, n_a, n_b, rank_a, rank_b)`` with rank NULL (and count 0)
+    when the token misses that side's list.
+
+    One grouped_reduce exchange counts (side, token); the per-side
+    top-K collect is bounded (blocks x K, the train_bigram_lm prune
+    pattern).  Counts are exact ints — SQL hash-exact.
+    """
+    from .agg import grouped_reduce
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks, _ = _ws_tokens(b[text_col], lower=True)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        nt = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            if not isinstance(toks, pa.ChunkedArray)
+            else pc.list_value_length(toks.combine_chunks()).to_numpy(
+                zero_copy_only=False)
+        )
+        side = np.repeat(b[split_col].to_numpy(dtype=np.int64), nt)
+        df = pd.DataFrame(
+            {"side": side, "token": flat.to_numpy(zero_copy_only=False)}
+        )
+        p = df.groupby(["side", "token"], sort=False).size().rename(
+            "n").reset_index()
+        return pa.table(
+            {
+                "side": pa.array(p["side"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+                "token": pa.array(p["token"].tolist(), pa.string()),
+                "n": pa.array(p["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    counts = grouped_reduce(
+        docs.map_batches(explode, batch_format="pandas", batch_size=65536),
+        ["side", "token"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["side", "n", "token"],
+                          ascending=[True, False, True])
+            .groupby("side", sort=False)
+            .head(top_k)
+        )
+
+    allc = counts.map_batches(prune, batch_format="pandas").to_pandas()
+    out = {}
+    for side in (0, 1):
+        sub = (
+            allc[allc["side"] == side]
+            .sort_values(["n", "token"], ascending=[False, True])
+            .head(top_k)
+            .reset_index(drop=True)
+        )
+        for rank, r in sub.iterrows():
+            e = out.setdefault(
+                r["token"],
+                {"token": r["token"], "n_a": 0, "n_b": 0,
+                 "rank_a": np.nan, "rank_b": np.nan},
+            )
+            e["n_a" if side == 0 else "n_b"] = int(r["n"])
+            e["rank_a" if side == 0 else "rank_b"] = rank + 1
+    df = pd.DataFrame(sorted(out.values(), key=lambda e: e["token"]))
+    df["n_a"] = df["n_a"].astype("int64")
+    df["n_b"] = df["n_b"].astype("int64")
+    # ranks stay float64 even when no NULL is present in this corpus
+    # slice (a missing side is NULL — dtype must not depend on data)
+    df["rank_a"] = df["rank_a"].astype("float64")
+    df["rank_b"] = df["rank_b"].astype("float64")
+    return df.reset_index(drop=True)

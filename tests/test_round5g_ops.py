@@ -627,3 +627,71 @@ def test_bootstrap_ci_partition_invariant(ray_session):
     hw = (r1["hi"] - r1["lo"]) / 2
     se = 10 / np.sqrt(2000)
     assert 0.4 * 1.96 * se < hw < 2.5 * 1.96 * se
+
+
+def test_functional_dependencies_hand(ray_session):
+    from table_annotation_ray.stages.dq import functional_dependencies
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "country": ["fr", "fr", "de", "de"],
+            "segment": ["A", "B", "A", "A"],
+        }
+    )
+    out = functional_dependencies(
+        rd.from_pandas(df).repartition(2),
+        [("id", "country"), ("country", "segment"), ("segment", "country")],
+    ).set_index(["det", "dep"])
+    assert out.loc[("id", "country"), "holds"] == 1
+    # fr maps to {A,B} -> violated by one determinant
+    assert out.loc[("country", "segment"), "holds"] == 0
+    assert out.loc[("country", "segment"), "n_violating"] == 1
+    # A maps to {fr,de} -> violated
+    assert out.loc[("segment", "country"), "holds"] == 0
+    assert out.loc[("id", "country"), "n_det"] == 4
+    assert out.loc[("country", "segment"), "n_pairs"] == 3
+
+
+def test_vocab_drift_hand(ray_session):
+    from table_annotation_ray.stages.textstats import vocab_drift
+
+    df = pd.DataFrame(
+        {
+            "side": [0, 0, 1, 1],
+            "text": ["apple apple pear", "apple fig", "apple plum plum",
+                     "plum kiwi"],
+        }
+    )
+    out = vocab_drift(rd.from_pandas(df).repartition(2), "side",
+                      top_k=2).set_index("token")
+    # side 0 top-2: apple(3), fig/pear(1 each, lexicographic -> fig)
+    # side 1 top-2: plum(3), apple(1)
+    assert out.loc["apple", "rank_a"] == 1 and out.loc["apple", "rank_b"] == 2
+    assert out.loc["plum", "rank_b"] == 1 and np.isnan(out.loc["plum", "rank_a"])
+    assert out.loc["plum", "n_a"] == 0  # not in side-0 top list
+    assert out.loc["fig", "rank_a"] == 2
+    assert str(out["rank_a"].dtype) == "float64"
+
+
+def test_mix_shift_reconstructs_total_change(ray_session):
+    from table_annotation_ray.stages.stats import mix_shift
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "seg": rng.choice(["x", "y", "z"], n, p=[0.5, 0.3, 0.2]),
+            "p": rng.integers(0, 2, n),
+            "value": np.round(rng.normal(40, 8, n), 2),
+        }
+    )
+    out = mix_shift(rd.from_pandas(df).repartition(4), "seg", "p", "value")
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    m0 = cents[df["p"] == 0].sum() / (100.0 * (df["p"] == 0).sum())
+    m1 = cents[df["p"] == 1].sum() / (100.0 * (df["p"] == 1).sum())
+    total = out["mix_effect"].sum() + out["rate_effect"].sum()
+    assert total == pytest.approx(m1 - m0, abs=1e-9)
+    # shares sum to 1 on each side (all segments present both periods)
+    assert out["share_old"].sum() == pytest.approx(1.0, abs=1e-12)
+    assert out["share_new"].sum() == pytest.approx(1.0, abs=1e-12)
