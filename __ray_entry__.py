@@ -6161,6 +6161,34 @@ def _q_event_mix_shift(sf_dir: str):
     return mix_shift(ev, "event_type", "p", "value")
 
 
+
+def _q_zorder_pruning(sf_dir: str):
+    """File-skipping effectiveness audit (stages/datapipe.py::
+    pruning_stats): 500-row files under natural (event_id) order vs
+    Morton z-order; for the rectangle uid in [100,200] x hr in
+    [300,400], how many files' min/max boxes prune outright — the
+    measured payoff of OPTIMIZE ZORDER.  Two range-partition
+    exchanges; only two summary rows reach the driver.  SQL
+    hash-exact vs the window-grid mirror."""
+    from table_annotation_ray.stages.datapipe import pruning_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        hr = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "uid": b["user_id"].to_numpy() % 1024,
+                "hr": hr % 1024,
+            }
+        )
+
+    q = ev.map_batches(quantize, batch_format="pandas")
+    return pruning_stats(q, "uid", "hr", "event_id",
+                         (100, 200), (300, 400), file_rows=500)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6421,6 +6449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fd_audit": _q_customer_fd_audit,
         "vocab_drift": _q_vocab_drift,
         "event_mix_shift": _q_event_mix_shift,
+        "zorder_pruning": _q_zorder_pruning,
     }
 
 
@@ -9984,6 +10013,50 @@ def oracle_sql() -> dict[str, str]:
                        AS rate_effect
             FROM w CROSS JOIN t0 CROSS JOIN t1
             ORDER BY event_type
+        """,
+        "zorder_pruning": """
+            WITH q AS (
+                SELECT event_id, user_id % 1024 AS uid,
+                       (CAST(epoch(ts) AS BIGINT) // 3600) % 1024 AS hr
+                FROM events
+            ),
+            z AS (SELECT event_id, uid, hr, (((uid >> 0) & 1) << 0) + (((hr >> 0) & 1) << 1) + (((uid >> 1) & 1) << 2) + (((hr >> 1) & 1) << 3) + (((uid >> 2) & 1) << 4) + (((hr >> 2) & 1) << 5) + (((uid >> 3) & 1) << 6) + (((hr >> 3) & 1) << 7) + (((uid >> 4) & 1) << 8) + (((hr >> 4) & 1) << 9) + (((uid >> 5) & 1) << 10) + (((hr >> 5) & 1) << 11) + (((uid >> 6) & 1) << 12) + (((hr >> 6) & 1) << 13) + (((uid >> 7) & 1) << 14) + (((hr >> 7) & 1) << 15) + (((uid >> 8) & 1) << 16) + (((hr >> 8) & 1) << 17) + (((uid >> 9) & 1) << 18) + (((hr >> 9) & 1) << 19) AS zkey
+                  FROM q),
+            rn AS (SELECT uid, hr, row_number() OVER (
+                       ORDER BY event_id) - 1 AS p_nat,
+                   row_number() OVER (ORDER BY zkey, event_id) - 1 AS p_z
+                   FROM z),
+            bn AS (SELECT p_nat // 500 AS part, count(*) AS n,
+                          min(uid) mnx, max(uid) mxx,
+                          min(hr) mny, max(hr) mxy
+                   FROM rn GROUP BY 1),
+            bz AS (SELECT p_z // 500 AS part, count(*) AS n,
+                          min(uid) mnx, max(uid) mxx,
+                          min(hr) mny, max(hr) mxy
+                   FROM rn GROUP BY 1),
+            sn AS (SELECT 'natural' AS layout,
+                          CAST(count(*) AS BIGINT) AS n_files,
+                          CAST(sum(CASE WHEN mxx < 100 OR mnx > 200
+                                        OR mxy < 300 OR mny > 400
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_skipped,
+                          CAST(sum(CASE WHEN mxx < 100 OR mnx > 200
+                                        OR mxy < 300 OR mny > 400
+                                   THEN 0 ELSE n END) AS BIGINT)
+                              AS rows_scanned
+                   FROM bn),
+            sz AS (SELECT 'zorder' AS layout,
+                          CAST(count(*) AS BIGINT) AS n_files,
+                          CAST(sum(CASE WHEN mxx < 100 OR mnx > 200
+                                        OR mxy < 300 OR mny > 400
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_skipped,
+                          CAST(sum(CASE WHEN mxx < 100 OR mnx > 200
+                                        OR mxy < 300 OR mny > 400
+                                   THEN 0 ELSE n END) AS BIGINT)
+                              AS rows_scanned
+                   FROM bz)
+            SELECT * FROM sn UNION ALL SELECT * FROM sz ORDER BY layout
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -1646,3 +1646,110 @@ def target_encode(
         .groupby("__te_bkt")
         .map_groups(join_bucket, batch_format="pandas")
     )
+
+
+def pruning_stats(
+    ds,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    file_rows: int = 500,
+    bits: int = 10,
+) -> pd.DataFrame:
+    """File-skipping effectiveness audit — the measurable payoff of
+    :func:`zorder_key`: lay the table out as fixed-size files under
+    (a) the NATURAL order (by ``id_col``) and (b) the Morton z-order,
+    compute every file's 2-D min/max bounding box, and count how many
+    files a rectangular predicate ``x in x_range AND y in y_range``
+    can skip outright (box disjoint from the rectangle — exactly what
+    Parquet row-group / Iceberg file stats pruning does).
+
+    Both layouts ride ONE range-partition exchange each (global_rank,
+    TeraSort shape); the box aggregate and the skip count are
+    grouped_reduce rows (file-count-sized metadata, never raw data —
+    only TWO summary rows reach the driver).  Output per layout:
+    ``(layout, n_files, n_skipped, rows_scanned)`` — exact integers.
+    """
+    import pyarrow as pa
+
+    from .agg import grouped_reduce
+
+    xlo, xhi = int(x_range[0]), int(x_range[1])
+    ylo, yhi = int(y_range[0]), int(y_range[1])
+
+    def summarize(ranked, layout: str) -> pd.DataFrame:
+        def part_tag(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "part": b["position"].to_numpy(dtype=np.int64)
+                    // file_rows,
+                    x_col: b[x_col].to_numpy(dtype=np.int64),
+                    y_col: b[y_col].to_numpy(dtype=np.int64),
+                }
+            )
+
+        boxes = grouped_reduce(
+            ranked.map_batches(part_tag, batch_format="pandas"),
+            ["part"],
+            {
+                "n_rows": (None, "count"),
+                "min_x": (x_col, "min"), "max_x": (x_col, "max"),
+                "min_y": (y_col, "min"), "max_y": (y_col, "max"),
+            },
+        )
+
+        def skipflag(t: pa.Table) -> pa.Table:
+            mnx = t["min_x"].to_numpy().astype(np.int64)
+            mxx = t["max_x"].to_numpy().astype(np.int64)
+            mny = t["min_y"].to_numpy().astype(np.int64)
+            mxy = t["max_y"].to_numpy().astype(np.int64)
+            n = t["n_rows"].to_numpy().astype(np.int64)
+            skip = (mxx < xlo) | (mnx > xhi) | (mxy < ylo) | (mny > yhi)
+            return pa.table(
+                {
+                    "one": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                    "skipped": pa.array(skip.astype(np.int64), pa.int64()),
+                    "scanned": pa.array(
+                        np.where(skip, 0, n).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        summary = grouped_reduce(
+            boxes.map_batches(skipflag, batch_format="pyarrow"),
+            ["one"],
+            {
+                "n_files": (None, "count"),
+                "n_skipped": ("skipped", "sum"),
+                "rows_scanned": ("scanned", "sum"),
+            },
+        ).to_pandas()
+        return pd.DataFrame(
+            {
+                "layout": [layout],
+                "n_files": summary["n_files"].astype("int64"),
+                "n_skipped": summary["n_skipped"].astype("int64"),
+                "rows_scanned": summary["rows_scanned"].astype("int64"),
+            }
+        )
+
+    base = ds.materialize()  # consumed by both layouts once
+
+    def dup_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__nat_ord"] = b[id_col]  # global_rank needs key != tiebreak
+        return b
+
+    nat = global_rank(
+        base.map_batches(dup_key, batch_format="pandas"),
+        ["__nat_ord"], id_col, out_col="position",
+    )
+    z = zorder_key(base, x_col, y_col, bits=bits)
+    zr = global_rank(z, ["zkey"], id_col, out_col="position")
+    out = pd.concat(
+        [summarize(nat, "natural"), summarize(zr, "zorder")],
+        ignore_index=True,
+    )
+    return out.sort_values("layout").reset_index(drop=True)

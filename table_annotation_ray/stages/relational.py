@@ -1427,3 +1427,47 @@ def cooccurrence_cosine(
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def auto_skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    col: str,
+    right_col: str | None = None,
+    hot_count: int | None = None,
+    sketch_k: int = 4096,
+    broadcast_below: int = 2_000_000,
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Skew-safe equi-join with AUTOMATIC hot-key detection: run the
+    exact heavy-hitter pass (Misra-Gries sketch + verify,
+    ``sketches.heavy_hitters``) over the left key column and route any
+    key above ``hot_count`` (default: ``n/sketch_k + 1``, the
+    sketch's guarantee floor) through :func:`equi_join`'s replication
+    path while cold keys take the normal bucketed exchange — the
+    hands-off version of the manual ``hot_keys`` parameter, for
+    pipelines that cannot know their celebrity keys up front.
+
+    The left side is materialized ONCE (sketch pass + join legs —
+    single-execution rule).  Identical output to the unsplit join,
+    pinned in pytest.
+    """
+    from .sketches import heavy_hitters
+
+    left = left.materialize()
+    n = left.count()
+    if n == 0:
+        return equi_join(left, right, col, right_col,
+                         broadcast_below=broadcast_below,
+                         num_buckets=num_buckets, how=how)
+    floor = n // sketch_k + 1
+    hc = max(int(hot_count), floor) if hot_count is not None else floor
+    hh = heavy_hitters(left.select_columns([col]), col, min_count=hc,
+                       k=sketch_k)
+    hot = hh[col].tolist() if len(hh) else []
+    return equi_join(
+        left, right, col, right_col,
+        broadcast_below=broadcast_below, num_buckets=num_buckets,
+        how=how, hot_keys=hot if hot else None,
+    )

@@ -695,3 +695,63 @@ def test_mix_shift_reconstructs_total_change(ray_session):
     # shares sum to 1 on each side (all segments present both periods)
     assert out["share_old"].sum() == pytest.approx(1.0, abs=1e-12)
     assert out["share_new"].sum() == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pruning_stats_zorder_beats_natural(ray_session):
+    from table_annotation_ray.stages.datapipe import pruning_stats
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": rng.permutation(n),  # natural order ~ random in x/y
+            "x": rng.integers(0, 1024, n),
+            "y": rng.integers(0, 1024, n),
+        }
+    )
+    out = pruning_stats(
+        rd.from_pandas(df).repartition(4), "x", "y", "event_id",
+        (100, 200), (300, 400), file_rows=200,
+    ).set_index("layout")
+    n_files = n // 200
+    assert out.loc["natural", "n_files"] == n_files
+    assert out.loc["zorder", "n_files"] == n_files
+    # random natural order: every file's box spans the domain -> 0 skips;
+    # z-order clusters both dims -> most files skip a 100x100 rectangle
+    assert out.loc["natural", "n_skipped"] == 0
+    assert out.loc["zorder", "n_skipped"] > n_files // 2
+    assert out.loc["zorder", "rows_scanned"] < out.loc["natural",
+                                                       "rows_scanned"]
+    # skipped files cannot contain matching rows (exactness of pruning)
+    match = ((df["x"].between(100, 200)) & (df["y"].between(300, 400))).sum()
+    assert out.loc["zorder", "rows_scanned"] >= match
+
+
+def test_auto_skew_join_equals_plain(ray_session):
+    from table_annotation_ray.stages.relational import auto_skew_join, equi_join
+
+    rng = np.random.default_rng(43)
+    # one celebrity key (0) with 60% of rows + a uniform tail
+    keys = np.where(rng.random(3000) < 0.6, 0,
+                    rng.integers(1, 400, 3000)).astype(np.int64)
+    L = pd.DataFrame({"k": keys, "lv": rng.integers(0, 100, 3000)})
+    R = pd.DataFrame({"k": np.arange(400), "rv": rng.integers(0, 100, 400)})
+    plain = (
+        equi_join(rd.from_pandas(L).repartition(4),
+                  rd.from_pandas(R).repartition(2), "k",
+                  broadcast_below=0)  # force the bucketed path
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    auto = (
+        auto_skew_join(rd.from_pandas(L).repartition(4),
+                       rd.from_pandas(R).repartition(2), "k",
+                       hot_count=500, broadcast_below=1000)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain[["k", "lv", "rv"]], auto[["k", "lv", "rv"]], check_dtype=False
+    )
