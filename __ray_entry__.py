@@ -6189,6 +6189,39 @@ def _q_zorder_pruning(sf_dir: str):
                          (100, 200), (300, 400), file_rows=500)
 
 
+
+def _q_session_conversion(sf_dir: str):
+    """Strict-ordered in-session funnel (stages/windows.py::
+    session_pattern_counts): per user, 30-min-gap sessions whose
+    ordered event-type sequence matches view -> click -> purchase as a
+    subsequence — the per-visit conversion plain whole-history funnels
+    overstate.  SQL mirror: string_agg(ORDER BY ts, event_id) +
+    regexp_matches per session."""
+    from table_annotation_ray.stages.windows import session_pattern_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out = session_pattern_counts(
+        ev, "user_id", "ts", "event_type", "view.*click.*purchase",
+        pd.Timedelta(minutes=30), tiebreak_col="event_id",
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_churn_weekly_labels(sf_dir: str):
+    """Churn-model label factory (stages/windows.py::activity_labels):
+    one row per (user, active epoch-week) with the event count and the
+    supervised label — active again next week?  Exact integer
+    epoch-microsecond bucketing (epoch_us mirror); one grid
+    grouped_reduce + one key co-location."""
+    from table_annotation_ray.stages.windows import activity_labels
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = activity_labels(ev, "user_id", "ts").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "period"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6450,6 +6483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_drift": _q_vocab_drift,
         "event_mix_shift": _q_event_mix_shift,
         "zorder_pruning": _q_zorder_pruning,
+        "session_conversion": _q_session_conversion,
+        "churn_weekly_labels": _q_churn_weekly_labels,
     }
 
 
@@ -10057,6 +10092,44 @@ def oracle_sql() -> dict[str, str]:
                               AS rows_scanned
                    FROM bz)
             SELECT * FROM sn UNION ALL SELECT * FROM sz ORDER BY layout
+        """,
+        "session_conversion": """
+            WITH s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            t AS (
+                SELECT user_id, event_type, ts, event_id,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess
+                FROM s),
+            q AS (
+                SELECT user_id, sess,
+                       string_agg(event_type, ','
+                                  ORDER BY ts, event_id) AS seq
+                FROM t GROUP BY 1, 2)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN regexp_matches(
+                       seq, 'view.*click.*purchase') THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_matching
+            FROM q GROUP BY user_id ORDER BY user_id
+        """,
+        "churn_weekly_labels": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) // 604800000000 AS period,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2)
+            SELECT g.user_id, CAST(g.period AS BIGINT) AS period,
+                   g.n_events,
+                   CAST(CASE WHEN nx.period IS NOT NULL
+                        THEN 1 ELSE 0 END AS BIGINT) AS returned
+            FROM g LEFT JOIN (SELECT DISTINCT user_id, period FROM g) nx
+              ON nx.user_id = g.user_id AND nx.period = g.period + 1
+            ORDER BY g.user_id, period
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -2281,3 +2281,161 @@ def rolling_slope_by_key(
         .groupby("__rs_bkt")
         .map_groups(slope_bucket, batch_format="pandas")
     )
+
+
+def session_pattern_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: str,
+    gap: pd.Timedelta,
+    tiebreak_col: str | None = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Strict-ordered funnel matching WITHIN sessions: split each key's
+    events into ``gap``-separated sessions, render every session as its
+    ordered event-type sequence, and count the sessions whose sequence
+    matches ``pattern`` (a regex over the comma-joined types, e.g.
+    ``view.*click.*purchase`` for an ordered-subsequence funnel) — the
+    per-visit conversion question plain funnels (whole-history scans)
+    cannot answer.
+
+    One ``hash(key)`` co-location; sessions and sequences are built in
+    one in-bucket vectorized scan (per-SESSION string join + regex —
+    bounded by sessions, not events).  Output ``(key, n_sessions,
+    n_matching)``; SQL mirror is ``string_agg(... ORDER BY ts)`` +
+    ``regexp_matches`` per session.
+    """
+    import re as _re
+
+    nb = np.uint64(num_buckets)
+    rx = _re.compile(pattern)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[[key_col, *order, type_col]].copy()
+        b["__sp_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__sp_bkt")
+            .sort_values([key_col] + order, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        same_key = g[key_col].eq(g[key_col].shift())
+        gap_break = g[ts_col].diff() > gap
+        new_sess = (~same_key) | gap_break
+        sess = new_sess.cumsum()
+        seqs = (
+            g.assign(__sess=sess)
+            .groupby([key_col, "__sess"], sort=False)[type_col]
+            .agg(",".join)
+            .reset_index(name="seq")
+        )
+        seqs["m"] = [1 if rx.search(s) else 0 for s in seqs["seq"]]
+        out = seqs.groupby(key_col, sort=True).agg(
+            n_sessions=("seq", "size"), n_matching=("m", "sum")
+        ).reset_index()
+        try:
+            kt = pa.from_numpy_dtype(out[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(out[key_col].to_numpy(), kt),
+                "n_sessions": pa.array(
+                    out["n_sessions"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_matching": pa.array(
+                    out["n_matching"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__sp_bkt")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+def activity_labels(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    period_sec: int = 604800,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Churn/retention label factory: one row per (key, active period)
+    with the event count and the supervised label ``returned`` —
+    whether the key is active again in the NEXT period (epoch-aligned
+    ``period_sec`` buckets; integer epoch division, so the SQL mirror
+    is exact).  The standard training-label builder for churn models;
+    the last observed period's label is honest (0 unless the next
+    period truly has events — callers must drop the censored final
+    period of the observation window themselves).
+
+    One grouped_reduce to the (key, period) grid, one hash(key)
+    co-location where next-period membership is a vectorized
+    searchsorted per key.  Output ``(key, period, n_events,
+    returned)``.
+    """
+    from .agg import grouped_reduce
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        # exact integer microseconds (DuckDB epoch_us mirror) — epoch()
+        # is a DOUBLE whose CAST rounds, a period-boundary hazard
+        us = b[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {key_col: b[key_col],
+             "period": us // (np.int64(period_sec) * 1_000_000)}
+        )
+
+    grid = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas"),
+        [key_col, "period"],
+        {"n_events": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    nb = np.uint64(num_buckets)
+
+    def tag2(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["__al_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def label(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__al_bkt")
+            .sort_values([key_col, "period"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        nxt_key = g[key_col].shift(-1)
+        nxt_per = g["period"].shift(-1)
+        returned = (
+            nxt_key.eq(g[key_col]) & (nxt_per == g["period"] + 1)
+        ).to_numpy()
+        try:
+            kt = pa.from_numpy_dtype(g[key_col].dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            kt = pa.string()
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].to_numpy(), kt),
+                "period": pa.array(g["period"].to_numpy(dtype=np.int64),
+                                   pa.int64()),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy(dtype=np.int64), pa.int64()),
+                "returned": pa.array(returned.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        grid.map_batches(tag2, batch_format="pandas")
+        .groupby("__al_bkt")
+        .map_groups(label, batch_format="pandas")
+    )

@@ -755,3 +755,59 @@ def test_auto_skew_join_equals_plain(ray_session):
     pd.testing.assert_frame_equal(
         plain[["k", "lv", "rv"]], auto[["k", "lv", "rv"]], check_dtype=False
     )
+
+
+def test_session_pattern_counts_hand(ray_session):
+    from table_annotation_ray.stages.windows import session_pattern_counts
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1, session 1: view, click, purchase (match)
+    for i, et in enumerate(["view", "click", "purchase"]):
+        rows.append({"u": 1, "ts": base + pd.Timedelta(minutes=i), "e": i,
+                     "t": et})
+    # user 1, session 2 (gap > 30min): purchase, view (no match)
+    for i, et in enumerate(["purchase", "view"]):
+        rows.append({"u": 1, "ts": base + pd.Timedelta(hours=2, minutes=i),
+                     "e": 10 + i, "t": et})
+    # user 2: view ... click but never purchase
+    for i, et in enumerate(["view", "click", "click"]):
+        rows.append({"u": 2, "ts": base + pd.Timedelta(minutes=i), "e": i,
+                     "t": et})
+    df = pd.DataFrame(rows)
+    out = (
+        session_pattern_counts(
+            rd.from_pandas(df).repartition(2), "u", "ts", "t",
+            "view.*click.*purchase", pd.Timedelta(minutes=30),
+            tiebreak_col="e",
+        )
+        .to_pandas()
+        .set_index("u")
+    )
+    assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_matching"] == 1
+    assert out.loc[2, "n_sessions"] == 1 and out.loc[2, "n_matching"] == 0
+
+
+def test_activity_labels_hand(ray_session):
+    from table_annotation_ray.stages.windows import activity_labels
+
+    wk = 604800
+    rows = []
+    # user 1 active weeks 0, 1, 3 -> returned: 1, 0, 0
+    for w in (0, 0, 1, 3):
+        rows.append({"u": 1, "ts": pd.Timestamp(w * wk + 1000, unit="s")})
+    # user 2 active week 1 only
+    rows.append({"u": 2, "ts": pd.Timestamp(wk + 5, unit="s")})
+    df = pd.DataFrame(rows)
+    out = (
+        activity_labels(rd.from_pandas(df).repartition(2), "u", "ts")
+        .to_pandas()
+        .set_index(["u", "period"])
+        .sort_index()
+    )
+    base_week = 0  # epoch-aligned
+    assert out.loc[(1, base_week), "n_events"] == 2
+    assert out.loc[(1, base_week), "returned"] == 1
+    assert out.loc[(1, base_week + 1), "returned"] == 0
+    assert out.loc[(1, base_week + 3), "returned"] == 0
+    assert out.loc[(2, base_week + 1), "returned"] == 0
