@@ -6222,6 +6222,52 @@ def _q_churn_weekly_labels(sf_dir: str):
     return out.sort_values(["user_id", "period"]).reset_index(drop=True)
 
 
+
+def _q_sqlite_roundtrip(sf_dir: str):
+    """SQLite source/sink round trip (sources/sqlite.py): a 1-in-10
+    events sample streams into an embedded .db (single-writer sink),
+    is re-read with PARALLEL rowid-range readers, and aggregates per
+    event type — proving the db path carries exact values.  Oracle
+    computes the same aggregate from the original parquet."""
+    import os
+    import tempfile
+
+    from table_annotation_ray.sources.sqlite import read_sqlite, write_sqlite
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda b: b[b["event_id"] % 10 == 0], batch_format="pandas"
+    )
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "cents": np.round(
+                    b["value"].to_numpy(dtype=np.float64) * 100.0
+                ).astype("int64"),
+            }
+        )
+
+    db = os.path.join(tempfile.gettempdir(),
+                      f"ta_ray_sqlite_{os.getpid()}.db")
+    try:
+        write_sqlite(ev.map_batches(to_cents, batch_format="pandas"),
+                     db, "events_sample")
+        back = read_sqlite(db, "events_sample", partitions=8)
+        out = grouped_reduce(
+            back, ["event_type"],
+            {"n": (None, "count"), "sum_cents": ("cents", "sum")},
+        ).to_pandas()
+    finally:
+        if os.path.exists(db):
+            os.unlink(db)
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6485,6 +6531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_pruning": _q_zorder_pruning,
         "session_conversion": _q_session_conversion,
         "churn_weekly_labels": _q_churn_weekly_labels,
+        "sqlite_roundtrip": _q_sqlite_roundtrip,
     }
 
 
@@ -10130,6 +10177,13 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN (SELECT DISTINCT user_id, period FROM g) nx
               ON nx.user_id = g.user_id AND nx.period = g.period + 1
             ORDER BY g.user_id, period
+        """,
+        "sqlite_roundtrip": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events WHERE event_id % 10 = 0
+            GROUP BY event_type ORDER BY event_type
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

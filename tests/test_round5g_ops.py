@@ -5,6 +5,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import pyarrow as pa
 import ray.data as rd
 
 
@@ -811,3 +812,67 @@ def test_activity_labels_hand(ray_session):
     assert out.loc[(1, base_week + 1), "returned"] == 0
     assert out.loc[(1, base_week + 3), "returned"] == 0
     assert out.loc[(2, base_week + 1), "returned"] == 0
+
+
+def test_sqlite_round_trip(ray_session, tmp_path):
+    from table_annotation_ray.sources.sqlite import read_sqlite, write_sqlite
+
+    rng = np.random.default_rng(51)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(5000, dtype=np.int64),
+            "name": [f"row{i}" for i in range(5000)],
+            "v": np.round(rng.normal(0, 1, 5000), 4),
+        }
+    )
+    db = str(tmp_path / "t.db")
+    n = write_sqlite(rd.from_pandas(df).repartition(4), db, "items")
+    assert n == 5000
+    back = (
+        read_sqlite(db, "items", partitions=7)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, df, check_dtype=False)
+    # column pruning
+    pruned = read_sqlite(db, "items", columns=["id"], partitions=3).to_pandas()
+    assert list(pruned.columns) == ["id"] and len(pruned) == 5000
+    # append mode doubles rows; fail mode raises
+    write_sqlite(rd.from_pandas(df.head(10)), db, "items", if_exists="append")
+    assert len(read_sqlite(db, "items", partitions=2).to_pandas()) == 5010
+    with pytest.raises(ValueError):
+        write_sqlite(rd.from_pandas(df.head(1)), db, "items", if_exists="fail")
+
+
+def test_read_parquet_evolved(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from table_annotation_ray.sources.evolved import read_parquet_evolved
+
+    # v1: (id int64, a string); v2 adds b; v3 drops a, widens id->float64
+    p1, p2, p3 = (str(tmp_path / f"v{i}.parquet") for i in (1, 2, 3))
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "a": pa.array(["x", "y"])}), p1)
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                             "a": pa.array(["z"]),
+                             "b": pa.array([9.5], pa.float64())}), p2)
+    pq.write_table(pa.table({"id": pa.array([4.5], pa.float64()),
+                             "b": pa.array([7.0], pa.float64())}), p3)
+    ds = read_parquet_evolved([p1, p2, p3])
+    out = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(out.columns) == ["id", "a", "b"]
+    assert out["id"].dtype == np.float64  # promoted
+    assert out.loc[3, "a"] is None or pd.isna(out.loc[3, "a"])
+    assert pd.isna(out.loc[0, "b"])
+    assert len(out) == 4
+    # the union survives a shuffle (single canonical block schema)
+    assert ds.groupby("b").count().to_pandas() is not None
+    # incompatible redefinition fails at plan time
+    p4 = str(tmp_path / "v4.parquet")
+    pq.write_table(pa.table({"id": pa.array(["oops"])}), p4)
+    with pytest.raises(ValueError):
+        read_parquet_evolved([p1, p4])
+    # column pruning on the union
+    pr = read_parquet_evolved([p1, p2, p3], columns=["id", "b"]).to_pandas()
+    assert list(pr.columns) == ["id", "b"]
