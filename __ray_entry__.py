@@ -6268,6 +6268,46 @@ def _q_sqlite_roundtrip(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+
+def _q_embedding_fd(sf_dir: str):
+    """Frequent-Directions matrix sketch (stages/decomp.py::
+    frequent_directions, Liberty 2013): the 16 x d streaming low-rank
+    summary of the embedding matrix with the deterministic Gram error
+    bound ||A'A - B'B|| <= ||A||_F^2 / ell — associative batch-SVD
+    partials through tree_reduce.  Merge order moves the basis within
+    the bound (floats), so rows-only; the bound itself is pinned in
+    pytest."""
+    from table_annotation_ray.stages.decomp import frequent_directions
+
+    embs = _read(sf_dir, "embeddings", ["embedding"])
+    B = frequent_directions(embs, "embedding", ell=16)
+    return pd.DataFrame(
+        {
+            "row": np.arange(B.shape[0], dtype=np.int64),
+            "norm": np.sqrt((B * B).sum(axis=1)),
+        }
+    )
+
+
+def _q_doc_cosine_tf(sf_dir: str):
+    """Exact term-frequency cosine verification (stages/retrieval.py::
+    cosine_pairs_tf) of the rare-4-gram candidate pairs: integer tf
+    dot products and norms (exact int64), cosine = dot/(sqrt*sqrt) in
+    the SQL op order — the weighted counterpart of doc_containment."""
+    from table_annotation_ray.stages.retrieval import (
+        cosine_pairs_tf, rare_term_pairs,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = rare_term_pairs(docs, ngram=4, max_df=20, min_shared=2)
+    out = cosine_pairs_tf(
+        _read(sf_dir, "documents", ["doc_id", "text"]), cand
+    ).to_pandas()
+    for c in ("doc_a", "doc_b", "dot", "norm2_a", "norm2_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6532,6 +6572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion": _q_session_conversion,
         "churn_weekly_labels": _q_churn_weekly_labels,
         "sqlite_roundtrip": _q_sqlite_roundtrip,
+        "embedding_fd": _q_embedding_fd,
+        "doc_cosine_tf": _q_doc_cosine_tf,
     }
 
 
@@ -10184,6 +10226,50 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_cents
             FROM events WHERE event_id % 10 = 0
             GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_cosine_tf": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+                FROM documents
+                WHERE trim(COALESCE(text, '')) <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_aggregate(a[u.i:u.i + 3], 'string_agg', ' ') AS gram
+                FROM t, unnest(range(1, len(a) - 2)) u(i)
+            ),
+            p AS (SELECT DISTINCT doc_id, gram FROM g),
+            d AS (SELECT gram FROM p GROUP BY gram HAVING count(*) <= 20),
+            rp AS (SELECT p.gram, p.doc_id FROM p JOIN d USING (gram)),
+            cand AS (
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM rp x JOIN rp y
+                  ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+            tok AS (
+                SELECT doc_id, u.tk AS token
+                FROM t, unnest(a) u(tk) WHERE u.tk <> ''),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dots AS (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(sum(x.tf * y.tf) AS BIGINT) AS dot
+                FROM cand c
+                JOIN tf x ON x.doc_id = c.doc_a
+                JOIN tf y ON y.doc_id = c.doc_b AND y.token = x.token
+                GROUP BY 1, 2),
+            norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                      FROM tf GROUP BY 1)
+            SELECT CAST(dd.doc_a AS BIGINT) AS doc_a,
+                   CAST(dd.doc_b AS BIGINT) AS doc_b, dd.dot,
+                   na.n2 AS norm2_a, nb.n2 AS norm2_b,
+                   dd.dot / (sqrt(CAST(na.n2 AS DOUBLE))
+                             * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+            FROM dots dd
+            JOIN norms na ON na.doc_id = dd.doc_a
+            JOIN norms nb ON nb.doc_id = dd.doc_b
+            ORDER BY doc_a, doc_b
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -175,3 +175,72 @@ def random_project(
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pandas", batch_size=batch_size)
+
+
+def frequent_directions(
+    ds: rd.Dataset,
+    col: str = "embedding",
+    ell: int = 16,
+) -> np.ndarray:
+    """Frequent-Directions matrix sketch (Liberty 2013) — the streaming
+    low-rank summary of a tall embedding matrix: an ``ell x d`` sketch
+    ``B`` with the deterministic guarantee
+
+        0 <= x'A'Ax - x'B'Bx <= ||A||_F^2 / ell     for all unit x
+
+    i.e. the sketch's Gram matrix underestimates the true one by at
+    most the (controllable) additive term — the principal subspace of
+    100 TB of embeddings in ``O(ell * d)`` memory, no global pass
+    structure required (vs :func:`pca_fit`'s exact d x d Gram, which
+    needs d small).
+
+    Shape: each batch SVD-shrinks its own rows into a ``<= 2*ell x d``
+    partial; partials merge associatively (stack + shrink) through the
+    sketch family's :func:`tree_reduce`; the driver folds <=128 final
+    partials.  Merge ORDER affects the exact basis (floats), never the
+    guarantee — pytest pins the error bound and the subspace, not the
+    bits.  Returns the ``ell x d`` sketch matrix.
+    """
+    from .sketches import tree_reduce
+    from .similarity import _stack
+
+    L = int(ell)
+
+    def _shrink(M: np.ndarray) -> np.ndarray:
+        if M.shape[0] <= L:
+            return M
+        _, s, vt = np.linalg.svd(M, full_matrices=False)
+        keep = min(L, len(s))
+        delta = s[keep - 1] ** 2 if len(s) >= keep else 0.0
+        s2 = np.sqrt(np.maximum(s[:keep] ** 2 - delta, 0.0))
+        return s2[:, None] * vt[:keep]
+
+    def sketch_batch(b: pd.DataFrame) -> pd.DataFrame:
+        X = _stack(b[col])
+        Bm = _shrink(X)
+        return pd.DataFrame({"sk": [Bm.astype(np.float64).tobytes()],
+                             "d": [Bm.shape[1]], "r": [Bm.shape[0]]})
+
+    def merge_fn(b: pd.DataFrame) -> pd.DataFrame:
+        mats = [
+            np.frombuffer(sk, dtype=np.float64).reshape(int(r), int(d))
+            for sk, d, r in zip(b["sk"], b["d"], b["r"])
+        ]
+        M = _shrink(np.vstack(mats))
+        return pd.DataFrame({"sk": [M.tobytes()], "d": [M.shape[1]],
+                             "r": [M.shape[0]]})
+
+    parts = tree_reduce(
+        ds.select_columns([col]).map_batches(
+            sketch_batch, batch_format="pandas", batch_size=4096
+        ),
+        merge_fn,
+    )
+    mats = [
+        np.frombuffer(sk, dtype=np.float64).reshape(int(r), int(d))
+        for sk, d, r in zip(parts["sk"], parts["d"], parts["r"])
+    ]
+    out = _shrink(np.vstack(mats))
+    if out.shape[0] < L:  # tiny inputs: pad with zero rows to ell x d
+        out = np.vstack([out, np.zeros((L - out.shape[0], out.shape[1]))])
+    return out

@@ -812,3 +812,167 @@ def containment_pairs(
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def cosine_pairs_tf(
+    docs: rd.Dataset,
+    candidates: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact term-frequency cosine for CANDIDATE document pairs: the
+    bag-of-words similarity ``dot(tf_a, tf_b) / (||tf_a|| * ||tf_b||)``
+    computed embedding-free — the verification stage after a blocking
+    pass (:func:`rare_term_pairs`), completing the block-then-verify
+    text-similarity family (containment/Jaccard are set-based; this is
+    the weighted counterpart).
+
+    Exactness: tf vectors are integer counts, so the dot product and
+    both squared norms are exact int64 sums; the cosine is
+    ``dot / (sqrt(na2) * sqrt(nb2))`` — two IEEE sqrts and one
+    multiply/divide in the same order as the SQL mirror.  Shape: doc
+    norms fall out map-side (a doc never splits across batches); ONE
+    hash(token) co-location emits per-token tf products for the
+    broadcast candidate adjacency; one grouped_reduce sums the dot;
+    two size-gated joins attach norms.  Output ``(doc_a, doc_b, dot,
+    norm2_a, norm2_b, cosine)``.
+    """
+    import ray
+
+    from ..stages.agg import grouped_reduce
+    from ..stages.relational import equi_join
+    from .textstats import _ws_tokens
+
+    cand = candidates.to_pandas()
+    adj: dict = {}
+    for a, b in zip(cand["doc_a"].astype(int), cand["doc_b"].astype(int)):
+        adj.setdefault(a, set()).add(b)
+    aref = ray.put(adj)
+    nb = np.uint64(num_buckets)
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks, _ = _ws_tokens(b[text_col], lower=True)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        import pyarrow.compute as pc
+
+        nt = pc.list_value_length(
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        ).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b[id_col].to_numpy(dtype=np.int64), nt)
+        df = pd.DataFrame(
+            {"doc": ids, "token": flat.to_numpy(zero_copy_only=False)}
+        )
+        tf = df.groupby(["doc", "token"], sort=False).size().rename(
+            "tf").reset_index()
+        bkt = (
+            pd.util.hash_pandas_object(tf["token"], index=False).to_numpy()
+            % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(tf["doc"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+                "token": pa.array(tf["token"].tolist(), pa.string()),
+                "tf": pa.array(tf["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                "__cp_bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    exploded = docs.map_batches(
+        explode, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    def products(g: pd.DataFrame) -> pa.Table:
+        from ..state.worker_state import get_worker_state, ref_key
+
+        am = get_worker_state(("cpadj", ref_key(aref)), lambda: ray.get(aref))
+        out_a, out_b, out_p = [], [], []
+        for _, sub in g.groupby("token", sort=False):
+            dd = dict(zip(sub["doc"].to_numpy(dtype=np.int64),
+                          sub["tf"].to_numpy(dtype=np.int64)))
+            for a, ta in dd.items():
+                ps = am.get(int(a))
+                if not ps:
+                    continue
+                for b in ps:
+                    tb = dd.get(b)
+                    if tb is not None:
+                        out_a.append(int(a))
+                        out_b.append(int(b))
+                        out_p.append(int(ta) * int(tb))
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(out_a, np.int64), pa.int64()),
+                "doc_b": pa.array(np.asarray(out_b, np.int64), pa.int64()),
+                "p": pa.array(np.asarray(out_p, np.int64), pa.int64()),
+            }
+        )
+
+    dots = grouped_reduce(
+        exploded.groupby("__cp_bkt").map_groups(products,
+                                                batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        {"dot": ("p", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def norm_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"doc": t["doc"].to_numpy(),
+             "sq": t["tf"].to_numpy().astype(np.int64) ** 2}
+        )
+        s = df.groupby("doc", sort=False)["sq"].sum().reset_index()
+        return pa.table(
+            {
+                "doc": pa.array(s["doc"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+                "n2": pa.array(s["sq"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    norms = grouped_reduce(
+        exploded.map_batches(norm_rows, batch_format="pyarrow"),
+        ["doc"],
+        {"n2": ("n2", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def as_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_a": b["doc"],
+                             "norm2_a": b["n2"].astype("int64")})
+
+    def as_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_b": b["doc"],
+                             "norm2_b": b["n2"].astype("int64")})
+
+    joined = equi_join(
+        equi_join(dots, norms.map_batches(as_a, batch_format="pandas"),
+                  "doc_a"),
+        norms.map_batches(as_b, batch_format="pandas"), "doc_b",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t["dot"].to_numpy().astype(np.int64)
+        na = t["norm2_a"].to_numpy().astype(np.int64)
+        nbv = t["norm2_b"].to_numpy().astype(np.int64)
+        cos = d / (np.sqrt(na.astype(np.float64))
+                   * np.sqrt(nbv.astype(np.float64)))
+        return pa.table(
+            {
+                "doc_a": pa.array(t["doc_a"].to_numpy().astype(np.int64),
+                                  pa.int64()),
+                "doc_b": pa.array(t["doc_b"].to_numpy().astype(np.int64),
+                                  pa.int64()),
+                "dot": pa.array(d, pa.int64()),
+                "norm2_a": pa.array(na, pa.int64()),
+                "norm2_b": pa.array(nbv, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -876,3 +876,55 @@ def test_read_parquet_evolved(ray_session, tmp_path):
     # column pruning on the union
     pr = read_parquet_evolved([p1, p2, p3], columns=["id", "b"]).to_pandas()
     assert list(pr.columns) == ["id", "b"]
+
+
+def test_frequent_directions_bound(ray_session):
+    from table_annotation_ray.stages.decomp import frequent_directions
+
+    rng = np.random.default_rng(61)
+    # low-rank + noise: FD must capture the dominant subspace
+    U = rng.normal(0, 1, (3000, 3))
+    V = rng.normal(0, 1, (3, 24))
+    A = U @ V + rng.normal(0, 0.05, (3000, 24))
+    df = pd.DataFrame({"embedding": list(A)})
+    ell = 8
+    B = frequent_directions(rd.from_pandas(df).repartition(5),
+                            "embedding", ell=ell)
+    assert B.shape == (ell, 24)
+    G = A.T @ A
+    H = B.T @ B
+    diff = G - H
+    # PSD underestimate within ||A||_F^2 / ell (Liberty guarantee)
+    eig = np.linalg.eigvalsh(diff)
+    bound = (A * A).sum() / ell
+    assert eig.min() >= -1e-6 * bound  # underestimates (up to num. noise)
+    assert eig.max() <= bound * (1 + 1e-9)
+    # dominant 3-dim subspace is captured: projecting A onto B's top-3
+    # right singular vectors preserves most of the energy
+    _, _, vt = np.linalg.svd(B, full_matrices=False)
+    proj = A @ vt[:3].T
+    assert (proj * proj).sum() > 0.95 * (A * A).sum()
+
+
+def test_cosine_pairs_tf_hand(ray_session):
+    from table_annotation_ray.stages.retrieval import cosine_pairs_tf
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "a b b", "z z"],
+        }
+    )
+    cand = pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
+    out = (
+        cosine_pairs_tf(rd.from_pandas(docs).repartition(2),
+                        rd.from_pandas(cand))
+        .to_pandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    # tf1=(a:2,b:1), tf2=(a:1,b:2): dot=4, norms 5,5 -> cos=0.8
+    r = out.loc[(1, 2)]
+    assert r["dot"] == 4 and r["norm2_a"] == 5 and r["norm2_b"] == 5
+    assert r["cosine"] == 4 / (np.sqrt(5.0) * np.sqrt(5.0))
+    # no shared tokens -> pair absent (dot would be 0)
+    assert (1, 3) not in out.index
