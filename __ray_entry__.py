@@ -6308,6 +6308,101 @@ def _q_doc_cosine_tf(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+
+def _q_user_coverage_ratio(sf_dir: str):
+    """Per-user activity coverage (composition: merge_intervals +
+    grouped_reduce): fraction of the user's own active lifetime
+    (first window start to last window end) covered by merged 30-min
+    activity islands.  All durations are exact int64 microseconds;
+    the ratio is one double division — SQL hash-exact."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.windows import merge_intervals
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "st": b["ts"],
+                "en": b["ts"] + pd.Timedelta(minutes=30),
+            }
+        )
+
+    islands = merge_intervals(
+        ev.map_batches(widen, batch_format="pandas"), "user_id", "st", "en"
+    )
+
+    def us(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["start"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = b["end"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "dur": e - s, "s_us": s, "e_us": e}
+        )
+
+    agg = grouped_reduce(
+        islands.map_batches(us, batch_format="pandas"),
+        ["user_id"],
+        {"n_islands": (None, "count"), "covered_us": ("dur", "sum"),
+         "first_us": ("s_us", "min"), "last_us": ("e_us", "max")},
+    ).to_pandas()
+    for c in ("n_islands", "covered_us", "first_us", "last_us"):
+        agg[c] = agg[c].astype("int64")
+    span = agg["last_us"] - agg["first_us"]
+    agg["span_us"] = span.astype("int64")
+    agg["coverage"] = agg["covered_us"].to_numpy(np.float64) / span.to_numpy(
+        np.float64
+    )
+    agg = agg.drop(columns=["first_us", "last_us"])
+    agg["user_id"] = agg["user_id"].astype("int64")
+    return agg.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_grouped_kfold(sf_dir: str):
+    """Stratification audit of a grouped 5-fold split (fold =
+    user_id % 5, the leakage-safe GROUP assignment): per (fold, event
+    type) counts, the fold's type rate vs the corpus rate and the
+    deviation — the balance check run before cross-validation.  One
+    grouped_reduce; single-division rates."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"fold": (b["user_id"] % 5).astype("int64"),
+             "event_type": b["event_type"]}
+        ),
+        batch_format="pandas",
+    )
+    agg = grouped_reduce(
+        ev, ["fold", "event_type"], {"n": (None, "count")}
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    ftot = agg.groupby("fold")["n"].transform("sum").astype("int64")
+    ttot = agg.groupby("event_type")["n"].transform("sum").astype("int64")
+    N = int(agg["n"].sum())
+    agg["fold_total"] = ftot
+    agg["rate"] = agg["n"].to_numpy(np.float64) / ftot.to_numpy(np.float64)
+    agg["global_rate"] = ttot.to_numpy(np.float64) / float(N)
+    agg["dev"] = agg["rate"] - agg["global_rate"]
+    return agg.sort_values(["fold", "event_type"]).reset_index(drop=True)
+
+
+def _q_audience_overlap_kmv(sf_dir: str):
+    """Bottom-k (KMV) audience sketches (stages/sketches.py::
+    bottomk_signatures): one k=256 signature per event type answers
+    every pairwise user-set Jaccard/overlap plus distinct counts —
+    where exact answers need one distinct exchange per PAIR.  Estimate
+    accuracy vs the exact pytest bound; rows-only."""
+    from table_annotation_ray.stages.sketches import (
+        bottomk_pairwise, bottomk_signatures,
+    )
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    sigs = bottomk_signatures(ev, "event_type", "user_id", k=256)
+    out = bottomk_pairwise(sigs, "event_type", k=256)
+    return out.sort_values(["cat_a", "cat_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6574,6 +6669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sqlite_roundtrip": _q_sqlite_roundtrip,
         "embedding_fd": _q_embedding_fd,
         "doc_cosine_tf": _q_doc_cosine_tf,
+        "user_coverage_ratio": _q_user_coverage_ratio,
+        "grouped_kfold": _q_grouped_kfold,
+        "audience_overlap_kmv": _q_audience_overlap_kmv,
     }
 
 
@@ -10270,6 +10368,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.doc_id = dd.doc_a
             JOIN norms nb ON nb.doc_id = dd.doc_b
             ORDER BY doc_a, doc_b
+        """,
+        "user_coverage_ratio": """
+            WITH s AS (
+                SELECT user_id, ts AS st,
+                       ts + INTERVAL 30 MINUTE AS en
+                FROM events),
+            o AS (
+                SELECT *, max(en) OVER (
+                    PARTITION BY user_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS prev_max FROM s),
+            g AS (
+                SELECT *, sum(CASE WHEN prev_max IS NULL OR st > prev_max
+                                   THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY st, en) AS grp
+                FROM o),
+            isl AS (
+                SELECT user_id, epoch_us(min(st)) AS s_us,
+                       epoch_us(max(en)) AS e_us
+                FROM g GROUP BY user_id, grp)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(e_us - s_us) AS BIGINT) AS covered_us,
+                   CAST(max(e_us) - min(s_us) AS BIGINT) AS span_us,
+                   CAST(sum(e_us - s_us) AS DOUBLE)
+                       / (max(e_us) - min(s_us)) AS coverage
+            FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "grouped_kfold": """
+            WITH g AS (
+                SELECT user_id % 5 AS fold, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            f AS (SELECT fold, CAST(sum(n) AS BIGINT) AS ft
+                  FROM g GROUP BY 1),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+                  FROM g GROUP BY 1),
+            nn AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+            SELECT CAST(g.fold AS BIGINT) AS fold, g.event_type, g.n,
+                   f.ft AS fold_total,
+                   CAST(g.n AS DOUBLE) / f.ft AS rate,
+                   CAST(t.tt AS DOUBLE) / nn.total AS global_rate,
+                   CAST(g.n AS DOUBLE) / f.ft
+                     - CAST(t.tt AS DOUBLE) / nn.total AS dev
+            FROM g JOIN f USING (fold) JOIN t USING (event_type)
+            CROSS JOIN nn
+            ORDER BY fold, g.event_type
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -560,3 +560,90 @@ def join_size_estimate(
     cr = _cms_build(right, right_col, depth, width, batch_size)
     prods = (cl.table.astype(np.float64) * cr.table.astype(np.float64)).sum(axis=1)
     return int(prods.min())
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = (z.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def bottomk_signatures(
+    ds: rd.Dataset,
+    cat_col: str,
+    id_col: str,
+    k: int = 256,
+) -> pd.DataFrame:
+    """Bottom-k (KMV) set signatures per category — ONE sketch per
+    category answers BOTH distinct-count and every pairwise
+    Jaccard/overlap question, where the exact answer needs a distinct
+    exchange per pair: keep the k smallest splitmix64(id) values of
+    each category's id set.
+
+    Per-batch bottom-k is a superset of the global bottom-k (the k
+    smallest overall are each the k smallest of their batch), so one
+    skinny ``groupby(cat)`` co-location of per-batch candidates
+    finishes the exact signature.  Returns a DataFrame ``(cat,
+    sig)`` with sorted uint64 arrays (<= k each)."""
+    kk = int(k)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows_c, rows_s = [], []
+        for cat, sub in b.groupby(cat_col, sort=False):
+            h = np.unique(_splitmix64(
+                sub[id_col].to_numpy(dtype=np.int64).astype(np.uint64)))
+            rows_c.append(cat)
+            rows_s.append(h[:kk].tobytes())
+        return pd.DataFrame({cat_col: rows_c, "sig": rows_s})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate(
+            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        ))
+        return pd.DataFrame(
+            {cat_col: g[cat_col].iloc[:1], "sig": [h[:kk].tobytes()]}
+        )
+
+    got = (
+        ds.select_columns([cat_col, id_col])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(cat_col)
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    got["sig"] = [np.frombuffer(s, dtype=np.uint64) for s in got["sig"]]
+    return got.sort_values(cat_col).reset_index(drop=True)
+
+
+def bottomk_pairwise(sigs: pd.DataFrame, cat_col: str, k: int = 256) -> pd.DataFrame:
+    """Pairwise estimates from :func:`bottomk_signatures`: for every
+    category pair, the KMV Jaccard estimate (share of the union's
+    bottom-k present in both signatures) and each side's distinct-count
+    estimate ``(k-1) * 2^64 / kth_min`` (exact count when the
+    signature holds the whole set).  Driver math over cat-count²
+    sketches."""
+    kk = int(k)
+
+    def est_distinct(sig: np.ndarray) -> float:
+        if len(sig) < kk:
+            return float(len(sig))  # exact: whole set seen
+        return (kk - 1) * (2.0 ** 64) / float(sig[kk - 1])
+
+    rows = []
+    cats = list(sigs[cat_col])
+    sig = {c: s for c, s in zip(sigs[cat_col], sigs["sig"])}
+    for i, a in enumerate(cats):
+        for b in cats[i + 1:]:
+            u = np.unique(np.concatenate([sig[a], sig[b]]))[:kk]
+            inter = np.intersect1d(u, np.intersect1d(sig[a], sig[b]))
+            jac = len(inter) / len(u) if len(u) else 0.0
+            rows.append(
+                {
+                    "cat_a": a, "cat_b": b,
+                    "est_jaccard": jac,
+                    "est_distinct_a": est_distinct(sig[a]),
+                    "est_distinct_b": est_distinct(sig[b]),
+                }
+            )
+    return pd.DataFrame(rows)

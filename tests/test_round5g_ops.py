@@ -928,3 +928,38 @@ def test_cosine_pairs_tf_hand(ray_session):
     assert r["cosine"] == 4 / (np.sqrt(5.0) * np.sqrt(5.0))
     # no shared tokens -> pair absent (dot would be 0)
     assert (1, 3) not in out.index
+
+
+def test_bottomk_signatures_accuracy(ray_session):
+    from table_annotation_ray.stages.sketches import (
+        bottomk_pairwise, bottomk_signatures,
+    )
+
+    rng = np.random.default_rng(71)
+    # two categories with controlled overlap
+    a_ids = rng.choice(100000, 5000, replace=False)
+    b_ids = np.concatenate([a_ids[:2500],
+                            rng.choice(np.arange(100000, 200000), 2500,
+                                       replace=False)])
+    df = pd.concat(
+        [pd.DataFrame({"cat": "A", "uid": a_ids}),
+         pd.DataFrame({"cat": "B", "uid": b_ids})],
+        ignore_index=True,
+    )
+    sigs = bottomk_signatures(
+        rd.from_pandas(df).repartition(5), "cat", "uid", k=256
+    )
+    out = bottomk_pairwise(sigs, "cat", k=256).iloc[0]
+    exact_j = len(set(a_ids) & set(b_ids)) / len(set(a_ids) | set(b_ids))
+    assert abs(out["est_jaccard"] - exact_j) < 0.12  # ~1/sqrt(k) band
+    assert abs(out["est_distinct_a"] - 5000) / 5000 < 0.2
+    # signatures are partition-invariant (exact bottom-k, not a sample)
+    sigs2 = bottomk_signatures(
+        rd.from_pandas(df).repartition(2), "cat", "uid", k=256
+    )
+    for s1, s2 in zip(sigs["sig"], sigs2["sig"]):
+        assert np.array_equal(s1, s2)
+    # small sets: distinct estimate is exact
+    tiny = pd.DataFrame({"cat": "C", "uid": np.arange(37)})
+    s3 = bottomk_signatures(rd.from_pandas(tiny), "cat", "uid", k=256)
+    assert len(s3["sig"].iloc[0]) == 37
