@@ -6403,6 +6403,66 @@ def _q_audience_overlap_kmv(sf_dir: str):
     return out.sort_values(["cat_a", "cat_b"]).reset_index(drop=True)
 
 
+
+def _q_compaction_plan(sf_dir: str):
+    """Small-file compaction planning (stages/datapipe.py::
+    compaction_plan): the z-order layout's 500-row files bin-packed
+    into ~1500-row merge targets with deterministic first-fit-
+    decreasing (11/9 OPT + 1 guarantee) — the OPTIMIZE step that keeps
+    a 100-TB table from drowning in small files.  Planner input is
+    file METADATA (the distributed box aggregate), never data.
+    Sequential FFD has no SQL form — rows-only; invariants pinned in
+    pytest."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.datapipe import (
+        compaction_plan, global_rank, zorder_key,
+    )
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        hr = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "uid": b["user_id"].to_numpy() % 1024,
+                "hr": hr % 1024,
+            }
+        )
+
+    z = zorder_key(ev.map_batches(quantize, batch_format="pandas"),
+                   "uid", "hr")
+    r = global_rank(z, ["zkey"], "event_id", out_col="position")
+
+    def part_tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"part": b["position"].to_numpy(dtype=np.int64) // 500}
+        )
+
+    sizes = grouped_reduce(
+        r.map_batches(part_tag, batch_format="pandas"),
+        ["part"], {"n_rows": (None, "count")},
+    ).to_pandas()
+    sizes["part"] = sizes["part"].astype("int64")
+    sizes["n_rows"] = sizes["n_rows"].astype("int64")
+    out = compaction_plan(sizes, "part", "n_rows", capacity=1500)
+    out["bin"] = out["bin"].astype("int64")
+    return out.sort_values("part").reset_index(drop=True)
+
+
+def _q_length_batching(sf_dir: str):
+    """Inference-padding audit (stages/datapipe.py::
+    length_batching_stats): 32-row micro-batches over documents in
+    natural vs length-sorted order; padded cells = sum of
+    (batch_max * rows - batch_len_sum) — the measured payoff of
+    length bucketing before batched model inference.  Exact integers,
+    SQL hash-exact."""
+    from table_annotation_ray.stages.datapipe import length_batching_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return length_batching_stats(docs, "doc_id", "n_chars", batch_rows=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6672,6 +6732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_coverage_ratio": _q_user_coverage_ratio,
         "grouped_kfold": _q_grouped_kfold,
         "audience_overlap_kmv": _q_audience_overlap_kmv,
+        "compaction_plan": _q_compaction_plan,
+        "length_batching": _q_length_batching,
     }
 
 
@@ -10414,6 +10476,35 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN f USING (fold) JOIN t USING (event_type)
             CROSS JOIN nn
             ORDER BY fold, g.event_type
+        """,
+        "length_batching": """
+            WITH r AS (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS p_nat,
+                       row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                           AS p_srt
+                FROM documents),
+            bn AS (SELECT p_nat // 32 AS b, count(*) AS n,
+                          max(n_chars) AS mx, sum(n_chars) AS sm
+                   FROM r GROUP BY 1),
+            bs AS (SELECT p_srt // 32 AS b, count(*) AS n,
+                          max(n_chars) AS mx, sum(n_chars) AS sm
+                   FROM r GROUP BY 1),
+            sn AS (SELECT 'natural' AS layout,
+                          CAST(count(*) AS BIGINT) AS n_batches,
+                          CAST(sum(mx * n) AS BIGINT) AS total_cells,
+                          CAST(sum(mx * n - sm) AS BIGINT) AS padded_cells
+                   FROM bn),
+            ss AS (SELECT 'sorted' AS layout,
+                          CAST(count(*) AS BIGINT) AS n_batches,
+                          CAST(sum(mx * n) AS BIGINT) AS total_cells,
+                          CAST(sum(mx * n - sm) AS BIGINT) AS padded_cells
+                   FROM bs),
+            u AS (SELECT * FROM sn UNION ALL SELECT * FROM ss)
+            SELECT layout, n_batches, total_cells, padded_cells,
+                   CAST(padded_cells AS DOUBLE) / total_cells
+                       AS pad_fraction
+            FROM u ORDER BY layout
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -1753,3 +1753,128 @@ def pruning_stats(
         ignore_index=True,
     )
     return out.sort_values("layout").reset_index(drop=True)
+
+
+def compaction_plan(
+    files: pd.DataFrame,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+) -> pd.DataFrame:
+    """Small-file compaction planning (the OPTIMIZE bin-packing step):
+    assign files to merge bins of total size <= ``capacity`` with
+    first-fit-decreasing — deterministic (size desc, id asc; first bin
+    that fits), within 11/9 OPT + 1 bins of optimal.  Driver math over
+    FILE METADATA (file-count-bounded, the resample/quantile driver
+    contract — the planner consumes a listing, never data).  Files
+    larger than ``capacity`` get their own bin (already-compact files
+    pass through).  Output ``(id, size, bin)`` plus per-row
+    ``bin_total`` for audit.
+    """
+    f = files[[id_col, size_col]].copy()
+    f = f.sort_values([size_col, id_col],
+                      ascending=[False, True]).reset_index(drop=True)
+    bins: list[int] = []  # remaining capacity per bin
+    assign = np.empty(len(f), dtype=np.int64)
+    for i, sz in enumerate(f[size_col].to_numpy()):
+        placed = False
+        for bi in range(len(bins)):
+            if bins[bi] >= sz:
+                bins[bi] -= int(sz)
+                assign[i] = bi
+                placed = True
+                break
+        if not placed:
+            bins.append(max(int(capacity) - int(sz), 0))
+            assign[i] = len(bins) - 1
+    f["bin"] = assign
+    totals = f.groupby("bin")[size_col].transform("sum").astype("int64")
+    f["bin_total"] = totals
+    return f.reset_index(drop=True)
+
+
+def length_batching_stats(
+    ds,
+    id_col: str,
+    len_col: str,
+    batch_rows: int = 32,
+) -> pd.DataFrame:
+    """Padding-waste audit of length-bucketed inference batching: fixed
+    ``batch_rows`` micro-batches under (a) NATURAL order (by id) and
+    (b) LENGTH-SORTED order; per layout the total padded cells
+    ``sum_b (batch_max * rows_in_batch - batch_len_sum)`` — the
+    measured payoff of sorting by sequence length before batched
+    model inference (same shape as :func:`pruning_stats` for scans).
+
+    Two range-partition exchanges (global_rank), per-batch aggregates
+    through grouped_reduce, TWO summary rows to the driver — exact
+    integers, SQL hash-exact.  Output ``(layout, n_batches,
+    total_cells, padded_cells, pad_fraction)``.
+    """
+    import pyarrow as pa
+
+    from .agg import grouped_reduce
+
+    def summarize(ranked, layout: str) -> pd.DataFrame:
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "batch": b["position"].to_numpy(dtype=np.int64)
+                    // batch_rows,
+                    "ln": b[len_col].to_numpy(dtype=np.int64),
+                }
+            )
+
+        per_batch = grouped_reduce(
+            ranked.map_batches(tag, batch_format="pandas"),
+            ["batch"],
+            {"n": (None, "count"), "mx": ("ln", "max"), "sm": ("ln", "sum")},
+        )
+
+        def cells(t: pa.Table) -> pa.Table:
+            n = t["n"].to_numpy().astype(np.int64)
+            mx = t["mx"].to_numpy().astype(np.int64)
+            sm = t["sm"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "one": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                    "cells": pa.array(mx * n, pa.int64()),
+                    "pad": pa.array(mx * n - sm, pa.int64()),
+                }
+            )
+
+        s = grouped_reduce(
+            per_batch.map_batches(cells, batch_format="pyarrow"),
+            ["one"],
+            {"n_batches": (None, "count"), "total_cells": ("cells", "sum"),
+             "padded_cells": ("pad", "sum")},
+        ).to_pandas()
+        out = pd.DataFrame(
+            {
+                "layout": [layout],
+                "n_batches": s["n_batches"].astype("int64"),
+                "total_cells": s["total_cells"].astype("int64"),
+                "padded_cells": s["padded_cells"].astype("int64"),
+            }
+        )
+        out["pad_fraction"] = out["padded_cells"].to_numpy(
+            np.float64) / out["total_cells"].to_numpy(np.float64)
+        return out
+
+    base = ds.materialize()
+
+    def dup_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__lb_ord"] = b[id_col]
+        return b
+
+    nat = global_rank(
+        base.map_batches(dup_key, batch_format="pandas"),
+        ["__lb_ord"], id_col, out_col="position",
+    )
+    srt = global_rank(base, [len_col], id_col, out_col="position")
+    out = pd.concat(
+        [summarize(nat, "natural"), summarize(srt, "sorted")],
+        ignore_index=True,
+    )
+    return out.sort_values("layout").reset_index(drop=True)

@@ -963,3 +963,54 @@ def test_bottomk_signatures_accuracy(ray_session):
     tiny = pd.DataFrame({"cat": "C", "uid": np.arange(37)})
     s3 = bottomk_signatures(rd.from_pandas(tiny), "cat", "uid", k=256)
     assert len(s3["sig"].iloc[0]) == 37
+
+
+def test_compaction_plan_invariants():
+    from table_annotation_ray.stages.datapipe import compaction_plan
+
+    rng = np.random.default_rng(81)
+    sizes = rng.integers(50, 900, 60)
+    files = pd.DataFrame({"f": np.arange(60), "sz": sizes})
+    cap = 1000
+    out = compaction_plan(files, "f", "sz", cap)
+    # every file assigned exactly once
+    assert sorted(out["f"]) == list(range(60))
+    # no bin over capacity (oversized files would get their own bin)
+    per_bin = out.groupby("bin")["sz"].sum()
+    assert (per_bin <= cap).all()
+    # FFD bound: bins <= 11/9 * OPT + 1, with OPT >= ceil(total/cap)
+    opt_lb = int(np.ceil(sizes.sum() / cap))
+    assert len(per_bin) <= int(np.ceil(11 / 9 * opt_lb)) + 1
+    # oversized file gets a singleton bin
+    big = compaction_plan(
+        pd.DataFrame({"f": [1, 2], "sz": [1500, 100]}), "f", "sz", 1000
+    )
+    assert big.loc[big["f"] == 1, "bin_total"].iloc[0] == 1500
+    # deterministic
+    out2 = compaction_plan(files.sample(frac=1, random_state=3), "f", "sz", cap)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+
+def test_length_batching_sorted_saves_padding(ray_session):
+    from table_annotation_ray.stages.datapipe import length_batching_stats
+
+    rng = np.random.default_rng(83)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(640),
+         "n_chars": rng.integers(10, 2000, 640)}
+    )
+    out = length_batching_stats(
+        rd.from_pandas(df).repartition(4), "doc_id", "n_chars",
+        batch_rows=32,
+    ).set_index("layout")
+    assert out.loc["natural", "n_batches"] == 20
+    assert out.loc["sorted", "padded_cells"] < out.loc["natural",
+                                                       "padded_cells"]
+    # exact padding for the sorted layout vs a numpy reference
+    ln = np.sort(df["n_chars"].to_numpy())
+    pads = sum(
+        int(ln[i:i + 32].max()) * len(ln[i:i + 32]) - int(ln[i:i + 32].sum())
+        for i in range(0, len(ln), 32)
+    )
+    assert out.loc["sorted", "padded_cells"] == pads
