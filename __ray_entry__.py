@@ -6463,6 +6463,19 @@ def _q_length_batching(sf_dir: str):
     return length_batching_stats(docs, "doc_id", "n_chars", batch_rows=32)
 
 
+
+def _q_rolling_active_kmv(sf_dir: str):
+    """Sketched rolling 7-day active users (stages/sketches.py::
+    rolling_kmv_distinct): mergeable daily bottom-k signatures — ONE
+    pass over events answers every trailing window by driver-side
+    sketch union, where the exact operator re-deduplicates per window.
+    Accuracy vs the exact rolling_active pinned in pytest; rows-only."""
+    from table_annotation_ray.stages.sketches import rolling_kmv_distinct
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    return rolling_kmv_distinct(ev, "ts", "user_id", window_days=7, k=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6734,6 +6747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap_kmv": _q_audience_overlap_kmv,
         "compaction_plan": _q_compaction_plan,
         "length_batching": _q_length_batching,
+        "rolling_active_kmv": _q_rolling_active_kmv,
     }
 
 

@@ -1014,3 +1014,33 @@ def test_length_batching_sorted_saves_padding(ray_session):
         for i in range(0, len(ln), 32)
     )
     assert out.loc["sorted", "padded_cells"] == pads
+
+
+def test_rolling_kmv_distinct_accuracy(ray_session):
+    from table_annotation_ray.stages.sketches import rolling_kmv_distinct
+
+    rng = np.random.default_rng(91)
+    rows = []
+    base = pd.Timestamp("2024-03-01")
+    for day in range(20):
+        for _ in range(400):
+            rows.append(
+                {"ts": base + pd.Timedelta(days=day,
+                                           seconds=int(rng.integers(0, 86400))),
+                 "user_id": int(rng.integers(0, 3000))}
+            )
+    df = pd.DataFrame(rows)
+    out = rolling_kmv_distinct(
+        rd.from_pandas(df).repartition(4), "ts", "user_id",
+        window_days=7, k=256,
+    ).set_index("day")
+    # exact reference per trailing window
+    d0 = int(df["ts"].min().normalize().value // 86_400_000_000_000 // 1000)
+    days = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000)
+    for day in out.index:
+        m = (days >= day - 6) & (days <= day)
+        exact = len(np.unique(df["user_id"].to_numpy()[m]))
+        est = out.loc[day, "est_distinct"]
+        assert abs(est - exact) / exact < 0.2  # ~3/sqrt(256)
+    assert out["n_days"].iloc[0] == 1 and out["n_days"].iloc[-1] == 7
