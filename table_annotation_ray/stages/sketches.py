@@ -687,10 +687,12 @@ def rolling_kmv_distinct(
         lo = d - window_days + 1
         parts = [s for dd, s in zip(days, sigs) if lo <= dd <= d]
         u = np.unique(np.concatenate(parts))
-        if len(u) <= kk:
+        # len(u) == k is ambiguous (a truncated signature), so only a
+        # STRICTLY short union proves the whole set was seen
+        if len(u) < kk:
             est = float(len(u))
         else:
-            est = (kk - 1) * (2.0 ** 64) / float(np.sort(u)[kk - 1])
+            est = (kk - 1) * (2.0 ** 64) / float(u[kk - 1])
         rows.append({"day": int(d), "n_days": len(parts),
                      "est_distinct": est})
     return pd.DataFrame(rows).sort_values("day").reset_index(drop=True)
