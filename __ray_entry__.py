@@ -6476,6 +6476,37 @@ def _q_rolling_active_kmv(sf_dir: str):
     return rolling_kmv_distinct(ev, "ts", "user_id", window_days=7, k=256)
 
 
+
+def _q_mix_rebalance(sf_dir: str):
+    """Deterministic corpus mix rebalancing (stages/datapipe.py::
+    mix_rebalance): documents down-sampled to a UNIFORM source mix via
+    the SQL-reproducible Knuth hash slice (no RNG, no order
+    dependence); output per source: input count, kept percent and the
+    ACTUAL kept count after the hash filter.  SQL hash-exact — the
+    mirror recomputes the same plan arithmetic and hash predicate."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.datapipe import mix_rebalance
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    sources = sorted(
+        docs.map_batches(
+            lambda b: b[["source"]].drop_duplicates(), batch_format="pandas"
+        ).to_pandas()["source"].unique()
+    )
+    # weight 1.0 each: the normalizing sum is the exact integer-valued
+    # float len(sources), so share == 1/k exactly (a sum of 1/k floats
+    # would carry rounding into the floor() boundary)
+    targets = {s: 1.0 for s in sources}
+    kept, plan = mix_rebalance(docs, "source", "doc_id", targets)
+    got = grouped_reduce(
+        kept, ["source"], {"n_kept": (None, "count")}
+    ).to_pandas()
+    got["n_kept"] = got["n_kept"].astype("int64")
+    out = plan.merge(got, on="source", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6748,6 +6779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compaction_plan": _q_compaction_plan,
         "length_batching": _q_length_batching,
         "rolling_active_kmv": _q_rolling_active_kmv,
+        "mix_rebalance": _q_mix_rebalance,
     }
 
 
@@ -10519,6 +10551,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(padded_cells AS DOUBLE) / total_cells
                        AS pad_fraction
             FROM u ORDER BY layout
+        """,
+        "mix_rebalance": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+                       FROM documents GROUP BY 1),
+            ns AS (SELECT count(*) AS k FROM c),
+            nout AS (SELECT min(n_in / (1.0 / (SELECT k FROM ns)))
+                         AS n_out FROM c),
+            p AS (SELECT source, n_in,
+                         CAST(floor(100.0 * (1.0 / (SELECT k FROM ns))
+                                    * (SELECT n_out FROM nout) / n_in
+                                    + 0.000000001)
+                              AS BIGINT) AS pct
+                  FROM c),
+            kept AS (
+                SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+                FROM documents d JOIN p ON p.source = d.source
+                WHERE ((CAST(d.doc_id AS HUGEINT) * 2654435761)
+                       % 4294967296 + 4294967296) % 4294967296 % 100
+                      < p.pct
+                GROUP BY 1)
+            SELECT p.source, p.n_in, p.pct,
+                   CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+            FROM p LEFT JOIN kept ON kept.source = p.source
+            ORDER BY p.source
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

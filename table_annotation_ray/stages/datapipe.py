@@ -1878,3 +1878,58 @@ def length_batching_stats(
         ignore_index=True,
     )
     return out.sort_values("layout").reset_index(drop=True)
+
+
+def mix_rebalance(
+    ds,
+    group_col: str,
+    id_col: str,
+    targets: dict,
+    num_buckets: int = 64,
+):
+    """Down-sample a corpus to a TARGET group mix (the data-mixing
+    step before pretraining: "20% code, 30% web, ..."), deterministic
+    and SQL-reproducible: the largest output size needing NO
+    upsampling is ``N_out = min_g n_g / share_g``; each group keeps an
+    integer-percent hash slice ``pct_g = floor(100 * share_g * N_out /
+    n_g)`` selected by the Knuth multiplicative id hash
+    (:func:`id_hash_bucket` — pure integer arithmetic, identical in
+    SQL, no RNG / cluster-order dependence).
+
+    Two passes: one grouped_reduce for group counts (driver-tiny),
+    one broadcast-dict filter map.  Returns ``(kept_ds, plan)`` where
+    plan is ``(group, n_in, pct)``.  Groups missing from ``targets``
+    are dropped (pct 0).
+    """
+    from .agg import grouped_reduce
+
+    counts = grouped_reduce(
+        ds.select_columns([group_col]), [group_col],
+        {"n_in": (None, "count")}, num_buckets=num_buckets,
+    ).to_pandas()
+    counts["n_in"] = counts["n_in"].astype("int64")
+    tot_share = float(sum(targets.values()))
+    share = {g: float(s) / tot_share for g, s in targets.items()}
+    n_out = min(
+        float(n) / share[g]
+        for g, n in zip(counts[group_col], counts["n_in"])
+        if share.get(g)
+    )
+    # +1e-9 before floor (mirrored in the SQL oracle): the anchor
+    # group computes 100*(n/share)*share/n which lands an ulp BELOW
+    # 100 and would floor to 99, silently shaving the scarcest group
+    pct = {
+        g: int(np.floor(100.0 * share[g] * n_out / float(n) + 1e-9))
+        if share.get(g) else 0
+        for g, n in zip(counts[group_col], counts["n_in"])
+    }
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        pcts = b[group_col].map(pct).fillna(0).to_numpy(dtype=np.int64)
+        m = id_hash_bucket(b[id_col]) < pcts
+        return b[m]
+
+    plan = counts.copy()
+    plan["pct"] = plan[group_col].map(pct).astype("int64")
+    plan = plan.sort_values(group_col).reset_index(drop=True)
+    return ds.map_batches(keep, batch_format="pandas"), plan

@@ -1044,3 +1044,38 @@ def test_rolling_kmv_distinct_accuracy(ray_session):
         est = out.loc[day, "est_distinct"]
         assert abs(est - exact) / exact < 0.2  # ~3/sqrt(256)
     assert out["n_days"].iloc[0] == 1 and out["n_days"].iloc[-1] == 7
+
+
+def test_mix_rebalance_plan(ray_session):
+    from table_annotation_ray.stages.datapipe import mix_rebalance
+
+    rng = np.random.default_rng(93)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000),
+            "g": rng.choice(["a", "b", "c"], 3000, p=[0.6, 0.3, 0.1]),
+        }
+    )
+    kept, plan = mix_rebalance(
+        rd.from_pandas(df).repartition(3), "g", "doc_id",
+        {"a": 1.0, "b": 1.0, "c": 1.0},
+    )
+    plan = plan.set_index("g")
+    # the scarcest group anchors: c keeps ~100%, larger groups downsample
+    assert plan.loc["c", "pct"] == 100
+    assert plan.loc["a", "pct"] < plan.loc["b", "pct"] < 100
+    out = kept.to_pandas()
+    mix = out["g"].value_counts()
+    # achieved mix near uniform (hash-percent granularity dominates)
+    assert mix.max() / mix.min() < 1.3
+    # determinism across partitionings
+    kept2, _ = mix_rebalance(
+        rd.from_pandas(df).repartition(7), "g", "doc_id",
+        {"a": 1.0, "b": 1.0, "c": 1.0},
+    )
+    assert sorted(kept2.to_pandas()["doc_id"]) == sorted(out["doc_id"])
+    # a group absent from targets drops entirely
+    kept3, plan3 = mix_rebalance(
+        rd.from_pandas(df), "g", "doc_id", {"a": 1.0, "b": 1.0}
+    )
+    assert (kept3.to_pandas()["g"] != "c").all()
