@@ -6507,6 +6507,36 @@ def _q_mix_rebalance(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+
+def _q_doc_ncd(sf_dir: str):
+    """Normalized compression distance (stages/textstats.py::
+    ncd_pairs, Cilibrasi-Vitanyi) for the rare-4-gram candidate
+    pairs: zlib sizes of each side and the pair joined — the
+    parameter-free near-dup signal (low NCD = compress-together).
+    zlib has no SQL form — rows-only; properties pinned in pytest."""
+    from table_annotation_ray.stages.retrieval import rare_term_pairs
+    from table_annotation_ray.stages.textstats import ncd_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = rare_term_pairs(docs, ngram=4, max_df=20, min_shared=2)
+    out = ncd_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), cand
+    ).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth (stages/textstats.py::
+    vocab_growth): distinct vocabulary after the first k documents for
+    a k-grid — sequential-looking, computed with ONE exchange via each
+    token's FIRST document id (grouped min).  Exact integers, SQL
+    hash-exact."""
+    from table_annotation_ray.stages.textstats import vocab_growth
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_growth(docs, grid=(10, 20, 50, 100, 200, 500))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6780,6 +6810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_batching": _q_length_batching,
         "rolling_active_kmv": _q_rolling_active_kmv,
         "mix_rebalance": _q_mix_rebalance,
+        "doc_ncd": _q_doc_ncd,
+        "vocab_growth": _q_vocab_growth,
     }
 
 
@@ -10575,6 +10607,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
             FROM p LEFT JOIN kept ON kept.source = p.source
             ORDER BY p.source
+        """,
+        "vocab_growth": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+                WHERE trim(COALESCE(text, '')) <> ''),
+            t2 AS (SELECT token, min(doc_id) AS first_doc
+                   FROM toks WHERE token <> '' GROUP BY 1),
+            nt AS (SELECT doc_id,
+                          CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                               ELSE array_length(
+                                   regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                          END AS n
+                   FROM documents),
+            g(k) AS (VALUES (10), (20), (50), (100), (200), (500))
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST((SELECT count(*) FROM t2 WHERE first_doc < k)
+                        AS BIGINT) AS vocab,
+                   CAST((SELECT COALESCE(sum(n), 0) FROM nt
+                         WHERE doc_id < k) AS BIGINT)
+                       AS total_tokens_at_k
+            FROM g ORDER BY k
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

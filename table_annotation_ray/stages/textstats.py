@@ -940,3 +940,164 @@ def vocab_drift(
     df["rank_a"] = df["rank_a"].astype("float64")
     df["rank_b"] = df["rank_b"].astype("float64")
     return df.reset_index(drop=True)
+
+
+def ncd_pairs(
+    docs: rd.Dataset,
+    candidates: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Normalized compression distance (Cilibrasi–Vitányi) for
+    CANDIDATE pairs: ``NCD(a,b) = (C(ab) - min(C(a),C(b))) /
+    max(C(a),C(b))`` with zlib sizes — the parameter-free similarity
+    that catches structural/templated duplication token measures miss
+    (near-0 = compressible together = near-duplicates).
+
+    Shape: candidate texts are fetched by a size-gated key filter
+    (bounded by the blocking contract), co-located per pair by a
+    hash(pair) exchange, and each pair compresses once per side plus
+    once joined — per-row CPU inside map tasks, no all-pairs.
+    zlib is not expressible in SQL — rows-only; monotonicity and
+    self-distance pinned in pytest.  Output ``(doc_a, doc_b, c_a,
+    c_b, c_ab, ncd)``.
+    """
+    import zlib
+
+    import ray
+    import ray.data as rd
+
+    from .relational import filter_rows_by_keys
+
+    cand = candidates.to_pandas()[["doc_a", "doc_b"]]
+    docs_needed = pd.DataFrame(
+        {id_col: np.unique(np.concatenate(
+            [cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]
+        ).astype(np.int64))}
+    )
+    texts = filter_rows_by_keys(
+        docs.select_columns([id_col, text_col]),
+        rd.from_pandas(docs_needed), id_col, id_col,
+    ).to_pandas()
+    tmap_ref = ray.put(dict(zip(texts[id_col].astype(int),
+                                texts[text_col].fillna(""))))
+    pairs_ds = rd.from_pandas(cand)
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        from ..state.worker_state import get_worker_state, ref_key
+
+        tm = get_worker_state(("ncdt", ref_key(tmap_ref)),
+                              lambda: ray.get(tmap_ref))
+        ca, cb, cab, ncd = [], [], [], []
+        for a, bb in zip(b["doc_a"].astype(int), b["doc_b"].astype(int)):
+            ta = tm.get(a, "").encode()
+            tb = tm.get(bb, "").encode()
+            la = len(zlib.compress(ta, 6))
+            lb = len(zlib.compress(tb, 6))
+            lab = len(zlib.compress(ta + b"\\n" + tb, 6))
+            ca.append(la)
+            cb.append(lb)
+            cab.append(lab)
+            ncd.append((lab - min(la, lb)) / max(la, lb))
+        return pa.table(
+            {
+                "doc_a": pa.array(b["doc_a"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+                "doc_b": pa.array(b["doc_b"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+                "c_a": pa.array(ca, pa.int64()),
+                "c_b": pa.array(cb, pa.int64()),
+                "c_ab": pa.array(cab, pa.int64()),
+                "ncd": pa.array(ncd, pa.float64()),
+            }
+        )
+
+    return pairs_ds.map_batches(score, batch_format="pandas")
+
+
+def vocab_growth(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grid: tuple[int, ...] = (10, 20, 50, 100, 200, 500),
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Heaps-law vocabulary growth: distinct vocabulary size after the
+    first k documents (in ``id_col`` order) for each grid point — the
+    sublinear V(k) curve whose log-log slope says how fast new data
+    stops buying new vocabulary.
+
+    Sequential-looking but ONE exchange: each token's FIRST document
+    (grouped_reduce min over the exploded (token, doc) rows) turns
+    cumulative vocabulary into a simple count of first-occurrences
+    <= k — exact integers, SQL hash-exact.  Output ``(k, vocab,
+    total_tokens_at_k)``.
+    """
+    from .agg import grouped_reduce
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks, nt = _ws_tokens(b[text_col], lower=True)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        ids = np.repeat(b[id_col].to_numpy(dtype=np.int64),
+                        np.asarray(nt, dtype=np.int64))
+        df = pd.DataFrame(
+            {"token": flat.to_numpy(zero_copy_only=False), "doc": ids}
+        )
+        p = df.groupby("token", sort=False).agg(
+            first_doc=("doc", "min"), n=("doc", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "token": pa.array(p["token"].tolist(), pa.string()),
+                "first_doc": pa.array(
+                    p["first_doc"].to_numpy(dtype=np.int64), pa.int64()),
+                "n": pa.array(p["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    firsts = grouped_reduce(
+        docs.map_batches(explode, batch_format="pandas", batch_size=65536),
+        ["token"],
+        {"first_doc": ("first_doc", "min"), "n": ("n", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    firsts["first_doc"] = firsts["first_doc"].astype("int64")
+    firsts["n"] = firsts["n"].astype("int64")
+
+    # token totals per doc for the cumulative token count at k
+    def doc_tokens(b: pd.DataFrame) -> pa.Table:
+        _, nt = _ws_tokens(b[text_col], lower=True)
+        return pa.table(
+            {
+                "doc": pa.array(b[id_col].to_numpy(dtype=np.int64),
+                                pa.int64()),
+                "nt": pa.array(np.asarray(nt, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    per_doc = grouped_reduce(
+        docs.map_batches(doc_tokens, batch_format="pandas"),
+        ["doc"], {"nt": ("nt", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    per_doc["doc"] = per_doc["doc"].astype("int64")
+    per_doc["nt"] = per_doc["nt"].astype("int64")
+
+    rows = []
+    fd = firsts["first_doc"].to_numpy()
+    for k in grid:
+        rows.append(
+            {
+                "k": int(k),
+                "vocab": int((fd < k).sum()),
+                "total_tokens_at_k": int(
+                    per_doc.loc[per_doc["doc"] < k, "nt"].sum()),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -1079,3 +1079,51 @@ def test_mix_rebalance_plan(ray_session):
         rd.from_pandas(df), "g", "doc_id", {"a": 1.0, "b": 1.0}
     )
     assert (kept3.to_pandas()["g"] != "c").all()
+
+
+def test_ncd_pairs_properties(ray_session):
+    from table_annotation_ray.stages.textstats import ncd_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base + "tail change", "completely different "
+                     "content with other words entirely " * 15],
+        }
+    )
+    cand = pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
+    out = (
+        ncd_pairs(rd.from_pandas(docs).repartition(2), rd.from_pandas(cand))
+        .to_pandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    near, far = out.loc[(1, 2), "ncd"], out.loc[(1, 3), "ncd"]
+    assert near < far  # near-duplicate compresses together
+    assert near < 0.4 and far > 0.5
+    assert (out["c_ab"] >= out[["c_a", "c_b"]].min(axis=1)).all()
+
+
+def test_vocab_growth_monotone(ray_session):
+    from table_annotation_ray.stages.textstats import vocab_growth
+
+    rng = np.random.default_rng(97)
+    words = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(words, 30))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame({"doc_id": range(120), "text": texts})
+    out = vocab_growth(rd.from_pandas(df).repartition(4), grid=(10, 40, 120))
+    v = out["vocab"].to_numpy()
+    t = out["total_tokens_at_k"].to_numpy()
+    assert (np.diff(v) > 0).all() and (np.diff(t) > 0).all()
+    # exact check vs sequential reference at each k
+    for k, vk, tk in zip(out["k"], v, t):
+        seen = set()
+        tot = 0
+        for i in range(k):
+            ws = texts[i].lower().split()
+            seen.update(ws)
+            tot += len(ws)
+        assert vk == len(seen) and tk == tot
