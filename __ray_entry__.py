@@ -6537,6 +6537,23 @@ def _q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, grid=(10, 20, 50, 100, 200, 500))
 
 
+
+def _q_event_trigrams(sf_dir: str):
+    """Sequential trigram mining (stages/windows.py::event_kgrams):
+    counts of every consecutive 3-step event-type sequence over
+    ts-ordered user histories — the funnel-discovery generalization of
+    event_transitions.  One key co-location + one skinny count
+    exchange; SQL mirror is a double-LEAD window."""
+    from table_annotation_ray.stages.windows import event_kgrams
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out = event_kgrams(
+        ev, "user_id", ["ts", "event_id"], "event_type", k=3
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["t_0", "t_1", "t_2"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6812,6 +6829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_rebalance": _q_mix_rebalance,
         "doc_ncd": _q_doc_ncd,
         "vocab_growth": _q_vocab_growth,
+        "event_trigrams": _q_event_trigrams,
     }
 
 
@@ -10632,6 +10650,17 @@ def oracle_sql() -> dict[str, str]:
                          WHERE doc_id < k) AS BIGINT)
                        AS total_tokens_at_k
             FROM g ORDER BY k
+        """,
+        "event_trigrams": """
+            WITH s AS (
+                SELECT event_type AS t_0,
+                       lead(event_type, 1) OVER w AS t_1,
+                       lead(event_type, 2) OVER w AS t_2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t_0, t_1, t_2, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE t_1 IS NOT NULL AND t_2 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

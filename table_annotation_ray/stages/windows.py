@@ -2439,3 +2439,71 @@ def activity_labels(
         .groupby("__al_bkt")
         .map_groups(label, batch_format="pandas")
     )
+
+
+def event_kgrams(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    type_col: str,
+    k: int = 3,
+    min_count: int = 1,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Sequential pattern mining at fixed length: counts of every
+    length-``k`` CONSECUTIVE event-type sequence across all keys'
+    ordered histories (the "view->click->purchase happens 412 times"
+    table behind next-step prediction and funnel discovery; the k=2
+    case is :func:`transition_counts`).
+
+    One ``hash(key)`` co-location; in-bucket the k-gram build is a
+    vectorized shift-stack (no per-row Python), map-side combined,
+    then one skinny grouped_reduce sums across buckets.  Output
+    ``(t_0 .. t_{k-1}, n)`` with ``n >= min_count`` — SQL mirror is a
+    (k-1)-fold LEAD window."""
+    from .agg import grouped_reduce
+
+    nb = np.uint64(num_buckets)
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        b = b[[key_col, *order_cols, type_col]].copy()
+        b["__kg_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def grams(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__kg_bkt")
+            .sort_values([key_col] + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        gb = g.groupby(key_col, sort=False)
+        cols = {"t_0": g[type_col]}
+        ok = np.ones(len(g), dtype=bool)
+        for i in range(1, k):
+            sh = gb[type_col].shift(-i)
+            ok &= sh.notna().to_numpy()
+            cols[f"t_{i}"] = sh
+        frame = pd.DataFrame(cols)[ok]
+        c = frame.groupby(list(cols), sort=False).size().reset_index(name="n")
+        out = {
+            f"t_{i}": pa.array(c[f"t_{i}"].tolist(), pa.string())
+            for i in range(k)
+        }
+        out["n"] = pa.array(c["n"].to_numpy(dtype=np.int64), pa.int64())
+        return pa.table(out)
+
+    counts = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__kg_bkt")
+        .map_groups(grams, batch_format="pandas"),
+        [f"t_{i}" for i in range(k)],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    )
+    if min_count > 1:
+        counts = counts.filter(expr=f"n >= {int(min_count)}")
+    return counts

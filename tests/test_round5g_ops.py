@@ -1127,3 +1127,25 @@ def test_vocab_growth_monotone(ray_session):
             seen.update(ws)
             tot += len(ws)
         assert vk == len(seen) and tk == tot
+
+
+def test_event_kgrams_hand(ray_session):
+    from table_annotation_ray.stages.windows import event_kgrams
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2, 2, 2],
+            "t": [0, 1, 2, 3, 0, 1, 2],
+            "e": ["a", "b", "a", "b", "a", "b", "a"],
+        }
+    )
+    out = (
+        event_kgrams(rd.from_pandas(df).repartition(2), "u", ["t"], "e", k=3)
+        .to_pandas()
+        .set_index(["t_0", "t_1", "t_2"])
+    )
+    # user1: aba, bab; user2: aba -> aba x2, bab x1
+    assert out.loc[("a", "b", "a"), "n"] == 2
+    assert out.loc[("b", "a", "b"), "n"] == 1
+    assert len(out) == 2
+    # k-grams never cross users: user2 has no 4th event
