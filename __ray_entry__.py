@@ -6554,6 +6554,47 @@ def _q_event_trigrams(sf_dir: str):
     return out.sort_values(["t_0", "t_1", "t_2"]).reset_index(drop=True)
 
 
+
+def _q_quality_isotonic(sf_dir: str):
+    """Monotone recalibration (stages/stats.py::isotonic_calibration):
+    PAVA over the quality-score calibration deciles — count-weighted
+    pooling with EXACT integer cross-product comparisons; the
+    sequential pooling has no SQL form (rows-only; hand-pooled cases
+    pinned in pytest)."""
+    from table_annotation_ray.stages.stats import (
+        calibration_bins, isotonic_calibration,
+    )
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        s = _round_ha(qs["stopword_ratio"], 6)
+        mtl = _round_ha(qs["mean_token_len"], 6)
+        lab = ((s >= 0.05) & (mtl < 8.0)).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "score": s.to_numpy(), "label": lab}
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas")
+    bins = calibration_bins(scored, "score", "label", "doc_id", k=10)
+    return isotonic_calibration(bins)
+
+
+def _q_population_estimate(sf_dir: str):
+    """Lincoln-Petersen / Chapman capture-recapture (stages/stats.py::
+    capture_recapture): the distinct-user population estimated from
+    two independent SQL-reproducible Knuth-hash captures — two
+    membership passes instead of a distinct exchange.  Hash-exact
+    (counts are integers; the two estimates mirror the SQL float
+    ops)."""
+    from table_annotation_ray.stages.stats import capture_recapture
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return capture_recapture(ev, "user_id", pct=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6830,6 +6871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ncd": _q_doc_ncd,
         "vocab_growth": _q_vocab_growth,
         "event_trigrams": _q_event_trigrams,
+        "quality_isotonic": _q_quality_isotonic,
+        "population_estimate": _q_population_estimate,
     }
 
 
@@ -10661,6 +10704,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT t_0, t_1, t_2, CAST(count(*) AS BIGINT) AS n
             FROM s WHERE t_1 IS NOT NULL AND t_2 IS NOT NULL
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "population_estimate": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            f AS (SELECT
+                CASE WHEN ((CAST(user_id AS HUGEINT) * 2654435761)
+                           % 4294967296 + 4294967296) % 4294967296
+                          % 100 < 30 THEN 1 ELSE 0 END AS in1,
+                CASE WHEN ((CAST(user_id AS HUGEINT) * 2246822519)
+                           % 4294967296 + 4294967296) % 4294967296
+                          % 100 < 30 THEN 1 ELSE 0 END AS in2
+                  FROM u)
+            SELECT CAST(sum(in1) AS BIGINT) AS n1,
+                   CAST(sum(in2) AS BIGINT) AS n2,
+                   CAST(sum(in1 * in2) AS BIGINT) AS m,
+                   CASE WHEN sum(in1 * in2) > 0 THEN
+                       CAST(sum(in1) AS DOUBLE) * sum(in2)
+                           / sum(in1 * in2)
+                   END AS est_lp,
+                   CAST(sum(in1) + 1 AS DOUBLE) * (sum(in2) + 1)
+                       / (sum(in1 * in2) + 1) - 1 AS est_chapman
+            FROM f
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -1842,3 +1842,89 @@ def mix_shift(
     out["mix_effect"] = (sn - so) * ro
     out["rate_effect"] = sn * (rn_ - ro)
     return out.reset_index().sort_values(segment_col).reset_index(drop=True)
+
+
+def isotonic_calibration(
+    bins: pd.DataFrame,
+    n_col: str = "n",
+    pos_col: str = "pos",
+    tile_col: str = "tile",
+) -> pd.DataFrame:
+    """Pool-adjacent-violators (PAVA) over a calibration-bin table —
+    the monotone recalibration step after :func:`calibration_bins`:
+    per-bin positive rates are pooled (count-weighted) wherever they
+    decrease, yielding the least-squares monotone fit.  Driver math
+    over k bins (bin-count-bounded by construction); deterministic
+    rational pooling.  Output adds ``iso_rate`` to the input rows
+    (sorted by tile).
+    """
+    b = bins.sort_values(tile_col).reset_index(drop=True)
+    # blocks as (pos_sum, n_sum) — rates compared as cross products so
+    # the pooling decisions are EXACT integer comparisons, no floats
+    blocks: list[list[int]] = []  # [pos, n, count_of_bins]
+    for p, n in zip(b[pos_col].astype(int), b[n_col].astype(int)):
+        blocks.append([p, n, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, n2, c2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+            blocks[-1][2] += c2
+    iso = np.concatenate(
+        [np.full(c, p / n if n else np.nan) for p, n, c in blocks]
+    )
+    out = b.copy()
+    out["iso_rate"] = iso
+    return out
+
+
+def capture_recapture(
+    ds: rd.Dataset,
+    id_col: str,
+    pct: int = 20,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Lincoln–Petersen distinct-population estimate from two
+    INDEPENDENT deterministic hash captures — distinct counting with
+    two cheap membership passes instead of a distinct exchange or an
+    HLL: sample A = ids with Knuth-hash bucket < pct, sample B = same
+    with a second multiplier; ``N_hat = n1 * n2 / m`` (m = ids in
+    both).  Chapman's bias-corrected variant is also returned.  Both
+    hashes are pure integer arithmetic (SQL-reproducible, the
+    id_hash_bucket contract).  One grouped_reduce over DISTINCT ids of
+    the union (the captures are tiny at small pct).  Output one row:
+    ``(n1, n2, m, est_lp, est_chapman)``."""
+    from .agg import bucketed_distinct
+
+    MULT2 = 2246822519  # second odd Knuth-style multiplier
+    MOD = 4294967296
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        b1 = ((ids * np.uint64(2654435761)) % np.uint64(MOD)) % np.uint64(100)
+        b2 = ((ids * np.uint64(MULT2)) % np.uint64(MOD)) % np.uint64(100)
+        in1 = b1 < pct
+        in2 = b2 < pct
+        keep = in1 | in2
+        return pd.DataFrame(
+            {
+                id_col: b[id_col][keep],
+                "in1": in1[keep].astype("int64"),
+                "in2": in2[keep].astype("int64"),
+            }
+        )
+
+    cap = bucketed_distinct(
+        ds.map_batches(tag, batch_format="pandas"), [id_col],
+        num_buckets=num_buckets,
+    ).to_pandas()
+    n1 = int(cap["in1"].sum())
+    n2 = int(cap["in2"].sum())
+    m = int((cap["in1"] & cap["in2"]).sum())
+    est_lp = (n1 * n2 / m) if m else float("nan")
+    est_ch = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    return pd.DataFrame(
+        [{"n1": n1, "n2": n2, "m": m, "est_lp": est_lp,
+          "est_chapman": est_ch}]
+    )

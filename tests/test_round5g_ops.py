@@ -1149,3 +1149,42 @@ def test_event_kgrams_hand(ray_session):
     assert out.loc[("b", "a", "b"), "n"] == 1
     assert len(out) == 2
     # k-grams never cross users: user2 has no 4th event
+
+
+def test_isotonic_calibration_hand():
+    from table_annotation_ray.stages.stats import isotonic_calibration
+
+    bins = pd.DataFrame(
+        {
+            "tile": [1, 2, 3, 4],
+            "n": [10, 10, 10, 10],
+            "pos": [1, 5, 3, 9],  # violation at 3
+        }
+    )
+    out = isotonic_calibration(bins)
+    # bins 2 and 3 pool: (5+3)/(10+10) = 0.4
+    assert list(out["iso_rate"]) == [0.1, 0.4, 0.4, 0.9]
+    # already monotone input is unchanged
+    mono = pd.DataFrame({"tile": [1, 2], "n": [5, 5], "pos": [1, 4]})
+    assert list(isotonic_calibration(mono)["iso_rate"]) == [0.2, 0.8]
+    # cascading pool
+    casc = pd.DataFrame({"tile": [1, 2, 3], "n": [10, 10, 10],
+                         "pos": [6, 4, 2]})
+    assert list(isotonic_calibration(casc)["iso_rate"]) == [0.4, 0.4, 0.4]
+
+
+def test_capture_recapture_estimate(ray_session):
+    from table_annotation_ray.stages.stats import capture_recapture
+
+    df = pd.DataFrame({"uid": np.repeat(np.arange(5000), 2)})
+    out = capture_recapture(
+        rd.from_pandas(df).repartition(4), "uid", pct=30
+    ).iloc[0]
+    # both captures near 30% of 5000; estimate within 15% of truth
+    assert 1200 < out["n1"] < 1800 and 1200 < out["n2"] < 1800
+    assert abs(out["est_chapman"] - 5000) / 5000 < 0.15
+    # duplicates in the input must not inflate the captures
+    out2 = capture_recapture(
+        rd.from_pandas(pd.DataFrame({"uid": np.arange(5000)})), "uid", pct=30
+    ).iloc[0]
+    assert out["n1"] == out2["n1"] and out["m"] == out2["m"]
