@@ -6595,6 +6595,43 @@ def _q_population_estimate(sf_dir: str):
     return capture_recapture(ev, "user_id", pct=30)
 
 
+
+def _q_simpson_check(sf_dir: str):
+    """Simpson's-paradox audit (stages/stats.py::simpson_check): does
+    any brand's qty-price slope point against the pooled slope?
+    Sign-exact — slope numerators are exact integers (cent lattice),
+    per-brand int64, pooled via Python-int/HUGEINT; no float enters
+    the comparison."""
+    from table_annotation_ray.stages.stats import simpson_check
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    from table_annotation_ray.stages.relational import equi_join
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"p_partkey": "l_partkey"})
+
+    joined = equi_join(li, pt.map_batches(slim, batch_format="pandas"),
+                       "l_partkey")
+    return simpson_check(joined, "p_brand", "l_quantity", "l_extendedprice")
+
+
+def _q_doc_novelty(sf_dir: str):
+    """Per-document vocabulary novelty (stages/textstats.py::
+    doc_novelty): fraction of each doc's distinct tokens first seen in
+    that doc (corpus id order) — the per-doc marginal-value curve.
+    One token co-location + one doc-sum exchange; exact ints + one
+    division, SQL hash-exact."""
+    from table_annotation_ray.stages.textstats import doc_novelty
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = doc_novelty(docs).to_pandas()
+    for c in ("doc", "n_distinct", "n_new"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6873,6 +6910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": _q_event_trigrams,
         "quality_isotonic": _q_quality_isotonic,
         "population_estimate": _q_population_estimate,
+        "simpson_check": _q_simpson_check,
+        "doc_novelty": _q_doc_novelty,
     }
 
 
@@ -10725,6 +10764,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(in1) + 1 AS DOUBLE) * (sum(in2) + 1)
                        / (sum(in1 * in2) + 1) - 1 AS est_chapman
             FROM f
+        """,
+        "simpson_check": """
+            WITH j AS (
+                SELECT p.p_brand,
+                       CAST(l.l_quantity AS BIGINT) AS x,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM j GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS HUGEINT) AS tn,
+                         CAST(sum(sx) AS HUGEINT) AS tsx,
+                         CAST(sum(sy) AS HUGEINT) AS tsy,
+                         CAST(sum(sxy) AS HUGEINT) AS tsxy FROM g),
+            p AS (SELECT CAST(sign(tn * tsxy - tsx * tsy) AS BIGINT)
+                      AS sgn FROM t)
+            SELECT g.p_brand, g.n,
+                   CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS slope_num,
+                   CAST(sign(g.n * g.sxy - g.sx * g.sy) AS BIGINT)
+                       AS sign_seg,
+                   p.sgn AS sign_pooled,
+                   CAST(CASE WHEN sign(g.n * g.sxy - g.sx * g.sy) <> 0
+                             AND sign(g.n * g.sxy - g.sx * g.sy) <> p.sgn
+                        THEN 1 ELSE 0 END AS BIGINT) AS flip
+            FROM g CROSS JOIN p ORDER BY g.p_brand
+        """,
+        "doc_novelty": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+                WHERE trim(COALESCE(text, '')) <> ''),
+            p AS (SELECT DISTINCT doc_id, token FROM toks
+                  WHERE token <> ''),
+            f AS (SELECT token, min(doc_id) AS fd FROM p GROUP BY 1)
+            SELECT CAST(p.doc_id AS BIGINT) AS doc,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN p.doc_id = f.fd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN p.doc_id = f.fd THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS novelty
+            FROM p JOIN f USING (token)
+            GROUP BY p.doc_id ORDER BY doc
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

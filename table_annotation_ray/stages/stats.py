@@ -1928,3 +1928,69 @@ def capture_recapture(
         [{"n1": n1, "n2": n2, "m": m, "est_lp": est_lp,
           "est_chapman": est_ch}]
     )
+
+
+def simpson_check(
+    ds: rd.Dataset,
+    segment_col: str,
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Simpson's-paradox detector: for every segment, does the OLS
+    slope of y on x point the OPPOSITE way from the pooled slope?  The
+    aggregation-reversal audit run before trusting any pooled trend.
+
+    Sign-exact by construction: with x integral and y on the cent
+    lattice, each slope's NUMERATOR ``n*Sxy - Sx*Sy`` is an exact
+    integer (the denominator is positive), so the sign comparison has
+    no float in it — per-segment numerators fit int64; the pooled
+    numerator is Python-int driver math (HUGEINT in the SQL mirror).
+    One grouped_reduce of sufficient statistics.  Output per segment:
+    ``(segment, n, slope_num, sign_seg, sign_pooled, flip)``.
+    """
+    from .agg import grouped_reduce
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(dtype=np.float64).astype(np.int64)
+        y = np.round(b[y_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                segment_col: b[segment_col],
+                "x": x, "y": y, "xy": x * y, "xx": x * x,
+            }
+        )
+
+    agg = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas"),
+        [segment_col],
+        {"n": (None, "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxy": ("xy", "sum"), "sxx": ("xx", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    for c in ("n", "sx", "sy", "sxy", "sxx"):
+        agg[c] = agg[c].astype("int64")
+    num_seg = (
+        agg["n"].to_numpy() * agg["sxy"].to_numpy()
+        - agg["sx"].to_numpy() * agg["sy"].to_numpy()
+    )
+    N = int(agg["n"].sum())
+    pooled_num = N * int(agg["sxy"].sum()) - int(agg["sx"].sum()) * int(
+        agg["sy"].sum()
+    )
+    sgn_p = int(np.sign(pooled_num))
+    out = pd.DataFrame(
+        {
+            segment_col: agg[segment_col],
+            "n": agg["n"],
+            "slope_num": num_seg.astype(np.int64),
+            "sign_seg": np.sign(num_seg).astype(np.int64),
+            "sign_pooled": np.full(len(agg), sgn_p, dtype=np.int64),
+        }
+    )
+    out["flip"] = (
+        (out["sign_seg"] != 0) & (out["sign_seg"] != sgn_p)
+    ).astype("int64")
+    return out.sort_values(segment_col).reset_index(drop=True)

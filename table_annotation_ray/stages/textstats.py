@@ -1101,3 +1101,88 @@ def vocab_growth(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def doc_novelty(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-document novelty in corpus order: of a doc's DISTINCT
+    tokens, the fraction seen for the FIRST time in this doc (token's
+    min doc id == this doc) — the marginal-value curve of appending
+    more data, per document.
+
+    One hash(token) co-location computes each token's first doc and
+    emits per-(doc, token) contribution rows; one grouped_reduce sums
+    per doc.  Exact integers + one double division — SQL hash-exact.
+    Output ``(doc, n_distinct, n_new, novelty)``.
+    """
+    from .agg import grouped_reduce
+
+    nb = np.uint64(num_buckets)
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks, _ = _ws_tokens(b[text_col], lower=True)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        nt = pc.list_value_length(
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+            else toks
+        ).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b[id_col].to_numpy(dtype=np.int64), nt)
+        df = pd.DataFrame(
+            {"doc": ids, "token": flat.to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        bkt = (
+            pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+            % nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(df["doc"].to_numpy(), pa.int64()),
+                "token": pa.array(df["token"].to_numpy(), pa.string()),
+                "__nv_bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    def contrib(g: pd.DataFrame) -> pa.Table:
+        first = g.groupby("token", sort=False)["doc"].transform("min")
+        return pa.table(
+            {
+                "doc": pa.array(g["doc"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+                "one": pa.array(np.ones(len(g), np.int64), pa.int64()),
+                "new": pa.array(
+                    (g["doc"].to_numpy() == first.to_numpy()).astype(np.int64),
+                    pa.int64()),
+            }
+        )
+
+    sums = grouped_reduce(
+        docs.map_batches(explode, batch_format="pandas", batch_size=65536)
+        .groupby("__nv_bkt")
+        .map_groups(contrib, batch_format="pandas"),
+        ["doc"],
+        {"n_distinct": ("one", "sum"), "n_new": ("new", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        nd = t["n_distinct"].to_numpy().astype(np.int64)
+        nn = t["n_new"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(t["doc"].to_numpy().astype(np.int64),
+                                pa.int64()),
+                "n_distinct": pa.array(nd, pa.int64()),
+                "n_new": pa.array(nn, pa.int64()),
+                "novelty": pa.array(nn / nd.astype(np.float64), pa.float64()),
+            }
+        )
+
+    return sums.map_batches(ratio, batch_format="pyarrow")

@@ -1188,3 +1188,49 @@ def test_capture_recapture_estimate(ray_session):
         rd.from_pandas(pd.DataFrame({"uid": np.arange(5000)})), "uid", pct=30
     ).iloc[0]
     assert out["n1"] == out2["n1"] and out["m"] == out2["m"]
+
+
+def test_simpson_check_planted_flip(ray_session):
+    from table_annotation_ray.stages.stats import simpson_check
+
+    rng = np.random.default_rng(101)
+    # segment A: y increases with x; segment B: y DECREASES with x but
+    # sits at much higher y for low x -> pooled slope positive, B flips
+    xa = rng.integers(1, 20, 300)
+    xb = rng.integers(20, 40, 300)
+    df = pd.concat(
+        [
+            pd.DataFrame({"seg": "A", "x": xa,
+                          "y": np.round(2.0 * xa + rng.normal(0, 1, 300), 2)}),
+            pd.DataFrame({"seg": "B", "x": xb,
+                          "y": np.round(200.0 - 1.5 * xb
+                                        + rng.normal(0, 1, 300), 2)}),
+        ],
+        ignore_index=True,
+    )
+    out = simpson_check(
+        rd.from_pandas(df).repartition(3), "seg", "x", "y"
+    ).set_index("seg")
+    assert out.loc["A", "sign_seg"] == 1
+    assert out.loc["B", "sign_seg"] == -1
+    assert out.loc["A", "sign_pooled"] == out.loc["B", "sign_pooled"] == 1
+    assert out.loc["B", "flip"] == 1 and out.loc["A", "flip"] == 0
+
+
+def test_doc_novelty_sequential(ray_session):
+    from table_annotation_ray.stages.textstats import doc_novelty
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a b c", "a b d", "a e"],
+        }
+    )
+    out = (
+        doc_novelty(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("doc")
+    )
+    assert out.loc[0, "novelty"] == 1.0  # everything new
+    assert out.loc[1, "n_new"] == 1 and out.loc[1, "novelty"] == 1 / 3
+    assert out.loc[2, "n_new"] == 1 and out.loc[2, "novelty"] == 1 / 2
