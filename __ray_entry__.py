@@ -6632,6 +6632,54 @@ def _q_doc_novelty(sf_dir: str):
     return out.sort_values("doc").reset_index(drop=True)
 
 
+
+def _q_audio_spectral(sf_dir: str):
+    """Spectral audio features (stages/multimodal.py::
+    AudioSpectralFeatures): centroid / 85% rolloff / bandwidth as
+    Nyquist fractions + zero-crossing rate over REAL stdlib-decoded
+    WAV PCM via numpy rfft; non-WAV/corrupt rows degrade per-row.
+    Rows-only (no SQL FFT); tone-frequency recovery pinned in
+    pytest."""
+    import ray.data as rd
+
+    from table_annotation_ray.stages.multimodal import (
+        RECOMMENDED_BATCH_SIZE,
+        AudioSpectralFeatures,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=96, seed=11))
+    out = ds.map_batches(
+        AudioSpectralFeatures,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=(1, 2),
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _q_image_ssim(sf_dir: str):
+    """Pixel-domain SSIM verification (stages/multimodal.py::
+    image_ssim_pairs) of planted perceptual near-dups: each perturbed
+    image vs its original (the pHash-block -> SSIM-verify pipeline's
+    second stage).  Rows-only; separation of planted vs random pairs
+    pinned in pytest."""
+    from table_annotation_ray.stages.multimodal import (
+        image_ssim_pairs, plant_perturbed_images, synth_media_table,
+    )
+
+    t = plant_perturbed_images(synth_media_table(n=64, seed=9),
+                               n_planted=12, noise=2)
+    ids = [
+        r["media_id"] for r in t.to_pylist() if r["media_id"] >= 1_000_000
+    ]
+    pairs = pd.DataFrame(
+        {"media_a": [i - 1_000_000 for i in ids], "media_b": ids}
+    )
+    out = image_ssim_pairs(t, pairs)
+    return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6912,6 +6960,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "population_estimate": _q_population_estimate,
         "simpson_check": _q_simpson_check,
         "doc_novelty": _q_doc_novelty,
+        "audio_spectral": _q_audio_spectral,
+        "image_ssim": _q_image_ssim,
     }
 
 

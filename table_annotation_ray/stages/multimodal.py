@@ -546,3 +546,123 @@ class AudioQualityAudit:
                 "n_samples": pa.array(n_samples, pa.int64()),
             }
         )
+
+
+class AudioSpectralFeatures:
+    """Actor-pool/task stage: per-clip SPECTRAL features over real
+    stdlib-decoded WAV PCM (numpy rfft — no external DSP libs): the
+    retrieval/classification front-end beyond the time-domain RMS of
+    :class:`ExtractAudioFeatures`.
+
+    Per decoded clip: ``centroid_norm`` / ``rolloff85_norm`` /
+    ``bandwidth_norm`` (magnitude-weighted moments of the rfft
+    spectrum, as fractions of Nyquist — sample-rate-free), and ``zcr``
+    (zero-crossing rate).  Non-WAV formats raise at the ffmpeg
+    plug-point and corrupt payloads degrade per row
+    (``decoded=False``, NaN features) — the multimodal family
+    contract."""
+
+    def __init__(self, decoder=None):
+        self.decoder = decoder if decoder is not None else codecs.decode_audio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, dec = [], []
+        cent, roll, bw, zcr = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            ids.append(mid)
+            try:
+                pcm = np.asarray(self.decoder(payload or b""),
+                                 dtype=np.float64)
+                if len(pcm) < 4:
+                    raise ValueError("clip too short")
+                mag = np.abs(np.fft.rfft(pcm))
+                f = np.linspace(0.0, 0.5, len(mag))
+                tot = mag.sum()
+                if tot <= 0:
+                    c = 0.0
+                    r = 0.0
+                    b = 0.0
+                else:
+                    c = float((f * mag).sum() / tot)
+                    cum = np.cumsum(mag)
+                    r = float(f[int(np.searchsorted(cum, 0.85 * tot))])
+                    b = float(np.sqrt(((f - c) ** 2 * mag).sum() / tot))
+                z = float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean())
+                cent.append(round(c, 6))
+                roll.append(round(r, 6))
+                bw.append(round(b, 6))
+                zcr.append(round(z, 6))
+                dec.append(True)
+            except (NotImplementedError, ValueError):
+                cent.append(float("nan"))
+                roll.append(float("nan"))
+                bw.append(float("nan"))
+                zcr.append(float("nan"))
+                dec.append(False)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "decoded": pa.array(dec, pa.bool_()),
+                "centroid_norm": pa.array(cent, pa.float64()),
+                "rolloff85_norm": pa.array(roll, pa.float64()),
+                "bandwidth_norm": pa.array(bw, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+            }
+        )
+
+
+def image_ssim_pairs(
+    media: pa.Table | "rd.Dataset",
+    pairs: pd.DataFrame,
+    size: int = 32,
+    decoder=None,
+) -> pd.DataFrame:
+    """Global SSIM (Wang et al. 2004, single-window form) for CANDIDATE
+    image pairs: both sides stdlib-decoded, grayscale-averaged,
+    bilinear-resized to ``size``x``size``, then
+
+        ssim = (2 μa μb + C1)(2 cov + C2)
+               / ((μa² + μb² + C1)(σa² + σb² + C2))
+
+    with the standard C1=(0.01·255)², C2=(0.03·255)².  The
+    pixel-domain similarity that catches re-encodes/resizes byte
+    hashes miss and complements :func:`phash64`'s Hamming screen —
+    use pHash banding to GENERATE candidates, SSIM to VERIFY.
+    Pairs whose either side fails to decode get NaN.  Driver-bounded
+    by the candidate contract (pairs are a blocking output)."""
+    import numpy as np
+    import pandas as pd
+
+    dec = decoder if decoder is not None else codecs.decode_image
+    if not isinstance(media, pa.Table):
+        media = pa.Table.from_pandas(media.to_pandas())
+    pay = dict(zip(media["media_id"].to_pylist(),
+                   media["payload"].to_pylist()))
+
+    def gray(mid):
+        arr = np.asarray(dec(pay[mid] or b""), dtype=np.float64)
+        if arr.ndim == 3:
+            arr = arr.mean(axis=2)
+        return codecs.resize_bilinear(arr, size, size)
+
+    C1 = (0.01 * 255) ** 2
+    C2 = (0.03 * 255) ** 2
+    rows = []
+    for a, b in zip(pairs["media_a"], pairs["media_b"]):
+        try:
+            x, y = gray(a), gray(b)
+            mx, my = x.mean(), y.mean()
+            vx, vy = x.var(), y.var()
+            cov = ((x - mx) * (y - my)).mean()
+            ssim = ((2 * mx * my + C1) * (2 * cov + C2)) / (
+                (mx * mx + my * my + C1) * (vx + vy + C2)
+            )
+            rows.append({"media_a": a, "media_b": b,
+                         "ssim": round(float(ssim), 6)})
+        except (NotImplementedError, ValueError, KeyError):
+            rows.append({"media_a": a, "media_b": b, "ssim": float("nan")})
+    return pd.DataFrame(rows)

@@ -1234,3 +1234,54 @@ def test_doc_novelty_sequential(ray_session):
     assert out.loc[0, "novelty"] == 1.0  # everything new
     assert out.loc[1, "n_new"] == 1 and out.loc[1, "novelty"] == 1 / 3
     assert out.loc[2, "n_new"] == 1 and out.loc[2, "novelty"] == 1 / 2
+
+
+def test_audio_spectral_tone_recovery(ray_session):
+    from table_annotation_ray.functions import codecs
+    from table_annotation_ray.stages.multimodal import AudioSpectralFeatures
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    lo = codecs.encode_wav((0.8 * np.sin(2 * np.pi * 440 * t)), sr)
+    hi = codecs.encode_wav((0.8 * np.sin(2 * np.pi * 4000 * t)), sr)
+    batch = pa.table(
+        {"media_id": pa.array([1, 2, 3], pa.int64()),
+         "payload": pa.array([lo, hi, b"notaudio"], pa.binary())}
+    )
+    out = AudioSpectralFeatures()(batch).to_pandas().set_index("media_id")
+    # pure tones: centroid ~= f/sr_nyquist fraction = f/sr * ... f/(sr) in [0,0.5]
+    assert abs(out.loc[1, "centroid_norm"] - 440 / sr) < 0.01
+    assert abs(out.loc[2, "centroid_norm"] - 4000 / sr) < 0.01
+    assert out.loc[2, "zcr"] > out.loc[1, "zcr"]
+    assert not out.loc[3, "decoded"] and np.isnan(out.loc[3, "centroid_norm"])
+
+
+def test_image_ssim_separates_planted(ray_session):
+    from table_annotation_ray.stages.multimodal import (
+        image_ssim_pairs, plant_perturbed_images, synth_media_table,
+    )
+
+    t = plant_perturbed_images(synth_media_table(n=48, seed=9),
+                               n_planted=6, noise=2)
+    ids = [r["media_id"] for r in t.to_pylist() if r["media_id"] >= 1_000_000]
+    import pandas as pd
+
+    planted = pd.DataFrame(
+        {"media_a": [i - 1_000_000 for i in ids], "media_b": ids}
+    )
+    img_ids = sorted(
+        r["media_id"] for r in t.to_pylist()
+        if r["kind"] == "image" and r["media_id"] < 1_000_000
+    )
+    random_pairs = pd.DataFrame(
+        {"media_a": img_ids[0:3], "media_b": img_ids[3:6]}
+    )
+    sp = image_ssim_pairs(t, planted)["ssim"]
+    rp = image_ssim_pairs(t, random_pairs)["ssim"]
+    assert sp.min() > 0.9  # noise-2 perturbation stays near-identical
+    assert sp.min() > rp.max()  # planted pairs separate from random
+    # identical pair -> ssim == 1
+    same = image_ssim_pairs(
+        t, pd.DataFrame({"media_a": [img_ids[0]], "media_b": [img_ids[0]]})
+    )
+    assert same["ssim"].iloc[0] == 1.0
