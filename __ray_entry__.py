@@ -6680,6 +6680,92 @@ def _q_image_ssim(sf_dir: str):
     return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
 
 
+
+def _q_ldiversity_audit(sf_dir: str):
+    """l-diversity audit (stages/dq.py::l_diversity) over the customer
+    (nation, segment) quasi-identifier with account-balance SIGN as the
+    sensitive attribute: classes where every member shares the
+    sensitive value leak even when k-anonymous.  One distinct exchange
+    + one count exchange; hash-exact."""
+    from table_annotation_ray.stages.dq import l_diversity
+
+    cu = _read(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "c_mktsegment": b["c_mktsegment"],
+                "bal_sign": np.sign(
+                    b["c_acctbal"].to_numpy(dtype=np.float64)
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = l_diversity(cu, ["c_nationkey", "c_mktsegment"], "bal_sign", l=2)
+    return out
+
+
+def _q_session_type_pairs(sf_dir: str):
+    """In-session event-type co-occurrence (stages/relational.py::
+    cooccurrence_pairs over 30-min session baskets): which event types
+    happen in the SAME visit — the session-level market basket behind
+    next-action suggestions.  Session ids are derived with the
+    session_conversion window; one basket co-location.  SQL mirror:
+    the same window walk + distinct self-join."""
+    from table_annotation_ray.stages.relational import cooccurrence_pairs
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    # one key co-location so session ids are globally consistent
+    nb = 64
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bkt"] = (
+            pd.util.hash_pandas_object(b["user_id"], index=False).to_numpy()
+            % nb
+        ).astype("int64")
+        return b
+
+    sess = (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(
+            lambda g: _sessionize_group(g),
+            batch_format="pandas",
+        )
+    )
+    out = cooccurrence_pairs(sess, "sess_key", "event_type",
+                             min_count=1).to_pandas()
+    out = out.rename(columns={"n_baskets": "n_sessions"})
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def _sessionize_group(g: pd.DataFrame):
+    import pyarrow as _pa
+
+    g = (
+        g.drop(columns="__bkt")
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    same = g["user_id"].eq(g["user_id"].shift())
+    brk = (~same) | (g["ts"].diff() > pd.Timedelta(minutes=30))
+    sess_local = brk.cumsum().astype("int64")
+    # globally unique basket key: (user, local session index within user)
+    per_user = sess_local.groupby(g["user_id"], sort=False).rank(
+        method="dense"
+    ).astype("int64")
+    key = g["user_id"].to_numpy(dtype="int64") * 100_000 + per_user.to_numpy()
+    return _pa.table(
+        {
+            "sess_key": _pa.array(key, _pa.int64()),
+            "event_type": _pa.array(g["event_type"].tolist(), _pa.string()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -6962,6 +7048,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": _q_doc_novelty,
         "audio_spectral": _q_audio_spectral,
         "image_ssim": _q_image_ssim,
+        "ldiversity_audit": _q_ldiversity_audit,
+        "session_type_pairs": _q_session_type_pairs,
     }
 
 
@@ -10860,6 +10948,40 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / count(*) AS novelty
             FROM p JOIN f USING (token)
             GROUP BY p.doc_id ORDER BY doc
+        """,
+        "ldiversity_audit": """
+            WITH b AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                       c_mktsegment,
+                       CAST(sign(c_acctbal) AS BIGINT) AS bal_sign
+                FROM customer)
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT bal_sign) AS BIGINT) AS n_sensitive,
+                   CAST(CASE WHEN count(DISTINCT bal_sign) < 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS risky
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "session_type_pairs": """
+            WITH s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            t AS (
+                SELECT user_id, event_type,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess
+                FROM s),
+            d AS (SELECT DISTINCT user_id, sess, event_type FROM t)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.sess = b.sess
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

@@ -449,3 +449,43 @@ def functional_dependencies(
     for c in ("n_det", "n_pairs", "n_violating", "holds"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def l_diversity(
+    ds: rd.Dataset,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """l-diversity audit — :func:`k_anonymity`'s necessary companion:
+    a QI class can be large yet still leak if everyone in it shares
+    the same SENSITIVE value.  Per QI equivalence class: row count,
+    distinct sensitive values, and ``risky`` when diversity < l.
+    One distinct-count exchange (bucketed distinct on QI+sensitive,
+    then per-QI counts) + one row-count exchange.  Output
+    ``(qi..., n, n_sensitive, risky)``.
+    """
+    import pyarrow as pa
+
+    from .agg import distinct_count_by_key, grouped_reduce
+    from .relational import equi_join
+
+    qi = list(qi_cols)
+    counts = grouped_reduce(
+        ds.select_columns(qi), qi, {"n": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    div = distinct_count_by_key(
+        ds.select_columns(qi + [sensitive_col]), qi, sensitive_col,
+        out_col="n_sensitive", num_buckets=num_buckets,
+    )
+    # join on a composite int is unavailable for string QI sets; the
+    # QI class table is class-cardinality-sized -> broadcast merge
+    cdf = counts.to_pandas()
+    ddf = div.to_pandas()
+    out = cdf.merge(ddf, on=qi, how="inner")
+    out["n"] = out["n"].astype("int64")
+    out["n_sensitive"] = out["n_sensitive"].astype("int64")
+    out["risky"] = (out["n_sensitive"] < int(l)).astype("int64")
+    return out.sort_values(qi).reset_index(drop=True)

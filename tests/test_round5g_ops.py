@@ -1285,3 +1285,21 @@ def test_image_ssim_separates_planted(ray_session):
         t, pd.DataFrame({"media_a": [img_ids[0]], "media_b": [img_ids[0]]})
     )
     assert same["ssim"].iloc[0] == 1.0
+
+
+def test_l_diversity_hand(ray_session):
+    from table_annotation_ray.stages.dq import l_diversity
+
+    df = pd.DataFrame(
+        {
+            "zip": ["1"] * 4 + ["2"] * 4,
+            "sens": ["a", "a", "a", "a", "x", "y", "z", "x"],
+        }
+    )
+    out = l_diversity(
+        rd.from_pandas(df).repartition(2), ["zip"], "sens", l=2
+    ).set_index("zip")
+    # class 1 is large but zero-diversity -> risky; class 2 has 3 values
+    assert out.loc["1", "n"] == 4 and out.loc["1", "n_sensitive"] == 1
+    assert out.loc["1", "risky"] == 1
+    assert out.loc["2", "n_sensitive"] == 3 and out.loc["2", "risky"] == 0
