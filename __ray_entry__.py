@@ -6766,6 +6766,88 @@ def _sessionize_group(g: pd.DataFrame):
     )
 
 
+
+def _q_value_robust_scaled(sf_dir: str):
+    """Robust feature scaling (composition: grouped_quantiles + a
+    broadcast map): per event type, robust_z = (value - median) / IQR
+    with the EXACT discrete q25/q50/q75 (k = ceil(q*n) rank elements —
+    input-lattice values, no interpolation).  Per-row map output;
+    types with IQR 0 get NULL.  SQL mirror recomputes the same ranked
+    elements.  Hash-exact."""
+    from table_annotation_ray.stages.quantiles import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    qs = grouped_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", [0.25, 0.5, 0.75],
+    )
+    piv = qs.pivot_table(index="event_type", columns="q", values="value",
+                         aggfunc="first")
+    med = dict(zip(piv.index, piv[0.5]))
+    iqr = {k: piv.loc[k, 0.75] - piv.loc[k, 0.25] for k in piv.index}
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].map(med).to_numpy(dtype=np.float64)
+        i = b["event_type"].map(iqr).to_numpy(dtype=np.float64)
+        v = b["value"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(i > 0, (v - m) / np.where(i > 0, i, 1.0), np.nan)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "value": v,
+                "robust_z": z,
+            }
+        )
+
+    out = ev.map_batches(scale, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_value_dispersion(sf_dir: str):
+    """Overdispersion check (variance-to-mean ratio of per-user event
+    counts, per type): VMR > 1 says user activity is burstier than
+    Poisson — the modeling-assumption audit before count regressions.
+    Sufficient statistics are exact integers; the two output ratios
+    mirror the SQL float ops.  Hash-exact."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    per_user = grouped_reduce(
+        ev, ["event_type", "user_id"], {"c": (None, "count")}
+    )
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n_users": 1,
+                "sc": c,
+                "scc": c * c,
+            }
+        )
+
+    agg = grouped_reduce(
+        per_user.map_batches(moments, batch_format="pandas"),
+        ["event_type"],
+        {"n_users": ("n_users", "sum"), "sc": ("sc", "sum"),
+         "scc": ("scc", "sum")},
+    ).to_pandas()
+    for c in ("n_users", "sc", "scc"):
+        agg[c] = agg[c].astype("int64")
+    n = agg["n_users"].to_numpy(np.float64)
+    sc = agg["sc"].to_numpy(np.float64)
+    scc = agg["scc"].to_numpy(np.float64)
+    mean = sc / n
+    var = (scc - sc * sc / n) / n  # population variance, SQL mirror
+    agg["mean_c"] = mean
+    agg["var_c"] = var
+    agg["vmr"] = var / mean
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7050,6 +7132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ssim": _q_image_ssim,
         "ldiversity_audit": _q_ldiversity_audit,
         "session_type_pairs": _q_session_type_pairs,
+        "value_robust_scaled": _q_value_robust_scaled,
+        "value_dispersion": _q_value_dispersion,
     }
 
 
@@ -10982,6 +11066,46 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND a.sess = b.sess
              AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "value_robust_scaled": """
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events),
+            q AS (
+                SELECT event_type,
+                       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                           THEN value END) AS q25,
+                       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                           THEN value END) AS q50,
+                       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                           THEN value END) AS q75
+                FROM r GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN q.q75 - q.q25 > 0 THEN
+                       (e.value - q.q50) / (q.q75 - q.q25) END AS robust_z
+            FROM events e JOIN q USING (event_type)
+            ORDER BY e.event_id
+        """,
+        "value_dispersion": """
+            WITH pu AS (
+                SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+            g AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(sum(c) AS BIGINT) AS sc,
+                       CAST(sum(c * c) AS BIGINT) AS scc
+                FROM pu GROUP BY 1)
+            SELECT event_type, n_users, sc, scc,
+                   CAST(sc AS DOUBLE) / n_users AS mean_c,
+                   (scc - CAST(sc AS DOUBLE) * sc / n_users) / n_users
+                       AS var_c,
+                   ((scc - CAST(sc AS DOUBLE) * sc / n_users) / n_users)
+                       / (CAST(sc AS DOUBLE) / n_users) AS vmr
+            FROM g ORDER BY event_type
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,
