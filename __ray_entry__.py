@@ -6848,6 +6848,107 @@ def _q_value_dispersion(sf_dir: str):
     return agg.sort_values("event_type").reset_index(drop=True)
 
 
+
+def _q_worst_slices(sf_dir: str):
+    """SliceFinder-lite (composition over grouped_reduce): every
+    (lang x source) slice of documents ranked by how far its mean
+    quality score sits below the corpus mean — the data-debugging
+    report that points at the subcorpus dragging quality down.
+    Integer micro-unit sums; deviations mirror the SQL float ops;
+    rank by (delta, slice) is total.  Hash-exact."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        u = np.round(
+            _round_ha(qs["stopword_ratio"], 6).to_numpy() * 1e6
+        ).astype("int64")
+        return pd.DataFrame(
+            {"lang": b["lang"], "source": b["source"], "u": u}
+        )
+
+    agg = grouped_reduce(
+        docs.map_batches(score, batch_format="pandas"),
+        ["lang", "source"],
+        {"n": (None, "count"), "sum_u": ("u", "sum")},
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_u"] = agg["sum_u"].astype("int64")
+    N = int(agg["n"].sum())
+    S = int(agg["sum_u"].sum())
+    gmean = S / (1e6 * N)
+    agg["mean_score"] = agg["sum_u"].to_numpy(np.float64) / (
+        1e6 * agg["n"].to_numpy(np.float64)
+    )
+    agg["delta"] = agg["mean_score"] - gmean
+    agg = agg.sort_values(["delta", "lang", "source"]).reset_index(drop=True)
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    return agg
+
+
+def _q_transition_dwell(sf_dir: str):
+    """Dwell time per event-type transition (stages/windows.py::
+    lag_by_key composition): mean microseconds between consecutive
+    events per (prev type, next type) — the "how long after a view
+    does the purchase come" table.  Exact int64 µs sums, one division;
+    hash-exact vs a LAG window mirror."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = 64
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bkt"] = (
+            pd.util.hash_pandas_object(b["user_id"], index=False).to_numpy()
+            % nb
+        ).astype("int64")
+        return b
+
+    def pairs(g: pd.DataFrame):
+        import pyarrow as _pa
+
+        g = (
+            g.drop(columns="__bkt")
+            .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gb = g.groupby("user_id", sort=False)
+        prev_t = gb["event_type"].shift(1)
+        prev_us = pd.Series(us).groupby(
+            g["user_id"].to_numpy(), sort=False
+        ).shift(1)
+        ok = prev_t.notna().to_numpy()
+        return _pa.table(
+            {
+                "prev_type": _pa.array(prev_t[ok].tolist(), _pa.string()),
+                "next_type": _pa.array(
+                    g["event_type"][ok].tolist(), _pa.string()),
+                "gap_us": _pa.array(
+                    (us[ok] - prev_us[ok].to_numpy(dtype=np.int64)),
+                    _pa.int64()),
+            }
+        )
+
+    agg = grouped_reduce(
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(pairs, batch_format="pandas"),
+        ["prev_type", "next_type"],
+        {"n": (None, "count"), "sum_us": ("gap_us", "sum")},
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_us"] = agg["sum_us"].astype("int64")
+    agg["mean_us"] = agg["sum_us"].to_numpy(np.float64) / agg["n"].to_numpy(
+        np.float64
+    )
+    return agg.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7134,6 +7235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_pairs": _q_session_type_pairs,
         "value_robust_scaled": _q_value_robust_scaled,
         "value_dispersion": _q_value_dispersion,
+        "worst_slices": _q_worst_slices,
+        "transition_dwell": _q_transition_dwell,
     }
 
 
@@ -11106,6 +11209,47 @@ def oracle_sql() -> dict[str, str]:
                    ((scc - CAST(sc AS DOUBLE) * sc / n_users) / n_users)
                        / (CAST(sc AS DOUBLE) / n_users) AS vmr
             FROM g ORDER BY event_type
+        """,
+        "worst_slices": """
+            WITH scored AS (
+                SELECT lang, source,
+                       CAST(round(round(len(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x IN """ + _ENGLISH_STOPS + """))
+                           / greatest(CASE WHEN trim(text) = '' THEN 0
+                                           ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                      END, 1), 6) * 1000000) AS BIGINT) AS u
+                FROM documents),
+            g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(u) AS BIGINT) AS sum_u
+                  FROM scored GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(sum(sum_u) AS BIGINT) AS ss FROM g)
+            SELECT g.lang, g.source, g.n, g.sum_u,
+                   CAST(g.sum_u AS DOUBLE) / (1000000.0 * g.n)
+                       AS mean_score,
+                   CAST(g.sum_u AS DOUBLE) / (1000000.0 * g.n)
+                     - CAST(t.ss AS DOUBLE) / (1000000.0 * t.nn) AS delta,
+                   CAST(row_number() OVER (
+                       ORDER BY CAST(g.sum_u AS DOUBLE) / (1000000.0 * g.n)
+                                - CAST(t.ss AS DOUBLE) / (1000000.0 * t.nn),
+                                g.lang, g.source) AS BIGINT) AS rank
+            FROM g CROSS JOIN t
+            ORDER BY delta, g.lang, g.source
+        """,
+        "transition_dwell": """
+            WITH s AS (
+                SELECT event_type AS next_type,
+                       lag(event_type) OVER w AS prev_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT prev_type, next_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_us,
+                   CAST(sum(gap_us) AS DOUBLE) / count(*) AS mean_us
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,
