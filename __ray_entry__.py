@@ -6949,6 +6949,20 @@ def _q_transition_dwell(sf_dir: str):
     return agg.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
 
 
+
+def _q_skipgram_pairs(sf_dir: str):
+    """Skip-gram co-occurrence table (stages/textstats.py::
+    skipgram_pairs): directed (center, context) counts within window 3
+    — the word2vec/GloVe input.  Vectorized shift explode + one count
+    exchange; SQL mirror is a position self-join.  Hash-exact."""
+    from table_annotation_ray.stages.textstats import skipgram_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = skipgram_pairs(docs, window=3, min_count=5).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["center", "context"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7237,6 +7251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_dispersion": _q_value_dispersion,
         "worst_slices": _q_worst_slices,
         "transition_dwell": _q_transition_dwell,
+        "skipgram_pairs": _q_skipgram_pairs,
     }
 
 
@@ -11250,6 +11265,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap_us) AS DOUBLE) / count(*) AS mean_us
             FROM s WHERE prev_type IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "skipgram_pairs": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)),
+                                                         '\\s+'),
+                                   x -> x <> '') AS arr
+                FROM documents
+                WHERE trim(COALESCE(text, '')) <> ''),
+            pos AS (
+                SELECT doc_id, unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) AS i
+                FROM t),
+            p AS (
+                SELECT x.tok AS center, y.tok AS context
+                FROM pos x JOIN pos y
+                  ON x.doc_id = y.doc_id
+                 AND abs(x.i - y.i) BETWEEN 1 AND 3)
+            SELECT center, context, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+            ORDER BY 1, 2
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

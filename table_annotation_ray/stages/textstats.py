@@ -1186,3 +1186,69 @@ def doc_novelty(
         )
 
     return sums.map_batches(ratio, batch_format="pyarrow")
+
+
+def skipgram_pairs(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 1,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Skip-gram co-occurrence counts — the word2vec/GloVe training
+    table: ordered token pairs ``(center, context)`` within distance
+    1..``window`` inside a document, counted over the corpus.
+    Direction is kept (left/right contexts both emit, as word2vec
+    does), so ``(a, b)`` and ``(b, a)`` are separate rows.
+
+    Map-side: one vectorized shift per offset (no per-token Python),
+    per-batch combine; ONE grouped_reduce sums across the corpus.
+    Output ``(center, context, n)`` with ``n >= min_count``."""
+    from .agg import grouped_reduce
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks, nt = _ws_tokens(b[text_col], lower=True)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        ).to_numpy(zero_copy_only=False)
+        nt = np.asarray(nt, dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(b)), nt)
+        centers, contexts = [], []
+        for d in range(1, window + 1):
+            ok = (doc_idx[d:] == doc_idx[:-d]) if len(doc_idx) > d else \
+                np.zeros(0, dtype=bool)
+            a = flat[:-d][ok]
+            c = flat[d:][ok]
+            centers.append(np.concatenate([a, c]))
+            contexts.append(np.concatenate([c, a]))
+        if centers and sum(len(x) for x in centers):
+            df = pd.DataFrame(
+                {"center": np.concatenate(centers),
+                 "context": np.concatenate(contexts)}
+            )
+            p = df.groupby(["center", "context"], sort=False).size().rename(
+                "n").reset_index()
+        else:
+            p = pd.DataFrame({"center": [], "context": [], "n": []})
+        return pa.table(
+            {
+                "center": pa.array(p["center"].tolist(), pa.string()),
+                "context": pa.array(p["context"].tolist(), pa.string()),
+                "n": pa.array(
+                    p["n"].to_numpy(dtype=np.int64)
+                    if len(p) else np.empty(0, np.int64), pa.int64()),
+            }
+        )
+
+    counts = grouped_reduce(
+        docs.map_batches(explode, batch_format="pandas", batch_size=65536),
+        ["center", "context"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    )
+    if min_count > 1:
+        counts = counts.filter(expr=f"n >= {int(min_count)}")
+    return counts

@@ -1303,3 +1303,20 @@ def test_l_diversity_hand(ray_session):
     assert out.loc["1", "n"] == 4 and out.loc["1", "n_sensitive"] == 1
     assert out.loc["1", "risky"] == 1
     assert out.loc["2", "n_sensitive"] == 3 and out.loc["2", "risky"] == 0
+
+
+def test_skipgram_pairs_hand(ray_session):
+    from table_annotation_ray.stages.textstats import skipgram_pairs
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "b a"]})
+    out = (
+        skipgram_pairs(rd.from_pandas(df).repartition(2), window=2)
+        .to_pandas()
+        .set_index(["center", "context"])["n"]
+    )
+    # doc1 (w<=2): (a,b),(b,a),(b,c),(c,b),(a,c),(c,a); doc2: (b,a),(a,b)
+    assert out[("a", "b")] == 2 and out[("b", "a")] == 2
+    assert out[("a", "c")] == 1 and out[("c", "a")] == 1
+    assert out.sum() == 8
+    # pairs never cross documents
+    assert ("c", "b") in out.index and out[("c", "b")] == 1
