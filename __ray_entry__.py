@@ -6963,6 +6963,20 @@ def _q_skipgram_pairs(sf_dir: str):
     return out.sort_values(["center", "context"]).reset_index(drop=True)
 
 
+
+def _q_conformal_intervals(sf_dir: str):
+    """Split-conformal intervals per event type (stages/stats.py::
+    conformal_intervals): train on even event ids (per-type mean),
+    calibrate on odd ids; the half-width is the ceil((n+1)(1-alpha))-th
+    smallest |residual| — an ELEMENT selection with id tie-break, so
+    the SQL ranked-row mirror is bit-exact (alpha=0.1)."""
+    from table_annotation_ray.stages.stats import conformal_intervals
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return conformal_intervals(ev, "event_type", "event_id", "value",
+                               alpha=0.1)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7252,6 +7266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "worst_slices": _q_worst_slices,
         "transition_dwell": _q_transition_dwell,
         "skipgram_pairs": _q_skipgram_pairs,
+        "conformal_intervals": _q_conformal_intervals,
     }
 
 
@@ -11286,6 +11301,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT center, context, CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2 HAVING count(*) >= 5
             ORDER BY 1, 2
+        """,
+        "conformal_intervals": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_train,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS sum_c
+                FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            mp AS (SELECT event_type, n_train,
+                          sum_c / (100.0 * n_train) AS mean_pred
+                   FROM m WHERE n_train > 0),
+            r AS (
+                SELECT e.event_type,
+                       abs(e.value - mp.mean_pred) AS resid,
+                       e.event_id,
+                       row_number() OVER (
+                           PARTITION BY e.event_type
+                           ORDER BY abs(e.value - mp.mean_pred),
+                                    e.event_id) AS rnk,
+                       count(*) OVER (PARTITION BY e.event_type) AS n
+                FROM events e JOIN mp USING (event_type)
+                WHERE e.event_id % 2 = 1)
+            SELECT r.event_type, mp.n_train,
+                   CAST(r.n AS BIGINT) AS n_cal, r.resid AS qhat,
+                   mp.mean_pred
+            FROM r JOIN mp USING (event_type)
+            WHERE r.rnk = least(CAST(ceil((r.n + 1) * 0.9) AS BIGINT), r.n)
+            ORDER BY r.event_type
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

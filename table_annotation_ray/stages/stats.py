@@ -1994,3 +1994,114 @@ def simpson_check(
         (out["sign_seg"] != 0) & (out["sign_seg"] != sgn_p)
     ).astype("int64")
     return out.sort_values(segment_col).reset_index(drop=True)
+
+
+def conformal_intervals(
+    ds: rd.Dataset,
+    group_col: str,
+    id_col: str,
+    val_col: str,
+    alpha: float = 0.1,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Split-conformal prediction intervals per group (Vovk; the
+    distribution-free coverage guarantee): the TRAIN split (even ids)
+    fits the trivial per-group mean predictor, the CALIBRATION split
+    (odd ids) ranks absolute residuals, and the interval half-width is
+    the ``ceil((n_cal + 1) * (1 - alpha))``-th smallest residual — an
+    ELEMENT of the residual multiset (ties broken by id), so the SQL
+    mirror selects the identical ranked row, bit-exact.
+
+    Guarantee: P(|y - mean| <= qhat) >= 1 - alpha on exchangeable new
+    rows, regardless of the value distribution.  One grouped_reduce
+    for the means + one hash(group) co-location for the ranked
+    residual selection.  Output ``(group, n_train, n_cal, mean_pred,
+    qhat)``."""
+    from .agg import grouped_reduce
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        even = (b[id_col].to_numpy(dtype=np.int64) % 2) == 0
+        return pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "tr_n": even.astype(np.int64),
+                "tr_c": np.where(even, cents, 0),
+            }
+        )
+
+    means = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas"),
+        [group_col],
+        {"n_train": ("tr_n", "sum"), "sum_c": ("tr_c", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    means["n_train"] = means["n_train"].astype("int64")
+    means["sum_c"] = means["sum_c"].astype("int64")
+    mean_pred = {
+        g: sc / (100.0 * n)
+        for g, sc, n in zip(means[group_col], means["sum_c"],
+                            means["n_train"])
+        if n > 0
+    }
+    nb = np.uint64(num_buckets)
+    mp_items = mean_pred  # closure broadcast (group-bounded)
+
+    def tag2(b: pd.DataFrame) -> pa.Table:
+        odd = (b[id_col].to_numpy(dtype=np.int64) % 2) == 1
+        b = b[odd]
+        m = b[group_col].map(mp_items)
+        keep = m.notna().to_numpy()
+        b = b[keep]
+        r = np.abs(
+            b[val_col].to_numpy(dtype=np.float64)
+            - m[keep].to_numpy(dtype=np.float64)
+        )
+        out = pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "resid": r,
+                "rid": b[id_col].to_numpy(dtype=np.int64),
+            }
+        )
+        out["__cf_bkt"] = (
+            pd.util.hash_pandas_object(out[group_col], index=False)
+            .to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns="__cf_bkt")
+            .sort_values([group_col, "resid", "rid"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        gb = g.groupby(group_col, sort=False)
+        n = gb["resid"].transform("size").to_numpy(dtype=np.int64)
+        rank = gb.cumcount().to_numpy(dtype=np.int64) + 1
+        k = np.ceil((n + 1) * (1.0 - alpha)).astype(np.int64)
+        k = np.minimum(k, n)  # tiny groups: fall back to the max residual
+        hit = rank == k
+        sel = g[hit]
+        return pa.table(
+            {
+                group_col: pa.array(sel[group_col].tolist()),
+                "n_cal": pa.array(n[hit], pa.int64()),
+                "qhat": pa.array(
+                    sel["resid"].to_numpy(dtype=np.float64), pa.float64()),
+            }
+        )
+
+    picked = (
+        ds.map_batches(tag2, batch_format="pandas")
+        .groupby("__cf_bkt")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out = means.merge(picked, on=group_col, how="inner")
+    out["mean_pred"] = out[group_col].map(mean_pred).astype("float64")
+    out["n_cal"] = out["n_cal"].astype("int64")
+    out = out.drop(columns=["sum_c"])
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -1320,3 +1320,31 @@ def test_skipgram_pairs_hand(ray_session):
     assert out.sum() == 8
     # pairs never cross documents
     assert ("c", "b") in out.index and out[("c", "b")] == 1
+
+
+def test_conformal_intervals_coverage(ray_session):
+    from table_annotation_ray.stages.stats import conformal_intervals
+
+    rng = np.random.default_rng(107)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "g": rng.choice(["a", "b"], n),
+            "value": np.round(rng.normal(100, 10, n), 2),
+        }
+    )
+    out = conformal_intervals(
+        rd.from_pandas(df).repartition(4), "g", "event_id", "value",
+        alpha=0.1,
+    ).set_index("g")
+    # conformal guarantee: >= 90% of CALIBRATION rows fall inside
+    # [mean - qhat, mean + qhat] by construction of the rank
+    for g, sub in df[df["event_id"] % 2 == 1].groupby("g"):
+        m = out.loc[g, "mean_pred"]
+        q = out.loc[g, "qhat"]
+        cover = (np.abs(sub["value"] - m) <= q).mean()
+        assert cover >= 0.9
+        # and the width is not degenerate (roughly 1.64 sigma for normal)
+        assert 12 < q < 25
+    assert (out["n_train"] + out["n_cal"]).sum() == n
