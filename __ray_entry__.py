@@ -6977,6 +6977,63 @@ def _q_conformal_intervals(sf_dir: str):
                                alpha=0.1)
 
 
+
+def _q_erasure_audit(sf_dir: str):
+    """GDPR erasure-cascade audit: for the deletion cohort (customers
+    with Knuth-hash bucket < 5 — the SQL-reproducible sampling rule),
+    how many rows each table would lose: customer rows, their orders,
+    those orders' lineitems, and events keyed by the same ids.  Three
+    size-gated semi-filters, counts only — the impact report run
+    BEFORE a delete.  Hash-exact."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.datapipe import id_hash_bucket
+    from table_annotation_ray.stages.relational import filter_rows_by_keys
+
+    cu = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cohort(b: pd.DataFrame) -> pd.DataFrame:
+        return b[id_hash_bucket(b["c_custkey"]) < 5]
+
+    victims = cu.map_batches(cohort, batch_format="pandas").materialize()
+    n_cust = victims.count()
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    vo = filter_rows_by_keys(o, victims, "o_custkey", "c_custkey"
+                             ).materialize()
+    n_orders = vo.count()
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    vl = filter_rows_by_keys(li, vo, "l_orderkey", "o_orderkey")
+    n_line = vl.count()
+    ev = _read(sf_dir, "events", ["user_id"])
+    vev = filter_rows_by_keys(ev, victims, "user_id", "c_custkey")
+    n_ev = vev.count()
+    return pd.DataFrame(
+        {
+            "table_name": ["customer", "events", "lineitem", "orders"],
+            "n_rows": pd.array([n_cust, n_ev, n_line, n_orders],
+                               dtype="int64"),
+        }
+    )
+
+
+def _q_embedding_hubness(sf_dir: str):
+    """Hubness audit of the embedding space (composition over
+    stages/similarity.py::brute_force_topk): in-degree of every vector
+    in the exact cosine 5-NN graph — hub vectors (huge in-degree) are
+    the classic symptom of degraded high-dim metrics and poison
+    retrieval.  Exact at this scale; the IVF path is the documented
+    scale route.  Rows-only (float cosine ranking)."""
+    from table_annotation_ray.stages.similarity import brute_force_topk
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids = sorted(embs.select_columns(["vec_id"]).to_pandas()["vec_id"]
+                 .astype(int))
+    topk = brute_force_topk(embs, ids, k=5)
+    deg = topk.groupby("neighbor_id").size()
+    out = pd.DataFrame({"vec_id": ids})
+    out["in_degree"] = out["vec_id"].map(deg).fillna(0).astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7267,6 +7324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_dwell": _q_transition_dwell,
         "skipgram_pairs": _q_skipgram_pairs,
         "conformal_intervals": _q_conformal_intervals,
+        "erasure_audit": _q_erasure_audit,
+        "embedding_hubness": _q_embedding_hubness,
     }
 
 
@@ -11329,6 +11388,30 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN mp USING (event_type)
             WHERE r.rnk = least(CAST(ceil((r.n + 1) * 0.9) AS BIGINT), r.n)
             ORDER BY r.event_type
+        """,
+        "erasure_audit": """
+            WITH v AS (
+                SELECT c_custkey FROM customer
+                WHERE ((CAST(c_custkey AS HUGEINT) * 2654435761)
+                       % 4294967296 + 4294967296) % 4294967296 % 100 < 5),
+            vo AS (SELECT o_orderkey FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM v))
+            SELECT 'customer' AS table_name,
+                   CAST((SELECT count(*) FROM v) AS BIGINT) AS n_rows
+            UNION ALL
+            SELECT 'events',
+                   CAST((SELECT count(*) FROM events
+                         WHERE user_id IN (SELECT c_custkey FROM v))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem',
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IN (SELECT o_orderkey FROM vo))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'orders',
+                   CAST((SELECT count(*) FROM vo) AS BIGINT)
+            ORDER BY table_name
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

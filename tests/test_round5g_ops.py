@@ -1348,3 +1348,23 @@ def test_conformal_intervals_coverage(ray_session):
         # and the width is not degenerate (roughly 1.64 sigma for normal)
         assert 12 < q < 25
     assert (out["n_train"] + out["n_cal"]).sum() == n
+
+
+def test_embedding_hubness_planted_hub(ray_session):
+    from table_annotation_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.default_rng(111)
+    X = rng.normal(0, 1, (200, 8))
+    # a tight cluster around a fixed direction: the exact center (id 1)
+    # enters every cluster member's top-5 -> massive in-degree
+    h = rng.normal(0, 1, 8)
+    X[1] = h
+    X[2:102] = h[None, :] + 0.1 * rng.normal(0, 1, (100, 8))
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(X)})
+    ids = list(range(200))
+    topk = brute_force_topk(rd.from_pandas(df).repartition(3), ids, k=5)
+    deg = topk.groupby("neighbor_id").size()
+    # total edges = 200 * 5; in-degree mass conserved
+    assert deg.sum() == 200 * 5
+    # the centroid-aligned vector is a hub (in-degree well above mean 5)
+    assert deg.get(1, 0) > 15
