@@ -7034,6 +7034,39 @@ def _q_embedding_hubness(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+
+def _q_value_kendall(sf_dir: str):
+    """Per-user Kendall tau-a trend (stages/windows.py::
+    kendall_by_key): pairwise concordance of the ts-ordered value
+    series — the correlation family's third leg next to value_acf
+    (Pearson) and qty_price_spearman.  C and D are exact integers
+    from the theilsen pair expansion; one division.  Hash-exact."""
+    from table_annotation_ray.stages.windows import kendall_by_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = kendall_by_key(ev, "user_id", ["ts", "event_id"], "value"
+                         ).to_pandas()
+    for c in ("n", "concordant", "discordant"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_attribution_markov(sf_dir: str):
+    """Markov removal-effect attribution (stages/stats.py::
+    markov_removal_attribution, Anderl et al.): journeys truncate at
+    the first purchase; each channel scored by the drop in the chain's
+    absorption probability into CONV when removed.  Transition counts
+    are distributed exact ints; the |channels|-sized linear solves run
+    on the driver (markov_stationary contract).  Rows-only; chain
+    math pinned vs a hand-built absorbing chain in pytest."""
+    from table_annotation_ray.stages.stats import markov_removal_attribution
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return markov_removal_attribution(
+        ev, "user_id", ["ts", "event_id"], "event_type", "purchase"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7326,6 +7359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_intervals": _q_conformal_intervals,
         "erasure_audit": _q_erasure_audit,
         "embedding_hubness": _q_embedding_hubness,
+        "value_kendall": _q_value_kendall,
+        "attribution_markov": _q_attribution_markov,
     }
 
 
@@ -11412,6 +11447,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'orders',
                    CAST((SELECT count(*) FROM vo) AS BIGINT)
             ORDER BY table_name
+        """,
+        "value_kendall": """
+            WITH s AS (
+                SELECT user_id, value AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events),
+            p AS (
+                SELECT a.user_id, a.n,
+                       CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS c,
+                       CASE WHEN b.v < a.v THEN 1 ELSE 0 END AS d
+                FROM s a JOIN s b
+                  ON a.user_id = b.user_id AND a.rn < b.rn)
+            SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS concordant,
+                   CAST(sum(d) AS BIGINT) AS discordant,
+                   CAST(sum(c) - sum(d) AS DOUBLE)
+                       / (max(n) * (max(n) - 1) / 2) AS tau
+            FROM p GROUP BY user_id ORDER BY user_id
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,

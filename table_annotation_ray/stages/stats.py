@@ -2105,3 +2105,127 @@ def conformal_intervals(
     out["n_cal"] = out["n_cal"].astype("int64")
     out = out.drop(columns=["sum_c"])
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def markov_removal_attribution(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    type_col: str,
+    conversion: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Markov removal-effect attribution (Anderl et al.) — the
+    data-driven completion of the last-touch/linear family: build the
+    first-order journey chain (START -> types -> CONV/NULL absorbing
+    states, one transition row per consecutive pair, journeys end at
+    the first ``conversion`` event or at history end), then score each
+    channel by how much the chain's conversion probability drops when
+    the channel is removed (its transitions redirect to NULL)::
+
+        removal_effect(c) = 1 - P_conv(without c) / P_conv(full)
+
+    Transition counts ride ONE hash(key) exchange + one skinny count
+    exchange (exact integers); absorption probabilities solve the
+    |types|-sized linear system on the driver (the markov_stationary
+    contract).  Output per channel: ``(channel, removal_effect,
+    share)`` with shares normalized over positive effects.
+    """
+    from .agg import grouped_reduce
+
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        import pyarrow as pa
+
+        b = b[[key_col, *order_cols, type_col]].copy()
+        b["__ma_bkt"] = (
+            pd.util.hash_pandas_object(b[key_col], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def transitions(g: pd.DataFrame) -> pa.Table:
+        import pyarrow as pa
+
+        g = (
+            g.drop(columns="__ma_bkt")
+            .sort_values([key_col] + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        frames = []
+        for _, sub in g.groupby(key_col, sort=False):
+            ts = sub[type_col].tolist()
+            # truncate at first conversion; journey = START..absorb
+            if conversion in ts:
+                cut = ts.index(conversion)
+                path = ["__START__"] + ts[:cut] + ["__CONV__"]
+            else:
+                path = ["__START__"] + ts + ["__NULL__"]
+            frames.append(pd.DataFrame(
+                {"src": path[:-1], "dst": path[1:]}
+            ))
+        t = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"src": [], "dst": []})
+        c = t.groupby(["src", "dst"], sort=False).size().rename(
+            "n").reset_index()
+        return pa.table(
+            {
+                "src": pa.array(c["src"].tolist(), pa.string()),
+                "dst": pa.array(c["dst"].tolist(), pa.string()),
+                "n": pa.array(c["n"].to_numpy(dtype=np.int64)
+                              if len(c) else np.empty(0, np.int64),
+                              pa.int64()),
+            }
+        )
+
+    counts = grouped_reduce(
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__ma_bkt")
+        .map_groups(transitions, batch_format="pandas"),
+        ["src", "dst"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    counts["n"] = counts["n"].astype("int64")
+
+    states = sorted(
+        set(counts["src"]) | set(counts["dst"])
+        - {"__CONV__", "__NULL__"}
+    )
+    trans = {s: {} for s in states}
+    for s, d, n in zip(counts["src"], counts["dst"], counts["n"]):
+        if s in trans:
+            trans[s][d] = trans[s].get(d, 0) + int(n)
+
+    def p_conv(removed: str | None) -> float:
+        # absorption probability into CONV from START; removing a
+        # channel redirects its transitions to NULL
+        live = [s for s in states if s != removed]
+        idx = {s: i for i, s in enumerate(live)}
+        A = np.eye(len(live))
+        b = np.zeros(len(live))
+        for s in live:
+            tot = float(sum(trans[s].values()))
+            if tot == 0:
+                continue
+            for d, n in trans[s].items():
+                p = n / tot
+                if d == "__CONV__":
+                    b[idx[s]] += p
+                elif d in idx:  # removed channel's mass -> NULL
+                    A[idx[s], idx[d]] -= p
+        x = np.linalg.solve(A, b)
+        return float(x[idx["__START__"]])
+
+    base = p_conv(None)
+    rows = []
+    for ch in states:
+        if ch == "__START__":
+            continue
+        eff = 1.0 - (p_conv(ch) / base if base > 0 else 0.0)
+        rows.append({"channel": ch, "removal_effect": eff})
+    out = pd.DataFrame(rows)
+    pos = out["removal_effect"].clip(lower=0.0)
+    tot = float(pos.sum())
+    out["share"] = pos / tot if tot > 0 else np.nan
+    return out.sort_values("channel").reset_index(drop=True)

@@ -1368,3 +1368,60 @@ def test_embedding_hubness_planted_hub(ray_session):
     assert deg.sum() == 200 * 5
     # the centroid-aligned vector is a hub (in-degree well above mean 5)
     assert deg.get(1, 0) > 15
+
+
+def test_kendall_by_key_vs_scipy_free_ref(ray_session):
+    from table_annotation_ray.stages.windows import kendall_by_key
+
+    rng = np.random.default_rng(113)
+    frames, expect = [], {}
+    for k in range(5):
+        n = int(rng.integers(3, 25))
+        v = np.round(rng.normal(0, 3, n) + 0.4 * np.arange(n), 2)
+        frames.append(pd.DataFrame({"k": k, "t": np.arange(n), "v": v}))
+        c = d = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if v[j] > v[i]:
+                    c += 1
+                elif v[j] < v[i]:
+                    d += 1
+        expect[k] = (n, c, d, (c - d) / (n * (n - 1) / 2))
+    df = pd.concat(frames, ignore_index=True)
+    out = (
+        kendall_by_key(rd.from_pandas(df).repartition(3), "k", ["t"], "v")
+        .to_pandas()
+        .set_index("k")
+    )
+    for k, (n, c, d, tau) in expect.items():
+        assert out.loc[k, "n"] == n
+        assert out.loc[k, "concordant"] == c
+        assert out.loc[k, "discordant"] == d
+        assert out.loc[k, "tau"] == tau
+
+
+def test_markov_removal_hand_chain(ray_session):
+    from table_annotation_ray.stages.stats import markov_removal_attribution
+
+    # every converting journey passes through B; A appears in half the
+    # journeys but never gates conversion -> B's removal effect 1.0
+    rows = []
+    t = pd.Timestamp("2024-01-01")
+    journeys = [
+        ["A", "B", "buy"],
+        ["B", "buy"],
+        ["A", "x"],
+        ["B", "buy"],
+    ]
+    for u, path in enumerate(journeys):
+        for i, et in enumerate(path):
+            rows.append({"u": u, "ts": t + pd.Timedelta(minutes=i),
+                         "e": i, "et": et})
+    df = pd.DataFrame(rows)
+    out = markov_removal_attribution(
+        rd.from_pandas(df).repartition(2), "u", ["ts", "e"], "et", "buy"
+    ).set_index("channel")
+    assert out.loc["B", "removal_effect"] == pytest.approx(1.0, abs=1e-12)
+    # A's removal cannot eliminate conversions (B->buy path survives)
+    assert out.loc["A", "removal_effect"] < 1.0
+    assert out.loc["B", "share"] > out.loc["A", "share"]
