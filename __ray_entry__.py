@@ -7067,6 +7067,39 @@ def _q_attribution_markov(sf_dir: str):
     )
 
 
+
+def _q_hourly_peaks(sf_dir: str):
+    """Peak detection on the gap-filled hourly count series
+    (composition: resample_counts + a vectorized neighbor compare):
+    hours strictly above BOTH neighbors by >= 2 events, per type —
+    the alert primitive on operational series.  Exact integers;
+    SQL mirror is a LAG/LEAD window over the filled grid."""
+    from table_annotation_ray.stages.windows import resample_counts
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    grid = resample_counts(ev, "ts", "event_type", freq="h")
+    rows = []
+    for et, sub in grid.groupby("event_type", sort=True):
+        sub = sub.sort_values("period").reset_index(drop=True)
+        n = sub["n"].to_numpy(dtype=np.int64)
+        if len(n) < 3:
+            continue
+        mid = np.arange(1, len(n) - 1)
+        pk = (n[mid] >= n[mid - 1] + 2) & (n[mid] >= n[mid + 1] + 2)
+        for i in mid[pk]:
+            rows.append(
+                {"event_type": et, "period": sub["period"].iloc[i],
+                 "n": int(n[i]), "prev_n": int(n[i - 1]),
+                 "next_n": int(n[i + 1])}
+            )
+    out = pd.DataFrame(rows,
+                       columns=["event_type", "period", "n", "prev_n",
+                                "next_n"])
+    for c in ("n", "prev_n", "next_n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "period"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7361,6 +7394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_hubness": _q_embedding_hubness,
         "value_kendall": _q_value_kendall,
         "attribution_markov": _q_attribution_markov,
+        "hourly_peaks": _q_hourly_peaks,
     }
 
 
@@ -11467,6 +11501,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c) - sum(d) AS DOUBLE)
                        / (max(n) * (max(n) - 1) / 2) AS tau
             FROM p GROUP BY user_id ORDER BY user_id
+        """,
+        "hourly_peaks": """
+            WITH b AS (
+                SELECT min(date_trunc('hour', ts)) AS mn,
+                       max(date_trunc('hour', ts)) AS mx FROM events),
+            hours AS (
+                SELECT unnest(generate_series(
+                    (SELECT mn FROM b), (SELECT mx FROM b),
+                    INTERVAL 1 HOUR)) AS h),
+            types AS (SELECT DISTINCT event_type FROM events),
+            cnt AS (
+                SELECT date_trunc('hour', ts) AS h, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            grid AS (
+                SELECT types.event_type, hours.h,
+                       coalesce(cnt.n, 0) AS n
+                FROM hours CROSS JOIN types
+                LEFT JOIN cnt ON cnt.h = hours.h
+                             AND cnt.event_type = types.event_type),
+            w AS (
+                SELECT event_type, h, n,
+                       lag(n) OVER win AS prev_n,
+                       lead(n) OVER win AS next_n
+                FROM grid
+                WINDOW win AS (PARTITION BY event_type ORDER BY h))
+            SELECT event_type,
+                   strftime(h, '%Y-%m-%d %H:00:00') AS period,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(prev_n AS BIGINT) AS prev_n,
+                   CAST(next_n AS BIGINT) AS next_n
+            FROM w
+            WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+              AND n >= prev_n + 2 AND n >= next_n + 2
+            ORDER BY event_type, period
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,
