@@ -7100,6 +7100,78 @@ def _q_hourly_peaks(sf_dir: str):
     return out.sort_values(["event_type", "period"]).reset_index(drop=True)
 
 
+
+def _q_feature_aucs(sf_dir: str):
+    """Filter-method feature ranking (stages/stats.py::roc_auc x 4):
+    each quality heuristic's standalone AUC against the weak label —
+    the screening step before training a gate.  One skinny
+    distinct-(label, score) exchange per feature; u2 is an exact int
+    (rank-sum identity), so all four rows hash-compare."""
+    from table_annotation_ray.stages.stats import roc_auc
+    from table_annotation_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        s = _round_ha(qs["stopword_ratio"], 6)
+        mtl = _round_ha(qs["mean_token_len"], 6)
+        lab = ((s >= 0.05) & (mtl < 8.0)).astype("int64")
+        return pd.DataFrame(
+            {
+                "label": lab,
+                "punct_ratio": _round_ha(qs["punct_ratio"], 6).to_numpy(),
+                "digit_ratio": _round_ha(qs["digit_ratio"], 6).to_numpy(),
+                "stopword_ratio": s.to_numpy(),
+                "mean_token_len": mtl.to_numpy(),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas").materialize()
+    rows = []
+    for feat in ("digit_ratio", "mean_token_len", "punct_ratio",
+                 "stopword_ratio"):
+        r = roc_auc(scored, "label", feat)
+        rows.append(
+            {"feature": feat, "n_pos": r["n_pos"], "n_neg": r["n_neg"],
+             "u2": r["u2"], "auc": r["auc"]}
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_pos", "n_neg", "u2"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("feature").reset_index(drop=True)
+
+
+def _q_type_staleness(sf_dir: str):
+    """Freshness SLA report: per event type, microseconds between its
+    last event and the corpus watermark (global max ts) — the
+    stale-feed detector, computed against the DATA watermark so the
+    answer is deterministic.  One grouped_reduce; exact int64 µs.
+    Hash-exact."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "us": b["ts"].to_numpy().astype("datetime64[us]").astype(
+                    np.int64),
+            }
+        )
+
+    agg = grouped_reduce(
+        ev.map_batches(tag, batch_format="pandas"),
+        ["event_type"], {"last_us": ("us", "max"), "n": (None, "count")},
+    ).to_pandas()
+    agg["last_us"] = agg["last_us"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    wm = int(agg["last_us"].max())
+    agg["staleness_us"] = (wm - agg["last_us"]).astype("int64")
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7395,6 +7467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_kendall": _q_value_kendall,
         "attribution_markov": _q_attribution_markov,
         "hourly_peaks": _q_hourly_peaks,
+        "feature_aucs": _q_feature_aucs,
+        "type_staleness": _q_type_staleness,
     }
 
 
@@ -11536,6 +11610,107 @@ def oracle_sql() -> dict[str, str]:
             WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
               AND n >= prev_n + 2 AND n >= next_n + 2
             ORDER BY event_type, period
+        """,
+        "feature_aucs": """
+            WITH scored AS (
+                SELECT round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round((length(text) - length(regexp_replace(text, '\\d', '', 'g')))
+                             / greatest(length(text), 1), 6) AS digit_ratio,
+                       round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                             x -> x IN """ + _ENGLISH_STOPS + """))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS stopword_ratio,
+                       round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                             / greatest(CASE WHEN trim(text) = '' THEN 0
+                                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                                        END, 1), 6) AS mean_token_len
+                FROM documents),
+            lab AS (
+                SELECT punct_ratio, digit_ratio, stopword_ratio,
+                       mean_token_len,
+                       CASE WHEN stopword_ratio >= 0.05
+                                 AND mean_token_len < 8.0
+                            THEN 1 ELSE 0 END AS label
+                FROM scored)
+            SELECT 'digit_ratio' AS feature,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+                   CAST(sum(CASE WHEN label = 1
+                                 THEN 2 * rk + t - 1 ELSE 0 END)
+                        - sum(label) * (sum(label) + 1) AS BIGINT) AS u2,
+                   (CAST(sum(CASE WHEN label = 1
+                                  THEN 2 * rk + t - 1 ELSE 0 END)
+                         - sum(label) * (sum(label) + 1) AS DOUBLE) / 2)
+                       / (CAST(sum(label) AS DOUBLE)
+                          * (count(*) - sum(label))) AS auc
+            FROM (SELECT label,
+                         CAST(rank() OVER (ORDER BY digit_ratio) AS BIGINT)
+                             AS rk,
+                         CAST(count(*) OVER (PARTITION BY digit_ratio)
+                              AS BIGINT) AS t
+                  FROM lab)\n            UNION ALL\n            SELECT 'mean_token_len' AS feature,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+                   CAST(sum(CASE WHEN label = 1
+                                 THEN 2 * rk + t - 1 ELSE 0 END)
+                        - sum(label) * (sum(label) + 1) AS BIGINT) AS u2,
+                   (CAST(sum(CASE WHEN label = 1
+                                  THEN 2 * rk + t - 1 ELSE 0 END)
+                         - sum(label) * (sum(label) + 1) AS DOUBLE) / 2)
+                       / (CAST(sum(label) AS DOUBLE)
+                          * (count(*) - sum(label))) AS auc
+            FROM (SELECT label,
+                         CAST(rank() OVER (ORDER BY mean_token_len) AS BIGINT)
+                             AS rk,
+                         CAST(count(*) OVER (PARTITION BY mean_token_len)
+                              AS BIGINT) AS t
+                  FROM lab)\n            UNION ALL\n            SELECT 'punct_ratio' AS feature,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+                   CAST(sum(CASE WHEN label = 1
+                                 THEN 2 * rk + t - 1 ELSE 0 END)
+                        - sum(label) * (sum(label) + 1) AS BIGINT) AS u2,
+                   (CAST(sum(CASE WHEN label = 1
+                                  THEN 2 * rk + t - 1 ELSE 0 END)
+                         - sum(label) * (sum(label) + 1) AS DOUBLE) / 2)
+                       / (CAST(sum(label) AS DOUBLE)
+                          * (count(*) - sum(label))) AS auc
+            FROM (SELECT label,
+                         CAST(rank() OVER (ORDER BY punct_ratio) AS BIGINT)
+                             AS rk,
+                         CAST(count(*) OVER (PARTITION BY punct_ratio)
+                              AS BIGINT) AS t
+                  FROM lab)\n            UNION ALL\n            SELECT 'stopword_ratio' AS feature,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+                   CAST(sum(CASE WHEN label = 1
+                                 THEN 2 * rk + t - 1 ELSE 0 END)
+                        - sum(label) * (sum(label) + 1) AS BIGINT) AS u2,
+                   (CAST(sum(CASE WHEN label = 1
+                                  THEN 2 * rk + t - 1 ELSE 0 END)
+                         - sum(label) * (sum(label) + 1) AS DOUBLE) / 2)
+                       / (CAST(sum(label) AS DOUBLE)
+                          * (count(*) - sum(label))) AS auc
+            FROM (SELECT label,
+                         CAST(rank() OVER (ORDER BY stopword_ratio) AS BIGINT)
+                             AS rk,
+                         CAST(count(*) OVER (PARTITION BY stopword_ratio)
+                              AS BIGINT) AS t
+                  FROM lab)
+            ORDER BY feature
+        """,
+        "type_staleness": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+            w AS (SELECT max(last_us) AS wm FROM g)
+            SELECT g.event_type, g.last_us, g.n,
+                   CAST(w.wm - g.last_us AS BIGINT) AS staleness_us
+            FROM g CROSS JOIN w ORDER BY g.event_type
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,
