@@ -7172,6 +7172,64 @@ def _q_type_staleness(sf_dir: str):
     return agg.sort_values("event_type").reset_index(drop=True)
 
 
+
+def _q_split_shipments(sf_dir: str):
+    """Order fulfillment fragmentation: how many orders ship in 1, 2,
+    3... distinct ship dates (distinct_count_by_key + a histogram
+    exchange) — the split-shipment ops metric.  Exact integers,
+    hash-exact."""
+    from table_annotation_ray.stages.agg import (
+        distinct_count_by_key, grouped_reduce,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    per_order = distinct_count_by_key(li, ["l_orderkey"], "l_shipdate",
+                                      out_col="n_dates")
+    hist = grouped_reduce(
+        per_order.select_columns(["n_dates"]), ["n_dates"],
+        {"n_orders": (None, "count")},
+    ).to_pandas()
+    hist["n_dates"] = hist["n_dates"].astype("int64")
+    hist["n_orders"] = hist["n_orders"].astype("int64")
+    return hist.sort_values("n_dates").reset_index(drop=True)
+
+
+def _q_order_lead_time(sf_dir: str):
+    """Order lead-time distribution: days from order date to FIRST
+    shipment (min l_shipdate per order joined back to o_orderdate),
+    histogrammed — the fulfillment-latency curve.  Exact integer date
+    arithmetic; one grouped_reduce + one size-gated join + one
+    histogram exchange.  Hash-exact."""
+    from table_annotation_ray.stages.agg import grouped_reduce
+    from table_annotation_ray.stages.relational import equi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    first_ship = grouped_reduce(
+        li, ["l_orderkey"], {"first_ship": ("l_shipdate", "min")}
+    )
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = equi_join(first_ship, o, "l_orderkey")
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            b["first_ship"].to_numpy().astype("datetime64[D]").astype(np.int64)
+            - b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(
+                np.int64)
+        )
+        return pd.DataFrame({"lead_days": d})
+
+    hist = grouped_reduce(
+        joined.map_batches(days, batch_format="pandas"),
+        ["lead_days"], {"n_orders": (None, "count")},
+    ).to_pandas()
+    hist["lead_days"] = hist["lead_days"].astype("int64")
+    hist["n_orders"] = hist["n_orders"].astype("int64")
+    return hist.sort_values("lead_days").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -7469,6 +7527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_peaks": _q_hourly_peaks,
         "feature_aucs": _q_feature_aucs,
         "type_staleness": _q_type_staleness,
+        "split_shipments": _q_split_shipments,
+        "order_lead_time": _q_order_lead_time,
     }
 
 
@@ -11711,6 +11771,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.event_type, g.last_us, g.n,
                    CAST(w.wm - g.last_us AS BIGINT) AS staleness_us
             FROM g CROSS JOIN w ORDER BY g.event_type
+        """,
+        "split_shipments": """
+            WITH p AS (SELECT l_orderkey,
+                              count(DISTINCT l_shipdate) AS n_dates
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(n_dates AS BIGINT) AS n_dates,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "order_lead_time": """
+            WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT CAST(f.first_ship AS DATE)
+                         - CAST(o.o_orderdate AS DATE) AS lead_days
+                  FROM f JOIN orders o ON o.o_orderkey = f.l_orderkey)
+            SELECT CAST(lead_days AS BIGINT) AS lead_days,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         # ann_lsh / minhash_components / simhash_pairs / bpe_* /
         # kg_* / entity_lookup / table_* / media_features: heuristic,
